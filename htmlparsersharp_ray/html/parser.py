@@ -1,0 +1,87 @@
+"""Public parse API mirroring the reference's SimpleHtmlParser semantics.
+
+``parse``/``parse_fragment`` correspond to ``Parse``/``ParseString`` and
+``ParseStringFragment`` (reference: SimpleHtmlParser.cs:42-73): UTF-8/str
+input only, leading BOM swallowed (SimpleHtmlParser.cs:114-122), CRLF/CR
+folded to LF (the reference folds during tokenization,
+Core/UTF16Buffer.cs:81-87 + Tokenizer.cs:6472-6504; we preprocess — same
+observable result), scripting disabled by default (TreeBuilder.cs:128).
+"""
+
+from __future__ import annotations
+
+from .dom import Document, DocumentFragment, Element, HTML_NS
+from .constants import RAWTEXT_ELEMENTS, RCDATA_ELEMENTS
+from .tokenizer import Tokenizer, PLAINTEXT, RAWTEXT, RCDATA, SCRIPT_DATA
+from .treebuilder import IN_TABLE_TEXT, TreeBuilder
+
+
+def preprocess(text: str) -> str:
+    """The spec's "preprocessing the input stream": strip one leading BOM,
+    normalize CRLF and lone CR to LF."""
+    if text.startswith("﻿"):
+        text = text[1:]
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    return text
+
+
+class ParseResult:
+    __slots__ = ("root", "errors", "doc_mode")
+
+    def __init__(self, root, errors, doc_mode):
+        self.root = root
+        self.errors = errors
+        self.doc_mode = doc_mode
+
+
+def parse(text: str, scripting: bool = False) -> ParseResult:
+    """Parse a complete HTML document; returns the Document plus metrics."""
+    text = preprocess(text)
+    builder = TreeBuilder(scripting=scripting)
+    tokenizer = Tokenizer(builder)
+    builder.tokenizer = tokenizer
+    tokenizer.run(text)
+    return ParseResult(builder.doc, tokenizer.errors + builder.errors, builder.doc.mode)
+
+
+def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:
+    """innerHTML-style fragment parse with an HTML context element
+    (reference: SetFragmentContext TreeBuilder.cs:5769-5776; content-model
+    preset TreeBuilder.cs:329-374)."""
+    text = preprocess(text)
+    builder = TreeBuilder(scripting=scripting)
+    tokenizer = Tokenizer(builder)
+    builder.tokenizer = tokenizer
+
+    ctx = Element(context, HTML_NS)
+    builder.fragment_ctx = ctx
+    builder.doc.mode = "standards"
+    root = Element("html", HTML_NS)
+    builder.doc.append(root)
+    builder.open.append(root)
+    builder.mode = _initial_fragment_mode(builder, context)
+    builder.frameset_ok = True
+
+    if context in RCDATA_ELEMENTS:
+        tokenizer.set_content_model(RCDATA, context)
+    elif context in RAWTEXT_ELEMENTS or (context == "noscript" and scripting):
+        tokenizer.set_content_model(RAWTEXT, context)
+    elif context == "script":
+        tokenizer.set_content_model(SCRIPT_DATA, context)
+    elif context == "plaintext":
+        tokenizer.set_content_model(PLAINTEXT, None)
+
+    tokenizer.run(text)
+    if builder.mode == IN_TABLE_TEXT:
+        builder._flush_table_text()
+    fragment = DocumentFragment()
+    for child in list(root.children):
+        root.remove_child(child)
+        fragment.append(child)
+    return ParseResult(fragment, tokenizer.errors + builder.errors, builder.doc.mode)
+
+
+def _initial_fragment_mode(builder: TreeBuilder, context: str) -> int:
+    builder._reset_mode()
+    return builder.mode

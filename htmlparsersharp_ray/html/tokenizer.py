@@ -1,0 +1,947 @@
+"""WHATWG HTML5 tokenizer.
+
+Reimplements the 73-state tokenizer of the reference
+(reference: Core/Tokenizer.cs:1367-6421 StateLoop; per-state EOF matrix
+:6644-7246) as an original Python implementation. Two deliberate structural
+differences from the reference, neither observable in output:
+
+1. **No chunk-boundary resumability.** The reference tokenizes 2048-char
+   buffers and must suspend/resume every state (Tokenizer.cs:1303-1365).
+   Our unit of work is one transcript turn's complete ``text`` string, so
+   tag/comment/doctype parsing is written as inline sub-parsers over the
+   whole string — observationally equivalent to the spec state machine on
+   complete input, and much faster in Python.
+2. **Run-based character emission.** The reference lazily flushes character
+   runs via a ``cstart`` cursor (Tokenizer.cs:1006-1013). We emit maximal
+   runs found with compiled regex scans; the sink receives identical text.
+
+CR/LF normalization and BOM stripping happen in ``parser.preprocess`` (the
+spec's "preprocessing the input stream"; the reference does CR folding
+inside the state machine, Tokenizer.cs:6472-6504 — same observable result).
+
+Content-model switching (RCDATA/RAWTEXT/SCRIPT_DATA/PLAINTEXT) is driven by
+the tree builder through ``set_content_model`` mid-callback, mirroring
+``SetStateAndEndTagExpectation`` (reference: Core/Tokenizer.cs:653-682).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .constants import WINDOWS_1252_REMAP
+from .entities import match_entity
+
+# Content-model states (the only states that persist across sink callbacks).
+DATA = 0
+RCDATA = 1
+RAWTEXT = 2
+SCRIPT_DATA = 3
+PLAINTEXT = 4
+
+_WS = "\t\n\f "
+
+_DATA_SPECIAL = re.compile(r"[&<\x00]")
+_RCDATA_SPECIAL = re.compile(r"[&<\x00]")
+_RAWTEXT_SPECIAL = re.compile(r"[<\x00]")
+_TAG_NAME_RUN = re.compile(r"[^\t\n\f />\x00]+")
+_ATTR_NAME_RUN = re.compile(r"[^\t\n\f />=\x00]+")
+_ATTR_VALUE_DQ_RUN = re.compile(r'[^"&\x00]+')
+_ATTR_VALUE_SQ_RUN = re.compile(r"[^'&\x00]+")
+_ATTR_VALUE_UQ_RUN = re.compile(r"[^\t\n\f &>\x00]+")
+_WS_RUN = re.compile(r"[\t\n\f ]+")
+_COMMENT_SPECIAL = re.compile(r"[<\-\x00]")
+_HEX_RUN = re.compile(r"[0-9A-Fa-f]+")
+_DEC_RUN = re.compile(r"[0-9]+")
+_END_TAG_NAME = re.compile(r"[A-Za-z][^\t\n\f />]*")
+
+
+def _ncr_to_char(value: int) -> str:
+    """Map a numeric character reference value to its replacement character
+    (reference: HandleNcrValue, Core/Tokenizer.cs:6538-6642)."""
+    if value == 0 or value > 0x10FFFF or 0xD800 <= value <= 0xDFFF:
+        return "�"
+    remapped = WINDOWS_1252_REMAP.get(value)
+    if remapped is not None:
+        return chr(remapped)
+    return chr(value)
+
+
+class Tokenizer:
+    """One tokenizer instance per parse (cheap; tables are module-level)."""
+
+    __slots__ = ("sink", "state", "expected_end_tag", "last_start_tag", "errors")
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.state = DATA
+        self.expected_end_tag = None  # for RCDATA/RAWTEXT/SCRIPT_DATA
+        self.last_start_tag = None
+        self.errors = 0
+
+    # -- tree-builder callbacks -------------------------------------------
+    def set_content_model(self, state: int, expected_end_tag: str | None):
+        self.state = state
+        self.expected_end_tag = expected_end_tag
+
+    def error(self):
+        self.errors += 1
+
+    # -- main loop ---------------------------------------------------------
+    def run(self, text: str):
+        """Tokenize a complete (preprocessed) document string."""
+        sink = self.sink
+        n = len(text)
+        pos = 0
+        while pos < n:
+            state = self.state
+            if state == DATA:
+                pos = self._data(text, pos, n)
+            elif state == RCDATA:
+                pos = self._rcdata(text, pos, n)
+            elif state == RAWTEXT:
+                pos = self._rawtext(text, pos, n)
+            elif state == SCRIPT_DATA:
+                pos = self._script_data(text, pos, n)
+            else:  # PLAINTEXT
+                data = text[pos:n]
+                if "\x00" in data:
+                    self.error()
+                    data = data.replace("\x00", "�")
+                if data:
+                    sink.characters(data)
+                pos = n
+        sink.eof()
+
+    # -- DATA ---------------------------------------------------------------
+    def _data(self, text, pos, n):
+        sink = self.sink
+        while pos < n and self.state == DATA:
+            m = _DATA_SPECIAL.search(text, pos)
+            if m is None:
+                sink.characters(text[pos:])
+                return n
+            i = m.start()
+            if i > pos:
+                sink.characters(text[pos:i])
+            c = text[i]
+            if c == "<":
+                pos = self._tag_open(text, i, n)
+            elif c == "&":
+                pos = self._char_ref_in_data(text, i, n)
+            else:  # NUL: parse error; pass through (tree builder decides)
+                self.error()
+                sink.characters("\x00")
+                pos = i + 1
+        return pos
+
+    def _char_ref_in_data(self, text, amp_pos, n):
+        """'&' in DATA/RCDATA. Emits replacement or literal text."""
+        pos = amp_pos + 1
+        if pos < n and text[pos] == "#":
+            return self._numeric_ref(text, amp_pos, n, in_attr=False)
+        match = match_entity(text, pos, in_attribute=False)
+        if match is None:
+            if pos < n and text[pos].isalnum():
+                # ran past an alphanumeric run with no match
+                self.error()  # ambiguous-ampersand fires at the ';' per spec;
+                # counted once here — counters only, no messages
+            self.sink.characters("&")
+            return pos
+        consumed, replacement, had_semi = match
+        if not had_semi:
+            self.error()  # missing-semicolon-after-character-reference
+        self.sink.characters(replacement)
+        return pos + consumed
+
+    def _numeric_ref(self, text, amp_pos, n, in_attr, append=None):
+        """``&#`` numeric reference (reference: Tokenizer.cs:3514-3772).
+        Returns new pos; emits via sink or appends to ``append`` list."""
+        pos = amp_pos + 2  # skip '&#'
+        hexa = False
+        if pos < n and text[pos] in "xX":
+            hexa = True
+            m = _HEX_RUN.match(text, pos + 1)
+        else:
+            m = _DEC_RUN.match(text, pos)
+        if m is None:
+            self.error()  # absence-of-digits-in-ncr
+            literal = text[amp_pos:pos + 1] if hexa else text[amp_pos:pos]
+            if append is not None:
+                append(literal)
+            else:
+                self.sink.characters(literal)
+            return pos + 1 if hexa else pos
+        digits = m.group()
+        pos = m.end()
+        value = int(digits, 16 if hexa else 10)
+        if pos < n and text[pos] == ";":
+            pos += 1
+        else:
+            self.error()  # missing-semicolon
+        if value == 0 or value > 0x10FFFF or 0xD800 <= value <= 0xDFFF or value in WINDOWS_1252_REMAP:
+            self.error()
+        ch = _ncr_to_char(value)
+        if append is not None:
+            append(ch)
+        else:
+            self.sink.characters(ch)
+        return pos
+
+    # -- tag parsing ---------------------------------------------------------
+    def _tag_open(self, text, lt_pos, n):
+        """'<' seen in DATA. Parses a whole tag / comment / doctype."""
+        pos = lt_pos + 1
+        if pos >= n:
+            self.error()  # eof-before-tag-name
+            self.sink.characters("<")
+            return n
+        c = text[pos]
+        if c == "!":
+            return self._markup_declaration_open(text, pos + 1, n)
+        if c == "/":
+            return self._end_tag_open(text, pos + 1, n)
+        if c.isascii() and c.isalpha():
+            return self._tag_name(text, pos, n, end_tag=False)
+        if c == "?":
+            self.error()  # unexpected-question-mark
+            return self._bogus_comment(text, pos, n)
+        self.error()  # invalid-first-character-of-tag-name
+        self.sink.characters("<")
+        return pos
+
+    def _end_tag_open(self, text, pos, n):
+        if pos >= n:
+            self.error()
+            self.sink.characters("</")
+            return n
+        c = text[pos]
+        if c.isascii() and c.isalpha():
+            return self._tag_name(text, pos, n, end_tag=True)
+        if c == ">":
+            self.error()  # missing-end-tag-name
+            return pos + 1
+        self.error()  # invalid-first-character-of-tag-name
+        return self._bogus_comment(text, pos, n)
+
+    def _tag_name(self, text, pos, n, end_tag):
+        name_parts = []
+        while pos < n:
+            m = _TAG_NAME_RUN.match(text, pos)
+            if m is not None:
+                name_parts.append(m.group())
+                pos = m.end()
+            if pos >= n:
+                break
+            c = text[pos]
+            if c == "\x00":
+                self.error()
+                name_parts.append("�")
+                pos += 1
+                continue
+            break
+        if pos >= n:
+            self.error()  # eof-in-tag: token discarded
+            return n
+        name = "".join(name_parts).lower()
+        c = text[pos]
+        if c == ">":
+            return self._emit_tag(name, {}, False, end_tag, pos + 1)
+        if c == "/":
+            return self._self_closing(text, pos + 1, n, name, {}, end_tag)
+        # whitespace → attributes
+        return self._attributes(text, pos + 1, n, name, {}, end_tag)
+
+    def _attributes(self, text, pos, n, name, attrs, end_tag):
+        """before-attribute-name and the whole attribute sub-machine."""
+        while True:
+            m = _WS_RUN.match(text, pos)
+            if m is not None:
+                pos = m.end()
+            if pos >= n:
+                self.error()  # eof-in-tag
+                return n
+            c = text[pos]
+            if c == ">":
+                return self._emit_tag(name, attrs, False, end_tag, pos + 1)
+            if c == "/":
+                return self._self_closing(text, pos + 1, n, name, attrs, end_tag)
+            if c == "=":
+                self.error()  # unexpected-equals-sign-before-attribute-name
+                pos2, attr_name = self._attr_name(text, pos + 1, n, prefix="=")
+            else:
+                pos2, attr_name = self._attr_name(text, pos, n)
+            if attr_name is None:
+                return n  # EOF inside attribute name
+            pos = pos2
+            # after attribute name: skip ws, look for '='
+            m = _WS_RUN.match(text, pos)
+            if m is not None:
+                pos = m.end()
+            if pos >= n:
+                self.error()
+                return n
+            c = text[pos]
+            if c == "=":
+                pos, value = self._attr_value(text, pos + 1, n)
+                if value is None:
+                    return n  # EOF in attribute value
+            else:
+                value = ""
+            if attr_name in attrs:
+                self.error()  # duplicate-attribute; first wins
+                # (reference: Core/Tokenizer.cs:1167-1171)
+            else:
+                attrs[attr_name] = value
+            # loop continues: before-attribute-name handles ws / '>' / '/'
+
+    def _attr_name(self, text, pos, n, prefix=""):
+        parts = [prefix] if prefix else []
+        while pos < n:
+            m = _ATTR_NAME_RUN.match(text, pos)
+            if m is not None:
+                parts.append(m.group())
+                pos = m.end()
+            if pos >= n:
+                break
+            if text[pos] == "\x00":
+                self.error()
+                parts.append("�")
+                pos += 1
+                continue
+            break
+        if pos >= n:
+            self.error()  # eof-in-tag
+            return n, None
+        return pos, "".join(parts).lower()
+
+    def _attr_value(self, text, pos, n):
+        """before-attribute-value onward. Returns (pos_after, value|None)."""
+        m = _WS_RUN.match(text, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
+            self.error()
+            return n, None
+        c = text[pos]
+        if c == '"':
+            return self._quoted_value(text, pos + 1, n, '"', _ATTR_VALUE_DQ_RUN)
+        if c == "'":
+            return self._quoted_value(text, pos + 1, n, "'", _ATTR_VALUE_SQ_RUN)
+        if c == ">":
+            self.error()  # missing-attribute-value
+            return pos, ""
+        # unquoted
+        parts = []
+        while pos < n:
+            m = _ATTR_VALUE_UQ_RUN.match(text, pos)
+            if m is not None:
+                parts.append(m.group())
+                pos = m.end()
+            if pos >= n:
+                break
+            c = text[pos]
+            if c == "&":
+                pos = self._char_ref_in_attr(text, pos, n, parts)
+            elif c == "\x00":
+                self.error()
+                parts.append("�")
+                pos += 1
+            else:  # whitespace or '>'
+                break
+        if pos >= n:
+            self.error()  # eof-in-tag
+            return n, None
+        return pos, "".join(parts)
+
+    def _quoted_value(self, text, pos, n, quote, run_re):
+        parts = []
+        while pos < n:
+            m = run_re.match(text, pos)
+            if m is not None:
+                parts.append(m.group())
+                pos = m.end()
+            if pos >= n:
+                break
+            c = text[pos]
+            if c == quote:
+                pos += 1
+                # after-attribute-value-quoted: require ws / '>' / '/'
+                if pos < n and text[pos] not in "\t\n\f >/":
+                    self.error()  # missing-whitespace-between-attributes
+                return pos, "".join(parts)
+            if c == "&":
+                pos = self._char_ref_in_attr(text, pos, n, parts)
+            else:  # NUL
+                self.error()
+                parts.append("�")
+                pos += 1
+        self.error()  # eof-in-tag
+        return n, None
+
+    def _char_ref_in_attr(self, text, amp_pos, n, parts):
+        pos = amp_pos + 1
+        if pos < n and text[pos] == "#":
+            return self._numeric_ref(text, amp_pos, n, in_attr=True, append=parts.append)
+        match = match_entity(text, pos, in_attribute=True)
+        if match is None:
+            parts.append("&")
+            return pos
+        consumed, replacement, had_semi = match
+        if not had_semi:
+            self.error()
+        parts.append(replacement)
+        return pos + consumed
+
+    def _self_closing(self, text, pos, n, name, attrs, end_tag):
+        if pos >= n:
+            self.error()
+            return n
+        if text[pos] == ">":
+            return self._emit_tag(name, attrs, True, end_tag, pos + 1)
+        self.error()  # unexpected-solidus-in-tag; reconsume before attr name
+        return self._attributes(text, pos, n, name, attrs, end_tag)
+
+    def _emit_tag(self, name, attrs, self_closing, end_tag, pos):
+        if end_tag:
+            if attrs:
+                self.error()  # end-tag-with-attributes
+            if self_closing:
+                self.error()  # end-tag-with-trailing-solidus
+            self.state = DATA
+            self.expected_end_tag = None
+            self.sink.end_tag(name)
+        else:
+            self.last_start_tag = name
+            # Sink may switch our content model during this call
+            # (reference: SetStateAndEndTagExpectation, Tokenizer.cs:653-682).
+            self.sink.start_tag(name, attrs, self_closing)
+        return pos
+
+    # -- markup declaration / comments / doctype -----------------------------
+    def _markup_declaration_open(self, text, pos, n):
+        if text.startswith("--", pos):
+            return self._comment(text, pos + 2, n)
+        if text[pos:pos + 7].lower() == "doctype":
+            return self._doctype(text, pos + 7, n)
+        if text.startswith("[CDATA[", pos):
+            if self.sink.cdata_allowed():
+                return self._cdata(text, pos + 7, n)
+            self.error()  # cdata-in-html-content
+            return self._bogus_comment(text, pos, n, preset="[CDATA[", skip=7)
+        self.error()  # incorrectly-opened-comment
+        return self._bogus_comment(text, pos, n)
+
+    def _bogus_comment(self, text, pos, n, preset="", skip=0):
+        end = text.find(">", pos + skip)
+        if end == -1:
+            data = preset + text[pos + skip:]
+            newpos = n
+        else:
+            data = preset + text[pos + skip:end]
+            newpos = end + 1
+        if "\x00" in data:
+            self.error()
+            data = data.replace("\x00", "�")
+        self.sink.comment(data)
+        return newpos
+
+    def _comment(self, text, pos, n):
+        """Full comment state machine, incl. ``<!-->``, ``--!>``, nested
+        ``<!--`` detection (reference: Tokenizer.cs:2460-2915, the
+        AdjustDoubleHyphen recovery at :917-941). States are string tags;
+        the hot plain-comment state uses a regex fast scan."""
+        parts = []
+        append = parts.append
+        state = "start"
+        while True:
+            if state == "comment":
+                m = _COMMENT_SPECIAL.search(text, pos)
+                if m is None:
+                    append(text[pos:])
+                    self.error()  # eof-in-comment
+                    self.sink.comment("".join(parts))
+                    return n
+                i = m.start()
+                if i > pos:
+                    append(text[pos:i])
+                c = text[i]
+                pos = i + 1
+                if c == "<":
+                    append("<")
+                    state = "lts"
+                elif c == "-":
+                    state = "end_dash"
+                else:  # NUL
+                    self.error()
+                    append("�")
+            elif state == "start":
+                if pos >= n:
+                    self.error()
+                    self.sink.comment("")
+                    return n
+                c = text[pos]
+                if c == "-":
+                    pos += 1
+                    state = "start_dash"
+                elif c == ">":
+                    self.error()  # abrupt-closing-of-empty-comment
+                    self.sink.comment("")
+                    return pos + 1
+                else:
+                    state = "comment"
+            elif state == "start_dash":
+                if pos >= n:
+                    self.error()
+                    self.sink.comment("".join(parts))
+                    return n
+                c = text[pos]
+                if c == "-":
+                    pos += 1
+                    state = "end"
+                elif c == ">":
+                    self.error()  # abrupt-closing-of-empty-comment
+                    self.sink.comment("".join(parts))
+                    return pos + 1
+                else:
+                    append("-")
+                    state = "comment"
+            elif state == "lts":
+                if pos >= n:
+                    state = "comment"
+                    continue
+                c = text[pos]
+                if c == "!":
+                    append("!")
+                    pos += 1
+                    state = "lts_bang"
+                elif c == "<":
+                    append("<")
+                    pos += 1
+                else:
+                    state = "comment"
+            elif state == "lts_bang":
+                if pos < n and text[pos] == "-":
+                    pos += 1
+                    state = "lts_bang_dash"
+                else:
+                    state = "comment"
+            elif state == "lts_bang_dash":
+                if pos < n and text[pos] == "-":
+                    pos += 1
+                    state = "lts_bang_dash_dash"
+                else:
+                    state = "end_dash"
+            elif state == "lts_bang_dash_dash":
+                if pos < n and text[pos] != ">":
+                    self.error()  # nested-comment
+                state = "end"
+            elif state == "end_dash":
+                if pos >= n:
+                    self.error()
+                    self.sink.comment("".join(parts))
+                    return n
+                if text[pos] == "-":
+                    pos += 1
+                    state = "end"
+                else:
+                    append("-")
+                    state = "comment"
+            elif state == "end":
+                if pos >= n:
+                    self.error()
+                    self.sink.comment("".join(parts))
+                    return n
+                c = text[pos]
+                if c == ">":
+                    self.sink.comment("".join(parts))
+                    return pos + 1
+                if c == "!":
+                    pos += 1
+                    state = "end_bang"
+                elif c == "-":
+                    append("-")
+                    pos += 1
+                else:
+                    append("--")
+                    state = "comment"
+            else:  # end_bang
+                if pos >= n:
+                    self.error()
+                    self.sink.comment("".join(parts))
+                    return n
+                c = text[pos]
+                if c == "-":
+                    append("--!")
+                    pos += 1
+                    state = "end_dash"
+                elif c == ">":
+                    self.error()  # incorrectly-closed-comment (--!>)
+                    self.sink.comment("".join(parts))
+                    return pos + 1
+                else:
+                    append("--!")
+                    state = "comment"
+
+    def _cdata(self, text, pos, n):
+        end = text.find("]]>", pos)
+        if end == -1:
+            self.error()  # eof-in-cdata
+            data = text[pos:]
+            newpos = n
+        else:
+            data = text[pos:end]
+            newpos = end + 3
+        if data:
+            self.sink.characters(data)
+        return newpos
+
+    def _doctype(self, text, pos, n):
+        """Full doctype state machine (reference: Tokenizer.cs:5067-6339)."""
+        sink = self.sink
+        name = None
+        public_id = None
+        system_id = None
+        force_quirks = False
+
+        def emit(p):
+            sink.doctype(name, public_id, system_id, force_quirks)
+            return p
+
+        # before doctype name (with missing-whitespace error)
+        if pos < n and text[pos] not in _WS and text[pos] != ">":
+            self.error()  # missing-whitespace-before-doctype-name
+        m = _WS_RUN.match(text, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
+            self.error()
+            force_quirks = True
+            return emit(n)
+        if text[pos] == ">":
+            self.error()  # missing-doctype-name
+            force_quirks = True
+            return emit(pos + 1)
+        # doctype name
+        parts = []
+        while pos < n:
+            c = text[pos]
+            if c in _WS or c == ">":
+                break
+            if c == "\x00":
+                self.error()
+                parts.append("�")
+            else:
+                parts.append(c.lower())
+            pos += 1
+        name = "".join(parts)
+        if pos >= n:
+            self.error()
+            force_quirks = True
+            return emit(n)
+        if text[pos] == ">":
+            return emit(pos + 1)
+        # after doctype name: whitespace consumed, look for PUBLIC/SYSTEM
+        m = _WS_RUN.match(text, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
+            self.error()
+            force_quirks = True
+            return emit(n)
+        if text[pos] == ">":
+            return emit(pos + 1)
+        word = text[pos:pos + 6].lower()
+        if word == "public":
+            pos += 6
+            pos, public_id, aborted = self._doctype_id(text, pos, n)
+            if aborted == "eof":
+                self.error()
+                force_quirks = True
+                return emit(n)
+            if aborted == "gt":
+                self.error()
+                force_quirks = True
+                return emit(pos)
+            if public_id is None:
+                force_quirks = True
+                return self._bogus_doctype_emit(text, pos, n, emit)
+            # between public and system ids
+            if pos < n and text[pos] == ">":
+                return emit(pos + 1)
+            had_ws = False
+            m = _WS_RUN.match(text, pos)
+            if m is not None:
+                had_ws = True
+                pos = m.end()
+            if pos >= n:
+                self.error()
+                force_quirks = True
+                return emit(n)
+            if text[pos] == ">":
+                return emit(pos + 1)
+            if text[pos] in "\"'":
+                if not had_ws:
+                    self.error()  # missing-whitespace-between-doctype-ids
+                pos, system_id, aborted = self._doctype_quoted(text, pos, n)
+                if aborted == "eof":
+                    self.error()
+                    force_quirks = True
+                    return emit(n)
+                if aborted == "gt":
+                    self.error()
+                    force_quirks = True
+                    return emit(pos)
+            else:
+                self.error()
+                force_quirks = True
+                return self._bogus_doctype_emit(text, pos, n, emit)
+        elif word == "system":
+            pos += 6
+            pos, system_id, aborted = self._doctype_id(text, pos, n)
+            if aborted == "eof":
+                self.error()
+                force_quirks = True
+                return emit(n)
+            if aborted == "gt":
+                self.error()
+                force_quirks = True
+                return emit(pos)
+            if system_id is None:
+                force_quirks = True
+                return self._bogus_doctype_emit(text, pos, n, emit)
+        else:
+            self.error()  # invalid-character-sequence-after-doctype-name
+            force_quirks = True
+            return self._bogus_doctype_emit(text, pos, n, emit)
+        # after system id: only ws then '>' allowed
+        m = _WS_RUN.match(text, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
+            self.error()
+            force_quirks = True
+            return emit(n)
+        if text[pos] == ">":
+            return emit(pos + 1)
+        self.error()  # unexpected-character-after-doctype-system-identifier
+        # bogus doctype WITHOUT force_quirks per spec
+        end = text.find(">", pos)
+        return emit(end + 1 if end != -1 else n)
+
+    def _bogus_doctype_emit(self, text, pos, n, emit):
+        end = text.find(">", pos)
+        return emit(end + 1 if end != -1 else n)
+
+    def _doctype_id(self, text, pos, n):
+        """after PUBLIC/SYSTEM keyword → quoted identifier.
+        Returns (pos, id|None, aborted) where aborted in (None,'eof','gt')."""
+        had_ws = False
+        m = _WS_RUN.match(text, pos)
+        if m is not None:
+            had_ws = True
+            pos = m.end()
+        if pos >= n:
+            return n, None, "eof"
+        c = text[pos]
+        if c == ">":
+            self.error()  # missing-doctype-id
+            return pos + 1, None, "gt"
+        if c in "\"'":
+            if not had_ws:
+                self.error()  # missing-whitespace-after-keyword
+            return self._doctype_quoted(text, pos, n)
+        self.error()  # missing-quote-before-doctype-id
+        return pos, None, None
+
+    def _doctype_quoted(self, text, pos, n):
+        quote = text[pos]
+        pos += 1
+        parts = []
+        while pos < n:
+            c = text[pos]
+            if c == quote:
+                return pos + 1, "".join(parts), None
+            if c == ">":
+                self.error()  # abrupt-doctype-id
+                return pos + 1, "".join(parts), "gt"
+            if c == "\x00":
+                self.error()
+                parts.append("�")
+            else:
+                parts.append(c)
+            pos += 1
+        return n, "".join(parts), "eof"
+
+    # -- RCDATA / RAWTEXT / SCRIPT DATA --------------------------------------
+    def _appropriate_end_tag(self, text, pos, n):
+        """At ``pos`` pointing after '</', try to match the expected end tag.
+        Returns pos after the tag when matched+emitted, else None."""
+        expected = self.expected_end_tag or self.last_start_tag
+        if expected is None:
+            return None
+        m = _END_TAG_NAME.match(text, pos)
+        if m is None:
+            return None
+        name = m.group()
+        if name.lower() != expected:
+            return None
+        # name must be followed by ws, '/' or '>' to count; at EOF the whole
+        # '</name' run is re-emitted as text by the caller (spec: RCDATA end
+        # tag name state, anything-else branch).
+        end = m.end()
+        if end >= n or text[end] not in "\t\n\f />":
+            return None
+        # Delegate to the regular tag machinery (attributes on end tags are
+        # parsed-and-errored exactly like the DATA path).
+        self.state = DATA
+        self.expected_end_tag = None
+        if text[end] == ">":
+            return self._emit_tag(name.lower(), {}, False, True, end + 1)
+        if text[end] == "/":
+            return self._self_closing(text, end + 1, n, name.lower(), {}, True)
+        return self._attributes(text, end + 1, n, name.lower(), {}, True)
+
+    def _rcdata(self, text, pos, n):
+        sink = self.sink
+        while pos < n and self.state == RCDATA:
+            m = _RCDATA_SPECIAL.search(text, pos)
+            if m is None:
+                sink.characters(text[pos:])
+                return n
+            i = m.start()
+            if i > pos:
+                sink.characters(text[pos:i])
+            c = text[i]
+            if c == "<":
+                if text.startswith("</", i):
+                    result = self._appropriate_end_tag(text, i + 2, n)
+                    if result is not None:
+                        return result
+                sink.characters("<")
+                pos = i + 1
+            elif c == "&":
+                pos = self._char_ref_in_data(text, i, n)
+            else:
+                self.error()
+                sink.characters("�")
+                pos = i + 1
+        return pos
+
+    def _rawtext(self, text, pos, n):
+        sink = self.sink
+        while pos < n and self.state == RAWTEXT:
+            m = _RAWTEXT_SPECIAL.search(text, pos)
+            if m is None:
+                sink.characters(text[pos:])
+                return n
+            i = m.start()
+            if i > pos:
+                sink.characters(text[pos:i])
+            c = text[i]
+            if c == "<":
+                if text.startswith("</", i):
+                    result = self._appropriate_end_tag(text, i + 2, n)
+                    if result is not None:
+                        return result
+                sink.characters("<")
+                pos = i + 1
+            else:
+                self.error()
+                sink.characters("�")
+                pos = i + 1
+        return pos
+
+    def _script_data(self, text, pos, n):
+        """Script data incl. escaped / double-escaped sub-states
+        (reference: Tokenizer.cs:4272-5025)."""
+        sink = self.sink
+        # sub-state: 0 = plain, 1 = escaped, 2 = double-escaped
+        sub = 0
+        dash_run = 0  # consecutive '-' seen (for --> detection)
+        while pos < n:
+            c = text[pos]
+            if c == "<":
+                if sub == 0:
+                    if text.startswith("</", pos):
+                        result = self._appropriate_end_tag(text, pos + 2, n)
+                        if result is not None:
+                            return result
+                        sink.characters("<")
+                        pos += 1
+                    elif text.startswith("<!--", pos):
+                        sink.characters("<!--")
+                        pos += 4
+                        sub = 1
+                        dash_run = 2
+                    else:
+                        sink.characters("<")
+                        pos += 1
+                elif sub == 1:
+                    if text.startswith("</", pos):
+                        # script data escaped end tag open
+                        m = _END_TAG_NAME.match(text, pos + 2)
+                        if m and m.group().lower() == (self.expected_end_tag or "script") \
+                                and (m.end() >= n or text[m.end()] in "\t\n\f />"):
+                            result = self._appropriate_end_tag(text, pos + 2, n)
+                            if result is not None:
+                                return result
+                        sink.characters("<")
+                        pos += 1
+                    else:
+                        # double-escape start: '<script' + delim
+                        m = re.match(r"<([a-zA-Z]+)", text[pos:pos + 8])
+                        if m and m.group(1).lower() == "script":
+                            end = pos + 1 + len(m.group(1))
+                            sink.characters(text[pos:end])
+                            pos = end
+                            if pos < n and text[pos] in "\t\n\f />":
+                                sub = 2
+                        else:
+                            sink.characters("<")
+                            pos += 1
+                    dash_run = 0
+                else:  # sub == 2, double-escaped
+                    if text.startswith("</script", pos):
+                        end = pos + 8
+                        if end >= n or text[end] in "\t\n\f />":
+                            sink.characters(text[pos:end])
+                            pos = end
+                            sub = 1
+                        else:
+                            sink.characters("<")
+                            pos += 1
+                    else:
+                        sink.characters("<")
+                        pos += 1
+                    dash_run = 0
+            elif c == "-":
+                sink.characters("-")
+                pos += 1
+                if sub != 0:
+                    dash_run += 1
+            elif c == ">" and sub != 0 and dash_run >= 2:
+                sink.characters(">")
+                pos += 1
+                sub = 0
+                dash_run = 0
+            elif c == "\x00":
+                self.error()
+                sink.characters("�")
+                pos += 1
+                dash_run = 0
+            else:
+                # fast run of plain chars
+                m = _SCRIPT_PLAIN_RUN.match(text, pos)
+                if m is not None:
+                    sink.characters(m.group())
+                    pos = m.end()
+                else:
+                    sink.characters(c)
+                    pos += 1
+                dash_run = 0
+            if self.state != SCRIPT_DATA:
+                return pos
+        return pos
+
+
+_SCRIPT_PLAIN_RUN = re.compile(r"[^<>\-\x00]+")
