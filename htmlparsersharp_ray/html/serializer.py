@@ -34,12 +34,6 @@ from .dom import (
 )
 
 _NS_PREFIX = {SVG_NS: "svg ", MATHML_NS: "math ", HTML_NS: ""}
-_ATTR_NS_PREFIX = {XLINK_NS: "xlink ", XML_NS: "xml ", XMLNS_NS: "xmlns ", None: ""}
-
-
-def _attr_sort_key(item):
-    name, (ns, _value) = item
-    return _ATTR_NS_PREFIX.get(ns, "") + name
 
 
 def serialize_tree(root) -> str:
@@ -51,9 +45,10 @@ def serialize_tree(root) -> str:
         if isinstance(node, Element):
             prefix = _NS_PREFIX.get(node.namespace, "")
             lines.append(f"{indent}<{prefix}{node.name}>")
-            for name, (ns, value) in sorted(node.attrs.items(), key=lambda kv: _ATTR_NS_PREFIX.get(kv[1][0], "") + kv[0]):
-                nsp = _ATTR_NS_PREFIX.get(ns, "")
-                lines.append(f'{indent}  {nsp}{name}="{value}"')
+            # attr keys are stored as html5lib display names already
+            # ("xlink href", "xml lang", ...); emit verbatim, sorted.
+            for name, (_ns, value) in sorted(node.attrs.items()):
+                lines.append(f'{indent}  {name}="{value}"')
             for child in node.children:
                 walk(child, depth + 1)
         elif isinstance(node, Text):
