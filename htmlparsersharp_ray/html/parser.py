@@ -27,12 +27,13 @@ def preprocess(text: str) -> str:
 
 
 class ParseResult:
-    __slots__ = ("root", "errors", "doc_mode")
+    __slots__ = ("root", "errors", "doc_mode", "tokens")
 
-    def __init__(self, root, errors, doc_mode):
+    def __init__(self, root, errors, doc_mode, tokens=0):
         self.root = root
         self.errors = errors
         self.doc_mode = doc_mode
+        self.tokens = tokens
 
 
 def parse(text: str, scripting: bool = False) -> ParseResult:
@@ -42,7 +43,8 @@ def parse(text: str, scripting: bool = False) -> ParseResult:
     tokenizer = Tokenizer(builder)
     builder.tokenizer = tokenizer
     tokenizer.run(text)
-    return ParseResult(builder.doc, tokenizer.errors + builder.errors, builder.doc.mode)
+    return ParseResult(builder.doc, tokenizer.errors + builder.errors,
+                       builder.doc.mode, builder.token_count)
 
 
 def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:
@@ -79,7 +81,8 @@ def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseRes
     for child in list(root.children):
         root.remove_child(child)
         fragment.append(child)
-    return ParseResult(fragment, tokenizer.errors + builder.errors, builder.doc.mode)
+    return ParseResult(fragment, tokenizer.errors + builder.errors,
+                       builder.doc.mode, builder.token_count)
 
 
 def _initial_fragment_mode(builder: TreeBuilder, context: str) -> int:

@@ -114,6 +114,7 @@ class TreeBuilder:
         self.pending_table_text = []
         self.ignore_next_lf = False
         self.errors = 0
+        self.token_count = 0  # tokens received (reference: metrics per north_star)
         self.tokenizer = None  # set by parser
         self.fragment_ctx = None  # context Element for fragment parsing
         self.done = False
@@ -514,6 +515,7 @@ class TreeBuilder:
 
     # ================== token sink interface ===============================
     def doctype(self, name, public_id, system_id, force_quirks):
+        self.token_count += 1
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
@@ -548,6 +550,7 @@ class TreeBuilder:
         return "standards"
 
     def comment(self, data):
+        self.token_count += 1
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
@@ -566,6 +569,7 @@ class TreeBuilder:
 
     # -- characters ----------------------------------------------------------
     def characters(self, data):
+        self.token_count += 1
         if self.ignore_next_lf:
             self.ignore_next_lf = False
             if data.startswith("\n"):
@@ -722,6 +726,7 @@ class TreeBuilder:
 
     # -- start tags ----------------------------------------------------------
     def start_tag(self, name, attrs, self_closing):
+        self.token_count += 1
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
@@ -1481,6 +1486,7 @@ class TreeBuilder:
 
     # -- end tags ------------------------------------------------------------
     def end_tag(self, name):
+        self.token_count += 1
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()

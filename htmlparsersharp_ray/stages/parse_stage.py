@@ -1,0 +1,116 @@
+"""The parse+extract stage: transcripts batch → extraction batch.
+
+This is the engine's core operator (SURVEY.md §2.2-2.3 fused): each row's
+``text`` is run through the HTML5 tokenizer+tree-builder and the
+boilerplate extractor. It is a callable CLASS so `map_batches` runs it as
+an actor pool — module-level tables (entities, element flags) are built
+once per worker process at import, and per-actor state (compiled regexes,
+reusable buffers) lives in ``__init__``, mirroring the reference's
+parser-instance reuse (reference: SimpleHtmlParser.cs:75-91 Reset;
+Tokenizer.cs:1087-1101 newAttributesEachTime=false).
+
+Batch format is pyarrow end-to-end: zero-copy in, columnar out.
+Parsing is inherently sequential per document, so the per-row loop here is
+the *one* sanctioned Python loop in the hot path (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html.parser import parse
+from ..extract.boilerplate import extract_main_content
+
+# Per-row input cap: a hostile multi-MB turn must not stall a batch or blow
+# an actor's heap (SURVEY.md §7.4.7). Truncation is recorded in metrics.
+DEFAULT_MAX_TEXT_CHARS = 2_000_000
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("path", pa.string()),
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("tag", pa.string()),
+        ]
+    )
+)
+METRICS_TYPE = pa.struct(
+    [
+        ("nodes", pa.int64()),
+        ("tokens", pa.int64()),
+        ("parse_errors", pa.int32()),
+        ("boilerplate_bytes", pa.int64()),
+        ("truncated", pa.bool_()),
+    ]
+)
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("doc_mode", pa.string()),
+        ("metrics", METRICS_TYPE),
+    ]
+)
+
+
+class HtmlExtractUDF:
+    """map_batches(HtmlExtractUDF, batch_format="pyarrow",
+    concurrency=N, batch_size=B) — the actor-pool parse stage."""
+
+    def __init__(self, max_text_chars: int = DEFAULT_MAX_TEXT_CHARS,
+                 scripting: bool = False):
+        self.max_text_chars = max_text_chars
+        self.scripting = scripting
+
+    def extract_one(self, text: str):
+        """Parse + extract a single turn; returns a plain dict of fields."""
+        truncated = False
+        if text is None:
+            text = ""
+        if len(text) > self.max_text_chars:
+            text = text[: self.max_text_chars]
+            truncated = True
+        result = parse(text, scripting=self.scripting)
+        ext = extract_main_content(result.root)
+        return {
+            "extracted_text": ext.text,
+            "spans": [
+                {"path": p, "start": s, "end": e, "tag": t}
+                for (p, s, e, t) in ext.spans
+            ],
+            "doc_mode": result.doc_mode,
+            "metrics": {
+                "nodes": ext.nodes,
+                "tokens": result.tokens,
+                "parse_errors": result.errors,
+                "boilerplate_bytes": ext.boilerplate_bytes,
+                "truncated": truncated,
+            },
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        extracted = []
+        spans = []
+        doc_modes = []
+        metrics = []
+        for text in texts:
+            row = self.extract_one(text)
+            extracted.append(row["extracted_text"])
+            spans.append(row["spans"])
+            doc_modes.append(row["doc_mode"])
+            metrics.append(row["metrics"])
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx").cast(pa.int32()),
+                "extracted_text": pa.array(extracted, type=pa.string()),
+                "spans": pa.array(spans, type=SPAN_TYPE),
+                "doc_mode": pa.array(doc_modes, type=pa.string()),
+                "metrics": pa.array(metrics, type=METRICS_TYPE),
+            }
+        )
