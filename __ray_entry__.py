@@ -1,44 +1,295 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()       — flagship transcript-extraction pipeline at sf0.001.
+queries()     — one entry per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL for the SQL-expressible subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize sf0.001-scale transcripts (cached,
+    deterministic), run the HTML5 parse + boilerplate-extraction stage,
+    return the streaming Dataset."""
+    from htmlparsersharp_ray.sources.transcripts import transcripts_for_sf
+    from htmlparsersharp_ray.pipelines.extract_pipeline import extract_dataset
+
+    tdir = transcripts_for_sf("/root/testdata/sf0.001")
+    return extract_dataset(tdir, concurrency=4, batch_size=128)
+
+
+# --- query callables -------------------------------------------------------
+
+def _q_extract_turns(sf_dir: str):
+    """Flagship: full pipeline incl. salted bucketing, per-bucket ordering,
+    atomic writes + lineage; result = the sorted extraction table."""
+    import shutil
+
+    from htmlparsersharp_ray.sources.transcripts import transcripts_for_sf
+    from htmlparsersharp_ray.pipelines.extract_pipeline import run_extract_pipeline
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob
+
+    tdir = transcripts_for_sf(sf_dir)
+    out_dir = os.path.join("/tmp/graft_extract_out", os.path.basename(tdir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_extract_pipeline(tdir, out_dir, n_buckets=32, concurrency=4, batch_size=128)
+    files = sorted(glob.glob(os.path.join(out_dir, "bucket=*/part.parquet")))
+    table = pa.concat_tables([pq.read_table(f, columns=["conv_id", "turn_idx", "extracted_text", "doc_mode"]) for f in files])
+    return table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from htmlparsersharp_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir))
+    df = out.to_pandas()[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return df
+
+
+def _q_docs_minhash_pairs(sf_dir: str):
+    from htmlparsersharp_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)[["doc_a", "doc_b"]]
+
+
+def _q_docs_simhash_pairs(sf_dir: str):
+    from htmlparsersharp_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=6)
+
+
+def _q_docs_token_counts(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import token_counts
+
+    df = token_counts(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_quality(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import quality_scores
+
+    df = quality_scores(_docs(sf_dir)).to_pandas()
+    return (
+        df[["doc_id", "n_chars", "n_words"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_docs_langid(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import langid
+
+    df = langid(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import fingerprints
+
+    df = fingerprints(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    pairs = sorted(zip(ids, embs))[:n]
+    return {int(i): np.asarray(e, dtype=np.float64) for i, e in pairs}
+
+
+def _q_embeddings_topk(sf_dir: str):
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk
+
+    df = brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def _q_embeddings_lsh_topk(sf_dir: str):
+    from htmlparsersharp_ray.stages.similarity import lsh_topk
+
+    df = lsh_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow", batch_size=16, concurrency=2)
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from htmlparsersharp_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational primitives (SURVEY.md §2.6)
+        "lineitem_agg": r.q_lineitem_agg,
+        "filter_project": r.q_filter_project,
+        "orders_topk": r.q_orders_topk,
+        "join_broadcast": r.q_join_broadcast,
+        "join_nation_region": r.q_join_nation_region,
+        "events_window": r.q_events_window,
+        "distinct_event_types": r.q_distinct,
+        "union_count": r.q_union_limit,
+        "part_stats": r.q_part_stats,
+        # dedup family
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        # text analysis
+        "docs_token_counts": _q_docs_token_counts,
+        "docs_quality": _q_docs_quality,
+        "docs_langid": _q_docs_langid,
+        "docs_fingerprint": _q_docs_fingerprint,
+        # similarity search
+        "embeddings_topk": _q_embeddings_topk,
+        "embeddings_lsh_topk": _q_embeddings_lsh_topk,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        # flagship extraction
+        "extract_turns": _q_extract_turns,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity > 40
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC
+            LIMIT 10
+        """,
+        "join_broadcast": """
+            SELECT c_mktsegment,
+                   sum(o_totalprice) AS total_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "join_nation_region": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "events_window": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   sum(value) AS sum_value,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "union_count": """
+            SELECT count(*) AS n_keys FROM (
+                SELECT s_suppkey AS key FROM supplier
+                UNION ALL
+                SELECT c_custkey AS key FROM customer
+            )
+        """,
+        "part_stats": """
+            SELECT p_brand,
+                   min(p_retailprice) AS min_price,
+                   max(p_retailprice) AS max_price,
+                   avg(p_size) AS avg_size,
+                   count(*) AS n_parts
+            FROM part
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "docs_exact_dedup": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY md5(text)
+            )
+            ORDER BY doc_id
+        """,
+        "docs_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                       AS bpe_tokens
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS n_words
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "embeddings_topk": """
+            SELECT query_id, rank, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                           ) DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN
+                            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) q
+            )
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        # docs_minhash_pairs / docs_simhash_pairs / docs_langid /
+        # docs_fingerprint / media_features / embeddings_lsh_topk /
+        # extract_turns: not SQL-expressible (sketches, heuristics, HTML
+        # parsing) → rows-only check.
+    }

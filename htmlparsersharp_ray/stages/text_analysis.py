@@ -1,0 +1,161 @@
+"""Text-analysis operators over the documents table.
+
+Training-data quality ops: language-ID (stopword/n-gram heuristic),
+quality scoring (length/punct/stopword ratios), token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprints.
+All vectorized (pandas .str / numpy) or per-row C calls; stateful setup
+(compiled regexes, stopword tables) lives in actor __init__.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# tiny per-language stopword profiles (deterministic; good enough for the
+# synthetic corpus and for demonstrating the actor-pool shape)
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "für"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "para", "en"},
+}
+_CJK = re.compile(r"[一-鿿]")
+
+
+class LangIdUDF:
+    """Heuristic language ID: CJK char ratio → zh; else max stopword hits."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.cjk = _CJK
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        for text in batch["text"]:
+            text = text or ""
+            if self.cjk.search(text):
+                langs.append("zh")
+                continue
+            words = text.lower().split()
+            best_lang, best_hits = "en", -1
+            for lang in sorted(self.profiles):
+                prof = self.profiles[lang]
+                hits = sum(1 for w in words if w in prof)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            langs.append(best_lang)
+        batch["lang_pred"] = langs
+        return batch[["doc_id", "lang", "lang_pred"]]
+
+
+def langid(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        LangIdUDF, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+
+class QualityUDF:
+    """Quality signals per document — pure pandas .str vectorization."""
+
+    def __init__(self):
+        self.punct = re.compile(r"[^\w\s]", re.U)
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        words = text.str.split()
+        n_words = words.str.len().fillna(0).astype("int64")
+        n_punct = text.str.count(self.punct.pattern).astype("int64")
+        stop = self.stop_en
+        stop_hits = words.map(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "punct_ratio": (n_punct / n_chars.clip(lower=1)).astype("float64"),
+                "stopword_ratio": (stop_hits / n_words.clip(lower=1)).astype("float64"),
+            }
+        )
+        out["quality_score"] = (
+            (out["n_words"].clip(upper=100) / 100.0)
+            * (1.0 - out["punct_ratio"].clip(upper=1.0))
+        ).astype("float64")
+        return out
+
+    punct = None
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        QualityUDF, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+
+# whitespace tokens plus a BPE-ish fallback: words, numbers, single symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+class TokenCountUDF:
+    def __init__(self):
+        self.bpe = _BPE_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        ws_tokens = text.str.split().str.len().fillna(0).astype("int64")
+        bpe_tokens = text.str.count(self.bpe.pattern).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "ws_tokens": ws_tokens,
+                "bpe_tokens": bpe_tokens,
+            }
+        )
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        TokenCountUDF, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+
+class FingerprintUDF:
+    """Rolling-hash (Rabin-Karp style over word windows) fingerprint: the
+    minimum window hash — a winnowing-style document sketch."""
+
+    WINDOW = 5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        prints = []
+        for text in batch.column("text").to_pylist():
+            words = (text or "").split()
+            w = self.WINDOW
+            if len(words) < w:
+                prints.append(zlib.crc32(" ".join(words).encode()))
+                continue
+            best = min(
+                zlib.crc32(" ".join(words[i:i + w]).encode())
+                for i in range(len(words) - w + 1)
+            )
+            prints.append(best)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "fingerprint": pa.array(prints, pa.int64()),
+            }
+        )
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        FingerprintUDF, batch_format="pyarrow", batch_size=2048, concurrency=2
+    )

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry at a given sf dir, and for entries with an
+oracle_sql() compares row count, column names, and values (sorted by
+column name, float-tolerant) against DuckDB.
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def compare(name, ray_df, sql_df):
+    import numpy as np
+    import pandas as pd
+
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+    rc, sc = sorted(ray_df.columns), sorted(sql_df.columns)
+    if rc != sc:
+        problems.append(f"cols: ray={rc} sql={sc}")
+        return problems
+    if len(ray_df) == len(sql_df):
+        a = ray_df[rc].sort_values(rc).reset_index(drop=True)
+        b = sql_df[rc].sort_values(rc).reset_index(drop=True)
+        for col in rc:
+            av, bv = a[col], b[col]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = np.allclose(av.astype(float), bv.astype(float),
+                                 rtol=1e-9, atol=1e-9, equal_nan=True)
+            else:
+                ok = (av.astype(str) == bv.astype(str)).all()
+            if not ok:
+                diff_idx = None
+                try:
+                    mism = (av.astype(str) != bv.astype(str))
+                    diff_idx = mism.idxmax()
+                except Exception:
+                    pass
+                problems.append(
+                    f"col {col} differs (e.g. idx {diff_idx}: "
+                    f"ray={av.iloc[diff_idx] if diff_idx is not None else '?'} "
+                    f"sql={bv.iloc[diff_idx] if diff_idx is not None else '?'})"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            result = to_pandas(fn(sf_dir))
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"FAIL {name}: exception {e}")
+            failed.append(name)
+            continue
+        elapsed = time.time() - t0
+        if name in oracles:
+            sql_df = con.sql(oracles[name]).df()
+            problems = compare(name, result, sql_df)
+            if problems:
+                print(f"FAIL {name} ({elapsed:.1f}s): {problems}")
+                failed.append(name)
+            else:
+                print(f"OK   {name} ({elapsed:.1f}s): {len(result)} rows match oracle")
+        else:
+            print(f"ROWS {name} ({elapsed:.1f}s): {len(result)} rows (no oracle)")
+    if failed:
+        print("FAILED:", failed)
+        sys.exit(1)
+    print("all queries passed")
+
+
+if __name__ == "__main__":
+    main()
