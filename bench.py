@@ -53,12 +53,15 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/graft_bench_out/{os.path.basename(tdir)}-{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # leave headroom for the read/sort/write tasks: an actor pool that
+    # reserves every CPU starves the other stages and the pipeline stalls
+    pool = max(2, num_cpus - 2)
     t0 = time.time()
     manifest = run_extract_pipeline(
         tdir,
         out_dir,
         n_buckets=max(32, num_cpus * 2),
-        concurrency=num_cpus,
+        concurrency=pool,
         batch_size=128,
         resume=False,
     )

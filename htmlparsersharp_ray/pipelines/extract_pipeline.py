@@ -3,31 +3,48 @@
 Boundary map (SURVEY.md §3.4):
 
     read_parquet(transcripts, columns=[conv_id, turn_idx, text])  # pruned read
-      └─ add salted bucket column (vectorized, cheap)             # tasks
+      └─ add salted bucket column (cheap, fused)                  # tasks
       └─ [resume] drop rows of completed buckets                  # pruned BEFORE parse
       └─ map_batches(HtmlExtractUDF, pyarrow, actor pool)         # the parse stage
-      └─ groupby(bucket).map_groups(sort + atomic write + lineage)# one shuffle
+      └─ map_batches(PartialWriter)                               # per-bucket partial files
+      └─ finalize: one task per bucket — sort + atomic write      # the explicit exchange
       └─ manifest dataset (one row per bucket)                    # small result
+
+Shuffle design: the bucket exchange is an EXPLICIT disk-backed shuffle —
+parse-side tasks append per-bucket partial parquet files (idempotent
+names: content-keyed, so task retries overwrite rather than duplicate),
+then one finalize task per bucket reads only its partials, sorts by
+(conv_id, turn_idx), and writes the final file atomically with a lineage
+record. Compared to ``groupby(bucket)`` (Ray's sort-based all-to-all,
+measured 13s of a 14s run at sf0.1) this removes the global sort; each
+phase is embarrassingly parallel and each finalize task's memory is
+bounded by one bucket. On a multi-node cluster the partial/final dirs
+live on the shared filesystem/object store the job already writes to.
 
 Skew handling per north_rule: bucket = crc32(conv_id, turn_idx // salt_cap)
 % n_buckets — conversations shorter than ``salt_cap`` land in exactly one
-bucket (so a bucket file is fully sorted per conversation); the giant
+bucket (bucket files are fully sorted per conversation); the giant
 conversation splits into deterministic turn-ranges across buckets, each
-range sorted internally, with the ranges recorded in lineage. This is the
-"salted groupby + per-partition size capping" the north rule names.
+range sorted internally, recorded in lineage. This is the "salted groupby
++ per-partition size capping" the north rule names.
 
-Sizing for 100 TB: n_buckets should be ~ input_bytes / 1 GiB so a bucket's
-sorted table fits a worker heap; buckets are independent, so failures rerun
-one bucket, and completed buckets are skipped at the read.
+Sizing for 100 TB: n_buckets ≈ input_bytes / 1 GiB so one bucket's sorted
+table fits a worker heap; buckets are independent, so failures rerun one
+bucket, and completed buckets are skipped at the read.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import os
 import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from ..stages.parse_stage import HtmlExtractUDF
@@ -38,13 +55,8 @@ DEFAULT_SALT_CAP = 10_000
 READ_COLUMNS = ["conv_id", "turn_idx", "text"]
 
 
-def _bucket_of(conv_id: str, turn_idx: int, n_buckets: int, salt_cap: int) -> int:
-    salt = turn_idx // salt_cap
-    return zlib.crc32(f"{conv_id}#{salt}".encode()) % n_buckets
-
-
 class AddBucket:
-    """Vectorized-enough bucket assignment (crc32 is a C call per row)."""
+    """Salted bucket assignment (crc32 is a C call per row)."""
 
     def __init__(self, n_buckets: int = DEFAULT_N_BUCKETS,
                  salt_cap: int = DEFAULT_SALT_CAP, skip_buckets=None):
@@ -73,36 +85,94 @@ class _CarryBucketExtract(HtmlExtractUDF):
         return out.append_column("bucket", batch.column("bucket"))
 
 
-def _sort_write_group(out_dir: str):
-    """Group fn for groupby(bucket): sort by (conv_id, turn_idx), write the
-    bucket parquet atomically, record lineage, return a manifest row."""
+def _partial_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_partial")
 
-    def fn(group: pa.Table) -> pa.Table:
-        import hashlib
 
-        bucket = group.column("bucket")[0].as_py()
-        table = group.drop_columns(["bucket"]).sort_by(
-            [("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        path = lineage.write_bucket_parquet(out_dir, bucket, table)
-        text_hash = hashlib.md5(
-            "\x1e".join(table.column("extracted_text").to_pylist()).encode()
-        ).hexdigest()
-        convs = table.column("conv_id")
-        meta = {
-            "bucket": bucket,
-            "rows": table.num_rows,
-            "conv_min": pc.min(convs).as_py() if table.num_rows else None,
-            "conv_max": pc.max(convs).as_py() if table.num_rows else None,
-            "text_md5": text_hash,
-            "path": path,
-        }
-        lineage.record_bucket(out_dir, bucket, meta)
+class PartialWriter:
+    """Map stage: split a batch by bucket and append per-bucket partial
+    parquet files. File names are content-keyed (md5 over the batch's
+    (conv_id, turn_idx) pairs) so a retried task overwrites its own file
+    instead of duplicating rows."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pdir = _partial_dir(self.out_dir)
+        buckets = batch.column("bucket")
+        out_rows = {"bucket": [], "rows": []}
+        for bucket in pc.unique(buckets).to_pylist():
+            sub = batch.filter(pc.equal(buckets, bucket))
+            key_bytes = (
+                "\x1e".join(
+                    f"{c}\x1f{t}"
+                    for c, t in zip(
+                        sub.column("conv_id").to_pylist(),
+                        sub.column("turn_idx").to_pylist(),
+                    )
+                ).encode()
+            )
+            name = hashlib.md5(key_bytes).hexdigest()[:16]
+            bdir = os.path.join(pdir, f"bucket={bucket:04d}")
+            os.makedirs(bdir, exist_ok=True)
+            path = os.path.join(bdir, f"part-{name}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(sub.drop_columns(["bucket"]), tmp)
+            os.rename(tmp, path)
+            out_rows["bucket"].append(bucket)
+            out_rows["rows"].append(sub.num_rows)
         return pa.table(
             {
-                "bucket": pa.array([bucket], pa.int32()),
-                "rows": pa.array([table.num_rows], pa.int64()),
-                "text_md5": pa.array([text_hash], pa.string()),
+                "bucket": pa.array(out_rows["bucket"], pa.int32()),
+                "rows": pa.array(out_rows["rows"], pa.int64()),
+            }
+        )
+
+
+def _finalize_bucket(out_dir: str):
+    """One task per bucket: read partials, sort, write final atomically,
+    record lineage, clean partials."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        results = {"bucket": [], "rows": [], "text_md5": []}
+        for bucket in batch.column("bucket").to_pylist():
+            bdir = os.path.join(_partial_dir(out_dir), f"bucket={bucket:04d}")
+            files = sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
+            if files:
+                table = pa.concat_tables([pq.read_table(f) for f in files])
+            else:
+                continue
+            table = table.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            path = lineage.write_bucket_parquet(out_dir, bucket, table)
+            text_hash = hashlib.md5(
+                "\x1e".join(table.column("extracted_text").to_pylist()).encode()
+            ).hexdigest()
+            convs = table.column("conv_id")
+            lineage.record_bucket(
+                out_dir,
+                bucket,
+                {
+                    "bucket": bucket,
+                    "rows": table.num_rows,
+                    "conv_min": pc.min(convs).as_py(),
+                    "conv_max": pc.max(convs).as_py(),
+                    "text_md5": text_hash,
+                    "path": path,
+                },
+            )
+            for f in files:
+                os.remove(f)
+            results["bucket"].append(bucket)
+            results["rows"].append(table.num_rows)
+            results["text_md5"].append(text_hash)
+        return pa.table(
+            {
+                "bucket": pa.array(results["bucket"], pa.int32()),
+                "rows": pa.array(results["rows"], pa.int64()),
+                "text_md5": pa.array(results["text_md5"], pa.string()),
             }
         )
 
@@ -120,10 +190,10 @@ def run_extract_pipeline(
 ):
     """Run the flagship pipeline; returns the manifest as a pandas DataFrame
     (one row per bucket written this run)."""
+    import pandas as pd
+
     skip = lineage.completed_buckets(out_dir) if resume else set()
     if len(skip) >= n_buckets:
-        import pandas as pd
-
         return pd.DataFrame({"bucket": [], "rows": [], "text_md5": []})
     ds = ray.data.read_parquet(input_dir, columns=READ_COLUMNS)
     ds = ds.map_batches(
@@ -136,10 +206,20 @@ def run_extract_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    manifest = ds.groupby("bucket").map_groups(
-        _sort_write_group(out_dir), batch_format="pyarrow"
+    # phase A: parse + per-bucket partial files (streams; no Ray shuffle)
+    partials = ds.map_batches(
+        PartialWriter(out_dir), batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    touched = sorted(set(int(b) for b in partials["bucket"])) if len(partials) else []
+    if not touched:
+        return pd.DataFrame({"bucket": [], "rows": [], "text_md5": []})
+    # phase B: finalize buckets in parallel (one light task per bucket)
+    fin = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(touched, pa.int32())})
+    ).repartition(len(touched)).map_batches(
+        _finalize_bucket(out_dir), batch_format="pyarrow"
     )
-    return manifest.to_pandas()
+    return fin.to_pandas()
 
 
 def extract_dataset(input_dir: str, concurrency=None, batch_size: int = 256):
