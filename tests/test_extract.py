@@ -1,0 +1,82 @@
+"""Extraction-layer unit tests (no Ray): boilerplate scoring, spans,
+metrics, hostile inputs."""
+
+from __future__ import annotations
+
+from htmlparsersharp_ray.html import parse
+from htmlparsersharp_ray.extract import extract_main_content
+from htmlparsersharp_ray.stages.parse_stage import HtmlExtractUDF
+
+
+def _extract(html):
+    return extract_main_content(parse(html).root)
+
+
+def test_basic_extraction_and_spans():
+    e = _extract("<body><h1>Title</h1><p>Para one.</p><p>Para two.</p></body>")
+    assert e.text == "Title\nPara one.\nPara two."
+    assert [s[3] for s in e.spans] == ["h1", "p", "p"]
+    # span offsets index into extracted_text
+    for path, start, end, tag in e.spans:
+        assert e.text[start:end] in ("Title", "Para one.", "Para two.")
+        assert path.startswith("/html[1]/body[1]/")
+
+
+def test_script_style_dropped():
+    e = _extract("<p>keep</p><script>var x=1;</script><style>p{}</style>")
+    assert e.text == "keep"
+    assert e.boilerplate_bytes > 0
+
+
+def test_nav_footer_chrome_dropped():
+    e = _extract(
+        "<nav><a href=/>Home</a></nav><p>content body text</p>"
+        "<footer>© corp</footer>"
+    )
+    assert e.text == "content body text"
+
+
+def test_link_farm_dropped_article_kept():
+    e = _extract(
+        "<div><a href=1>l1</a> <a href=2>l2</a> <a href=3>l3</a></div>"
+        "<p>This paragraph has plenty of ordinary prose around a single "
+        "<a href=x>link</a> so it stays as main content despite the anchor.</p>"
+    )
+    assert "l1 l2 l3" not in e.text
+    assert "ordinary prose" in e.text
+
+
+def test_whitespace_normalized_except_pre():
+    e = _extract("<p>a   b\n\nc</p><pre>  keep\n  exact</pre>")
+    assert e.text == "a b c\n  keep\n  exact"
+
+
+def test_foreign_content_excluded():
+    e = _extract("<p>before</p><svg><desc>svg text</desc></svg><p>after</p>")
+    assert e.text == "before\nafter"
+
+
+def test_metrics_counts():
+    e = _extract("<p>x</p>")
+    assert e.nodes >= 4  # html, head, body, p, text
+
+
+def test_hostile_deep_nesting_no_recursion_error():
+    html = "<div>" * 5000 + "deep" + "</div>" * 5000
+    e = _extract(html)
+    assert "deep" in e.text
+
+
+def test_udf_truncation():
+    udf = HtmlExtractUDF(max_text_chars=100)
+    row = udf.extract_one("<p>" + "x" * 500 + "</p>")
+    assert row["metrics"]["truncated"] is True
+    row2 = udf.extract_one("<p>short</p>")
+    assert row2["metrics"]["truncated"] is False
+    assert row2["extracted_text"] == "short"
+
+
+def test_udf_empty_and_none():
+    udf = HtmlExtractUDF()
+    assert udf.extract_one("")["extracted_text"] == ""
+    assert udf.extract_one(None)["extracted_text"] == ""

@@ -1,0 +1,154 @@
+"""Unit tests for dedup / similarity / text-analysis / multimodal stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    # corpus with exact dups, near dups, and distinct docs
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),   # near dup of 0
+        (3, "completely different content about ray data pipelines at scale"),
+        (4, "totally unrelated words regarding benchmark harness design"),
+        (5, "the quick brown fox jumps over the lazy dog again and again!"),  # near dup of 0
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from htmlparsersharp_ray.stages.dedup import exact_dedup
+
+    kept = sorted(exact_dedup(docs_ds).to_pandas()["doc_id"])
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 deduped against doc 0
+
+
+def test_minhash_lsh_pairs(docs_ds):
+    from htmlparsersharp_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got        # exact dup is jaccard 1.0
+    assert (0, 2) in got or (0, 5) in got  # near dups share most shingles
+    assert all(a < b for a, b in got)
+    assert (3, 4) not in got
+
+
+def test_simhash_pairs(docs_ds):
+    from htmlparsersharp_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs_ds, max_hamming=8)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got        # identical text → hamming 0
+    assert (3, 4) not in got
+
+
+def test_brute_force_topk_self_first(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((50, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    queries = {0: emb[0].astype(np.float64), 7: emb[7].astype(np.float64)}
+    out = brute_force_topk(ds, queries, k=5)
+    assert len(out) == 10
+    first = out[out["rank"] == 1].set_index("query_id")["vec_id"]
+    assert first[0] == 0 and first[7] == 7  # self-similarity = 1.0
+
+
+def test_langid_and_quality(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import langid, quality_scores
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "lang": pa.array(["en", "de", "zh"], pa.string()),
+                "text": pa.array(
+                    [
+                        "the cat sat on the mat and it is a good day for the team",
+                        "der hund ist ein guter freund und die katze auf dem dach",
+                        "这是一个中文句子",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    pred = langid(ds).to_pandas().set_index("doc_id")["lang_pred"]
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "zh"
+
+    q = quality_scores(ds).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == 15
+    assert 0 <= q.loc[0, "quality_score"] <= 1
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import (
+        MediaFeatureUDF,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(20))
+    out1 = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow",
+                          batch_size=8, concurrency=2).to_pandas()
+    out2 = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow",
+                          batch_size=4, concurrency=1).to_pandas()
+    a = out1.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["media_id"] == b["media_id"]).all()
+    for x, y in zip(a["feature"], b["feature"]):
+        assert list(x) == list(y)
+
+
+def test_media_decode_stub_raises():
+    from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF
+
+    with pytest.raises(NotImplementedError):
+        MediaFeatureUDF(fake=False)._decode(b"payload")
+
+
+def test_fingerprint_deterministic(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import fingerprints
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["one two three four five six seven", "one two three"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    a = fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    b = fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert (a == b).all()
