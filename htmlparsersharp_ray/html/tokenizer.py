@@ -224,25 +224,31 @@ class Tokenizer:
         return self._bogus_comment(text, pos, n)
 
     def _tag_name(self, text, pos, n, end_tag):
-        name_parts = []
-        while pos < n:
-            m = _TAG_NAME_RUN.match(text, pos)
-            if m is not None:
-                name_parts.append(m.group())
-                pos = m.end()
-            if pos >= n:
+        # fast path: simple name, no NUL, not at EOF
+        m = _TAG_NAME_RUN.match(text, pos)
+        if m is not None and m.end() < n and text[m.end()] != "\x00":
+            name = m.group().lower()
+            pos = m.end()
+        else:
+            name_parts = []
+            while pos < n:
+                if m is not None:
+                    name_parts.append(m.group())
+                    pos = m.end()
+                if pos >= n:
+                    break
+                c = text[pos]
+                if c == "\x00":
+                    self.error()
+                    name_parts.append("�")
+                    pos += 1
+                    m = _TAG_NAME_RUN.match(text, pos)
+                    continue
                 break
-            c = text[pos]
-            if c == "\x00":
-                self.error()
-                name_parts.append("�")
-                pos += 1
-                continue
-            break
-        if pos >= n:
-            self.error()  # eof-in-tag: token discarded
-            return n
-        name = "".join(name_parts).lower()
+            if pos >= n:
+                self.error()  # eof-in-tag: token discarded
+                return n
+            name = "".join(name_parts).lower()
         c = text[pos]
         if c == ">":
             return self._emit_tag(name, {}, False, end_tag, pos + 1)

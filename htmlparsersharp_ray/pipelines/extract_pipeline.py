@@ -85,64 +85,90 @@ class _CarryBucketExtract(HtmlExtractUDF):
         return out.append_column("bucket", batch.column("bucket"))
 
 
-def _partial_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_partial")
+def _partial_dir(out_dir: str, run_id: str) -> str:
+    # run-scoped: a crashed run's partials can never leak rows into a
+    # later run's finalize (they are wiped before phase A starts)
+    return os.path.join(out_dir, "_partial", f"run-{run_id}")
 
 
 class PartialWriter:
-    """Map stage: split a batch by bucket and append per-bucket partial
-    parquet files. File names are content-keyed (md5 over the batch's
-    (conv_id, turn_idx) pairs) so a retried task overwrites its own file
-    instead of duplicating rows."""
+    """Map stage: write each batch as ONE bucket-sorted parquet file whose
+    row groups align with bucket boundaries, plus a sidecar JSON index
+    (bucket → row-group ordinals) — the classic map-side-merged shuffle
+    file. Finalize reads only its bucket's row groups via parquet
+    row-group pruning. File names are content-keyed (md5 over the raw
+    Arrow key buffers) so a retried task overwrites its own file instead
+    of duplicating rows."""
 
-    def __init__(self, out_dir: str):
-        self.out_dir = out_dir
+    def __init__(self, out_dir: str, run_id: str):
+        self.pdir = _partial_dir(out_dir, run_id)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pdir = _partial_dir(self.out_dir)
-        buckets = batch.column("bucket")
-        out_rows = {"bucket": [], "rows": []}
-        for bucket in pc.unique(buckets).to_pylist():
-            sub = batch.filter(pc.equal(buckets, bucket))
-            key_bytes = (
-                "\x1e".join(
-                    f"{c}\x1f{t}"
-                    for c, t in zip(
-                        sub.column("conv_id").to_pylist(),
-                        sub.column("turn_idx").to_pylist(),
-                    )
-                ).encode()
-            )
-            name = hashlib.md5(key_bytes).hexdigest()[:16]
-            bdir = os.path.join(pdir, f"bucket={bucket:04d}")
-            os.makedirs(bdir, exist_ok=True)
-            path = os.path.join(bdir, f"part-{name}.parquet")
-            tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(sub.drop_columns(["bucket"]), tmp)
-            os.rename(tmp, path)
-            out_rows["bucket"].append(bucket)
-            out_rows["rows"].append(sub.num_rows)
+        import json
+
+        os.makedirs(self.pdir, exist_ok=True)
+        order = pc.sort_indices(batch.column("bucket"))
+        batch = batch.take(order)
+        buckets_np = batch.column("bucket").to_numpy()
+        import numpy as np
+
+        uniq, starts = np.unique(buckets_np, return_index=True)
+        bounds = list(starts) + [len(buckets_np)]
+        # content-key from raw Arrow buffers — C-speed, retry-idempotent
+        h = hashlib.md5()
+        for col in ("conv_id", "turn_idx"):
+            for buf in batch.column(col).combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+        name = h.hexdigest()[:16]
+        path = os.path.join(self.pdir, f"part-{name}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        body = batch.drop_columns(["bucket"])
+        index = {}
+        with pq.ParquetWriter(tmp, body.schema, compression="none") as writer:
+            for gi, bucket in enumerate(uniq):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                writer.write_table(body.slice(lo, hi - lo))
+                index[int(bucket)] = index.get(int(bucket), []) + [gi]
+        os.rename(tmp, path)
+        with open(path + ".idx.tmp", "w") as f:
+            json.dump(index, f)
+        os.rename(path + ".idx.tmp", path + ".idx")
         return pa.table(
             {
-                "bucket": pa.array(out_rows["bucket"], pa.int32()),
-                "rows": pa.array(out_rows["rows"], pa.int64()),
+                "bucket": pa.array([int(b) for b in uniq], pa.int32()),
+                "rows": pa.array(
+                    [int(bounds[i + 1] - bounds[i]) for i in range(len(uniq))],
+                    pa.int64(),
+                ),
             }
         )
 
 
-def _finalize_bucket(out_dir: str):
-    """One task per bucket: read partials, sort, write final atomically,
-    record lineage, clean partials."""
+def _finalize_bucket(out_dir: str, run_id: str):
+    """One task per bucket: read the bucket's row groups from the shuffle
+    files, sort, write final atomically, record lineage."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        import json
+
+        pdir = _partial_dir(out_dir, run_id)
+        shuffle_files = sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))
+        indexes = []
+        for f in shuffle_files:
+            with open(f + ".idx") as fh:
+                indexes.append(json.load(fh))
         results = {"bucket": [], "rows": [], "text_md5": []}
         for bucket in batch.column("bucket").to_pylist():
-            bdir = os.path.join(_partial_dir(out_dir), f"bucket={bucket:04d}")
-            files = sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
-            if files:
-                table = pa.concat_tables([pq.read_table(f) for f in files])
-            else:
+            key = str(bucket)
+            pieces = []
+            for f, idx in zip(shuffle_files, indexes):
+                groups = idx.get(key)
+                if groups:
+                    pieces.append(pq.ParquetFile(f).read_row_groups(groups))
+            if not pieces:
                 continue
+            table = pa.concat_tables(pieces)
             table = table.sort_by(
                 [("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
@@ -163,8 +189,6 @@ def _finalize_bucket(out_dir: str):
                     "path": path,
                 },
             )
-            for f in files:
-                os.remove(f)
             results["bucket"].append(bucket)
             results["rows"].append(table.num_rows)
             results["text_md5"].append(text_hash)
@@ -190,11 +214,18 @@ def run_extract_pipeline(
 ):
     """Run the flagship pipeline; returns the manifest as a pandas DataFrame
     (one row per bucket written this run)."""
+    import shutil
+    import uuid
+
     import pandas as pd
 
     skip = lineage.completed_buckets(out_dir) if resume else set()
     if len(skip) >= n_buckets:
         return pd.DataFrame({"bucket": [], "rows": [], "text_md5": []})
+    # wipe partials of any previous (crashed) run: rows must never leak
+    # across runs into finalize
+    shutil.rmtree(os.path.join(out_dir, "_partial"), ignore_errors=True)
+    run_id = uuid.uuid4().hex[:12]
     ds = ray.data.read_parquet(input_dir, columns=READ_COLUMNS)
     ds = ds.map_batches(
         AddBucket(n_buckets, salt_cap, skip_buckets=skip),
@@ -206,20 +237,23 @@ def run_extract_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    # phase A: parse + per-bucket partial files (streams; no Ray shuffle)
+    # phase A: parse + map-side-merged shuffle files (no Ray shuffle)
     partials = ds.map_batches(
-        PartialWriter(out_dir), batch_format="pyarrow", batch_size=8192
+        PartialWriter(out_dir, run_id), batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     touched = sorted(set(int(b) for b in partials["bucket"])) if len(partials) else []
     if not touched:
+        shutil.rmtree(os.path.join(out_dir, "_partial"), ignore_errors=True)
         return pd.DataFrame({"bucket": [], "rows": [], "text_md5": []})
     # phase B: finalize buckets in parallel (one light task per bucket)
     fin = ray.data.from_arrow(
         pa.table({"bucket": pa.array(touched, pa.int32())})
     ).repartition(len(touched)).map_batches(
-        _finalize_bucket(out_dir), batch_format="pyarrow"
+        _finalize_bucket(out_dir, run_id), batch_format="pyarrow"
     )
-    return fin.to_pandas()
+    result = fin.to_pandas()
+    shutil.rmtree(os.path.join(out_dir, "_partial"), ignore_errors=True)
+    return result
 
 
 def extract_dataset(input_dir: str, concurrency=None, batch_size: int = 256):

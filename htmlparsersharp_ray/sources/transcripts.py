@@ -83,7 +83,7 @@ def _make_text(rng: np.random.Generator, i: int, big: bool) -> str:
 def generate_transcripts(
     n_turns: int,
     out_dir: str,
-    n_files: int = 8,
+    n_files: int = 16,
     seed: int = SEED,
     giant_frac: float = 0.1,
 ) -> str:
@@ -148,9 +148,9 @@ def transcripts_for_sf(sf_dir: str, base_dir: str = "/tmp/graft_transcripts") ->
     sf0.01 → 50k, sf0.1 → 500k. Generated once and reused.
     """
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
-    scale = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(name, 5_000)
+    scale = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 2_000_000}.get(name, 5_000)
     out_dir = os.path.join(base_dir, name)
-    marker = os.path.join(out_dir, "_COMPLETE")
+    marker = os.path.join(out_dir, "_COMPLETE_v2")
     if not os.path.exists(marker):
         generate_transcripts(scale, out_dir)
         with open(marker, "w") as f:
