@@ -80,6 +80,23 @@ def _q_docs_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=6)
 
 
+def _q_docs_ngram_jaccard(sf_dir: str):
+    from htmlparsersharp_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), threshold=0.4)
+    out = out.copy()
+    out["jaccard_pct"] = (out["jaccard"] * 100).astype("int64")
+    return out[["doc_a", "doc_b", "jaccard_pct"]]
+
+
+def _q_embeddings_cosine_dups(sf_dir: str):
+    """Exact brute-force variant (broadcast matrix) — oracle-checkable;
+    the LSH variant is the scale path (see stages.dedup)."""
+    from htmlparsersharp_ray.stages.dedup import embedding_cosine_dup_pairs_exact
+
+    return embedding_cosine_dup_pairs_exact(_emb(sf_dir), threshold=0.45)
+
+
 def _q_docs_token_counts(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import token_counts
 
@@ -164,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         # text analysis
         "docs_token_counts": _q_docs_token_counts,
         "docs_quality": _q_docs_quality,
@@ -287,6 +306,12 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "embeddings_cosine_dups": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY doc_a, doc_b
         """,
         # docs_minhash_pairs / docs_simhash_pairs / docs_langid /
         # docs_fingerprint / media_features / embeddings_lsh_topk /

@@ -217,3 +217,121 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset, n: int = 3, threshold: float = 0.5
+) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs, using MinHash+LSH only to
+    propose candidates (never to decide): the decision is the exact Jaccard
+    over n-gram sets. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    out = minhash_lsh_pairs(docs, jaccard_threshold=threshold)
+    return out
+
+
+def embedding_cosine_dup_pairs(
+    docs_emb: ray.data.Dataset, threshold: float = 0.95, n_planes: int = 8
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Scale path: random-hyperplane LSH buckets vectors (near-identical
+    vectors collide in every bucket of several rotated tables with high
+    probability); exact cosine verifies within buckets. Input dataset needs
+    (vec_id:int64, embedding:list<float>). Deterministic planes (seed 77).
+    """
+    rng = np.random.default_rng(77)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        planes = np.random.default_rng(77).standard_normal((n_planes, emb.shape[1]))
+        bits = (emb @ planes.T) > 0
+        buckets = np.zeros(len(ids), dtype=np.int64)
+        for p in range(n_planes):
+            buckets |= bits[:, p].astype(np.int64) << p
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        emb = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        sims = emb @ emb.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"])
+
+    out = (
+        docs_emb.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def embedding_cosine_dup_pairs_exact(
+    docs_emb: ray.data.Dataset, threshold: float = 0.45
+) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (the brute-force baseline to
+    the LSH scale path above): per batch, numpy matmul of the batch's
+    vectors against the BROADCAST full normalized matrix (ray.put once),
+    emitting pairs (a < b) with cosine >= threshold. O(N·B) per batch —
+    correct at any scale where the full matrix fits a worker (beyond that,
+    use embedding_cosine_dup_pairs)."""
+    import ray as _ray
+
+    full = docs_emb.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    mat = np.asarray(full["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = _ray.put((ids_all, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids_all, self.mat = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist())
+            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            nr = np.linalg.norm(emb, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            emb = emb / nr
+            sims = emb @ self.mat.T  # (batch, N)
+            ii, jj = np.nonzero(sims >= threshold)
+            a_ids = ids[ii]
+            b_ids = self.ids_all[jj]
+            keep = a_ids < b_ids
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_ids[keep], pa.int64()),
+                    "doc_b": pa.array(b_ids[keep], pa.int64()),
+                }
+            )
+
+    out = docs_emb.map_batches(
+        PairFinder, batch_format="pyarrow", batch_size=4096, concurrency=2
+    ).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
