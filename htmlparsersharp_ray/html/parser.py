@@ -27,24 +27,29 @@ def preprocess(text: str) -> str:
 
 
 class ParseResult:
-    __slots__ = ("root", "errors", "doc_mode", "tokens")
+    __slots__ = ("root", "errors", "doc_mode", "tokens", "encoding_declared")
 
-    def __init__(self, root, errors, doc_mode, tokens=0):
+    def __init__(self, root, errors, doc_mode, tokens=0, encoding_declared=None):
         self.root = root
         self.errors = errors
         self.doc_mode = doc_mode
         self.tokens = tokens
+        self.encoding_declared = encoding_declared
 
 
-def parse(text: str, scripting: bool = False) -> ParseResult:
-    """Parse a complete HTML document; returns the Document plus metrics."""
+def parse(text: str, scripting: bool = False,
+          ignore_comments: bool = False) -> ParseResult:
+    """Parse a complete HTML document; returns the Document plus metrics.
+    ``ignore_comments`` mirrors the reference's IsIgnoringComments knob
+    (reference: TreeBuilder.cs:5752-5762)."""
     text = preprocess(text)
-    builder = TreeBuilder(scripting=scripting)
+    builder = TreeBuilder(scripting=scripting, ignore_comments=ignore_comments)
     tokenizer = Tokenizer(builder)
     builder.tokenizer = tokenizer
     tokenizer.run(text)
     return ParseResult(builder.doc, tokenizer.errors + builder.errors,
-                       builder.doc.mode, builder.token_count)
+                       builder.doc.mode, builder.token_count,
+                       builder.encoding_declared)
 
 
 def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:

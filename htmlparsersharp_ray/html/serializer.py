@@ -69,3 +69,67 @@ def serialize_tree(root) -> str:
     for child in root.children:
         walk(child, 0)
     return "\n".join(lines)
+
+
+# --- HTML serialization (parity with the reference's XML sink,
+# reference: Program.cs:64-66 doc.Save; we emit HTML5, not XML) ---------
+
+_VOID = frozenset(
+    ["area", "base", "basefont", "bgsound", "br", "col", "embed", "frame",
+     "hr", "img", "input", "keygen", "link", "meta", "param", "source",
+     "track", "wbr"]
+)
+_RAWTEXT = frozenset(["style", "script", "xmp", "iframe", "noembed",
+                      "noframes", "plaintext"])
+_RCDATA = frozenset(["title", "textarea"])
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def serialize_html(root) -> str:
+    """Serialize a DOM to HTML5 text (the standard fragment-serialization
+    algorithm). Raw-text element content is emitted verbatim; a DOM whose
+    raw-text content contains its own end tag is not faithfully
+    serializable (inherent to HTML, not a bug here)."""
+    out = []
+    append = out.append
+    # iterative walk (hostile-depth safe, like the extraction walk)
+    stack = [iter(root.children)]
+    open_elements = [None]
+    while stack:
+        child = next(stack[-1], None)
+        if child is None:
+            stack.pop()
+            el = open_elements.pop()
+            if el is not None:
+                append(f"</{el.name}>")
+            continue
+        cls = type(child)
+        if cls is Text:
+            parent = child.parent
+            if isinstance(parent, Element) and parent.namespace == HTML_NS and (
+                parent.name in _RAWTEXT or parent.name in _RCDATA
+            ):
+                append(child.data)
+            else:
+                append(_escape_text(child.data))
+        elif cls is Comment:
+            append(f"<!--{child.data}-->")
+        elif cls is Doctype:
+            append(f"<!DOCTYPE {child.name}>" if child.name else "<!DOCTYPE>")
+        else:  # Element
+            name = child.name
+            append(f"<{name}")
+            for aname, (_ns, value) in child.attrs.items():
+                append(f' {aname}="{_escape_attr(value)}"')
+            append(">")
+            if not (child.namespace == HTML_NS and name in _VOID):
+                stack.append(iter(child.children))
+                open_elements.append(child)
+    return "".join(out)

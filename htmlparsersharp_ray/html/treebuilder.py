@@ -101,8 +101,14 @@ class TreeBuilder:
     """Token sink building a DOM; fused with the tokenizer per document
     (reference: tokenizer/tree-builder co-routine, SURVEY.md §2.3)."""
 
-    def __init__(self, scripting: bool = False):
+    def __init__(self, scripting: bool = False, ignore_comments: bool = False):
         self.scripting = scripting
+        # reference knob IsIgnoringComments (TreeBuilder.cs:5752-5762)
+        self.ignore_comments = ignore_comments
+        # recorded <meta charset> declaration (reference: CheckMetaCharset
+        # TreeBuilder.cs:3213-3244 + EncodingDeclared event; like the
+        # reference we never re-decode — input is already str)
+        self.encoding_declared = None
         self.doc = Document()
         self.open = []
         self.afe = []  # active formatting elements; None entries are markers
@@ -549,9 +555,37 @@ class TreeBuilder:
                 return "almost-standards"
         return "standards"
 
+    def _check_meta_charset(self, attrs):
+        """Record a charset declaration (reference: CheckMetaCharset
+        TreeBuilder.cs:3213-3244; content-attr scanner
+        ExtractCharsetFromContent :3037-3211)."""
+        charset = attrs.get("charset")
+        if charset:
+            self.encoding_declared = charset.strip().lower()
+            return
+        if attrs.get("http-equiv", "").lower() == "content-type":
+            content = attrs.get("content", "")
+            idx = content.lower().find("charset")
+            if idx != -1:
+                rest = content[idx + 7:].lstrip()
+                if rest.startswith("="):
+                    value = rest[1:].strip()
+                    if value[:1] in "\'\"":
+                        quote = value[0]
+                        end = value.find(quote, 1)
+                        value = value[1:end] if end != -1 else value[1:]
+                    else:
+                        value = value.split(";")[0].split()[0] if value else ""
+                    if value:
+                        self.encoding_declared = value.lower()
+
     def comment(self, data):
         self.token_count += 1
         self.ignore_next_lf = False
+        if self.ignore_comments:
+            if self.mode == IN_TABLE_TEXT:
+                self._flush_table_text()
+            return
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
         mode = self.mode
@@ -991,6 +1025,8 @@ class TreeBuilder:
             self._start_in_body(name, attrs, self_closing)
             return True
         if name in ("base", "basefont", "bgsound", "link", "meta"):
+            if name == "meta" and self.encoding_declared is None:
+                self._check_meta_charset(attrs)
             self._insert_element(name, attrs, push=False)
             return True
         if name == "title":

@@ -90,7 +90,7 @@ def load_dat_fixtures(path):
         if buf["document"]:
             case["document"] = unescape_dat("\n".join(buf["document"]).rstrip("\n"))
         if buf["text"]:
-            case["text"] = unescape_dat("\n".join(buf["text"]))
+            case["text"] = unescape_dat("\n".join(buf["text"]).rstrip("\n"))
         if buf["errors"]:
             try:
                 case["errors"] = int(buf["errors"][0])

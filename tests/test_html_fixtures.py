@@ -23,6 +23,8 @@ def _collect():
     for path in sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.dat"))):
         name = os.path.splitext(os.path.basename(path))[0]
         for i, case in enumerate(load_dat_fixtures(path)):
+            if case["document"] is None:
+                continue  # extraction-only fixtures (#text) live elsewhere
             params.append(pytest.param(case, id=f"{name}-{i}"))
     return params
 

@@ -1,0 +1,133 @@
+"""Property / differential tests (SURVEY.md §5.2.3).
+
+Invariants over randomly generated tag soup (seeded, deterministic):
+  1. the parser never raises and always yields a Document;
+  2. serialize → reparse → serialize is a fixed point (tree round-trip);
+  3. parsing is deterministic (same input → identical tree twice);
+  4. extraction never raises, span offsets are valid, and metrics are
+     self-consistent.
+Plus hypothesis-driven fuzz over arbitrary unicode text.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from htmlparsersharp_ray.html import parse, parse_fragment, serialize_tree
+from htmlparsersharp_ray.html.serializer import serialize_html
+from htmlparsersharp_ray.extract import extract_main_content
+
+_TAGS = [
+    "div", "p", "span", "b", "i", "a", "ul", "li", "table", "tr", "td",
+    "select", "option", "h1", "h2", "form", "input", "br", "svg", "math",
+    "mi", "title", "style", "script", "textarea", "pre", "nobr", "button",
+    "dd", "dt", "caption", "colgroup", "col", "frameset", "frame", "ruby",
+    "rt", "rp", "marquee", "xmp", "plaintext", "noscript", "template",
+    "foo-bar", "article",
+]
+_CHUNKS = [
+    "text ", "&amp;", "&notit;", "&#65;", "&#x2713;", "<!-- c -->", "<!->",
+    "<!DOCTYPE html>", "\n", "  ", "&", "<", ">", "</", "<>", "'", '"',
+    "=x", " a=1", " a='v'", ' b="w"', "/", "\x00", "﻿", "\r\n", "]]>",
+    "<![CDATA[x]]>", "--", "<?pi?>",
+]
+
+
+_RAW_ELEMENTS = frozenset(
+    ["style", "script", "xmp", "iframe", "noembed", "noframes", "plaintext",
+     "title", "textarea", "noscript"]
+)
+
+
+def _has_rawtext_trap(root) -> bool:
+    from htmlparsersharp_ray.html.dom import Element, Text
+
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, Element) and node.name in _RAW_ELEMENTS:
+            for child in node.children:
+                if isinstance(child, Text) and "<" in child.data:
+                    return True
+        stack.extend(node.children)
+    return False
+
+
+def _soup(rng: random.Random, n: int) -> str:
+    parts = []
+    for _ in range(n):
+        roll = rng.random()
+        if roll < 0.35:
+            parts.append(f"<{rng.choice(_TAGS)}")
+            if rng.random() < 0.4:
+                parts.append(rng.choice(_CHUNKS))
+            parts.append(">")
+        elif roll < 0.55:
+            parts.append(f"</{rng.choice(_TAGS)}>")
+        else:
+            parts.append(rng.choice(_CHUNKS))
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_soup_never_raises_and_roundtrips(seed):
+    rng = random.Random(seed)
+    html = _soup(rng, rng.randint(1, 120))
+    r1 = parse(html)
+    t1 = serialize_tree(r1.root)
+    # determinism
+    r2 = parse(html)
+    assert serialize_tree(r2.root) == t1
+    # serialize → reparse fixed point. Raw-text content containing "<" is
+    # inherently non-round-trippable HTML (e.g. <plaintext>, or a style
+    # whose text holds an end-tag-ish sequence) — skip those, assert the
+    # rest reaches a fixed point.
+    if not _has_rawtext_trap(r1.root):
+        h1 = serialize_html(r1.root)
+        r3 = parse(h1)
+        h2 = serialize_html(r3.root)
+        assert h2 == serialize_html(parse(h2).root)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_soup_extraction_invariants(seed):
+    rng = random.Random(seed + 1000)
+    html = _soup(rng, rng.randint(1, 150))
+    result = parse(html)
+    ext = extract_main_content(result.root)
+    n = len(ext.text)
+    last = 0
+    for path, start, end, tag in ext.spans:
+        assert 0 <= start <= end <= n
+        assert start >= last  # spans are ordered and non-overlapping
+        last = end
+        assert path.startswith("/")
+    assert ext.nodes >= 0 and ext.boilerplate_bytes >= 0
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_soup_fragments_never_raise(seed):
+    rng = random.Random(seed + 2000)
+    html = _soup(rng, rng.randint(1, 80))
+    ctx = rng.choice(["div", "td", "table", "title", "script", "select", "svg"])
+    result = parse_fragment(html, ctx)
+    serialize_tree(result.root)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_fuzz_arbitrary_text_never_raises(text):
+    result = parse(text)
+    serialize_tree(result.root)
+    extract_main_content(result.root)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>&;/=!-'\"abc \n\x00", max_size=120))
+def test_fuzz_markup_heavy_never_raises(text):
+    result = parse(text)
+    assert result.errors >= 0
+    serialize_tree(result.root)
