@@ -227,6 +227,31 @@ CORPUS = {
         ("<svg><rect/>", "div"),
         ("<caption>c", "table"),
     ],
+    # hand-verified against html5lib-tests expected output / spec walks
+    "regression_html5lib": [
+        "<p><b><div><marquee></p></b></div>",
+        "<font><p>hello<b>cruel</font>world",
+        "<b>1<i>2<p>3</b>4",
+        "<h1>Hello<h2>World",
+        "<a><p>X<a>Y</a>Z</p></a>",
+        "<b><button>foo</b>bar",
+        "<p><b><div><marquee></p></b></div>x",
+        "<wbr><strike><code></strike><code></strike></code></code>",
+        "<table><tr><p><td>",
+        "<table><isindex></table>",
+        "<svg><desc><div><svg><ul>a",
+        "<math><mo><div>x",
+        "<!doctype html><math></html>",
+        "<table><tr><td></p><p></td></tr></table>",
+        "<optgroup><option></optgroup>x",
+        "<select><option><optgroup></option>y</select>",
+        "<body></body><div>after body end",
+        "<html><frameset></frameset></html> <p>after frameset",
+        "<param><source><track>in body",
+        "<table><tbody><a>1<tr>2</table>",
+        "<a href=x><table><tr><td><a href=y>z</table>w",
+        "</strong></b></em></i></u></strike></s></blink></tt></pre></big></small></font></select></h1></h2></h3></h4></h5></h6></body></br></a></img></title></span></style></script></table></th></td></tr></frame></area></link></param></hr></input></col></base></meta></basefont></bgsound></embed></spacer></p></dd></dt></caption></colgroup></tbody></tfoot></thead></address></blockquote></center></dir></div></dl></fieldset></listing></menu></ol></ul></li></nobr></wbr></form></button></marquee></object></html></frameset></head></iframe></image></isindex></noembed></noframes></noscript></optgroup></option></plaintext></textarea>",
+    ],
     "malformed_eof": [
         "<div",
         "<div ",
