@@ -53,6 +53,12 @@ _COMMENT_SPECIAL = re.compile(r"[<\-\x00]")
 _HEX_RUN = re.compile(r"[0-9A-Fa-f]+")
 _DEC_RUN = re.compile(r"[0-9]+")
 _END_TAG_NAME = re.compile(r"[A-Za-z][^\t\n\f />]*")
+# common-case attribute: name, optionally ="..." / '...' / unquoted (no
+# entities, NULs, or error characters — those take the spec machine)
+_ATTR_FAST = re.compile(
+    r"([^\t\n\f />=\x00]+)"
+    r"(?:=(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'|([^\t\n\f &>\x00\"'<=`]+)))?"
+)
 
 
 def _ncr_to_char(value: int) -> str:
@@ -271,6 +277,30 @@ class Tokenizer:
                 return self._emit_tag(name, attrs, False, end_tag, pos + 1)
             if c == "/":
                 return self._self_closing(text, pos + 1, n, name, attrs, end_tag)
+            # fast path: common well-formed attribute with no entities/NULs;
+            # falls through to the spec machine on anything unusual
+            m = _ATTR_FAST.match(text, pos)
+            if m is not None and m.end() < n:
+                end = m.end()
+                nxt = text[end]
+                if m.group(2) is not None or m.group(3) is not None:
+                    ok = nxt in "\t\n\f >/"   # quoted: spec after-value set
+                elif m.group(4) is not None:
+                    ok = nxt in "\t\n\f >"    # unquoted: ws or '>' only
+                else:
+                    # valueless: ws-next is ambiguous ('=' may follow after
+                    # whitespace — "after attribute name" state); only '>'
+                    # and '/' prove there is no value
+                    ok = nxt in ">/"
+                if ok:
+                    aname = m.group(1).lower()
+                    value = m.group(2) or m.group(3) or m.group(4) or ""
+                    if aname in attrs:
+                        self.error()  # duplicate-attribute; first wins
+                    else:
+                        attrs[aname] = value
+                    pos = end
+                    continue
             if c == "=":
                 self.error()  # unexpected-equals-sign-before-attribute-name
                 pos2, attr_name = self._attr_name(text, pos + 1, n, prefix="=")

@@ -170,7 +170,10 @@ class TreeBuilder:
             parent.insert_text_before(data, ref)
 
     def _insert_element(self, name, attrs, namespace=HTML_NS, push=True):
-        el = Element(name, namespace, {k: (None, v) for k, v in attrs.items()})
+        el = Element(
+            name, namespace,
+            {k: (None, v) for k, v in attrs.items()} if attrs else {},
+        )
         parent, ref = self._appropriate_parent()
         if ref is None:
             parent.append(el)
