@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": r.q_join_broadcast,
         "join_nation_region": r.q_join_nation_region,
         "events_window": r.q_events_window,
+        "events_sessions": r.q_events_sessions,
         "distinct_event_types": r.q_distinct,
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
@@ -244,6 +245,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, window_start
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM o
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM s GROUP BY user_id, session_no
+            ORDER BY user_id, session_start
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type

@@ -206,3 +206,38 @@ def q_part_stats(sf_dir: str):
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
     df["n_parts"] = df["n_parts"].astype("int64")
     return df
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the stream-shaped
+    custom operator: partition by key, order by time inside the group, and
+    segment on gaps (ray_guide: streaming-shaped workloads; SURVEY.md §2
+    custom operators). Deterministic tie-break on (ts, event_id)."""
+    gap = pd.Timedelta(minutes=30)
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_no"] = new_session.cumsum()
+        out = (
+            g.groupby("session_no")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                n_events=("event_id", "count"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )

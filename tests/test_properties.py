@@ -131,3 +131,36 @@ def test_fuzz_markup_heavy_never_raises(text):
     result = parse(text)
     assert result.errors >= 0
     serialize_tree(result.root)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_attr_fast_path_differential(seed, monkeypatch):
+    """The tokenizer's attribute fast path must be observationally
+    equivalent to the spec machine: parse random attribute soup with the
+    fast path disabled and compare trees."""
+    import re
+    from htmlparsersharp_ray.html import tokenizer as tok_mod
+
+    rng = random.Random(seed + 3000)
+    bits = ["<div", "<a", "<input", "<p"]
+    attrs = [" a", " a=1", " a='v w'", ' b="x&amp;y"', " c = '1'", " d=",
+             " e=a=b", " f='unterminated", " =g", " h``=i", " dup=1 dup=2",
+             " i/", "/", " j='v'k='w'", " l\x00m=n", " n='&notin;'",
+             " o=p>q", " ", "   "]
+    parts = []
+    for _ in range(rng.randint(1, 25)):
+        parts.append(rng.choice(bits))
+        for _ in range(rng.randint(0, 4)):
+            parts.append(rng.choice(attrs))
+        parts.append(rng.choice([">", "/>", ""]))
+        parts.append(rng.choice(["text", "", "</div>"]))
+    html = "".join(parts)
+
+    t1 = serialize_tree(parse(html).root)
+    e1 = parse(html).errors
+    never_match = re.compile(r"(?!x)x")
+    monkeypatch.setattr(tok_mod, "_ATTR_FAST", never_match)
+    t2 = serialize_tree(parse(html).root)
+    e2 = parse(html).errors
+    assert t1 == t2, f"fast path diverges for {html!r}"
+    assert e1 == e2
