@@ -47,6 +47,7 @@ _WS_RUN = re.compile(r"[\t\n\f\r ]+")
 # Link-farm thresholds (fixed; tuned on the fixture corpus).
 _LINK_RATIO_MAX = 0.6   # blocks with more linked chars than this …
 _LINK_WORDS_MIN = 25    # … are dropped unless they have at least this many words
+_TAG_DENSITY_MIN_TAGS = 6  # tag-density rule kicks in at this many inline tags
 
 
 class ExtractionResult:
@@ -71,10 +72,11 @@ def extract_main_content(root) -> ExtractionResult:
     attributed to its nearest block ancestor. Scoring per block:
       - inside chrome (nav/footer/aside/menu) → boilerplate
       - link_ratio > 0.6 and words < 25 → link-farm boilerplate
+      - tag-density: >= 6 inline tags and words <= tags/2 → boilerplate
       - empty after whitespace normalization → dropped silently
     Kept blocks join with "\\n"; spans carry (path, start, end, tag).
     """
-    blocks = []  # (text, link_chars, path, tag, preformatted)
+    blocks = []  # (text, link_chars, tag_count, path, tag, preformatted, in_chrome)
     nodes = 0
     boiler_bytes = 0
 
@@ -83,6 +85,7 @@ def extract_main_content(root) -> ExtractionResult:
     # indices count same-tag block children per parent element.
     cur_parts = []          # inline text accumulation for the current block
     cur_link_chars = [0]
+    cur_tag_count = [0]     # inline elements inside the current block
     link_depth = 0
     chrome_depth = 0
     pre_depth = 0
@@ -93,10 +96,12 @@ def extract_main_content(root) -> ExtractionResult:
         nonlocal cur_parts
         if cur_parts:
             raw = "".join(cur_parts)
-            blocks.append((raw, cur_link_chars[0], block_path, block_tag,
+            blocks.append((raw, cur_link_chars[0], cur_tag_count[0],
+                           block_path, block_tag,
                            pre_depth > 0, chrome_depth > 0))
             cur_parts = []
             cur_link_chars[0] = 0
+            cur_tag_count[0] = 0
 
     counters = {}  # id(parent element) -> {tag: seen count}
     ctx_stack = []  # per entered element: (was_block, prev_path, prev_tag, d_link, d_chrome, d_pre)
@@ -137,6 +142,8 @@ def extract_main_content(root) -> ExtractionResult:
             nodes += _subtree_node_count(child)
             continue
         is_block = name in _BLOCK
+        if not is_block:
+            cur_tag_count[0] += 1
         d_link = 1 if name == "a" else 0
         d_chrome = 1 if name in _CHROME else 0
         d_pre = 1 if name in _PRE else 0
@@ -161,7 +168,7 @@ def extract_main_content(root) -> ExtractionResult:
     out_parts = []
     spans = []
     offset = 0
-    for raw, link_chars, path, tag, preformatted, in_chrome in blocks:
+    for raw, link_chars, tag_count, path, tag, preformatted, in_chrome in blocks:
         if preformatted:
             text = raw.strip("\n")
         else:
@@ -175,6 +182,11 @@ def extract_main_content(root) -> ExtractionResult:
         link_ratio = link_chars / total
         words = text.count(" ") + 1
         if link_ratio > _LINK_RATIO_MAX and words < _LINK_WORDS_MIN:
+            boiler_bytes += len(text.encode("utf-8"))
+            continue
+        # tag-density score: heavily-marked-up short blocks (icon bars,
+        # tag clouds) are boilerplate even without anchors
+        if tag_count >= _TAG_DENSITY_MIN_TAGS and words <= tag_count // 2:
             boiler_bytes += len(text.encode("utf-8"))
             continue
         start = offset
