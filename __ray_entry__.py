@@ -154,6 +154,23 @@ def _q_embeddings_lsh_topk(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]]
 
 
+def _q_embeddings_ivf_topk(sf_dir: str):
+    from htmlparsersharp_ray.stages.similarity import ivf_topk
+
+    df = ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def _q_media_frames(sf_dir: str):
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import AudioFrameSampleUDF, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(100))
+    out = ds.map_batches(AudioFrameSampleUDF, batch_format="pyarrow",
+                         batch_size=16, concurrency=2)
+    return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF, synth_media_table
@@ -192,8 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,
+        "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # flagship extraction
         "extract_turns": _q_extract_turns,
     }

@@ -83,3 +83,69 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             ),
         }
     )
+
+
+class ImageResizeUDF:
+    """Resize stage shape: payload+meta in → payload+meta out. The pixel
+    work is stubbed (deterministic payload transform) — the Ray-side
+    contract (small batches, pyarrow end-to-end, meta update) is real."""
+
+    def __init__(self, width: int = 32, height: int = 32, fake: bool = True):
+        self.width = width
+        self.height = height
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("no image codec in this environment")
+        payloads = batch.column("payload").to_pylist()
+        # deterministic stand-in for decode→resize→encode
+        resized = [
+            hashlib.blake2b(p or b"", digest_size=self.width * self.height // 16).digest()
+            for p in payloads
+        ]
+        meta = [
+            {"width": self.width, "height": self.height, "sample_rate": 0}
+            for _ in payloads
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(resized, pa.binary()),
+                "meta": pa.array(meta, MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+
+class AudioFrameSampleUDF:
+    """Frame-sampling stage shape: emits N fixed-stride frame features per
+    clip (flat_map-like: one input row → N output rows)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("no audio codec in this environment")
+        ids_out, frame_out, feat_out = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            for f in range(self.n_frames):
+                digest = hashlib.blake2b(
+                    (payload or b"") + f.to_bytes(4, "little"),
+                    digest_size=FEATURE_DIM * 4,
+                ).digest()
+                ids_out.append(mid)
+                frame_out.append(f)
+                feat_out.append(
+                    (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32).tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(frame_out, pa.int32()),
+                "feature": pa.array(feat_out, pa.list_(pa.float32(), FEATURE_DIM)),
+            }
+        )

@@ -164,3 +164,99 @@ def lsh_topk(
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+# --- IVF (inverted-file) ANN — the second scale path -----------------------
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 8,
+            seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means for the coarse quantizer (numpy only)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    emb_ds: ray.data.Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> pd.DataFrame:
+    """IVF ANN: a coarse k-means quantizer (trained on a bounded sample)
+    partitions vectors into inverted lists; each query scans only its
+    ``n_probe`` nearest lists. The groupby on list id is the only
+    shuffle; centroids are broadcast once via ray.put."""
+    sample = np.asarray(
+        emb_ds.limit(train_sample).to_pandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    cent = _kmeans(sample, n_lists)
+    cent_ref = ray.put(cent)
+
+    class AssignList:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _batch_matrix(batch)
+            d = ((emb[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            lists = d.argmin(axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    "list_id": pa.array(lists, pa.int64()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    # probe lists per query (driver side; queries are tiny)
+    qids = sorted(queries)
+    qm = np.stack([queries[q] for q in qids]).astype(np.float64)
+    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = {}  # list_id -> {query_id: vector}
+    for row, qid in enumerate(qids):
+        for lid in np.argsort(qd[row])[:n_probe]:
+            probes.setdefault(int(lid), {})[qid] = queries[qid]
+    probes_ref = ray.put(probes)
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(probes_ref)
+        qs = table.get(int(group["list_id"].iloc[0]))
+        if not qs:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        emb = np.asarray(group["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        rows = []
+        for qid, qv in sorted(qs.items()):
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+            sims = emb @ qv
+            for i in np.argsort(-sims)[:k]:
+                rows.append((qid, int(group["vec_id"].iloc[i]), float(sims[i])))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+    partial = (
+        emb_ds.map_batches(AssignList, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2)
+        .groupby("list_id")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -152,3 +152,48 @@ def test_fingerprint_deterministic(ray_session):
     a = fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
     b = fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
     assert (a == b).all()
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    queries = {i: emb[i].astype(np.float64) for i in (0, 50, 100)}
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = ivf_topk(ds, queries, k=10, n_lists=8, n_probe=4)
+    # rank-1 is always the query itself; overall recall must be decent
+    for qid in queries:
+        assert approx[(approx.query_id == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0] == qid
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        assert len(e & a) >= 5  # ≥50% recall at n_probe=4/8 lists
+
+
+def test_media_resize_and_frames(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import (
+        AudioFrameSampleUDF,
+        ImageResizeUDF,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(12))
+    resized = ds.map_batches(ImageResizeUDF, batch_format="pyarrow",
+                             batch_size=4, concurrency=1).to_pandas()
+    assert (resized["meta"].map(lambda m: m["width"]) == 32).all()
+    frames = ds.map_batches(AudioFrameSampleUDF, batch_format="pyarrow",
+                            batch_size=4, concurrency=1).to_pandas()
+    assert len(frames) == 12 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    with pytest.raises(NotImplementedError):
+        ImageResizeUDF(fake=False)(synth_media_table(1))
