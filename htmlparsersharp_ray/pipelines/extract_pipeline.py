@@ -177,6 +177,14 @@ def _finalize_bucket(out_dir: str, run_id: str):
                 "\x1e".join(table.column("extracted_text").to_pylist()).encode()
             ).hexdigest()
             convs = table.column("conv_id")
+            metrics = table.column("metrics").combine_chunks()
+            msum = {
+                field: int(pc.sum(metrics.field(field)).as_py() or 0)
+                for field in ("nodes", "tokens", "parse_errors", "boilerplate_bytes")
+            }
+            msum["truncated_rows"] = int(
+                pc.sum(pc.cast(metrics.field("truncated"), pa.int64())).as_py() or 0
+            )
             lineage.record_bucket(
                 out_dir,
                 bucket,
@@ -187,6 +195,7 @@ def _finalize_bucket(out_dir: str, run_id: str):
                     "conv_max": pc.max(convs).as_py(),
                     "text_md5": text_hash,
                     "path": path,
+                    "metrics": msum,
                 },
             )
             results["bucket"].append(bucket)
@@ -275,3 +284,26 @@ def extract_sorted(input_dir: str, concurrency=None, batch_size: int = 256):
     return extract_dataset(input_dir, concurrency, batch_size).sort(
         ["conv_id", "turn_idx"]
     )
+
+
+def metrics_summary(out_dir: str) -> dict:
+    """Global extraction metrics from the per-bucket lineage records
+    (north_star: nodes parsed, tokens emitted, boilerplate bytes dropped) —
+    no data re-read; sums the per-partition partials."""
+    import json
+
+    totals = {"rows": 0, "nodes": 0, "tokens": 0, "parse_errors": 0,
+              "boilerplate_bytes": 0, "truncated_rows": 0, "buckets": 0}
+    ldir = lineage.lineage_dir(out_dir)
+    if not os.path.isdir(ldir):
+        return totals
+    for fname in sorted(os.listdir(ldir)):
+        if not (fname.startswith("bucket-") and fname.endswith(".json")):
+            continue
+        with open(os.path.join(ldir, fname)) as f:
+            rec = json.load(f)
+        totals["buckets"] += 1
+        totals["rows"] += rec.get("rows", 0)
+        for k, v in rec.get("metrics", {}).items():
+            totals[k] = totals.get(k, 0) + v
+    return totals

@@ -131,3 +131,15 @@ def test_extract_sorted_matches_bucketed(ray_session, transcripts_dir, tmp_path)
     assert (t["conv_id"] == b["conv_id"]).all()
     assert (t["turn_idx"] == b["turn_idx"]).all()
     assert (t["extracted_text"] == b["extracted_text"]).all()
+
+
+def test_metrics_summary(ray_session, transcripts_dir, tmp_path):
+    from htmlparsersharp_ray.pipelines.extract_pipeline import metrics_summary
+
+    out = str(tmp_path / "out")
+    _run(transcripts_dir, out, n_buckets=8, concurrency=2, batch_size=64,
+         resume=False)
+    m = metrics_summary(out)
+    assert m["rows"] == 1200 and m["buckets"] == 8
+    assert m["nodes"] > 0 and m["tokens"] > 0
+    assert m["truncated_rows"] == 0
