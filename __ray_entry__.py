@@ -171,6 +171,20 @@ def _q_media_frames(sf_dir: str):
     return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    """Connected components over exact cosine>=0.45 pairs: each vector →
+    min vec_id of its duplicate cluster. Oracle: recursive CTE."""
+    from htmlparsersharp_ray.stages.dedup import (
+        dup_clusters,
+        embedding_cosine_dup_pairs_exact,
+    )
+
+    edges = embedding_cosine_dup_pairs_exact(_emb(sf_dir), threshold=0.45)
+    nodes = _emb(sf_dir).select_columns(["vec_id"])
+    out = dup_clusters(nodes, edges, id_col="vec_id")
+    return out
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF, synth_media_table
@@ -201,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         # text analysis
         "docs_token_counts": _q_docs_token_counts,
         "docs_quality": _q_docs_quality,
@@ -351,6 +366,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY doc_a, doc_b
+        """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            ), reach(u, v) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS vec_id, min(v) AS cluster_rep
+            FROM reach GROUP BY u ORDER BY vec_id
         """,
         # docs_minhash_pairs / docs_simhash_pairs / docs_langid /
         # docs_fingerprint / media_features / embeddings_lsh_topk /

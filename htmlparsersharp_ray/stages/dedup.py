@@ -335,3 +335,58 @@ def embedding_cosine_dup_pairs_exact(
         PairFinder, batch_format="pyarrow", batch_size=4096, concurrency=2
     ).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dup_clusters(
+    nodes: ray.data.Dataset, edges: pd.DataFrame, id_col: str = "doc_id",
+    max_iters: int = 50
+) -> pd.DataFrame:
+    """Connected components over near-dup pairs → cluster representative
+    per node (min id in component) — the decision step that turns pair
+    detection into keep-first dedup.
+
+    Min-label propagation: each round, every node takes the min label among
+    itself and its neighbors, via map_batches over the node set with the
+    current label table broadcast (labels are O(nodes); at 100 TB scale the
+    same rounds run as hash-partitioned joins on (node → label) instead of
+    a broadcast — the iteration structure is identical). Deterministic;
+    converges in O(diameter) rounds.
+    """
+    import ray as _ray
+
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    ids = [int(x) for x in nodes.to_pandas()[id_col]]
+    labels = {i: i for i in ids}
+    adj_ref = _ray.put(adj)
+
+    for _ in range(max_iters):
+        labels_ref = _ray.put(labels)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            lab = _ray.get(labels_ref)
+            graph = _ray.get(adj_ref)
+            out_id, out_label = [], []
+            for node in batch.column(id_col).to_pylist():
+                node = int(node)
+                best = lab[node]
+                for nb in graph.get(node, ()):
+                    if lab[nb] < best:
+                        best = lab[nb]
+                out_id.append(node)
+                out_label.append(best)
+            return pa.table({id_col: pa.array(out_id, pa.int64()),
+                             "cluster_rep": pa.array(out_label, pa.int64())})
+
+        new = nodes.map_batches(relabel, batch_format="pyarrow",
+                                batch_size=4096).to_pandas()
+        new_labels = dict(zip(new[id_col].astype(int), new["cluster_rep"].astype(int)))
+        if new_labels == labels:
+            break
+        labels = new_labels
+    out = pd.DataFrame(
+        {id_col: sorted(labels), "cluster_rep": [labels[k] for k in sorted(labels)]}
+    )
+    return out

@@ -197,3 +197,16 @@ def test_media_resize_and_frames(ray_session):
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
     with pytest.raises(NotImplementedError):
         ImageResizeUDF(fake=False)(synth_media_table(1))
+
+
+def test_dup_clusters(docs_ds):
+    from htmlparsersharp_ray.stages.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5)
+    out = dup_clusters(docs_ds.select_columns(["doc_id"]),
+                       pairs[["doc_a", "doc_b"]])
+    reps = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert reps[0] == 0 and reps[1] == 0       # exact dup joins doc 0
+    assert reps[3] == 3 and reps[4] == 4       # singletons stay themselves
+    # near dups of 0 share its cluster
+    assert reps[2] == 0 or reps[5] == 0
