@@ -35,7 +35,7 @@ def entry() -> Any:
     from htmlparsersharp_ray.pipelines.extract_pipeline import extract_dataset
 
     tdir = transcripts_for_sf("/root/testdata/sf0.001")
-    return extract_dataset(tdir, concurrency=4, batch_size=128)
+    return extract_dataset(tdir, concurrency=(1, 4), batch_size=128)
 
 
 # --- query callables -------------------------------------------------------
@@ -54,7 +54,7 @@ def _q_extract_turns(sf_dir: str):
     tdir = transcripts_for_sf(sf_dir)
     out_dir = os.path.join("/tmp/graft_extract_out", os.path.basename(tdir))
     shutil.rmtree(out_dir, ignore_errors=True)
-    run_extract_pipeline(tdir, out_dir, n_buckets=32, concurrency=4, batch_size=128)
+    run_extract_pipeline(tdir, out_dir, n_buckets=32, concurrency=(1, 4), batch_size=128)
     files = sorted(glob.glob(os.path.join(out_dir, "bucket=*/part.parquet")))
     table = pa.concat_tables([pq.read_table(f, columns=["conv_id", "turn_idx", "extracted_text", "doc_mode"]) for f in files])
     return table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
@@ -167,7 +167,7 @@ def _q_media_frames(sf_dir: str):
 
     ds = ray.data.from_arrow(synth_media_table(100))
     out = ds.map_batches(AudioFrameSampleUDF, batch_format="pyarrow",
-                         batch_size=16, concurrency=2)
+                         batch_size=16, concurrency=(1, 2))
     return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
@@ -190,7 +190,7 @@ def _q_media_features(sf_dir: str):
     from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(200))
-    out = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow", batch_size=16, concurrency=2)
+    out = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 

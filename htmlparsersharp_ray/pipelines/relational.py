@@ -110,7 +110,7 @@ def q_join_broadcast(sf_dir: str):
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
     out = (
-        ds.map_batches(JoinSegment, batch_format="pandas", concurrency=2)
+        ds.map_batches(JoinSegment, batch_format="pandas", concurrency=(1, 2))
         .groupby("c_mktsegment")
         .aggregate(
             Sum("o_totalprice", alias_name="total_price"),

@@ -113,7 +113,7 @@ def minhash_lsh_pairs(
     (candidates ≪ corpus); at larger scale the verify stage would join
     text back by doc_id instead — noted here as the scale path.
     """
-    sig_ds = docs.map_batches(MinHashUDF, batch_format="pyarrow", batch_size=512, concurrency=4)
+    sig_ds = docs.map_batches(MinHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
     cand = (
         sig_ds.groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas")
@@ -172,7 +172,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
     chunks (any pair within Hamming ≤ 3·16-bit-misses shares ≥1 chunk);
     verify exact Hamming distance within buckets."""
-    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=4)
+    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -332,7 +332,7 @@ def embedding_cosine_dup_pairs_exact(
             )
 
     out = docs_emb.map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=4096, concurrency=2
+        PairFinder, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
     ).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

@@ -64,10 +64,11 @@ def brute_force_topk(
     (query_id, rank) with deterministic tie-break on vec_id."""
     ref = ray.put(queries)
     partial = emb_ds.map_batches(
-        CosineTopK(ref, k),
+        CosineTopK,
+        fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -126,7 +127,8 @@ def lsh_topk(
     planes = _planes(dim)
     planes_ref = ray.put(planes)
     bucketed = emb_ds.map_batches(
-        LshBucketUDF(planes_ref), batch_format="pyarrow", batch_size=4096
+        LshBucketUDF, fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
     )
     qids = sorted(queries)
     qm = np.stack([queries[i] for i in qids]).astype(np.float32)
@@ -247,7 +249,7 @@ def ivf_topk(
 
     partial = (
         emb_ds.map_batches(AssignList, batch_format="pyarrow",
-                           batch_size=4096, concurrency=2)
+                           batch_size=4096, concurrency=(1, 2))
         .groupby("list_id")
         .map_groups(scan, batch_format="pandas")
     )

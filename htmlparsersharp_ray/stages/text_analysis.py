@@ -57,7 +57,7 @@ class LangIdUDF:
 
 def langid(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
-        LangIdUDF, batch_format="pandas", batch_size=2048, concurrency=2
+        LangIdUDF, batch_format="pandas", batch_size=2048, concurrency=(1, 2)
     )
 
 
@@ -96,7 +96,7 @@ class QualityUDF:
 
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
-        QualityUDF, batch_format="pandas", batch_size=2048, concurrency=2
+        QualityUDF, batch_format="pandas", batch_size=2048, concurrency=(1, 2)
     )
 
 
@@ -123,7 +123,7 @@ class TokenCountUDF:
 
 def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
-        TokenCountUDF, batch_format="pandas", batch_size=2048, concurrency=2
+        TokenCountUDF, batch_format="pandas", batch_size=2048, concurrency=(1, 2)
     )
 
 
@@ -157,5 +157,5 @@ class FingerprintUDF:
 
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
-        FingerprintUDF, batch_format="pyarrow", batch_size=2048, concurrency=2
+        FingerprintUDF, batch_format="pyarrow", batch_size=2048, concurrency=(1, 2)
     )
