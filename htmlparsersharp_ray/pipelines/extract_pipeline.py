@@ -11,11 +11,14 @@ Boundary map (SURVEY.md §3.4):
       └─ manifest dataset (one row per bucket)                    # small result
 
 Shuffle design: the bucket exchange is an EXPLICIT disk-backed shuffle —
-parse-side tasks append per-bucket partial parquet files (idempotent
-names: content-keyed, so task retries overwrite rather than duplicate),
-then one finalize task per bucket reads only its partials, sorts by
-(conv_id, turn_idx), and writes the final file atomically with a lineage
-record. Compared to ``groupby(bucket)`` (Ray's sort-based all-to-all,
+each parse-side writer batch becomes ONE bucket-sorted parquet file whose
+row groups align with bucket boundaries plus a sidecar JSON index
+(map-side-merged shuffle files; names content-keyed so task retries
+overwrite rather than duplicate), then one finalize task per bucket reads
+only its row groups, sorts by (conv_id, turn_idx), and writes the final
+file atomically with a lineage record. Partial dirs are RUN-SCOPED and
+wiped before phase A, so a crashed run can never leak rows into a later
+finalize. Compared to ``groupby(bucket)`` (Ray's sort-based all-to-all,
 measured 13s of a 14s run at sf0.1) this removes the global sort; each
 phase is embarrassingly parallel and each finalize task's memory is
 bounded by one bucket. On a multi-node cluster the partial/final dirs

@@ -250,6 +250,16 @@ CORPUS = {
         "<param><source><track>in body",
         "<table><tbody><a>1<tr>2</table>",
         "<a href=x><table><tr><td><a href=y>z</table>w",
+        "  \t<frameset><frame></frameset>",
+        "x<frameset><frame></frameset>",
+        "<input type=hidden><frameset>",
+        "<input type=text><frameset>",
+        "<table><td><svg><desc><td>x",
+        "<table><caption><table><tr><td>n</table>c</table>",
+        "<table><caption>a</caption><caption>b<tr><td>c</table>",
+        "<head><title>t</title></head><head><meta>",
+        "<b><table><td></b><i></table>x",
+        "<div><p><button><p>inner",
         "</strong></b></em></i></u></strike></s></blink></tt></pre></big></small></font></select></h1></h2></h3></h4></h5></h6></body></br></a></img></title></span></style></script></table></th></td></tr></frame></area></link></param></hr></input></col></base></meta></basefont></bgsound></embed></spacer></p></dd></dt></caption></colgroup></tbody></tfoot></thead></address></blockquote></center></dir></div></dl></fieldset></listing></menu></ol></ul></li></nobr></wbr></form></button></marquee></object></html></frameset></head></iframe></image></isindex></noembed></noframes></noscript></optgroup></option></plaintext></textarea>",
     ],
     "malformed_eof": [
