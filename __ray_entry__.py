@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": r.q_distinct,
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
+        "topk_per_group": r.q_topk_per_group,
+        "order_revenue_top10": r.q_order_revenue_top10,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -318,6 +320,26 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             GROUP BY p_brand
             ORDER BY p_brand
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 3
+            ORDER BY c_mktsegment, rank
+        """,
+        "order_revenue_top10": """
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   any_value(o_orderdate) AS o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "docs_exact_dedup": """
             SELECT doc_id, n_chars FROM documents
