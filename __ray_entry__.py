@@ -238,11 +238,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_agg": """
+            -- TPC-H semantics: money/quantity columns are DECIMAL(x,2).
+            -- Casting before summing makes the aggregate exact (hugeint
+            -- accumulation), so the result is reduction-order-independent
+            -- and bit-matches the engine's scaled-int64 aggregation.
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
-                   avg(l_discount) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_revenue,
+                   CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -256,12 +261,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk": """
             SELECT o_orderkey, o_totalprice, o_orderdate
             FROM orders
-            ORDER BY o_totalprice DESC
+            ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10
         """,
         "join_broadcast": """
+            -- DECIMAL cast => exact, order-independent sum (see lineitem_agg)
             SELECT c_mktsegment,
-                   sum(o_totalprice) AS total_price,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -276,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": """
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,
-                   sum(value) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
                    count(*) AS n_events
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
@@ -297,7 +303,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM o
             )
             SELECT user_id, min(ts) AS session_start,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_no
             ORDER BY user_id, session_start
         """,
@@ -334,7 +341,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_revenue_top10": """
             SELECT l_orderkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
                    any_value(o_orderdate) AS o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey

@@ -49,8 +49,14 @@ def compare(name, ray_df, sql_df):
         for col in rc:
             av, bv = a[col], b[col]
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                ok = np.allclose(av.astype(float), bv.astype(float),
-                                 rtol=1e-9, atol=1e-9, equal_nan=True)
+                # BIT-exact: the driver hashes exact values, so the local
+                # gate must not pass anything the driver would fail.
+                x = av.astype(float).to_numpy()
+                y = bv.astype(float).to_numpy()
+                ok = bool(
+                    ((x.view(np.int64) == y.view(np.int64))
+                     | (np.isnan(x) & np.isnan(y))).all()
+                )
             else:
                 ok = (av.astype(str) == bv.astype(str)).all()
             if not ok:
