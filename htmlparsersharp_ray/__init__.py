@@ -18,4 +18,30 @@ Layout:
     state/      lineage / checkpoint records for resumable output
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Drop Ray Data's per-worker 'Failed to hash the schemas (for
+    deduplication): unhashable type: dict' warning.
+
+    Root cause is inside Ray, not this engine: every pandas-format stage
+    output goes through ``pa.Table.from_pandas`` (ray.data pandas_block),
+    which attaches the b'pandas' schema metadata dict, and pyarrow schemas
+    with metadata are unhashable — so Ray's schema-dedup `set(schemas)`
+    warns once per worker (harmless; it falls back to full unification).
+    Arrow-format stages in this repo emit metadata-free (hashable)
+    schemas; this filter silences only the known-spurious message for the
+    pandas stages we cannot change. Installed at import so worker
+    processes (which import this package for the UDFs) get it too.
+    """
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoiseFilter())

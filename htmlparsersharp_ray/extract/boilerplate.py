@@ -133,13 +133,14 @@ def extract_main_content(root) -> ExtractionResult:
         # Element
         name = child.name
         if child.namespace != HTML_NS:
-            # svg/math subtrees are not main text content: count and drop
+            # svg/math subtrees are not main text content: count and drop.
+            # The root was already counted at visit — add descendants only.
             boiler_bytes += _subtree_text_bytes(child)
-            nodes += _subtree_node_count(child)
+            nodes += _subtree_node_count(child) - 1
             continue
         if name in _DROP_SUBTREE:
             boiler_bytes += _subtree_text_bytes(child)
-            nodes += _subtree_node_count(child)
+            nodes += _subtree_node_count(child) - 1
             continue
         is_block = name in _BLOCK
         if not is_block:

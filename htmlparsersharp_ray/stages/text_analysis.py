@@ -44,7 +44,9 @@ class LangIdUDF:
                 langs.append("zh")
                 continue
             words = text.lower().split()
-            best_lang, best_hits = "en", -1
+            # best_hits=0 (not -1) so zero-hit texts fall back to "en"
+            # instead of the first profile in sort order (ADVICE r1).
+            best_lang, best_hits = "en", 0
             for lang in sorted(self.profiles):
                 prof = self.profiles[lang]
                 hits = sum(1 for w in words if w in prof)
@@ -90,8 +92,6 @@ class QualityUDF:
             * (1.0 - out["punct_ratio"].clip(upper=1.0))
         ).astype("float64")
         return out
-
-    punct = None
 
 
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:

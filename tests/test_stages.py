@@ -53,7 +53,7 @@ def test_minhash_lsh_pairs(docs_ds):
 def test_simhash_pairs(docs_ds):
     from htmlparsersharp_ray.stages.dedup import simhash_pairs
 
-    pairs = simhash_pairs(docs_ds, max_hamming=8)
+    pairs = simhash_pairs(docs_ds, max_hamming=6)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (0, 1) in got        # identical text → hamming 0
     assert (3, 4) not in got
@@ -197,6 +197,114 @@ def test_media_resize_and_frames(ray_session):
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
     with pytest.raises(NotImplementedError):
         ImageResizeUDF(fake=False)(synth_media_table(1))
+
+
+def test_lsh_topk_recall_vs_brute_force(ray_session):
+    """VERDICT r1 item 4: L-table LSH must reach >=90% recall vs exact."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    queries = {i: emb[i].astype(np.float64) for i in (0, 50, 100)}
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = lsh_topk(ds, queries, k=10)
+    hits = total = 0
+    for qid in queries:
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        assert len(a) == 10  # full result rows, not a starved bucket
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.9
+
+
+def test_lsh_topk_deterministic_across_calls(ray_session):
+    """ADVICE r1: module-level RNG made repeated calls differ."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import lsh_topk
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((120, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(120), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    queries = {3: emb[3].astype(np.float64)}
+    a = lsh_topk(ds, queries, k=5)
+    b = lsh_topk(ds, queries, k=5)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+
+
+def test_minhash_path_never_materializes_on_driver(docs_ds):
+    """VERDICT r1 item 2: the candidate/verify path must stay a Dataset."""
+    import inspect
+
+    import ray.data
+    from htmlparsersharp_ray.stages import dedup
+
+    src = inspect.getsource(dedup.minhash_lsh_pairs_ds)
+    for banned in ("to_pandas", "iter_batches", "take_all", "iter_rows"):
+        assert banned not in src, f"{banned} found in minhash_lsh_pairs_ds"
+    out = dedup.minhash_lsh_pairs_ds(docs_ds, jaccard_threshold=0.5)
+    assert isinstance(out, ray.data.Dataset)
+
+
+def test_ngram_jaccard_threads_n(docs_ds):
+    """ADVICE r1: n must actually change the shingling."""
+    from htmlparsersharp_ray.stages.dedup import ngram_jaccard_pairs
+
+    p2 = ngram_jaccard_pairs(docs_ds, n=2, threshold=0.4)
+    p3 = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.4)
+    j2 = dict(zip(zip(p2["doc_a"], p2["doc_b"]), p2["jaccard"]))
+    j3 = dict(zip(zip(p3["doc_a"], p3["doc_b"]), p3["jaccard"]))
+    assert j2[(0, 1)] == 1.0 and j3[(0, 1)] == 1.0
+    # near-dup pair: one substituted word flips n shingles per occurrence,
+    # so 2-gram Jaccard > 3-gram Jaccard
+    key = (0, 2)
+    assert key in j2 and key in j3 and j2[key] > j3[key]
+
+
+def test_dup_clusters_multi_batch_chain(ray_session):
+    """VERDICT r1 item 3: label propagation at an edge set >> one batch,
+    with a long chain forcing multiple propagation rounds."""
+    import ray.data
+
+    # chain 0-1-...-255 (forces ~log2(256) pointer-jump rounds) plus
+    # 6000 triangle clusters => 18k+ edge rows, several blocks
+    chain = pd.DataFrame({
+        "doc_a": np.arange(0, 255, dtype=np.int64),
+        "doc_b": np.arange(1, 256, dtype=np.int64),
+    })
+    base = np.arange(6000, dtype=np.int64) * 3 + 1000
+    tris = pd.DataFrame({
+        "doc_a": np.concatenate([base, base, base + 1]),
+        "doc_b": np.concatenate([base + 1, base + 2, base + 2]),
+    })
+    edges = pd.concat([chain, tris], ignore_index=True)
+    n_nodes = int(edges[["doc_a", "doc_b"]].to_numpy().max()) + 1
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n_nodes), pa.int64())})
+    ).repartition(8)
+    from htmlparsersharp_ray.stages.dedup import dup_clusters
+
+    out = dup_clusters(nodes, edges, max_iters=50)
+    reps = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert all(reps[i] == 0 for i in range(256))
+    for b in (1000, 1003, 16000):
+        assert reps[b] == b and reps[b + 1] == b and reps[b + 2] == b
 
 
 def test_dup_clusters(docs_ds):
