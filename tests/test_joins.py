@@ -1,0 +1,91 @@
+"""Tests for the bucketed two-sided shuffle hash join (pipelines/joins.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk_ds(df: pd.DataFrame, n_blocks: int = 4):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(n_blocks)
+
+
+@pytest.fixture(scope="module")
+def join_inputs(ray_session):
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 500, size=5000).astype(np.int64),
+        "lv": np.arange(5000, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 600, size=800).astype(np.int64),
+        "rv": np.arange(800, dtype=np.int64) * 10,
+    })
+    return left, right
+
+
+def test_hash_join_inner_matches_pandas(join_inputs):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    out = hash_join(_mk_ds(left), _mk_ds(right), "k", "k").to_pandas()
+    expected = left.merge(right, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_different_key_names(join_inputs):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    r2 = right.rename(columns={"k": "rk"})
+    out = hash_join(_mk_ds(left), _mk_ds(r2), "k", "rk").to_pandas()
+    expected = left.merge(r2, left_on="k", right_on="rk", how="inner")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_string_keys(ray_session):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"name": [f"u{i % 37}" for i in range(400)],
+                         "lv": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame({"name": [f"u{i}" for i in range(50)],
+                          "rv": np.arange(50, dtype=np.int64)})
+    out = hash_join(_mk_ds(left, 3), _mk_ds(right, 2), "name", "name").to_pandas()
+    expected = left.merge(right, on="name", how="inner")
+    key = ["name", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_no_matches_yields_empty_with_schema(ray_session):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "lv": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(100, 110, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64)})
+    out = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k")
+    # Dataset-level schema keeps the joined layout even when every block
+    # is empty (Ray's to_pandas drops columns for all-empty datasets).
+    assert set(out.schema().names) == {"k", "lv", "rv"}
+    assert out.count() == 0
+
+
+def test_hash_join_rejects_unknown_how(ray_session):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    with pytest.raises(ValueError):
+        hash_join(None, None, "k", "k", how="outer")
