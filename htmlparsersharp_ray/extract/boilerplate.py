@@ -206,6 +206,9 @@ def _subtree_text_bytes(node):
             total += len(cur.data.encode("utf-8"))
         else:
             stack.extend(cur.children)
+            content = getattr(cur, "content", None)
+            if content is not None:  # <template> contents fragment
+                stack.extend(content.children)
     return total
 
 
@@ -216,4 +219,7 @@ def _subtree_node_count(node):
         cur = stack.pop()
         count += 1
         stack.extend(cur.children)
+        content = getattr(cur, "content", None)
+        if content is not None:
+            stack.extend(content.children)
     return count

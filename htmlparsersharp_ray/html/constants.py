@@ -17,9 +17,9 @@ from .dom import MATHML_NS, SVG_NS, XLINK_NS, XML_NS, XMLNS_NS
 
 # --- Element categories ---------------------------------------------------
 # "Special" elements per WHATWG tree construction (reference flag SPECIAL,
-# Core/ElementName.cs:49). The reference predates <template>; we keep
-# template in the special set but do not implement the template-contents
-# insertion machinery (SURVEY.md §7.5 divergences).
+# Core/ElementName.cs:49). The reference predates <template>; this engine
+# implements the full template-contents insertion machinery (treebuilder
+# IN_TEMPLATE + TemplateElement.content).
 SPECIAL_HTML = frozenset("""
     address applet area article aside base basefont bgsound blockquote body
     br button caption center col colgroup dd details dir div dl dt embed

@@ -91,6 +91,19 @@ class Element(Node):
         return f"<Element {self.name} ns={self.namespace.rsplit('/', 1)[-1]}>"
 
 
+class TemplateElement(Element):
+    """<template> with its separate *template contents* DocumentFragment
+    (WHATWG template machinery — BEYOND the reference: Validator.nu 1.3.1
+    predates <template>, /root/reference/README.md:10). Children parsed
+    inside the element land in ``content``, never in ``children``."""
+
+    __slots__ = ("content",)
+
+    def __init__(self, name: str, namespace: str = HTML_NS, attrs=None):
+        super().__init__(name, namespace, attrs)
+        self.content = DocumentFragment()
+
+
 class Text(Node):
     __slots__ = ("data",)
 

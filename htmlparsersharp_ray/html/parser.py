@@ -67,6 +67,12 @@ def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseRes
     root = Element("html", HTML_NS)
     builder.doc.append(root)
     builder.open.append(root)
+    if context == "template":
+        # spec: fragment parsing with a template context pushes "in
+        # template" onto the stack of template insertion modes
+        from .treebuilder import IN_TEMPLATE
+
+        builder.template_modes.append(IN_TEMPLATE)
     builder.mode = _initial_fragment_mode(builder, context)
     builder.frameset_ok = True
 

@@ -49,6 +49,11 @@ def serialize_tree(root) -> str:
             # ("xlink href", "xml lang", ...); emit verbatim, sorted.
             for name, (_ns, value) in sorted(node.attrs.items()):
                 lines.append(f'{indent}  {name}="{value}"')
+            content = getattr(node, "content", None)
+            if content is not None:  # <template>: html5lib "content" node
+                lines.append(f"{indent}  content")
+                for child in content.children:
+                    walk(child, depth + 2)
             for child in node.children:
                 walk(child, depth + 1)
         elif isinstance(node, Text):
@@ -130,6 +135,10 @@ def serialize_html(root) -> str:
                 append(f' {aname}="{_escape_attr(value)}"')
             append(">")
             if not (child.namespace == HTML_NS and name in _VOID):
-                stack.append(iter(child.children))
+                content = getattr(child, "content", None)
+                # <template> serializes its contents fragment (spec)
+                stack.append(iter(
+                    content.children if content is not None else child.children
+                ))
                 open_elements.append(child)
     return "".join(out)

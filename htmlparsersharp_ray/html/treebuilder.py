@@ -7,11 +7,16 @@ parenting :5077-5088, foreign content :1415-1506, scope searches
 :4134-4236, ResetTheInsertionMode :4431-4529) as an original Python
 implementation of the published WHATWG tree-construction algorithm.
 
-Deliberate divergences (SURVEY.md §7.5): no <template> content machinery
-(the reference predates it; <template> parses as an ordinary special
-element), no document.write speculation/snapshots, scripting disabled by
-default (reference default: TreeBuilder.cs:128), error messages collapse
-to a counter while error *recovery* follows the spec exactly.
+Beyond the reference: full <template> content machinery (the "in
+template" insertion mode, the stack of template insertion modes, template
+contents as a separate DocumentFragment, template-aware foster parenting
+and form-pointer handling) — Validator.nu 1.3.1 predates <template>
+(/root/reference/README.md:10), but modern transcript HTML contains it.
+
+Deliberate divergences (SURVEY.md §7.5): no document.write
+speculation/snapshots, scripting disabled by default (reference default:
+TreeBuilder.cs:128), error messages collapse to a counter while error
+*recovery* follows the spec exactly.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from .dom import (
     Document,
     DocumentFragment,
     Element,
+    TemplateElement,
     Text,
     HTML_NS,
     MATHML_NS,
@@ -75,6 +81,7 @@ IN_FRAMESET = 18
 AFTER_FRAMESET = 19
 AFTER_AFTER_BODY = 20
 AFTER_AFTER_FRAMESET = 21
+IN_TEMPLATE = 22  # WHATWG template machinery (beyond the reference)
 
 _WS = "\t\n\f "
 _MARKER = None  # active-formatting-list marker (reference: null entries)
@@ -116,6 +123,7 @@ class TreeBuilder:
         self.form_el = None
         self.mode = INITIAL
         self.original_mode = IN_BODY
+        self.template_modes = []  # stack of template insertion modes
         self.frameset_ok = True
         self.pending_table_text = []
         self.ignore_next_lf = False
@@ -150,14 +158,20 @@ class TreeBuilder:
         TreeBuilder.cs:5077-5088)."""
         target = override if override is not None else self.open[-1]
         if self.foster and target.namespace == HTML_NS and target.name in _TABLE_CONTEXT:
-            # find last table in the stack
+            # spec: compare LAST TEMPLATE vs LAST TABLE in the stack; a
+            # template above the table captures the foster-parented node
+            # into its contents
             for i in range(len(self.open) - 1, -1, -1):
                 node = self.open[i]
+                if type(node) is TemplateElement:
+                    return node.content, None
                 if node.name == "table" and node.namespace == HTML_NS:
                     if node.parent is not None:
                         return node.parent, node
                     return self.open[i - 1], None
             return self.open[0], None
+        if type(target) is TemplateElement:
+            return target.content, None
         return target, None
 
     foster = False
@@ -170,7 +184,12 @@ class TreeBuilder:
             parent.insert_text_before(data, ref)
 
     def _insert_element(self, name, attrs, namespace=HTML_NS, push=True):
-        el = Element(
+        cls = (
+            TemplateElement
+            if name == "template" and namespace == HTML_NS
+            else Element
+        )
+        el = cls(
             name, namespace,
             {k: (None, v) for k, v in attrs.items()} if attrs else {},
         )
@@ -476,11 +495,21 @@ class TreeBuilder:
                     return
                 continue
             name = node.name
+            if name == "template":
+                self.mode = (
+                    self.template_modes[-1] if self.template_modes
+                    else IN_TEMPLATE
+                )
+                return
             if name == "select":
                 mode = IN_SELECT
                 for j in range(i - 1, 0, -1):
                     anc = self.open[j]
-                    if anc.namespace == HTML_NS and anc.name == "table":
+                    if anc.namespace != HTML_NS:
+                        continue
+                    if anc.name == "template":
+                        break  # spec: template stops the table search
+                    if anc.name == "table":
                         mode = IN_SELECT_IN_TABLE
                         break
                 self.mode = mode
@@ -504,10 +533,10 @@ class TreeBuilder:
                 self.mode = IN_TABLE
                 return
             if name == "head":
-                self.mode = IN_BODY if not last else IN_HEAD
-                # spec: "in head" only in fragment case; non-fragment → in body
-                if last:
-                    self.mode = IN_HEAD
+                # template-era spec: head (last or not) → "in head"; the
+                # non-last case is reachable only after </template> closes
+                # inside head
+                self.mode = IN_HEAD
                 return
             if name == "body":
                 self.mode = IN_BODY
@@ -633,7 +662,8 @@ class TreeBuilder:
     def _characters_html(self, data):
         while data:
             mode = self.mode
-            if mode == IN_BODY or mode == IN_CAPTION or mode == IN_CELL:
+            if (mode == IN_BODY or mode == IN_CAPTION or mode == IN_CELL
+                    or mode == IN_TEMPLATE):
                 if "\x00" in data:
                     self.error()
                     data = data.replace("\x00", "")
@@ -948,6 +978,9 @@ class TreeBuilder:
                 if name == "col":
                     self._insert_element("col", attrs, push=False)
                     return
+                if name == "template":
+                    self._start_in_head(name, attrs, self_closing)
+                    return
                 if self.open[-1].name != "colgroup":
                     self.error()
                     return
@@ -973,6 +1006,12 @@ class TreeBuilder:
             if mode in (IN_SELECT, IN_SELECT_IN_TABLE):
                 self._start_in_select(name, attrs, self_closing)
                 return
+            if mode == IN_TEMPLATE:
+                reproc = self._start_in_template(name, attrs, self_closing)
+                if reproc is None:
+                    return
+                mode = reproc
+                continue
             if mode == AFTER_BODY:
                 if name == "html":
                     self._start_in_body(name, attrs, self_closing)
@@ -1051,10 +1090,64 @@ class TreeBuilder:
             self.original_mode = self.mode
             self.mode = TEXT
             return True
+        if name == "template":
+            self._insert_element(name, attrs)
+            self.afe.append(_MARKER)
+            self.frameset_ok = False
+            self.mode = IN_TEMPLATE
+            self.template_modes.append(IN_TEMPLATE)
+            return True
         if name == "head":
             self.error()
             return True
         return False
+
+    # -- template machinery (WHATWG; beyond the reference) -------------------
+    def _template_on_stack(self):
+        return any(
+            node.namespace == HTML_NS and node.name == "template"
+            for node in self.open
+        )
+
+    def _end_template(self):
+        """</template> per the in-head rules."""
+        if not self._template_on_stack():
+            self.error()
+            return
+        self._generate_implied(thorough=True)
+        if not (self.open[-1].name == "template"
+                and self.open[-1].namespace == HTML_NS):
+            self.error()
+        self._pop_until("template")
+        self._clear_afe_to_marker()
+        if self.template_modes:
+            self.template_modes.pop()
+        self._reset_mode()
+
+    def _start_in_template(self, name, attrs, self_closing):
+        """The 'in template' insertion mode for start tags; returns the
+        mode to REPROCESS in, or None when fully handled."""
+        if name in (
+            "base", "basefont", "bgsound", "link", "meta", "noframes",
+            "script", "style", "template", "title",
+        ):
+            self._start_in_head(name, attrs, self_closing)
+            return None
+        if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+            new_mode = IN_TABLE
+        elif name == "col":
+            new_mode = IN_COLUMN_GROUP
+        elif name == "tr":
+            new_mode = IN_TABLE_BODY
+        elif name in ("td", "th"):
+            new_mode = IN_ROW
+        else:
+            new_mode = IN_BODY
+        if self.template_modes:
+            self.template_modes.pop()
+        self.template_modes.append(new_mode)
+        self.mode = new_mode
+        return new_mode
 
     def _start_in_body(self, name, attrs, self_closing):
         if name == "html":
@@ -1063,7 +1156,7 @@ class TreeBuilder:
             return
         if name in (
             "base", "basefont", "bgsound", "link", "meta", "noframes",
-            "script", "style", "title",
+            "script", "style", "template", "title",
         ):
             self._start_in_head(name, attrs, self_closing)
             return
@@ -1104,12 +1197,16 @@ class TreeBuilder:
             self.frameset_ok = False
             return
         if name == "form":
-            if self.form_el is not None:
+            # form pointer is ignored inside template contents (spec)
+            in_template = self._template_on_stack()
+            if self.form_el is not None and not in_template:
                 self.error()
                 return
             if self._in_button_scope("p"):
                 self._close_p()
-            self.form_el = self._insert_element(name, attrs)
+            el = self._insert_element(name, attrs)
+            if not in_template:
+                self.form_el = el
             return
         if name == "li":
             self.frameset_ok = False
@@ -1344,18 +1441,24 @@ class TreeBuilder:
 
     # -- table-family start tags --------------------------------------------
     def _clear_to_table_context(self):
-        while self.open[-1].name not in ("table", "html") or self.open[-1].namespace != HTML_NS:
+        while (
+            self.open[-1].name not in ("table", "template", "html")
+            or self.open[-1].namespace != HTML_NS
+        ):
             self.open.pop()
 
     def _clear_to_table_body_context(self):
         while (
-            self.open[-1].name not in ("tbody", "tfoot", "thead", "html")
+            self.open[-1].name not in ("tbody", "tfoot", "thead", "template", "html")
             or self.open[-1].namespace != HTML_NS
         ):
             self.open.pop()
 
     def _clear_to_table_row_context(self):
-        while self.open[-1].name not in ("tr", "html") or self.open[-1].namespace != HTML_NS:
+        while (
+            self.open[-1].name not in ("tr", "template", "html")
+            or self.open[-1].namespace != HTML_NS
+        ):
             self.open.pop()
 
     def _start_in_table(self, name, attrs, self_closing):
@@ -1395,7 +1498,7 @@ class TreeBuilder:
             self._reset_mode()
             self._html_start(name, attrs, self_closing)
             return
-        if name in ("style", "script"):
+        if name in ("style", "script", "template"):
             self._start_in_head(name, attrs, self_closing)
             return
         if name == "input":
@@ -1406,7 +1509,7 @@ class TreeBuilder:
             # else fall to anything-else
         elif name == "form":
             self.error()
-            if self.form_el is None:
+            if self.form_el is None and not self._template_on_stack():
                 self.form_el = self._insert_element(name, attrs)
                 self.open.pop()
             return
@@ -1518,7 +1621,7 @@ class TreeBuilder:
             self._reset_mode()
             self._html_start(name, attrs, self_closing)
             return
-        if name == "script":
+        if name in ("script", "template"):
             self._start_in_head(name, attrs, self_closing)
             return
         self.error()
@@ -1554,6 +1657,15 @@ class TreeBuilder:
 
     def _html_end(self, name):
         mode = self.mode
+        # </template> routes to the in-head template rules from every mode
+        # past head construction (the spec delegates it mode-by-mode; the
+        # observable behavior — error-ignore without an open template,
+        # close + reset otherwise — is identical).
+        if name == "template" and mode not in (
+            INITIAL, BEFORE_HTML, BEFORE_HEAD, TEXT,
+        ):
+            self._end_template()
+            return
         while True:
             if mode == IN_BODY:
                 self._end_in_body(name)
@@ -1730,6 +1842,10 @@ class TreeBuilder:
                     continue
                 self._end_in_body(name)
                 return
+            if mode == IN_TEMPLATE:
+                # any end tag other than </template> (routed above)
+                self.error()
+                return
             if mode in (IN_SELECT, IN_SELECT_IN_TABLE):
                 if mode == IN_SELECT_IN_TABLE and name in (
                     "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
@@ -1852,6 +1968,16 @@ class TreeBuilder:
             self._pop_until(name)
             return
         if name == "form":
+            if self._template_on_stack():
+                # template variant (spec): ignore the form pointer
+                if not self._in_scope("form"):
+                    self.error()
+                    return
+                self._generate_implied()
+                if self.open[-1].name != "form":
+                    self.error()
+                self._pop_until("form")
+                return
             node = self.form_el
             self.form_el = None
             if node is None or not self._el_in_scope(node):
@@ -1939,6 +2065,16 @@ class TreeBuilder:
             self._flush_table_text()
         while True:
             mode = self.mode
+            # template open at EOF: close it and reprocess (spec: the
+            # in-template EOF rules, also reached from in-body when the
+            # stack of template insertion modes is non-empty)
+            if self.template_modes and self._template_on_stack():
+                self.error()
+                self._pop_until("template")
+                self._clear_afe_to_marker()
+                self.template_modes.pop()
+                self._reset_mode()
+                continue
             if mode == INITIAL:
                 self.doc.mode = "quirks"
                 self.mode = BEFORE_HTML

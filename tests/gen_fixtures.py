@@ -324,6 +324,41 @@ CORPUS = {
         "<keygen>k",
         "<menu><li>a</menu>",
     ],
+    # <template> content machinery (modern-spec parity beyond the
+    # reference; cases modeled on html5lib-tests template.dat shapes,
+    # expected trees hand-verified against the WHATWG spec walks)
+    "template": [
+        "<body><template>Hello</template>",
+        "<template>Hello</template>",
+        "<template></template><div>23</div>",
+        "<template><div>Foo</div><div>Bar</div></template>",
+        "<template><table></table></template>",
+        "<template><tr><td>A</td></tr></template>",
+        "<template><td>t</td></template>",
+        "<template><col></template>",
+        "<template><caption>c</caption></template>",
+        "<template><tbody><tr><td>x</td></tr></tbody></template>",
+        "<table><template><tr><td>C</td></tr></template></table>",
+        "<table><tr><template><td>t</td></template></tr></table>",
+        "<table><colgroup><template><col></template></colgroup></table>",
+        "<table><tbody><template></template></tbody></table>",
+        "<div><template><p>one<p>two</template></div>",
+        "<template><template><b>deep</b></template></template>",
+        "<template>unclosed",
+        "</template>stray",
+        "<template><a>x</a></template><a>y</a>",
+        "<template><form><input name=q></form><div>second</div></template>",
+        "<form><template><form></form></template></form>",
+        "<template><select><option>o</select></template>",
+        "<template><b>bold<template><i>it</i></template></b></template>",
+        "<head></head><template>late</template>after",
+        "<template>x<td>y</template>after",
+        "<table>t<template>x</template></table>",
+        "<template><style>p{}</style><script>s()</script></template>",
+        "<template><!--c--><p>p</p></template>",
+        ("<p>frag<td>cell", "template"),
+        ("<tr><td>z</td></tr>", "template"),
+    ],
 }
 
 
