@@ -114,6 +114,7 @@ def run_bench() -> dict:
     for name, fn in [
         ("lineitem_agg", r.q_lineitem_agg),
         ("join_broadcast", r.q_join_broadcast),
+        ("join_shuffle", r.q_join_shuffle),
         ("events_window", r.q_events_window),
         ("orders_topk", r.q_orders_topk),
     ]:

@@ -41,6 +41,10 @@ PLAINTEXT = 4
 _WS = "\t\n\f "
 
 _DATA_SPECIAL = re.compile(r"[&<\x00]")
+# fast path: a whole attribute-less tag in one match ("<p>", "</div>") —
+# the dominant tag shape in real text; anything else (attributes,
+# self-closing, comments, doctype, EOF edge) takes the spec machine
+_SIMPLE_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)>")
 _RCDATA_SPECIAL = re.compile(r"[&<\x00]")
 _RAWTEXT_SPECIAL = re.compile(r"[<\x00]")
 _TAG_NAME_RUN = re.compile(r"[^\t\n\f />\x00]+")
@@ -131,7 +135,20 @@ class Tokenizer:
                 sink.characters(text[pos:i])
             c = text[i]
             if c == "<":
-                pos = self._tag_open(text, i, n)
+                m = _SIMPLE_TAG.match(text, i)
+                if m is not None:
+                    name = m.group(2).lower()
+                    if m.group(1):
+                        self.expected_end_tag = None
+                        sink.end_tag(name)
+                    else:
+                        self.last_start_tag = name
+                        # sink may switch the content model during this
+                        # call; the loop condition re-checks self.state
+                        sink.start_tag(name, {}, False)
+                    pos = m.end()
+                else:
+                    pos = self._tag_open(text, i, n)
             elif c == "&":
                 pos = self._char_ref_in_data(text, i, n)
             else:  # NUL: parse error; pass through (tree builder decides)
