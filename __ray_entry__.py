@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
+        "lineitem_global_agg": r.q_lineitem_global_agg,
+        "docs_sample": r.q_docs_sample,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -373,6 +375,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "lineitem_global_agg": """
+            -- TPC-H Q6 shape; DECIMAL casts => exact order-independent sum
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_quantity < 24
+              AND l_discount >= 0.05
+        """,
+        "docs_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1')
+            ORDER BY doc_id
         """,
         "docs_exact_dedup": """
             SELECT doc_id, n_chars FROM documents

@@ -262,18 +262,32 @@ def q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     custom operator: partition by key, order by time inside the group, and
     segment on gaps (ray_guide: streaming-shaped workloads; SURVEY.md §2
-    custom operators). Deterministic tie-break on (ts, event_id)."""
+    custom operators). Deterministic tie-break on (ts, event_id).
+
+    Shuffle discipline: the groupby key is user_id-hash % 64 (Ray's
+    per-group overhead makes per-USER groups a scale bug — ~1 ms/group);
+    inside a bucket the whole segmentation is vectorized pandas (sort,
+    diff, cumsum, grouped agg — all C loops over every user at once)."""
+    import numpy as np
+
     gap = pd.Timedelta(minutes=30)
+    n_buckets = 64
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
     )
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "ub", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
 
-        g = group.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_no"] = new_session.cumsum()
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        user_changed = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_changed | (g["ts"].diff() > gap)
+        g["session_no"] = new_session.cumsum()  # globally unique in bucket
         # exact cents sum => bit-deterministic (see q_lineitem_agg)
         g["value_c"] = np.round(g["value"].to_numpy() * 100).astype("int64")
         out = (
@@ -288,9 +302,13 @@ def q_events_sessions(sf_dir: str):
         )
         out["n_events"] = out["n_events"].astype("int64")
         out["sum_value"] = out.pop("value_c") / 100.0
-        return out
+        return out[["user_id", "session_start", "n_events", "sum_value"]]
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(sessions, batch_format="pandas")
+    )
     return (
         out.to_pandas()
         .sort_values(["user_id", "session_start"])
@@ -484,3 +502,55 @@ def q_join_shuffle(sf_dir: str):
         .reset_index(drop=True)
     )
     return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+def q_lineitem_global_agg(sf_dir: str):
+    """TPC-H Q6 shape: filtered GLOBAL scalar aggregate (no grouping).
+    Exact scaled-int64 revenue (see q_lineitem_agg) summed via Ray's
+    order-insensitive integer Sum; one row out."""
+    import numpy as np
+
+    cutoff = pd.Timestamp("1995-01-01")
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= cutoff) & (b["l_quantity"] < 24.0)
+              & (b["l_discount"] >= 0.05)]
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "rev_u": [int((pr_c * di_c).sum())],
+            "n_rows": [int(len(b))],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    rev_u = parts.sum("rev_u")
+    n = parts.sum("n_rows")
+    return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [int(n)]})
+
+
+def q_docs_sample(sf_dir: str):
+    """Deterministic content-hash sampling (the reproducible-split op a
+    training-data pipeline needs): keep documents whose md5(text) starts
+    with hex 0 or 1 (≈12.5% sample). Pure per-batch filter — no shuffle,
+    no RNG; the same rows come back at any parallelism, and DuckDB's md5
+    computes the identical predicate."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mask = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()[0] in "01"
+             for t in texts],
+            pa.bool_(),
+        )
+        return batch.filter(mask).select(["doc_id"])
+
+    df = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
