@@ -98,13 +98,20 @@ def hash_join(
     right_on: str,
     how: str = "inner",
     n_buckets: int = 64,
+    strict_empty_schema: bool = False,
 ) -> ray.data.Dataset:
     """Distributed hash join of two Datasets on a single key column.
 
     Returns a Dataset with the pandas-merge column layout (left columns
     then right columns; a shared key name joins without duplication when
     ``left_on == right_on``). Supports how in {"inner", "left"}.
-    """
+
+    ``strict_empty_schema=True`` guarantees the joined column layout even
+    when NO bucket holds rows from both sides, at the cost of one eager
+    ``Dataset.schema()`` per input (which executes part of each input
+    plan). The default derives layouts lazily from the exchanged blobs —
+    free, but a fully disjoint inner join yields a zero-column empty
+    Dataset."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r} (inner/left)")
 
@@ -128,8 +135,15 @@ def hash_join(
                 cols[name] = pd.Series([], dtype="object")
         return pd.DataFrame(cols)
 
-    empty_left = _empty_frame(left.schema())
-    empty_right = _empty_frame(right.schema())
+    # Left joins need the right-side layout up front to null-fill
+    # unmatched rows; inner joins derive layouts lazily from the blobs
+    # themselves (Dataset.schema() would EXECUTE part of each input plan —
+    # measured as a whole extra read+filter per side).
+    empty_left = _empty_frame(left.schema()) if strict_empty_schema else None
+    empty_right = (
+        _empty_frame(right.schema())
+        if (how == "left" or strict_empty_schema) else None
+    )
 
     lrows = left.map_batches(
         _to_exchange_rows(0, left_on, n_buckets), batch_format="pyarrow"
@@ -141,7 +155,14 @@ def hash_join(
     def merge_bucket(group: pd.DataFrame):
         lt = [_deserialize(b) for b in group[group["side"] == 0]["blob"]]
         rt = [_deserialize(b) for b in group[group["side"] == 1]["blob"]]
-        ldf = pa.concat_tables(lt).to_pandas() if lt else empty_left
+        if not lt or (not rt and how == "inner"):
+            if empty_left is None:
+                # no joinable rows in this bucket; a zero-column marker —
+                # Ray's schema unification null-fills it vs real blocks
+                return pa.table({})
+            lt = [pa.Table.from_pandas(empty_left, preserve_index=False)]
+            rt = rt or [pa.Table.from_pandas(empty_right, preserve_index=False)]
+        ldf = pa.concat_tables(lt).to_pandas()
         rdf = pa.concat_tables(rt).to_pandas() if rt else empty_right
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
         if how == "inner":

@@ -456,7 +456,8 @@ def q_join_shuffle(sf_dir: str):
     ).map_batches(
         lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
         batch_format="pandas",
-    )
+    ).repartition(8)  # join emits one small block per bucket; coalesce so
+    #                   the next exchange doesn't schedule 64 tiny tasks
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] > cutoff]

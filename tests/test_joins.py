@@ -77,11 +77,16 @@ def test_hash_join_no_matches_yields_empty_with_schema(ray_session):
                          "lv": np.arange(10, dtype=np.int64)})
     right = pd.DataFrame({"k": np.arange(100, 110, dtype=np.int64),
                           "rv": np.arange(10, dtype=np.int64)})
-    out = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k")
+    out = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k",
+                    strict_empty_schema=True)
     # Dataset-level schema keeps the joined layout even when every block
     # is empty (Ray's to_pandas drops columns for all-empty datasets).
     assert set(out.schema().names) == {"k", "lv", "rv"}
     assert out.count() == 0
+    # default lazy mode still joins correctly; only the fully-disjoint
+    # empty-schema guarantee needs the strict flag
+    lazy = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k")
+    assert lazy.count() == 0
 
 
 def test_hash_join_rejects_unknown_how(ray_session):
