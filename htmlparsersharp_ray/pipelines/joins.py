@@ -180,3 +180,60 @@ def hash_join(
         .groupby("bucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right_df: pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Map-side join against a small in-memory right side: the right table
+    is ray.put ONCE and fetched once per actor; each left batch merges
+    against it with no shuffle at all. The standard dimension-join shape."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner/left)")
+    import ray as _ray
+
+    right_ref = _ray.put(right_df.reset_index(drop=True))
+
+    class MergeRight:
+        def __init__(self):
+            self.right = _ray.get(right_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.right, left_on=left_on, right_on=right_on, how=how
+            )
+
+    return left.map_batches(
+        MergeRight, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 << 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Size-aware join planner: broadcast the right side when its size is
+    KNOWN (from input metadata, without executing the plan) and under the
+    threshold; otherwise run the bucketed shuffle hash join.
+
+    The 64 MB default is the classic dimension-table budget: the
+    broadcast copy must fit each worker's heap times the actor count.
+    Sizes are only known for metadata-bearing inputs (e.g. read_parquet
+    before transforms); unknown sizes conservatively take the shuffle
+    path, which is correct at any scale.
+    """
+    try:
+        right_bytes = right.size_bytes()
+    except Exception:
+        right_bytes = None
+    if right_bytes is not None and right_bytes <= broadcast_threshold_bytes:
+        return broadcast_join(left, right.to_pandas(), left_on, right_on, how)
+    return hash_join(left, right, left_on, right_on, how, n_buckets)

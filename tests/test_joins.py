@@ -94,3 +94,54 @@ def test_hash_join_rejects_unknown_how(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(None, None, "k", "k", how="outer")
+
+
+def test_join_planner_broadcasts_small_metadata_side(join_inputs, ray_session):
+    import ray.data
+    from htmlparsersharp_ray.pipelines import joins
+
+    left, right = join_inputs
+    # right side read from parquet => size known from metadata
+    import tempfile, os
+    import pyarrow.parquet as pq
+    import pyarrow as pa_
+
+    d = tempfile.mkdtemp(prefix="join_planner_")
+    pq.write_table(pa_.Table.from_pandas(right, preserve_index=False),
+                   os.path.join(d, "right.parquet"))
+    right_ds = ray.data.read_parquet(os.path.join(d, "right.parquet"))
+
+    called = {}
+    orig_broadcast, orig_hash = joins.broadcast_join, joins.hash_join
+    try:
+        def spy_broadcast(*a, **k):
+            called["broadcast"] = True
+            return orig_broadcast(*a, **k)
+
+        def spy_hash(*a, **k):
+            called["hash"] = True
+            return orig_hash(*a, **k)
+
+        joins.broadcast_join, joins.hash_join = spy_broadcast, spy_hash
+        out = joins.join(_mk_ds(left), right_ds, "k", "k").to_pandas()
+    finally:
+        joins.broadcast_join, joins.hash_join = orig_broadcast, orig_hash
+    assert called.get("broadcast") and "hash" not in called
+    expected = left.merge(right, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_join_planner_shuffles_over_threshold(join_inputs, ray_session):
+    from htmlparsersharp_ray.pipelines import joins
+
+    left, right = join_inputs
+    out = joins.join(_mk_ds(left), _mk_ds(right), "k", "k",
+                     broadcast_threshold_bytes=1).to_pandas()
+    expected = left.merge(right, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
