@@ -17,6 +17,59 @@ import json
 import sys
 
 
+def _timing_stats(times):
+    total = sum(times)
+    rest = times[1:] or times
+    return {
+        "total_ms": round(total * 1000, 2),
+        "first_ms": round(times[0] * 1000, 2),
+        "average_ms": round(total / len(times) * 1000, 2),
+        "average_without_first_ms": round(sum(rest) / len(rest) * 1000, 2),
+        "min_ms": round(min(times) * 1000, 2),
+        "max_ms": round(max(times) * 1000, 2),
+    }
+
+
+def _bench(args):
+    """Reference Program.cs parity (Program.cs:39-96): parse the file
+    ``--repeat`` times with one shared parser path, report wall-clock
+    stats, save the serialized document, then benchmark re-parsing the
+    serialized output the same way (the reference's XDocument.Load
+    comparison pass). Pure single-process — no Ray session."""
+    import time
+
+    from .html import parse, serialize_html
+
+    with open(args.file, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    times = []
+    result = None
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        result = parse(text)
+        times.append(time.perf_counter() - t0)
+    html_out = serialize_html(result.root)
+    if args.save:
+        with open(args.save, "w", encoding="utf-8") as f:
+            f.write(html_out)
+    re_times = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        parse(html_out)
+        re_times.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "file": args.file,
+        "bytes": len(text.encode("utf-8")),
+        "repeat": args.repeat,
+        "parse": _timing_stats(times),
+        "reparse_serialized": _timing_stats(re_times),
+        "tokens": result.tokens,
+        "errors": result.errors,
+        "doc_mode": result.doc_mode,
+    }))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="htmlparsersharp_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -36,7 +89,22 @@ def main(argv=None):
     p_syn.add_argument("--output", required=True)
     p_syn.add_argument("--seed", type=int, default=42)
 
+    p_b = sub.add_parser(
+        "bench",
+        help="single-parser micro-benchmark (parity with the reference's "
+             "Program.cs: N repeated parses of one file, Total/First/"
+             "Average/Average-without-first/Min/Max, plus a re-parse of "
+             "the serialized output as the comparison pass)",
+    )
+    p_b.add_argument("--file", required=True, help="HTML file to parse")
+    p_b.add_argument("--repeat", type=int, default=10)
+    p_b.add_argument("--save", default=None,
+                     help="write the serialized HTML here (reference: doc.Save)")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        return _bench(args)
 
     if args.cmd == "synth":
         from .sources.transcripts import generate_transcripts

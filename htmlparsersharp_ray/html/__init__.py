@@ -8,7 +8,7 @@ No Ray dependency — the Ray stages in ``..stages`` wrap this.
 """
 
 from .dom import Document, DocumentFragment, Element, Text, Comment, Doctype  # noqa: F401
-from .serializer import serialize_tree  # noqa: F401
+from .serializer import serialize_html, serialize_tree  # noqa: F401
 
 
 def parse(text, **kwargs):

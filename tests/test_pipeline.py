@@ -143,3 +143,24 @@ def test_metrics_summary(ray_session, transcripts_dir, tmp_path):
     assert m["rows"] == 1200 and m["buckets"] == 8
     assert m["nodes"] > 0 and m["tokens"] > 0
     assert m["truncated_rows"] == 0
+
+
+def test_cli_bench_subcommand(tmp_path, capsys):
+    """Reference Program.cs parity surface: repeated-parse micro-benchmark."""
+    import json
+
+    from htmlparsersharp_ray.__main__ import main
+
+    f = tmp_path / "page.html"
+    f.write_text("<html><body><p>Hello <b>world</b></p><table><td>x</table>")
+    rc = main(["bench", "--file", str(f), "--repeat", "3",
+               "--save", str(tmp_path / "out.html")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["repeat"] == 3
+    assert set(out["parse"]) == {"total_ms", "first_ms", "average_ms",
+                                 "average_without_first_ms", "min_ms", "max_ms"}
+    assert out["tokens"] > 0
+    assert (tmp_path / "out.html").exists()
+    # serialize → re-parse is a fixed point for well-formed content
+    assert out["reparse_serialized"]["total_ms"] >= 0
