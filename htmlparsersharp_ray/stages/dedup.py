@@ -176,8 +176,39 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
+# Bloom filter over candidate doc_ids (semi-join prune): 2^20 bits =
+# 128 KB packed; at 10k candidate ids with k=4 hashes the false-positive
+# rate is ~1e-8 — false positives only ship extra (harmless) shingle rows.
+_BLOOM_BITS = 1 << 20
+_BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _bloom_positions(ids: np.ndarray) -> list[np.ndarray]:
+    x = ids.astype(np.uint64)
+    return [
+        (((x * np.uint64(s)) >> np.uint64(13)) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+        for s in _BLOOM_SALTS
+    ]
+
+
+def _bloom_from_ids(ids: np.ndarray) -> np.ndarray:
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for pos in _bloom_positions(ids):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def _bloom_contains(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    mask = np.ones(len(ids), dtype=bool)
+    for pos in _bloom_positions(ids):
+        mask &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return mask
+
+
 def minhash_lsh_pairs_ds(
-    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3
+    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
+    prune: bool = True,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs with DISTRIBUTED exact-Jaccard
     verification — nothing ever materializes on the driver (VERDICT r1
@@ -195,10 +226,13 @@ def minhash_lsh_pairs_ds(
          union → groupby doc_id-bucket → vectorized pandas merge
       4. groupby pair-bucket: exact Jaccard from the two hash sets
 
-    Stage 3 reshuffles the corpus' shingle-hash sets once (same order of
-    bytes as the original text read). A broadcast Bloom filter over
-    candidate doc_ids would prune that exchange to candidates only; at the
-    corpus sizes here the extra pass costs less than building the filter.
+    With ``prune=True`` (default), a 128 KB Bloom filter over candidate
+    doc_ids — built from per-block partial blooms OR-reduced in one task,
+    so the driver only ever holds the fixed-size filter — gates stage 3:
+    only docs that MIGHT be candidates compute and ship their shingle
+    sets. False positives just ship extra rows; results are identical.
+    ``prune=False`` skips the candidate materialization and reshuffles
+    every doc's shingle-hash set (same order of bytes as the text read).
     """
     sig_ds = docs.map_batches(
         MinHashUDF, fn_constructor_args=(n,),
@@ -226,6 +260,38 @@ def minhash_lsh_pairs_ds(
         .map_groups(dedup_pairs, batch_format="pandas")
     )
 
+    bloom_ref = None
+    if prune:
+        import ray as _ray
+
+        cand = cand.materialize()  # consumed twice: bloom + requests
+
+        def batch_bloom(batch: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                batch.column("doc_a").to_numpy(zero_copy_only=False),
+                batch.column("doc_b").to_numpy(zero_copy_only=False),
+            ]).astype(np.int64)
+            return pa.table({"blob": pa.array([_bloom_from_ids(ids).tobytes()],
+                                              pa.large_binary())})
+
+        def or_blooms(batch: pa.Table) -> pa.Table:
+            acc = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+            for blob in batch.column("blob"):
+                acc |= np.frombuffer(blob.as_py(), dtype=np.uint8)
+            return pa.table({"blob": pa.array([acc.tobytes()], pa.large_binary())})
+
+        merged = (
+            cand.map_batches(batch_bloom, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(or_blooms, batch_format="pyarrow", batch_size=None)
+            .take(1)  # ONE fixed-size 128 KB blob — never O(corpus)
+        )
+        bloom = (
+            np.frombuffer(merged[0]["blob"], dtype=np.uint8)
+            if merged else np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        )
+        bloom_ref = _ray.put(bloom)
+
     def to_requests(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -239,6 +305,13 @@ def minhash_lsh_pairs_ds(
         }, schema=_PAIR_SCHEMA)
 
     def to_shingle_rows(batch: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            import ray as _ray
+
+            ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = _bloom_contains(_ray.get(bloom_ref),
+                                   ids_all.astype(np.int64))
+            batch = batch.filter(pa.array(keep))
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
         sets = [_shingle_hashes(t or "", n) for t in batch.column("text").to_pylist()]
         return pa.table({
@@ -300,11 +373,12 @@ def minhash_lsh_pairs_ds(
 
 
 def minhash_lsh_pairs(
-    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3
+    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
+    prune: bool = True,
 ) -> pd.DataFrame:
     """Small-result wrapper over :func:`minhash_lsh_pairs_ds` — the only
     driver-side collection is the final verified pair set."""
-    out = minhash_lsh_pairs_ds(docs, jaccard_threshold, n).to_pandas()
+    out = minhash_lsh_pairs_ds(docs, jaccard_threshold, n, prune).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

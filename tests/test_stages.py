@@ -341,6 +341,25 @@ def test_minhash_path_never_materializes_on_driver(docs_ds):
     assert isinstance(out, ray.data.Dataset)
 
 
+def test_bloom_filter_membership():
+    from htmlparsersharp_ray.stages.dedup import _bloom_contains, _bloom_from_ids
+
+    ids = np.array([3, 17, 99, 123456789, -5], dtype=np.int64)
+    bloom = _bloom_from_ids(ids)
+    assert _bloom_contains(bloom, ids).all()
+    others = np.arange(1000, 2000, dtype=np.int64)
+    # fp rate at 5 inserted ids is ~0 — expect no false positives here
+    assert not _bloom_contains(bloom, others).any()
+
+
+def test_minhash_bloom_prune_identical_results(docs_ds):
+    from htmlparsersharp_ray.stages.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5, prune=True)
+    b = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5, prune=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ngram_jaccard_threads_n(docs_ds):
     """ADVICE r1: n must actually change the shingling."""
     from htmlparsersharp_ray.stages.dedup import ngram_jaccard_pairs
