@@ -145,6 +145,15 @@ def extract_main_content(root) -> ExtractionResult:
         is_block = name in _BLOCK
         if not is_block:
             cur_tag_count[0] += 1
+        if not child.children:
+            # childless (br/hr/img/empty elements): enter+exit collapses —
+            # a block still flushes and claims its sibling index (later
+            # siblings' paths depend on the count); depth deltas cancel
+            if is_block:
+                flush()
+                cnt = counters.setdefault(id(parent), {})
+                cnt[name] = cnt.get(name, 0) + 1
+            continue
         d_link = 1 if name == "a" else 0
         d_chrome = 1 if name in _CHROME else 0
         d_pre = 1 if name in _PRE else 0
