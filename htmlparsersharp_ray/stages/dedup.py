@@ -769,6 +769,13 @@ def dup_clusters(
             .repartition(16)
             .materialize()
         )
+        # A propagate fixpoint means every label already equals min(self,
+        # neighbors) — i.e. the component minimum — so the jump step would
+        # be the identity: converged, skip it.
+        total = propagated.sum("label")
+        if total == prev_sum:
+            labels = propagated
+            break
         labels = (
             propagated.map_batches(as_label_rows, batch_format="pyarrow")
             .union(propagated.map_batches(as_jump_requests, batch_format="pyarrow"))
@@ -779,10 +786,7 @@ def dup_clusters(
             .repartition(16)
             .materialize()
         )
-        total = labels.sum("label")
-        if total == prev_sum:
-            break
-        prev_sum = total
+        prev_sum = labels.sum("label")
 
     out = labels.to_pandas().rename(columns={"node": id_col,
                                              "label": "cluster_rep"})
