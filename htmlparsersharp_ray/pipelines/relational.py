@@ -47,30 +47,37 @@ def q_lineitem_agg(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def to_cents(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        """Per-batch partial aggregate in exact cents: the whole batch
+        collapses to ≤6 rows before any exchange (Ray's own
+        groupby().aggregate() sort-shuffles every row — measured 9.7 s
+        for 150k rows; this path merges n_blocks×6 partial rows)."""
         def cents(col):
             return pc.cast(pc.round(pc.multiply(batch.column(col), pa.scalar(100.0))), pa.int64())
 
         qty_c, price_c, disc_c = cents("l_quantity"), cents("l_extendedprice"), cents("l_discount")
         rev_u = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
-        return pa.table({
+        t = pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
             "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c, "rev_u": rev_u,
-        })
-
-    out = (
-        ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="qty_c"),
-            Sum("price_c", alias_name="price_c"),
-            Sum("rev_u", alias_name="rev_u"),
-            Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+        }).to_pandas()
+        g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+            rev_u=("rev_u", "sum"), disc_c=("disc_c", "sum"),
+            count_order=("qty_c", "count"),
         )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+             rev_u=("rev_u", "sum"), disc_c=("disc_c", "sum"),
+             count_order=("count_order", "sum"))
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
     )
-    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     df["count_order"] = df["count_order"].astype("int64")
     df["sum_qty"] = df.pop("qty_c") / 100.0
     df["sum_base_price"] = df.pop("price_c") / 100.0
@@ -141,22 +148,28 @@ def q_join_broadcast(sf_dir: str):
             batch["tp_cents"] = np.round(
                 batch["o_totalprice"].to_numpy() * 100
             ).astype("int64")
-            return batch[["c_mktsegment", "tp_cents"]]
+            return batch.groupby("c_mktsegment", as_index=False).agg(
+                tp_cents=("tp_cents", "sum"), n_orders=("tp_cents", "count")
+            )
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
-    # Exact fixed-point sum (cents, int64) so the reduction order can't
-    # change the result bits — see q_lineitem_agg.
-    out = (
+    # Exact fixed-point sums (cents, int64) pre-aggregated PER BATCH inside
+    # the map — integer sums are order-insensitive, so merging the tiny
+    # per-batch partials in any order is bit-deterministic. Ray's own
+    # groupby().aggregate() sort-shuffles every row (measured 9.7 s for
+    # 150k rows / 5 groups); the partials merge is n_blocks×5 rows.
+    parts = (
         ds.map_batches(JoinSegment, batch_format="pandas", concurrency=(1, 2))
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("tp_cents", alias_name="tp_cents"),
-            Count(alias_name="n_orders"),
-        )
+        .to_pandas()
     )
-    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df = (
+        parts.groupby("c_mktsegment", as_index=False)
+        .agg(tp_cents=("tp_cents", "sum"), n_orders=("n_orders", "sum"))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
     df["n_orders"] = df["n_orders"].astype("int64")
     df["total_price"] = df.pop("tp_cents") / 100.0
     return df[["c_mktsegment", "total_price", "n_orders"]]
@@ -205,17 +218,24 @@ def q_events_window(sf_dir: str):
             "value_c": value_c,
         })
 
-    # Exact fixed-point sum (cents) => reduction-order independent; see
-    # q_lineitem_agg.
-    out = (
-        ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("value_c", alias_name="value_c"),
-            Count(alias_name="n_events"),
+    # Exact fixed-point sums (cents) pre-aggregated per batch — order-
+    # independent, so merging the per-batch partials is bit-deterministic
+    # (and skips Ray's row-level sort aggregate; see q_lineitem_agg).
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = add_window(batch).to_pandas()
+        return t.groupby(["event_type", "window_start"], as_index=False).agg(
+            value_c=("value_c", "sum"), n_events=("value_c", "count")
         )
+
+    parts = (
+        ds.map_batches(lambda b: partial(b), batch_format="pyarrow").to_pandas()
     )
-    df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df = (
+        parts.groupby(["event_type", "window_start"], as_index=False)
+        .agg(value_c=("value_c", "sum"), n_events=("n_events", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
     df["n_events"] = df["n_events"].astype("int64")
     df["sum_value"] = df.pop("value_c") / 100.0
     return df[["event_type", "window_start", "sum_value", "n_events"]]
