@@ -236,7 +236,7 @@ def minhash_lsh_pairs_ds(
     """
     sig_ds = docs.map_batches(
         MinHashUDF, fn_constructor_args=(n,),
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
     )
 
     def add_coarse_bucket(batch: pa.Table) -> pa.Table:
@@ -392,18 +392,21 @@ def minhash_lsh_pairs(
 
 # --- SimHash ---------------------------------------------------------------
 def _simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for token in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(token.encode(), digest_size=8).digest(), "little"
-        )
-        bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    tokens = text.split()
+    if not tokens:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") for t in tokens),
+        dtype=np.uint64, count=len(tokens),
+    )
+    # vectorized bit unpack: (n_tokens, 64) -> per-bit vote sums
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
+    sig = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
 
 
 class SimHashUDF:
@@ -429,7 +432,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
             f"max_hamming={max_hamming} exceeds the 8x8 banding recall "
             "guarantee (complete only for Hamming <= 7)"
         )
-    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
