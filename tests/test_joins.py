@@ -145,3 +145,23 @@ def test_join_planner_shuffles_over_threshold(join_inputs, ray_session):
     got = out[key].sort_values(key).reset_index(drop=True)
     exp = expected[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_left(join_inputs, ray_session):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    dedup_right = right.drop_duplicates("k")  # keep row counts predictable
+    out = hash_join(_mk_ds(left), _mk_ds(dedup_right), "k", "k",
+                    how="left").to_pandas()
+    expected = left.merge(dedup_right, on="k", how="left")
+    assert len(out) == len(expected)
+    key = ["k", "lv"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = expected.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv"]], exp[["k", "lv"]])
+    # unmatched rows are null-filled on the right
+    assert got["rv"].isna().equals(exp["rv"].isna())
+    matched = exp["rv"].notna()
+    assert (got.loc[matched, "rv"] == exp.loc[matched, "rv"]).all()
