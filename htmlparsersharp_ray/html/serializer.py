@@ -37,10 +37,13 @@ _NS_PREFIX = {SVG_NS: "svg ", MATHML_NS: "math ", HTML_NS: ""}
 
 
 def serialize_tree(root) -> str:
-    """Serialize a Document/DocumentFragment into html5lib-tests format."""
+    """Serialize a Document/DocumentFragment into html5lib-tests format.
+    Iterative walk — hostile nesting depth must not recurse."""
     lines = []
-
-    def walk(node, depth):
+    # stack of (node, depth); children pushed in reverse for in-order output
+    stack = [(child, 0) for child in reversed(root.children)]
+    while stack:
+        node, depth = stack.pop()
         indent = "| " + "  " * depth
         if isinstance(node, Element):
             prefix = _NS_PREFIX.get(node.namespace, "")
@@ -49,13 +52,14 @@ def serialize_tree(root) -> str:
             # ("xlink href", "xml lang", ...); emit verbatim, sorted.
             for name, (_ns, value) in sorted(node.attrs.items()):
                 lines.append(f'{indent}  {name}="{value}"')
+            for child in reversed(node.children):
+                stack.append((child, depth + 1))
             content = getattr(node, "content", None)
             if content is not None:  # <template>: html5lib "content" node
+                # content line + its children go BEFORE regular children
+                for child in reversed(content.children):
+                    stack.append((child, depth + 2))
                 lines.append(f"{indent}  content")
-                for child in content.children:
-                    walk(child, depth + 2)
-            for child in node.children:
-                walk(child, depth + 1)
         elif isinstance(node, Text):
             lines.append(f'{indent}"{node.data}"')
         elif isinstance(node, Comment):
@@ -70,9 +74,6 @@ def serialize_tree(root) -> str:
                 pub = node.public_id or ""
                 sys = node.system_id or ""
                 lines.append(f'{indent}<!DOCTYPE {node.name or ""} "{pub}" "{sys}">')
-
-    for child in root.children:
-        walk(child, 0)
     return "\n".join(lines)
 
 

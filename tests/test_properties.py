@@ -164,3 +164,33 @@ def test_attr_fast_path_differential(seed, monkeypatch):
     e2 = parse(html).errors
     assert t1 == t2, f"fast path diverges for {html!r}"
     assert e1 == e2
+
+
+def test_hostile_template_nesting():
+    """1000 nested <template>s: iterative machinery must not recurse, and
+    EOF must unwind every open template (contents chain intact)."""
+    html = "<template>" * 1000 + "x"
+    r = parse(html)
+    node = r.root.children[0].children[0]  # html > head
+    depth = 0
+    while node.children:
+        el = node.children[0]
+        if getattr(el, "content", None) is None:
+            break
+        depth += 1
+        node = el.content
+    assert depth == 1000
+    ext = extract_main_content(r.root)
+    assert ext.text == ""  # template contents are never rendered text
+    # deterministic reparse
+    assert serialize_tree(parse(html).root) == serialize_tree(r.root)
+
+
+def test_template_serialize_reparse_fixed_point():
+    html = ("<div><template><tr><td>A</td></tr></template>"
+            "<template><p>x<b>y</b></template>after</div>")
+    r = parse(html)
+    h1 = serialize_html(r.root)
+    h2 = serialize_html(parse(h1).root)
+    assert h1 == h2
+    assert "<template>" in h1 and "</template>" in h1
