@@ -53,9 +53,9 @@ def run_bench() -> dict:
         from htmlparsersharp_ray.sources.transcripts import generate_transcripts
 
         tdir = f"/tmp/graft_transcripts/custom-{turns_override}"
-        if not os.path.exists(os.path.join(tdir, "_COMPLETE_v2")):
+        if not os.path.exists(os.path.join(tdir, "_COMPLETE_v3")):
             generate_transcripts(turns_override, tdir)
-            with open(os.path.join(tdir, "_COMPLETE_v2"), "w") as f:
+            with open(os.path.join(tdir, "_COMPLETE_v3"), "w") as f:
                 f.write("ok")
     else:
         tdir = transcripts_for_sf(sf_dir)

@@ -63,6 +63,11 @@ _TEMPLATES = [
     ),
     # pre / verbatim
     "<pre>code line {i}\n  indent {j}</pre>",
+    # modern <template> content (never rendered text; contents machinery)
+    (
+        "<div><template id=row{i}><tr><td>cell {j}</td></tr></template>"
+        "<p>visible turn {i} body text item {j}</p></div>"
+    ),
 ]
 
 
@@ -150,7 +155,7 @@ def transcripts_for_sf(sf_dir: str, base_dir: str = "/tmp/graft_transcripts") ->
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
     scale = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 2_000_000}.get(name, 5_000)
     out_dir = os.path.join(base_dir, name)
-    marker = os.path.join(out_dir, "_COMPLETE_v2")
+    marker = os.path.join(out_dir, "_COMPLETE_v3")
     if not os.path.exists(marker):
         generate_transcripts(scale, out_dir)
         with open(marker, "w") as f:
