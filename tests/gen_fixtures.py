@@ -239,6 +239,19 @@ CORPUS = {
         "<wbr><strike><code></strike><code></strike></code></code>",
         "<table><tr><p><td>",
         "<table><isindex></table>",
+        # round-2 additions: classic adoption/formatting/table interplay
+        "<a><b><a>x",
+        "<p><b>bold</p>more",
+        "<i>italic<table><tr><td>cell</td></tr></table>after",
+        "<a href=a><div><a href=b></div>x",
+        "<!DOCTYPE html><p><button>out<p>inner",
+        "<i><p>one</i>two</p>",
+        "<b><table><td><i>it</table>tail",
+        "<p>1<s id=A>2<b id=B>3</p>4</s>5</b>6",
+        "<select><table><tr>",
+        "<table><td>A</tbody>B</table>",
+        "<nobr><b>x<nobr>y",
+        "<div><p><object><p>inner",
         "<svg><desc><div><svg><ul>a",
         "<math><mo><div>x",
         "<!doctype html><math></html>",
