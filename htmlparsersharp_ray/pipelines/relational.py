@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Min
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -39,8 +39,8 @@ def q_lineitem_agg(sf_dir: str):
     (cents; revenue in 1e-4 units) — integer sums commute and associate, so
     ANY reduction order gives identical bits, at 6 rows or 100 TB — then
     divide once at the end. The oracle casts to DECIMAL and back, which is
-    the same exact arithmetic. Pre-aggregation happens inside Ray's hash
-    aggregate; the read is pruned to the 5 needed columns."""
+    the same exact arithmetic. Each batch pre-aggregates to ≤6 partial
+    rows inside map_batches; the read is pruned to the 5 needed columns."""
     ds = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",

@@ -7,7 +7,7 @@ as engine-level design):
 - exact_dedup        : content-hash → hash-partitioned group → keep first
 - minhash_lsh_pairs  : shingle → 64-perm MinHash → band → bucket groupby →
                        candidate pairs → exact-Jaccard verify
-- simhash_pairs      : 64-bit SimHash → 4×16-bit band buckets → Hamming ≤ k
+- simhash_pairs      : 64-bit SimHash → 8×8-bit band buckets → Hamming ≤ k
 - ngram_jaccard_pairs: exact word-n-gram Jaccard inside LSH buckets
 
 All operators are deterministic (fixed hash seeds), pre-aggregate inside
