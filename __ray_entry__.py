@@ -417,6 +417,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "docs_fingerprint": """
+            -- min-md5-over-5-word-windows winnowing sketch; md5 hex
+            -- strings order lexicographically == numerically
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN md5('')
+                        WHEN len(ws) < 5 THEN md5(array_to_string(ws, ' '))
+                        ELSE list_min(list_transform(
+                               generate_series(1, len(ws) - 4),
+                               i -> md5(array_to_string(ws[i:i+4], ' '))))
+                   END AS fingerprint
+            FROM w ORDER BY doc_id
+        """,
+        "docs_langid": """
+            -- stopword-profile argmax with 'en' zero-hit fallback and
+            -- first-in-sorted-order tie-break (matches LangIdUDF exactly)
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS ws,
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, has_cjk,
+                len(list_filter(ws, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','mit','auf','für'], x))) AS de,
+                len(list_filter(ws, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+                len(list_filter(ws, x -> list_contains(
+                  ['el','la','los','y','de','un','una','es','para','en'], x))) AS es,
+                len(list_filter(ws, x -> list_contains(
+                  ['le','la','les','et','de','un','une','est','pour','dans'], x))) AS fr
+              FROM w
+            )
+            SELECT doc_id, lang,
+              CASE WHEN has_cjk THEN 'zh'
+                   WHEN greatest(de, en, es, fr) = 0 THEN 'en'
+                   WHEN de = greatest(de, en, es, fr) THEN 'de'
+                   WHEN en = greatest(de, en, es, fr) THEN 'en'
+                   WHEN es = greatest(de, en, es, fr) THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
         "embeddings_topk": """
             SELECT query_id, rank, vec_id FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

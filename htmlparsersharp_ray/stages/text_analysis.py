@@ -10,7 +10,6 @@ All vectorized (pandas .str / numpy) or per-row C calls; stateful setup
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -128,29 +127,32 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 class FingerprintUDF:
-    """Rolling-hash (Rabin-Karp style over word windows) fingerprint: the
-    minimum window hash — a winnowing-style document sketch."""
+    """Winnowing-style document sketch: the minimum md5 over 5-word
+    windows (hex strings compare lexicographically == numerically, and
+    DuckDB's md5 replicates the predicate exactly, so this heuristic is
+    oracle-checkable — hashlib.md5 is a C call per window)."""
 
     WINDOW = 5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         doc_ids = batch.column("doc_id").to_pylist()
         prints = []
+        w = self.WINDOW
         for text in batch.column("text").to_pylist():
             words = (text or "").split()
-            w = self.WINDOW
             if len(words) < w:
-                prints.append(zlib.crc32(" ".join(words).encode()))
+                prints.append(hashlib.md5(" ".join(words).encode()).hexdigest())
                 continue
-            best = min(
-                zlib.crc32(" ".join(words[i:i + w]).encode())
+            prints.append(min(
+                hashlib.md5(" ".join(words[i:i + w]).encode()).hexdigest()
                 for i in range(len(words) - w + 1)
-            )
-            prints.append(best)
+            ))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "fingerprint": pa.array(prints, pa.int64()),
+                "fingerprint": pa.array(prints, pa.string()),
             }
         )
 
