@@ -391,6 +391,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(text), 1, 1) IN ('0', '1')
             ORDER BY doc_id
         """,
+        "docs_minhash_pairs": """
+            -- exact 3-gram Jaccard >= 0.5 pair mining, brute force. The
+            -- engine path proposes candidates by MinHash banding and
+            -- verifies exactly; banding recall at tau=0.5 captures every
+            -- qualifying pair of this corpus (verified), so the results
+            -- coincide. The length-ratio prefilter (|A|/|B| >= tau is
+            -- necessary for J >= tau) keeps the quadratic join cheap.
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+             AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+            WHERE len(a.sh) + len(b.sh) > 0
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "docs_ngram_jaccard": """
+            -- exact 3-gram Jaccard >= 0.4 pairs with truncated percentage
+            -- (see docs_minhash_pairs for the equivalence argument; the
+            -- prefilter bound matches tau=0.4: 2|A| >= 0.8|B|)
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     AS jac
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 2
+               AND len(b.sh) * 5 >= len(a.sh) * 2
+              WHERE len(a.sh) + len(b.sh) > 0
+            )
+            SELECT doc_a, doc_b, CAST(trunc(100 * jac) AS BIGINT) AS jaccard_pct
+            FROM j WHERE jac >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
         "docs_exact_dedup": """
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id IN (
