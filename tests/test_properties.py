@@ -166,6 +166,27 @@ def test_attr_fast_path_differential(seed, monkeypatch):
     assert e1 == e2
 
 
+@pytest.mark.parametrize("seed", range(40))
+def test_simple_tag_fast_path_differential(seed, monkeypatch):
+    """The whole-tag DATA fast path must be observationally equivalent to
+    the spec machine: parse random soup with it disabled, compare trees
+    AND error counts."""
+    import re
+    from htmlparsersharp_ray.html import tokenizer as tok_mod
+
+    rng = random.Random(seed + 7000)
+    html = _soup(rng, rng.randint(1, 120))
+
+    t1 = serialize_tree(parse(html).root)
+    e1 = parse(html).errors
+    never_match = re.compile(r"(?!x)x")
+    monkeypatch.setattr(tok_mod, "_SIMPLE_TAG", never_match)
+    t2 = serialize_tree(parse(html).root)
+    e2 = parse(html).errors
+    assert t1 == t2, f"simple-tag fast path diverges for {html!r}"
+    assert e1 == e2
+
+
 def test_hostile_template_nesting():
     """1000 nested <template>s: iterative machinery must not recurse, and
     EOF must unwind every open template (contents chain intact)."""
