@@ -130,14 +130,29 @@ def _q_docs_fingerprint(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
+    """The n smallest vec_ids as query vectors — selected with the
+    partial-bottom-k pattern (each batch contributes its own n smallest;
+    the driver merges n×blocks candidate rows, never the table)."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t.column("vec_id").to_pylist()
-    embs = t.column("embedding").to_pylist()
-    pairs = sorted(zip(ids, embs))[:n]
-    return {int(i): np.asarray(e, dtype=np.float64) for i, e in pairs}
+    def bottom_n(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+        return batch.take(idx.slice(0, n))
+
+    cand = (
+        _emb(sf_dir)
+        .map_batches(bottom_n, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(n)
+    )
+    return {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(cand["vec_id"], cand["embedding"])
+    }
 
 
 def _q_embeddings_topk(sf_dir: str):
