@@ -544,31 +544,53 @@ def embedding_cosine_dup_pairs(
 
     ``n_tables`` independent random-hyperplane tables bucket vectors; a
     pair at cosine c collides in ≥1 table with prob 1-(1-(1-θ/π)^P)^L
-    (≈99% at c=0.95, P=8, L=8); exact cosine verifies within buckets and
-    duplicates across tables are dropped by a final pair groupby. Input
-    needs (vec_id:int64, embedding:list<float>). Deterministic (seed 77).
+    (≈99% at c=0.95 with the P=8, L=8 defaults; looser thresholds need
+    fewer planes / more tables — e.g. P=4, L=32 reproduces the exact
+    pair set at c=0.45 on the test corpus, pytest-gated); exact cosine
+    verifies within buckets and duplicates across tables are dropped by
+    a BUCKETED pair groupby (bounded group count — never one Ray group
+    per pair). Input needs (vec_id:int64, embedding:list<float>).
+    Deterministic (seed 77).
     """
     import ray as _ray
 
     dim = len(docs_emb.take(1)[0]["embedding"])
     planes_ref = _ray.put(make_planes(n_tables, n_planes, dim))
 
+    _empty = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("vec_id").sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+            return pd.DataFrame(_empty)
         emb = np.asarray(g["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         emb = emb / norms
         sims = emb @ emb.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"])
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(ii):
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({
+            "doc_a": ids[ii].astype("int64"),
+            "doc_b": ids[jj].astype("int64"),
+            "cosine": sims[ii, jj].astype("float64"),
+        })
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("pb", pa.array(_pair_bucket(a, b)))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "cosine"]
+        ]
 
     out = (
         docs_emb.map_batches(
@@ -577,8 +599,9 @@ def embedding_cosine_dup_pairs(
         )
         .groupby(["table", "bucket"])
         .map_groups(verify, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
