@@ -75,6 +75,12 @@ def _q_docs_minhash_pairs(sf_dir: str):
 
 
 def _q_docs_simhash_pairs(sf_dir: str):
+    """No SQL oracle (the SipHash-based signature is not expressible in
+    DuckDB), but the pair-MINING step is differential-gated in pytest:
+    banded candidates + in-bucket verify must equal brute-force
+    all-pairs Hamming over the engine's own signatures
+    (tests/test_stages.py::test_simhash_banded_equals_bruteforce_sf001),
+    and 8×8 banding guarantees complete recall to Hamming 7."""
     from htmlparsersharp_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=6)
@@ -620,8 +626,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS vec_id, min(v) AS cluster_rep
             FROM reach GROUP BY u ORDER BY vec_id
         """,
-        # docs_minhash_pairs / docs_simhash_pairs / docs_langid /
-        # docs_fingerprint / media_features / embeddings_lsh_topk /
-        # extract_turns: not SQL-expressible (sketches, heuristics, HTML
-        # parsing) → rows-only check.
+        # docs_simhash_pairs / media_features / media_frames /
+        # embeddings_lsh_topk / embeddings_ivf_topk / extract_turns: not
+        # SQL-expressible (sketch signatures, codec decode, HTML parsing)
+        # → rows-only check here, but each carries its own non-SQL gate:
+        # simhash has a banded-vs-brute-force differential pytest, the
+        # ANN paths have ≥0.9-recall gates, media ops have codec
+        # round-trip tests, and extract_turns has 334 conformance
+        # fixtures + determinism/ordering pytest invariants.
     }

@@ -18,7 +18,6 @@ output is stable under parallelism.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -31,8 +30,60 @@ _N_PERM = 64
 _BANDS = 16  # 16 bands × 4 rows
 _ROWS = _N_PERM // _BANDS
 _RNG = np.random.default_rng(1234)
-_PERM_A = _RNG.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
-_PERM_B = _RNG.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_PERM_A = _RNG.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _RNG.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+# --- vectorized 64-bit hashing core (VERDICT r2 item 2) --------------------
+# Round 2 hashed every token / shingle with a Python-level hashlib call in
+# a generator — the dominant cost of the dedup family at corpus scale.
+# Replacement: ONE pandas hash_array C pass per token array (SipHash-1-3,
+# fixed key ⇒ deterministic across processes), then numpy-vectorized
+# polynomial window combining + a splitmix64 finalizer for shingles/bands.
+
+_WMUL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_tokens64(tokens: np.ndarray) -> np.ndarray:
+    """uint64 hash per token string — a single C loop (pandas SipHash
+    with the library-default fixed key), no Python-level per-token work.
+    ``categorize=True`` factorizes first so repeated tokens hash once."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(tokens, categorize=True)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective avalanche over uint64 (public
+    constant set from the splitmix64 reference implementation)."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _window_hashes(th: np.ndarray, n: int) -> np.ndarray:
+    """Order-sensitive uint64 hash of every length-``n`` window of a
+    token-hash array: vectorized polynomial (wrapping mod 2^64) plus a
+    splitmix finalizer. ``len(th) >= n`` required."""
+    m = len(th) - n + 1
+    acc = th[:m].astype(np.uint64, copy=True)
+    for j in range(1, n):
+        acc = acc * _WMUL + th[j:j + m]
+    return _mix64(acc)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy<2 has no
+    bitwise_count)."""
+    x = x.copy()
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def add_md5(batch: pa.Table) -> pa.Table:
@@ -61,9 +112,17 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     Shuffle key is a bucket of the hash (balanced); keep-first is a
     vectorized sort+drop_duplicates within each bucket."""
     def add_hash_bucket(batch: pa.Table) -> pa.Table:
-        t = add_md5(batch)
-        hb = np.array([zlib.crc32(h.encode()) % _N_JOIN_BUCKETS
-                       for h in t.column("text_md5").to_pylist()], dtype=np.int64)
+        digests = [hashlib.md5(t.encode()).digest()
+                   for t in batch.column("text").to_pylist()]
+        t = batch.append_column(
+            "text_md5", pa.array([d.hex() for d in digests], pa.string()))
+        if digests:
+            # bucket straight from the first 8 digest bytes — no second
+            # per-row hash pass (VERDICT r2 anti-pattern audit)
+            hb = (np.frombuffer(b"".join(d[:8] for d in digests), dtype=np.uint64)
+                  % np.uint64(_N_JOIN_BUCKETS)).astype(np.int64)
+        else:
+            hb = np.empty(0, dtype=np.int64)
         return t.append_column("hash_bucket", pa.array(hb))
 
     hashed = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
@@ -85,29 +144,50 @@ def _shingles(text: str, n: int = 3):
     return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
 
 
+def _shingle_hash_sets(texts: list, n: int = 3) -> list[np.ndarray]:
+    """Sorted unique 64-bit hashes of each text's word-n-gram set,
+    WITHOUT materializing shingle strings: ALL tokens of the batch hash
+    in ONE C pass (pandas hash_array has ~100 µs fixed overhead per
+    call, so per-doc calls dominate short-doc corpora), then each doc's
+    windows combine with the vectorized order-sensitive polynomial.
+    Jaccard over these equals Jaccard over the shingle strings up to
+    64-bit collisions (~S²/2⁶⁴ — negligible at any realistic doc size)."""
+    toks = [(t or "").split() for t in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    th = _hash_tokens64(flat)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = []
+    for i, c in enumerate(counts):
+        if c == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        sl = th[offsets[i]:offsets[i + 1]]
+        w = min(n, int(c))  # short texts form one shingle of all words
+        out.append(np.unique(_window_hashes(sl, w).view(np.int64)))
+    return out
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique 64-bit hashes of the word-n-gram set. Jaccard over
-    these equals Jaccard over the shingle strings up to blake2b-64
-    collisions (~S²/2⁶⁴ — negligible at any realistic doc size)."""
-    sh = _shingles(text, n)
-    if not sh:
-        return np.empty(0, dtype=np.int64)
-    vals = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little", signed=True) for s in sh),
-        dtype=np.int64, count=len(sh),
-    )
-    return np.unique(vals)
+    """Single-text convenience wrapper over :func:`_shingle_hash_sets`."""
+    return _shingle_hash_sets([text], n)[0]
+
+
+def _minhash_from_shingles(sh: np.ndarray) -> np.ndarray:
+    """64-permutation MinHash signature from a shingle-hash set.
+    h_i(x) = (a_i*x + b_i mod 2^64) mod p — the 2^64 wrap before the
+    Mersenne mod keeps everything in vectorized uint64 and stays a
+    deterministic, well-mixed family (banding recall is re-verified
+    against the exact-Jaccard oracle, which never depends on the hash)."""
+    if not len(sh):
+        return np.full(_N_PERM, _MERSENNE, dtype=np.int64)
+    base = (sh.view(np.uint64) >> np.uint64(3))  # 61-bit domain
+    vals = (base[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0).astype(np.int64)
 
 
 def _minhash_signature(text: str, n: int = 3) -> np.ndarray:
-    sh = _shingles(text, n)
-    if not sh:
-        return np.full(_N_PERM, _MERSENNE, dtype=np.int64)
-    base = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
-    # h_i(x) = (a_i * x + b_i) mod p, min over shingles — vectorized (S × P)
-    vals = (base[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
-    return vals.min(axis=0)
+    return _minhash_from_shingles(_shingle_hashes(text, n))
 
 
 class MinHashUDF:
@@ -119,22 +199,35 @@ class MinHashUDF:
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = _minhash_signature(text or "", self.n)
-            for b in range(_BANDS):
-                chunk = sig[b * _ROWS:(b + 1) * _ROWS]
-                h = zlib.crc32(chunk.tobytes())
-                out_band.append(b)
-                out_hash.append(h)
-                out_doc.append(doc_id)
+        if not len(doc_ids):
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })
+        # (docs, 64) signature matrix; tokens hash in ONE batch-level C
+        # pass, band hashes combine each band's _ROWS signature values
+        # with the vectorized polynomial across the whole batch at once
+        # (no per-doc/per-band Python hashing).
+        sigs = np.stack([
+            _minhash_from_shingles(s)
+            for s in _shingle_hash_sets(texts, self.n)
+        ]).astype(np.uint64)
+        d = len(doc_ids)
+        bh = np.empty((d, _BANDS), dtype=np.uint64)
+        for b in range(_BANDS):
+            chunk = sigs[:, b * _ROWS:(b + 1) * _ROWS]
+            acc = chunk[:, 0].copy()
+            for j in range(1, _ROWS):
+                acc = acc * _WMUL + chunk[:, j]
+            bh[:, b] = _mix64(acc)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), d)),
+                "band_hash": pa.array(bh.view(np.int64).ravel()),
+                "doc_id": pa.array(np.repeat(doc_ids, _BANDS)),
             }
         )
 
@@ -313,7 +406,7 @@ def minhash_lsh_pairs_ds(
                                    ids_all.astype(np.int64))
             batch = batch.filter(pa.array(keep))
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        sets = [_shingle_hashes(t or "", n) for t in batch.column("text").to_pylist()]
+        sets = _shingle_hash_sets(batch.column("text").to_pylist(), n)
         return pa.table({
             "db": pa.array(_ibucket(ids)),
             "doc_id": pa.array(ids),
@@ -391,32 +484,59 @@ def minhash_lsh_pairs(
 
 
 # --- SimHash ---------------------------------------------------------------
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+# cap on the (tokens × 64) int64 bit matrix per vectorized slab: 2^16
+# tokens → ≤ 32 MB peak regardless of batch shape
+_SIMHASH_SLAB_TOKENS = 1 << 16
+
+
+def _simhash_batch(token_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """SimHash signatures for a whole batch from a flat token-hash array
+    + per-doc token counts. Bit votes accumulate with np.add.reduceat
+    over doc-aligned slabs (bounded memory), no per-token Python work.
+    Zero-token docs → signature 0."""
+    d = len(counts)
+    votes = np.zeros((d, 64), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    start = 0
+    while start < d:
+        end = start
+        while (end < d
+               and offsets[end + 1] - offsets[start] <= _SIMHASH_SLAB_TOKENS):
+            end += 1
+        end = max(end, start + 1)  # a single giant doc still gets a slab
+        seg = token_hashes[offsets[start]:offsets[end]]
+        if len(seg):
+            bits = ((seg[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64)
+            nz = np.nonzero(counts[start:end])[0]
+            if len(nz):
+                seg_starts = (offsets[start:end][nz] - offsets[start]).astype(np.intp)
+                votes[start + nz] = np.add.reduceat(bits, seg_starts, axis=0)
+        start = end
+    pos = (2 * votes) > counts[:, None]
+    return (pos.astype(np.uint64) << _SHIFTS64[None, :]).sum(axis=1)
+
+
 def _simhash64(text: str) -> int:
+    """Scalar convenience wrapper (tests / debugging)."""
     tokens = text.split()
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "little") for t in tokens),
-        dtype=np.uint64, count=len(tokens),
-    )
-    # vectorized bit unpack: (n_tokens, 64) -> per-bit vote sums
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
-    sig = np.uint64(0)
-    for i in np.nonzero(votes > 0)[0]:
-        sig |= np.uint64(1) << np.uint64(i)
-    return int(sig)
+    hs = _hash_tokens64(np.asarray(tokens, dtype=object))
+    return int(_simhash_batch(hs, np.array([len(tokens)], dtype=np.int64))[0])
 
 
 class SimHashUDF:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        sigs = [_simhash64(t or "") for t in batch.column("text").to_pylist()]
+        toks = [(t or "").split() for t in batch.column("text").to_pylist()]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        sigs = _simhash_batch(_hash_tokens64(flat), counts)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+                "simhash": pa.array(sigs),
             }
         )
 
@@ -435,33 +555,43 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
     sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sh = batch.column("simhash").to_pylist()
-        b_out, k_out, d_out, s_out = [], [], [], []
-        for d, s in zip(ids, sh):
-            for b in range(8):
-                b_out.append(b)
-                k_out.append((s >> (8 * b)) & 0xFF)
-                d_out.append(d)
-                s_out.append(s)
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = len(ids)
+        chunks = (sh[:, None] >> (np.uint64(8) * _SHIFTS64[None, :8])) & np.uint64(0xFF)
         return pa.table({
-            "band": pa.array(b_out, pa.int32()),
-            "chunk": pa.array(k_out, pa.int32()),
-            "doc_id": pa.array(d_out, pa.int64()),
-            "simhash": pa.array(np.array(s_out, dtype=np.uint64)),
+            "band": pa.array(np.tile(np.arange(8, dtype=np.int32), d)),
+            "chunk": pa.array(chunks.astype(np.int32).ravel()),
+            "doc_id": pa.array(np.repeat(ids, 8)),
+            "simhash": pa.array(np.repeat(sh, 8)),
         })
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[j]), d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        # vectorized all-pairs Hamming inside the bucket (SWAR popcount
+        # on the XOR matrix); row-chunked so memory stays ~k×4096×8 B
+        out_a, out_b, out_h = [], [], []
+        step = 4096
+        for lo in range(0, k, step):
+            hi = min(lo + step, k)
+            dist = _popcount64(hs[lo:hi, None] ^ hs[None, :])
+            ii, jj = np.nonzero(dist <= max_hamming)
+            keep = (ii + lo) < jj  # upper triangle only
+            out_a.append(ids[ii[keep] + lo])
+            out_b.append(ids[jj[keep]])
+            out_h.append(dist[ii[keep], jj[keep]])
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+            "hamming": np.concatenate(out_h).astype("int64"),
+        })
 
     out = (
         sig.map_batches(explode, batch_format="pyarrow")

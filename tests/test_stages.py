@@ -471,3 +471,53 @@ def test_embedding_lsh_dups_synthetic_clusters(ray_session):
     lsh_set = set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
     assert lsh_set == exact_set
     assert len(exact_set) >= 15  # 5 clusters × 3 pairs
+
+
+def test_simhash_banded_equals_bruteforce_sf001(ray_session):
+    """VERDICT r2 item 6: the SimHash pair-MINING step is differential-
+    testable even though the signature is not SQL-expressible — banded
+    candidate generation + in-bucket verify must equal brute-force
+    all-pairs Hamming over the engine's own signatures. Complete recall
+    to Hamming 7 is guaranteed by 8×8 banding (pigeonhole)."""
+    import os
+
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import (
+        SimHashUDF,
+        _popcount64,
+        simhash_pairs,
+    )
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    docs = ray.data.read_parquet(path)
+    banded = simhash_pairs(docs, max_hamming=6)
+    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow",
+                           batch_size=512, concurrency=2).to_pandas()
+    sig = sig.sort_values("doc_id").reset_index(drop=True)
+    ids = sig["doc_id"].to_numpy()
+    hs = sig["simhash"].to_numpy(dtype=np.uint64)
+    dist = _popcount64(hs[:, None] ^ hs[None, :])
+    ii, jj = np.nonzero(np.triu(dist <= 6, k=1))
+    brute = set(zip(ids[ii].astype(int), ids[jj].astype(int)))
+    got = set(zip(banded["doc_a"].astype(int), banded["doc_b"].astype(int)))
+    assert got == brute
+    assert len(brute) > 0
+
+
+def test_simhash_scalar_matches_batch():
+    """The scalar wrapper and the batched path agree bit-for-bit."""
+    from htmlparsersharp_ray.stages.dedup import (
+        _hash_tokens64,
+        _simhash_batch,
+        _simhash64,
+    )
+
+    texts = ["the quick brown fox", "", "a", "x y z w v u t s r q p o n m"]
+    toks = [t.split() for t in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    batch_sigs = _simhash_batch(_hash_tokens64(flat), counts)
+    for t, s in zip(texts, batch_sigs):
+        assert _simhash64(t) == int(s)
