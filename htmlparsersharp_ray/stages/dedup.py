@@ -36,54 +36,14 @@ _PERM_B = _RNG.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.ui
 # --- vectorized 64-bit hashing core (VERDICT r2 item 2) --------------------
 # Round 2 hashed every token / shingle with a Python-level hashlib call in
 # a generator — the dominant cost of the dedup family at corpus scale.
-# Replacement: ONE pandas hash_array C pass per token array (SipHash-1-3,
-# fixed key ⇒ deterministic across processes), then numpy-vectorized
-# polynomial window combining + a splitmix64 finalizer for shingles/bands.
-
-_WMUL = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _hash_tokens64(tokens: np.ndarray) -> np.ndarray:
-    """uint64 hash per token string — a single C loop (pandas SipHash
-    with the library-default fixed key), no Python-level per-token work.
-    ``categorize=True`` factorizes first so repeated tokens hash once."""
-    if len(tokens) == 0:
-        return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(tokens, categorize=True)
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — bijective avalanche over uint64 (public
-    constant set from the splitmix64 reference implementation)."""
-    x = x.copy()
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
-
-
-def _window_hashes(th: np.ndarray, n: int) -> np.ndarray:
-    """Order-sensitive uint64 hash of every length-``n`` window of a
-    token-hash array: vectorized polynomial (wrapping mod 2^64) plus a
-    splitmix finalizer. ``len(th) >= n`` required."""
-    m = len(th) - n + 1
-    acc = th[:m].astype(np.uint64, copy=True)
-    for j in range(1, n):
-        acc = acc * _WMUL + th[j:j + m]
-    return _mix64(acc)
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized SWAR popcount over uint64 (numpy<2 has no
-    bitwise_count)."""
-    x = x.copy()
-    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-    x = (x & np.uint64(0x3333333333333333)) + (
-        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+# Replacement: ONE pandas hash_array C pass per BATCH of tokens, then
+# numpy-vectorized polynomial window combining + a splitmix64 finalizer
+# for shingles/bands (shared primitives in stages/hashing.py).
+from .hashing import _WMUL
+from .hashing import hash_strings64 as _hash_tokens64
+from .hashing import mix64 as _mix64
+from .hashing import popcount64 as _popcount64
+from .hashing import window_hashes as _window_hashes
 
 
 def add_md5(batch: pa.Table) -> pa.Table:
