@@ -157,6 +157,17 @@ def _q_docs_fingerprint(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_fingerprint_fast(sf_dir: str):
+    """Rolling-hash winnowing sketch — the scale path beside the md5
+    oracle op (no SQL oracle: the SipHash+polynomial family is not
+    expressible in DuckDB; determinism + min-window semantics are
+    pytest-gated)."""
+    from htmlparsersharp_ray.stages.text_analysis import fingerprints_fast
+
+    df = fingerprints_fast(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _query_vectors(sf_dir: str, n: int = 5):
     """The n smallest vec_ids as query vectors — selected with the
     partial-bottom-k pattern (each batch contributes its own n smallest;
@@ -281,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_fingerprint_fast": _q_docs_fingerprint_fast,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,

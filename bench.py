@@ -134,6 +134,18 @@ def run_bench() -> dict:
     )
     queries["docs_minhash_pairs"] = round(time.time() - t0, 3)
 
+    # fingerprint pair: md5-winnowing oracle op vs the rolling-hash scale
+    # path — the bench line that shows the full-corpus-pass cost drop
+    from htmlparsersharp_ray.stages.text_analysis import fingerprints, fingerprints_fast
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    fingerprints(docs).to_pandas()
+    queries["docs_fingerprint"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    fingerprints_fast(docs).to_pandas()
+    queries["docs_fingerprint_fast"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {

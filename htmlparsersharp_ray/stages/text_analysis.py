@@ -161,3 +161,47 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
         FingerprintUDF, batch_format="pyarrow", batch_size=2048, concurrency=(1, 2)
     )
+
+
+class FingerprintFastUDF:
+    """Vectorized rolling-hash winnowing sketch — the SCALE path next to
+    the md5 ``FingerprintUDF`` (kept for its DuckDB oracle; VERDICT r2
+    item 7). All tokens of the batch hash in ONE pandas-SipHash C pass;
+    each doc's 5-word window hashes are the vectorized order-sensitive
+    polynomial (stages/hashing.py) and the fingerprint is the minimum
+    window hash as int64. No per-window hashlib calls. Deterministic
+    (fixed hash key; empty docs get a fixed constant)."""
+
+    WINDOW = 5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import hash_strings64, mix64, window_hashes
+
+        texts = batch.column("text").to_pylist()
+        toks = [(t or "").split() for t in texts]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        th = hash_strings64(flat)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        empty_fp = mix64(np.zeros(1, dtype=np.uint64))[0]
+        out = np.empty(len(texts), dtype=np.uint64)
+        w = self.WINDOW
+        for i, c in enumerate(counts):
+            if c == 0:
+                out[i] = empty_fp
+                continue
+            sl = th[offsets[i]:offsets[i + 1]]
+            out[i] = window_hashes(sl, min(w, int(c))).min()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint64": pa.array(out.view(np.int64)),
+            }
+        )
+
+
+def fingerprints_fast(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        FingerprintFastUDF, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 2)
+    )

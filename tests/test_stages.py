@@ -521,3 +521,36 @@ def test_simhash_scalar_matches_batch():
     batch_sigs = _simhash_batch(_hash_tokens64(flat), counts)
     for t, s in zip(texts, batch_sigs):
         assert _simhash64(t) == int(s)
+
+
+def test_fingerprint_fast_deterministic_and_semantic(ray_session):
+    """Rolling-hash fingerprint: run-to-run deterministic, equal texts →
+    equal fingerprints, and the value is genuinely the min over window
+    hashes (recomputed directly from the hashing primitives)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.hashing import hash_strings64, window_hashes
+    from htmlparsersharp_ray.stages.text_analysis import fingerprints_fast
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",   # dup of 0
+        "one two three",                                   # < window words
+        "",                                                # empty
+        "totally different words in this document here now",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    a = fingerprints_fast(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = fingerprints_fast(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["fingerprint64"]) == list(b["fingerprint64"])
+    assert a["fingerprint64"][0] == a["fingerprint64"][1]
+    assert a["fingerprint64"][0] != a["fingerprint64"][4]
+    # direct recomputation for doc 0
+    th = hash_strings64(np.asarray(texts[0].split(), dtype=object))
+    expect = int(window_hashes(th, 5).min())
+    assert int(np.uint64(a["fingerprint64"][0])) == expect
+    # short doc: single window of all words
+    th3 = hash_strings64(np.asarray(texts[2].split(), dtype=object))
+    assert int(np.uint64(a["fingerprint64"][2])) == int(window_hashes(th3, 3)[0])
