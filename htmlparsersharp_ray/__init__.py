@@ -38,18 +38,24 @@ class _SchemaHashNoiseFilter(_logging.Filter):
     processes (which import this package for the UDFs) get it too.
     """
 
+    # Each entry is a tuple of substrings that must ALL be present —
+    # matching the FULL known message (ADVICE r2: a bare prefix match on
+    # 'Error calculating size for column' would also hide genuine
+    # size-estimation failures with a different root cause).
     _NOISE = (
         # pandas metadata dict makes schemas unhashable inside Ray
-        "Failed to hash the schemas",
-        # Ray size-estimates empty pandas object columns with np.vectorize,
-        # which rejects size-0 input; empty blocks are normal for sparse
-        # join buckets
-        "Error calculating size for column",
+        ("Failed to hash the schemas", "unhashable type"),
+        # Ray size-estimates empty pandas object columns with
+        # np.vectorize, which rejects size-0 input; empty blocks are
+        # normal for sparse join buckets. Ray formats the exception into
+        # the message (pandas_block.py: "Error calculating size for
+        # column '{col}': {e}"), so the vectorize detail is matchable.
+        ("Error calculating size for column", "vectorize", "size 0"),
     )
 
     def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
         msg = record.getMessage()
-        return not any(pat in msg for pat in self._NOISE)
+        return not any(all(pat in msg for pat in pats) for pats in self._NOISE)
 
 
 for _name in (

@@ -32,15 +32,22 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.ipc
 
 import ray.data
+
+from ..stages import hashing
 
 _EXCHANGE_SCHEMA = pa.schema([
     ("bucket", pa.int64()),
     ("side", pa.int8()),
     ("blob", pa.large_binary()),
 ])
+
+# variant → bucket perturbation for hot-key salting (odd constant so every
+# variant lands in a distinct bucket stream)
+_SALT_STEP = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _serialize(table: pa.Table) -> bytes:
@@ -54,27 +61,99 @@ def _deserialize(blob: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.py_buffer(blob)).read_all()
 
 
-def _key_buckets(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
-    """Deterministic bucket per key value. Int keys mix via splitmix-style
-    multiply; string keys hash via crc32 (zlib, process-stable)."""
-    import zlib
-
+def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic pre-mod uint64 hash per key value, fully vectorized.
+    Int keys splitmix; string keys dictionary-encode then hash unique
+    values in one C pass. Nulls hash to a fixed slot — callers enforce
+    SQL null-join semantics by filtering (see hash_join)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return (h % np.uint64(n_buckets)).astype(np.int64)
-    vals = arr.to_pylist()
-    return np.array(
-        [zlib.crc32(str(v).encode()) % n_buckets for v in vals], dtype=np.int64
+        x = (arr.cast(pa.int64()).fill_null(0)
+             .to_numpy(zero_copy_only=False).astype(np.uint64))
+        return hashing.mix64(x)
+    enc = arr.dictionary_encode()
+    codes = (enc.indices.fill_null(0)
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    vals = np.asarray(
+        ["" if v is None else str(v) for v in enc.dictionary.to_pylist()],
+        dtype=object,
     )
+    if len(vals) == 0:
+        return np.zeros(len(arr), dtype=np.uint64)
+    return hashing.hash_strings64(vals, categorize=False)[codes]
 
 
-def _to_exchange_rows(side: int, key: str, n_buckets: int):
+def _auto_buckets(
+    left: ray.data.Dataset, right: ray.data.Dataset,
+    target_bytes: int = 256 << 20, lo: int = 8, hi: int = 4096,
+    default: int = 64,
+) -> int:
+    """Derive the bucket count from INPUT FILE metadata (never executes
+    either plan): one bucket pair's working set ≈ 3× the compressed
+    bytes / n_buckets should fit a worker heap. Falls back to
+    ``default`` when no file metadata exists (e.g. from_pandas inputs).
+    Power-of-two, clamped to [lo, hi] — the hi clamp bounds Ray's
+    ~1 ms/group scheduling overhead (~4 s at 4096); inputs so large
+    that 4096 buckets exceed worker heaps should pre-aggregate / prune
+    columns before the join (q_join_shuffle's shape) or pass n_buckets
+    explicitly."""
+    import math
+    import os
+
+    total = 0
+    for side in (left, right):
+        try:
+            files = side.input_files()
+        except Exception:
+            return default
+        if not files:
+            return default
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                return default
+    est = total * 3  # parquet → in-memory expansion
+    n = max(lo, min(hi, -(-est // target_bytes)))
+    return 1 << math.ceil(math.log2(n))
+
+
+def _to_exchange_rows(side: int, key: str, n_buckets: int,
+                      drop_null_keys: bool, salt: int = 1, hot_keys=None):
+    hot = list(hot_keys) if (hot_keys and salt > 1) else None
+
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)
-        buckets = _key_buckets(batch.column(key), n_buckets)
+        col = batch.column(key)
+        if drop_null_keys and col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+            col = batch.column(key)
+        h = _key_hash64(col)
+        idx = np.arange(batch.num_rows, dtype=np.int64)
+        variants = np.zeros(batch.num_rows, dtype=np.uint64)
+        if hot is not None:
+            keys_np = col.to_numpy(zero_copy_only=False)
+            hot_mask = np.isin(keys_np, hot)
+            if side == 0 and hot_mask.any():
+                # fan hot left rows round-robin across salt variants
+                variants[hot_mask] = (
+                    np.arange(int(hot_mask.sum()), dtype=np.uint64)
+                    % np.uint64(salt)
+                )
+            elif side == 1 and hot_mask.any():
+                # replicate hot right rows into every salted variant
+                extra_idx = np.tile(idx[hot_mask], salt - 1)
+                extra_var = np.repeat(
+                    np.arange(1, salt, dtype=np.uint64),
+                    int(hot_mask.sum()),
+                )
+                idx = np.concatenate([idx, extra_idx])
+                variants = np.concatenate([variants, extra_var])
+                h = np.concatenate([h, np.tile(h[hot_mask], salt - 1)])
+        buckets = ((h + variants * _SALT_STEP) % np.uint64(n_buckets)).astype(np.int64)
         order = np.argsort(buckets, kind="stable")
-        sorted_tab = batch.take(pa.array(order))
+        sorted_tab = batch.take(pa.array(idx[order]))
         sorted_buckets = buckets[order]
         uniq, starts = np.unique(sorted_buckets, return_index=True)
         ends = np.append(starts[1:], len(sorted_buckets))
@@ -97,8 +176,10 @@ def hash_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     strict_empty_schema: bool = False,
+    salt: int = 1,
+    hot_keys=None,
 ) -> ray.data.Dataset:
     """Distributed hash join of two Datasets on a single key column.
 
@@ -106,14 +187,39 @@ def hash_join(
     then right columns; a shared key name joins without duplication when
     ``left_on == right_on``). Supports how in {"inner", "left"}.
 
+    ``n_buckets=None`` (default) auto-sizes from input-file metadata —
+    see :func:`_auto_buckets` — so small inputs don't pay 64-bucket
+    scheduling overhead and huge inputs still bound each bucket pair.
+
+    NULL join keys follow SQL semantics: null-key rows are dropped from
+    the right side and (for inner joins) the left side before the
+    exchange; a LEFT join keeps left null-key rows, which match nothing
+    (the right side has no nulls left to spuriously NaN-match) and emit
+    with null right columns.
+
+    Skew: pass ``hot_keys=[...]`` + ``salt=k`` to split each hot key's
+    left rows round-robin across k salted buckets while replicating the
+    hot right rows into all k — the standard salted-join fix for a key
+    whose left fan-in would otherwise overload one bucket. (The
+    unsalted default is correct for typical key distributions;
+    pre-aggregation before the join remains the first resort, see
+    q_join_shuffle.)
+
     ``strict_empty_schema=True`` guarantees the joined column layout even
     when NO bucket holds rows from both sides, at the cost of one eager
     ``Dataset.schema()`` per input (which executes part of each input
-    plan). The default derives layouts lazily from the exchanged blobs —
-    free, but a fully disjoint inner join yields a zero-column empty
-    Dataset."""
+    plan). The default first tries each input's schema WITHOUT execution
+    (``schema(fetch_if_missing=False)`` — free for metadata-bearing
+    inputs like fresh parquet reads) and only falls back to deriving
+    layouts lazily from the exchanged blobs, where a fully disjoint
+    inner join yields a zero-column empty Dataset (documented contract:
+    Ray map UDFs skip the zero-column marker blocks)."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r} (inner/left)")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if n_buckets is None:
+        n_buckets = _auto_buckets(left, right)
 
     def _empty_frame(schema) -> pd.DataFrame:
         # schema.types are pyarrow DataTypes for Arrow blocks but plain
@@ -137,19 +243,38 @@ def hash_join(
 
     # Left joins need the right-side layout up front to null-fill
     # unmatched rows; inner joins derive layouts lazily from the blobs
-    # themselves (Dataset.schema() would EXECUTE part of each input plan —
-    # measured as a whole extra read+filter per side).
-    empty_left = _empty_frame(left.schema()) if strict_empty_schema else None
-    empty_right = (
-        _empty_frame(right.schema())
-        if (how == "left" or strict_empty_schema) else None
-    )
+    # themselves (an EAGER Dataset.schema() would EXECUTE part of each
+    # input plan — measured as a whole extra read+filter per side), but
+    # a metadata-known schema (fetch_if_missing=False) is free and makes
+    # the empty-bucket markers carry the joined layout (ADVICE r2).
+    def _free_schema(ds):
+        try:
+            return ds.schema(fetch_if_missing=False)
+        except Exception:
+            return None
+
+    ls = left.schema() if strict_empty_schema else _free_schema(left)
+    rs = (right.schema() if (how == "left" or strict_empty_schema)
+          else _free_schema(right))
+    # synthesizing an empty JOINED frame needs both layouts (right is
+    # always known for left joins — eager by necessity, to null-fill)
+    if ls is not None and rs is not None:
+        empty_left = _empty_frame(ls)
+        empty_right = _empty_frame(rs)
+    else:
+        empty_left = None
+        empty_right = _empty_frame(rs) if how == "left" else None
 
     lrows = left.map_batches(
-        _to_exchange_rows(0, left_on, n_buckets), batch_format="pyarrow"
+        _to_exchange_rows(0, left_on, n_buckets,
+                          drop_null_keys=(how == "inner"),
+                          salt=salt, hot_keys=hot_keys),
+        batch_format="pyarrow",
     )
     rrows = right.map_batches(
-        _to_exchange_rows(1, right_on, n_buckets), batch_format="pyarrow"
+        _to_exchange_rows(1, right_on, n_buckets, drop_null_keys=True,
+                          salt=salt, hot_keys=hot_keys),
+        batch_format="pyarrow",
     )
 
     def merge_bucket(group: pd.DataFrame):
@@ -218,7 +343,7 @@ def join(
     right_on: str,
     how: str = "inner",
     broadcast_threshold_bytes: int = 64 << 20,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Size-aware join planner: broadcast the right side when its size is
     KNOWN (from input metadata, without executing the plan) and under the

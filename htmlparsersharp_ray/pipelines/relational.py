@@ -25,6 +25,18 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min
 
 
+def _pysum_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
+    """Final-merge overflow guard (ADVICE r2): convert partial-sum
+    columns to Python ints (object dtype) so the driver-side merge
+    accumulates with arbitrary precision — scaled revenue units run
+    ~3e8/row, which would wrap a plain int64 sum near ~3e10 rows.
+    Per-batch partials stay int64 (bounded by block size); only the
+    tiny driver/bucket merge pays the object-dtype cost."""
+    for c in cols:
+        df[c] = [int(v) for v in df[c]]
+    return df
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -37,10 +49,14 @@ def q_lineitem_agg(sf_dir: str):
     Fix: the money/quantity columns are fixed-point 2-decimal values (TPC-H
     semantics: DECIMAL, not DOUBLE), so aggregate EXACTLY in scaled int64
     (cents; revenue in 1e-4 units) — integer sums commute and associate, so
-    ANY reduction order gives identical bits, at 6 rows or 100 TB — then
-    divide once at the end. The oracle casts to DECIMAL and back, which is
-    the same exact arithmetic. Each batch pre-aggregates to ≤6 partial
-    rows inside map_batches; the read is pruned to the 5 needed columns."""
+    ANY reduction order gives identical bits — then divide once at the end.
+    PER-BATCH partials stay int64 (a block's sum is bounded far below
+    2^63); the FINAL driver-side merge accumulates in Python ints via
+    :func:`_pysum_cols`, so even group totals past ~3e10 rows (where
+    rev_u ≈ 3e8/row would wrap int64 — ADVICE r2) stay exact. The oracle
+    casts to DECIMAL (hugeint accumulation), the same exact arithmetic.
+    Each batch pre-aggregates to ≤6 partial rows inside map_batches; the
+    read is pruned to the 5 needed columns."""
     ds = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -70,6 +86,7 @@ def q_lineitem_agg(sf_dir: str):
         return g
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _pysum_cols(parts, ["qty_c", "price_c", "rev_u", "disc_c"])
     df = (
         parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
         .agg(qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
@@ -164,6 +181,7 @@ def q_join_broadcast(sf_dir: str):
         ds.map_batches(JoinSegment, batch_format="pandas", concurrency=(1, 2))
         .to_pandas()
     )
+    parts = _pysum_cols(parts, ["tp_cents"])
     df = (
         parts.groupby("c_mktsegment", as_index=False)
         .agg(tp_cents=("tp_cents", "sum"), n_orders=("n_orders", "sum"))
@@ -230,6 +248,7 @@ def q_events_window(sf_dir: str):
     parts = (
         ds.map_batches(lambda b: partial(b), batch_format="pyarrow").to_pandas()
     )
+    parts = _pysum_cols(parts, ["value_c"])
     df = (
         parts.groupby(["event_type", "window_start"], as_index=False)
         .agg(value_c=("value_c", "sum"), n_events=("n_events", "sum"))
@@ -407,6 +426,9 @@ def q_order_revenue_top10(sf_dir: str):
         return g
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # int64 is exact here: the sum is PER ORDER (TPC-H fan-in ~7
+        # lineitems), orders of magnitude below the int64 wrap point —
+        # unlike the global/group merges, which use _pysum_cols
         m = g.groupby("l_orderkey", as_index=False)["rev_u"].sum()
         m["revenue"] = m.pop("rev_u") / 10000.0
         return m.sort_values(
@@ -503,6 +525,8 @@ def q_join_shuffle(sf_dir: str):
         return df
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # per-order sum: bounded fan-in, int64-exact (see
+        # q_order_revenue_top10.bucket_merge)
         m = g.groupby(
             ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
         )["rev_u"].sum()
@@ -526,8 +550,11 @@ def q_join_shuffle(sf_dir: str):
 
 def q_lineitem_global_agg(sf_dir: str):
     """TPC-H Q6 shape: filtered GLOBAL scalar aggregate (no grouping).
-    Exact scaled-int64 revenue (see q_lineitem_agg) summed via Ray's
-    order-insensitive integer Sum; one row out."""
+    Exact scaled-int64 revenue (see q_lineitem_agg) collapses to ONE
+    partial row per block; the driver merges the partials in Python
+    ints (arbitrary precision — a global 1e-4-unit revenue sum is the
+    first place a plain int64 reduction would wrap at extreme scale,
+    ADVICE r2). One row out."""
     import numpy as np
 
     cutoff = pd.Timestamp("1995-01-01")
@@ -546,10 +573,10 @@ def q_lineitem_global_agg(sf_dir: str):
             "n_rows": [int(len(b))],
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    rev_u = parts.sum("rev_u")
-    n = parts.sum("n_rows")
-    return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [int(n)]})
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rev_u = sum(int(v) for v in parts["rev_u"])  # Python-int accumulation
+    n = int(parts["n_rows"].sum())
+    return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [n]})
 
 
 def q_docs_sample(sf_dir: str):
