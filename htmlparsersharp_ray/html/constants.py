@@ -173,7 +173,7 @@ def is_html_integration_point(name: str, namespace: str, attrs) -> bool:
     if namespace == MATHML_NS and name == "annotation-xml":
         enc = attrs.get("encoding")
         if enc:
-            return enc[1].lower() in ("text/html", "application/xhtml+xml")
+            return enc.lower() in ("text/html", "application/xhtml+xml")
     return False
 
 

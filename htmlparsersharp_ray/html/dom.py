@@ -42,9 +42,13 @@ class Node:
         child.parent = None
 
     def append_text(self, data: str):
-        """Append character data, coalescing with a trailing Text node."""
+        """Append character data, coalescing with a trailing Text node.
+        Coalescing ACCUMULATES parts lazily (list append) instead of
+        ``str +=`` — entity-/escape-fragmented text runs would otherwise
+        re-copy the run per fragment (O(run²) bytes of memory traffic,
+        the 8→32 scaling wall's currency)."""
         if self.children and type(self.children[-1]) is Text:
-            self.children[-1].data += data
+            self.children[-1]._parts.append(data)
         else:
             self.append(Text(data))
 
@@ -57,7 +61,7 @@ class Node:
             return
         idx = self.children.index(ref)
         if idx > 0 and type(self.children[idx - 1]) is Text:
-            self.children[idx - 1].data += data
+            self.children[idx - 1]._parts.append(data)
         else:
             node = Text(data)
             node.parent = self
@@ -77,15 +81,23 @@ class DocumentFragment(Node):
 
 
 class Element(Node):
-    __slots__ = ("name", "namespace", "attrs")
+    __slots__ = ("name", "namespace", "attrs", "attr_ns")
 
-    def __init__(self, name: str, namespace: str = HTML_NS, attrs=None):
+    def __init__(self, name: str, namespace: str = HTML_NS, attrs=None,
+                 attr_ns=None):
         super().__init__()
         self.name = name
         self.namespace = namespace
-        # attrs: dict mapping qualified display name -> (namespace, value).
-        # Plain HTML attributes use namespace None.
+        # attrs: dict mapping qualified display name -> value (plain
+        # strings — the hot path allocates one dict per element, so no
+        # per-attribute tuple wrapping). The RARE namespaced foreign
+        # attributes (xlink:/xml:/xmlns:) record their namespace in the
+        # separate attr_ns dict, which stays None for HTML elements.
+        # The tree builder may ALIAS the token's attrs dict here;
+        # element attrs never mutate after insertion except the
+        # spec-mandated <html>/<body> duplicate-tag merge.
         self.attrs = attrs if attrs is not None else {}
+        self.attr_ns = attr_ns
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"<Element {self.name} ns={self.namespace.rsplit('/', 1)[-1]}>"
@@ -105,11 +117,28 @@ class TemplateElement(Element):
 
 
 class Text(Node):
-    __slots__ = ("data",)
+    """Character data node with LAZY run accumulation: coalesced
+    fragments collect in ``_parts`` and join once on first ``data``
+    read (then stay joined). Readers see a plain string; writers that
+    REPLACE the content assign ``data`` normally."""
+
+    __slots__ = ("_parts",)
 
     def __init__(self, data: str):
         super().__init__()
-        self.data = data
+        self._parts = [data]
+
+    @property
+    def data(self) -> str:
+        parts = self._parts
+        if len(parts) != 1:
+            parts = ["".join(parts)]
+            self._parts = parts
+        return parts[0]
+
+    @data.setter
+    def data(self, value: str):
+        self._parts = [value]
 
 
 class Comment(Node):

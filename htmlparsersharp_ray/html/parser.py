@@ -27,29 +27,55 @@ def preprocess(text: str) -> str:
 
 
 class ParseResult:
-    __slots__ = ("root", "errors", "doc_mode", "tokens", "encoding_declared")
+    __slots__ = ("root", "errors", "doc_mode", "tokens", "encoding_declared",
+                 "error_positions")
 
-    def __init__(self, root, errors, doc_mode, tokens=0, encoding_declared=None):
+    def __init__(self, root, errors, doc_mode, tokens=0, encoding_declared=None,
+                 error_positions=None):
         self.root = root
         self.errors = errors
         self.doc_mode = doc_mode
         self.tokens = tokens
         self.encoding_declared = encoding_declared
+        # list of (line, col) per parse error when track_positions=True
+        # (reference: ILocator, Core/Locator.cs); None otherwise
+        self.error_positions = error_positions
+
+
+def _offsets_to_positions(text: str, offsets) -> list[tuple[int, int]]:
+    """(line, col), both 1-based, for each recorded character offset —
+    computed lazily at parse end, so the hot path only stores ints."""
+    out = []
+    for off in sorted(offsets):
+        line = text.count("\n", 0, off) + 1
+        col = off - text.rfind("\n", 0, off)
+        out.append((line, col))
+    return out
 
 
 def parse(text: str, scripting: bool = False,
-          ignore_comments: bool = False) -> ParseResult:
+          ignore_comments: bool = False,
+          track_positions: bool = False) -> ParseResult:
     """Parse a complete HTML document; returns the Document plus metrics.
     ``ignore_comments`` mirrors the reference's IsIgnoringComments knob
-    (reference: TreeBuilder.cs:5752-5762)."""
+    (reference: TreeBuilder.cs:5752-5762). ``track_positions=True``
+    records a (line, col) per parse error — the reference's ILocator
+    surface (Core/Locator.cs, TaintableLocator.cs) — for debugging
+    malformed corpora; disabled (zero-cost) on the extraction hot path."""
     text = preprocess(text)
     builder = TreeBuilder(scripting=scripting, ignore_comments=ignore_comments)
     tokenizer = Tokenizer(builder)
+    if track_positions:
+        tokenizer.error_offsets = []
     builder.tokenizer = tokenizer
     tokenizer.run(text)
+    positions = (
+        _offsets_to_positions(text, tokenizer.error_offsets)
+        if track_positions else None
+    )
     return ParseResult(builder.doc, tokenizer.errors + builder.errors,
                        builder.doc.mode, builder.token_count,
-                       builder.encoding_declared)
+                       builder.encoding_declared, positions)
 
 
 def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:

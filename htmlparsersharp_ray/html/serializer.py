@@ -50,7 +50,7 @@ def serialize_tree(root) -> str:
             lines.append(f"{indent}<{prefix}{node.name}>")
             # attr keys are stored as html5lib display names already
             # ("xlink href", "xml lang", ...); emit verbatim, sorted.
-            for name, (_ns, value) in sorted(node.attrs.items()):
+            for name, value in sorted(node.attrs.items()):
                 lines.append(f'{indent}  {name}="{value}"')
             for child in reversed(node.children):
                 stack.append((child, depth + 1))
@@ -132,7 +132,7 @@ def serialize_html(root) -> str:
         else:  # Element
             name = child.name
             append(f"<{name}")
-            for aname, (_ns, value) in child.attrs.items():
+            for aname, value in child.attrs.items():
                 append(f' {aname}="{_escape_attr(value)}"')
             append(">")
             if not (child.namespace == HTML_NS and name in _VOID):

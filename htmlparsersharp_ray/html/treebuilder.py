@@ -136,6 +136,11 @@ class TreeBuilder:
     # ------------------------------------------------------------------ util
     def error(self):
         self.errors += 1
+        tok = self.tokenizer
+        if tok is not None and tok.error_offsets is not None:
+            # reference parity: tree-builder errors report the
+            # tokenizer's current position (TaintableLocator semantics)
+            tok.error_offsets.append(tok.mark)
 
     def _current(self):
         return self.open[-1]
@@ -191,7 +196,7 @@ class TreeBuilder:
         )
         el = cls(
             name, namespace,
-            {k: (None, v) for k, v in attrs.items()} if attrs else {},
+            attrs if attrs else {},
         )
         parent, ref = self._appropriate_parent()
         if ref is None:
@@ -202,8 +207,9 @@ class TreeBuilder:
             self.open.append(el)
         return el
 
-    def _insert_foreign(self, name, attrs_adjusted, namespace, push=True):
-        el = Element(name, namespace, attrs_adjusted)
+    def _insert_foreign(self, name, attrs_adjusted, namespace, push=True,
+                        attr_ns=None):
+        el = Element(name, namespace, attrs_adjusted, attr_ns)
         parent, ref = self._appropriate_parent()
         if ref is None:
             parent.append(el)
@@ -357,7 +363,7 @@ class TreeBuilder:
         while i < len(afe):
             entry = afe[i]
             el = self._insert_element(entry.name, {}, push=True)
-            el.attrs = {k: (None, v) for k, v in entry.attrs.items()}
+            el.attrs = entry.attrs
             afe[i] = _FmtEntry(el, entry.name, entry.attrs)
             i += 1
 
@@ -437,7 +443,7 @@ class TreeBuilder:
                     continue
                 # clone node from its AFE token data
                 entry = self.afe[node_afe_idx]
-                clone = Element(entry.name, HTML_NS, {k: (None, v) for k, v in entry.attrs.items()})
+                clone = Element(entry.name, HTML_NS, entry.attrs)
                 self.afe[node_afe_idx] = _FmtEntry(clone, entry.name, entry.attrs)
                 self.open[node_idx] = clone
                 node = clone
@@ -466,7 +472,7 @@ class TreeBuilder:
             else:
                 common_ancestor.append(last_node)
             # new element: clone of fmt element, children of furthest moved in
-            clone = Element(fmt_entry.name, HTML_NS, {k: (None, v) for k, v in fmt_entry.attrs.items()})
+            clone = Element(fmt_entry.name, HTML_NS, fmt_entry.attrs)
             for child in list(furthest.children):
                 furthest.remove_child(child)
                 clone.append(child)
@@ -836,7 +842,7 @@ class TreeBuilder:
             self.start_tag(name, attrs, self_closing)
             return
         ns = self._adjusted_current().namespace
-        adjusted = {}
+        adjusted, ns_map = {}, None
         for aname, avalue in attrs.items():
             if ns == SVG_NS:
                 aname = SVG_ATTR_ADJUST.get(aname, aname)
@@ -844,18 +850,21 @@ class TreeBuilder:
                 aname = MATHML_ATTR_ADJUST.get(aname, aname)
             fa = FOREIGN_ATTR_ADJUST.get(aname)
             if fa is not None:
-                adjusted[fa[0]] = (fa[1], avalue)
+                adjusted[fa[0]] = avalue
+                ns_map = ns_map or {}
+                ns_map[fa[0]] = fa[1]
             else:
-                adjusted[aname] = (None, avalue)
+                adjusted[aname] = avalue
         if ns == SVG_NS:
             name = SVG_ELEMENT_ADJUST.get(name, name)
-        el = self._insert_foreign(name, adjusted, ns, push=True)
+        el = self._insert_foreign(name, adjusted, ns, push=True,
+                                  attr_ns=ns_map)
         if self_closing:
             self.open.pop()
             # <script/> in SVG would execute; scripting off → plain pop
 
     def _create_html_root(self, attrs):
-        el = Element("html", HTML_NS, {k: (None, v) for k, v in attrs.items()})
+        el = Element("html", HTML_NS, attrs)
         self.doc.append(el)
         self.open.append(el)
 
@@ -872,7 +881,7 @@ class TreeBuilder:
         Core/HtmlAttributes.cs:620-631)."""
         for k, v in attrs.items():
             if k not in el.attrs:
-                el.attrs[k] = (None, v)
+                el.attrs[k] = v
 
     def _parse_rawtext(self, name, attrs, model):
         self._insert_element(name, attrs)
@@ -1403,29 +1412,33 @@ class TreeBuilder:
             return
         if name == "math":
             self._reconstruct_afe()
-            adjusted = {}
+            adjusted, ns_map = {}, None
             for aname, avalue in attrs.items():
                 aname = MATHML_ATTR_ADJUST.get(aname, aname)
                 fa = FOREIGN_ATTR_ADJUST.get(aname)
                 if fa is not None:
-                    adjusted[fa[0]] = (fa[1], avalue)
+                    adjusted[fa[0]] = avalue
+                    ns_map = ns_map or {}
+                    ns_map[fa[0]] = fa[1]
                 else:
-                    adjusted[aname] = (None, avalue)
-            self._insert_foreign(name, adjusted, MATHML_NS)
+                    adjusted[aname] = avalue
+            self._insert_foreign(name, adjusted, MATHML_NS, attr_ns=ns_map)
             if self_closing:
                 self.open.pop()
             return
         if name == "svg":
             self._reconstruct_afe()
-            adjusted = {}
+            adjusted, ns_map = {}, None
             for aname, avalue in attrs.items():
                 aname = SVG_ATTR_ADJUST.get(aname, aname)
                 fa = FOREIGN_ATTR_ADJUST.get(aname)
                 if fa is not None:
-                    adjusted[fa[0]] = (fa[1], avalue)
+                    adjusted[fa[0]] = avalue
+                    ns_map = ns_map or {}
+                    ns_map[fa[0]] = fa[1]
                 else:
-                    adjusted[aname] = (None, avalue)
-            self._insert_foreign(name, adjusted, SVG_NS)
+                    adjusted[aname] = avalue
+            self._insert_foreign(name, adjusted, SVG_NS, attr_ns=ns_map)
             if self_closing:
                 self.open.pop()
             return
