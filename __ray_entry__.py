@@ -125,6 +125,43 @@ def _q_embeddings_lsh_dups(sf_dir: str):
     return out[["doc_a", "doc_b"]]
 
 
+def _q_docs_clean_corpus(sf_dir: str):
+    """END-TO-END training-data cleaning composition — the shape a real
+    corpus-prep run builds from this engine's operators, chained as one
+    streaming Dataset pipeline (no driver materialization between
+    stages): exact dedup (keep first per content hash) → quality filter
+    (n_words >= 20) → language filter (lang_pred == 'en') → per-doc
+    token counts. Every stage reuses the individually-oracled operator
+    (exact_dedup / QualityUDF / LangIdUDF / TokenCountUDF), and the
+    oracle SQL composes the same already-proven pieces."""
+    from htmlparsersharp_ray.stages.dedup import exact_dedup
+    from htmlparsersharp_ray.stages.text_analysis import (
+        LangIdUDF,
+        QualityUDF,
+        TokenCountUDF,
+    )
+
+    ds = exact_dedup(_docs(sf_dir))
+    quality = QualityUDF()
+    langid = LangIdUDF()
+
+    def quality_filter(df):
+        scores = quality(df.copy())
+        return df[(scores["n_words"] >= 20).to_numpy()]
+
+    def lang_filter(df):
+        pred = langid(df.copy())
+        return df[(pred["lang_pred"] == "en").to_numpy()]
+
+    out = (
+        ds.map_batches(quality_filter, batch_format="pandas")
+        .map_batches(lang_filter, batch_format="pandas")
+        .map_batches(TokenCountUDF, batch_format="pandas",
+                     batch_size=2048, concurrency=(1, 2))
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_token_counts(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import token_counts
 
@@ -288,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         # text analysis
+        "docs_clean_corpus": _q_docs_clean_corpus,
         "docs_token_counts": _q_docs_token_counts,
         "docs_quality": _q_docs_quality,
         "docs_langid": _q_docs_langid,
@@ -521,6 +559,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (
                 SELECT min(doc_id) FROM documents GROUP BY md5(text)
             )
+            ORDER BY doc_id
+        """,
+        "docs_clean_corpus": """
+            -- end-to-end cleaning composition: each CTE is the oracle of
+            -- an individually-verified operator (docs_exact_dedup /
+            -- docs_quality / docs_langid / docs_token_counts)
+            WITH dedup AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (
+                  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+              )
+            ), q AS (
+              SELECT doc_id, text FROM dedup
+              WHERE CASE WHEN trim(text) = '' THEN 0
+                         ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                    END >= 20
+            ), w AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS ws,
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM q
+            ), c AS (
+              SELECT doc_id, text, has_cjk,
+                len(list_filter(ws, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','mit','auf','für'], x))) AS de,
+                len(list_filter(ws, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+                len(list_filter(ws, x -> list_contains(
+                  ['el','la','los','y','de','un','una','es','para','en'], x))) AS es,
+                len(list_filter(ws, x -> list_contains(
+                  ['le','la','les','et','de','un','une','est','pour','dans'], x))) AS fr
+              FROM w
+            ), kept AS (
+              SELECT doc_id, text FROM c
+              WHERE (CASE WHEN has_cjk THEN 'zh'
+                          WHEN greatest(de, en, es, fr) = 0 THEN 'en'
+                          WHEN de = greatest(de, en, es, fr) THEN 'de'
+                          WHEN en = greatest(de, en, es, fr) THEN 'en'
+                          WHEN es = greatest(de, en, es, fr) THEN 'es'
+                          ELSE 'fr' END) = 'en'
+            )
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                       AS bpe_tokens
+            FROM kept
             ORDER BY doc_id
         """,
         "docs_token_counts": """

@@ -554,3 +554,36 @@ def test_fingerprint_fast_deterministic_and_semantic(ray_session):
     # short doc: single window of all words
     th3 = hash_strings64(np.asarray(texts[2].split(), dtype=object))
     assert int(np.uint64(a["fingerprint64"][2])) == int(window_hashes(th3, 3)[0])
+
+
+def test_clean_corpus_composition(ray_session):
+    """End-to-end cleaning composition: dedup drops the exact dup,
+    quality drops short docs, langid drops non-English, survivors get
+    token counts."""
+    import ray.data
+    import __ray_entry__ as entry
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    en_long = ("the quick brown fox jumps over the lazy dog and then the "
+               "dog wakes up to chase the fox around the yard for a while")
+    de_long = ("der hund und die katze sind mit der maus auf der wiese und "
+               "das ist ein langer deutscher satz mit vielen wörtern der "
+               "für den test geschrieben wurde und noch länger wird")
+    rows = [
+        (0, "en", en_long),
+        (1, "en", en_long),          # exact dup of 0 → dropped
+        (2, "en", "too short"),      # quality-filtered
+        (3, "de", de_long),          # language-filtered
+        (4, "en", en_long + " extra tail words here making it unique"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        out = entry.queries()["docs_clean_corpus"](d)
+    assert list(out["doc_id"]) == [0, 4]
+    assert (out["ws_tokens"] >= 20).all()
