@@ -134,6 +134,24 @@ def run_bench() -> dict:
     )
     queries["docs_minhash_pairs"] = round(time.time() - t0, 3)
 
+    from htmlparsersharp_ray.stages.dedup import (
+        embedding_cosine_dup_pairs,
+        simhash_pairs,
+    )
+
+    t0 = time.time()
+    simhash_pairs(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet")),
+        max_hamming=6,
+    )
+    queries["docs_simhash_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    embedding_cosine_dup_pairs(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=0.45, n_planes=4, n_tables=32,
+    )
+    queries["embeddings_lsh_dups"] = round(time.time() - t0, 3)
+
     # fingerprint pair: md5-winnowing oracle op vs the rolling-hash scale
     # path — the bench line that shows the full-corpus-pass cost drop
     from htmlparsersharp_ray.stages.text_analysis import fingerprints, fingerprints_fast
