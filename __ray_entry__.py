@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
+        "join_left": r.q_join_left,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
         # dedup family
@@ -473,6 +474,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "join_left": """
+            SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS cnt
+                FROM orders GROUP BY o_custkey
+            ) o ON c_custkey = o_custkey
+            ORDER BY c_custkey
         """,
         "lineitem_global_agg": """
             -- TPC-H Q6 shape; DECIMAL casts => exact order-independent sum

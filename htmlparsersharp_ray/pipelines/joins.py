@@ -180,6 +180,7 @@ def hash_join(
     strict_empty_schema: bool = False,
     salt: int = 1,
     hot_keys=None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed hash join of two Datasets on a single key column.
 
@@ -253,9 +254,15 @@ def hash_join(
         except Exception:
             return None
 
+    # A caller-supplied right_schema skips the eager right.schema() a
+    # LEFT join otherwise needs (which executes part of the right plan —
+    # the whole sub-plan when the right side ends in a groupby barrier).
     ls = left.schema() if strict_empty_schema else _free_schema(left)
-    rs = (right.schema() if (how == "left" or strict_empty_schema)
-          else _free_schema(right))
+    if right_schema is not None:
+        rs = right_schema
+    else:
+        rs = (right.schema() if (how == "left" or strict_empty_schema)
+              else _free_schema(right))
     # synthesizing an empty JOINED frame needs both layouts (right is
     # always known for left joins — eager by necessity, to null-fill)
     if ls is not None and rs is not None:

@@ -297,6 +297,57 @@ def q_part_stats(sf_dir: str):
     return df
 
 
+def q_join_left(sf_dir: str):
+    """LEFT OUTER join through the bucketed shuffle hash join: every
+    customer survives; customers with no orders get n_orders = 0 (the
+    null-fill path — SQL null semantics are pytest-gated in
+    test_joins). The right side pre-aggregates order counts per
+    customer (per-batch partials, then ONE bounded-bucket merge) so the
+    join input is customer-grained; count merges stay int64-exact (a
+    per-customer order count can't approach the wrap point)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import hash_join
+
+    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).agg(cnt=("o_custkey", "count"))
+
+    def add_kb(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        kb = (hashing.mix64(k) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("kb", pa.array(kb))
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = (
+        ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(add_kb, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+    joined = hash_join(
+        cust, counts, "c_custkey", "o_custkey", how="left",
+        # known layout of the counts side — skips the eager schema()
+        # that would otherwise execute the counts sub-plan twice
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("cnt", pa.int64())]),
+    )
+    df = joined.to_pandas()
+    df["n_orders"] = df["cnt"].fillna(0).astype("int64")
+    return (
+        df[["c_custkey", "n_orders"]]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     custom operator: partition by key, order by time inside the group, and
