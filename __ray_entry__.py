@@ -162,6 +162,26 @@ def _q_docs_clean_corpus(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_events_user_hll(sf_dir: str):
+    """HyperLogLog approximate distinct users (mergeable sketch — one
+    16 KiB register blob per batch, max-merged; the driver holds ONE
+    array regardless of input size). No SQL oracle (the estimate is
+    approximate by construction); the ±1% accuracy envelope and
+    merge-associativity are pytest-gated, and the exact distinct count
+    at sf0.01 is asserted within 2% in tests."""
+    import os as _os
+
+    import pandas as pd
+    import ray.data
+    from htmlparsersharp_ray.stages.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
 def _q_docs_token_counts(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import token_counts
 
@@ -308,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_nation_region": r.q_join_nation_region,
         "events_window": r.q_events_window,
         "events_sessions": r.q_events_sessions,
+        "events_running_total": r.q_events_running_total,
+        "events_user_hll": _q_events_user_hll,
+        "orders_semi": r.q_orders_semi,
         "distinct_event_types": r.q_distinct,
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
@@ -416,6 +439,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_no
             ORDER BY user_id, session_start
+        """,
+        "events_running_total": """
+            -- ORDER-BY window function; DECIMAL accumulation == the
+            -- engine's exact int64-cents running sum (see lineitem_agg)
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+            FROM events
+            ORDER BY user_id, event_id
+        """,
+        "orders_semi": """
+            -- EXISTS semi-join; DECIMAL cast => exact sum
+            SELECT count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type

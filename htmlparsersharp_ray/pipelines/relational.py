@@ -348,6 +348,85 @@ def q_join_left(sf_dir: str):
     )
 
 
+def q_events_running_total(sf_dir: str):
+    """ORDER-BY window function: per-user running sum of value in
+    event-time order — the row-windowed aggregate beside the tumbling
+    (q_events_window) and session (q_events_sessions) windows.
+
+    Scale shape: users bucketize by hash (bounded group count, the
+    repo-standard move); inside each bucket ONE vectorized pandas
+    sort + per-user cumsum computes every user's window. Exact int64
+    cents accumulate the running sum, so the result bit-matches the
+    DECIMAL-window oracle."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def add_ub(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("ub", pa.array(ub))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        g["run_total"] = (
+            pd.Series(cents, index=g.index).groupby(g["user_id"]).cumsum()
+            / 100.0
+        )
+        return g[["user_id", "event_id", "run_total"]]
+
+    out = (
+        ds.map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_semi(sf_dir: str):
+    """Broadcast SEMI-join (EXISTS): orders whose customer is in the
+    BUILDING segment — the key set ships once via ray.put and each batch
+    filters with a vectorized isin; no shuffle, no right columns, no
+    fan-out on duplicate keys. Output is a global exact-cents aggregate
+    of the surviving orders (1 row)."""
+    import numpy as np
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    keys_ref = ray.put(np.sort(keys))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[np.isin(b["o_custkey"].to_numpy(), self.keys)]
+            tp_c = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+            return pd.DataFrame({"tp_cents": [int(tp_c.sum())],
+                                 "n_orders": [int(len(b))]})
+
+    parts = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(SemiFilter, batch_format="pandas",
+                  concurrency=(1, 2)).to_pandas()
+    total = sum(int(v) for v in parts["tp_cents"])  # Python-int merge
+    return pd.DataFrame({
+        "n_orders": [int(parts["n_orders"].sum())],
+        "total_price": [total / 100.0],
+    })
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     custom operator: partition by key, order by time inside the group, and

@@ -1,0 +1,100 @@
+"""Mergeable sketches for approximate distributed aggregates.
+
+HyperLogLog (Flajolet et al. 2007, plus the standard small-range linear
+counting correction) over a 64-bit hash — the mergeable-sketch shape a
+100-TB pipeline needs for distinct counts: each batch collapses to a
+fixed 16 KiB register array, partials max-merge in ANY order (fully
+associative/commutative, so Ray's reduction order is irrelevant), and
+the driver only ever holds one register array. Deterministic: splitmix64
+over the key (stages/hashing.py), no RNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .hashing import hash_strings64, mix64
+
+_P = 14                      # 2^14 = 16384 registers → ~0.65% std error
+_M = 1 << _P
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _bit_length64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (no float round-trip — float64
+    can't represent 64-bit ints exactly near powers of two)."""
+    x = x.copy()
+    out = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = (x >> np.uint64(s)) > 0
+        out[mask] += s
+        x[mask] >>= np.uint64(s)
+    out[x > 0] += 1
+    return out
+
+
+def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return mix64(col.cast(pa.int64()).fill_null(0)
+                     .to_numpy(zero_copy_only=False).astype(np.uint64))
+    return hash_strings64(np.asarray(
+        ["" if v is None else str(v) for v in col.to_pylist()], dtype=object))
+
+
+def hll_registers(values_hash: np.ndarray) -> np.ndarray:
+    """Register array (uint8[16384]) for a batch of 64-bit hashes:
+    index = top P bits; rho = leading-zero count of the remaining
+    64-P bits + 1."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    if not len(values_hash):
+        return regs
+    idx = (values_hash >> np.uint64(64 - _P)).astype(np.int64)
+    w = values_hash << np.uint64(_P)  # remaining bits, left-aligned
+    rho = (64 - _P + 1) - _bit_length64(w >> np.uint64(_P))
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate with the standard linear-counting small-range
+    correction."""
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
+    """Approximate COUNT(DISTINCT column) over a Dataset.
+
+    Per-batch register partials (one 16 KiB blob per batch) max-merge in
+    one small task; the driver receives ONE register array regardless of
+    input size — the mergeable-sketch pattern (same shape as the minhash
+    Bloom prune, stages/dedup.py)."""
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(_key_hash(batch.column(column)))
+        return pa.table({"blob": pa.array([regs.tobytes()], pa.large_binary())})
+
+    def max_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(_M, dtype=np.uint8)
+        for blob in batch.column("blob"):
+            np.maximum(acc, np.frombuffer(blob.as_py(), dtype=np.uint8),
+                       out=acc)
+        return pa.table({"blob": pa.array([acc.tobytes()], pa.large_binary())})
+
+    merged = (
+        ds.map_batches(batch_regs, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(max_merge, batch_format="pyarrow", batch_size=None)
+        .take(1)
+    )
+    regs = (np.frombuffer(merged[0]["blob"], dtype=np.uint8)
+            if merged else np.zeros(_M, dtype=np.uint8))
+    return hll_estimate(regs)

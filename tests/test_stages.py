@@ -587,3 +587,37 @@ def test_clean_corpus_composition(ray_session):
         out = entry.queries()["docs_clean_corpus"](d)
     assert list(out["doc_id"]) == [0, 4]
     assert (out["ws_tokens"] >= 20).all()
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    """HyperLogLog gates: ±2% of the exact distinct count on the
+    driver's events table, and register max-merge associativity (any
+    partial split estimates the same union)."""
+    import os
+
+    import ray.data
+    from htmlparsersharp_ray.stages.hashing import mix64
+    from htmlparsersharp_ray.stages.sketches import (
+        approx_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # pure-math accuracy envelope at several scales
+    for n in (1000, 20000, 200000):
+        h = mix64(np.arange(n, dtype=np.uint64))
+        est = hll_estimate(hll_registers(h))
+        assert abs(est - n) / n < 0.02, (n, est)
+    # merge associativity: overlapping splits -> same registers
+    h = mix64(np.arange(50000, dtype=np.uint64))
+    whole = hll_registers(h)
+    merged = np.maximum(hll_registers(h[:30000]), hll_registers(h[25000:]))
+    assert (whole == merged).all()
+
+    path = "/root/testdata/sf0.01/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    ds = ray.data.read_parquet(path, columns=["user_id"])
+    exact = len(set(ds.to_pandas()["user_id"]))
+    est = approx_distinct(ds, "user_id")
+    assert abs(est - exact) / exact < 0.02
