@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": r.q_distinct,
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
+        "part_quantiles": r.q_part_quantiles,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
@@ -475,6 +476,17 @@ def oracle_sql() -> dict[str, str]:
                    min(p_retailprice) AS min_price,
                    max(p_retailprice) AS max_price,
                    avg(p_size) AS avg_size,
+                   count(*) AS n_parts
+            FROM part
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "part_quantiles": """
+            -- discrete quantiles pick real elements → hash-exact
+            SELECT p_brand,
+                   quantile_disc(p_retailprice, 0.25) AS p25,
+                   quantile_disc(p_retailprice, 0.5) AS median,
+                   quantile_disc(p_retailprice, 0.9) AS p90,
                    count(*) AS n_parts
             FROM part
             GROUP BY p_brand

@@ -427,6 +427,44 @@ def q_orders_semi(sf_dir: str):
     })
 
 
+def q_part_quantiles(sf_dir: str):
+    """Exact grouped PERCENTILES (p25/median/p90 of retail price per
+    brand): discrete quantiles pick real elements (sorted[ceil(q·n)−1],
+    DuckDB quantile_disc semantics), so the result is hash-exact with
+    no float accumulation at all. The grouping key is low-cardinality
+    (25 brands), so a direct groupby is shuffle-cheap and each group's
+    sort fits a worker; a 100-TB quantile over a HIGH-cardinality or
+    giant group would swap in a mergeable sketch (the HLL pattern,
+    stages/sketches.py) at some accuracy cost."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["p_retailprice"].to_numpy())
+        n = len(v)
+
+        def pick(q):
+            return float(v[max(0, math.ceil(q * n) - 1)])
+
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "p25": [pick(0.25)],
+            "median": [pick(0.5)],
+            "p90": [pick(0.9)],
+            "n_parts": [n],
+        })
+
+    out = ds.groupby("p_brand").map_groups(qtile, batch_format="pandas")
+    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["n_parts"] = df["n_parts"].astype("int64")
+    return df
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     custom operator: partition by key, order by time inside the group, and
