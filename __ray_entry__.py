@@ -182,6 +182,12 @@ def _q_events_user_hll(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [round(est)]})
 
 
+def _q_docs_top_terms(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import top_terms
+
+    return top_terms(_docs(sf_dir), k=20)
+
+
 def _q_docs_token_counts(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import token_counts
 
@@ -330,7 +336,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.q_events_sessions,
         "events_running_total": r.q_events_running_total,
         "events_user_hll": _q_events_user_hll,
+        "events_user_distinct": r.q_event_user_distinct,
+        "events_asof": r.q_events_asof,
+        "events_lag": r.q_events_lag,
         "orders_semi": r.q_orders_semi,
+        "customer_anti": r.q_customer_anti,
+        "lineitem_rollup": r.q_lineitem_rollup,
+        "segment_status_pivot": r.q_segment_status_pivot,
         "distinct_event_types": r.q_distinct,
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
@@ -341,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left": r.q_join_left,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
+        "docs_stratified_sample": r.q_docs_stratified_sample,
+        "docs_top_terms": _q_docs_top_terms,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -451,6 +465,72 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY user_id, event_id
         """,
+        "events_user_distinct": """
+            -- exact grouped COUNT(DISTINCT) — the companion to the HLL
+            -- sketch estimate (events_user_hll)
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_asof": """
+            -- AS-OF join: latest 'view' strictly before each 'purchase'
+            -- (strict on the (ts, event_id) tuple; -1 = no prior view);
+            -- exact integer-µs gap, no float time math
+            WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+                 p AS (SELECT * FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   COALESCE(pv.event_id, -1) AS view_event_id,
+                   COALESCE(epoch_us(p.ts) - epoch_us(pv.ts), -1) AS gap_us
+            FROM p LEFT JOIN LATERAL (
+                SELECT v.event_id, v.ts FROM v
+                WHERE v.user_id = p.user_id
+                  AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) pv ON TRUE
+            ORDER BY p.event_id
+        """,
+        "events_lag": """
+            -- LAG window function; exact integer-µs gaps, -1 for each
+            -- user's first event
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1)
+                       AS gap_us
+            FROM events ORDER BY event_id
+        """,
+        "customer_anti": """
+            -- NOT EXISTS anti-join (mirror of orders_semi)
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            ORDER BY c_custkey
+        """,
+        "lineitem_rollup": """
+            -- GROUP BY ROLLUP; DECIMAL cast => exact order-independent
+            -- sums (see lineitem_agg); source columns are never NULL so
+            -- COALESCE('ALL') labels exactly the rolled-up levels
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "segment_status_pivot": """
+            -- PIVOT via fixed-domain conditional counts
+            SELECT c_mktsegment,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
         "orders_semi": """
             -- EXISTS semi-join; DECIMAL cast => exact sum
             SELECT count(*) AS n_orders,
@@ -552,6 +632,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 1) IN ('0', '1')
             ORDER BY doc_id
+        """,
+        "docs_stratified_sample": """
+            -- per-stratum deterministic content-hash rates:
+            -- en 1/16, every other lang 4/16
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0')
+               OR (lang <> 'en' AND substr(md5(text), 1, 1) IN ('1', '2', '3'))
+            ORDER BY doc_id
+        """,
+        "docs_top_terms": """
+            -- corpus top-20 whitespace tokens of lower(trim(text));
+            -- ties break term-ascending (same tokenization convention
+            -- as docs_langid / docs_fingerprint)
+            WITH w AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, count(*) AS n FROM w
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
         """,
         "docs_minhash_pairs": """
             -- exact 3-gram Jaccard >= 0.5 pair mining, brute force. The

@@ -747,6 +747,291 @@ def q_lineitem_global_agg(sf_dir: str):
     return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [n]})
 
 
+def q_events_asof(sf_dir: str):
+    """AS-OF join (events ⋈ most-recent-prior event): for each 'purchase'
+    event, the latest 'view' event of the same user strictly before it
+    (strict on the (ts, event_id) tuple, so equal-timestamp ties are
+    unambiguous — ASOF-join tie semantics vary by engine, the tuple order
+    doesn't). The operator Ray Data lacks natively, built as the
+    documented composition (SURVEY.md §2 custom operators): bucket by
+    user-hash (bounded group count), sort inside the bucket, and a
+    vectorized last-non-null scan — shift(1)+ffill over the sorted frame
+    gives "latest view before this row" with NO per-row or per-user
+    Python loop; a parallel ffill of the source user/ts validates
+    cross-user fills. Partitioning assumption: one user's events fit a
+    bucket worker (same as q_events_sessions)."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["view", "purchase"]),
+        )
+        t = batch.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
+        return t.append_column("ub", pa.array(ub))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        is_view = (g["event_type"] == "view").to_numpy()
+        # view event id / user / ts where the row is a view, else NaN;
+        # shift(1)+ffill = latest view STRICTLY before each row
+        vid = pd.Series(np.where(is_view, g["event_id"], np.nan))
+        vus = pd.Series(np.where(is_view, g["user_id"], np.nan))
+        vts = pd.Series(
+            g["ts"].where(pd.Series(is_view, index=g.index))
+        )
+        prev_id = vid.shift(1).ffill()
+        prev_us = vus.shift(1).ffill()
+        prev_ts = vts.shift(1).ffill()
+        valid = prev_us.to_numpy() == g["user_id"].to_numpy()  # NaN != x
+        keep = (g["event_type"] == "purchase").to_numpy()
+        out = pd.DataFrame({
+            "event_id": g.loc[keep, "event_id"].to_numpy(),
+            "user_id": g.loc[keep, "user_id"].to_numpy(),
+        })
+        pid = np.where(valid, prev_id.to_numpy(), -1.0)[keep]
+        out["view_event_id"] = pid.astype("int64")
+        gap = (
+            g["ts"].astype("int64").to_numpy()
+            - prev_ts.astype("int64").to_numpy()  # NaT -> iNaT, masked next
+        )
+        out["gap_us"] = np.where(valid, gap, -1)[keep].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_lag(sf_dir: str):
+    """LAG window function: per-event gap (µs, exact int64 — no float
+    time math) since the same user's previous event, -1 for each user's
+    first. Same bucket-then-vectorize shape as q_events_running_total;
+    the lag itself is one shift(1) over the sorted bucket with a
+    user-boundary mask."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_ub(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("ub", pa.array(ub))
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        same_user = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
+        same_user[0] = False
+        gap = ts_us - np.roll(ts_us, 1)
+        g["gap_us"] = np.where(same_user, gap, -1).astype("int64")
+        return g[["event_id", "user_id", "gap_us"]]
+
+    out = (
+        ds.map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(lag, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_user_distinct(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT): distinct users per event type —
+    the exact companion to the HLL sketch (events_user_hll). Scale
+    shape: each batch first collapses to its distinct (type, user)
+    pairs, the bucketed merge dedups pairs bucketed by USER hash (so
+    one group never sees more than users/64 — a hot event_type cannot
+    skew a bucket), and per-bucket distinct counts sum to the answer
+    because user-buckets partition the pair space."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates()
+        u = p["user_id"].to_numpy().astype(np.uint64)
+        p = p.assign(ub=(hashing.mix64(u) % np.uint64(64)).astype(np.int64))
+        return p
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "count")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    df = (
+        parts.groupby("event_type", as_index=False)["n_users"].sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    df["n_users"] = df["n_users"].astype("int64")
+    return df
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (flag, status): the hierarchical-totals aggregate.
+    Scale shape: ONE pass computes the finest-grain exact-cents partials
+    (≤6 rows per batch, as q_lineitem_agg); the two super-aggregate
+    levels are derived from the merged leaf rows on the driver — O(groups)
+    work, never a second scan. 'ALL' marks rolled-up levels (the data's
+    own values are never NULL, so the label is unambiguous)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_quantity"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": qty_c,
+        }).to_pandas()
+        return t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), n_rows=("qty_c", "count")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _pysum_cols(parts, ["qty_c"])
+    leaf = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        qty_c=("qty_c", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl1 = leaf.groupby("l_returnflag", as_index=False).agg(
+        qty_c=("qty_c", "sum"), n_rows=("n_rows", "sum")
+    )
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "qty_c": [int(leaf["qty_c"].sum())],
+        "n_rows": [int(leaf["n_rows"].sum())],
+    })
+    df = pd.concat([leaf, lvl1, total], ignore_index=True)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df["sum_qty"] = [int(v) / 100.0 for v in df.pop("qty_c")]
+    return (
+        df[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q_segment_status_pivot(sf_dir: str):
+    """PIVOT: order counts per market segment spread across order-status
+    columns. Broadcast dimension lookup + per-batch 2-D count partials
+    (segment × status is a tiny fixed grid, so every batch collapses to
+    ≤15 rows before the exchange); the driver pivots the merged grid —
+    columns come from the fixed status domain, not from data discovery,
+    so the output schema is stable at any scale."""
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class CountGrid:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(c_mktsegment=b["o_custkey"].map(self.lookup))
+            return b.groupby(
+                ["c_mktsegment", "o_orderstatus"], as_index=False
+            ).agg(n=("o_orderstatus", "count"))
+
+    parts = (
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+        )
+        .map_batches(CountGrid, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()
+    )
+    grid = parts.groupby(
+        ["c_mktsegment", "o_orderstatus"], as_index=False
+    )["n"].sum()
+    wide = grid.pivot_table(
+        index="c_mktsegment", columns="o_orderstatus", values="n",
+        aggfunc="sum", fill_value=0,
+    )
+    df = pd.DataFrame({"c_mktsegment": wide.index})
+    for status in ("F", "O", "P"):  # fixed domain: stable schema
+        col = wide[status].to_numpy() if status in wide.columns else 0
+        df[f"n_{status.lower()}"] = pd.Series(col).astype("int64")
+    df["n_orders"] = (df["n_f"] + df["n_o"] + df["n_p"]).astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_customer_anti(sf_dir: str):
+    """Broadcast ANTI-join (NOT EXISTS): customers with no order since
+    2000-01-01. The active-customer key set builds distributedly
+    (per-batch unique partials — bounded by |customer|, not |orders|),
+    ships once via ray.put, and each customer batch filters with a
+    vectorized isin negation. No shuffle; the mirror of q_orders_semi."""
+    import numpy as np
+
+    cutoff = pd.Timestamp("2000-01-01")
+
+    def active_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("o_orderdate"), pa.scalar(cutoff)))
+        keys = pc.unique(t.column("o_custkey"))
+        return pa.table({"o_custkey": keys})
+
+    active = (
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(active_partial, batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = ray.put(np.sort(active.astype("int64")))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[~np.isin(b["c_custkey"].to_numpy(), self.keys)]
+
+    out = (
+        ray.data.read_parquet(
+            _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+        )
+        .map_batches(AntiFilter, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic content-hash sampling (the reproducible-split op a
     training-data pipeline needs): keep documents whose md5(text) starts
@@ -767,6 +1052,36 @@ def q_docs_sample(sf_dir: str):
             pa.bool_(),
         )
         return batch.filter(mask).select(["doc_id"])
+
+    df = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """STRATIFIED deterministic sampling: per-stratum rates (majority
+    'en' at 1/16, every other lang at 4/16) via the same content-hash
+    predicate as q_docs_sample — rebalancing a skewed corpus without RNG
+    or shuffle. Still a pure per-batch filter: the stratum column rides
+    in the row, so rates apply locally and reproduce at any parallelism
+    (and in DuckDB, which is the oracle)."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5((t or "").encode()).hexdigest()[0]
+                in ("0" if lang == "en" else "0123")
+                for t, lang in zip(texts, langs)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask).select(["doc_id", "lang"])
 
     df = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)

@@ -219,3 +219,48 @@ def fingerprints_fast(docs: ray.data.Dataset) -> ray.data.Dataset:
         FingerprintFastUDF, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 2)
     )
+
+
+def top_terms(docs: ray.data.Dataset, k: int = 20,
+              n_buckets: int = 64) -> pd.DataFrame:
+    """Corpus vocabulary top-k: the most frequent whitespace tokens of
+    lower(trim(text)) with exact counts — the global-term-frequency pass
+    a training-data pipeline runs before vocab building / tf-idf.
+
+    Scale shape: each batch collapses to its own (term, partial count)
+    table with ONE pandas explode+value_counts pass (no Python token
+    loop); partials shuffle bucketed by TERM hash, so each bucket holds
+    a disjoint term subspace whose final counts are complete — the
+    per-bucket top-k candidates are therefore globally correct, and the
+    driver merges only n_buckets×k candidate rows. Tokenization matches
+    the langid/fingerprint oracle convention (trim + split on \\s+;
+    empty/whitespace-only docs contribute nothing)."""
+    from .hashing import hash_strings64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        toks = text[text != ""].str.split()
+        counts = toks.explode().value_counts()
+        out = pd.DataFrame({
+            "term": counts.index.astype(str), "n": counts.to_numpy()
+        })
+        th = hash_strings64(out["term"].to_numpy(), categorize=False)
+        out["tb"] = (th % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", as_index=False)["n"].sum()
+        m["n"] = m["n"].astype("int64")
+        return m.sort_values(["n", "term"], ascending=[False, True]).head(k)
+
+    cand = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,175 @@
+"""Unit tests for the round-3 relational operators: as-of join, lag,
+exact grouped count-distinct, rollup, pivot, anti-join, stratified
+sampling, and corpus top-terms.
+
+Each builds a tiny hand-crafted parquet table (edge cases the sf corpus
+may not hit: equal timestamps, single-event users, cross-batch
+duplicate pairs) and checks the distributed result against a
+straightforward in-process reference. The DuckDB oracle equivalence at
+sf0.01 is tools/check_oracle.py's job; these tests pin the SEMANTICS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from htmlparsersharp_ray.pipelines import relational as r
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    # user 1: view→purchase ordering incl. an equal-timestamp tie where
+    #   the view's event_id is HIGHER than the purchase's (must not match);
+    # user 2: purchase with no prior view; user 3: views only.
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00", "2024-01-01 00:10:00",  # u1 view, purchase
+            "2024-01-01 00:10:00",                          # u1 view, ts tie, id>purchase
+            "2024-01-01 00:30:00",                          # u1 purchase
+            "2024-01-01 01:00:00",                          # u2 purchase (no view)
+            "2024-01-01 02:00:00",                          # u3 view
+        ]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 13, 20, 30], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["view", "purchase", "view", "purchase", "purchase", "view"]
+            ),
+            "value": pa.array([0.0, 1.5, 0.0, 2.5, 3.0, 0.0], pa.float64()),
+            "props": pa.array([""] * 6),
+        }
+    )
+    return _write(tmp_path, "events", t)
+
+
+def test_events_asof_semantics(ray_session, events_dir):
+    out = r.q_events_asof(events_dir)
+    got = {
+        row.event_id: (row.view_event_id, row.gap_us)
+        for row in out.itertuples()
+    }
+    # purchase 11 at 00:10 matches view 10 at 00:00 (view 12 shares the
+    # timestamp but has a higher event_id → strictly-before excludes it)
+    assert got[11] == (10, 600_000_000)
+    # purchase 13 at 00:30 matches view 12 at 00:10 (latest prior)
+    assert got[13] == (12, 1_200_000_000)
+    # user 2 has no views at all
+    assert got[20] == (-1, -1)
+    assert set(got) == {11, 13, 20}
+
+
+def test_events_lag_semantics(ray_session, events_dir):
+    out = r.q_events_lag(events_dir)
+    got = dict(zip(out["event_id"], out["gap_us"]))
+    assert got[10] == -1                      # user 1 first event
+    assert got[11] == 600_000_000             # 10 min after event 10
+    assert got[12] == 0                       # ts tie: ordered after 11
+    assert got[13] == 1_200_000_000
+    assert got[20] == -1 and got[30] == -1    # single-event users
+
+
+def test_events_user_distinct_dedups_across_batches(ray_session, tmp_path):
+    # the same (type, user) pair appears in MANY rows spread over blocks:
+    # the count must still be distinct users, not row counts
+    n = 5000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["click" if i % 2 else "view" for i in range(n)]
+            ),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array([""] * n),
+        }
+    )
+    d = _write(tmp_path, "events", t)
+    out = r.q_event_user_distinct(d)
+    got = dict(zip(out["event_type"], out["n_users"]))
+    # users 0..6 alternate even/odd event ids → every user hits both types
+    assert got == {"click": 7, "view": 7}
+
+
+def test_lineitem_rollup_levels_consistent(ray_session):
+    out = r.q_lineitem_rollup("/root/testdata/sf0.001")
+    leaf = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+    lvl1 = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")]
+    total = out[(out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "ALL")]
+    assert len(total) == 1
+    assert int(total["n_rows"].iloc[0]) == int(leaf["n_rows"].sum())
+    assert total["sum_qty"].iloc[0] == pytest.approx(leaf["sum_qty"].sum())
+    for flag, grp in leaf.groupby("l_returnflag"):
+        row = lvl1[lvl1["l_returnflag"] == flag]
+        assert int(row["n_rows"].iloc[0]) == int(grp["n_rows"].sum())
+
+
+def test_segment_status_pivot_row_sums(ray_session):
+    out = r.q_segment_status_pivot("/root/testdata/sf0.001")
+    assert (out["n_f"] + out["n_o"] + out["n_p"] == out["n_orders"]).all()
+    # every order lands in exactly one segment cell
+    orders = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    assert int(out["n_orders"].sum()) == orders.num_rows
+
+
+def test_customer_anti_complements_active(ray_session):
+    sf = "/root/testdata/sf0.001"
+    anti = set(r.q_customer_anti(sf)["c_custkey"])
+    orders = pq.read_table(sf + "/orders.parquet").to_pandas()
+    active = set(
+        orders.loc[
+            orders["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"
+        ]
+    )
+    cust = set(
+        pq.read_table(sf + "/customer.parquet").to_pandas()["c_custkey"]
+    )
+    assert anti == cust - active
+    assert anti  # non-trivial at this sf
+
+
+def test_top_terms_parallelism_invariant_and_tiebreak(ray_session):
+    import ray.data
+
+    from htmlparsersharp_ray.stages.text_analysis import top_terms
+
+    rows = ["b b c", "a a", "c b", "a", "", "   "]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(rows),
+    })
+    one = top_terms(ray.data.from_arrow(t), k=3)
+    many = top_terms(ray.data.from_arrow(t).repartition(5), k=3)
+    # counts: a=3, b=3, c=2 → tie a<b at count 3
+    assert list(one["term"]) == ["a", "b", "c"]
+    assert list(one["n"]) == [3, 3, 2]
+    assert one.equals(many)
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    sf = "/root/testdata/sf0.01"
+    a = r.q_docs_stratified_sample(sf)
+    b = r.q_docs_stratified_sample(sf)
+    assert a.equals(b)
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    n_en = (docs["lang"] == "en").sum()
+    n_other = (docs["lang"] != "en").sum()
+    got_en = (a["lang"] == "en").sum()
+    got_other = (a["lang"] != "en").sum()
+    # binomial bands around 1/16 and 4/16 (loose — deterministic input)
+    assert 0 < got_en < 0.25 * n_en
+    assert 0.10 * n_other < got_other < 0.45 * n_other
