@@ -84,25 +84,26 @@ def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return hashing.hash_strings64(vals, categorize=False)[codes]
 
 
-def _auto_buckets(
-    left: ray.data.Dataset, right: ray.data.Dataset,
+def auto_buckets(
+    *sides: ray.data.Dataset,
     target_bytes: int = 256 << 20, lo: int = 8, hi: int = 4096,
     default: int = 64,
 ) -> int:
     """Derive the bucket count from INPUT FILE metadata (never executes
-    either plan): one bucket pair's working set ≈ 3× the compressed
+    any plan): one bucket's working set ≈ 3× the compressed
     bytes / n_buckets should fit a worker heap. Falls back to
     ``default`` when no file metadata exists (e.g. from_pandas inputs).
     Power-of-two, clamped to [lo, hi] — the hi clamp bounds Ray's
     ~1 ms/group scheduling overhead (~4 s at 4096); inputs so large
     that 4096 buckets exceed worker heaps should pre-aggregate / prune
     columns before the join (q_join_shuffle's shape) or pass n_buckets
-    explicitly."""
+    explicitly. Also the sizing rule for single-dataset bucketed
+    ``groupby().map_groups`` windows (sessions/as-of/lag)."""
     import math
     import os
 
     total = 0
-    for side in (left, right):
+    for side in sides:
         try:
             files = side.input_files()
         except Exception:
@@ -189,7 +190,7 @@ def hash_join(
     ``left_on == right_on``). Supports how in {"inner", "left"}.
 
     ``n_buckets=None`` (default) auto-sizes from input-file metadata —
-    see :func:`_auto_buckets` — so small inputs don't pay 64-bucket
+    see :func:`auto_buckets` — so small inputs don't pay 64-bucket
     scheduling overhead and huge inputs still bound each bucket pair.
 
     NULL join keys follow SQL semantics: null-key rows are dropped from
@@ -220,7 +221,7 @@ def hash_join(
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     if n_buckets is None:
-        n_buckets = _auto_buckets(left, right)
+        n_buckets = auto_buckets(left, right)
 
     def _empty_frame(schema) -> pd.DataFrame:
         # schema.types are pyarrow DataTypes for Arrow blocks but plain

@@ -41,6 +41,26 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _add_user_bucket(ds, n_buckets: int, col: str = "user_id"):
+    """Append an ``ub`` int64 key-hash bucket column — the shared
+    front half of every bucketed ``groupby().map_groups`` window op
+    (sessions / running-total / lag / as-of). ``n_buckets`` comes from
+    :func:`joins.auto_buckets` at the call sites so the per-group
+    working set tracks input size instead of a fixed 64."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    nb = np.uint64(n_buckets)
+
+    def add_ub(batch: pa.Table) -> pa.Table:
+        u = batch.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % nb).astype(np.int64)
+        return batch.append_column("ub", pa.array(ub))
+
+    return ds.map_batches(add_ub, batch_format="pyarrow")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1 shape: grouped aggregate with a computed revenue column.
 
@@ -360,16 +380,12 @@ def q_events_running_total(sf_dir: str):
     DECIMAL-window oracle."""
     import numpy as np
 
-    from ..stages import hashing
+    from .joins import auto_buckets
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
     )
-
-    def add_ub(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
-        return batch.append_column("ub", pa.array(ub))
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -381,8 +397,7 @@ def q_events_running_total(sf_dir: str):
         return g[["user_id", "event_id", "run_total"]]
 
     out = (
-        ds.map_batches(add_ub, batch_format="pyarrow")
-        .groupby("ub")
+        bucketed.groupby("ub")
         .map_groups(running, batch_format="pandas")
         .to_pandas()
     )
@@ -477,11 +492,15 @@ def q_events_sessions(sf_dir: str):
     diff, cumsum, grouped agg — all C loops over every user at once)."""
     import numpy as np
 
+    from .joins import auto_buckets
+
     gap = pd.Timedelta(minutes=30)
-    n_buckets = 64
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
     )
+    # auto-size like hash_join: bucket working set ≤ a worker heap
+    # (NOTES_r3 round-4 lead 4), from file metadata only
+    n_buckets = auto_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype("int64")
@@ -763,10 +782,12 @@ def q_events_asof(sf_dir: str):
     import numpy as np
 
     from ..stages import hashing
+    from .joins import auto_buckets
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
+    nb = np.uint64(auto_buckets(ds))
 
     def pre(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(
@@ -775,7 +796,7 @@ def q_events_asof(sf_dir: str):
         )
         t = batch.filter(mask)
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
+        ub = (hashing.mix64(u) % nb).astype(np.int64)
         return t.append_column("ub", pa.array(ub))
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -823,16 +844,12 @@ def q_events_lag(sf_dir: str):
     user-boundary mask."""
     import numpy as np
 
-    from ..stages import hashing
+    from .joins import auto_buckets
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
     )
-
-    def add_ub(batch: pa.Table) -> pa.Table:
-        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ub = (hashing.mix64(u) % np.uint64(64)).astype(np.int64)
-        return batch.append_column("ub", pa.array(ub))
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
@@ -844,8 +861,7 @@ def q_events_lag(sf_dir: str):
         return g[["event_id", "user_id", "gap_us"]]
 
     out = (
-        ds.map_batches(add_ub, batch_format="pyarrow")
-        .groupby("ub")
+        bucketed.groupby("ub")
         .map_groups(lag, batch_format="pandas")
         .to_pandas()
     )
@@ -863,15 +879,17 @@ def q_event_user_distinct(sf_dir: str):
     import numpy as np
 
     from ..stages import hashing
+    from .joins import auto_buckets
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
+    nb = np.uint64(auto_buckets(ds))
 
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
         p = b.drop_duplicates()
         u = p["user_id"].to_numpy().astype(np.uint64)
-        p = p.assign(ub=(hashing.mix64(u) % np.uint64(64)).astype(np.int64))
+        p = p.assign(ub=(hashing.mix64(u) % nb).astype(np.int64))
         return p
 
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:

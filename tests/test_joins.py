@@ -231,7 +231,7 @@ def test_hash_join_auto_buckets_from_metadata(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import pyarrow as pa
     import ray.data
-    from htmlparsersharp_ray.pipelines.joins import _auto_buckets, hash_join
+    from htmlparsersharp_ray.pipelines.joins import auto_buckets, hash_join
 
     lp = str(tmp_path / "l.parquet")
     rp = str(tmp_path / "r.parquet")
@@ -241,11 +241,11 @@ def test_hash_join_auto_buckets_from_metadata(ray_session, tmp_path):
                              "rv": pa.array(range(500), pa.int64())}), rp)
     lds = ray.data.read_parquet(lp)
     rds = ray.data.read_parquet(rp)
-    assert _auto_buckets(lds, rds) == 8  # tiny input hits the lo clamp
+    assert auto_buckets(lds, rds) == 8  # tiny input hits the lo clamp
     out = hash_join(lds, rds, "k", "k").to_pandas()
     assert len(out) == 500
     # no file metadata → conservative default
-    assert _auto_buckets(ray.data.from_pandas(pd.DataFrame({"k": [1]})),
+    assert auto_buckets(ray.data.from_pandas(pd.DataFrame({"k": [1]})),
                          rds) == 64
 
 
