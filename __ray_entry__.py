@@ -188,6 +188,12 @@ def _q_docs_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir), k=20)
 
 
+def _q_docs_tfidf(sf_dir: str):
+    from htmlparsersharp_ray.stages.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 def _q_docs_token_counts(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import token_counts
 
@@ -355,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": r.q_docs_sample,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_tfidf": _q_docs_tfidf,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -652,6 +659,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n FROM w
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "docs_tfidf": """
+            -- per-doc top-3 tf-idf terms, no-log score tf*N/df as ONE
+            -- double division of exact int64 counts (bit-reproducible
+            -- across engines; log() would pin to a libm); ties break
+            -- term-ascending
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM w GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM w GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC,
+                                    tf.term
+                       ) AS rank
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rank, term, score FROM scored
+            WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "docs_minhash_pairs": """
             -- exact 3-gram Jaccard >= 0.5 pair mining, brute force. The

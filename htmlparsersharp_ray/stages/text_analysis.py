@@ -264,3 +264,67 @@ def top_terms(docs: ray.data.Dataset, k: int = 20,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3,
+                    n_buckets: int = 64) -> pd.DataFrame:
+    """Per-document top-k distinctive terms by tf-idf — the classic
+    two-shuffle corpus pass (tf is batch-local because a document is a
+    row; df needs terms co-located; ranking needs docs co-located).
+
+    The score is the no-log variant tf·N/df computed as one IEEE double
+    division of exact int64 counts, so DuckDB reproduces it bit-for-bit
+    (a log() would pin the result to one libm). Scale shape: batch →
+    exact (doc, term, tf) partials; shuffle 1 buckets by TERM hash so
+    each group holds a term subspace's full postings (df = postings
+    count, score vectorized); shuffle 2 buckets by DOC hash for the
+    per-doc top-k (sort + cumcount, no per-doc loop). Ties break
+    term-ascending. N counts ALL documents (standard tf-idf corpus
+    size), fetched from parquet metadata — no extra pass."""
+    import numpy as np
+
+    from .hashing import hash_strings64, mix64
+
+    n_docs = docs.count()  # parquet metadata, no scan
+    nb = np.uint64(n_buckets)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        nz = text != ""
+        sub = pd.DataFrame({
+            "doc_id": b.loc[nz.to_numpy(), "doc_id"].to_numpy(),
+            "term": text[nz].str.split().to_numpy(),
+        })
+        e = sub.explode("term")
+        tf = e.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+        tf["tf"] = tf["tf"].astype("int64")
+        th = hash_strings64(tf["term"].to_numpy(), categorize=True)
+        tf["tb"] = (th % nb).astype(np.int64)
+        return tf
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, term) → df = postings per term
+        df_cnt = g.groupby("term")["tf"].transform("size").to_numpy()
+        g = g.assign(
+            score=(g["tf"].to_numpy() * n_docs).astype("float64") / df_cnt,
+            db=(mix64(g["doc_id"].to_numpy().astype(np.uint64)) % nb
+                ).astype(np.int64),
+        )
+        return g[["doc_id", "term", "score", "db"]]
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype("int64")
+        return g.loc[g["rank"] <= k, ["doc_id", "rank", "term", "score"]]
+
+    out = (
+        docs.map_batches(pairs, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(top_per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)

@@ -160,6 +160,29 @@ def test_top_terms_parallelism_invariant_and_tiebreak(ray_session):
     assert one.equals(many)
 
 
+def test_tfidf_semantics_and_parallelism(ray_session):
+    import ray.data
+
+    from htmlparsersharp_ray.stages.text_analysis import tfidf_top_terms
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(
+            ["apple apple banana", "banana cherry", "cherry cherry cherry"]
+        ),
+    })
+    one = tfidf_top_terms(ray.data.from_arrow(t), k=2)
+    many = tfidf_top_terms(ray.data.from_arrow(t).repartition(3), k=2)
+    assert one.equals(many)
+    # doc 0: apple tf=2 df=1 → 6.0; banana tf=1 df=2 → 1.5
+    d0 = one[one["doc_id"] == 0]
+    assert list(d0["term"]) == ["apple", "banana"]
+    assert list(d0["score"]) == [6.0, 1.5]
+    # doc 2: cherry tf=3 df=2 → 4.5
+    d2 = one[one["doc_id"] == 2]
+    assert list(d2["term"]) == ["cherry"] and list(d2["score"]) == [4.5]
+
+
 def test_stratified_sample_rates_and_determinism(ray_session):
     sf = "/root/testdata/sf0.01"
     a = r.q_docs_stratified_sample(sf)
