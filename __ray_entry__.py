@@ -317,6 +317,35 @@ def _q_embedding_dup_clusters(sf_dir: str):
     return out
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (token / distinct-token /
+    most-frequent-token counts + repetition fraction) — the degenerate-
+    document filter signal of a training-data pipeline."""
+    from htmlparsersharp_ray.stages.text_analysis import repetition_signals
+
+    df = repetition_signals(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing >= 1 word-8-gram
+    with the held-out set (deterministic stand-in: doc_id % 20 == 0).
+    Broadcast semi-join — the benchmark gram set ships once via ray.put;
+    the corpus pass is shuffle-free."""
+    from htmlparsersharp_ray.stages.dedup import decontaminate
+
+    return decontaminate(_docs(sf_dir), bench_mod=20, n=8)
+
+
+def _q_docs_pack(sf_dir: str):
+    """Sequence packing (1024-token greedy bins over doc_id order) via
+    the two-pass distributed prefix-sum: per-range-bucket totals →
+    exclusive offsets (tiny driver merge) → in-bucket vectorized cumsum."""
+    from htmlparsersharp_ray.stages.text_analysis import pack_bins
+
+    return pack_bins(_docs(sf_dir), budget=1024)
+
+
 def _q_media_features(sf_dir: str):
     """REAL decode: PPM pixels / WAV samples → features (no hash fakes)."""
     import ray.data
@@ -345,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_distinct": r.q_event_user_distinct,
         "events_asof": r.q_events_asof,
         "events_lag": r.q_events_lag,
+        "events_rank": r.q_events_rank,
+        "events_props_extract": r.q_events_props_extract,
+        "part_band_join": r.q_part_band_join,
+        "customer_cube": r.q_customer_cube,
         "orders_semi": r.q_orders_semi,
         "customer_anti": r.q_customer_anti,
         "lineitem_rollup": r.q_lineitem_rollup,
@@ -377,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_fingerprint_fast": _q_docs_fingerprint_fast,
+        "docs_repetition": _q_docs_repetition,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,
@@ -503,6 +539,57 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), -1)
                        AS gap_us
             FROM events ORDER BY event_id
+        """,
+        "events_rank": """
+            -- ranking-window family: ties in the raw double value share
+            -- rank/dense_rank; row_number breaks them on event_id
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn,
+                   rank() OVER (PARTITION BY user_id
+                                ORDER BY value DESC) AS rnk,
+                   dense_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC) AS drnk
+            FROM events ORDER BY event_id
+        """,
+        "events_props_extract": """
+            -- semi-structured extraction: integer field k out of the
+            -- JSON props column; missing/malformed count as 0 (matches
+            -- the engine's regex-extract + fillna(0)); BIGINT cast keeps
+            -- the hugeint sum an integer in pandas
+            SELECT event_type,
+                   CAST(sum(COALESCE(TRY_CAST(
+                       json_extract_string(props, '$.k') AS BIGINT), 0))
+                       AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "part_band_join": """
+            -- range (BETWEEN) join against the broadcast band table;
+            -- inner-join semantics drop rows outside every band; DECIMAL
+            -- cast => exact order-independent sum (see lineitem_agg)
+            SELECT CAST(band_lo AS BIGINT) AS band_lo,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS sum_price
+            FROM part JOIN (VALUES (900, 900.0, 920.0), (920, 920.0, 940.0),
+                            (940, 940.0, 960.0), (960, 960.0, 980.0),
+                            (980, 980.0, 1000.0)) b(band_lo, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band_lo ORDER BY band_lo
+        """,
+        "customer_cube": """
+            -- GROUP BY CUBE: all four grouping sets; source columns are
+            -- never NULL so COALESCE labels exactly the rolled-up levels
+            -- ('ALL' / -1); DECIMAL cast => exact sums (see lineitem_agg)
+            SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+                   CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_acctbal
+            FROM customer
+            GROUP BY CUBE(c_mktsegment, c_nationkey)
+            ORDER BY c_mktsegment, c_nationkey
         """,
         "customer_anti": """
             -- NOT EXISTS anti-join (mirror of orders_semi)
@@ -879,6 +966,84 @@ def oracle_sql() -> dict[str, str]:
                    WHEN es = greatest(de, en, es, fr) THEN 'es'
                    ELSE 'fr' END AS lang_pred
             FROM c ORDER BY doc_id
+        """,
+        "docs_repetition": """
+            -- per-doc token / distinct-token / max-token-frequency counts
+            -- + repetition fraction (one IEEE division of exact int64
+            -- counts — bit-reproducible); same trim+\\s+ tokenization
+            -- convention as docs_token_counts
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT doc_id, tok, count(*) AS n
+              FROM w GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct,
+                     CAST(max(n) AS BIGINT) AS max_tok_n
+              FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   COALESCE(agg.n_distinct, 0) AS n_distinct,
+                   COALESCE(agg.max_tok_n, 0) AS max_tok_n,
+                   CASE WHEN COALESCE(agg.n_tokens, 0) > 0
+                        THEN CAST(agg.max_tok_n AS DOUBLE)
+                             / CAST(agg.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS rep_frac
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "docs_decontaminate": """
+            -- benchmark decontamination: training docs (doc_id % 20 <> 0)
+            -- sharing any word-8-gram with the held-out set
+            -- (doc_id % 20 = 0); string-equality grams here, 64-bit
+            -- token-window hashes in the engine (collision prob ~G^2/2^64,
+            -- negligible); docs with < 8 tokens form no grams
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 7),
+                         i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w WHERE len(ws) >= 8
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+            )
+            SELECT DISTINCT doc_id FROM g
+            WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)
+            ORDER BY doc_id
+        """,
+        "docs_pack": """
+            -- greedy sequence packing: a doc lands in the bin of its
+            -- exclusive prefix token sum over doc_id order (budget 1024);
+            -- the window cumsum is the sequential definition the engine's
+            -- two-pass distributed scan must reproduce exactly
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE array_length(
+                              string_split_regex(trim(text), '\\s+'))
+                     END AS tok
+              FROM documents
+            ), c AS (
+              SELECT doc_id, tok,
+                     CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS cum_excl
+              FROM t
+            )
+            SELECT CAST(cum_excl // 1024 AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY bin_id ORDER BY bin_id
         """,
         "embeddings_topk": """
             SELECT query_id, rank, vec_id FROM (

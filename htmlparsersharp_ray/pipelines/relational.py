@@ -1103,3 +1103,175 @@ def q_docs_stratified_sample(sf_dir: str):
 
     df = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+def q_events_rank(sf_dir: str):
+    """RANK / DENSE_RANK / ROW_NUMBER per user by value (desc) — the
+    ranking-window family, same bucket-then-vectorize shape as
+    q_events_lag: user-hash buckets auto-sized from file metadata, then
+    ONE pandas sort + grouped rank/cumcount over the whole bucket (C
+    kernels over every user at once — never a per-user group). Ties in
+    the raw double `value` share rank/dense_rank exactly as SQL does;
+    row_number breaks them on event_id."""
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        by_user = g.groupby("user_id", sort=False)
+        g["rn"] = (by_user.cumcount() + 1).astype("int64")
+        g["rnk"] = by_user["value"].rank(
+            method="min", ascending=False).astype("int64")
+        g["drnk"] = by_user["value"].rank(
+            method="dense", ascending=False).astype("int64")
+        return g[["event_id", "user_id", "rn", "rnk", "drnk"]]
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(ranks, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_part_band_join(sf_dir: str):
+    """BROADCAST RANGE JOIN: price-band lookup via np.searchsorted on the
+    broadcast band edges — the interval-join primitive (each row finds
+    its [lo, hi) band in O(log bands), vectorized over the batch; no
+    shuffle, the band table rides in the closure like any broadcast
+    side). Per-batch partial aggregation in exact cents collapses each
+    batch to ≤n_bands rows before the tiny driver merge. Rows outside
+    every band drop (inner-join semantics), matching the SQL BETWEEN
+    join."""
+    import numpy as np
+
+    edges = np.array([900.0, 920.0, 940.0, 960.0, 980.0, 1000.0])
+    band_lo = np.array([900, 920, 940, 960, 980], dtype=np.int64)
+    ds = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_retailprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, price, side="right") - 1
+        keep = (idx >= 0) & (idx < len(band_lo)) & (price < edges[-1])
+        idx, price = idx[keep], price[keep]
+        cents = np.round(price * 100).astype("int64")
+        t = pd.DataFrame({"band_lo": band_lo[idx], "cents": cents})
+        g = t.groupby("band_lo", as_index=False).agg(
+            n_parts=("cents", "count"), cents=("cents", "sum")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _pysum_cols(parts, ["cents"])
+    df = (
+        parts.groupby("band_lo", as_index=False)
+        .agg(n_parts=("n_parts", "sum"), cents=("cents", "sum"))
+        .sort_values("band_lo")
+        .reset_index(drop=True)
+    )
+    df["n_parts"] = df["n_parts"].astype("int64")
+    df["sum_price"] = df.pop("cents") / 100.0
+    return df[["band_lo", "n_parts", "sum_price"]]
+
+
+def q_customer_cube(sf_dir: str):
+    """GROUP BY CUBE (segment, nation): all four grouping sets from ONE
+    pass — each batch pre-aggregates to the finest (segment, nation)
+    grain in exact cents, the driver merges the tiny finest table
+    (grouping dims are low-cardinality by construction — a
+    high-cardinality cube would swap the driver merge for a
+    groupby shuffle), and the three coarser levels derive from the
+    finest by exact integer re-aggregation, so every level is
+    bit-identical to summing the raw rows. Rolled-up levels label as
+    'ALL' / -1 (source columns are never NULL)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype("int64")
+        t = pd.DataFrame({
+            "c_mktsegment": batch.column("c_mktsegment").to_pylist(),
+            "c_nationkey": batch.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "cents": cents,
+        })
+        return t.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
+            n_customers=("cents", "count"), cents=("cents", "sum")
+        )
+
+    finest = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    finest = _pysum_cols(finest, ["cents"])
+    finest = finest.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
+        n_customers=("n_customers", "sum"), cents=("cents", "sum")
+    )
+
+    def level(df, seg, nat):
+        keys = []
+        if not seg:
+            df = df.assign(c_mktsegment="ALL")
+        keys.append("c_mktsegment")
+        if not nat:
+            df = df.assign(c_nationkey=np.int64(-1))
+        keys.append("c_nationkey")
+        return df.groupby(keys, as_index=False).agg(
+            n_customers=("n_customers", "sum"), cents=("cents", "sum")
+        )
+
+    out = pd.concat([
+        level(finest, True, True), level(finest, True, False),
+        level(finest, False, True), level(finest, False, False),
+    ], ignore_index=True)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["sum_acctbal"] = out.pop("cents") / 100.0
+    return (
+        out.sort_values(["c_mktsegment", "c_nationkey"])
+        .reset_index(drop=True)
+        [["c_mktsegment", "c_nationkey", "n_customers", "sum_acctbal"]]
+    )
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer field `k` out of the
+    JSON `props` column with ONE vectorized regex pass per batch
+    (pandas .str.extract — no per-row json.loads), then aggregate
+    exactly per event_type. The per-batch partial collapses to
+    ≤n_types rows before the driver merge (Python-int accumulation,
+    same overflow discipline as every money sum). Missing/malformed
+    props count as 0 on both sides (COALESCE in the oracle)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "props"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"].fillna("").str.extract(r'"k"\s*:\s*(-?\d+)')[0]
+            .astype("float64").fillna(0).astype("int64")
+        )
+        t = pd.DataFrame({"event_type": b["event_type"], "k": k})
+        return t.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n_events=("k", "count")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["sum_k"])
+    df = (
+        parts.groupby("event_type", as_index=False)
+        .agg(sum_k=("sum_k", "sum"), n_events=("n_events", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    df["sum_k"] = df["sum_k"].map(int).astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df

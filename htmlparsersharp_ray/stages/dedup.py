@@ -580,6 +580,85 @@ def ngram_jaccard_pairs(
     return minhash_lsh_pairs(docs, jaccard_threshold=threshold, n=n)
 
 
+def _gram_hash_sets(texts: list, n: int) -> list[np.ndarray]:
+    """Sorted unique 64-bit hashes of each text's word-n-gram set,
+    SKIPPING texts with fewer than ``n`` tokens (decontamination
+    semantics: a doc too short to form one n-gram can't overlap — unlike
+    :func:`_shingle_hash_sets`, which collapses short docs to one
+    whole-text shingle for Jaccard). One batch-wide token-hash pass +
+    vectorized window polynomial, like the rest of the dedup family."""
+    toks = [(t or "").split() for t in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    th = _hash_tokens64(flat)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = []
+    for i, c in enumerate(counts):
+        if c < n:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        sl = th[offsets[i]:offsets[i + 1]]
+        out.append(np.unique(_window_hashes(sl, n).view(np.int64)))
+    return out
+
+
+def decontaminate(
+    docs: ray.data.Dataset, bench_mod: int = 20, n: int = 8
+) -> pd.DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word-``n``-gram with the held-out benchmark set — the
+    standard eval-leakage sweep a training-data pipeline runs before a
+    corpus ships (reference n/a — engine-level op). The benchmark here is
+    the deterministic stand-in ``doc_id % bench_mod == 0``; a real run
+    would read it from its own table.
+
+    Scale shape: eval sets are small by definition, so this is the
+    broadcast semi-join — pass A streams ONLY benchmark docs (vectorized
+    filter, never the corpus) and collects their distinct gram hashes
+    (driver state = the benchmark gram set, bounded by the benchmark,
+    not the corpus); the sorted array ships once via ``ray.put``. Pass B
+    streams the full corpus, hashes each batch's grams in one C pass,
+    and keeps doc_ids with any ``np.isin`` hit — no shuffle at all.
+    Gram identity is the 64-bit token-hash window polynomial; equality
+    vs the string-equality oracle holds up to 64-bit collisions
+    (~G²/2⁶⁴, negligible). Docs with < n tokens form no grams (matches
+    the oracle's ``len(w) >= n`` guard). Returns contaminated doc_ids,
+    sorted."""
+    import ray as _ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % bench_mod == 0
+        texts = [t for t, k in zip(batch.column("text").to_pylist(), keep) if k]
+        sets = _gram_hash_sets(texts, n)
+        g = (np.unique(np.concatenate(sets)) if sets
+             else np.empty(0, dtype=np.int64))
+        return pa.table({"g": pa.array(g, pa.int64())})
+
+    bench_df = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench = np.unique(bench_df["g"].to_numpy())
+    bench_ref = _ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = _ray.get(bench_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % bench_mod != 0
+        texts = batch.column("text").to_pylist()
+        sets = _gram_hash_sets(
+            [t for t, k in zip(texts, keep) if k], n
+        )
+        cand_ids = ids[keep]
+        hit = np.fromiter(
+            (len(s) > 0 and bool(np.isin(s, b, assume_unique=True).any())
+             for s in sets),
+            dtype=bool, count=len(sets),
+        )
+        return pa.table({"doc_id": pa.array(cand_ids[hit], pa.int64())})
+
+    out = docs.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 class _PlaneBucketUDF:
     """Actor stage: vector → one (table, bucket) row per LSH table.
     Planes are fetched from the object store ONCE per actor in __init__

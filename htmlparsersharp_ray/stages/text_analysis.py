@@ -221,6 +221,171 @@ def fingerprints_fast(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+class RepetitionUDF:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, the count of the most frequent token, and the
+    repetition fraction (max_tok_n / n_tokens). High rep_frac flags
+    degenerate/spammy documents a training-data filter drops.
+
+    Vectorized: ONE pandas explode + a C-level hash groupby over the
+    whole batch's (row, token) pairs — no per-document Python loop.
+    rep_frac is one IEEE division of exact int64 counts, so DuckDB
+    reproduces it bit-for-bit. Tokenization matches the
+    docs_token_counts oracle convention (trim + split on \\s+)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        text = batch["text"].fillna("")
+        toks = text.str.split()
+        n_tokens = toks.str.len().fillna(0).astype("int64")
+        s = toks.explode().dropna()
+        if len(s):
+            c = pd.DataFrame({"i": s.index, "tok": s.to_numpy()}).groupby(
+                ["i", "tok"], sort=False
+            ).size()
+            by_doc = c.groupby(level=0)
+            n_distinct = by_doc.size()
+            max_tok_n = by_doc.max()
+        else:
+            n_distinct = pd.Series(dtype="int64")
+            max_tok_n = pd.Series(dtype="int64")
+        idx = batch.index
+        n_distinct = n_distinct.reindex(idx, fill_value=0).astype("int64")
+        max_tok_n = max_tok_n.reindex(idx, fill_value=0).astype("int64")
+        rep_frac = np.where(
+            n_tokens.to_numpy() > 0,
+            max_tok_n.to_numpy() / np.maximum(n_tokens.to_numpy(), 1),
+            0.0,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "n_distinct": n_distinct,
+                "max_tok_n": max_tok_n,
+                "rep_frac": rep_frac.astype("float64"),
+            }
+        )
+
+
+def repetition_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(
+        RepetitionUDF, batch_format="pandas", batch_size=2048, concurrency=(1, 2)
+    )
+
+
+def _ws_token_counts(text: pd.Series) -> np.ndarray:
+    """ws_tokens per row under the shared oracle convention
+    (trim + split on \\s+; empty → 0) — one vectorized pass."""
+    return (
+        text.fillna("").str.split().str.len().fillna(0).astype("int64").to_numpy()
+    )
+
+
+def pack_bins(docs: ray.data.Dataset, budget: int = 1024,
+              n_buckets: int | None = None) -> pd.DataFrame:
+    """Sequence packing for training batches: walk documents in doc_id
+    order, accumulate whitespace-token counts, and cut a new bin every
+    ``budget`` tokens (a document lands in the bin of its exclusive
+    prefix sum — the fixed-order greedy boundary rule, so bins are
+    contiguous doc_id ranges). Returns one row per bin with n_docs /
+    sum_tokens / first_doc / last_doc.
+
+    This is the engine's distributed SCAN (global prefix sum) primitive,
+    the two-pass pattern (reference n/a — engine-level op): pass 1
+    computes per-range-bucket token totals (each batch collapses to
+    ≤n_buckets partial rows; the driver merges only the tiny
+    bucket-totals table into exclusive offsets, accumulated in Python
+    ints so 100-TB token totals can't wrap). Pass 2 re-reads, buckets by
+    doc_id RANGE (dense ids here; at scale the ranges come from sorted
+    storage metadata), and inside each bucket computes the local
+    exclusive cumsum + broadcast bucket offset — all vectorized — then
+    emits per-bin partials. The final merge of straddle bins (a bin has
+    at most two partials, one per side of a bucket edge) goes through a
+    LOW-cardinality bin-hash bucket groupby + vectorized pandas groupby
+    inside — never a per-bin Ray group (~1 ms/group would dominate at
+    millions of bins). Driver state is O(n_buckets), never O(rows)."""
+    n_docs = docs.count()  # parquet metadata, no scan
+    if n_docs == 0:
+        return pd.DataFrame({
+            "bin_id": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int64"),
+            "sum_tokens": pd.Series(dtype="int64"),
+            "first_doc": pd.Series(dtype="int64"),
+            "last_doc": pd.Series(dtype="int64"),
+        })
+    if n_buckets is None:
+        # one bucket per ~50k docs, clamped — same spirit as joins.auto_buckets
+        n_buckets = max(4, min(4096, 1 << (max(n_docs // 50_000, 1)).bit_length()))
+    span = -(-n_docs // n_buckets)  # ceil
+
+    def bucket_of(doc_ids: np.ndarray) -> np.ndarray:
+        return np.minimum(doc_ids // span, n_buckets - 1)
+
+    def partial_totals(b: pd.DataFrame) -> pd.DataFrame:
+        rb = bucket_of(b["doc_id"].to_numpy())
+        tok = _ws_token_counts(b["text"])
+        g = pd.DataFrame({"rb": rb, "tok": tok}).groupby("rb", as_index=False)["tok"].sum()
+        g["tok"] = g["tok"].astype("int64")
+        return g
+
+    totals = docs.map_batches(partial_totals, batch_format="pandas").to_pandas()
+    # exclusive offsets in Python ints (exact at any scale)
+    per_bucket = [0] * n_buckets
+    for rb, tok in zip(totals["rb"], totals["tok"]):
+        per_bucket[int(rb)] += int(tok)
+    offsets = [0] * n_buckets
+    run = 0
+    for i in range(n_buckets):
+        offsets[i] = run
+        run += per_bucket[i]
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "text"]].copy()
+        b["rb"] = bucket_of(b["doc_id"].to_numpy()).astype("int64")
+        return b
+
+    def assign_bins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        tok = _ws_token_counts(g["text"])
+        base = offsets[int(g["rb"].iloc[0])]
+        cum_excl = base + np.cumsum(tok) - tok
+        bins = cum_excl // budget
+        out = pd.DataFrame({"bin_id": bins, "tok": tok, "doc_id": g["doc_id"].to_numpy()})
+        p = out.groupby("bin_id", as_index=False).agg(
+            n_docs=("doc_id", "count"), sum_tokens=("tok", "sum"),
+            first_doc=("doc_id", "min"), last_doc=("doc_id", "max"),
+        )
+        for c in ("bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc"):
+            p[c] = p[c].astype("int64")
+        return p
+
+    def add_bb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bb"] = (b["bin_id"] % 64).astype("int64")
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bin_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+            first_doc=("first_doc", "min"), last_doc=("last_doc", "max"),
+        )
+        for c in ("bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc"):
+            m[c] = m[c].astype("int64")
+        return m[["bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc"]]
+
+    out = (
+        docs.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(assign_bins, batch_format="pandas")
+        .map_batches(add_bb, batch_format="pandas")
+        .groupby("bb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("bin_id").reset_index(drop=True)
+
+
 def top_terms(docs: ray.data.Dataset, k: int = 20,
               n_buckets: int = 64) -> pd.DataFrame:
     """Corpus vocabulary top-k: the most frequent whitespace tokens of

@@ -196,3 +196,75 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     # binomial bands around 1/16 and 4/16 (loose — deterministic input)
     assert 0 < got_en < 0.25 * n_en
     assert 0.10 * n_other < got_other < 0.45 * n_other
+
+
+def test_events_rank_tie_semantics(ray_session, tmp_path):
+    # user 1 has a two-way value tie: rank repeats-then-skips (1,1,3),
+    # dense_rank repeats-then-continues (1,1,2), row_number breaks the
+    # tie on event_id. user 2 pins the single-row group.
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 9], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "value": pa.array([5.0, 5.0, 1.0, 7.0], pa.float64()),
+        }
+    )
+    out = r.q_events_rank(_write(tmp_path, "events", t))
+    got = out.set_index("event_id")
+    assert list(got.loc[1][["rn", "rnk", "drnk"]]) == [1, 1, 1]
+    assert list(got.loc[2][["rn", "rnk", "drnk"]]) == [2, 1, 1]
+    assert list(got.loc[3][["rn", "rnk", "drnk"]]) == [3, 3, 2]
+    assert list(got.loc[9][["rn", "rnk", "drnk"]]) == [1, 1, 1]
+
+
+def test_part_band_join_boundary_semantics(ray_session, tmp_path):
+    # half-open [lo, hi): 900 and 920 land in their own bands; 1000 and
+    # 899.99 fall outside every band and drop (inner-join semantics).
+    t = pa.table(
+        {"p_retailprice": pa.array([900.0, 919.99, 920.0, 1000.0, 899.99],
+                                    pa.float64())}
+    )
+    out = r.q_part_band_join(_write(tmp_path, "part", t))
+    got = {int(b): (int(n), s) for b, n, s in
+           zip(out["band_lo"], out["n_parts"], out["sum_price"])}
+    assert got == {900: (2, 900.0 + 919.99), 920: (1, 920.0)}
+
+
+def test_customer_cube_levels_reaggregate(ray_session, tmp_path):
+    t = pa.table(
+        {
+            "c_mktsegment": pa.array(["A", "A", "B", "B", "B"]),
+            "c_nationkey": pa.array([0, 1, 0, 0, 1], pa.int64()),
+            "c_acctbal": pa.array([1.25, 2.5, 10.0, -3.75, 0.5], pa.float64()),
+        }
+    )
+    out = r.q_customer_cube(_write(tmp_path, "customer", t))
+    # four grouping sets present
+    finest = out[(out["c_mktsegment"] != "ALL") & (out["c_nationkey"] != -1)]
+    by_seg = out[(out["c_mktsegment"] != "ALL") & (out["c_nationkey"] == -1)]
+    by_nat = out[(out["c_mktsegment"] == "ALL") & (out["c_nationkey"] != -1)]
+    grand = out[(out["c_mktsegment"] == "ALL") & (out["c_nationkey"] == -1)]
+    assert len(finest) == 4 and len(by_seg) == 2 and len(by_nat) == 2
+    assert len(grand) == 1
+    # every level re-aggregates the finest exactly (exact cents => ==)
+    assert grand["n_customers"].iloc[0] == 5
+    assert grand["sum_acctbal"].iloc[0] == finest["sum_acctbal"].sum()
+    assert by_seg["sum_acctbal"].sum() == grand["sum_acctbal"].iloc[0]
+    assert by_nat["n_customers"].sum() == 5
+
+
+def test_events_props_extract_malformed(ray_session, tmp_path):
+    # missing key / malformed JSON / null props all count 0; negatives
+    # and whitespace variants extract exactly.
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            "props": pa.array(
+                ['{"k": 7}', '{"k":-3}', '{"j": 5}', "not json", None]
+            ),
+        }
+    )
+    out = r.q_events_props_extract(_write(tmp_path, "events", t))
+    got = {s: (int(k), int(n)) for s, k, n in
+           zip(out["event_type"], out["sum_k"], out["n_events"])}
+    assert got == {"a": (4, 3), "b": (0, 2)}

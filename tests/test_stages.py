@@ -621,3 +621,84 @@ def test_hll_accuracy_and_merge(ray_session):
     exact = len(set(ds.to_pandas()["user_id"]))
     est = approx_distinct(ds, "user_id")
     assert abs(est - exact) / exact < 0.02
+
+
+def test_repetition_signals_semantics(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import repetition_signals
+
+    rows = {
+        0: "a a a b",            # 4 tokens, 2 distinct, max 3, rep 0.75
+        1: "x y z",              # all distinct → rep 1/3
+        2: "",                   # empty → all zeros
+        3: "   ",                # whitespace-only → all zeros
+        4: "w w w w",            # fully degenerate → rep 1.0
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    )
+    out = repetition_signals(ds).to_pandas().set_index("doc_id")
+    assert list(out.loc[0][["n_tokens", "n_distinct", "max_tok_n"]]) == [4, 2, 3]
+    assert out.loc[0, "rep_frac"] == 0.75
+    assert list(out.loc[2][["n_tokens", "n_distinct", "max_tok_n"]]) == [0, 0, 0]
+    assert out.loc[2, "rep_frac"] == 0.0
+    assert list(out.loc[3][["n_tokens", "n_distinct", "max_tok_n"]]) == [0, 0, 0]
+    assert out.loc[4, "rep_frac"] == 1.0
+    assert out.loc[1, "rep_frac"] == 1.0 / 3.0
+
+
+def test_pack_bins_matches_sequential_reference(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import pack_bins
+
+    # token counts chosen so docs straddle bin boundaries (budget 10):
+    # cum_excl: 0, 7, 11, 11, 20, 26 → bins 0, 0, 1, 1, 2, 2
+    toks = [7, 4, 0, 9, 6, 3]
+    texts = [" ".join(["t"] * n) for n in toks]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = pack_bins(ds, budget=10, n_buckets=4)
+    # sequential greedy reference
+    ref = {}
+    cum = 0
+    for d, n in enumerate(toks):
+        b = cum // 10
+        ref.setdefault(b, [0, 0, d, d])
+        ref[b][0] += 1
+        ref[b][1] += n
+        ref[b][3] = d
+        cum += n
+    got = {int(r.bin_id): [int(r.n_docs), int(r.sum_tokens),
+                           int(r.first_doc), int(r.last_doc)]
+           for r in out.itertuples()}
+    assert got == ref
+    # bucket-count invariance: the distributed scan must not depend on
+    # the partitioning
+    out1 = pack_bins(ds, budget=10, n_buckets=1)
+    assert out.equals(out1)
+
+
+def test_decontaminate_gram_semantics(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import decontaminate
+
+    bench = "one two three four five six seven eight nine ten"
+    # doc 21 shares the full 8-gram "one..eight"; doc 22 shares only a
+    # 7-token prefix (never 8 in a row); doc 23 is unrelated; doc 24 is
+    # too short to form an 8-gram even though all its tokens are bench's.
+    rows = {
+        20: bench,                                              # bench (id%20==0)
+        21: "zz " + " ".join(bench.split()[:8]) + " yy",
+        22: " ".join(bench.split()[:7]) + " XX " + " ".join(bench.split()[:7]),
+        23: "completely different words with no overlap at all here ok",
+        24: " ".join(bench.split()[:7]),
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    )
+    out = decontaminate(ds, bench_mod=20, n=8)
+    assert list(out["doc_id"]) == [21]
