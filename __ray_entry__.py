@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": r.q_events_asof,
         "events_lag": r.q_events_lag,
         "events_rank": r.q_events_rank,
+        "events_moving_avg": r.q_events_moving_avg,
         "events_props_extract": r.q_events_props_extract,
         "part_band_join": r.q_part_band_join,
         "customer_cube": r.q_customer_cube,
@@ -551,6 +552,21 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (PARTITION BY user_id
                                       ORDER BY value DESC) AS drnk
             FROM events ORDER BY event_id
+        """,
+        "events_moving_avg": """
+            -- sliding window frame (3 PRECEDING .. CURRENT ROW); DECIMAL
+            -- frame sums => exact cents, so the only float ops are the
+            -- final /100 and /count divisions (bit-reproducible)
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+                       AS win_sum,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+                       / count(*) OVER w AS win_avg,
+                   count(*) OVER w AS n_in_frame
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_props_extract": """
             -- semi-structured extraction: integer field k out of the

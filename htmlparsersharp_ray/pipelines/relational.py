@@ -1275,3 +1275,51 @@ def q_events_props_extract(sf_dir: str):
     df["sum_k"] = df["sum_k"].map(int).astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
     return df
+
+
+def q_events_moving_avg(sf_dir: str):
+    """SLIDING window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW):
+    per-user moving sum/avg of value over (ts, event_id) order — the
+    bounded-frame window family, distinct from the UNBOUNDED-PRECEDING
+    running total. Same bucket-then-vectorize shape as q_events_rank;
+    inside the bucket the frame sum is pure cumsum algebra (win_i =
+    cs[i] - cs[i-frame], clamped at each user's group start via ONE
+    C-level cumcount — no per-user group, no pandas rolling). Exact
+    int64-cents arithmetic; the only float ops are the final /100.0 and
+    /count divisions, each one correctly-rounded IEEE step that DuckDB
+    reproduces bit-for-bit."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        cs = np.cumsum(cents)
+        k = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        back = np.minimum(k, 3)
+        j = np.arange(len(g)) - back
+        lo = np.where(j > 0, cs[j - 1], 0)  # j=0 branch discards cs[-1]
+        win_sum = (cs - lo) / 100.0
+        cnt = back + 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "win_sum": win_sum,
+                "win_avg": win_sum / cnt,
+                "n_in_frame": cnt.astype("int64"),
+            }
+        )
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(win, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -648,11 +648,18 @@ def decontaminate(
             [t for t, k in zip(texts, keep) if k], n
         )
         cand_ids = ids[keep]
-        hit = np.fromiter(
-            (len(s) > 0 and bool(np.isin(s, b, assume_unique=True).any())
-             for s in sets),
-            dtype=bool, count=len(sets),
-        )
+        if sets:
+            # ONE np.isin pass over the batch's flattened grams, then a
+            # bincount-by-doc to recover per-doc any-hit — no per-doc
+            # Python loop on the corpus pass
+            lens = np.array([len(s) for s in sets], dtype=np.int64)
+            flat = (np.concatenate(sets) if lens.sum()
+                    else np.empty(0, dtype=np.int64))
+            doc_idx = np.repeat(np.arange(len(sets)), lens)
+            hits = doc_idx[np.isin(flat, b)]
+            hit = np.bincount(hits, minlength=len(sets)) > 0
+        else:
+            hit = np.zeros(0, dtype=bool)
         return pa.table({"doc_id": pa.array(cand_ids[hit], pa.int64())})
 
     out = docs.map_batches(flag, batch_format="pyarrow").to_pandas()

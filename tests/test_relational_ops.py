@@ -268,3 +268,24 @@ def test_events_props_extract_malformed(ray_session, tmp_path):
     got = {s: (int(k), int(n)) for s, k, n in
            zip(out["event_type"], out["sum_k"], out["n_events"])}
     assert got == {"a": (4, 3), "b": (0, 2)}
+
+
+def test_events_moving_avg_frame_clamps_at_group_start(ray_session, tmp_path):
+    # user 1: 5 events — frame holds at most 4 rows and never crosses
+    # the user boundary; user 2 pins the single-row frame.
+    ts = pd.to_datetime([f"2024-01-01 00:0{i}:00" for i in range(5)] +
+                        ["2024-01-01 01:00:00"])
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 100.0], pa.float64()),
+        }
+    )
+    out = r.q_events_moving_avg(_write(tmp_path, "events", t))
+    got = out.set_index("event_id")
+    assert list(got["n_in_frame"]) == [1, 2, 3, 4, 4, 1]
+    assert list(got["win_sum"]) == [1.0, 3.0, 7.0, 15.0, 30.0, 100.0]
+    assert got.loc[4, "win_avg"] == 15.0 / 4
+    assert got.loc[9, "win_avg"] == 100.0
