@@ -164,6 +164,18 @@ def run_bench() -> dict:
     fingerprints_fast(docs).to_pandas()
     queries["docs_fingerprint_fast"] = round(time.time() - t0, 3)
 
+    # new full-corpus passes: sequence packing (distributed prefix-sum
+    # scan) and benchmark decontamination (broadcast 8-gram semi-join)
+    from htmlparsersharp_ray.stages.text_analysis import pack_bins
+    from htmlparsersharp_ray.stages.dedup import decontaminate
+
+    t0 = time.time()
+    pack_bins(docs, budget=1024)
+    queries["docs_pack"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    decontaminate(docs, bench_mod=20, n=8)
+    queries["docs_decontaminate"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {
