@@ -289,3 +289,36 @@ def test_events_moving_avg_frame_clamps_at_group_start(ray_session, tmp_path):
     assert list(got["win_sum"]) == [1.0, 3.0, 7.0, 15.0, 30.0, 100.0]
     assert got.loc[4, "win_avg"] == 15.0 / 4
     assert got.loc[9, "win_avg"] == 100.0
+
+
+def test_events_moving_avg_random_vs_sequential(ray_session, tmp_path):
+    # randomized (seeded) differential: the distributed bucketed frame
+    # computation must equal the sequential per-user definition, ties in
+    # ts included.
+    rng = np.random.default_rng(4242)
+    n = 300
+    ts = pd.to_datetime(rng.integers(0, 50, n), unit="m", origin="2024-01-01")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 13, n).astype(np.int64)),
+            "value": pa.array(np.round(rng.normal(50, 30, n), 2)),
+        }
+    )
+    out = r.q_events_moving_avg(_write(tmp_path, "events", t))
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ref_rows = {}
+    for _, g in df.groupby("user_id"):
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        for i, eid in enumerate(g["event_id"]):
+            lo = max(0, i - 3)
+            win = int(cents[lo:i + 1].sum())
+            cnt = i + 1 - lo
+            ref_rows[int(eid)] = (win / 100.0, (win / 100.0) / cnt, cnt)
+    got = out.set_index("event_id")
+    for eid, (ws, wa, cnt) in ref_rows.items():
+        assert got.loc[eid, "win_sum"] == ws
+        assert got.loc[eid, "win_avg"] == wa
+        assert got.loc[eid, "n_in_frame"] == cnt

@@ -702,3 +702,35 @@ def test_decontaminate_gram_semantics(ray_session):
     )
     out = decontaminate(ds, bench_mod=20, n=8)
     assert list(out["doc_id"]) == [21]
+
+
+def test_pack_bins_sparse_ids_random_vs_sequential(ray_session):
+    # sparse, non-dense doc_ids (the range bucketing must stay correct
+    # for ANY monotone id layout, not just 0..n-1) + random token counts,
+    # differential against the sequential greedy definition.
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import pack_bins
+
+    rng = np.random.default_rng(77)
+    ids = np.unique(rng.integers(0, 10**9, 80)).astype(np.int64)
+    toks = rng.integers(0, 40, len(ids))
+    texts = [" ".join(["w"] * int(n)) for n in toks]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    )
+    budget = 64
+    out = pack_bins(ds, budget=budget, n_buckets=8)
+
+    ref = {}
+    cum = 0
+    for d, n in zip(ids, toks):
+        b = cum // budget
+        e = ref.setdefault(int(b), [0, 0, int(d), int(d)])
+        e[0] += 1
+        e[1] += int(n)
+        e[3] = int(d)
+        cum += int(n)
+    got = {int(r.bin_id): [int(r.n_docs), int(r.sum_tokens),
+                           int(r.first_doc), int(r.last_doc)]
+           for r in out.itertuples()}
+    assert got == ref
