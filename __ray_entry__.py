@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": r.q_events_lag,
         "events_rank": r.q_events_rank,
         "events_moving_avg": r.q_events_moving_avg,
+        "events_first_last": r.q_events_first_last,
+        "key_set_ops": r.q_key_set_ops,
         "events_props_extract": r.q_events_props_extract,
         "part_band_join": r.q_part_band_join,
         "customer_cube": r.q_customer_cube,
@@ -567,6 +569,46 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "events_first_last": """
+            -- FIRST_VALUE / LAST_VALUE window endpoints per user; raw
+            -- double values pass through untouched on both sides
+            WITH o AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn_d
+                FROM events
+            )
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_id END)
+                       AS first_event_id,
+                   max(CASE WHEN rn_d = 1 THEN event_id END)
+                       AS last_event_id,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+                   count(*) AS n_events
+            FROM o GROUP BY user_id ORDER BY user_id
+        """,
+        "key_set_ops": """
+            -- INTERSECT / EXCEPT set operations on the distinct key
+            -- domains (counts; set semantics, so each distinct key
+            -- counts once)
+            SELECT
+                (SELECT count(*) FROM (
+                    SELECT s_suppkey FROM supplier
+                    INTERSECT SELECT c_custkey FROM customer))
+                    AS n_intersect,
+                (SELECT count(*) FROM (
+                    SELECT s_suppkey FROM supplier
+                    EXCEPT SELECT c_custkey FROM customer))
+                    AS n_supp_only,
+                (SELECT count(*) FROM (
+                    SELECT c_custkey FROM customer
+                    EXCEPT SELECT s_suppkey FROM supplier))
+                    AS n_cust_only
         """,
         "events_props_extract": """
             -- semi-structured extraction: integer field k out of the

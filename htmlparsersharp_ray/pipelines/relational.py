@@ -1323,3 +1323,93 @@ def q_events_moving_avg(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_key_set_ops(sf_dir: str):
+    """Set operations (INTERSECT / EXCEPT) over the supplier vs customer
+    key domains. Each side collapses per batch to its DISTINCT keys
+    tagged with a side bit (np.unique — no shuffle yet); the tagged
+    union then shuffles ONCE on a bounded key-hash bucket, each bucket
+    OR-combines the bits per key with a vectorized pandas groupby and
+    emits three partial counts, and the driver merges only the tiny
+    per-bucket partials. Scale shape: the exchange carries distinct
+    (key, bit) rows, never source rows, and no bucket sees more than
+    its key range's distinct keys."""
+    import numpy as np
+
+    supp = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def tag(col: str, bit: int):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            keys = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+            return pd.DataFrame({
+                "key": keys.astype("int64"),
+                "bits": np.full(len(keys), bit, dtype=np.int64),
+                "kb": (keys % 64).astype("int64"),
+            })
+        return f
+
+    tagged = supp.map_batches(tag("s_suppkey", 1), batch_format="pyarrow").union(
+        cust.map_batches(tag("c_custkey", 2), batch_format="pyarrow")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # each side emits a key at most once per batch, but a key can
+        # appear in several batches of the same side: OR the bits via a
+        # C-level max per (key, side-bit-set) — bits are 1/2, and
+        # max(1,2,...)==3 only after a true cross-side meet, so combine
+        # with a two-step groupby: dedup per (key, bits), then sum
+        bits = g.drop_duplicates(["key", "bits"]).groupby(
+            "key", sort=False)["bits"].sum()
+        return pd.DataFrame({
+            "n_intersect": [int((bits == 3).sum())],
+            "n_supp_only": [int((bits == 1).sum())],
+            "n_cust_only": [int((bits == 2).sum())],
+        })
+
+    parts = tagged.groupby("kb").map_groups(combine, batch_format="pandas").to_pandas()
+    out = pd.DataFrame({
+        "n_intersect": [int(parts["n_intersect"].sum())],
+        "n_supp_only": [int(parts["n_supp_only"].sum())],
+        "n_cust_only": [int(parts["n_cust_only"].sum())],
+    })
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window endpoints per user over
+    (ts, event_id) order — one row per user with both boundary events
+    and values. Same bucket-then-vectorize shape as the other window
+    ops: ONE pandas sort + grouped first/last (C kernels) per
+    user-hash bucket; raw double values pass through untouched, so
+    equality vs the SQL window oracle is exact."""
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        first = grp.first()
+        last = grp.last()
+        return pd.DataFrame({
+            "user_id": first.index.astype("int64"),
+            "first_event_id": first["event_id"].astype("int64").to_numpy(),
+            "last_event_id": last["event_id"].astype("int64").to_numpy(),
+            "first_value": first["value"].to_numpy(),
+            "last_value": last["value"].to_numpy(),
+            "n_events": grp.size().astype("int64").to_numpy(),
+        })
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(fl, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

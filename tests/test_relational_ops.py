@@ -322,3 +322,40 @@ def test_events_moving_avg_random_vs_sequential(ray_session, tmp_path):
         assert got.loc[eid, "win_sum"] == ws
         assert got.loc[eid, "win_avg"] == wa
         assert got.loc[eid, "n_in_frame"] == cnt
+
+
+def test_key_set_ops_cross_batch_dedup(ray_session, tmp_path):
+    # keys repeat WITHIN a side (duplicate rows + multiple row groups) —
+    # set semantics must count each distinct key once; overlap {2,3},
+    # supplier-only {1}, customer-only {4,5}.
+    supp = pa.table({"s_suppkey": pa.array([1, 2, 3, 2, 2, 1], pa.int64())})
+    cust = pa.table({"c_custkey": pa.array([2, 3, 4, 5, 5, 3], pa.int64())})
+    pq.write_table(supp, str(tmp_path / "supplier.parquet"), row_group_size=2)
+    pq.write_table(cust, str(tmp_path / "customer.parquet"), row_group_size=2)
+    out = r.q_key_set_ops(str(tmp_path))
+    assert out.iloc[0].to_dict() == {
+        "n_intersect": 2, "n_supp_only": 1, "n_cust_only": 2}
+
+
+def test_events_first_last_tie_semantics(ray_session, tmp_path):
+    # equal timestamps break on event_id at BOTH window ends; single-event
+    # users return the same event on both ends.
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:00",
+         "2024-01-01 00:05:00", "2024-01-01 00:05:00",
+         "2024-01-01 01:00:00"]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([2, 1, 10, 9, 50], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "value": pa.array([5.0, 6.0, 7.0, 8.0, 9.0], pa.float64()),
+        }
+    )
+    out = r.q_events_first_last(_write(tmp_path, "events", t))
+    got = out.set_index("user_id")
+    assert got.loc[1, "first_event_id"] == 1 and got.loc[1, "first_value"] == 6.0
+    assert got.loc[1, "last_event_id"] == 10 and got.loc[1, "last_value"] == 7.0
+    assert got.loc[1, "n_events"] == 4
+    assert got.loc[2, "first_event_id"] == 50 and got.loc[2, "last_event_id"] == 50
