@@ -70,6 +70,68 @@ def _bench(args):
     return 0
 
 
+def _query(args):
+    """Run a named driver-contract query (the `queries()` registry in
+    __ray_entry__.py) from the command line — the ad-hoc surface a user
+    of the engine reaches for before scripting a pipeline. CLI owns the
+    Ray session; the registry callables never do."""
+    import importlib.util
+    import os
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(root, "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    if args.list or not args.name:
+        for name in qs:
+            print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=args.num_cpus or os.cpu_count(),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        t0 = time.time()
+        result = qs[args.name](args.sf_dir)
+        if hasattr(result, "to_pandas"):
+            result = result.to_pandas()
+        elapsed = time.time() - t0
+        if args.output:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = (result if isinstance(result, pa.Table)
+                     else pa.Table.from_pandas(result, preserve_index=False))
+            pq.write_table(table, args.output)
+        print(json.dumps({
+            "query": args.name,
+            "sf_dir": args.sf_dir,
+            "rows": int(len(result)),
+            "columns": [str(c) for c in
+                        (result.column_names if hasattr(result, "column_names")
+                         else result.columns)],
+            "seconds": round(elapsed, 3),
+            "output": args.output,
+        }))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="htmlparsersharp_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -101,10 +163,24 @@ def main(argv=None):
     p_b.add_argument("--save", default=None,
                      help="write the serialized HTML here (reference: doc.Save)")
 
+    p_q = sub.add_parser(
+        "query",
+        help="run a named driver-contract query over an sf dir "
+             "(--list to enumerate; --output to save parquet)",
+    )
+    p_q.add_argument("name", nargs="?", default=None)
+    p_q.add_argument("--list", action="store_true")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--output", default=None)
+    p_q.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
         return _bench(args)
+
+    if args.cmd == "query":
+        return _query(args)
 
     if args.cmd == "synth":
         from .sources.transcripts import generate_transcripts
