@@ -506,7 +506,19 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
     chunks. By pigeonhole, any pair within Hamming ≤ 7 has at least one
     unchanged chunk, so recall is COMPLETE for the default max_hamming=6
     (round 1's 4×16 banding only guaranteed Hamming ≤ 3 — ADVICE r1).
-    Exact Hamming distance verified within buckets."""
+    Exact Hamming distance verified within buckets.
+
+    Scale structure (the Manku/Jain/Sarma-style dedup-table shape):
+    identical signatures collapse FIRST (bucketed sig groupby → one row
+    per distinct signature carrying its sorted member list), so the
+    quadratic in-bucket verify runs over DISTINCT signatures — on
+    dup-heavy corpora (the 100-TB web-crawl norm) that is orders of
+    magnitude fewer rows. Qualifying signature pairs then expand to
+    member cross-products fully vectorized, and every pair is emitted by
+    exactly ONE bucket: cross-signature pairs by the FIRST band whose
+    chunks match (earlier zero byte of the XOR ⇒ an earlier band owns
+    it), within-family (equal-signature, Hamming 0) pairs by band 0.
+    No cross-band dedup exists anywhere — no O(dup-pairs) driver sink."""
     if max_hamming > 7:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 8x8 banding recall "
@@ -514,39 +526,92 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
         )
     sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    def add_sig_bucket(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = len(ids)
+        sb = (_mix64(sh) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("sb", pa.array(sb))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        fam = g.groupby("simhash", sort=False)["doc_id"].agg(list)
+        return pd.DataFrame({
+            "simhash": fam.index.to_numpy(dtype=np.uint64),
+            "members": fam.to_numpy(),
+        })
+
+    distinct = (
+        sig.map_batches(add_sig_bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy(dtype=np.uint64)
+        d = len(sh)
         chunks = (sh[:, None] >> (np.uint64(8) * _SHIFTS64[None, :8])) & np.uint64(0xFF)
-        return pa.table({
-            "band": pa.array(np.tile(np.arange(8, dtype=np.int32), d)),
-            "chunk": pa.array(chunks.astype(np.int32).ravel()),
-            "doc_id": pa.array(np.repeat(ids, 8)),
-            "simhash": pa.array(np.repeat(sh, 8)),
+        return pd.DataFrame({
+            "band": np.tile(np.arange(8, dtype=np.int32), d),
+            "chunk": chunks.astype(np.int32).ravel(),
+            "simhash": np.repeat(sh, 8),
+            "members": np.repeat(batch["members"].to_numpy(), 8),
         })
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
+        g = group.drop_duplicates("simhash")
+        band = int(g["band"].iloc[0])  # groupby key: constant per group
         hs = g["simhash"].to_numpy(dtype=np.uint64)
-        k = len(ids)
-        if k < 2:
+        members = [np.asarray(m, dtype=np.int64) for m in g["members"]]
+        cnt = np.array([len(m) for m in members], dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        flat = (np.concatenate(members) if members
+                else np.empty(0, dtype=np.int64))
+        u = len(hs)
+        out_a, out_b, out_h = [], [], []
+
+        def expand(gi, gj, ham):
+            # member cross-products for qualifying signature pairs,
+            # fully vectorized (pair-block local index → div/mod into
+            # the flattened member array)
+            ci, cj = cnt[gi], cnt[gj]
+            m = ci * cj
+            tot = int(m.sum())
+            if not tot:
+                return
+            pidx = np.repeat(np.arange(len(gi)), m)
+            local = np.arange(tot) - np.repeat(np.cumsum(m) - m, m)
+            a = flat[off[gi][pidx] + local // cj[pidx]]
+            b = flat[off[gj][pidx] + local % cj[pidx]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_h.append(np.repeat(ham, m))
+
+        # all-pairs Hamming over DISTINCT signatures (SWAR popcount on
+        # the XOR matrix), row-chunked so memory stays ~u×4096×8 B
+        step = 4096
+        for lo in range(0, u, step):
+            hi = min(lo + step, u)
+            x = hs[lo:hi, None] ^ hs[None, :]
+            dist = _popcount64(x)
+            ok = dist <= max_hamming
+            for earlier in range(band):
+                ok &= ((x >> np.uint64(8 * earlier)) & np.uint64(0xFF)) != 0
+            ii, jj = np.nonzero(ok)
+            keep = (ii + lo) < jj  # upper triangle only
+            expand(ii[keep] + lo, jj[keep],
+                   dist[ii[keep], jj[keep]].astype(np.int64))
+        if band == 0:
+            # equal-signature families (Hamming 0) belong to band 0:
+            # every band's chunks match, so the first-band rule lands here
+            for fi in np.nonzero(cnt >= 2)[0]:
+                fam = members[fi]
+                ai, bj = np.triu_indices(len(fam), k=1)
+                out_a.append(fam[ai])
+                out_b.append(fam[bj])
+                out_h.append(np.zeros(len(ai), dtype=np.int64))
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        # vectorized all-pairs Hamming inside the bucket (SWAR popcount
-        # on the XOR matrix); row-chunked so memory stays ~k×4096×8 B
-        out_a, out_b, out_h = [], [], []
-        step = 4096
-        for lo in range(0, k, step):
-            hi = min(lo + step, k)
-            dist = _popcount64(hs[lo:hi, None] ^ hs[None, :])
-            ii, jj = np.nonzero(dist <= max_hamming)
-            keep = (ii + lo) < jj  # upper triangle only
-            out_a.append(ids[ii[keep] + lo])
-            out_b.append(ids[jj[keep]])
-            out_h.append(dist[ii[keep], jj[keep]])
         return pd.DataFrame({
             "doc_a": np.concatenate(out_a).astype("int64"),
             "doc_b": np.concatenate(out_b).astype("int64"),
@@ -554,19 +619,14 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
         })
 
     out = (
-        sig.map_batches(explode, batch_format="pyarrow")
+        distinct.map_batches(explode, batch_format="pandas")
         .groupby(["band", "chunk"])
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    out = (
-        out.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-    return out
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
