@@ -1,0 +1,126 @@
+"""Reproducible 1M-document scale sweep (BASELINE.md "Round-3 scale
+sweep" section).
+
+Synthesizes a deterministic dup-heavy corpus — sf0.1 `documents`
+replicated REPS× with id offsets; every 10th replica byte-identical
+(~10% exact dups, REPS-way near-dup families, the adversarial shape of
+a web crawl) — then times the corpus-pass operators and prints one JSON
+line. Driver RSS is sampled after every pass so memory growth across
+passes is visible.
+
+    python tools/scale_sweep.py              # full sweep, 32 CPUs
+    GRAFT_SWEEP_REPS=20 python tools/scale_sweep.py   # smaller corpus
+
+Owns its Ray session (CLI rule, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("GRAFT_SWEEP_SRC",
+                     "/root/testdata/sf0.1/documents.parquet")
+REPS = int(os.environ.get("GRAFT_SWEEP_REPS", "200"))
+OUT = f"/tmp/graft_docs_sweep_{REPS}"
+
+
+def synth_corpus() -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    marker = os.path.join(OUT, "_COMPLETE")
+    if os.path.exists(marker):
+        return OUT
+    src = pq.read_table(SRC, columns=["doc_id", "text"])
+    ids, text = src.column("doc_id"), src.column("text")
+    for i in range(REPS):
+        t = text if i % 10 == 0 else pc.binary_join_element_wise(
+            text, f" rep{i}", "")
+        pq.write_table(
+            pa.table({"doc_id": pc.add(ids, i * src.num_rows), "text": t}),
+            os.path.join(OUT, f"part-{i:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return OUT
+
+
+def main() -> int:
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    corpus = synth_corpus()
+    files = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
+
+    def docs(n_files=None):
+        return ray.data.read_parquet(files[:n_files] if n_files else files)
+
+    from htmlparsersharp_ray.stages.dedup import (
+        decontaminate,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from htmlparsersharp_ray.stages.text_analysis import (
+        fingerprints_fast,
+        pack_bins,
+        repetition_signals,
+        token_counts,
+        top_terms,
+    )
+
+    results = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        r = fn()
+        results[name] = {
+            "sec": round(time.time() - t0, 1),
+            "rows": int(len(r)) if hasattr(r, "__len__") else int(r),
+            "driver_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+        }
+
+    run("token_counts", lambda: token_counts(docs()).count())
+    run("exact_dedup", lambda: exact_dedup(docs()).count())
+    run("repetition_signals", lambda: repetition_signals(docs()).count())
+    run("fingerprints_fast", lambda: fingerprints_fast(docs()).count())
+    run("pack_bins", lambda: pack_bins(docs(), budget=1024))
+    run("decontaminate", lambda: decontaminate(docs(), bench_mod=20, n=8))
+    run("top_terms", lambda: top_terms(docs(), k=20))
+    # pair mining on a 10%-of-corpus slice (output is quadratic in the
+    # dup-family size; the slice keeps the verified-pair volume ~1M)
+    pair_files = max(1, len(files) // 10)
+    run("minhash_pairs_slice",
+        lambda: minhash_lsh_pairs(docs(pair_files), jaccard_threshold=0.5))
+    run("simhash_pairs_slice",
+        lambda: simhash_pairs(docs(pair_files), max_hamming=6))
+
+    print(json.dumps({
+        "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
+        "corpus_files": len(files),
+        "reps": REPS,
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        "passes": results,
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
