@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_count": r.q_union_limit,
         "part_stats": r.q_part_stats,
         "part_quantiles": r.q_part_quantiles,
+        "part_quantiles_cont": r.q_part_quantiles_cont,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
@@ -719,6 +720,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(p_retailprice, 0.25) AS p25,
                    quantile_disc(p_retailprice, 0.5) AS median,
                    quantile_disc(p_retailprice, 0.9) AS p90,
+                   count(*) AS n_parts
+            FROM part
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "part_quantiles_cont": """
+            -- interpolated quantiles: DuckDB's quantile_cont evaluates
+            -- v[lo]*(1-frac) + v[hi]*frac at h = q*(n-1), the exact
+            -- IEEE expression the engine computes (bitwise-verified)
+            SELECT p_brand,
+                   quantile_cont(p_retailprice, 0.25) AS p25,
+                   quantile_cont(p_retailprice, 0.5) AS median,
+                   quantile_cont(p_retailprice, 0.9) AS p90,
                    count(*) AS n_parts
             FROM part
             GROUP BY p_brand

@@ -1413,3 +1413,45 @@ def q_events_first_last(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_part_quantiles_cont(sf_dir: str):
+    """INTERPOLATED grouped percentiles (PERCENTILE_CONT semantics, the
+    companion to q_part_quantiles' discrete picks): position
+    h = q·(n−1) over the sorted group, result
+    v[⌊h⌋]·(1−frac) + v[⌈h⌉]·frac. DuckDB's quantile_cont computes the
+    identical IEEE expression (verified bitwise), and frac = h−⌊h⌋ is
+    exact by Sterbenz, so the oracle match is hash-exact despite the
+    interpolation. Same shuffle shape as q_part_quantiles: 25 brands →
+    direct low-cardinality groupby, sort-per-group on a worker."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["p_retailprice"].to_numpy())
+        n = len(v)
+
+        def pick(q):
+            h = q * (n - 1)
+            lo = math.floor(h)
+            hi = min(lo + 1, n - 1)
+            frac = h - lo
+            return float(v[lo] * (1 - frac) + v[hi] * frac)
+
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "p25": [pick(0.25)],
+            "median": [pick(0.5)],
+            "p90": [pick(0.9)],
+            "n_parts": [n],
+        })
+
+    out = ds.groupby("p_brand").map_groups(qtile, batch_format="pandas")
+    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["n_parts"] = df["n_parts"].astype("int64")
+    return df
