@@ -613,13 +613,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_extract": """
             -- semi-structured extraction: integer field k out of the
-            -- JSON props column; missing/malformed count as 0 (matches
-            -- the engine's regex-extract + fillna(0)); BIGINT cast keeps
-            -- the hugeint sum an integer in pandas
+            -- JSON props column. BOTH sides use the same
+            -- first-occurrence regex definition (so nesting depth can
+            -- never diverge between engine and oracle); missing /
+            -- malformed count as 0; BIGINT cast keeps the hugeint sum
+            -- an integer in pandas
             SELECT event_type,
                    CAST(sum(COALESCE(TRY_CAST(
-                       json_extract_string(props, '$.k') AS BIGINT), 0))
-                       AS BIGINT) AS sum_k,
+                       regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1)
+                       AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,

@@ -75,15 +75,16 @@ def _query(args):
     __ray_entry__.py) from the command line — the ad-hoc surface a user
     of the engine reaches for before scripting a pipeline. CLI owns the
     Ray session; the registry callables never do."""
-    import importlib.util
     import os
     import time
 
+    # same loading mechanism as tools/check_oracle.py — one path for the
+    # driver-contract module everywhere
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", os.path.join(root, "__ray_entry__.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __ray_entry__ as mod
+
     qs = mod.queries()
     oracles = mod.oracle_sql()
     if args.list or not args.name:
@@ -105,25 +106,26 @@ def _query(args):
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
+        import pyarrow as pa
+
         t0 = time.time()
         result = qs[args.name](args.sf_dir)
-        if hasattr(result, "to_pandas"):
-            result = result.to_pandas()
+        if not isinstance(result, pa.Table) and hasattr(result, "to_pandas"):
+            result = result.to_pandas()  # Ray Dataset → pandas
         elapsed = time.time() - t0
+        is_table = isinstance(result, pa.Table)
         if args.output:
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            table = (result if isinstance(result, pa.Table)
+            table = (result if is_table
                      else pa.Table.from_pandas(result, preserve_index=False))
             pq.write_table(table, args.output)
         print(json.dumps({
             "query": args.name,
             "sf_dir": args.sf_dir,
-            "rows": int(len(result)),
+            "rows": int(result.num_rows if is_table else len(result)),
             "columns": [str(c) for c in
-                        (result.column_names if hasattr(result, "column_names")
-                         else result.columns)],
+                        (result.column_names if is_table else result.columns)],
             "seconds": round(elapsed, 3),
             "output": args.output,
         }))

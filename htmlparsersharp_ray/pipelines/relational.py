@@ -1255,9 +1255,11 @@ def q_events_props_extract(sf_dir: str):
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # string → int64 directly (no float64 round-trip: values above
+        # 2^53 must stay exact, matching the oracle's TRY_CAST)
         k = (
             b["props"].fillna("").str.extract(r'"k"\s*:\s*(-?\d+)')[0]
-            .astype("float64").fillna(0).astype("int64")
+            .fillna("0").astype("int64")
         )
         t = pd.DataFrame({"event_type": b["event_type"], "k": k})
         return t.groupby("event_type", as_index=False).agg(
@@ -1337,8 +1339,11 @@ def q_key_set_ops(sf_dir: str):
     its key range's distinct keys."""
     import numpy as np
 
+    from .joins import auto_buckets
+
     supp = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
     cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    nb = max(auto_buckets(supp), auto_buckets(cust))
 
     def tag(col: str, bit: int):
         def f(batch: pa.Table) -> pd.DataFrame:
@@ -1346,7 +1351,7 @@ def q_key_set_ops(sf_dir: str):
             return pd.DataFrame({
                 "key": keys.astype("int64"),
                 "bits": np.full(len(keys), bit, dtype=np.int64),
-                "kb": (keys % 64).astype("int64"),
+                "kb": (keys % nb).astype("int64"),
             })
         return f
 
@@ -1395,16 +1400,19 @@ def q_events_first_last(sf_dir: str):
 
     def fl(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        grp = g.groupby("user_id", sort=False)
-        first = grp.first()
-        last = grp.last()
+        # drop_duplicates keeps whole ROWS (SQL FIRST_VALUE/LAST_VALUE
+        # semantics) — groupby.first()/last() would skip nulls
+        # per-column and could stitch values from different rows
+        first = g.drop_duplicates("user_id", keep="first").set_index("user_id")
+        last = g.drop_duplicates("user_id", keep="last").set_index("user_id")
+        n = g.groupby("user_id", sort=False).size()
         return pd.DataFrame({
             "user_id": first.index.astype("int64"),
             "first_event_id": first["event_id"].astype("int64").to_numpy(),
             "last_event_id": last["event_id"].astype("int64").to_numpy(),
             "first_value": first["value"].to_numpy(),
             "last_value": last["value"].to_numpy(),
-            "n_events": grp.size().astype("int64").to_numpy(),
+            "n_events": n.reindex(first.index).astype("int64").to_numpy(),
         })
 
     out = (

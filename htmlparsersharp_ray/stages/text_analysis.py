@@ -320,7 +320,9 @@ def pack_bins(docs: ray.data.Dataset, budget: int = 1024,
     span = -(-n_docs // n_buckets)  # ceil
 
     def bucket_of(doc_ids: np.ndarray) -> np.ndarray:
-        return np.minimum(doc_ids // span, n_buckets - 1)
+        # clamp BOTH sides: a negative doc_id must land in bucket 0, not
+        # wrap through Python negative indexing into the last offset
+        return np.clip(doc_ids // span, 0, n_buckets - 1)
 
     def partial_totals(b: pd.DataFrame) -> pd.DataFrame:
         rb = bucket_of(b["doc_id"].to_numpy())

@@ -359,3 +359,34 @@ def test_events_first_last_tie_semantics(ray_session, tmp_path):
     assert got.loc[1, "last_event_id"] == 10 and got.loc[1, "last_value"] == 7.0
     assert got.loc[1, "n_events"] == 4
     assert got.loc[2, "first_event_id"] == 50 and got.loc[2, "last_event_id"] == 50
+
+
+def test_events_first_last_null_value_row_semantics(ray_session, tmp_path):
+    # SQL FIRST_VALUE returns the first ROW's value even when it is NULL
+    # — per-column null-skipping (groupby.first) would stitch 7.0 in.
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:10:00"])
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "value": pa.array([None, 7.0], pa.float64()),
+        }
+    )
+    out = r.q_events_first_last(_write(tmp_path, "events", t))
+    row = out.set_index("user_id").loc[1]
+    assert row["first_event_id"] == 1 and np.isnan(row["first_value"])
+    assert row["last_event_id"] == 2 and row["last_value"] == 7.0
+
+
+def test_events_props_extract_exact_above_2_53(ray_session, tmp_path):
+    # integers above 2^53 must not round-trip through float64
+    big = 9007199254740993  # 2^53 + 1
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"]),
+            "props": pa.array([f'{{"k": {big}}}']),
+        }
+    )
+    out = r.q_events_props_extract(_write(tmp_path, "events", t))
+    assert int(out["sum_k"].iloc[0]) == big

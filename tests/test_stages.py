@@ -734,3 +734,28 @@ def test_pack_bins_sparse_ids_random_vs_sequential(ray_session):
                            int(r.first_doc), int(r.last_doc)]
            for r in out.itertuples()}
     assert got == ref
+
+
+def test_pack_bins_negative_ids_clamp_to_first_bucket(ray_session):
+    # negative doc_ids must clamp into bucket 0 (not wrap through
+    # Python negative indexing into the last bucket's offset)
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import pack_bins
+
+    ids = np.array([-5, -1, 0, 3, 7], dtype=np.int64)
+    toks = [4, 3, 5, 2, 6]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array([" ".join(["w"] * n) for n in toks])})
+    )
+    out = pack_bins(ds, budget=8, n_buckets=4)
+    ref, cum = {}, 0
+    for d, n in zip(ids, toks):
+        b = cum // 8
+        e = ref.setdefault(int(b), [0, 0, int(d), int(d)])
+        e[0] += 1; e[1] += n; e[3] = int(d)
+        cum += n
+    got = {int(r.bin_id): [int(r.n_docs), int(r.sum_tokens),
+                           int(r.first_doc), int(r.last_doc)]
+           for r in out.itertuples()}
+    assert got == ref

@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = os.environ.get("GRAFT_SWEEP_SRC",
                      "/root/testdata/sf0.1/documents.parquet")
 REPS = int(os.environ.get("GRAFT_SWEEP_REPS", "200"))
-OUT = f"/tmp/graft_docs_sweep_{REPS}"
+# cache key covers BOTH knobs: a different source must not reuse a
+# stale corpus behind the same _COMPLETE marker
+import zlib  # noqa: E402
+
+OUT = f"/tmp/graft_docs_sweep_{REPS}_{zlib.crc32(SRC.encode()):08x}"
 
 
 def synth_corpus() -> str:
