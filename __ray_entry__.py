@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left": r.q_join_left,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
+        "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
         "docs_tfidf": _q_docs_tfidf,
@@ -800,6 +801,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 1) IN ('0', '1')
             ORDER BY doc_id
+        """,
+        "docs_shuffle": """
+            -- deterministic training-order shuffle: global rank in
+            -- md5(doc_id) order (stable pseudo-random, no RNG); the
+            -- engine computes it via hex-prefix RANGE buckets + a
+            -- two-pass offset merge, never an all-to-all sort
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                       AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
         """,
         "docs_stratified_sample": """
             -- per-stratum deterministic content-hash rates:

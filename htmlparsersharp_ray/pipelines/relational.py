@@ -1463,3 +1463,71 @@ def q_part_quantiles_cont(sf_dir: str):
     df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
     df["n_parts"] = df["n_parts"].astype("int64")
     return df
+
+
+def q_docs_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: each doc's position is its
+    global rank in md5(doc_id) order — the reproducible no-RNG shuffle a
+    training run wants (same order at any parallelism, resumable by
+    position range).
+
+    This is the engine's GLOBAL RANK primitive, built WITHOUT Ray's
+    all-to-all sort: the md5 hex prefix is itself a RANGE partitioner
+    (hex strings order lexicographically), so 256 prefix buckets are
+    already globally ordered. Pass 1 collapses each batch to per-bucket
+    counts (tiny driver merge → exclusive bucket offsets in Python
+    ints); pass 2 buckets rows, sorts WITHIN each bucket only, and adds
+    the broadcast offset — per-bucket work is corpus/256, never the
+    corpus. The per-row md5 is one C call (same precedent as
+    docs_sample's content-hash split)."""
+    import hashlib
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def md5s(ids: np.ndarray) -> list:
+        return [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = np.array([int(h[:2], 16) for h in md5s(ids)], dtype=np.int64)
+        c = np.bincount(b, minlength=256)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"hb": nz.astype("int64"),
+                             "n": c[nz].astype("int64")})
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    per_bucket = [0] * 256
+    for hb, n in zip(parts["hb"], parts["n"]):
+        per_bucket[int(hb)] += int(n)
+    offsets = [0] * 256
+    run = 0
+    for i in range(256):
+        offsets[i] = run
+        run += per_bucket[i]
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = md5s(ids)
+        return pd.DataFrame({
+            "doc_id": ids.astype("int64"),
+            "h": hs,
+            "hb": np.array([int(h[:2], 16) for h in hs], dtype=np.int64),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        base = offsets[int(g["hb"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "pos": (base + np.arange(len(g))).astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -390,3 +390,21 @@ def test_events_props_extract_exact_above_2_53(ray_session, tmp_path):
     )
     out = r.q_events_props_extract(_write(tmp_path, "events", t))
     assert int(out["sum_k"].iloc[0]) == big
+
+
+def test_docs_shuffle_is_deterministic_permutation(ray_session, tmp_path):
+    # positions are exactly 0..n-1 (a permutation), stable across runs,
+    # and match the sequential md5-order definition
+    import hashlib
+
+    ids = np.array([3, 7, 11, 200, 999, 5], dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(["x"] * len(ids))})
+    d = _write(tmp_path, "documents", t)
+    a = r.q_docs_shuffle(d)
+    b = r.q_docs_shuffle(d)
+    assert a.equals(b)
+    assert sorted(a["pos"]) == list(range(len(ids)))
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    ref = {int(doc): p for p, doc in enumerate(order)}
+    assert {int(d_): int(p) for d_, p in zip(a["doc_id"], a["pos"])} == ref
