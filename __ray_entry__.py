@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": r.q_part_stats,
         "part_quantiles": r.q_part_quantiles,
         "part_quantiles_cont": r.q_part_quantiles_cont,
+        "part_quantiles_sketch": r.q_part_quantiles_sketch,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
@@ -741,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
             ORDER BY p_brand
         """,
+        # part_quantiles_sketch: no SQL oracle on purpose — it is the
+        # mergeable-sketch APPROXIMATE path (midpoint-rank rule, not
+        # quantile_disc); gated instead by pytest accuracy/merge tests
+        # (tests/test_stages.py::test_quantile_sketch_*) and an
+        # sf-scale exactness check vs the in-test midpoint reference.
         "topk_per_group": """
             SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
                 SELECT c_mktsegment, o_orderkey, o_totalprice,

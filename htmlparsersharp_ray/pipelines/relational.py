@@ -1531,3 +1531,57 @@ def q_docs_shuffle(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_part_quantiles_sketch(sf_dir: str):
+    """APPROXIMATE grouped percentiles via the mergeable quantile sketch
+    (stages/sketches.py) — the scale path q_part_quantiles' docstring
+    names for groups too large to gather: each batch collapses every
+    brand to one fixed-size (points, weights) summary, partials merge
+    associatively inside the brand group, and no worker ever holds a
+    group's full value set. At sf scale every per-brand summary stays
+    under the sketch size, so the result is EXACT here (equal to the
+    discrete quantiles up to the midpoint-rank rule); accuracy at
+    giant-group scale is pytest-gated (<0.5% rank error at 200k values).
+    No SQL oracle (approximate by construction) — rows-only check plus
+    the pytest accuracy/merge gates, like events_user_hll."""
+    import numpy as np
+
+    from ..stages.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantile,
+    )
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for brand, g in b.groupby("p_brand", sort=False):
+            pts, wts = quantile_sketch(g["p_retailprice"].to_numpy())
+            rows.append((brand, pts.tolist(), wts.tolist(), len(g)))
+        return pd.DataFrame(rows, columns=["p_brand", "pts", "wts", "n"])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        pts, wts = merge_quantile_sketches(
+            [(np.asarray(p), np.asarray(w))
+             for p, w in zip(g["pts"], g["wts"])]
+        )
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "p25": [sketch_quantile(pts, wts, 0.25)],
+            "median": [sketch_quantile(pts, wts, 0.5)],
+            "p90": [sketch_quantile(pts, wts, 0.9)],
+            "n_parts": [int(g["n"].sum())],
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)

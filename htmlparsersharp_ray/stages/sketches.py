@@ -98,3 +98,50 @@ def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
     regs = (np.frombuffer(merged[0]["blob"], dtype=np.uint8)
             if merged else np.zeros(_M, dtype=np.uint8))
     return hll_estimate(regs)
+
+
+# --- mergeable quantile sketch --------------------------------------------
+_QK = 1024  # points per sketch → rank error ~ W/(2·k) per compression
+
+
+def quantile_sketch(values: np.ndarray, k: int = _QK):
+    """Compress a value array to a weighted summary (points, weights):
+    k evenly-spaced order statistics at midpoint ranks, each carrying
+    weight n/k. Arrays of n <= k stay EXACT (every point kept, weight
+    1). Deterministic, no RNG — the mergeable-quantile companion to the
+    HLL sketch above, for grouped quantiles over groups too large to
+    gather (the scale path named in q_part_quantiles' docstring)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(v)
+    if n <= k:
+        return v, np.ones(n, dtype=np.float64)
+    ranks = ((np.arange(k) + 0.5) * n / k).astype(np.int64).clip(0, n - 1)
+    return v[ranks], np.full(k, n / k, dtype=np.float64)
+
+
+def merge_quantile_sketches(sketches, k: int = _QK):
+    """Merge (points, weights) partials into one sketch. Order-
+    insensitive OUTPUT: items sort by point value, recompression picks
+    point values at evenly-spaced cumulative midpoint ranks — equal
+    values are interchangeable, so partial arrival order cannot change
+    any returned point."""
+    p = np.concatenate([s[0] for s in sketches])
+    w = np.concatenate([s[1] for s in sketches])
+    o = np.argsort(p, kind="stable")
+    p, w = p[o], w[o]
+    if len(p) <= k:
+        return p, w
+    total = w.sum()
+    cw = np.cumsum(w) - 0.5 * w
+    t = (np.arange(k) + 0.5) * total / k
+    idx = np.searchsorted(cw, t, side="left").clip(0, len(p) - 1)
+    return p[idx], np.full(k, total / k, dtype=np.float64)
+
+
+def sketch_quantile(points: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Value at quantile q of a weighted sketch (midpoint-rank rule)."""
+    if not len(points):
+        return float("nan")
+    cw = np.cumsum(weights) - 0.5 * weights
+    idx = int(np.searchsorted(cw, q * weights.sum(), side="left"))
+    return float(points[min(idx, len(points) - 1)])

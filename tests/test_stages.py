@@ -759,3 +759,71 @@ def test_pack_bins_negative_ids_clamp_to_first_bucket(ray_session):
                            int(r.first_doc), int(r.last_doc)]
            for r in out.itertuples()}
     assert got == ref
+
+
+def test_quantile_sketch_exact_small_and_accurate_at_scale():
+    """Mergeable quantile sketch gates: (a) n <= k keeps every point and
+    the midpoint-rank pick is exact; (b) 200k values split into 64
+    random-size partials and merged stay under 0.5% rank error at every
+    probed quantile; (c) partial arrival order cannot change any
+    returned quantile."""
+    from htmlparsersharp_ray.stages.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantile,
+    )
+
+    rng = np.random.default_rng(7)
+
+    # (a) exact case
+    v = rng.normal(size=500)
+    pts, wts = quantile_sketch(v)
+    assert len(pts) == 500 and (wts == 1.0).all()
+    sv = np.sort(v)
+    for q in (0.25, 0.5, 0.9):
+        idx = min(int(np.searchsorted(np.arange(500) + 0.5, q * 500)), 499)
+        assert sketch_quantile(pts, wts, q) == sv[idx]
+
+    # (b) accuracy after a 64-way random split + merge
+    v = rng.normal(size=200_000)
+    cuts = np.sort(rng.choice(np.arange(1, 200_000), size=63, replace=False))
+    chunks = np.split(v, cuts)
+    sketches = [quantile_sketch(c) for c in chunks]
+    pts, wts = merge_quantile_sketches(sketches)
+    assert len(pts) <= 1024
+    sv = np.sort(v)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        got = sketch_quantile(pts, wts, q)
+        rank = np.searchsorted(sv, got) / 200_000
+        assert abs(rank - q) < 0.005, (q, rank)
+
+    # (c) order-insensitive quantiles
+    order = rng.permutation(len(sketches))
+    pts2, wts2 = merge_quantile_sketches([sketches[i] for i in order])
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        assert sketch_quantile(pts2, wts2, q) == sketch_quantile(pts, wts, q)
+
+
+def test_part_quantiles_sketch_query_exact_at_sf(ray_session):
+    """At sf scale every brand's merged sketch holds ALL its points
+    (n <= 1024), so the distributed query must equal the in-test
+    midpoint-rank reference computed from the raw parquet."""
+    import os
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    path = os.path.join(sf, "part.parquet")
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    out = entry.queries()["part_quantiles_sketch"](sf).set_index("p_brand")
+    df = pd.read_parquet(path, columns=["p_brand", "p_retailprice"])
+    assert len(out) == df["p_brand"].nunique()
+    for brand, g in df.groupby("p_brand"):
+        v = np.sort(g["p_retailprice"].to_numpy())
+        n = len(v)
+        assert n <= 1024  # exactness precondition at this sf
+        for q, col in ((0.25, "p25"), (0.5, "median"), (0.9, "p90")):
+            idx = min(int(np.searchsorted(np.arange(n) + 0.5, q * n)), n - 1)
+            assert out.loc[brand, col] == v[idx], (brand, col)
+        assert out.loc[brand, "n_parts"] == n
