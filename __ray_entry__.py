@@ -201,6 +201,15 @@ def _q_docs_token_counts(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_redact(sf_dir: str):
+    """PII-shaped regex scrub (stages/text_analysis.py::redact):
+    sequential pattern list → placeholder + per-doc redaction count."""
+    from htmlparsersharp_ray.stages.text_analysis import redact
+
+    df = redact(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_quality(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import quality_scores
 
@@ -391,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_quantiles": r.q_part_quantiles,
         "part_quantiles_cont": r.q_part_quantiles_cont,
         "part_quantiles_sketch": r.q_part_quantiles_sketch,
+        "region_revenue": r.q_region_revenue,
+        "events_ntile": r.q_events_ntile,
+        "lineitem_corr": r.q_lineitem_corr,
+        "region_nations": r.q_region_nations,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
@@ -412,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_clean_corpus": _q_docs_clean_corpus,
         "docs_token_counts": _q_docs_token_counts,
+        "docs_redact": _q_docs_redact,
         "docs_quality": _q_docs_quality,
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -432,6 +446,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from htmlparsersharp_ray.stages.text_analysis import REDACT_PATTERNS
+
+    # single source of truth for the scrub patterns (engine & oracle);
+    # they contain no single quotes, so direct SQL-literal interpolation
+    # is safe, and DuckDB string literals pass backslashes through to RE2
+    _redact_p1, _redact_p2 = REDACT_PATTERNS
     return {
         "lineitem_agg": """
             -- TPC-H semantics: money/quantity columns are DECIMAL(x,2).
@@ -747,6 +767,84 @@ def oracle_sql() -> dict[str, str]:
         # quantile_disc); gated instead by pytest accuracy/merge tests
         # (tests/test_stages.py::test_quantile_sketch_*) and an
         # sf-scale exactness check vs the in-test midpoint reference.
+        "region_revenue": """
+            -- TPC-H Q5 proper: 6-table join chain with the
+            -- local-supplier predicate; DECIMAL casts => exact
+            -- order-independent revenue sum (see lineitem_agg)
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "events_ntile": """
+            -- NTILE checked at tile grain: counts pin the tile-size
+            -- rule, event_id endpoints pin the boundary rows
+            SELECT user_id, tile, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM (SELECT user_id, event_id,
+                         NTILE(4) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS tile
+                  FROM events)
+            GROUP BY user_id, tile
+            ORDER BY user_id, tile
+        """,
+        "lineitem_corr": """
+            -- correlation from EXACT integer sufficient statistics: the
+            -- hugeint sums are order-independent, and the final float
+            -- expression is written identically on both sides, so the
+            -- doubles match bitwise (no float accumulation anywhere)
+            WITH u AS (
+                SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM u GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                       AS corr_qty_price,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM s ORDER BY l_returnflag
+        """,
+        "region_nations": """
+            -- ordered STRING_AGG (order-sensitive aggregate)
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "docs_redact": f"""
+            -- regex scrub: patterns interpolated from the SAME
+            -- REDACT_PATTERNS constant the engine compiles; pattern 2
+            -- counts on pattern 1's OUTPUT, matching the engine's
+            -- sequential apply order
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '{_redact_p1}', '<X>', 'g'),
+                       '{_redact_p2}', '<X>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text, '{_redact_p1}'))
+                        + len(regexp_extract_all(
+                              regexp_replace(text, '{_redact_p1}', '<X>', 'g'),
+                              '{_redact_p2}')) AS BIGINT) AS n_redactions
+            FROM documents ORDER BY doc_id
+        """,
         "topk_per_group": """
             SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
                 SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -1585,3 +1585,250 @@ def q_part_quantiles_sketch(sf_dir: str):
     )
     out["n_parts"] = out["n_parts"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5 proper: the 6-table join chain customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region with the local-supplier
+    predicate c_nationkey = s_nationkey — the join-COMPOSITION
+    demonstration. Scale shape: the two fact joins (orders⋈customer,
+    lineitem⋈orders) run through the bucketed shuffle hash join
+    (pipelines/joins.py); the dimension chain (region→nation,
+    region-pruned supplier→nationkey) broadcasts once via ray.put and
+    applies inside map_batches; lineitem pre-aggregates to
+    (orderkey, supplier-nation) grain with exact scaled-int64 cents
+    INSIDE its map before entering the shuffle, so the big exchange is
+    near orders-sized. Final per-nation merge is a tiny Python-int sum
+    (overflow-safe, ADVICE r2)."""
+    import numpy as np
+
+    from .joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    # dimension chain, driver-side tiny (5 + 25 rows)
+    region = ray.data.read_parquet(_t(sf_dir, "region")).to_pandas()
+    nation = ray.data.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+
+    # supplier → nationkey, region-pruned (10k rows/SF: broadcast once)
+    sup = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nat_names)]
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+
+    nat_set = pa.array(sorted(nat_names), pa.int64())
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nat_set)),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    cust_orders = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas"
+    ).repartition(8)  # one small block per join bucket — coalesce
+
+    class LiPartial:
+        """Region-prune via the broadcast supplier map + per-batch
+        exact-cents pre-aggregation to (orderkey, nation) grain."""
+
+        def __init__(self):
+            self.sup = ray.get(sup_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            s_nat = b["l_suppkey"].map(self.sup)
+            keep = s_nat.notna().to_numpy()
+            b = b[keep]
+            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "s_nat": s_nat[keep].to_numpy().astype("int64"),
+                    "rev_u": pr_c * (100 - di_c),
+                }
+            )
+            return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev_u"].sum()
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+
+    joined = hash_join(li, cust_orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nat"].to_numpy() == df["c_nationkey"].to_numpy()]
+        return df.groupby("s_nat", as_index=False)["rev_u"].sum()
+
+    parts = joined.map_batches(local_only, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["rev_u"])
+    agg = parts.groupby("s_nat", as_index=False)["rev_u"].sum()
+    agg["n_name"] = agg["s_nat"].map(nat_names)
+    agg["revenue"] = agg.pop("rev_u") / 10000.0
+    return (
+        agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(4) per user ordered by (ts, event_id), verified at tile
+    grain: per (user, tile) count + event_id endpoints pin BOTH the
+    SQL tile-size rule (first n%k tiles get one extra row) and the
+    exact boundary rows. Same bucket-then-vectorize shape as
+    q_events_rank — ONE pandas sort + numpy tile arithmetic per bucket,
+    never a per-user group."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    K = 4
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def ntiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        by_user = g.groupby("user_id", sort=False)
+        idx = by_user.cumcount().to_numpy()
+        n = by_user["event_id"].transform("size").to_numpy()
+        # SQL NTILE: first (n % K) tiles hold ceil(n/K) rows, the rest
+        # floor(n/K); all-integer branch arithmetic, fully vectorized
+        big = n % K
+        size_big = n // K + 1
+        in_big = idx < big * size_big
+        small = np.maximum(n // K, 1)  # n < K ⇒ every row is in a big tile
+        tile = np.where(
+            in_big,
+            idx // size_big,
+            big + (idx - big * size_big) // small,
+        ) + 1
+        g["tile"] = tile.astype("int64")
+        out = (
+            g.groupby(["user_id", "tile"], as_index=False)
+            .agg(
+                n_events=("event_id", "size"),
+                first_event=("event_id", "min"),
+                last_event=("event_id", "max"),
+            )
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(ntiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "tile"]).reset_index(drop=True)
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson CORRELATION (quantity vs extendedprice per
+    returnflag) computed from EXACT sufficient statistics: per-batch
+    scaled-int64 partial sums (Σx, Σy, Σxy, Σx², Σy², n), Python-int
+    merge (arbitrary precision), then ONE float expression
+    (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) evaluated
+    once per group. The oracle computes the SAME expression from
+    DECIMAL sums, so every intermediate is identical and the doubles
+    match bitwise — a float statistic with no float accumulation."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(b["l_quantity"].to_numpy() * 100).astype("int64")
+        y = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        out = d.groupby("l_returnflag", as_index=False).sum()
+        out["n_rows"] = (
+            b.groupby("l_returnflag", as_index=False)
+            .size()["size"].to_numpy().astype("int64")
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["sx", "sy", "sxy", "sxx", "syy", "n_rows"])
+    rows = []
+    for flag, g in parts.groupby("l_returnflag"):
+        n = sum(g["n_rows"])
+        sx, sy = sum(g["sx"]), sum(g["sy"])
+        sxy, sxx, syy = sum(g["sxy"]), sum(g["sxx"]), sum(g["syy"])
+        corr = float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        )
+        rows.append((flag, corr, int(n)))
+    return (
+        pd.DataFrame(rows, columns=["l_returnflag", "corr_qty_price", "n_rows"])
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def q_region_nations(sf_dir: str):
+    """Ordered STRING_AGG: comma-joined nation names per region, sorted
+    inside the group — the order-sensitive aggregate (tiny tables; the
+    pattern is groupby().map_groups with an explicit in-group sort,
+    which is exactly how an ordered concat stays deterministic at any
+    parallelism)."""
+    region = ray.data.read_parquet(_t(sf_dir, "region")).to_pandas()
+    rmap_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    class AddRegion:
+        def __init__(self):
+            self.rmap = ray.get(rmap_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["r_name"] = b["n_regionkey"].map(self.rmap)
+            return b[["r_name", "n_name"]]
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["n_name"]))
+        return pd.DataFrame(
+            {
+                "r_name": [g["r_name"].iloc[0]],
+                "nations": [names],
+                "n_nations": [len(g)],
+            }
+        )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "nation"))
+    out = (
+        ds.map_batches(AddRegion, batch_format="pandas", concurrency=1)
+        .groupby("r_name")
+        .map_groups(concat, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)

@@ -140,6 +140,51 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+class RedactUDF:
+    """PII-shaped regex scrub: replace every match of a pattern list
+    with a placeholder and count the redactions per document. Patterns
+    apply IN ORDER (a later pattern sees earlier placeholders), exactly
+    like a nested SQL regexp_replace. Compiled once per actor; the
+    replace/count themselves are pandas .str C loops over the batch.
+    Patterns must stay in the RE2 ∩ Python-re common subset (no
+    backrefs / lookaround) so the DuckDB oracle is exact."""
+
+    def __init__(self, patterns, repl: str = "<X>"):
+        self.pats = [re.compile(p) for p in patterns]
+        self.repl = repl
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n = np.zeros(len(text), dtype=np.int64)
+        for pat in self.pats:
+            n += text.str.count(pat.pattern).to_numpy(dtype=np.int64)
+            text = text.str.replace(pat, self.repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "scrubbed": text,
+                "n_redactions": n,
+            }
+        )
+
+
+# Default scrub list: an email shape plus this corpus' pseudo-identifier
+# tokens (the synthetic text has no real PII, so the lexicon pattern is
+# what exercises the path end-to-end; both stay RE2/re-compatible).
+REDACT_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b(?:customer|user|key)\b",
+)
+
+
+def redact(docs: ray.data.Dataset,
+           patterns=REDACT_PATTERNS, repl: str = "<X>") -> ray.data.Dataset:
+    return docs.map_batches(
+        RedactUDF, fn_constructor_kwargs={"patterns": patterns, "repl": repl},
+        batch_format="pandas", batch_size=2048, concurrency=(1, 2),
+    )
+
+
 class FingerprintUDF:
     """Winnowing-style document sketch: the minimum md5 over 5-word
     windows (hex strings compare lexicographically == numerically, and

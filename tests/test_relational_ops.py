@@ -408,3 +408,102 @@ def test_docs_shuffle_is_deterministic_permutation(ray_session, tmp_path):
     order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     ref = {int(doc): p for p, doc in enumerate(order)}
     assert {int(d_): int(p) for d_, p in zip(a["doc_id"], a["pos"])} == ref
+
+
+def test_events_ntile_tile_size_rule(ray_session, tmp_path):
+    # SQL NTILE(4): the first n%4 tiles take one extra row. user 1 has
+    # n=10 → tile sizes 3,3,2,2 split in (ts, event_id) order; user 2
+    # has n=2 (< K) → every row its own tile, tiles 1 and 2 only;
+    # user 3 has n=1. event_id endpoints pin the boundary rows.
+    ts = pd.to_datetime(["2024-01-01"] * 13) + pd.to_timedelta(
+        list(range(10)) + [0, 1] + [0], unit="m"
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(10)) + [20, 21, 30], pa.int64()),
+            "user_id": pa.array([1] * 10 + [2, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    out = r.q_events_ntile(_write(tmp_path, "events", t))
+    got = {
+        (int(u), int(tl)): (int(n), int(f), int(l))
+        for u, tl, n, f, l in zip(
+            out["user_id"], out["tile"], out["n_events"],
+            out["first_event"], out["last_event"],
+        )
+    }
+    assert got == {
+        (1, 1): (3, 0, 2), (1, 2): (3, 3, 5),
+        (1, 3): (2, 6, 7), (1, 4): (2, 8, 9),
+        (2, 1): (1, 20, 20), (2, 2): (1, 21, 21),
+        (3, 1): (1, 30, 30),
+    }
+
+
+def test_docs_redact_sequential_pattern_order(ray_session, tmp_path):
+    # pattern 1 (email) applies BEFORE pattern 2 (lexicon): the lexicon
+    # must not match inside an already-redacted email, and the count is
+    # the sum over the sequential passes. 'keys' must NOT match (\b).
+    import __ray_entry__ as entry
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail key.user@example.com then key keys user",
+                    "no matches here at all",
+                    "customer customer",
+                ]
+            ),
+        }
+    )
+    out = entry.queries()["docs_redact"](_write(tmp_path, "documents", t))
+    got = out.set_index("doc_id")
+    assert got.loc[0, "scrubbed"] == "mail <X> then <X> keys <X>"
+    assert got.loc[0, "n_redactions"] == 3
+    assert got.loc[1, "scrubbed"] == "no matches here at all"
+    assert got.loc[1, "n_redactions"] == 0
+    assert got.loc[2, "scrubbed"] == "<X> <X>"
+    assert got.loc[2, "n_redactions"] == 2
+
+
+def test_region_revenue_local_supplier_predicate(ray_session, tmp_path):
+    # one order with two lineitems: supplier 1 shares the customer's
+    # nation (kept), supplier 2 is in the region but a DIFFERENT nation
+    # (dropped by c_nationkey = s_nationkey); supplier 3 is outside the
+    # region entirely. An out-of-date-range order is excluded.
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"]),
+    }), f"{d}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 11, 12], pa.int64()),
+        "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), f"{d}/nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([10, 11, 12], pa.int64()),
+    }), f"{d}/supplier.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100], pa.int64()),
+        "c_nationkey": pa.array([10], pa.int64()),
+    }), f"{d}/customer.parquet")
+    dates = pd.to_datetime(["1996-06-01", "1995-01-01"])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1000, 1001], pa.int64()),
+        "o_custkey": pa.array([100, 100], pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+    }), f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1000, 1000, 1000, 1001], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 25.0, 77.0], pa.float64()),
+        "l_discount": pa.array([0.10, 0.0, 0.0, 0.0], pa.float64()),
+    }), f"{d}/lineitem.parquet")
+    out = r.q_region_revenue(d)
+    assert list(out["n_name"]) == ["JAPAN"]
+    assert out["revenue"].iloc[0] == 90.0
