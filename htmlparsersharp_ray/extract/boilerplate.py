@@ -42,6 +42,22 @@ _BLOCK = frozenset([
 ])
 _PRE = frozenset(["pre", "plaintext", "xmp", "listing", "textarea"])
 
+# One dict lookup replaces the 4-5 frozenset membership tests the hot
+# walk used to do per element (profiled: extract_main_content was 16% of
+# parse-stage tottime; element classification was most of it).
+_F_DROP, _F_BLOCK, _F_CHROME, _F_PRE, _F_LINK = 1, 2, 4, 8, 16
+_FLAGS: dict = {}
+for _n in _DROP_SUBTREE:
+    _FLAGS[_n] = _FLAGS.get(_n, 0) | _F_DROP
+for _n in _BLOCK:
+    _FLAGS[_n] = _FLAGS.get(_n, 0) | _F_BLOCK
+for _n in _CHROME:
+    _FLAGS[_n] = _FLAGS.get(_n, 0) | _F_CHROME
+for _n in _PRE:
+    _FLAGS[_n] = _FLAGS.get(_n, 0) | _F_PRE
+_FLAGS["a"] = _FLAGS.get("a", 0) | _F_LINK
+del _n
+
 _WS_RUN = re.compile(r"[\t\n\f\r ]+")
 
 # Link-farm thresholds (fixed; tuned on the fixture corpus).
@@ -106,6 +122,7 @@ def extract_main_content(root) -> ExtractionResult:
     counters = {}  # id(parent element) -> {tag: seen count}
     ctx_stack = []  # per entered element: (was_block, prev_path, prev_tag, d_link, d_chrome, d_pre)
     node_stack = [(root, iter(root.children))]
+    flags_get = _FLAGS.get
     while node_stack:
         parent, it = node_stack[-1]
         child = next(it, None)
@@ -128,21 +145,23 @@ def extract_main_content(root) -> ExtractionResult:
             if link_depth > 0:
                 cur_link_chars[0] += len(child.data)
             continue
-        if tcls is Comment or tcls is Doctype:
+        if tcls is not Element:  # Comment / Doctype
             continue
-        # Element
         name = child.name
         if child.namespace != HTML_NS:
             # svg/math subtrees are not main text content: count and drop.
             # The root was already counted at visit — add descendants only.
-            boiler_bytes += _subtree_text_bytes(child)
-            nodes += _subtree_node_count(child) - 1
+            t_bytes, n_count = _subtree_stats(child)
+            boiler_bytes += t_bytes
+            nodes += n_count - 1
             continue
-        if name in _DROP_SUBTREE:
-            boiler_bytes += _subtree_text_bytes(child)
-            nodes += _subtree_node_count(child) - 1
+        fl = flags_get(name, 0)
+        if fl & _F_DROP:
+            t_bytes, n_count = _subtree_stats(child)
+            boiler_bytes += t_bytes
+            nodes += n_count - 1
             continue
-        is_block = name in _BLOCK
+        is_block = fl & _F_BLOCK
         if not is_block:
             cur_tag_count[0] += 1
         if not child.children:
@@ -154,9 +173,9 @@ def extract_main_content(root) -> ExtractionResult:
                 cnt = counters.setdefault(id(parent), {})
                 cnt[name] = cnt.get(name, 0) + 1
             continue
-        d_link = 1 if name == "a" else 0
-        d_chrome = 1 if name in _CHROME else 0
-        d_pre = 1 if name in _PRE else 0
+        d_link = 1 if fl & _F_LINK else 0
+        d_chrome = 1 if fl & _F_CHROME else 0
+        d_pre = 1 if fl & _F_PRE else 0
         prev_path, prev_tag = block_path, block_tag
         if is_block:
             flush()
@@ -206,11 +225,16 @@ def extract_main_content(root) -> ExtractionResult:
     return ExtractionResult("\n".join(out_parts), spans, nodes, boiler_bytes)
 
 
-def _subtree_text_bytes(node):
+def _subtree_stats(node):
+    """(text_bytes, node_count) of a dropped subtree in ONE walk (the
+    hot path drops head/script/style on virtually every document, so the
+    old separate byte/count walks doubled the traversal)."""
     total = 0
+    count = 0
     stack = [node]
     while stack:
         cur = stack.pop()
+        count += 1
         if type(cur) is Text:
             total += len(cur.data.encode("utf-8"))
         else:
@@ -218,17 +242,4 @@ def _subtree_text_bytes(node):
             content = getattr(cur, "content", None)
             if content is not None:  # <template> contents fragment
                 stack.extend(content.children)
-    return total
-
-
-def _subtree_node_count(node):
-    count = 0
-    stack = [node]
-    while stack:
-        cur = stack.pop()
-        count += 1
-        stack.extend(cur.children)
-        content = getattr(cur, "content", None)
-        if content is not None:
-            stack.extend(content.children)
-    return count
+    return total, count

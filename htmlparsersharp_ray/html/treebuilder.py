@@ -232,16 +232,20 @@ class TreeBuilder:
 
     # -- scope searches (reference: TreeBuilder.cs:4134-4236) ----------------
     def _has_in_scope_set(self, names, stop_set):
+        # ONE namespace test per node (profiled hot: ~40k calls per 3k
+        # docs); names/stop tests only on the taken branch
         for node in reversed(self.open):
-            if node.namespace == HTML_NS and node.name in names:
-                return True
-            if node.namespace == HTML_NS:
-                if node.name in stop_set:
+            ns = node.namespace
+            if ns == HTML_NS:
+                name = node.name
+                if name in names:
+                    return True
+                if name in stop_set:
                     return False
-            elif node.namespace == MATHML_NS:
+            elif ns == MATHML_NS:
                 if node.name in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml"):
                     return False
-            elif node.namespace == SVG_NS:
+            elif ns == SVG_NS:
                 if node.name in ("foreignObject", "desc", "title"):
                     return False
         return False
