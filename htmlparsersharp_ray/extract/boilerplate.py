@@ -93,31 +93,24 @@ def extract_main_content(root) -> ExtractionResult:
     Kept blocks join with "\\n"; spans carry (path, start, end, tag).
     """
     blocks = []  # (text, link_chars, tag_count, path, tag, preformatted, in_chrome)
+    blocks_append = blocks.append
     nodes = 0
     boiler_bytes = 0
 
     # Iterative DFS (hostile-depth safe). The block path tracks only
     # block-level ancestors, e.g. "/html[1]/body[1]/div[2]/p[1]"; sibling
     # indices count same-tag block children per parent element.
+    # The flush is INLINED at its four sites with plain int accumulators
+    # (profiled: the closure version was ~19 calls/doc, mostly no-ops).
     cur_parts = []          # inline text accumulation for the current block
-    cur_link_chars = [0]
-    cur_tag_count = [0]     # inline elements inside the current block
+    parts_append = cur_parts.append
+    link_chars = 0
+    tag_count = 0           # inline elements inside the current block
     link_depth = 0
     chrome_depth = 0
     pre_depth = 0
     block_path = "/"
     block_tag = "body"
-
-    def flush():
-        nonlocal cur_parts
-        if cur_parts:
-            raw = "".join(cur_parts)
-            blocks.append((raw, cur_link_chars[0], cur_tag_count[0],
-                           block_path, block_tag,
-                           pre_depth > 0, chrome_depth > 0))
-            cur_parts = []
-            cur_link_chars[0] = 0
-            cur_tag_count[0] = 0
 
     counters = {}  # id(parent element) -> {tag: seen count}
     ctx_stack = []  # per entered element: (was_block, prev_path, prev_tag, d_link, d_chrome, d_pre)
@@ -131,7 +124,14 @@ def extract_main_content(root) -> ExtractionResult:
             if ctx_stack and isinstance(parent, Element):
                 was_block, prev_path, prev_tag, d_link, d_chrome, d_pre = ctx_stack.pop()
                 if was_block:
-                    flush()
+                    if cur_parts:
+                        blocks_append(("".join(cur_parts), link_chars,
+                                       tag_count, block_path, block_tag,
+                                       pre_depth > 0, chrome_depth > 0))
+                        cur_parts = []
+                        parts_append = cur_parts.append
+                        link_chars = 0
+                        tag_count = 0
                     block_path = prev_path
                     block_tag = prev_tag
                 link_depth -= d_link
@@ -141,9 +141,18 @@ def extract_main_content(root) -> ExtractionResult:
         nodes += 1
         tcls = type(child)
         if tcls is Text:
-            cur_parts.append(child.data)
-            if link_depth > 0:
-                cur_link_chars[0] += len(child.data)
+            # read _parts directly: a multi-fragment run extends the
+            # block accumulator as-is (the block join is the only join)
+            tparts = child._parts
+            if len(tparts) == 1:
+                data = tparts[0]
+                parts_append(data)
+                if link_depth > 0:
+                    link_chars += len(data)
+            else:
+                cur_parts.extend(tparts)
+                if link_depth > 0:
+                    link_chars += sum(map(len, tparts))
             continue
         if tcls is not Element:  # Comment / Doctype
             continue
@@ -163,13 +172,20 @@ def extract_main_content(root) -> ExtractionResult:
             continue
         is_block = fl & _F_BLOCK
         if not is_block:
-            cur_tag_count[0] += 1
+            tag_count += 1
         if not child.children:
             # childless (br/hr/img/empty elements): enter+exit collapses —
             # a block still flushes and claims its sibling index (later
             # siblings' paths depend on the count); depth deltas cancel
             if is_block:
-                flush()
+                if cur_parts:
+                    blocks_append(("".join(cur_parts), link_chars,
+                                   tag_count, block_path, block_tag,
+                                   pre_depth > 0, chrome_depth > 0))
+                    cur_parts = []
+                    parts_append = cur_parts.append
+                    link_chars = 0
+                    tag_count = 0
                 cnt = counters.setdefault(id(parent), {})
                 cnt[name] = cnt.get(name, 0) + 1
             continue
@@ -178,7 +194,14 @@ def extract_main_content(root) -> ExtractionResult:
         d_pre = 1 if fl & _F_PRE else 0
         prev_path, prev_tag = block_path, block_tag
         if is_block:
-            flush()
+            if cur_parts:
+                blocks_append(("".join(cur_parts), link_chars, tag_count,
+                               block_path, block_tag,
+                               pre_depth > 0, chrome_depth > 0))
+                cur_parts = []
+                parts_append = cur_parts.append
+                link_chars = 0
+                tag_count = 0
             cnt = counters.setdefault(id(parent), {})
             n = cnt.get(name, 0) + 1
             cnt[name] = n
@@ -191,7 +214,10 @@ def extract_main_content(root) -> ExtractionResult:
         pre_depth += d_pre
         ctx_stack.append((is_block, prev_path, prev_tag, d_link, d_chrome, d_pre))
         node_stack.append((child, iter(child.children)))
-    flush()
+    if cur_parts:
+        blocks_append(("".join(cur_parts), link_chars, tag_count,
+                       block_path, block_tag,
+                       pre_depth > 0, chrome_depth > 0))
 
     # score blocks
     out_parts = []
