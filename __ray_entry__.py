@@ -326,6 +326,20 @@ def _q_embedding_dup_clusters(sf_dir: str):
     return out
 
 
+def _q_docs_dup_clusters(sf_dir: str):
+    """Connected components over the TEXT near-dup graph (exact 3-gram
+    Jaccard >= 0.4 pairs, the docs_ngram_jaccard edge set): each doc →
+    min doc_id of its duplicate cluster — the decision step that turns
+    text pair-mining into keep-first dedup, on the same distributed
+    min-label propagation as embedding_dup_clusters. Oracle: recursive
+    CTE over the identical SQL edge set."""
+    from htmlparsersharp_ray.stages.dedup import dup_clusters, ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.4)
+    nodes = _docs(sf_dir).select_columns(["doc_id"])
+    return dup_clusters(nodes, edges[["doc_a", "doc_b"]], id_col="doc_id")
+
+
 def _q_docs_repetition(sf_dir: str):
     """Gopher-style repetition signals (token / distinct-token /
     most-frequent-token counts + repetition fraction) — the degenerate-
@@ -408,6 +422,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_top10": r.q_order_revenue_top10,
         "join_shuffle": r.q_join_shuffle,
         "join_left": r.q_join_left,
+        "join_full": r.q_join_full,
+        "events_pct_rank": r.q_events_pct_rank,
+        "customer_mode": r.q_customer_mode,
+        "lineitem_regr": r.q_lineitem_regr,
+        "orders_monthly": r.q_orders_monthly,
+        "events_histogram": r.q_events_histogram,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
         "docs_shuffle": r.q_docs_shuffle,
@@ -422,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "docs_dup_clusters": _q_docs_dup_clusters,
         # text analysis
         "docs_clean_corpus": _q_docs_clean_corpus,
         "docs_token_counts": _q_docs_token_counts,
@@ -891,6 +912,92 @@ def oracle_sql() -> dict[str, str]:
             ) o ON c_custkey = o_custkey
             ORDER BY c_custkey
         """,
+        "join_full": """
+            -- FULL OUTER join at (user, day) grain: ~2/3 of keys exist on
+            -- one side only, exercising both null-fill directions; sums
+            -- are exact cents (hugeint-safe) coalesced to 0 like the engine
+            WITH a AS (
+                SELECT CAST(user_id AS VARCHAR) || '#'
+                           || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ukey,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS purchase_c
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), b AS (
+                SELECT CAST(user_id AS VARCHAR) || '#'
+                           || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ukey,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS error_c
+                FROM events WHERE event_type = 'error' GROUP BY 1
+            )
+            SELECT coalesce(a.ukey, b.ukey) AS ukey,
+                   coalesce(purchase_c, 0) AS purchase_c,
+                   coalesce(error_c, 0) AS error_c
+            FROM a FULL JOIN b ON a.ukey = b.ukey
+            ORDER BY 1
+        """,
+        "events_pct_rank": """
+            -- both statistics are one double division of exact integers,
+            -- written identically in the engine — bitwise-equal doubles
+            SELECT event_id, user_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC) AS cume_dist
+            FROM events ORDER BY event_id
+        """,
+        "customer_mode": """
+            -- grouped MODE with deterministic smallest-key tie-break
+            SELECT c_mktsegment, c_nationkey AS mode_nationkey,
+                   cnt AS n_cust
+            FROM (
+                SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY count(*) DESC,
+                                                   c_nationkey) AS rn
+                FROM customer GROUP BY c_mktsegment, c_nationkey
+            ) WHERE rn = 1 ORDER BY c_mktsegment
+        """,
+        "lineitem_regr": """
+            -- regression from EXACT integer sufficient statistics; the
+            -- slope/intercept float expressions mirror the engine verbatim
+            -- (see lineitem_corr for the construction)
+            WITH u AS (
+                SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                       sum(x*x) AS sxx
+                FROM u GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                        - (CAST(n*sxy - sx*sy AS DOUBLE)
+                           / CAST(n*sxx - sx*sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 100.0 AS intercept,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM s ORDER BY l_returnflag
+        """,
+        "orders_monthly": """
+            -- monthly time-series rollup; exact-cents revenue
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_histogram": """
+            -- fixed-width histogram per event type (bin = floor(value/10))
+            SELECT event_type,
+                   CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "lineitem_global_agg": """
             -- TPC-H Q6 shape; DECIMAL casts => exact order-independent sum
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1268,6 +1375,46 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY doc_a, doc_b
+        """,
+        "docs_dup_clusters": """
+            -- connected components over the TEXT near-dup graph: the edge
+            -- set is docs_ngram_jaccard's (exact 3-gram Jaccard >= 0.4),
+            -- the closure a recursive CTE like embedding_dup_clusters
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 2
+               AND len(b.sh) * 5 >= len(a.sh) * 2
+              WHERE len(a.sh) + len(b.sh) > 0
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.4
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b AS u, doc_a AS v FROM p
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_rep
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "embedding_dup_clusters": """
             WITH RECURSIVE edges AS (

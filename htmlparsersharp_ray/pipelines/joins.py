@@ -121,15 +121,27 @@ def auto_buckets(
 
 
 def _to_exchange_rows(side: int, key: str, n_buckets: int,
-                      drop_null_keys: bool, salt: int = 1, hot_keys=None):
+                      drop_null_keys: bool, salt: int = 1, hot_keys=None,
+                      null_bucket: int | None = None):
     hot = list(hot_keys) if (hot_keys and salt > 1) else None
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)
         col = batch.column(key)
-        if drop_null_keys and col.null_count:
-            batch = batch.filter(pc.is_valid(col))
-            col = batch.column(key)
+        null_blob = None
+        if col.null_count:
+            if drop_null_keys:
+                batch = batch.filter(pc.is_valid(col))
+                col = batch.column(key)
+            elif null_bucket is not None:
+                # FULL joins keep null-key rows but they match nothing:
+                # route them to a reserved one-sided bucket so the merge
+                # null-fills them without any chance of NaN-matching the
+                # other side's nulls (SQL NULL-join semantics).
+                valid = pc.is_valid(col)
+                null_blob = _serialize(batch.filter(pc.invert(valid)))
+                batch = batch.filter(valid)
+                col = batch.column(key)
         h = _key_hash64(col)
         idx = np.arange(batch.num_rows, dtype=np.int64)
         variants = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -162,6 +174,9 @@ def _to_exchange_rows(side: int, key: str, n_buckets: int,
         for b, lo, hi in zip(uniq, starts, ends):
             out_bucket.append(int(b))
             out_blob.append(_serialize(sorted_tab.slice(lo, hi - lo)))
+        if null_blob is not None:
+            out_bucket.append(null_bucket)
+            out_blob.append(null_blob)
         return pa.table({
             "bucket": pa.array(out_bucket, pa.int64()),
             "side": pa.array([side] * len(out_bucket), pa.int8()),
@@ -182,12 +197,13 @@ def hash_join(
     salt: int = 1,
     hot_keys=None,
     right_schema: pa.Schema | None = None,
+    left_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed hash join of two Datasets on a single key column.
 
     Returns a Dataset with the pandas-merge column layout (left columns
     then right columns; a shared key name joins without duplication when
-    ``left_on == right_on``). Supports how in {"inner", "left"}.
+    ``left_on == right_on``). Supports how in {"inner", "left", "full"}.
 
     ``n_buckets=None`` (default) auto-sizes from input-file metadata —
     see :func:`auto_buckets` — so small inputs don't pay 64-bucket
@@ -197,7 +213,9 @@ def hash_join(
     the right side and (for inner joins) the left side before the
     exchange; a LEFT join keeps left null-key rows, which match nothing
     (the right side has no nulls left to spuriously NaN-match) and emit
-    with null right columns.
+    with null right columns. A FULL join keeps null-key rows from BOTH
+    sides, routed to reserved one-sided buckets (-1 left / -2 right) so
+    they emit null-filled without ever meeting the other side.
 
     Skew: pass ``hot_keys=[...]`` + ``salt=k`` to split each hot key's
     left rows round-robin across k salted buckets while replicating the
@@ -216,10 +234,14 @@ def hash_join(
     layouts lazily from the exchanged blobs, where a fully disjoint
     inner join yields a zero-column empty Dataset (documented contract:
     Ray map UDFs skip the zero-column marker blocks)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"unsupported how={how!r} (inner/left)")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"unsupported how={how!r} (inner/left/full)")
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    if how == "full" and salt > 1:
+        # replicated hot right rows would emit spurious right-only
+        # null-filled rows in variants where they don't match
+        raise ValueError("hot-key salting is not defined for FULL joins")
     if n_buckets is None:
         n_buckets = auto_buckets(left, right)
 
@@ -258,30 +280,38 @@ def hash_join(
     # A caller-supplied right_schema skips the eager right.schema() a
     # LEFT join otherwise needs (which executes part of the right plan —
     # the whole sub-plan when the right side ends in a groupby barrier).
-    ls = left.schema() if strict_empty_schema else _free_schema(left)
+    if left_schema is not None:
+        ls = left_schema
+    else:
+        ls = (left.schema() if (how == "full" or strict_empty_schema)
+              else _free_schema(left))
     if right_schema is not None:
         rs = right_schema
     else:
-        rs = (right.schema() if (how == "left" or strict_empty_schema)
+        rs = (right.schema() if (how in ("left", "full") or strict_empty_schema)
               else _free_schema(right))
     # synthesizing an empty JOINED frame needs both layouts (right is
-    # always known for left joins — eager by necessity, to null-fill)
+    # always known for left/full joins — eager by necessity, to null-fill;
+    # full joins need the LEFT layout too, to null-fill right-only rows)
     if ls is not None and rs is not None:
         empty_left = _empty_frame(ls)
         empty_right = _empty_frame(rs)
     else:
         empty_left = None
-        empty_right = _empty_frame(rs) if how == "left" else None
+        empty_right = _empty_frame(rs) if how in ("left", "full") else None
 
     lrows = left.map_batches(
         _to_exchange_rows(0, left_on, n_buckets,
                           drop_null_keys=(how == "inner"),
-                          salt=salt, hot_keys=hot_keys),
+                          salt=salt, hot_keys=hot_keys,
+                          null_bucket=(-1 if how == "full" else None)),
         batch_format="pyarrow",
     )
     rrows = right.map_batches(
-        _to_exchange_rows(1, right_on, n_buckets, drop_null_keys=True,
-                          salt=salt, hot_keys=hot_keys),
+        _to_exchange_rows(1, right_on, n_buckets,
+                          drop_null_keys=(how != "full"),
+                          salt=salt, hot_keys=hot_keys,
+                          null_bucket=(-2 if how == "full" else None)),
         batch_format="pyarrow",
     )
 
@@ -297,7 +327,8 @@ def hash_join(
             rt = rt or [pa.Table.from_pandas(empty_right, preserve_index=False)]
         ldf = pa.concat_tables(lt).to_pandas()
         rdf = pa.concat_tables(rt).to_pandas() if rt else empty_right
-        out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
+        out = ldf.merge(rdf, left_on=left_on, right_on=right_on,
+                        how=("outer" if how == "full" else how))
         if how == "inner":
             # Emit Arrow so empty buckets keep the column layout (all-empty
             # pandas blocks lose it) and object columns skip Ray's pandas

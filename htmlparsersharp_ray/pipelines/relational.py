@@ -1832,3 +1832,246 @@ def q_region_nations(sf_dir: str):
     )
     out["n_nations"] = out["n_nations"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_join_full(sf_dir: str):
+    """FULL OUTER join through the bucketed shuffle hash join: daily
+    purchase spend vs daily error spend per (user, day). Both sides
+    pre-aggregate to the join grain inside ``map_batches`` (per-batch
+    exact-cents partials, then ONE bounded-bucket merge each), so the
+    join input is already (user, day)-grained; ~2/3 of the keys exist
+    on only one side, exercising both null-fill directions. Unmatched
+    sums coalesce to 0 like the SQL. The composite key is a single
+    string column so the generic single-key exchange applies."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets, hash_join
+
+    def side(event_type: str, cname: str):
+        ds = ray.data.read_parquet(
+            _t(sf_dir, "events"), columns=["user_id", "event_type", "ts", "value"]
+        )
+        nb = auto_buckets(ds)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == event_type]
+            if b.empty:
+                return pd.DataFrame({
+                    "ukey": pd.Series([], dtype=object),
+                    cname: pd.Series([], dtype="int64"),
+                })
+            d = pd.DataFrame({
+                "ukey": b["user_id"].astype(str) + "#"
+                        + b["ts"].dt.strftime("%Y-%m-%d"),
+                cname: np.round(b["value"].to_numpy() * 100).astype("int64"),
+            })
+            return d.groupby("ukey", as_index=False).sum()
+
+        def add_kb(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(
+                [str(v) for v in batch.column("ukey").to_pylist()], dtype=object
+            )
+            kb = (hashing.hash_strings64(keys, categorize=False)
+                  % np.uint64(nb)).astype(np.int64)
+            return batch.append_column("kb", pa.array(kb))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("ukey", as_index=False)[cname].sum()
+            out[cname] = out[cname].astype("int64")
+            return out
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .map_batches(add_kb, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    sch = lambda c: pa.schema([("ukey", pa.string()), (c, pa.int64())])
+    joined = hash_join(
+        side("purchase", "purchase_c"), side("error", "error_c"),
+        "ukey", "ukey", how="full",
+        left_schema=sch("purchase_c"), right_schema=sch("error_c"),
+    )
+    df = joined.to_pandas()
+    df["purchase_c"] = df["purchase_c"].fillna(0).astype("int64")
+    df["error_c"] = df["error_c"].fillna(0).astype("int64")
+    return (
+        df[["ukey", "purchase_c", "error_c"]]
+        .sort_values("ukey")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_pct_rank(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per user by value desc — completes the
+    ranking-window family (q_events_rank covers rank/dense_rank/
+    row_number). Same bucket-then-vectorize shape; both statistics are
+    ONE double division of exact integers ((rank-1)/(n-1) and
+    peers≤/n), written identically in the oracle, so the doubles match
+    bitwise. n=1 partitions define percent_rank = 0 like SQL."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value"], ascending=[True, False]
+                          ).reset_index(drop=True)
+        by = g.groupby("user_id", sort=False)
+        n = by["value"].transform("size").to_numpy().astype("float64")
+        rmin = by["value"].rank(method="min", ascending=False).to_numpy()
+        rmax = by["value"].rank(method="max", ascending=False).to_numpy()
+        g["pct_rank"] = np.where(n > 1.0, (rmin - 1.0) / (n - 1.0), 0.0)
+        g["cume_dist"] = rmax / n
+        return g[["event_id", "user_id", "pct_rank", "cume_dist"]]
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(ranks, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_customer_mode(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (most frequent
+    nation per market segment; ties take the smallest nation key) —
+    the partial-count pattern: per-batch (segment, nation) counts
+    bound the exchange to group-cardinality rows per batch, the final
+    pick runs over ≤ |segments|×|nations| rows."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_mktsegment", "c_nationkey"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
+            cnt=("c_nationkey", "count")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    counts = parts.groupby(["c_mktsegment", "c_nationkey"], as_index=False)[
+        "cnt"].sum()
+    counts = counts.sort_values(
+        ["c_mktsegment", "cnt", "c_nationkey"],
+        ascending=[True, False, True],
+    )
+    out = counts.groupby("c_mktsegment", as_index=False).first()
+    out = out.rename(columns={"c_nationkey": "mode_nationkey", "cnt": "n_cust"})
+    out["n_cust"] = out["n_cust"].astype("int64")
+    return (
+        out[["c_mktsegment", "mode_nationkey", "n_cust"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+def q_lineitem_regr(sf_dir: str):
+    """Grouped linear REGRESSION (price on quantity per returnflag) from
+    EXACT sufficient statistics — the q_lineitem_corr construction:
+    scaled-int64 per-batch partials, Python-int merge, then the slope
+    and intercept as single float expressions mirrored verbatim in the
+    oracle so the doubles match bitwise. Slope is unit-free (both
+    variables scale by 100); the intercept divides back to currency."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(b["l_quantity"].to_numpy() * 100).astype("int64")
+        y = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+        out = d.groupby("l_returnflag", as_index=False).sum()
+        out["n_rows"] = (
+            b.groupby("l_returnflag", as_index=False)
+            .size()["size"].to_numpy().astype("int64")
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["sx", "sy", "sxy", "sxx", "n_rows"])
+    rows = []
+    for flag, g in parts.groupby("l_returnflag"):
+        n = sum(g["n_rows"])
+        sx, sy, sxy, sxx = sum(g["sx"]), sum(g["sy"]), sum(g["sxy"]), sum(g["sxx"])
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n) / 100.0
+        rows.append((flag, slope, intercept, int(n)))
+    return (
+        pd.DataFrame(rows, columns=["l_returnflag", "slope", "intercept", "n_rows"])
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_monthly(sf_dir: str):
+    """Monthly time-series rollup (order count + exact-cents revenue per
+    calendar month) — the temporal re-bucketing every training-data
+    freshness dashboard needs. Per-batch partials bound the exchange to
+    |months| rows per batch; the final merge is tiny and Python-int."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "month": b["o_orderdate"].dt.strftime("%Y-%m"),
+            "rev_c": np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+        })
+        out = d.groupby("month", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_orders=("rev_c", "count")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["rev_c", "n_orders"])
+    out = parts.groupby("month", as_index=False).sum()
+    out["revenue"] = [int(v) / 100.0 for v in out["rev_c"]]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["month", "n_orders", "revenue"]]
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-width HISTOGRAM per event type (value bins of width 10) —
+    the data-quality profiling primitive. Bin id is one vectorized
+    floor; per-batch partial counts bound the exchange to
+    |types|×|bins| rows per batch."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": b["event_type"],
+            "bin": np.floor(b["value"].to_numpy() / 10.0).astype("int64"),
+        })
+        out = d.groupby(["event_type", "bin"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["event_type", "bin"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )

@@ -271,3 +271,84 @@ def test_hash_join_disjoint_keeps_schema_when_free(ray_session, tmp_path):
     # NOTE: Ray's to_pandas() on an all-empty dataset drops columns even
     # when blocks carry them (NOTES_r2) — the schema is the contract.
     assert {"k", "lv", "rv"} <= set(ds.schema().names)
+
+
+def test_hash_join_full_matches_pandas(join_inputs, ray_session):
+    """FULL OUTER: matched rows join, one-sided keys null-fill in both
+    directions; row multiset equals the pandas outer merge."""
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    out = hash_join(_mk_ds(left), _mk_ds(right), "k", "k",
+                    how="full", n_buckets=4).to_pandas()
+    expected = left.merge(right, on="k", how="outer")
+    assert len(out) == len(expected)
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_full_null_keys_sql_semantics(ray_session):
+    """FULL JOIN keeps null-key rows from BOTH sides, each unmatched —
+    nulls never match, not even each other."""
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pa.table({
+        "k": pa.array([1, None, 2, None], pa.int64()),
+        "lv": pa.array([10, 11, 12, 13], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "rv": pa.array([100, 101, 102], pa.int64()),
+    })
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "k",
+        how="full", n_buckets=4,
+    ).to_pandas()
+    # 1 matched + 1 left-only (k=2) + 2 left nulls + 1 right-only (k=3)
+    # + 1 right null = 6 rows
+    assert len(out) == 6
+    matched = out[out["lv"].notna() & out["rv"].notna()]
+    assert list(matched["lv"]) == [10] and list(matched["rv"]) == [100]
+    # both left null-key rows survive unmatched
+    assert out["lv"].notna().sum() == 4
+    # rv present for matched (100) + right-only (102) + right-null (101)
+    assert out["rv"].notna().sum() == 3
+    # the right null-key row survives, unmatched (left side null-filled)
+    assert (out[out["rv"] == 101]["lv"].isna()).all()
+
+
+def test_hash_join_full_disjoint_and_one_sided(ray_session):
+    """Fully disjoint keys: FULL returns every row from both sides,
+    null-filled — including when one side is empty."""
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    right = pd.DataFrame({"k": [3, 4, 5], "rv": [30, 40, 50]})
+    out = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k", "k",
+        how="full", n_buckets=4,
+    ).to_pandas()
+    assert len(out) == 5
+    assert out["lv"].notna().sum() == 2 and out["rv"].notna().sum() == 3
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "lv": pd.Series([], dtype="int64")})
+    out2 = hash_join(
+        ray.data.from_pandas(empty), ray.data.from_pandas(right), "k", "k",
+        how="full", n_buckets=4,
+    ).to_pandas()
+    assert len(out2) == 3 and out2["lv"].isna().all()
+
+
+def test_hash_join_full_rejects_salt(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    df = pd.DataFrame({"k": [1], "v": [1]})
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_pandas(df), ray.data.from_pandas(df),
+                  "k", "k", how="full", salt=2, hot_keys=[1])

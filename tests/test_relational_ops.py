@@ -507,3 +507,96 @@ def test_region_revenue_local_supplier_predicate(ray_session, tmp_path):
     out = r.q_region_revenue(d)
     assert list(out["n_name"]) == ["JAPAN"]
     assert out["revenue"].iloc[0] == 90.0
+
+
+def test_events_pct_rank_ties_and_singletons(ray_session, tmp_path):
+    """percent_rank/cume_dist under value ties (peer groups share both
+    statistics) and a single-row partition (percent_rank = 0)."""
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 5), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([5.0, 5.0, 3.0, 1.0, 9.0], pa.float64()),
+        "props": pa.array([""] * 5),
+    })
+    out = r.q_events_pct_rank(_write(tmp_path, "events", t))
+    got = out.set_index("event_id")
+    # user 1 desc order: 5,5 (rank 1, peers of 2), 3 (rank 3), 1 (rank 4)
+    assert got.loc[1, "pct_rank"] == 0.0 and got.loc[2, "pct_rank"] == 0.0
+    assert got.loc[3, "pct_rank"] == pytest.approx(2 / 3)
+    assert got.loc[4, "pct_rank"] == 1.0
+    assert got.loc[1, "cume_dist"] == 0.5 and got.loc[2, "cume_dist"] == 0.5
+    assert got.loc[3, "cume_dist"] == 0.75
+    assert got.loc[4, "cume_dist"] == 1.0
+    # singleton partition: percent_rank 0 (SQL), cume_dist 1
+    assert got.loc[5, "pct_rank"] == 0.0 and got.loc[5, "cume_dist"] == 1.0
+
+
+def test_customer_mode_tiebreak_smallest_key(ray_session, tmp_path):
+    t = pa.table({
+        "c_custkey": pa.array(list(range(6)), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(6)]),
+        "c_nationkey": pa.array([7, 7, 3, 3, 9, 9], pa.int64()),
+        "c_acctbal": pa.array([0.0] * 6, pa.float64()),
+        "c_mktsegment": pa.array(["A"] * 6),
+    })
+    out = r.q_customer_mode(_write(tmp_path, "customer", t))
+    # three-way tie at count 2 → smallest nation key wins
+    assert list(out["mode_nationkey"]) == [3]
+    assert list(out["n_cust"]) == [2]
+
+
+def test_events_histogram_negative_bins(ray_session, tmp_path):
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 4), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view"] * 4),
+        # floor semantics: -0.5 → bin -1 (NOT 0), 9.99 → 0, 10.0 → 1
+        "value": pa.array([-0.5, 9.99, 10.0, 25.0], pa.float64()),
+        "props": pa.array([""] * 4),
+    })
+    out = r.q_events_histogram(_write(tmp_path, "events", t))
+    assert list(zip(out["bin"], out["n"])) == [(-1, 1), (0, 1), (1, 1), (2, 1)]
+
+
+def test_lineitem_regr_matches_numpy(ray_session, tmp_path):
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0]
+    price = [12.5, 14.0, 17.5, 18.0, 22.5]
+    t = pa.table({
+        "l_orderkey": pa.array([1] * 5, pa.int64()),
+        "l_returnflag": pa.array(["A"] * 5),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+    })
+    out = r.q_lineitem_regr(_write(tmp_path, "lineitem", t))
+    slope, intercept = np.polyfit(qty, price, 1)
+    assert out["slope"].iloc[0] == pytest.approx(slope)
+    assert out["intercept"].iloc[0] == pytest.approx(intercept)
+    assert int(out["n_rows"].iloc[0]) == 5
+
+
+def test_join_full_query_coalesces_both_directions(ray_session, tmp_path):
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-02 10:00",  # u1 purchases, two days
+        "2024-01-01 11:00",                       # u1 error day 1 (matched)
+        "2024-01-03 09:00",                       # u2 error only
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["purchase", "purchase", "error", "error"]),
+        "value": pa.array([10.0, 20.0, 1.5, 2.5], pa.float64()),
+        "props": pa.array([""] * 4),
+    })
+    out = r.q_join_full(_write(tmp_path, "events", t))
+    got = out.set_index("ukey")
+    assert got.loc["1#2024-01-01", "purchase_c"] == 1000
+    assert got.loc["1#2024-01-01", "error_c"] == 150
+    assert got.loc["1#2024-01-02", "purchase_c"] == 2000
+    assert got.loc["1#2024-01-02", "error_c"] == 0       # left-only
+    assert got.loc["2#2024-01-03", "purchase_c"] == 0     # right-only
+    assert got.loc["2#2024-01-03", "error_c"] == 250
+    assert len(out) == 3

@@ -827,3 +827,34 @@ def test_part_quantiles_sketch_query_exact_at_sf(ray_session):
             idx = min(int(np.searchsorted(np.arange(n) + 0.5, q * n)), n - 1)
             assert out.loc[brand, col] == v[idx], (brand, col)
         assert out.loc[brand, "n_parts"] == n
+
+
+def test_docs_dup_clusters_transitive_chain(ray_session):
+    """The text dup-cluster query: A~B and B~C (3-gram Jaccard >= 0.4)
+    but A≁C directly — the closure still puts all three in one cluster
+    labeled by the min doc_id; unrelated docs stay singletons."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    a = base + "alpha beta gamma delta"
+    b = base + "alpha beta something else entirely now"
+    c = base + "completely different tail tokens here instead"
+    lone = "unrelated text with no shared window content whatsoever " * 5
+    rows = [(10, a), (11, b), (12, c), (13, lone)]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        out = entry.queries()["docs_dup_clusters"](d)
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got[10] == got[11] == got[12] == 10
+    assert got[13] == 13
