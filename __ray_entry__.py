@@ -340,6 +340,35 @@ def _q_docs_dup_clusters(sf_dir: str):
     return dup_clusters(nodes, edges[["doc_a", "doc_b"]], id_col="doc_id")
 
 
+def _q_dup_pairs_multi(sf_dir: str):
+    """Multi-signal near-dup UNION: pairs flagged by the TEXT detector
+    (3-gram Jaccard >= 0.4), the EMBEDDING detector (cosine >= 0.45 via
+    the LSH scale path), or both — tagged with the detecting source.
+    The standard combine-detectors step before cluster/keep-first; each
+    detector's pair set is independently oracle-exact, the union is one
+    tiny pandas outer merge over the two small pair lists."""
+    import pandas as pd
+
+    from htmlparsersharp_ray.stages.dedup import (
+        embedding_cosine_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    tp = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.4)[
+        ["doc_a", "doc_b"]].astype("int64")
+    ep = embedding_cosine_dup_pairs(_emb(sf_dir), **_LSH_DUP_PARAMS)[
+        ["doc_a", "doc_b"]].astype("int64")
+    merged = tp.merge(ep, on=["doc_a", "doc_b"], how="outer", indicator=True)
+    merged["src"] = merged["_merge"].map(
+        {"left_only": "text", "right_only": "emb", "both": "both"}
+    ).astype(str)
+    return (
+        merged[["doc_a", "doc_b", "src"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_docs_repetition(sf_dir: str):
     """Gopher-style repetition signals (token / distinct-token /
     most-frequent-token counts + repetition fraction) — the degenerate-
@@ -443,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "docs_dup_clusters": _q_docs_dup_clusters,
+        "dup_pairs_multi": _q_dup_pairs_multi,
         # text analysis
         "docs_clean_corpus": _q_docs_clean_corpus,
         "docs_token_counts": _q_docs_token_counts,
@@ -1375,6 +1405,49 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY doc_a, doc_b
+        """,
+        "dup_pairs_multi": """
+            -- union of the two detectors' pair sets tagged by source;
+            -- each side is the already-proven oracle definition
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), tp AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 2
+               AND len(b.sh) * 5 >= len(a.sh) * 2
+              WHERE len(a.sh) + len(b.sh) > 0
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.4
+            ), ep AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.45
+            )
+            SELECT coalesce(tp.doc_a, ep.doc_a) AS doc_a,
+                   coalesce(tp.doc_b, ep.doc_b) AS doc_b,
+                   CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL
+                            THEN 'both'
+                        WHEN tp.doc_a IS NOT NULL THEN 'text'
+                        ELSE 'emb' END AS src
+            FROM tp FULL JOIN ep
+              ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+            ORDER BY 1, 2
         """,
         "docs_dup_clusters": """
             -- connected components over the TEXT near-dup graph: the edge

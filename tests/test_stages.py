@@ -858,3 +858,43 @@ def test_docs_dup_clusters_transitive_chain(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_rep"]))
     assert got[10] == got[11] == got[12] == 10
     assert got[13] == 13
+
+
+def test_dup_pairs_multi_sources_and_both(ray_session):
+    """The union op tags each pair with its detecting source; a pair
+    caught by BOTH detectors (identical text AND near-identical
+    embedding) tags 'both' and appears once."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    dup_text = "shared duplicated content tokens " * 20
+    texts = [dup_text, dup_text,
+             "completely different body one " * 20,
+             "another unrelated body text " * 20]
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    embs = [base, base * 1.001,                  # cosine ~1 → emb pair
+            rng.normal(size=16), rng.normal(size=16)]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        pq.write_table(pa.table({
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in embs],
+                                  pa.list_(pa.float32())),
+        }), os.path.join(d, "embeddings.parquet"))
+        out = entry.queries()["dup_pairs_multi"](d)
+    got = {(a, b): s for a, b, s in
+           zip(out["doc_a"], out["doc_b"], out["src"])}
+    assert got[(0, 1)] == "both"
+    assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).sum() == 1
