@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_mode": r.q_customer_mode,
         "lineitem_regr": r.q_lineitem_regr,
         "orders_monthly": r.q_orders_monthly,
+        "orders_weighted_sample": r.q_orders_weighted_sample,
         "events_histogram": r.q_events_histogram,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
@@ -1012,6 +1013,16 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n AS DOUBLE) / 100.0 AS intercept,
                    CAST(n AS BIGINT) AS n_rows
             FROM s ORDER BY l_returnflag
+        """,
+        "orders_weighted_sample": """
+            -- weighted Bernoulli keep: the same all-integer predicate as
+            -- the engine (u32 from the md5 hex prefix; no float compare)
+            SELECT o_orderkey FROM orders
+            WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                       AS UBIGINT) * 60000000
+                  < CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                    * 4294967296
+            ORDER BY o_orderkey
         """,
         "orders_monthly": """
             -- monthly time-series rollup; exact-cents revenue

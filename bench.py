@@ -115,6 +115,7 @@ def run_bench() -> dict:
         ("lineitem_agg", r.q_lineitem_agg),
         ("join_broadcast", r.q_join_broadcast),
         ("join_shuffle", r.q_join_shuffle),
+        ("join_full", r.q_join_full),
         ("events_window", r.q_events_window),
         ("orders_topk", r.q_orders_topk),
     ]:

@@ -2075,3 +2075,38 @@ def q_events_histogram(sf_dir: str):
         out.sort_values(["event_type", "bin"])
         .reset_index(drop=True)
     )
+
+
+def q_orders_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED Bernoulli sampling — keep probability
+    proportional to order value (the data-mixing primitive for
+    source-weighted training corpora). u32 = first 8 md5 hex digits of
+    the key; keep iff u32 * W_CENTS < price_cents * 2^32, an
+    ALL-INTEGER predicate (both sides < 2^58 — no float compare to
+    diverge from the oracle). One C md5 call per row (the docs_sample
+    precedent), pure per-batch filter: no shuffle, no RNG, identical
+    rows at any parallelism."""
+    import hashlib
+
+    import numpy as np
+
+    W_CENTS = 60_000_000  # P(keep) = price / $600k (≈0..0.93 on TPC-H)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        u32 = np.fromiter(
+            (int(hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16)
+             for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        mask = u32 * np.int64(W_CENTS) < (cents << np.int64(32))
+        return batch.filter(pa.array(mask)).select(["o_orderkey"])
+
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)

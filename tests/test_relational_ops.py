@@ -600,3 +600,29 @@ def test_join_full_query_coalesces_both_directions(ray_session, tmp_path):
     assert got.loc["2#2024-01-03", "purchase_c"] == 0     # right-only
     assert got.loc["2#2024-01-03", "error_c"] == 250
     assert len(out) == 3
+
+
+def test_orders_weighted_sample_boundaries(ray_session, tmp_path):
+    """Weight 0 → never kept; weight ≥ the $600k normalizer → always
+    kept (u32 < 2^32 makes the integer predicate unconditionally true);
+    intermediate weights keep a deterministic subset."""
+    n = 300
+    prices = [0.0] * 100 + [600000.0] * 100 + [300000.0] * 100
+    t = pa.table({
+        "o_orderkey": pa.array(list(range(n)), pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n),
+    })
+    d = _write(tmp_path, "orders", t)
+    out = r.q_orders_weighted_sample(d)
+    kept = set(out["o_orderkey"])
+    assert not (kept & set(range(100)))            # zero weight: none
+    assert set(range(100, 200)) <= kept            # full weight: all
+    mid = kept & set(range(200, 300))
+    assert 20 < len(mid) < 80                      # ≈50% band
+    out2 = r.q_orders_weighted_sample(d)           # deterministic
+    assert list(out2["o_orderkey"]) == list(out["o_orderkey"])
