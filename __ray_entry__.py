@@ -188,6 +188,16 @@ def _q_docs_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir), k=20)
 
 
+def _q_docs_top_terms_sketch(sf_dir: str):
+    """Two-pass Misra-Gries heavy hitters + broadcast exact recount —
+    the vocabulary-bounded scale path for corpus top terms (pass 1
+    ships <= m rows per batch no matter how long the term tail is).
+    Exact output => the same oracle as docs_top_terms."""
+    from htmlparsersharp_ray.stages.text_analysis import top_terms_sketch
+
+    return top_terms_sketch(_docs(sf_dir), k=20, m=4096)
+
+
 def _q_docs_tfidf(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import tfidf_top_terms
 
@@ -463,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_top_terms_sketch": _q_docs_top_terms_sketch,
         "docs_tfidf": _q_docs_tfidf,
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -1075,6 +1086,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_top_terms": """
             -- corpus top-20 whitespace tokens of lower(trim(text));
+            -- ties break term-ascending (same tokenization convention
+            -- as docs_langid / docs_fingerprint)
+            WITH w AS (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, count(*) AS n FROM w
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "docs_top_terms_sketch": """
+            -- SAME definition as docs_top_terms: the sketch only bounds the
+            -- exchange; pass-2 recounts exactly. corpus top-20 whitespace tokens of lower(trim(text));
             -- ties break term-ascending (same tokenization convention
             -- as docs_langid / docs_fingerprint)
             WITH w AS (

@@ -398,6 +398,9 @@ def join(
         right_bytes = right.size_bytes()
     except Exception:
         right_bytes = None
-    if right_bytes is not None and right_bytes <= broadcast_threshold_bytes:
+    if (how in ("inner", "left") and right_bytes is not None
+            and right_bytes <= broadcast_threshold_bytes):
         return broadcast_join(left, right.to_pandas(), left_on, right_on, how)
+    # FULL joins always shuffle: a map-side broadcast can't emit the
+    # right-only rows (no worker knows which right rows matched nowhere)
     return hash_join(left, right, left_on, right_on, how, n_buckets)

@@ -145,3 +145,28 @@ def sketch_quantile(points: np.ndarray, weights: np.ndarray, q: float) -> float:
     cw = np.cumsum(weights) - 0.5 * weights
     idx = int(np.searchsorted(cw, q * weights.sum(), side="left"))
     return float(points[min(idx, len(points) - 1)])
+
+
+# --- Misra-Gries heavy-hitters summary --------------------------------------
+
+def mg_compress(terms: np.ndarray, counts: np.ndarray, m: int):
+    """Compress an exact (term, count) table to a Misra-Gries summary of
+    at most m entries: subtract the (m+1)-th largest count from every
+    counter and keep the strictly positive ones (Misra & Gries 1982;
+    mergeable form per Agarwal et al., "Mergeable Summaries", PODS'12).
+    Guarantee: over any merge tree of such compressions spanning N total
+    tokens, every term with true count > N/(m+1) survives, and a kept
+    counter underestimates its true count by at most N/(m+1).
+    Deterministic (pure integer order statistics, no RNG)."""
+    if len(terms) <= m:
+        return terms, counts
+    thr = np.partition(counts, -(m + 1))[-(m + 1)]
+    keep = counts > thr
+    return terms[keep], counts[keep] - thr
+
+
+def merge_mg_summaries(df: pd.DataFrame, m: int) -> pd.DataFrame:
+    """Merge MG (term, n) partial rows: sum per term, recompress to m."""
+    g = df.groupby("term", as_index=False)["n"].sum()
+    t, c = mg_compress(g["term"].to_numpy(), g["n"].to_numpy(), m)
+    return pd.DataFrame({"term": t, "n": c})

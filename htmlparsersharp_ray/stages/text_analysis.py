@@ -540,3 +540,101 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3,
         .to_pandas()
     )
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def top_terms_sketch(docs: ray.data.Dataset, k: int = 20, m: int = 4096,
+                     merge_buckets: int = 32) -> pd.DataFrame:
+    """Corpus top-k terms via a TWO-PASS heavy-hitters sketch — the
+    100-TB path that bounds what leaves each node regardless of
+    vocabulary size (exact :func:`top_terms` ships every distinct
+    (batch × term) partial row; at web scale the long typo-tail makes
+    that the dominant exchange):
+
+      pass 1 (candidates): each batch collapses to exact (term, count)
+        then compresses to a ≤ m-entry Misra-Gries summary
+        (stages/sketches.py::mg_compress) — at most m rows leave a batch.
+        Summaries shuffle bucketed by TERM hash; each bucket group
+        merges its term-subspace and recompresses to m, so the driver
+        sees ≤ merge_buckets × m candidate rows. MG guarantee: every
+        term with true count > N/(m+1) survives any such merge tree, so
+        with m sized for the corpus skew the candidates are a SUPERSET
+        of the true top-k (pytest-gated with a planted long-tail forcing
+        compression).
+      pass 2 (exact recount): candidates broadcast once via ray.put;
+        each batch counts only candidate hits (one vectorized
+        searchsorted over the sorted candidate array + bincount — the
+        docs_decontaminate shape, shuffle-free); the driver sums one
+        |candidates|-length vector per batch.
+
+    Output counts are EXACT, so the result is identical to
+    :func:`top_terms` / the same DuckDB oracle, and deterministic at any
+    parallelism — the sketch decides only WHICH terms get recounted, and
+    any superset of the top-k yields the same top-k. Tokenization: the
+    langid/fingerprint convention (lower + trim + split on whitespace)."""
+    import ray as _ray
+
+    from .hashing import hash_strings64
+    from .sketches import merge_mg_summaries, mg_compress
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        toks = text[text != ""].str.split()
+        counts = toks.explode().value_counts()
+        t, c = mg_compress(
+            counts.index.to_numpy(dtype=object),
+            counts.to_numpy().astype(np.int64), m,
+        )
+        out = pd.DataFrame({"term": t.astype(str), "n": c})
+        if len(out):
+            th = hash_strings64(out["term"].to_numpy(), categorize=False)
+            out["tb"] = (th % np.uint64(merge_buckets)).astype(np.int64)
+        else:
+            out["tb"] = pd.Series([], dtype="int64")
+        return out
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = merge_mg_summaries(g[["term", "n"]], m)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cand = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(bucket_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    cand_terms = np.sort(cand["term"].to_numpy(dtype=object))
+    cand_ref = _ray.put(cand_terms)
+
+    class Recount:
+        def __init__(self):
+            self.cand = _ray.get(cand_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            text = b["text"].fillna("").str.strip().str.lower()
+            toks = text[text != ""].str.split()
+            flat = toks.explode().dropna().to_numpy(dtype=object)
+            if not len(flat) or not len(self.cand):
+                return pd.DataFrame({"ci": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64")})
+            pos = np.searchsorted(self.cand, flat)
+            pos = pos.clip(0, len(self.cand) - 1)
+            hit = self.cand[pos] == flat
+            counts = np.bincount(pos[hit], minlength=len(self.cand))
+            nz = np.nonzero(counts)[0]
+            return pd.DataFrame({"ci": nz.astype("int64"),
+                                 "n": counts[nz].astype("int64")})
+
+    parts = docs.map_batches(
+        Recount, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    totals = parts.groupby("ci")["n"].sum()
+    out = pd.DataFrame({
+        "term": cand_terms[totals.index.to_numpy()].astype(str),
+        "n": totals.to_numpy().astype("int64"),
+    })
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

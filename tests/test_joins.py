@@ -352,3 +352,25 @@ def test_hash_join_full_rejects_salt(ray_session):
     with pytest.raises(ValueError):
         hash_join(ray.data.from_pandas(df), ray.data.from_pandas(df),
                   "k", "k", how="full", salt=2, hot_keys=[1])
+
+
+def test_join_planner_full_takes_shuffle_path(ray_session, tmp_path):
+    """FULL joins never broadcast (a map-side merge can't emit the
+    right-only rows) — the planner routes to the shuffle join even for
+    a tiny metadata-known right side, and the result is correct."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import join
+
+    lp = str(tmp_path / "l.parquet")
+    rp = str(tmp_path / "r.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "lv": pa.array([10, 20], pa.int64())}), lp)
+    pq.write_table(pa.table({"k": pa.array([2, 3], pa.int64()),
+                             "rv": pa.array([200, 300], pa.int64())}), rp)
+    out = join(ray.data.read_parquet(lp), ray.data.read_parquet(rp),
+               "k", "k", how="full").to_pandas()
+    assert len(out) == 3
+    assert out["lv"].notna().sum() == 2 and out["rv"].notna().sum() == 2

@@ -898,3 +898,67 @@ def test_dup_pairs_multi_sources_and_both(ray_session):
            zip(out["doc_a"], out["doc_b"], out["src"])}
     assert got[(0, 1)] == "both"
     assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).sum() == 1
+
+
+def test_mg_compress_bound_and_survival():
+    """mg_compress keeps <= m entries, only lowers counters, and any
+    term with count > N/(m+1) survives."""
+    import numpy as np
+
+    from htmlparsersharp_ray.stages.sketches import mg_compress
+
+    rng = np.random.default_rng(11)
+    counts = rng.integers(1, 50, size=5000).astype(np.int64)
+    counts[:5] = 100_000  # heavy hitters
+    terms = np.array([f"t{i}" for i in range(5000)], dtype=object)
+    t, c = mg_compress(terms, counts, m=64)
+    assert len(t) <= 64
+    orig = dict(zip(terms, counts))
+    n_total = int(counts.sum())
+    for ti, ci in zip(t, c):
+        assert ci <= orig[ti]                      # underestimate only
+        assert orig[ti] - ci <= n_total // 65 + 1  # error bound
+    kept = set(t)
+    for i in range(5):
+        assert f"t{i}" in kept                     # hitters survive
+
+
+def test_top_terms_sketch_exact_under_forced_compression(ray_session):
+    """A planted long tail (vocab >> m, m tiny) forces MG compression in
+    every batch; the two-pass op still returns the EXACT top-k because
+    pass 2 recounts candidates exactly and the hitters clear N/(m+1)."""
+    import collections
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from htmlparsersharp_ray.stages.text_analysis import top_terms, top_terms_sketch
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(200):
+        toks = [f"tail{rng.integers(0, 20000)}" for _ in range(40)]
+        toks += [f"hot{j}" for j in range(10) for _ in range(3 + j)]
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    exact_counts = collections.Counter(
+        w for d in docs for w in d.strip().lower().split())
+    expected = sorted(exact_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"))
+        out = top_terms_sketch(ds, k=10, m=64, merge_buckets=8)
+        ref = top_terms(ray.data.read_parquet(
+            os.path.join(d, "documents.parquet")), k=10)
+    got = list(zip(out["term"], out["n"]))
+    assert got == expected
+    assert got == list(zip(ref["term"], ref["n"]))
