@@ -1869,9 +1869,8 @@ def q_join_full(sf_dir: str):
             return d.groupby("ukey", as_index=False).sum()
 
         def add_kb(batch: pa.Table) -> pa.Table:
-            keys = np.asarray(
-                [str(v) for v in batch.column("ukey").to_pylist()], dtype=object
-            )
+            # ukey is never null here (built from non-null user_id/ts)
+            keys = np.asarray(batch.column("ukey").to_pylist(), dtype=object)
             kb = (hashing.hash_strings64(keys, categorize=False)
                   % np.uint64(nb)).astype(np.int64)
             return batch.append_column("kb", pa.array(kb))
