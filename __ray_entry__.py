@@ -238,6 +238,27 @@ def _q_docs_langid(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_chunk(sf_dir: str):
+    """Context-window chunking (window 64, stride 48): the 1-to-N
+    flat_map that fits documents into a model context."""
+    from htmlparsersharp_ray.stages.text_analysis import chunk_docs
+
+    out = chunk_docs(_docs(sf_dir), window=64, stride=48).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _q_docs_quality_score(sf_dir: str):
+    """Model-based quality scoring — the batched-inference actor shape
+    (model broadcast once via ray.put, fetched per actor in __init__,
+    scored per batch in numpy). Exact integer features, one strictly
+    ordered float expression mirrored in the oracle → bitwise-equal
+    logits."""
+    from htmlparsersharp_ray.stages.text_analysis import model_quality_scores
+
+    out = model_quality_scores(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_fingerprint(sf_dir: str):
     from htmlparsersharp_ray.stages.text_analysis import fingerprints
 
@@ -490,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_counts": _q_docs_token_counts,
         "docs_redact": _q_docs_redact,
         "docs_quality": _q_docs_quality,
+        "docs_quality_score": _q_docs_quality_score,
+        "docs_chunk": _q_docs_chunk,
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_fingerprint_fast": _q_docs_fingerprint_fast,
@@ -1297,6 +1320,55 @@ def oracle_sql() -> dict[str, str]:
                                i -> md5(array_to_string(ws[i:i+4], ' '))))
                    END AS fingerprint
             FROM w ORDER BY doc_id
+        """,
+        "docs_chunk": """
+            -- sliding token windows: starts 0,48,96,... while < n; the
+            -- slice is 1-indexed inclusive in DuckDB (ws[s+1 : s+64])
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     unnest(generate_series(0, len(ws) - 1, 48)) AS st
+              FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   CAST(st / 48 AS BIGINT) AS chunk_idx,
+                   CAST(least(n - st, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(ws[st + 1 : least(st + 64, n)], ' ')
+                       AS chunk_text
+            FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "docs_quality_score": """
+            -- the model logit mirrors ModelScoreUDF verbatim: exact
+            -- integer features, strict left-to-right float evaluation
+            -- (((b + w1*nc) + w2*nw) + w3*np) + w4*sh — bitwise equal
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS nc,
+                     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                          AS DOUBLE) AS np,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, nc, np,
+                     CAST(len(ws) AS DOUBLE) AS nw,
+                     CAST(len(list_filter(ws, x -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'],
+                       x))) AS DOUBLE) AS sh
+              FROM f
+            )
+            SELECT doc_id,
+                   (((-1.5 + 0.001 * nc) + 0.02 * nw) + (-0.03) * np)
+                       + 0.15 * sh AS model_logit,
+                   CAST((((-1.5 + 0.001 * nc) + 0.02 * nw) + (-0.03) * np)
+                        + 0.15 * sh > 0.0 AS BIGINT) AS keep_flag
+            FROM g ORDER BY doc_id
         """,
         "docs_langid": """
             -- stopword-profile argmax with 'en' zero-hit fallback and

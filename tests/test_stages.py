@@ -962,3 +962,82 @@ def test_top_terms_sketch_exact_under_forced_compression(ray_session):
     got = list(zip(out["term"], out["n"]))
     assert got == expected
     assert got == list(zip(ref["term"], ref["n"]))
+
+
+def test_chunk_docs_boundaries(ray_session):
+    """Chunking edges: short doc → one chunk; exactly one window → one
+    chunk; window+1 tokens → two overlapping chunks whose union covers
+    every token; empty doc → no chunks."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from htmlparsersharp_ray.stages.text_analysis import chunk_docs
+
+    docs = {
+        0: " ".join(f"t{i}" for i in range(10)),     # < window
+        1: " ".join(f"t{i}" for i in range(64)),     # == window
+        2: " ".join(f"t{i}" for i in range(65)),     # window + 1
+        3: "",                                        # empty
+        4: " ".join(f"t{i}" for i in range(150)),    # multi-chunk
+    }
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["t"] * 5, pa.string()),
+            "n_chars": pa.array([len(v) for v in docs.values()], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        out = chunk_docs(ray.data.read_parquet(
+            os.path.join(d, "documents.parquet")), window=64, stride=48
+        ).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    by = {k: g for k, g in out.groupby("doc_id")}
+    assert 3 not in by
+    assert list(by[0]["n_tokens"]) == [10]
+    assert list(by[1]["n_tokens"]) == [64, 16]   # start 48 < 64 → tail chunk
+    assert list(by[2]["n_tokens"]) == [64, 17]
+    # doc 4: starts 0,48,96,144 → lengths 64,64,54,6
+    assert list(by[4]["n_tokens"]) == [64, 64, 54, 6]
+    # overlap rule: every token appears in at least one chunk
+    toks4 = set()
+    for t in by[4]["chunk_text"]:
+        toks4.update(t.split())
+    assert toks4 == {f"t{i}" for i in range(150)}
+    # chunk text is the exact token slice
+    assert by[2]["chunk_text"].iloc[1] == " ".join(f"t{i}" for i in range(48, 65))
+
+
+def test_model_quality_score_features_and_flag(ray_session):
+    """ModelScoreUDF: empty doc scores the bias only; stopword-rich text
+    raises the logit; keep_flag == (logit > 0)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from htmlparsersharp_ray.stages.text_analysis import (
+        QUALITY_MODEL,
+        model_quality_scores,
+    )
+
+    texts = ["", "the of and to in is that it for a " * 30,
+             "!!! ??? ;;; ###"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        out = model_quality_scores(ray.data.read_parquet(
+            os.path.join(d, "documents.parquet"))).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "model_logit"] == QUALITY_MODEL["bias"]
+    assert out.loc[1, "model_logit"] > 0 and out.loc[1, "keep_flag"] == 1
+    assert out.loc[2, "model_logit"] < 0 and out.loc[2, "keep_flag"] == 0
+    assert ((out["model_logit"] > 0) == (out["keep_flag"] == 1)).all()
