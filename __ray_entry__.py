@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": r.q_events_lag,
         "events_rank": r.q_events_rank,
         "events_moving_avg": r.q_events_moving_avg,
+        "events_range_frame": r.q_events_range_frame,
         "events_first_last": r.q_events_first_last,
         "key_set_ops": r.q_key_set_ops,
         "events_props_extract": r.q_events_props_extract,
@@ -677,6 +678,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_range_frame": """
+            -- variable-width time frame; peers (equal ts) are in-frame.
+            -- exact cents; /100.0 is the engine's only float op too
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                 AS BIGINT)) OVER w AS DOUBLE) / 100.0
+                       AS hour_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
             ORDER BY event_id
         """,
         "events_first_last": """

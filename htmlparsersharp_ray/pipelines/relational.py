@@ -2109,3 +2109,72 @@ def q_orders_weighted_sample(sf_dir: str):
 
     df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_events_range_frame(sf_dir: str):
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): per-user sliding one-hour sum/count of value in ts
+    order — the VARIABLE-width frame family, distinct from the fixed
+    ROWS frame (q_events_moving_avg). Peer semantics match SQL: rows
+    sharing the current row's ts are in the frame.
+
+    Vectorized with NO per-user loop: user segments embed into one
+    nondecreasing int64 timeline (rel_ts + user_index × span, span sized
+    past any segment's reach so a frame can never cross users), then TWO
+    np.searchsorted calls over the whole bucket find every row's frame
+    bounds and cumsum algebra yields the sums. Embedding precondition
+    users_per_bucket × (time_span + 1 h) < 2^62 — auto-sized buckets keep
+    that comfortably; a bucket that would overflow falls back to
+    per-segment searchsorted (still C per segment). Exact int64 cents;
+    the only float op is the final /100.0."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    HOUR = 3_600_000_000  # µs
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        uidx = np.cumsum(new_user) - 1
+        rel = ts - ts[new_user][uidx]  # µs since each user's first event
+        span = int(rel.max()) + HOUR + 2
+        n_users = int(uidx[-1]) + 1
+        if n_users * span < (1 << 62):
+            adj = uidx * span + rel
+            lo = np.searchsorted(adj, adj - HOUR, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # overflow fallback: per-segment bounds (C per segment)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            bounds = np.append(np.flatnonzero(new_user), n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                tseg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(tseg, tseg - HOUR, side="left")
+                hi[s:e] = s + np.searchsorted(tseg, tseg, side="right")
+        cs = np.cumsum(cents)
+        fr = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "hour_sum": fr / 100.0,
+            "n_in_frame": (hi - lo).astype("int64"),
+        })
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(win, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -626,3 +626,34 @@ def test_orders_weighted_sample_boundaries(ray_session, tmp_path):
     assert 20 < len(mid) < 80                      # ≈50% band
     out2 = r.q_orders_weighted_sample(d)           # deterministic
     assert list(out2["o_orderkey"]) == list(out["o_orderkey"])
+
+
+def test_events_range_frame_boundaries_and_peers(ray_session, tmp_path):
+    """RANGE frame semantics: the 1-hour bound is INCLUSIVE (an event
+    exactly 1 h earlier is in-frame), sliding out works, and equal-ts
+    peers appear in each other's frames (SQL peer rule)."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 01:00",
+        "2024-01-01 01:01", "2024-01-01 01:30", "2024-01-01 01:30",
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["view"] * 6),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0], pa.float64()),
+        "props": pa.array([""] * 6),
+    })
+    out = r.q_events_range_frame(_write(tmp_path, "events", t))
+    got = out.set_index("event_id")
+    assert got.loc[1, "hour_sum"] == 1.0 and got.loc[1, "n_in_frame"] == 1
+    assert got.loc[2, "hour_sum"] == 3.0
+    # event 3 at exactly +1h: the 00:00 event is still in-frame (inclusive)
+    assert got.loc[3, "hour_sum"] == 7.0 and got.loc[3, "n_in_frame"] == 3
+    # event 4 at +1h01: 00:00 slid out
+    assert got.loc[4, "hour_sum"] == 14.0 and got.loc[4, "n_in_frame"] == 3
+    # equal-ts peers: both 01:30 events include each other (and 00:30 is
+    # exactly 1 h back, still in)
+    for e in (5, 6):
+        assert got.loc[e, "hour_sum"] == 2.0 + 4.0 + 8.0 + 16.0 + 32.0
+        assert got.loc[e, "n_in_frame"] == 5

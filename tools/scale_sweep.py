@@ -81,11 +81,14 @@ def main() -> int:
         simhash_pairs,
     )
     from htmlparsersharp_ray.stages.text_analysis import (
+        chunk_docs,
         fingerprints_fast,
+        model_quality_scores,
         pack_bins,
         repetition_signals,
         token_counts,
         top_terms,
+        top_terms_sketch,
     )
 
     results = {}
@@ -107,6 +110,10 @@ def main() -> int:
     run("pack_bins", lambda: pack_bins(docs(), budget=1024))
     run("decontaminate", lambda: decontaminate(docs(), bench_mod=20, n=8))
     run("top_terms", lambda: top_terms(docs(), k=20))
+    run("top_terms_sketch", lambda: top_terms_sketch(docs(), k=20, m=4096))
+    run("model_quality_scores",
+        lambda: model_quality_scores(docs()).count())
+    run("chunk_docs", lambda: chunk_docs(docs()).count())
     # pair mining on a 10%-of-corpus slice (output is quadratic in the
     # dup-family size; the slice keeps the verified-pair volume ~1M)
     pair_files = max(1, len(files) // 10)
