@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_quantiles": r.q_part_quantiles,
         "part_quantiles_cont": r.q_part_quantiles_cont,
         "part_quantiles_sketch": r.q_part_quantiles_sketch,
+        "part_zscore": r.q_part_zscore,
         "region_revenue": r.q_region_revenue,
         "events_ntile": r.q_events_ntile,
         "lineitem_corr": r.q_lineitem_corr,
@@ -747,6 +748,31 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "part_zscore": """
+            -- per-brand z-score from EXACT integer moments; every float
+            -- step is written in the engine's order (mean = sx/n, var =
+            -- (n*sxx - sx*sx)/(n*n), std = sqrt, z = (x - mean)/std) so
+            -- the doubles match bitwise; zero-variance brands => z = 0
+            WITH u AS (
+                SELECT p_partkey, p_brand,
+                       CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                            AS HUGEINT) AS x
+                FROM part
+            ), s AS (
+                SELECT p_brand, count(*) AS n, sum(x) AS sx,
+                       sum(x*x) AS sxx
+                FROM u GROUP BY p_brand
+            )
+            SELECT p_partkey, u.p_brand,
+                   CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+                        ELSE (CAST(x AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   END AS z
+            FROM u JOIN s ON u.p_brand = s.p_brand
+            ORDER BY p_partkey
         """,
         "part_band_join": """
             -- range (BETWEEN) join against the broadcast band table;

@@ -2178,3 +2178,65 @@ def q_events_range_frame(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_part_zscore(sf_dir: str):
+    """Group-wise Z-SCORE normalization (retail price within brand) —
+    the feature-normalization two-pass every training pipeline runs:
+    pass 1 reduces each batch to exact scaled-int64 moments per group
+    (n, Σx, Σx²; Python-int final merge), pass 2 broadcasts the tiny
+    per-group (mean, std) table via ray.put and normalizes every row
+    vectorized in the actor. All float steps — mean = Σx/n, population
+    var = (nΣx² − Σx²)/n², std = √var, z = (x − mean)/std — are written
+    in the same order as the oracle, so the doubles match bitwise;
+    zero-variance groups define z = 0 on both sides."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
+    )
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(b["p_retailprice"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({"p_brand": b["p_brand"], "sx": x, "sxx": x * x})
+        out = d.groupby("p_brand", as_index=False).sum()
+        out["n_rows"] = (
+            b.groupby("p_brand", as_index=False)
+            .size()["size"].to_numpy().astype("int64")
+        )
+        return out
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["sx", "sxx", "n_rows"])
+    stats = {}
+    for brand, g in parts.groupby("p_brand"):
+        n, sx, sxx = sum(g["n_rows"]), sum(g["sx"]), sum(g["sxx"])
+        mean = float(sx) / float(n)
+        var = float(n * sxx - sx * sx) / (float(n) * float(n))
+        stats[brand] = (mean, math.sqrt(var))
+    stats_ref = ray.put(stats)
+
+    class Normalize:
+        def __init__(self):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            x = np.round(b["p_retailprice"].to_numpy() * 100).astype("int64")
+            ms = b["p_brand"].map(self.stats)
+            mean = np.array([m[0] for m in ms], dtype=np.float64)
+            std = np.array([m[1] for m in ms], dtype=np.float64)
+            z = np.where(std == 0.0, 0.0,
+                         (x.astype(np.float64) - mean)
+                         / np.where(std == 0.0, 1.0, std))
+            return pd.DataFrame({
+                "p_partkey": b["p_partkey"],
+                "p_brand": b["p_brand"],
+                "z": z,
+            })
+
+    out = ds.map_batches(
+        Normalize, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -657,3 +657,27 @@ def test_events_range_frame_boundaries_and_peers(ray_session, tmp_path):
     for e in (5, 6):
         assert got.loc[e, "hour_sum"] == 2.0 + 4.0 + 8.0 + 16.0 + 32.0
         assert got.loc[e, "n_in_frame"] == 5
+
+
+def test_part_zscore_semantics(ray_session, tmp_path):
+    """Z-scores: hand-computable values on a tiny group, zero-variance
+    group defines z = 0, and per-group scores are centered."""
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "p_name": pa.array(["a", "b", "c", "d", "e"]),
+        "p_brand": pa.array(["X", "X", "X", "Y", "Y"]),
+        "p_type": pa.array(["t"] * 5),
+        "p_size": pa.array([1] * 5, pa.int32()),
+        # X: 10, 20, 30 → mean 20, pop-std sqrt(200/3)·... in cents;
+        # Y: constant → zero variance
+        "p_retailprice": pa.array([10.0, 20.0, 30.0, 7.0, 7.0], pa.float64()),
+    })
+    out = r.q_part_zscore(_write(tmp_path, "part", t))
+    got = out.set_index("p_partkey")["z"]
+    import math
+    std = math.sqrt((3 * (1000**2 + 2000**2 + 3000**2) - 6000**2) / 9.0)
+    assert got.loc[1] == pytest.approx((1000 - 2000) / std)
+    assert got.loc[2] == 0.0
+    assert got.loc[3] == pytest.approx((3000 - 2000) / std)
+    assert got.loc[4] == 0.0 and got.loc[5] == 0.0       # zero variance
+    assert abs(got.loc[[1, 2, 3]].sum()) < 1e-12          # centered
