@@ -2210,13 +2210,13 @@ def q_part_zscore(sf_dir: str):
 
     parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
     parts = _pysum_cols(parts, ["sx", "sxx", "n_rows"])
-    stats = {}
+    rows = []
     for brand, g in parts.groupby("p_brand"):
         n, sx, sxx = sum(g["n_rows"]), sum(g["sx"]), sum(g["sxx"])
         mean = float(sx) / float(n)
         var = float(n * sxx - sx * sx) / (float(n) * float(n))
-        stats[brand] = (mean, math.sqrt(var))
-    stats_ref = ray.put(stats)
+        rows.append((brand, mean, math.sqrt(var)))
+    stats_ref = ray.put(pd.DataFrame(rows, columns=["p_brand", "mean", "std"]))
 
     class Normalize:
         def __init__(self):
@@ -2224,9 +2224,9 @@ def q_part_zscore(sf_dir: str):
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             x = np.round(b["p_retailprice"].to_numpy() * 100).astype("int64")
-            ms = b["p_brand"].map(self.stats)
-            mean = np.array([m[0] for m in ms], dtype=np.float64)
-            std = np.array([m[1] for m in ms], dtype=np.float64)
+            m = b.merge(self.stats, on="p_brand", how="left")
+            mean = m["mean"].to_numpy()
+            std = m["std"].to_numpy()
             z = np.where(std == 0.0, 0.0,
                          (x.astype(np.float64) - mean)
                          / np.where(std == 0.0, 1.0, std))
