@@ -95,6 +95,38 @@ def _q_docs_ngram_jaccard(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard_pct"]]
 
 
+def _q_embeddings_norms(sf_dir: str):
+    """List-column processing: per-vector L2 norm + dimension over the
+    list<float> embedding column — zero-copy Arrow flatten, one
+    reshape, and a per-row np.cumsum whose strictly sequential adds
+    reproduce DuckDB's left-to-right list_sum bitwise (pairwise
+    np.sum would NOT — verified in development)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def norms(batch: pa.Table) -> pd.DataFrame:
+        emb = batch.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy()
+        lens = np.diff(offs)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = flat * flat
+        if len(lens) and lens[0] > 0 and (lens == lens[0]).all():
+            # uniform dim: per-row sequential cumsum (bitwise == list_sum)
+            tot = np.cumsum(sq.reshape(len(lens), lens[0]), axis=1)[:, -1]
+        else:  # ragged fallback: per-segment sequential sums
+            tot = np.array([np.cumsum(sq[s:e])[-1] if e > s else 0.0
+                            for s, e in zip(offs[:-1], offs[1:])])
+        return pd.DataFrame({
+            "vec_id": batch.column("vec_id").to_numpy(),
+            "l2_norm": np.sqrt(tot),
+            "dim": lens.astype("int64"),
+        })
+
+    out = _emb(sf_dir).map_batches(norms, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_embeddings_cosine_dups(sf_dir: str):
     """Exact brute-force BASELINE (broadcast matrix) — the oracle
     definition the scale path is judged against; see
@@ -460,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": r.q_events_rank,
         "events_moving_avg": r.q_events_moving_avg,
         "events_range_frame": r.q_events_range_frame,
+        "events_transitions": r.q_events_transitions,
         "events_first_last": r.q_events_first_last,
         "key_set_ops": r.q_key_set_ops,
         "events_props_extract": r.q_events_props_extract,
@@ -503,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "embeddings_norms": _q_embeddings_norms,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -680,6 +714,21 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "events_transitions": """
+            -- Markov transition counts (lag-then-aggregate); ties in ts
+            -- break on event_id exactly like the engine's sort
+            WITH t AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type, count(*) AS n
+            FROM t WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type
         """,
         "events_range_frame": """
             -- variable-width time frame; peers (equal ts) are in-frame.
@@ -1383,7 +1432,7 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx
         """,
-        "docs_quality_score": """
+        "docs_quality_score": r"""
             -- the model logit mirrors ModelScoreUDF verbatim: exact
             -- integer features, strict left-to-right float evaluation
             -- (((b + w1*nc) + w2*nw) + w3*np) + w4*sh — bitwise equal
@@ -1636,6 +1685,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(v) AS cluster_rep
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "embeddings_norms": """
+            -- per-element DOUBLE squares summed left-to-right: DuckDB's
+            -- list_sum order == the engine's per-row cumsum, bitwise
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))) AS l2_norm,
+                   CAST(len(embedding) AS BIGINT) AS dim
+            FROM embeddings ORDER BY vec_id
         """,
         "embedding_dup_clusters": """
             WITH RECURSIVE edges AS (

@@ -2240,3 +2240,48 @@ def q_part_zscore(sf_dir: str):
         Normalize, batch_format="pandas", concurrency=(1, 4)
     ).to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_events_transitions(sf_dir: str):
+    """MARKOV TRANSITION counts: (previous event_type → event_type)
+    pairs per user in (ts, event_id) order, aggregated corpus-wide —
+    the lag-then-aggregate composition behind funnel/session-flow
+    analytics. Inside each user-hash bucket the previous type is one
+    vectorized shift masked at user boundaries (no per-user group);
+    per-bucket pair counts are the partials and the driver merges
+    ≤ |types|² rows per bucket."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same_user = np.empty(len(g), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        d = pd.DataFrame({
+            "prev_type": np.where(same_user, np.roll(et, 1), None),
+            "event_type": et,
+        })
+        d = d[same_user]
+        out = d.groupby(["prev_type", "event_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )

@@ -681,3 +681,43 @@ def test_part_zscore_semantics(ray_session, tmp_path):
     assert got.loc[3] == pytest.approx((3000 - 2000) / std)
     assert got.loc[4] == 0.0 and got.loc[5] == 0.0       # zero variance
     assert abs(got.loc[[1, 2, 3]].sum()) < 1e-12          # centered
+
+
+def test_events_transitions_boundaries(ray_session, tmp_path):
+    """Transitions: each user's first event has no predecessor; pairs
+    never cross users; equal-ts ties order by event_id."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:01",
+        "2024-01-01 00:05",
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 10], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        # tie at 00:01: event 2 (view) sorts before event 3 (click)
+        "event_type": pa.array(["signup", "view", "click", "error"]),
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array([""] * 4),
+    })
+    out = r.q_events_transitions(_write(tmp_path, "events", t))
+    got = {(a, b): n for a, b, n in
+           zip(out["prev_type"], out["event_type"], out["n"])}
+    assert got == {("signup", "view"): 1, ("view", "click"): 1}
+
+
+def test_embeddings_norms_known_and_ragged(ray_session, tmp_path):
+    import numpy as np
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[3.0, 4.0], [1.0, 2.0, 2.0], []],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    })
+    import __ray_entry__ as entry
+    out = entry.queries()["embeddings_norms"](_write(tmp_path, "embeddings", t))
+    got = out.set_index("vec_id")
+    assert got.loc[0, "l2_norm"] == 5.0 and got.loc[0, "dim"] == 2
+    assert got.loc[1, "l2_norm"] == 3.0 and got.loc[1, "dim"] == 3
+    assert got.loc[2, "l2_norm"] == 0.0 and got.loc[2, "dim"] == 0
