@@ -95,6 +95,38 @@ def _q_docs_ngram_jaccard(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard_pct"]]
 
 
+def _q_docs_normalize(sf_dir: str):
+    """Text normalization: lowercase, collapse ASCII whitespace runs to
+    a single space, trim — three pandas .str C passes per batch, no
+    shuffle. The sf tables are already normalized (changed = 0
+    everywhere); the pytest carries the mixed-case / run-collapse
+    semantics on adversarial inputs."""
+    import pandas as pd
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        nt = (
+            b["text"].str.lower()
+            .str.replace(r"[ \t\n\r\f]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "norm_text": nt,
+            "changed": (nt != b["text"]).astype("int64"),
+        })
+
+    out = _docs(sf_dir).map_batches(norm, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_gram_dups(sf_dir: str):
+    """Cross-doc duplicate word-8-gram census (exact-substring-dedup
+    signal); gram-hash-bucketed — see stages/dedup.py::gram_dups."""
+    from htmlparsersharp_ray.stages.dedup import gram_dups
+
+    return gram_dups(_docs(sf_dir), n=8)
+
+
 def _q_embeddings_norms(sf_dir: str):
     """List-column processing: per-vector L2 norm + dimension over the
     list<float> embedding column — zero-copy Arrow flatten, one
@@ -493,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": r.q_events_moving_avg,
         "events_range_frame": r.q_events_range_frame,
         "events_transitions": r.q_events_transitions,
+        "events_latest": r.q_events_latest,
+        "events_retention": r.q_events_retention,
+        "events_funnel": r.q_events_funnel,
         "events_first_last": r.q_events_first_last,
         "key_set_ops": r.q_key_set_ops,
         "events_props_extract": r.q_events_props_extract,
@@ -509,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_quantiles_cont": r.q_part_quantiles_cont,
         "part_quantiles_sketch": r.q_part_quantiles_sketch,
         "part_zscore": r.q_part_zscore,
+        "part_winsorize": r.q_part_winsorize,
+        "part_unpivot": r.q_part_unpivot,
         "region_revenue": r.q_region_revenue,
         "events_ntile": r.q_events_ntile,
         "lineitem_corr": r.q_lineitem_corr,
@@ -554,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint_fast": _q_docs_fingerprint_fast,
         "docs_repetition": _q_docs_repetition,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_normalize": _q_docs_normalize,
+        "docs_gram_dups": _q_docs_gram_dups,
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
@@ -730,6 +769,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type
         """,
+        "events_latest": """
+            -- keep-latest log compaction; ties in ts break on event_id
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS ts_us, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id, event_type
+        """,
+        "events_retention": """
+            -- weekly cohort retention; 604800000000 = 7 days in µs,
+            -- // floors (all ts are post-epoch so wk is non-negative)
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+                FROM events
+            ), f AS (
+                SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id
+            )
+            SELECT f.cw AS cohort_week, w.wk - f.cw AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_funnel": """
+            -- ordered funnel: each step strictly AFTER the previous
+            -- step's FIRST completion (equal ts does not advance)
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM s1
+            UNION ALL SELECT 2, count(*) FROM s2
+            UNION ALL SELECT 3, count(*) FROM s3
+            ORDER BY stage
+        """,
         "events_range_frame": """
             -- variable-width time frame; peers (equal ts) are in-frame.
             -- exact cents; /100.0 is the engine's only float op too
@@ -797,6 +883,35 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "part_winsorize": """
+            -- per-brand [p05, p95] clipping; quantile_cont computes the
+            -- identical IEEE interpolation as the engine's pick() (the
+            -- part_quantiles_cont precedent), and least/greatest SELECT
+            -- values without float arithmetic
+            WITH q AS (
+                SELECT p_brand,
+                       quantile_cont(p_retailprice, 0.05) AS lo,
+                       quantile_cont(p_retailprice, 0.95) AS hi
+                FROM part GROUP BY p_brand
+            )
+            SELECT p.p_partkey, p.p_brand,
+                   least(greatest(p.p_retailprice, q.lo), q.hi) AS price_w,
+                   CAST(p.p_retailprice < q.lo
+                        OR p.p_retailprice > q.hi AS BIGINT) AS clipped
+            FROM part p JOIN q USING (p_brand)
+            ORDER BY p.p_partkey
+        """,
+        "part_unpivot": """
+            -- melt (p_size, p_retailprice) into (attr, val) rows;
+            -- int sizes cast exactly into the double mantissa
+            SELECT p_partkey, 'p_retailprice' AS attr,
+                   p_retailprice AS val
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+            FROM part
+            ORDER BY p_partkey, attr
         """,
         "part_zscore": """
             -- per-brand z-score from EXACT integer moments; every float
@@ -1520,6 +1635,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS rep_frac
             FROM documents d LEFT JOIN agg USING (doc_id)
             ORDER BY doc_id
+        """,
+        "docs_normalize": r"""
+            -- lowercase + collapse ASCII whitespace runs + trim; after
+            -- the collapse only plain spaces can touch the edges, so
+            -- trim(x, ' ') == the engine's .str.strip(' ')
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text),
+                        '[ \t\n\r\f]+', ' ', 'g'), ' ') AS norm_text,
+                   CAST(trim(regexp_replace(lower(text),
+                        '[ \t\n\r\f]+', ' ', 'g'), ' ') <> text
+                        AS BIGINT) AS changed
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_gram_dups": """
+            -- distinct word-8-grams each doc shares with >=1 OTHER doc;
+            -- string-equality grams here, 64-bit token-window hashes in
+            -- the engine (collision odds ~G^2/2^64 — the decontaminate
+            -- precedent); docs with < 8 tokens form no grams; docs
+            -- sharing nothing are absent (inner join)
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 7),
+                           i -> array_to_string(ws[i:i+7], ' '))) AS gram
+                FROM w WHERE len(ws) >= 8)
+            ), s AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            )
+            SELECT g.doc_id, count(*) AS n_shared_grams
+            FROM g JOIN s USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "docs_decontaminate": """
             -- benchmark decontamination: training docs (doc_id % 20 <> 0)

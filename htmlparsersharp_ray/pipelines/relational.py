@@ -2285,3 +2285,216 @@ def q_events_transitions(sf_dir: str):
         out.sort_values(["prev_type", "event_type"])
         .reset_index(drop=True)
     )
+
+
+def q_events_latest(sf_dir: str):
+    """LOG COMPACTION / keep-latest upsert: the newest event per
+    (user_id, event_type) key by (ts, event_id) — the CDC-apply /
+    SCD-type-1 primitive. All rows of a key land in one user-hash
+    bucket; inside the bucket ONE sort + a duplicated() mask picks the
+    survivors (no per-key group). Output rows are carried verbatim, so
+    the result is hash-exact against the SQL row_number()=1 oracle."""
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        keep = ~g.duplicated(["user_id", "event_type"], keep="last")
+        out = g.loc[keep, ["event_id", "user_id", "event_type", "value"]].copy()
+        out["ts_us"] = g.loc[keep, "ts"].astype("int64")
+        return out[["event_id", "user_id", "event_type", "ts_us", "value"]]
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(latest, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def q_events_retention(sf_dir: str):
+    """COHORT RETENTION: weekly cohorts (epoch-week of each user's
+    first event) × week offset → distinct returning users. One pass,
+    NO join: a user's whole history sits in one user-hash bucket, so
+    the cohort week is a C-level groupby-min inside the bucket and the
+    per-bucket distinct (cohort, offset, user) counts are additive
+    across buckets (user sets are disjoint by construction). The
+    exchange is bounded by buckets × |cohorts|² rows."""
+    from .joins import auto_buckets
+
+    WEEK_US = 7 * 86400 * 10**6
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def ret(g: pd.DataFrame) -> pd.DataFrame:
+        wk = g["ts"].astype("int64").to_numpy() // WEEK_US
+        codes, _ = pd.factorize(g["user_id"].to_numpy())
+        cohort = pd.Series(wk).groupby(codes).min().to_numpy()[codes]
+        d = pd.DataFrame({
+            "cohort_week": cohort,
+            "week_offset": wk - cohort,
+            "u": g["user_id"].to_numpy(),
+        }).drop_duplicates()
+        return d.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("u", "count")
+        )
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(ret, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_week", "week_offset"], as_index=False)[
+        "n_users"
+    ].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+def q_events_funnel(sf_dir: str):
+    """FUNNEL ANALYSIS: users reaching each stage of the ordered
+    signup → view → click sequence, each step strictly AFTER the
+    previous step's first completion (equal-ts ties do NOT advance the
+    funnel — mirrored in the oracle's ``ts >`` predicate). Per bucket:
+    factorize users once, then one masked C-level groupby-min per step
+    — time of first qualifying event, INF sentinel propagates
+    non-completion (nothing sorts, nothing loops per user). Per-bucket
+    stage counts are additive across disjoint user buckets."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    STEPS = ("signup", "view", "click")
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        codes, uniques = pd.factorize(g["user_id"].to_numpy())
+        n = len(uniques)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n, np.iinfo(np.int64).min)  # stage 0: -inf
+        counts = []
+        for step in STEPS:
+            mask = (et == step) & (ts > prev[codes])
+            t = (
+                pd.Series(np.where(mask, ts, INF))
+                .groupby(codes)
+                .min()
+                .to_numpy()
+            )
+            counts.append(int((t < INF).sum()))
+            prev = t  # INF propagates: ts > INF is impossible
+        return pd.DataFrame({
+            "stage": np.arange(1, len(STEPS) + 1, dtype=np.int64),
+            "n_users": np.array(counts, dtype=np.int64),
+        })
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+def q_part_winsorize(sf_dir: str):
+    """OUTLIER WINSORIZATION: clamp retail price into the per-brand
+    [p05, p95] band — the feature-clipping companion to q_part_zscore's
+    normalization. Pass 1 computes the interpolated band edges per
+    brand (the identical IEEE expression as q_part_quantiles_cont, so
+    the edges equal DuckDB's quantile_cont bitwise); the tiny
+    (brand, lo, hi) table broadcasts via ray.put; pass 2 clips every
+    row vectorized — min/max SELECT values, they never do float
+    arithmetic, so the clipped prices are carried inputs."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
+    )
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["p_retailprice"].to_numpy())
+        n = len(v)
+
+        def pick(q):
+            h = q * (n - 1)
+            lo = math.floor(h)
+            hi = min(lo + 1, n - 1)
+            frac = h - lo
+            return float(v[lo] * (1 - frac) + v[hi] * frac)
+
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "lo": [pick(0.05)],
+            "hi": [pick(0.95)],
+        })
+
+    band = (
+        ds.groupby("p_brand")
+        .map_groups(edges, batch_format="pandas")
+        .to_pandas()
+    )
+    band_ref = ray.put(band)
+
+    class Clip:
+        def __init__(self):
+            self.band = ray.get(band_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(self.band, on="p_brand", how="left")
+            x = m["p_retailprice"].to_numpy()
+            lo = m["lo"].to_numpy()
+            hi = m["hi"].to_numpy()
+            return pd.DataFrame({
+                "p_partkey": b["p_partkey"],
+                "p_brand": b["p_brand"],
+                "price_w": np.minimum(np.maximum(x, lo), hi),
+                "clipped": ((x < lo) | (x > hi)).astype("int64"),
+            })
+
+    out = ds.map_batches(
+        Clip, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_part_unpivot(sf_dir: str):
+    """UNPIVOT / melt — the reshape inverse of q_segment_status_pivot:
+    (p_size, p_retailprice) columns become (attr, val) rows. A pure
+    per-batch 1→2 expansion (two column selects + one concat, no
+    shuffle, no row loop); int attrs cast to double exactly (both fit
+    in the 2^53 mantissa)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        price = pd.DataFrame({
+            "p_partkey": b["p_partkey"],
+            "attr": "p_retailprice",
+            "val": b["p_retailprice"].astype("float64"),
+        })
+        size = pd.DataFrame({
+            "p_partkey": b["p_partkey"],
+            "attr": "p_size",
+            "val": b["p_size"].astype("float64"),
+        })
+        return pd.concat([price, size], ignore_index=True)
+
+    out = ds.map_batches(melt, batch_format="pandas").to_pandas()
+    return out.sort_values(["p_partkey", "attr"]).reset_index(drop=True)

@@ -1057,3 +1057,56 @@ def dup_clusters(
         .sort_values(id_col)
         .reset_index(drop=True)
     )
+
+
+def gram_dups(
+    docs: ray.data.Dataset, n: int = 8, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Cross-document duplicate n-gram census: per document, the number
+    of DISTINCT word-``n``-grams it shares with at least one OTHER
+    document — the signal behind exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans, here at word-gram granularity). Reference n/a — engine-level
+    op; same gram identity as :func:`decontaminate` (64-bit token-window
+    polynomial, collision odds ~G²/2⁶⁴ vs the string-equality oracle).
+
+    Scale shape: the gram space is partitioned by GRAM hash into
+    ``n_buckets`` groups, so "seen in ≥2 docs" is decided inside one
+    bounded bucket with a vectorized duplicated() mask — no gram ever
+    needs a global view, no driver state. Per-(bucket, doc) partial
+    counts are additive across buckets because the gram sets they count
+    are disjoint by construction. Docs sharing nothing are absent from
+    the output (mirrored by the oracle's inner join)."""
+    from . import hashing
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sets = _gram_hash_sets(batch.column("text").to_pylist(), n)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = (np.concatenate(sets) if lens.sum()
+                else np.empty(0, dtype=np.int64))
+        gb = (hashing.mix64(flat.view(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pd.DataFrame({
+            "gb": gb,
+            "g": flat,
+            "doc_id": np.repeat(ids.astype(np.int64), lens),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # (g, doc_id) rows are distinct by construction (np.unique per
+        # doc, one row per doc) — a gram appearing twice in the bucket
+        # is therefore in two different docs.
+        shared = g[g.duplicated("g", keep=False)]
+        out = shared.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"size": "n_shared_grams"})
+
+    parts = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("doc_id", as_index=False)["n_shared_grams"].sum()
+    out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -721,3 +721,132 @@ def test_embeddings_norms_known_and_ragged(ray_session, tmp_path):
     assert got.loc[0, "l2_norm"] == 5.0 and got.loc[0, "dim"] == 2
     assert got.loc[1, "l2_norm"] == 3.0 and got.loc[1, "dim"] == 3
     assert got.loc[2, "l2_norm"] == 0.0 and got.loc[2, "dim"] == 0
+
+
+def test_events_latest_compaction(ray_session, tmp_path):
+    """Keep-latest: newest row per (user, type) survives; equal-ts tie
+    breaks on the larger event_id; singleton keys pass through."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:05",
+        "2024-01-02 00:00",
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["view", "view", "view", "click"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array([""] * 4),
+    })
+    out = r.q_events_latest(_write(tmp_path, "events", t))
+    assert out["event_id"].tolist() == [3, 9]   # tie at 00:05 -> id 3
+    assert out["value"].tolist() == [3.0, 4.0]
+    assert out["ts_us"].tolist() == [int(ts[2].value // 1000),
+                                     int(ts[3].value // 1000)]
+
+
+def test_events_retention_cohorts(ray_session, tmp_path):
+    """Weekly cohorts: offsets measured from each user's own first
+    week; distinct users per cell (repeat events in a week count once)."""
+    week = 7 * 86400
+    base = pd.Timestamp("2024-01-04")  # epoch-week boundary (Thursday)
+    ts = pd.to_datetime([
+        base,                                  # u1 week0
+        base + pd.Timedelta(seconds=10),       # u1 week0 again (dedup)
+        base + pd.Timedelta(seconds=2 * week), # u1 week2
+        base + pd.Timedelta(seconds=week),     # u2 first = week1
+        base + pd.Timedelta(seconds=2 * week), # u2 offset1
+    ])
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": pa.array([""] * 5),
+    })
+    out = r.q_events_retention(_write(tmp_path, "events", t))
+    w0 = int(base.value // 1000 // (week * 10**6))
+    got = {(c, o): n for c, o, n in
+           zip(out["cohort_week"], out["week_offset"], out["n_users"])}
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1, (w0 + 1, 1): 1}
+
+
+def test_events_funnel_ordering(ray_session, tmp_path):
+    """Funnel: steps must occur strictly after the previous step's
+    first completion — a view BEFORE signup doesn't advance, a view AT
+    the signup's exact ts doesn't advance, and the click must follow
+    the first qualifying view."""
+    rows = [
+        # u1: full funnel in order
+        (1, "2024-01-01 00:00", 1, "signup"),
+        (2, "2024-01-01 00:01", 1, "view"),
+        (3, "2024-01-01 00:02", 1, "click"),
+        # u2: view only before signup -> stops at stage 1
+        (4, "2024-01-01 00:00", 2, "view"),
+        (5, "2024-01-01 00:01", 2, "signup"),
+        (6, "2024-01-01 00:02", 2, "click"),
+        # u3: view at the signup's exact ts -> tie does not advance
+        (7, "2024-01-02 00:00", 3, "signup"),
+        (8, "2024-01-02 00:00", 3, "view"),
+        # u4: click between signup and first view -> stage 2 only
+        (9, "2024-01-03 00:00", 4, "signup"),
+        (10, "2024-01-03 00:01", 4, "click"),
+        (11, "2024-01-03 00:02", 4, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([x[0] for x in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([x[1] for x in rows]),
+                       pa.timestamp("us")),
+        "user_id": pa.array([x[2] for x in rows], pa.int64()),
+        "event_type": pa.array([x[3] for x in rows]),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows)),
+    })
+    out = r.q_events_funnel(_write(tmp_path, "events", t))
+    assert out["stage"].tolist() == [1, 2, 3]
+    assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_part_winsorize_clipping(ray_session, tmp_path):
+    """Winsorize: values below p05 / above p95 clip to the interpolated
+    band edge (flagged), interior values pass through unchanged."""
+    t = pa.table({
+        "p_partkey": pa.array(range(1, 12), pa.int64()),
+        "p_brand": pa.array(["B"] * 11),
+        "p_retailprice": pa.array([float(x) for x in range(0, 101, 10)],
+                                  pa.float64()),
+    })
+    out = r.q_part_winsorize(_write(tmp_path, "part", t)).set_index("p_partkey")
+    # n=11: p05 at h=0.5 -> 5.0, p95 at h=9.5 -> 95.0
+    assert out.loc[1, "price_w"] == 5.0 and out.loc[1, "clipped"] == 1
+    assert out.loc[11, "price_w"] == 95.0 and out.loc[11, "clipped"] == 1
+    assert out.loc[6, "price_w"] == 50.0 and out.loc[6, "clipped"] == 0
+    assert out["clipped"].sum() == 2
+
+
+def test_part_unpivot_melt(ray_session, tmp_path):
+    t = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_size": pa.array([7, 9], pa.int32()),
+        "p_retailprice": pa.array([10.5, 20.25], pa.float64()),
+    })
+    out = r.q_part_unpivot(_write(tmp_path, "part", t))
+    assert len(out) == 4
+    assert out["attr"].tolist() == ["p_retailprice", "p_size"] * 2
+    assert out["val"].tolist() == [10.5, 7.0, 20.25, 9.0]
+
+
+def test_docs_normalize_semantics(ray_session, tmp_path):
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["  Hello\t\tWORLD \n", "already ok"]),
+    })
+    import __ray_entry__ as entry
+    out = entry.queries()["docs_normalize"](
+        _write(tmp_path, "documents", t)
+    ).set_index("doc_id")
+    assert out.loc[1, "norm_text"] == "hello world"
+    assert out.loc[1, "changed"] == 1
+    assert out.loc[2, "norm_text"] == "already ok"
+    assert out.loc[2, "changed"] == 0

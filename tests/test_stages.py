@@ -1041,3 +1041,27 @@ def test_model_quality_score_features_and_flag(ray_session):
     assert out.loc[1, "model_logit"] > 0 and out.loc[1, "keep_flag"] == 1
     assert out.loc[2, "model_logit"] < 0 and out.loc[2, "keep_flag"] == 0
     assert ((out["model_logit"] > 0) == (out["keep_flag"] == 1)).all()
+
+
+def test_gram_dups_census(ray_session):
+    """gram_dups: only grams appearing in >=2 DISTINCT docs count, each
+    doc reports its DISTINCT shared grams, short docs form no grams,
+    and the census is bucket-count invariant."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import gram_dups
+
+    base = "a b c d e f g h"                      # exactly one 8-gram
+    rows = {
+        1: base + " x",                           # grams: (a..h), (b..h x)
+        2: "z " + base,                           # grams: (z a..g), (a..h)
+        3: "totally unrelated words here that never overlap anything q r",
+        4: " ".join(base.split()[:7]),            # 7 tokens: no gram
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    )
+    out = gram_dups(ds, n=8)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_shared_grams"]) == [1, 1]   # the shared (a..h)
+    assert out.equals(gram_dups(ds, n=8, n_buckets=1))
