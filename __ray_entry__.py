@@ -159,6 +159,46 @@ def _q_embeddings_norms(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_embeddings_label_stats(sf_dir: str):
+    """GROUPED LIST-COLUMN AGGREGATE: per (label, dimension) min / max /
+    count over the embedding vectors — the per-feature profiling pass a
+    training pipeline runs before normalization. Min/max are
+    order-insensitive SELECTions (exact at any reduction order, no float
+    arithmetic), so per-batch partials merge to the bitwise answer on
+    the driver; the exchange is |labels| × dim rows per batch, never the
+    vectors. Ragged vectors profile only the dimensions they have
+    (mirrored by the oracle's per-row generate_series)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        emb = batch.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy()
+        lens = np.diff(offs)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "label": np.repeat(labels, lens).astype("int64"),
+            "dim": (np.arange(len(flat))
+                    - np.repeat(offs[:-1], lens)).astype("int64"),
+            "x": flat,
+        })
+        out = d.groupby(["label", "dim"], as_index=False).agg(
+            mn=("x", "min"), mx=("x", "max"), n=("x", "count")
+        )
+        return out
+
+    parts = (
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    )
+    out = parts.groupby(["label", "dim"], as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum")
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def _q_embeddings_cosine_dups(sf_dir: str):
     """Exact brute-force BASELINE (broadcast matrix) — the oracle
     definition the scale path is judged against; see
@@ -526,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_frame": r.q_events_range_frame,
         "events_transitions": r.q_events_transitions,
         "events_latest": r.q_events_latest,
+        "events_share": r.q_events_share,
+        "events_rolling_median": r.q_events_rolling_median,
         "events_retention": r.q_events_retention,
         "events_funnel": r.q_events_funnel,
         "events_first_last": r.q_events_first_last,
@@ -574,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "embeddings_norms": _q_embeddings_norms,
+        "embeddings_label_stats": _q_embeddings_label_stats,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
@@ -768,6 +811,40 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type
+        """,
+        "events_share": """
+            -- ratio-to-report: exact-cents numerator and denominator,
+            -- ONE float division (bit-reproducible)
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           AS vc
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(vc AS DOUBLE)
+                       / CAST(sum(vc) OVER (PARTITION BY event_type)
+                              AS DOUBLE) AS share
+            FROM c ORDER BY event_id
+        """,
+        "events_rolling_median": """
+            -- rolling median over exact cents: BIGINT median
+            -- interpolates (lo+hi)/2, exact at cents magnitudes (the
+            -- halving is a power of two), so the only rounding is the
+            -- shared /100 back to currency
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           AS vc
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   median(vc) OVER w / CAST(100 AS DOUBLE) AS med,
+                   count(*) OVER w AS n_in_frame
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_latest": """
             -- keep-latest log compaction; ties in ts break on event_id
@@ -1835,6 +1912,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(v) AS cluster_rep
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "embeddings_label_stats": """
+            -- per (label, dim) min/max/count over the vectors; min/max
+            -- SELECT values (order-insensitive, exact), DOUBLE widening
+            -- of float32 is exact
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   min(CAST(embedding[i] AS DOUBLE)) AS mn,
+                   max(CAST(embedding[i] AS DOUBLE)) AS mx,
+                   count(*) AS n
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "embeddings_norms": """
             -- per-element DOUBLE squares summed left-to-right: DuckDB's

@@ -2498,3 +2498,103 @@ def q_part_unpivot(sf_dir: str):
 
     out = ds.map_batches(melt, batch_format="pandas").to_pandas()
     return out.sort_values(["p_partkey", "attr"]).reset_index(drop=True)
+
+
+def q_events_share(sf_dir: str):
+    """RATIO-TO-REPORT window (value / SUM(value) OVER (PARTITION BY
+    event_type)): each event's share of its type's total. Two passes,
+    no shuffle: pass 1 reduces each batch to per-type exact-cents
+    partials (|types| rows per batch) merged in Python ints on the
+    driver; pass 2 broadcasts the tiny totals dict via ray.put and
+    divides vectorized. Numerator and denominator are both exact
+    integers, so the single /-division is the only float op — bitwise
+    equal to the oracle's expression."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": b["event_type"],
+            "vc": np.round(b["value"].to_numpy() * 100).astype("int64"),
+        })
+        return d.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["vc"])
+    totals = {t: sum(g["vc"]) for t, g in parts.groupby("event_type")}
+    totals_ref = ray.put(totals)
+
+    class Share:
+        def __init__(self):
+            self.totals = ray.get(totals_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            vc = np.round(b["value"].to_numpy() * 100).astype("int64")
+            tot = b["event_type"].map(self.totals).to_numpy(dtype="float64")
+            return pd.DataFrame({
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "share": vc.astype("float64") / tot,
+            })
+
+    out = ds.map_batches(
+        Share, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_rolling_median(sf_dir: str):
+    """ROLLING MEDIAN (order statistic over a sliding frame, ROWS 3
+    PRECEDING .. CURRENT ROW) — the robust-statistics window the
+    mean-based family can't answer. The frame is materialized as a
+    (rows × 4) lag matrix (user-boundary-masked with an int64-max
+    sentinel), ONE np.sort along axis=1 puts each frame's valid cents
+    ascending first, and the median is the uniform interpolation
+    (lo + hi)/2 over exact cents (odd frames hit lo == hi, so the
+    halving is exact and DuckDB's BIGINT median matches bitwise at
+    cents magnitudes); /100.0 back to currency is the only other float
+    op, mirrored in the oracle."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        k = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        back = np.minimum(k, 3)
+        SENT = np.iinfo(np.int64).max
+        m = np.full((n, 4), SENT, dtype=np.int64)
+        for lag in range(4):  # 4 fixed shifts, not a row loop
+            valid = back >= lag
+            rows = np.nonzero(valid)[0]
+            m[rows, lag] = cents[rows - lag]
+        m.sort(axis=1)
+        c = back + 1
+        lo = (c - 1) // 2
+        hi = c // 2
+        r = np.arange(n)
+        a = m[r, lo].astype(np.float64)
+        b = m[r, hi].astype(np.float64)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "med": ((a + b) / 2.0) / 100.0,
+            "n_in_frame": c.astype("int64"),
+        })
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

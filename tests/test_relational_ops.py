@@ -850,3 +850,63 @@ def test_docs_normalize_semantics(ray_session, tmp_path):
     assert out.loc[1, "changed"] == 1
     assert out.loc[2, "norm_text"] == "already ok"
     assert out.loc[2, "changed"] == 0
+
+
+def test_events_share_ratio(ray_session, tmp_path):
+    """Ratio-to-report: shares are value/type-total and sum to 1 per
+    type; types don't leak into each other's denominator."""
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 4), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b"]),
+        "value": pa.array([1.0, 3.0, 4.0, 5.0], pa.float64()),
+        "props": pa.array([""] * 4),
+    })
+    out = r.q_events_share(_write(tmp_path, "events", t)).set_index("event_id")
+    assert out.loc[1, "share"] == 1.0 / 8.0
+    assert out.loc[2, "share"] == 3.0 / 8.0
+    assert out.loc[3, "share"] == 4.0 / 8.0
+    assert out.loc[4, "share"] == 1.0            # sole 'b' event
+
+
+def test_events_rolling_median_frames(ray_session, tmp_path):
+    """Rolling median: growing frames interpolate on even counts, pick
+    the middle on odd ones, and never cross user boundaries."""
+    ts = pd.to_datetime([f"2024-01-01 00:0{i}" for i in range(5)])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["x"] * 5),
+        "value": pa.array([10.0, 20.0, 90.0, 40.0, 7.0], pa.float64()),
+        "props": pa.array([""] * 5),
+    })
+    out = r.q_events_rolling_median(
+        _write(tmp_path, "events", t)
+    ).set_index("event_id")
+    assert out.loc[1, "med"] == 10.0                    # frame {10}
+    assert out.loc[2, "med"] == 15.0                    # {10,20}
+    assert out.loc[3, "med"] == 20.0                    # {10,20,90}
+    assert out.loc[4, "med"] == 30.0                    # {10,20,90,40} -> (20+40)/2
+    assert out.loc[5, "med"] == 7.0                     # new user resets
+    assert out["n_in_frame"].tolist() == [1, 2, 3, 4, 1]
+
+
+def test_embeddings_label_stats_ragged(ray_session, tmp_path):
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, -2.0], [3.0, 4.0, 9.0], [-5.0, 6.0]],
+            pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 8], pa.int32()),
+    })
+    import __ray_entry__ as entry
+    out = entry.queries()["embeddings_label_stats"](
+        _write(tmp_path, "embeddings", t)
+    ).set_index(["label", "dim"])
+    assert out.loc[(7, 0)].tolist() == [1.0, 3.0, 2]    # mn, mx, n
+    assert out.loc[(7, 1)].tolist() == [-2.0, 4.0, 2]
+    assert out.loc[(7, 2)].tolist() == [9.0, 9.0, 1]    # ragged dim
+    assert out.loc[(8, 0)].tolist() == [-5.0, -5.0, 1]
+    assert len(out) == 5
