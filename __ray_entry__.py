@@ -587,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_quantiles_sketch": r.q_part_quantiles_sketch,
         "part_zscore": r.q_part_zscore,
         "part_winsorize": r.q_part_winsorize,
+        "part_mad": r.q_part_mad,
+        "events_cooccurrence": r.q_events_cooccurrence,
+        "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
         "region_revenue": r.q_region_revenue,
         "events_ntile": r.q_events_ntile,
@@ -960,6 +963,43 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "part_mad": """
+            -- nested medians over exact cents: group median is an
+            -- exact half-cent, deviations are exact halves, their
+            -- median an exact quarter — no rounding until the shared
+            -- /100 (see q_part_mad docstring)
+            WITH c AS (
+                SELECT p_brand,
+                       CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT) AS vc
+                FROM part
+            ), m AS (
+                SELECT p_brand, median(vc) AS mv FROM c GROUP BY p_brand
+            )
+            SELECT c.p_brand,
+                   m.mv / CAST(100 AS DOUBLE) AS med,
+                   median(abs(c.vc - m.mv)) / CAST(100 AS DOUBLE) AS mad,
+                   count(*) AS n_parts
+            FROM c JOIN m USING (p_brand)
+            GROUP BY c.p_brand, m.mv
+            ORDER BY c.p_brand
+        """,
+        "events_cooccurrence": """
+            -- unordered event-type pairs performed by the same user
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "orders_page": """
+            -- keyset-stable pagination: page 3 of the price-ranked list
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20 OFFSET 40
         """,
         "part_winsorize": """
             -- per-brand [p05, p95] clipping; quantile_cont computes the

@@ -2598,3 +2598,124 @@ def q_events_rolling_median(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_part_mad(sf_dir: str):
+    """ROBUST STATISTICS: per-brand median + MAD (median absolute
+    deviation) of retail price — the outlier-resistant companion to
+    q_part_zscore's moment statistics. Everything happens over exact
+    integer cents: the group median interpolates to an exact half-cent
+    ((a+b)/2 of ints is exact in double), deviations |vc − med| are
+    exact halves, and the deviation median interpolates to an exact
+    quarter — so no float expression rounds until the final shared
+    /100, and DuckDB's nested medians match bitwise. 25 brands → the
+    same direct low-cardinality map_groups as q_part_quantiles."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"]
+    )
+
+    def _interp_median(sorted_vals: "np.ndarray") -> float:
+        n = len(sorted_vals)
+        lo = (n - 1) // 2
+        hi = n // 2
+        return (float(sorted_vals[lo]) + float(sorted_vals[hi])) / 2.0
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(
+            np.round(g["p_retailprice"].to_numpy() * 100).astype("int64")
+        )
+        med_c = _interp_median(cents)
+        dev = np.sort(np.abs(cents.astype(np.float64) - med_c))
+        mad_c = _interp_median(dev)
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "med": [med_c / 100.0],
+            "mad": [mad_c / 100.0],
+            "n_parts": [len(cents)],
+        })
+
+    out = (
+        ds.groupby("p_brand")
+        .map_groups(mad, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_events_cooccurrence(sf_dir: str):
+    """CO-OCCURRENCE self-join: for each unordered event-type pair, how
+    many users performed BOTH — the market-basket / co-engagement
+    primitive. Each batch collapses to its distinct (user, type) rows
+    (no shuffle yet); ONE bounded user-hash exchange co-locates a
+    user's types, and inside the bucket a vectorized self-merge emits
+    the ≤ |types|² pair counts. Partials are additive because user
+    sets are disjoint across buckets."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = np.uint64(auto_buckets(ds))
+
+    def distinct_tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        u = d["user_id"].to_numpy().astype(np.uint64)
+        return d.assign(ub=(hashing.mix64(u) % nb).astype(np.int64))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])[
+            ["user_id", "event_type"]
+        ]
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = m.groupby(
+            ["event_type_a", "event_type_b"], as_index=False
+        ).size()
+        return out.rename(columns={
+            "event_type_a": "type_a", "event_type_b": "type_b", "size": "n",
+        })
+
+    parts = (
+        ds.map_batches(distinct_tag, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    out["n_users"] = out.pop("n").astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_orders_page(sf_dir: str):
+    """PAGINATION (ORDER BY … LIMIT k OFFSET s) without a global sort:
+    every batch keeps only its own top-(s+k) candidates by
+    (price DESC, key ASC) — a bounded partial like q_orders_topk — and
+    the driver merges ≤ (s+k)·n_batches candidate rows and slices the
+    page. Page rows are carried verbatim (no arithmetic)."""
+    LIMIT, OFFSET = 20, 40
+    top = LIMIT + OFFSET
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(top)
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    page = (
+        cand.sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True])
+        .iloc[OFFSET:OFFSET + LIMIT]
+        .reset_index(drop=True)
+    )
+    return page

@@ -910,3 +910,54 @@ def test_embeddings_label_stats_ragged(ray_session, tmp_path):
     assert out.loc[(7, 2)].tolist() == [9.0, 9.0, 1]    # ragged dim
     assert out.loc[(8, 0)].tolist() == [-5.0, -5.0, 1]
     assert len(out) == 5
+
+
+def test_part_mad_robust_stats(ray_session, tmp_path):
+    """MAD: median interpolates on even counts; deviations use the
+    interpolated median; MAD ignores the outlier the stdev would not."""
+    t = pa.table({
+        "p_partkey": pa.array(range(1, 6), pa.int64()),
+        "p_brand": pa.array(["B"] * 4 + ["C"]),
+        # B: cents 100,200,300,10000 -> med 2.50; |dev| 150,50,50,9750
+        # sorted 50,50,150,9750 -> mad (50+150)/2 = 100 cents = 1.00
+        "p_retailprice": pa.array([1.0, 2.0, 3.0, 100.0, 7.0], pa.float64()),
+    })
+    out = r.q_part_mad(_write(tmp_path, "part", t)).set_index("p_brand")
+    assert out.loc["B", "med"] == 2.5 and out.loc["B", "mad"] == 1.0
+    assert out.loc["C", "med"] == 7.0 and out.loc["C", "mad"] == 0.0
+    assert out.loc["B", "n_parts"] == 4
+
+
+def test_events_cooccurrence_pairs(ray_session, tmp_path):
+    """Co-occurrence: repeat events count once per user, pairs are
+    unordered (a < b), and users without both types don't contribute."""
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 6), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "b", "a", "c", "a"]),
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": pa.array([""] * 6),
+    })
+    out = r.q_events_cooccurrence(_write(tmp_path, "events", t))
+    got = {(a, b): n for a, b, n in
+           zip(out["type_a"], out["type_b"], out["n_users"])}
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_orders_page_slice(ray_session, tmp_path):
+    """Pagination: the OFFSET 40 LIMIT 20 slice of the (price DESC,
+    key) order — prices constructed so the page spans a tie broken by
+    key order."""
+    n = 100
+    # prices: 50 distinct values, each appearing twice (tie on key)
+    prices = [float(1000 - (i // 2)) for i in range(n)]
+    t = pa.table({
+        "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "o_custkey": pa.array([i % 7 for i in range(n)], pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    out = r.q_orders_page(_write(tmp_path, "orders", t))
+    assert len(out) == 20
+    assert out["o_orderkey"].tolist() == list(range(41, 61))
+    assert out["o_totalprice"].iloc[0] == 980.0
