@@ -177,6 +177,13 @@ def run_bench() -> dict:
     decontaminate(docs, bench_mod=20, n=8)
     queries["docs_decontaminate"] = round(time.time() - t0, 3)
 
+    # cross-doc duplicate-gram census: the bounded gram-hash exchange
+    from htmlparsersharp_ray.stages.dedup import gram_dups
+
+    t0 = time.time()
+    gram_dups(docs, n=8)
+    queries["docs_gram_dups"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {

@@ -92,8 +92,11 @@ def main() -> int:
     )
 
     results = {}
+    only = {s for s in os.environ.get("GRAFT_SWEEP_ONLY", "").split(",") if s}
 
     def run(name, fn):
+        if only and name not in only:
+            return
         t0 = time.time()
         r = fn()
         results[name] = {
@@ -121,6 +124,9 @@ def main() -> int:
         lambda: minhash_lsh_pairs(docs(pair_files), jaccard_threshold=0.5))
     run("simhash_pairs_slice",
         lambda: simhash_pairs(docs(pair_files), max_hamming=6))
+    from htmlparsersharp_ray.stages.dedup import gram_dups
+
+    run("gram_dups_slice", lambda: gram_dups(docs(pair_files), n=8))
 
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
