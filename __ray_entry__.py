@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_zscore": r.q_part_zscore,
         "part_winsorize": r.q_part_winsorize,
         "part_mad": r.q_part_mad,
+        "lineitem_price_quantiles": r.q_lineitem_price_quantiles,
         "events_cooccurrence": r.q_events_cooccurrence,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -963,6 +964,22 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lineitem_price_quantiles": """
+            -- GLOBAL discrete quantiles over exact cents; the engine's
+            -- two-pass distributed selection picks the same
+            -- sorted[ceil(q*n)-1] elements as quantile_disc, and /100
+            -- is the only float op (shared)
+            WITH c AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT) AS vc
+                FROM lineitem
+            )
+            SELECT quantile_disc(vc, 0.25) / CAST(100 AS DOUBLE) AS p25,
+                   quantile_disc(vc, 0.50) / CAST(100 AS DOUBLE) AS median,
+                   quantile_disc(vc, 0.90) / CAST(100 AS DOUBLE) AS p90,
+                   count(*) AS n_rows
+            FROM c
         """,
         "part_mad": """
             -- nested medians over exact cents: group median is an

@@ -2719,3 +2719,76 @@ def q_orders_page(sf_dir: str):
         .reset_index(drop=True)
     )
     return page
+
+
+def q_lineitem_price_quantiles(sf_dir: str):
+    """GLOBAL order statistics WITHOUT a global sort — distributed
+    selection: exact corpus-wide p25/median/p90 of l_extendedprice.
+    Pass 1 reduces each batch to coarse value-histogram partials
+    (bucket = cents >> 8, so the driver merge is bounded by the VALUE
+    RANGE / 256, never by row count); the cumulative histogram locates
+    the ≤3 buckets containing the target ranks. Pass 2 re-streams the
+    table and emits exact per-cents counts ONLY inside those buckets —
+    a bucket spans exactly 256 distinct cent values, so every batch
+    contributes ≤ 768 partial rows and the driver picks the global
+    ranks from a ≤768-entry exact histogram. Same discrete rank rule
+    as q_part_quantiles (sorted[ceil(q·n)−1] == DuckDB quantile_disc);
+    the only float op is the shared /100 back to currency."""
+    import math
+
+    import numpy as np
+
+    QS = (("p25", 0.25), ("median", 0.5), ("p90", 0.9))
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice"]
+    )
+
+    def coarse(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        cb, n = np.unique(cents >> 8, return_counts=True)
+        return pd.DataFrame({"cb": cb, "n": n.astype("int64")})
+
+    hist = ds.map_batches(coarse, batch_format="pandas").to_pandas()
+    hist = _pysum_cols(hist, ["n"])
+    merged = hist.groupby("cb")["n"].sum().sort_index()
+    total = int(merged.sum())
+    cum = merged.cumsum()
+    ranks = {name: max(0, math.ceil(q * total) - 1) for name, q in QS}
+    # the coarse bucket holding each target rank (cum is 1-based counts)
+    targets = {
+        name: int(cum.index[int(np.searchsorted(cum.to_numpy(), r + 1))])
+        for name, r in ranks.items()
+    }
+    want = sorted(set(targets.values()))
+    before = {b: int(cum.loc[:b].iloc[-2]) if cum.index.get_loc(b) > 0 else 0
+              for b in want}
+    want_ref = ray.put(np.array(want, dtype=np.int64))
+
+    class FineCounts:
+        def __init__(self):
+            self.want = ray.get(want_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(
+                b["l_extendedprice"].to_numpy() * 100
+            ).astype("int64")
+            keep = np.isin(cents >> 8, self.want)
+            v, n = np.unique(cents[keep], return_counts=True)
+            return pd.DataFrame({"vc": v, "n": n.astype("int64")})
+
+    fine = ds.map_batches(
+        FineCounts, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    fine = _pysum_cols(fine, ["n"])
+    fine = fine.groupby("vc")["n"].sum().sort_index()
+
+    out = {}
+    for name, _ in QS:
+        b = targets[name]
+        in_b = fine[(fine.index.to_numpy() >> 8) == b]
+        offset = ranks[name] - before[b]
+        pos = int(np.searchsorted(in_b.cumsum().to_numpy(), offset + 1))
+        out[name] = float(in_b.index[pos]) / 100.0
+    out["n_rows"] = total
+    return pd.DataFrame([out])

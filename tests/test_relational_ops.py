@@ -961,3 +961,26 @@ def test_orders_page_slice(ray_session, tmp_path):
     assert len(out) == 20
     assert out["o_orderkey"].tolist() == list(range(41, 61))
     assert out["o_totalprice"].iloc[0] == 980.0
+
+
+def test_lineitem_price_quantiles_selection(ray_session, tmp_path):
+    """Distributed selection: exact global discrete quantiles —
+    duplicates straddling coarse-bucket edges, rank exactly at a
+    boundary, and the ceil(q*n)-1 rank rule."""
+    import numpy as np
+
+    # cents values: 100 copies of 2.55 (bucket 0: 255>>8=0), 100 of
+    # 2.56 (bucket 1: 256>>8=1), one outlier at 1000.00
+    prices = [2.55] * 100 + [2.56] * 100 + [1000.0]
+    t = pa.table({"l_extendedprice": pa.array(prices, pa.float64())})
+    out = r.q_lineitem_price_quantiles(_write(tmp_path, "lineitem", t))
+    n = 201
+    v = np.sort(np.array([255] * 100 + [256] * 100 + [100000]))
+    import math
+    exp = {q: v[max(0, math.ceil(q * n) - 1)] / 100.0
+           for q in (0.25, 0.5, 0.9)}
+    assert out.loc[0, "p25"] == exp[0.25]       # rank 50 -> 2.55
+    # rank 100 is the FIRST element of the second coarse bucket -> 2.56
+    assert out.loc[0, "median"] == exp[0.5]
+    assert out.loc[0, "p90"] == exp[0.9]        # rank 180 -> 2.56
+    assert out.loc[0, "n_rows"] == n
