@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_mad": r.q_part_mad,
         "lineitem_price_quantiles": r.q_lineitem_price_quantiles,
         "events_cooccurrence": r.q_events_cooccurrence,
+        "docs_source_cap": r.q_docs_source_cap,
+        "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
         "region_revenue": r.q_region_revenue,
@@ -1001,6 +1003,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m USING (p_brand)
             GROUP BY c.p_brand, m.mv
             ORDER BY c.p_brand
+        """,
+        "docs_source_cap": """
+            -- per-source quota: keep <= 10 docs per source in
+            -- deterministic md5(doc_id) order (ties impossible but
+            -- doc_id breaks them anyway)
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "events_dedup_consecutive": """
+            -- debounce: drop events repeating the user's previous
+            -- event_type in (ts, event_id) order
+            WITH t AS (
+                SELECT event_id, user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT event_id, user_id, event_type
+            FROM t
+            WHERE prev_type IS NULL OR prev_type <> event_type
+            ORDER BY event_id
         """,
         "events_cooccurrence": """
             -- unordered event-type pairs performed by the same user

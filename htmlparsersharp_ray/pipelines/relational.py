@@ -2792,3 +2792,86 @@ def q_lineitem_price_quantiles(sf_dir: str):
         out[name] = float(in_b.index[pos]) / 100.0
     out["n_rows"] = total
     return pd.DataFrame([out])
+
+
+def q_docs_source_cap(sf_dir: str):
+    """PER-SOURCE CAP (domain-mixing quota): keep at most k documents
+    per source, chosen deterministically by md5(doc_id) order — the
+    per-domain cap every web-corpus curation pass applies so no single
+    site dominates the mixture, reproducible at any parallelism (no
+    RNG, no arrival-order dependence). Same shape as grouped top-k:
+    per-batch (source, h) candidates → ONE bounded source-hash
+    exchange → vectorized sort + cumcount < k inside the bucket. The
+    per-row md5 is one C call (docs_sample / docs_shuffle precedent)."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    K = 10
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+    nb = int(auto_buckets(ds))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest()
+             for i in b["doc_id"]]
+        sb = np.array(
+            [zlib.crc32(s.encode()) % nb for s in b["source"]],
+            dtype=np.int64,
+        )
+        return b.assign(h=h, sb=sb)
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"])
+        keep = g.groupby("source", sort=False).cumcount() < K
+        return g.loc[keep, ["doc_id", "source"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(cap, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_events_dedup_consecutive(sf_dir: str):
+    """DEBOUNCE / run-length compaction: drop events repeating the same
+    user's immediately-previous event_type (in (ts, event_id) order) —
+    the consecutive-duplicate collapse a streaming ingest applies
+    before sessionization. One vectorized shift + boundary mask per
+    user bucket (the q_events_transitions machinery, filtering instead
+    of aggregating); survivors are carried verbatim."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same_user = np.empty(len(g), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        same_type = np.empty(len(g), dtype=bool)
+        same_type[0] = False
+        same_type[1:] = et[1:] == et[:-1]
+        keep = ~(same_user & same_type)
+        return g.loc[keep, ["event_id", "user_id", "event_type"]]
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(debounce, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

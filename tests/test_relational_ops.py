@@ -984,3 +984,45 @@ def test_lineitem_price_quantiles_selection(ray_session, tmp_path):
     assert out.loc[0, "median"] == exp[0.5]
     assert out.loc[0, "p90"] == exp[0.9]        # rank 180 -> 2.56
     assert out.loc[0, "n_rows"] == n
+
+
+def test_docs_source_cap_quota(ray_session, tmp_path):
+    """Per-source cap: sources over the quota keep exactly K docs
+    chosen by md5(doc_id) order; small sources pass through whole."""
+    import hashlib
+
+    n = 30
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "source": pa.array(["big"] * 25 + ["small"] * 5),
+    })
+    out = r.q_docs_source_cap(_write(tmp_path, "documents", t))
+    assert (out["source"] == "big").sum() == 10
+    assert (out["source"] == "small").sum() == 5
+    exp_big = sorted(
+        range(25), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:10]
+    assert sorted(out.loc[out["source"] == "big", "doc_id"]) == sorted(exp_big)
+
+
+def test_events_dedup_consecutive_debounce(ray_session, tmp_path):
+    """Debounce: consecutive same-type repeats drop (incl. across an
+    equal-ts tie ordered by event_id); a repeat AFTER an intervening
+    different type survives; user boundaries reset."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:01",
+        "2024-01-01 00:02", "2024-01-01 00:03", "2024-01-01 00:00",
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        # u1: view, view(tie, dup), click, view (survives), view(dup)
+        "event_type": pa.array(
+            ["view", "view", "click", "view", "view", "view"]),
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": pa.array([""] * 6),
+    })
+    out = r.q_events_dedup_consecutive(_write(tmp_path, "events", t))
+    assert out["event_id"].tolist() == [1, 3, 4, 6]
