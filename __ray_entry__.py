@@ -591,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": r.q_lineitem_price_quantiles,
         "events_cooccurrence": r.q_events_cooccurrence,
         "docs_source_cap": r.q_docs_source_cap,
+        "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1016,6 +1017,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "part_fuzzy_pairs": """
+            -- string-similarity self-join: distinct part names within
+            -- Levenshtein distance 2 (engine: FastSS deletion-
+            -- neighborhood candidates + exact vectorized DP verify;
+            -- this quadratic oracle is the sf0.01 gate)
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM d a JOIN d b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY name_a, name_b
         """,
         "events_dedup_consecutive": """
             -- debounce: drop events repeating the user's previous

@@ -2875,3 +2875,168 @@ def q_events_dedup_consecutive(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _deletion_variants(s: str, k: int) -> set[str]:
+    """All strings obtainable from ``s`` by deleting at most ``k``
+    characters (the FastSS deletion neighborhood; Bocek et al. 2007,
+    public construction). Size is sum_{i<=k} C(len(s), i) — bounded
+    for the short-string columns this op targets (document the len cap
+    at the call site)."""
+    from itertools import combinations
+
+    out = {s}
+    n = len(s)
+    for d in range(1, min(k, n) + 1):
+        for idx in combinations(range(n), d):
+            t = s
+            for p in reversed(idx):
+                t = t[:p] + t[p + 1:]
+            out.add(t)
+    return out
+
+
+def _levenshtein_pairs(a, b) -> "np.ndarray":
+    """Exact Levenshtein distance for n string pairs AT ONCE: one
+    numpy DP — O(Lmax_a × Lmax_b) vector steps, each across all n
+    pairs, no per-pair Python loop. Strings are laid out as numpy
+    fixed-width unicode (NUL-padded in memory); pad cells get
+    per-side sentinels above U+10FFFF so padding never matches.
+    Each pair's distance is read at its own (len_a, len_b) DP cell,
+    which depends only on real characters."""
+    import numpy as np
+
+    n = len(a)
+    la = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    La, Lb = int(la.max()), int(lb.max())
+    if La == 0:
+        return lb.copy()
+    if Lb == 0:
+        return la.copy()
+    A = np.asarray(a, dtype=f"U{La}").view(np.uint32).reshape(n, La)
+    B = np.asarray(b, dtype=f"U{Lb}").view(np.uint32).reshape(n, Lb)
+    A = np.where(A == 0, np.uint32(0x110001), A)
+    B = np.where(B == 0, np.uint32(0x110002), B)
+    D = np.zeros((La + 1, Lb + 1, n), dtype=np.int32)
+    D[:, 0, :] = np.arange(La + 1, dtype=np.int32)[:, None]
+    D[0, :, :] = np.arange(Lb + 1, dtype=np.int32)[:, None]
+    for i in range(1, La + 1):
+        for j in range(1, Lb + 1):
+            cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int32)
+            D[i, j] = np.minimum(
+                np.minimum(D[i - 1, j], D[i, j - 1]) + 1,
+                D[i - 1, j - 1] + cost,
+            )
+    return D[la, lb, np.arange(n)].astype(np.int64)
+
+
+def q_part_fuzzy_pairs(sf_dir: str):
+    """STRING-SIMILARITY SELF-JOIN (fuzzy join): all pairs of DISTINCT
+    part names within Levenshtein distance K=2 — the catalog/entity
+    near-duplicate matcher (typo'd product names, OCR'd titles).
+
+    Scale shape (no all-pairs pass anywhere):
+      1. distinct names — per-batch drop_duplicates, ONE name-hash
+         exchange, in-bucket dedup;
+      2. candidate generation — FastSS deletion neighborhoods:
+         ed(s,t) <= K implies the optimal alignment's exactly-matched
+         positions form a common subsequence C with <= K deletions
+         from EACH side, so s and t share the variant C; emit
+         (name, variant-hash) keys (<= 1+L+C(L,2) per name, L <= 12
+         here) and pair up names inside each variant bucket. Variant
+         buckets only grow with genuine near-dup families (a shared
+         variant implies ed <= 2K); hash collisions just add
+         candidates that the verify kills.
+      3. pair dedup + verify — ONE pair-hash exchange, in-bucket
+         drop_duplicates, then exact vectorized Levenshtein
+         (numpy DP over the whole candidate batch) keeps ed <= K.
+
+    Oracle: DuckDB levenshtein() over the distinct-name self-join
+    (quadratic — sf0.01 gate only)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    K = 2
+
+    ds = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+    nb = int(auto_buckets(ds))
+    nbu = np.uint64(nb)
+
+    def distinct_tag(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["p_name"].drop_duplicates().to_numpy()
+        hb = (hashing.hash_strings64(u) % nbu).astype(np.int64)
+        return pd.DataFrame({"p_name": u, "hb": hb})
+
+    names = (
+        ds.map_batches(distinct_tag, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(
+            lambda g: g.drop_duplicates("p_name")[["p_name"]],
+            batch_format="pandas",
+        )
+    )
+
+    def emit_variants(b: pd.DataFrame) -> pd.DataFrame:
+        ns, vs = [], []
+        for s in b["p_name"]:
+            var = _deletion_variants(s, K)
+            ns.extend([s] * len(var))
+            vs.extend(var)
+        vh = hashing.mix64(
+            hashing.hash_strings64(np.asarray(vs, dtype=object),
+                                   categorize=False)
+        ).view(np.int64)
+        return pd.DataFrame({"p_name": ns, "vh": vh})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("vh", sort=False):
+            u = np.sort(grp["p_name"].unique())
+            if len(u) < 2:
+                continue
+            i, j = np.triu_indices(len(u), 1)
+            out.append(pd.DataFrame({"name_a": u[i], "name_b": u[j]}))
+        if not out:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                                 "name_b": pd.Series([], dtype=object),
+                                 "pb": pd.Series([], dtype=np.int64)})
+        cand = pd.concat(out, ignore_index=True)
+        ph = hashing.mix64(
+            hashing.hash_strings64(cand["name_a"].to_numpy())
+            * np.uint64(0x9E3779B97F4A7C15)
+            + hashing.hash_strings64(cand["name_b"].to_numpy())
+        )
+        return cand.assign(pb=(ph % nbu).astype(np.int64))
+
+    def dedup_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["name_a", "name_b"])
+        d = _levenshtein_pairs(g["name_a"].to_numpy(),
+                               g["name_b"].to_numpy())
+        g = g.assign(dist=d)
+        return g.loc[g["dist"] <= K, ["name_a", "name_b", "dist"]]
+
+    out = (
+        names.map_batches(emit_variants, batch_format="pandas")
+        # group variant-bucket rows by a COARSE vh-hash bucket so one
+        # Ray group is many variants (bounded Ray groups), then pair
+        # inside each exact variant within the bucket
+        .map_batches(
+            lambda b: b.assign(vb=(b["vh"].to_numpy().view(np.uint64)
+                                   % nbu).astype(np.int64)),
+            batch_format="pandas",
+        )
+        .groupby("vb")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(dedup_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                             "name_b": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype=np.int64)})
+    return (out[["name_a", "name_b", "dist"]]
+            .sort_values(["name_a", "name_b"]).reset_index(drop=True))

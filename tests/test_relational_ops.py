@@ -1026,3 +1026,66 @@ def test_events_dedup_consecutive_debounce(ray_session, tmp_path):
     })
     out = r.q_events_dedup_consecutive(_write(tmp_path, "events", t))
     assert out["event_id"].tolist() == [1, 3, 4, 6]
+
+
+def test_part_fuzzy_pairs_planted(ray_session, tmp_path):
+    """Fuzzy self-join: planted typo family found with exact distances;
+    unrelated name excluded; duplicate input rows collapse to the
+    distinct-name pair set."""
+    names = ["blue bolt", "blue bolt", "blueболт bolt",  # dup + far
+             "blue bolz", "lue bolt", "zzzz qqqq"]
+    t = pa.table({
+        "p_partkey": pa.array(range(len(names)), pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["b"] * len(names)),
+        "p_retailprice": pa.array([1.0] * len(names), pa.float64()),
+    })
+    out = r.q_part_fuzzy_pairs(_write(tmp_path, "part", t))
+    got = set(zip(out["name_a"], out["name_b"], out["dist"]))
+    assert got == {
+        ("blue bolt", "blue bolz", 1),
+        ("blue bolt", "lue bolt", 1),
+        ("blue bolz", "lue bolt", 2),
+    }
+
+
+def test_part_fuzzy_pairs_empty(ray_session, tmp_path):
+    """No near pairs -> empty result still carries the contract
+    columns (Ray drops columns on all-empty to_pandas)."""
+    t = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["aaaaaaaaaa", "qqqqqqqqqq"]),
+        "p_brand": pa.array(["b", "b"]),
+        "p_retailprice": pa.array([1.0, 2.0], pa.float64()),
+    })
+    out = r.q_part_fuzzy_pairs(_write(tmp_path, "part", t))
+    assert len(out) == 0
+    assert list(out.columns) == ["name_a", "name_b", "dist"]
+
+
+def test_levenshtein_pairs_vs_reference():
+    """Vectorized pair DP == textbook DP on random short strings,
+    empty strings included (fixed seed)."""
+    import random
+
+    import numpy as np
+
+    def ref(s, t):
+        dp = [[0] * (len(t) + 1) for _ in range(len(s) + 1)]
+        for i in range(len(s) + 1):
+            dp[i][0] = i
+        for j in range(len(t) + 1):
+            dp[0][j] = j
+        for i in range(1, len(s) + 1):
+            for j in range(1, len(t) + 1):
+                dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                               dp[i - 1][j - 1] + (s[i - 1] != t[j - 1]))
+        return dp[len(s)][len(t)]
+
+    rng = random.Random(7)
+    a = ["".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+         for _ in range(300)]
+    b = ["".join(rng.choice("abcde") for _ in range(rng.randint(0, 9)))
+         for _ in range(300)]
+    got = r._levenshtein_pairs(np.array(a, object), np.array(b, object))
+    assert (got == np.array([ref(s, t) for s, t in zip(a, b)])).all()
