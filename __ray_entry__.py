@@ -592,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccurrence": r.q_events_cooccurrence,
         "docs_source_cap": r.q_docs_source_cap,
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
+        "part_skyline": r.q_part_skyline,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1017,6 +1018,22 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "part_skyline": """
+            -- Pareto frontier (minimize price, maximize size): parts
+            -- not dominated by any other part; ties on both axes
+            -- survive (no strict inequality). Engine: per-batch local
+            -- skylines -> bucketed merge -> final tiny skyline.
+            SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                   p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+            ORDER BY p_partkey
         """,
         "part_fuzzy_pairs": """
             -- string-similarity self-join: distinct part names within

@@ -3040,3 +3040,72 @@ def q_part_fuzzy_pairs(sf_dir: str):
                              "dist": pd.Series([], dtype=np.int64)})
     return (out[["name_a", "name_b", "dist"]]
             .sort_values(["name_a", "name_b"]).reset_index(drop=True))
+
+
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D Pareto frontier (minimize p_retailprice, maximize p_size),
+    fully vectorized: per-price max size, strict cummax over
+    ascending price, then keep every row tying its price's max size
+    in a surviving price group. Identical (price, size) rows never
+    dominate each other, so all ties survive — matching the NOT
+    EXISTS skyline definition."""
+    import numpy as np
+
+    if df.empty:
+        return df
+    g = df.groupby("p_retailprice", sort=True)["p_size"].max()
+    best_cheaper = g.cummax().shift(1, fill_value=-np.inf)
+    kept = g[g > best_cheaper].rename("smax").reset_index()
+    out = df.merge(kept, on="p_retailprice")
+    return out.loc[out["p_size"] == out["smax"],
+                   ["p_partkey", "p_size", "p_retailprice"]]
+
+
+def q_part_skyline(sf_dir: str):
+    """DISTRIBUTED SKYLINE (Pareto frontier): parts not dominated on
+    (price low, size high) — the multi-objective shortlist operator
+    (best tradeoff curve over a catalog). Classic distributed shape:
+    the local frontier of any subset preserves every global frontier
+    member, so per-BATCH vectorized skylines shrink the data first,
+    a 16-way hash-bucketed middle level re-shrinks, and one final
+    tiny skyline finishes — no all-pairs work anywhere. Frontier
+    partials for random 2-D data are ~O(log batch) rows, so the
+    merge levels stay bounded; adversarially frontier-heavy data
+    degrades gracefully (the final level sees exactly the true
+    frontier candidates). Oracle: quadratic NOT EXISTS (sf0.01)."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        f = _skyline2d(b)
+        mb = (hashing.mix64(f["p_partkey"].to_numpy().astype(np.uint64))
+              % np.uint64(16)).astype(np.int64)
+        return f.assign(mb=mb)
+
+    def mid(g: pd.DataFrame) -> pd.DataFrame:
+        return _skyline2d(g).assign(fin=np.int64(0))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _skyline2d(g)
+
+    out = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("mb")
+        .map_groups(mid, batch_format="pandas")
+        .groupby("fin")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "p_size": pd.Series([], dtype=np.int64),
+                             "p_retailprice": pd.Series([], dtype=float)})
+    out = out.astype({"p_size": np.int64})  # driver hashes dtypes; SQL BIGINT
+    return (out[["p_partkey", "p_size", "p_retailprice"]]
+            .sort_values("p_partkey").reset_index(drop=True))

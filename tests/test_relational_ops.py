@@ -1089,3 +1089,52 @@ def test_levenshtein_pairs_vs_reference():
          for _ in range(300)]
     got = r._levenshtein_pairs(np.array(a, object), np.array(b, object))
     assert (got == np.array([ref(s, t) for s, t in zip(a, b)])).all()
+
+
+def test_part_skyline_semantics(ray_session, tmp_path):
+    """Skyline: identical (price,size) ties both survive; equal price
+    + larger size dominates; equal size + cheaper price dominates;
+    incomparable points coexist on the frontier."""
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "p_name": pa.array(["a"] * 6),
+        "p_brand": pa.array(["b"] * 6),
+        "p_type": pa.array(["t"] * 6),
+        # (price, size): 1:(10,5) 2:(10,5) ties survive; 3:(10,4)
+        # dominated by 1; 4:(9,3) frontier (cheaper); 5:(11,6)
+        # frontier (bigger); 6:(12,6) dominated by 5 (same size,
+        # pricier)
+        "p_size": pa.array([5, 5, 4, 3, 6, 6], pa.int32()),
+        "p_retailprice": pa.array(
+            [10.0, 10.0, 10.0, 9.0, 11.0, 12.0], pa.float64()),
+    })
+    out = r.q_part_skyline(_write(tmp_path, "part", t))
+    assert out["p_partkey"].tolist() == [1, 2, 4, 5]
+    assert str(out["p_size"].dtype) == "int64"
+
+
+def test_part_skyline_matches_bruteforce(ray_session, tmp_path):
+    """Distributed 3-level skyline == quadratic brute force on a
+    seeded random table large enough to span many batches/buckets."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    size = rng.integers(1, 60, n).astype(np.int32)
+    price = (rng.integers(80000, 120000, n) / 100.0)
+    t = pa.table({
+        "p_partkey": pa.array(range(n), pa.int64()),
+        "p_name": pa.array(["a"] * n),
+        "p_brand": pa.array(["b"] * n),
+        "p_type": pa.array(["t"] * n),
+        "p_size": pa.array(size, pa.int32()),
+        "p_retailprice": pa.array(price, pa.float64()),
+    })
+    out = r.q_part_skyline(_write(tmp_path, "part", t))
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(np.any(
+            (price <= price[i]) & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))))
+    exp = np.flatnonzero(~dominated)
+    assert out["p_partkey"].to_numpy().tolist() == exp.tolist()
