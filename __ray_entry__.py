@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": r.q_docs_source_cap,
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "part_skyline": r.q_part_skyline,
+        "docs_mixture_sample": r.q_docs_mixture_sample,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1018,6 +1019,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "docs_mixture_sample": """
+            -- mixture resampling: budget K=200 split across sources
+            -- proportional to size, quota_s = max(1, (K*n_s)//N) in
+            -- exact INTEGER arithmetic; members chosen per source by
+            -- md5(doc_id) order
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT sum(n) AS total FROM c),
+            q AS (SELECT source, greatest(1, (200 * n) // total) AS quota
+                  FROM c CROSS JOIN t),
+            ranked AS (
+                SELECT d.doc_id, d.source,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                       ) AS rn,
+                       q.quota
+                FROM documents d JOIN q USING (source))
+            SELECT doc_id, source FROM ranked
+            WHERE rn <= quota ORDER BY doc_id
         """,
         "part_skyline": """
             -- Pareto frontier (minimize price, maximize size): parts

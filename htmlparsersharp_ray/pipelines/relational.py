@@ -3109,3 +3109,82 @@ def q_part_skyline(sf_dir: str):
     out = out.astype({"p_size": np.int64})  # driver hashes dtypes; SQL BIGINT
     return (out[["p_partkey", "p_size", "p_retailprice"]]
             .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_docs_mixture_sample(sf_dir: str):
+    """MIXTURE RESAMPLING: allocate a global budget of K=200 documents
+    across sources proportional to source size — quota_s =
+    max(1, floor(K·n_s / N)) — and keep each source's quota in
+    deterministic md5(doc_id) order. This is the mixture-weighting op
+    a training-data pipeline runs to hit a target corpus composition;
+    the all-INTEGER quota arithmetic (no double division, no sqrt)
+    makes the allocation bit-reproducible against any SQL engine and
+    at any parallelism.
+
+    Two passes: (1) per-batch per-source count partials → one small
+    source-keyed groupby → broadcast quota map (one ray.put, read per
+    actor — never reshipped per batch); (2) the docs_source_cap
+    machinery with a per-source K looked up from the broadcast map."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    K = 200
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+    nb = int(auto_buckets(ds))
+
+    # pass 1: exact per-source counts (per-batch partials keep the
+    # exchange bounded by the batch's distinct sources)
+    counts = (
+        ds.map_batches(
+            lambda b: b.groupby("source").size().reset_index(name="c"),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"source": [g["source"].iloc[0]], "c": [int(g["c"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    total = int(counts["c"].sum())
+    quota = {
+        s: max(1, (K * int(c)) // total)
+        for s, c in zip(counts["source"], counts["c"])
+    }
+    quota_ref = ray.put(quota)
+
+    class Tag:
+        def __init__(self):
+            self.quota = ray.get(quota_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            h = [hashlib.md5(str(int(i)).encode()).hexdigest()
+                 for i in b["doc_id"]]
+            sb = np.array(
+                [zlib.crc32(s.encode()) % nb for s in b["source"]],
+                dtype=np.int64,
+            )
+            q = b["source"].map(self.quota).astype("int64")
+            return b.assign(h=h, sb=sb, q=q)
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"])
+        keep = g.groupby("source", sort=False).cumcount() < g["q"]
+        return g.loc[keep.to_numpy(), ["doc_id", "source"]]
+
+    out = (
+        ds.map_batches(Tag, batch_format="pandas", concurrency=2)
+        .groupby("sb")
+        .map_groups(cap, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

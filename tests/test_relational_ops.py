@@ -1138,3 +1138,42 @@ def test_part_skyline_matches_bruteforce(ray_session, tmp_path):
             & ((price < price[i]) | (size > size[i]))))
     exp = np.flatnonzero(~dominated)
     assert out["p_partkey"].to_numpy().tolist() == exp.tolist()
+
+
+def test_docs_mixture_sample_quotas(ray_session, tmp_path):
+    """Mixture resampling: integer-exact proportional quotas
+    (max(1, floor(K*n_s/N))), members in md5(doc_id) order, tiny
+    sources keep at least one doc."""
+    import hashlib
+
+    # 160 'a', 36 'b', 4 'c' -> N=200, K=200 -> quotas 160, 36, 4
+    # then a skew check below with different N
+    src = ["a"] * 160 + ["b"] * 36 + ["c"] * 4
+    n = len(src)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "source": pa.array(src),
+    })
+    out = r.q_docs_mixture_sample(_write(tmp_path, "documents", t))
+    vc = out["source"].value_counts()
+    assert vc["a"] == 160 and vc["b"] == 36 and vc["c"] == 4
+
+    # skewed: 990 'big', 7 'mid', 3 'tiny' -> N=1000, K=200 ->
+    # quotas floor(198.0)=198, floor(1.4)=1, max(1, floor(0.6))=1
+    src2 = ["big"] * 990 + ["mid"] * 7 + ["tiny"] * 3
+    n2 = len(src2)
+    t2 = pa.table({
+        "doc_id": pa.array(range(n2), pa.int64()),
+        "text": pa.array(["x"] * n2),
+        "source": pa.array(src2),
+    })
+    d2 = tmp_path / "s2"
+    d2.mkdir()
+    out2 = r.q_docs_mixture_sample(_write(d2, "documents", t2))
+    vc2 = out2["source"].value_counts()
+    assert vc2["big"] == 198 and vc2["mid"] == 1 and vc2["tiny"] == 1
+    # md5-order member choice for 'mid' (doc_ids 990..996)
+    exp_mid = min(range(990, 997),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert out2.loc[out2["source"] == "mid", "doc_id"].iloc[0] == exp_mid
