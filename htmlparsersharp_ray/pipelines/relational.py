@@ -2980,36 +2980,81 @@ def q_part_fuzzy_pairs(sf_dir: str):
     )
 
     def emit_variants(b: pd.DataFrame) -> pd.DataFrame:
-        ns, vs = [], []
-        for s in b["p_name"]:
-            var = _deletion_variants(s, K)
-            ns.extend([s] * len(var))
-            vs.extend(var)
+        # vectorized deletion neighborhoods: per LENGTH group, each of
+        # the C(L,1)+C(L,2) deletion masks is ONE numpy column-select
+        # over the whole group's char matrix (no per-name Python work;
+        # semantics == _deletion_variants, pytest-gated)
+        from itertools import combinations
+
+        names = b["p_name"].to_numpy()
+        lens = np.fromiter((len(s) for s in names), np.int64, len(names))
+        parts = []
+        for L in np.unique(lens):
+            L = int(L)
+            sub = names[lens == L]
+            parts.append(pd.DataFrame({"p_name": sub, "v": sub}))
+            if L == 0:
+                continue
+            chars = np.asarray(sub, dtype=f"U{L}").view(np.uint32)
+            chars = chars.reshape(len(sub), L)
+            for d in range(1, min(K, L) + 1):
+                w = L - d
+                for idx in combinations(range(L), d):
+                    if w == 0:
+                        v = np.full(len(sub), "", dtype=object)
+                    else:
+                        keep = [c for c in range(L) if c not in idx]
+                        vm = np.ascontiguousarray(chars[:, keep])
+                        v = vm.view(f"U{w}").ravel()
+                    parts.append(pd.DataFrame({"p_name": sub, "v": v}))
+        allv = pd.concat(parts, ignore_index=True).drop_duplicates()
         vh = hashing.mix64(
-            hashing.hash_strings64(np.asarray(vs, dtype=object),
-                                   categorize=False)
+            hashing.hash_strings64(
+                allv["v"].to_numpy().astype(object), categorize=False)
         ).view(np.int64)
-        return pd.DataFrame({"p_name": ns, "vh": vh})
+        # vb = coarse vh bucket so one Ray group holds many variants
+        return pd.DataFrame({
+            "p_name": allv["p_name"].to_numpy(),
+            "vh": vh,
+            "vb": (vh.view(np.uint64) % nbu).astype(np.int64),
+        })
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("vh", sort=False):
-            u = np.sort(grp["p_name"].unique())
-            if len(u) < 2:
-                continue
-            i, j = np.triu_indices(len(u), 1)
-            out.append(pd.DataFrame({"name_a": u[i], "name_b": u[j]}))
-        if not out:
-            return pd.DataFrame({"name_a": pd.Series([], dtype=object),
-                                 "name_b": pd.Series([], dtype=object),
-                                 "pb": pd.Series([], dtype=np.int64)})
-        cand = pd.concat(out, ignore_index=True)
+        # run-length pairing over (vh-sorted) rows: size-2 variant
+        # groups (the common case) pair in one vectorized gather;
+        # only larger near-dup families loop
+        g = g.drop_duplicates(["vh", "p_name"]).sort_values(
+            ["vh", "p_name"])
+        vh = g["vh"].to_numpy()
+        nm = g["p_name"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                              "name_b": pd.Series([], dtype=object),
+                              "pb": pd.Series([], dtype=np.int64)})
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        out_a, out_b = [], []
+        two = starts[sizes == 2]
+        if len(two):
+            out_a.append(nm[two])
+            out_b.append(nm[two + 1])
+        for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            i, j = np.triu_indices(int(sz), 1)
+            out_a.append(nm[s0 + i])
+            out_b.append(nm[s0 + j])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
         ph = hashing.mix64(
-            hashing.hash_strings64(cand["name_a"].to_numpy())
+            hashing.hash_strings64(a)
             * np.uint64(0x9E3779B97F4A7C15)
-            + hashing.hash_strings64(cand["name_b"].to_numpy())
+            + hashing.hash_strings64(bb)
         )
-        return cand.assign(pb=(ph % nbu).astype(np.int64))
+        return pd.DataFrame({"name_a": a, "name_b": bb,
+                             "pb": (ph % nbu).astype(np.int64)})
 
     def dedup_verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["name_a", "name_b"])
@@ -3020,14 +3065,6 @@ def q_part_fuzzy_pairs(sf_dir: str):
 
     out = (
         names.map_batches(emit_variants, batch_format="pandas")
-        # group variant-bucket rows by a COARSE vh-hash bucket so one
-        # Ray group is many variants (bounded Ray groups), then pair
-        # inside each exact variant within the bucket
-        .map_batches(
-            lambda b: b.assign(vb=(b["vh"].to_numpy().view(np.uint64)
-                                   % nbu).astype(np.int64)),
-            batch_format="pandas",
-        )
         .groupby("vb")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby("pb")

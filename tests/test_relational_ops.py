@@ -1177,3 +1177,41 @@ def test_docs_mixture_sample_quotas(ray_session, tmp_path):
     exp_mid = min(range(990, 997),
                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     assert out2.loc[out2["source"] == "mid", "doc_id"].iloc[0] == exp_mid
+
+
+def test_fuzzy_variant_generation_matches_setwise():
+    """Vectorized per-length deletion-mask variant generation inside
+    q_part_fuzzy_pairs emits exactly the _deletion_variants set for
+    every name (mixed lengths, incl. shorter-than-K strings)."""
+    import numpy as np
+
+    names = ["abcde", "xy", "a", "", "hello world!", "abcde"]
+    # replicate the emit_variants numpy path standalone
+    from itertools import combinations
+
+    K = 2
+    arr = np.array(list(dict.fromkeys(names)), dtype=object)
+    lens = np.fromiter((len(s) for s in arr), np.int64, len(arr))
+    got = {s: set() for s in arr}
+    for L in np.unique(lens):
+        L = int(L)
+        sub = arr[lens == L]
+        for s in sub:
+            got[s].add(s)
+        if L == 0:
+            continue
+        chars = np.asarray(sub, dtype=f"U{L}").view(np.uint32)
+        chars = chars.reshape(len(sub), L)
+        for d in range(1, min(K, L) + 1):
+            w = L - d
+            for idx in combinations(range(L), d):
+                if w == 0:
+                    v = np.full(len(sub), "", dtype=object)
+                else:
+                    keep = [c for c in range(L) if c not in idx]
+                    v = np.ascontiguousarray(
+                        chars[:, keep]).view(f"U{w}").ravel()
+                for s, vv in zip(sub, v):
+                    got[s].add(str(vv))
+    for s in got:
+        assert got[s] == r._deletion_variants(s, K), s

@@ -128,6 +128,66 @@ def main() -> int:
 
     run("gram_dups_slice", lambda: gram_dups(docs(pair_files), n=8))
 
+    # ---- new-operator scale probes (synth sf_dir-shaped inputs,
+    # cached under /tmp by _COMPLETE markers) -------------------------
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def synth_part_sky(n=20_000_000, d="/tmp/graft_sweep_sky"):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(5)
+            pq.write_table(pa.table({
+                "p_partkey": np.arange(n, dtype=np.int64),
+                "p_size": rng.integers(1, 51, n).astype(np.int32),
+                "p_retailprice": rng.integers(90000, 200001, n) / 100.0,
+            }), os.path.join(d, "part.parquet"), row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    def synth_part_names(n=200_000, d="/tmp/graft_sweep_fuzzy"):
+        # n distinct 10-char names + a 1-deletion twin for every 10th
+        # (planted near-dup families a fuzzy join must find)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(7)
+            letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+            chars = letters[rng.integers(0, 26, (n, 10))]
+            base = ["".join(row) for row in chars]
+            names = base + [s[:3] + s[4:] for s in base[::10]]
+            pq.write_table(
+                pa.table({"p_name": pa.array(names)}),
+                os.path.join(d, "part.parquet"), row_group_size=1 << 16)
+            open(marker, "w").write("ok")
+        return d
+
+    def synth_docs_src(n=1_000_000, d="/tmp/graft_sweep_mix"):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            ids = np.arange(n, dtype=np.int64)
+            src = np.char.add("s", (ids % 10_000).astype(str))
+            pq.write_table(
+                pa.table({"doc_id": ids, "source": src}),
+                os.path.join(d, "documents.parquet"),
+                row_group_size=1 << 18)
+            open(marker, "w").write("ok")
+        return d
+
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_docs_mixture_sample,
+        q_part_fuzzy_pairs,
+        q_part_skyline,
+    )
+
+    run("skyline_20m", lambda: q_part_skyline(synth_part_sky()))
+    run("fuzzy_pairs_220k", lambda: q_part_fuzzy_pairs(synth_part_names()))
+    run("mixture_sample_1m",
+        lambda: q_docs_mixture_sample(synth_docs_src()))
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
