@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "part_skyline": r.q_part_skyline,
         "docs_mixture_sample": r.q_docs_mixture_sample,
+        "part_name_clusters": r.q_part_name_clusters,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1019,6 +1020,24 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "part_name_clusters": """
+            -- entity resolution: connected components over
+            -- (same name OR levenshtein <= 2) edges, min-partkey rep.
+            -- Quadratic recursive oracle = the sf0.01 gate; the
+            -- engine runs FastSS fuzzy pairs + distributed CC.
+            WITH RECURSIVE edges AS (
+                SELECT a.p_partkey AS u, b.p_partkey AS v
+                FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+                WHERE a.p_name = b.p_name
+                   OR levenshtein(a.p_name, b.p_name) <= 2
+            ), reach(u, v) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS p_partkey, min(v) AS cluster_rep
+            FROM reach GROUP BY u ORDER BY p_partkey
         """,
         "docs_mixture_sample": """
             -- mixture resampling: budget K=200 split across sources

@@ -2931,6 +2931,145 @@ def _levenshtein_pairs(a, b) -> "np.ndarray":
     return D[la, lb, np.arange(n)].astype(np.int64)
 
 
+def _fuzzy_name_pairs(names, K: int, nb: int, carry: str | None = None):
+    """Shared fuzzy-join core: Dataset of DISTINCT ``p_name`` rows
+    (plus an optional int64 ``carry`` column riding along, e.g. a
+    representative id) → lazy Dataset of verified pairs
+    (name_a, name_b, dist[, <carry>_a, <carry>_b]) within Levenshtein
+    distance K. Candidate generation is the FastSS deletion
+    neighborhood: ed(s,t) <= K implies the optimal alignment's
+    exactly-matched positions form a common subsequence with <= K
+    deletions from EACH side, so near pairs always share a variant;
+    a shared variant implies ed <= 2K, so variant buckets only grow
+    with genuine near-dup families. Hash collisions just add
+    candidates that the exact verify kills."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    nbu = np.uint64(nb)
+
+    def emit_variants(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized deletion neighborhoods: per LENGTH group, each of
+        # the C(L,1)+C(L,2) deletion masks is ONE numpy column-select
+        # over the whole group's char matrix (no per-name Python work;
+        # semantics == _deletion_variants, pytest-gated)
+        # vectorized deletion neighborhoods: per LENGTH group, each of
+        # the C(L,1)+C(L,2) deletion masks is ONE numpy column-select
+        # over the whole group's char matrix (no per-name Python work;
+        # semantics == _deletion_variants, pytest-gated)
+        from itertools import combinations
+
+        arr = b["p_name"].to_numpy()
+        car = b[carry].to_numpy().astype(np.int64) if carry else None
+        lens = np.fromiter((len(s) for s in arr), np.int64, len(arr))
+        parts = []
+
+        def frame(sub, v, subc):
+            d = {"p_name": sub, "v": v}
+            if carry:
+                d[carry] = subc
+            return pd.DataFrame(d)
+
+        for L in np.unique(lens):
+            L = int(L)
+            m = lens == L
+            sub = arr[m]
+            subc = car[m] if carry else None
+            parts.append(frame(sub, sub, subc))
+            if L == 0:
+                continue
+            chars = np.asarray(sub, dtype=f"U{L}").view(np.uint32)
+            chars = chars.reshape(len(sub), L)
+            for d in range(1, min(K, L) + 1):
+                w = L - d
+                for idx in combinations(range(L), d):
+                    if w == 0:
+                        v = np.full(len(sub), "", dtype=object)
+                    else:
+                        keep = [c for c in range(L) if c not in idx]
+                        vm = np.ascontiguousarray(chars[:, keep])
+                        v = vm.view(f"U{w}").ravel()
+                    parts.append(frame(sub, v, subc))
+        allv = pd.concat(parts, ignore_index=True).drop_duplicates(
+            subset=["p_name", "v"])
+        vh = hashing.mix64(
+            hashing.hash_strings64(
+                allv["v"].to_numpy().astype(object), categorize=False)
+        ).view(np.int64)
+        # vb = coarse vh bucket so one Ray group holds many variants
+        out = {"p_name": allv["p_name"].to_numpy(), "vh": vh,
+               "vb": (vh.view(np.uint64) % nbu).astype(np.int64)}
+        if carry:
+            out[carry] = allv[carry].to_numpy()
+        return pd.DataFrame(out)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # run-length pairing over (vh-sorted) rows: size-2 variant
+        # groups (the common case) pair in one vectorized gather;
+        # only larger near-dup families loop
+        g = g.drop_duplicates(["vh", "p_name"]).sort_values(
+            ["vh", "p_name"])
+        vh = g["vh"].to_numpy()
+        nm = g["p_name"].to_numpy()
+        n = len(g)
+        ecols = {"name_a": pd.Series([], dtype=object),
+                 "name_b": pd.Series([], dtype=object),
+                 "pb": pd.Series([], dtype=np.int64)}
+        if carry:
+            ecols[f"{carry}_a"] = pd.Series([], dtype=np.int64)
+            ecols[f"{carry}_b"] = pd.Series([], dtype=np.int64)
+        empty = pd.DataFrame(ecols)
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        idx_a, idx_b = [], []
+        two = starts[sizes == 2]
+        if len(two):
+            idx_a.append(two)
+            idx_b.append(two + 1)
+        for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            i, j = np.triu_indices(int(sz), 1)
+            idx_a.append(s0 + i)
+            idx_b.append(s0 + j)
+        if not idx_a:
+            return empty
+        ia = np.concatenate(idx_a)
+        ib = np.concatenate(idx_b)
+        a, bb = nm[ia], nm[ib]
+        ph = hashing.mix64(
+            hashing.hash_strings64(a)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + hashing.hash_strings64(bb)
+        )
+        out = {"name_a": a, "name_b": bb,
+               "pb": (ph % nbu).astype(np.int64)}
+        if carry:
+            cv = g[carry].to_numpy()
+            out[f"{carry}_a"] = cv[ia]
+            out[f"{carry}_b"] = cv[ib]
+        return pd.DataFrame(out)
+
+    def dedup_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["name_a", "name_b"])
+        d = _levenshtein_pairs(g["name_a"].to_numpy(),
+                               g["name_b"].to_numpy())
+        g = g.assign(dist=d)
+        cols = ["name_a", "name_b", "dist"]
+        if carry:
+            cols += [f"{carry}_a", f"{carry}_b"]
+        return g.loc[g["dist"] <= K, cols]
+
+    return (
+        names.map_batches(emit_variants, batch_format="pandas")
+        .groupby("vb")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(dedup_verify, batch_format="pandas")
+    )
+
+
 def q_part_fuzzy_pairs(sf_dir: str):
     """STRING-SIMILARITY SELF-JOIN (fuzzy join): all pairs of DISTINCT
     part names within Levenshtein distance K=2 — the catalog/entity
@@ -2939,15 +3078,9 @@ def q_part_fuzzy_pairs(sf_dir: str):
     Scale shape (no all-pairs pass anywhere):
       1. distinct names — per-batch drop_duplicates, ONE name-hash
          exchange, in-bucket dedup;
-      2. candidate generation — FastSS deletion neighborhoods:
-         ed(s,t) <= K implies the optimal alignment's exactly-matched
-         positions form a common subsequence C with <= K deletions
-         from EACH side, so s and t share the variant C; emit
-         (name, variant-hash) keys (<= 1+L+C(L,2) per name, L <= 12
-         here) and pair up names inside each variant bucket. Variant
-         buckets only grow with genuine near-dup families (a shared
-         variant implies ed <= 2K); hash collisions just add
-         candidates that the verify kills.
+      2. candidate generation — FastSS deletion neighborhoods
+         (see :func:`_fuzzy_name_pairs`), <= 1+L+C(L,2) keys per
+         name (L <= 12 here), pairing inside variant buckets;
       3. pair dedup + verify — ONE pair-hash exchange, in-bucket
          drop_duplicates, then exact vectorized Levenshtein
          (numpy DP over the whole candidate batch) keeps ed <= K.
@@ -2979,98 +3112,7 @@ def q_part_fuzzy_pairs(sf_dir: str):
         )
     )
 
-    def emit_variants(b: pd.DataFrame) -> pd.DataFrame:
-        # vectorized deletion neighborhoods: per LENGTH group, each of
-        # the C(L,1)+C(L,2) deletion masks is ONE numpy column-select
-        # over the whole group's char matrix (no per-name Python work;
-        # semantics == _deletion_variants, pytest-gated)
-        from itertools import combinations
-
-        names = b["p_name"].to_numpy()
-        lens = np.fromiter((len(s) for s in names), np.int64, len(names))
-        parts = []
-        for L in np.unique(lens):
-            L = int(L)
-            sub = names[lens == L]
-            parts.append(pd.DataFrame({"p_name": sub, "v": sub}))
-            if L == 0:
-                continue
-            chars = np.asarray(sub, dtype=f"U{L}").view(np.uint32)
-            chars = chars.reshape(len(sub), L)
-            for d in range(1, min(K, L) + 1):
-                w = L - d
-                for idx in combinations(range(L), d):
-                    if w == 0:
-                        v = np.full(len(sub), "", dtype=object)
-                    else:
-                        keep = [c for c in range(L) if c not in idx]
-                        vm = np.ascontiguousarray(chars[:, keep])
-                        v = vm.view(f"U{w}").ravel()
-                    parts.append(pd.DataFrame({"p_name": sub, "v": v}))
-        allv = pd.concat(parts, ignore_index=True).drop_duplicates()
-        vh = hashing.mix64(
-            hashing.hash_strings64(
-                allv["v"].to_numpy().astype(object), categorize=False)
-        ).view(np.int64)
-        # vb = coarse vh bucket so one Ray group holds many variants
-        return pd.DataFrame({
-            "p_name": allv["p_name"].to_numpy(),
-            "vh": vh,
-            "vb": (vh.view(np.uint64) % nbu).astype(np.int64),
-        })
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # run-length pairing over (vh-sorted) rows: size-2 variant
-        # groups (the common case) pair in one vectorized gather;
-        # only larger near-dup families loop
-        g = g.drop_duplicates(["vh", "p_name"]).sort_values(
-            ["vh", "p_name"])
-        vh = g["vh"].to_numpy()
-        nm = g["p_name"].to_numpy()
-        n = len(g)
-        empty = pd.DataFrame({"name_a": pd.Series([], dtype=object),
-                              "name_b": pd.Series([], dtype=object),
-                              "pb": pd.Series([], dtype=np.int64)})
-        if n < 2:
-            return empty
-        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
-        sizes = np.diff(np.r_[starts, n])
-        out_a, out_b = [], []
-        two = starts[sizes == 2]
-        if len(two):
-            out_a.append(nm[two])
-            out_b.append(nm[two + 1])
-        for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
-            i, j = np.triu_indices(int(sz), 1)
-            out_a.append(nm[s0 + i])
-            out_b.append(nm[s0 + j])
-        if not out_a:
-            return empty
-        a = np.concatenate(out_a)
-        bb = np.concatenate(out_b)
-        ph = hashing.mix64(
-            hashing.hash_strings64(a)
-            * np.uint64(0x9E3779B97F4A7C15)
-            + hashing.hash_strings64(bb)
-        )
-        return pd.DataFrame({"name_a": a, "name_b": bb,
-                             "pb": (ph % nbu).astype(np.int64)})
-
-    def dedup_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["name_a", "name_b"])
-        d = _levenshtein_pairs(g["name_a"].to_numpy(),
-                               g["name_b"].to_numpy())
-        g = g.assign(dist=d)
-        return g.loc[g["dist"] <= K, ["name_a", "name_b", "dist"]]
-
-    out = (
-        names.map_batches(emit_variants, batch_format="pandas")
-        .groupby("vb")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(dedup_verify, batch_format="pandas")
-        .to_pandas()
-    )
+    out = _fuzzy_name_pairs(names, K, nb).to_pandas()
     if out.empty:
         return pd.DataFrame({"name_a": pd.Series([], dtype=object),
                              "name_b": pd.Series([], dtype=object),
@@ -3225,3 +3267,86 @@ def q_docs_mixture_sample(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_part_name_clusters(sf_dir: str):
+    """ENTITY RESOLUTION: cluster parts whose names match exactly OR
+    within Levenshtein distance 2, labeling every part with the min
+    partkey of its cluster — the fuzzy-join-then-connected-components
+    composition a catalog/entity pipeline runs to collapse typo'd
+    records onto one canonical entity.
+
+    Scale shape: ONE name-hash exchange computes, per distinct name,
+    the representative (min partkey) AND the exact-duplicate star
+    edges (rep → member) in the same group; the fuzzy pairs between
+    distinct names come from the shared FastSS machinery
+    (:func:`_fuzzy_name_pairs`) carrying the rep id, so fuzzy edges
+    are emitted as (rep_a, rep_b) without a second join; both edge
+    sets union into the distributed min-label-propagation CC
+    (stages/dedup.py::dup_clusters — bucketed, pointer-jumping,
+    O(1) driver memory). Oracle: recursive CTE over the same edge
+    definition."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.dedup import dup_clusters
+    from .joins import auto_buckets
+
+    K = 2
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    )
+    nb = int(auto_buckets(ds))
+    nbu = np.uint64(nb)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        hb = (hashing.hash_strings64(b["p_name"].to_numpy())
+              % nbu).astype(np.int64)
+        return b.assign(hb=hb)
+
+    def per_name(g: pd.DataFrame) -> pd.DataFrame:
+        # one group holds every row of each name hashing here: compute
+        # rep + star edges + the distinct-name row in one pass.
+        # kind 0 = star edge (a=rep, b=member); kind 1 = distinct name
+        rep = g.groupby("p_name")["p_partkey"].transform("min")
+        g = g.assign(rep=rep.astype(np.int64))
+        star = g.loc[g["p_partkey"] != g["rep"]]
+        nm = g.drop_duplicates("p_name")
+        return pd.concat([
+            pd.DataFrame({"kind": np.int64(0), "p_name": "",
+                          "a": star["rep"].to_numpy(),
+                          "b": star["p_partkey"].to_numpy()}),
+            pd.DataFrame({"kind": np.int64(1),
+                          "p_name": nm["p_name"].to_numpy(),
+                          "a": nm["rep"].to_numpy(),
+                          "b": np.int64(-1)}),
+        ], ignore_index=True)
+
+    rows = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(per_name, batch_format="pandas")
+        .materialize()  # consumed twice (star edges + distinct names)
+    )
+
+    star_edges = rows.map_batches(
+        lambda b: b.loc[b["kind"] == 0, ["a", "b"]].rename(
+            columns={"a": "doc_a", "b": "doc_b"}),
+        batch_format="pandas",
+    )
+    names = rows.map_batches(
+        lambda b: b.loc[b["kind"] == 1, ["p_name", "a"]].rename(
+            columns={"a": "rep"}),
+        batch_format="pandas",
+    )
+
+    fuzzy_edges = _fuzzy_name_pairs(names, K, nb, carry="rep").map_batches(
+        lambda b: b[["rep_a", "rep_b"]].rename(
+            columns={"rep_a": "doc_a", "rep_b": "doc_b"}),
+        batch_format="pandas",
+    )
+
+    out = dup_clusters(ds, star_edges.union(fuzzy_edges),
+                       id_col="p_partkey")
+    return out.sort_values("p_partkey").reset_index(drop=True)

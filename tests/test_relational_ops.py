@@ -1215,3 +1215,29 @@ def test_fuzzy_variant_generation_matches_setwise():
                     got[s].add(str(vv))
     for s in got:
         assert got[s] == r._deletion_variants(s, K), s
+
+
+def test_part_name_clusters_semantics(ray_session, tmp_path):
+    """Entity resolution: exact-dup names cluster, typo chains merge
+    transitively (a~b, b~c => one cluster even if ed(a,c) > 2), far
+    names stay singletons; rep = min partkey."""
+    names = [
+        "widget",      # 0: rep of the widget family
+        "widget",      # 1: exact dup
+        "widgex",      # 2: ed 1 from widget
+        "widgexyz",    # 3: ed 2 from widgex, ed 3 from widget (chain)
+        "gizmo",       # 4: singleton
+        "sprocket",    # 5: rep of sprocket pair
+        "sprockez",    # 6: ed 1
+    ]
+    t = pa.table({
+        "p_partkey": pa.array(range(len(names)), pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["b"] * len(names)),
+        "p_type": pa.array(["t"] * len(names)),
+        "p_size": pa.array([1] * len(names), pa.int32()),
+        "p_retailprice": pa.array([1.0] * len(names), pa.float64()),
+    })
+    out = r.q_part_name_clusters(_write(tmp_path, "part", t))
+    got = dict(zip(out["p_partkey"], out["cluster_rep"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
