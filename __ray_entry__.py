@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": r.q_part_skyline,
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
+        "docs_lm_score": r.q_docs_lm_score,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1020,6 +1021,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "docs_lm_score": """
+            -- corpus-LM commonness: mean global bigram count over each
+            -- doc's bigram occurrences; all-integer until ONE double
+            -- division (bit-reproducible). Docs with < 2 tokens drop.
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM w WHERE len(ws) >= 2
+            ), g AS (SELECT bg, count(*) AS c FROM b GROUP BY bg)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   sum(g.c)::BIGINT AS sum_cnt,
+                   CAST(sum(g.c) AS DOUBLE) / count(*) AS lm_score
+            FROM b JOIN g USING (bg)
+            GROUP BY b.doc_id ORDER BY b.doc_id
         """,
         "part_name_clusters": """
             -- entity resolution: connected components over

@@ -3350,3 +3350,105 @@ def q_part_name_clusters(sf_dir: str):
     out = dup_clusters(ds, star_edges.union(fuzzy_edges),
                        id_col="p_partkey")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_docs_lm_score(sf_dir: str):
+    """CORPUS-LM COMMONNESS SCORE: build a global bigram count table
+    over the corpus, then score every document by the mean corpus
+    count of its bigram occurrences — the count-based stand-in for
+    the LM-perplexity quality filter (CCNet-style) a training-data
+    pipeline runs: documents whose word transitions are rare in the
+    corpus (boilerplate glyph soup, OCR noise) score low.
+
+    One pipeline, two bounded exchanges, all-integer until ONE final
+    double division (bit-reproducible vs SQL):
+      1. each batch emits its doc bigram rows AND its partial bigram
+         counts, both keyed by BIGRAM hash; inside the bigram bucket
+         the partials sum to global counts and a vectorized merge
+         scores the doc rows (no separate join pass);
+      2. per-doc partial (n, sum) rows re-key by DOC hash; the doc
+         bucket sums and divides once. Docs with < 2 tokens have no
+         bigrams and are excluded (the SQL join drops them too)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    nb = int(auto_buckets(ds))
+    nbu = np.uint64(nb)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        nz = (text != "").to_numpy()
+        lists = text[nz].str.split().tolist()
+        ids = b.loc[nz, "doc_id"].to_numpy()
+        schema = {
+            "kind": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "bg": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64),
+            "tb": pd.Series([], dtype=np.int64),
+        }
+        if not lists:
+            return pd.DataFrame(schema)
+        lens = np.fromiter(map(len, lists), np.int64, len(lists))
+        flat = np.concatenate(
+            [np.asarray(l, dtype=object) for l in lists])
+        doc_rep = np.repeat(ids, lens)
+        if len(flat) < 2:
+            return pd.DataFrame(schema)
+        # bigram rows: adjacent tokens within the same document
+        same_doc = doc_rep[1:] == doc_rep[:-1]
+        left = pd.Series(flat[:-1][same_doc])
+        right = pd.Series(flat[1:][same_doc])
+        bg = (left + " " + right).to_numpy()
+        if len(bg) == 0:
+            return pd.DataFrame(schema)
+        d = pd.DataFrame({"doc_id": doc_rep[:-1][same_doc], "bg": bg})
+        tb = (hashing.hash_strings64(d["bg"].to_numpy())
+              % nbu).astype(np.int64)
+        d = d.assign(kind=np.int64(1), cnt=np.int64(0), tb=tb)
+        # partial counts for the same bigrams (bounds the exchange)
+        p = d.groupby(["bg", "tb"], as_index=False).size()
+        p = pd.DataFrame({
+            "kind": np.int64(0), "doc_id": np.int64(-1),
+            "bg": p["bg"].to_numpy(),
+            "cnt": p["size"].to_numpy().astype(np.int64),
+            "tb": p["tb"].to_numpy(),
+        })
+        return pd.concat(
+            [p, d[["kind", "doc_id", "bg", "cnt", "tb"]]],
+            ignore_index=True)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.loc[g["kind"] == 0].groupby("bg")["cnt"].sum()
+               .rename("c"))
+        docs = g.loc[g["kind"] == 1, ["doc_id", "bg"]]
+        m = docs.merge(cnt, left_on="bg", right_index=True)
+        out = m.groupby("doc_id", as_index=False).agg(
+            n=("bg", "size"), s=("c", "sum"))
+        db = (hashing.mix64(out["doc_id"].to_numpy().astype(np.uint64))
+              % nbu).astype(np.int64)
+        return out.assign(db=db)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n", "sum"), sum_cnt=("s", "sum"))
+        score = (out["sum_cnt"].to_numpy().astype(np.float64)
+                 / out["n_bigrams"].to_numpy())
+        return out.assign(lm_score=score).astype(
+            {"n_bigrams": np.int64, "sum_cnt": np.int64})
+
+    out = (
+        ds.map_batches(emit, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out[["doc_id", "n_bigrams", "sum_cnt", "lm_score"]]
+            .sort_values("doc_id").reset_index(drop=True))

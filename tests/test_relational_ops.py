@@ -1241,3 +1241,29 @@ def test_part_name_clusters_semantics(ray_session, tmp_path):
     out = r.q_part_name_clusters(_write(tmp_path, "part", t))
     got = dict(zip(out["p_partkey"], out["cluster_rep"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+
+def test_docs_lm_score_counts(ray_session, tmp_path):
+    """LM commonness: global bigram counts aggregate across docs and
+    batches; repeated bigrams count per OCCURRENCE; one-token and
+    empty docs are excluded."""
+    texts = [
+        "the cat sat",          # bigrams: "the cat", "cat sat"
+        "the cat ran",          # "the cat" (x2 globally), "cat ran"
+        "the cat sat",          # exact dup -> "the cat" x3, "cat sat" x2
+        "solo",                 # no bigrams
+        "",                     # empty
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    out = r.q_docs_lm_score(_write(tmp_path, "documents", t))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    got = {row.doc_id: (row.n_bigrams, row.sum_cnt, row.lm_score)
+           for row in out.itertuples()}
+    # "the cat"=3, "cat sat"=2, "cat ran"=1
+    assert got[0] == (2, 5, 2.5)
+    assert got[1] == (2, 4, 2.0)
+    assert got[2] == (2, 5, 2.5)
