@@ -2802,12 +2802,13 @@ def q_docs_source_cap(sf_dir: str):
     RNG, no arrival-order dependence). Same shape as grouped top-k:
     per-batch (source, h) candidates → ONE bounded source-hash
     exchange → vectorized sort + cumcount < k inside the bucket. The
-    per-row md5 is one C call (docs_sample / docs_shuffle precedent)."""
+    per-row md5 is one C call (docs_sample / docs_shuffle precedent,
+    oracle-pinned); the bucket hash is batch-vectorized."""
     import hashlib
-    import zlib
 
     import numpy as np
 
+    from ..stages import hashing
     from .joins import auto_buckets
 
     K = 10
@@ -2820,10 +2821,8 @@ def q_docs_source_cap(sf_dir: str):
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(str(int(i)).encode()).hexdigest()
              for i in b["doc_id"]]
-        sb = np.array(
-            [zlib.crc32(s.encode()) % nb for s in b["source"]],
-            dtype=np.int64,
-        )
+        sb = (hashing.hash_strings64(b["source"].to_numpy())
+              % np.uint64(nb)).astype(np.int64)
         return b.assign(h=h, sb=sb)
 
     def cap(g: pd.DataFrame) -> pd.DataFrame:
@@ -3205,10 +3204,10 @@ def q_docs_mixture_sample(sf_dir: str):
     actor — never reshipped per batch); (2) the docs_source_cap
     machinery with a per-source K looked up from the broadcast map."""
     import hashlib
-    import zlib
 
     import numpy as np
 
+    from ..stages import hashing
     from .joins import auto_buckets
 
     K = 200
@@ -3248,10 +3247,8 @@ def q_docs_mixture_sample(sf_dir: str):
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             h = [hashlib.md5(str(int(i)).encode()).hexdigest()
                  for i in b["doc_id"]]
-            sb = np.array(
-                [zlib.crc32(s.encode()) % nb for s in b["source"]],
-                dtype=np.int64,
-            )
+            sb = (hashing.hash_strings64(b["source"].to_numpy())
+                  % np.uint64(nb)).astype(np.int64)
             q = b["source"].map(self.quota).astype("int64")
             return b.assign(h=h, sb=sb, q=q)
 
