@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
+        "events_user_gini": r.q_events_user_gini,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1021,6 +1022,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "events_user_gini": """
+            -- behavioral diversity: Gini impurity of each user's
+            -- event-type mix; integer partials, ONE mirrored float
+            -- expression at the end
+            WITH t AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY user_id, event_type)
+            SELECT user_id, sum(c)::BIGINT AS n_events,
+                   1.0 - (CAST(sum(c*c) AS DOUBLE)
+                          / CAST(sum(c)*sum(c) AS DOUBLE)) AS gini
+            FROM t GROUP BY user_id ORDER BY user_id
         """,
         "docs_lm_score": """
             -- corpus-LM commonness: mean global bigram count over each

@@ -3449,3 +3449,49 @@ def q_docs_lm_score(sf_dir: str):
     )
     return (out[["doc_id", "n_bigrams", "sum_cnt", "lm_score"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_events_user_gini(sf_dir: str):
+    """BEHAVIORAL DIVERSITY: Gini impurity of each user's event-type
+    distribution — 1 − Σ n_t² / n², the bot/spam screen a behavioral
+    pipeline runs (impurity 0 = single-type automation). All-integer
+    partials (per-batch (user, type) counts → ONE user-hash exchange
+    → in-bucket exact counts and squared sums); the only float math
+    is the final division+subtraction, written identically in the SQL
+    oracle so the doubles match bit-for-bit."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = auto_buckets(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["user_id", "event_type"], as_index=False)
+               .size().rename(columns={"size": "c"}))
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    bucketed = _add_user_bucket(
+        ds.map_batches(partial, batch_format="pandas"), nb)
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby(["user_id", "event_type"], as_index=False)["c"]
+             .sum())
+        t["c2"] = t["c"].to_numpy() ** 2
+        agg = t.groupby("user_id", as_index=False).agg(
+            n=("c", "sum"), ssq=("c2", "sum"))
+        n = agg["n"].to_numpy().astype(np.int64)
+        ssq = agg["ssq"].to_numpy().astype(np.int64)
+        score = 1.0 - (ssq.astype(np.float64) / (n * n).astype(np.float64))
+        return pd.DataFrame({"user_id": agg["user_id"].astype("int64"),
+                             "n_events": n, "gini": score})
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(gini, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

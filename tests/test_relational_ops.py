@@ -1267,3 +1267,43 @@ def test_docs_lm_score_counts(ray_session, tmp_path):
     assert got[0] == (2, 5, 2.5)
     assert got[1] == (2, 4, 2.0)
     assert got[2] == (2, 5, 2.5)
+
+
+def test_part_name_clusters_all_singletons(ray_session, tmp_path):
+    """No exact dups and no fuzzy pairs at all: both edge datasets are
+    empty and every part is its own cluster rep (exercises the
+    empty-edges path through the distributed CC)."""
+    names = ["aaaaaaaaaa", "qqqqqqqqqq", "zzzzzzzzzz"]
+    t = pa.table({
+        "p_partkey": pa.array([7, 8, 9], pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["b"] * 3),
+        "p_type": pa.array(["t"] * 3),
+        "p_size": pa.array([1] * 3, pa.int32()),
+        "p_retailprice": pa.array([1.0] * 3, pa.float64()),
+    })
+    out = r.q_part_name_clusters(_write(tmp_path, "part", t))
+    assert dict(zip(out["p_partkey"], out["cluster_rep"])) == {
+        7: 7, 8: 8, 9: 9}
+
+
+def test_events_user_gini_semantics(ray_session, tmp_path):
+    """Gini impurity: single-type user scores 0; a 50/50 user scores
+    0.5; counts aggregate across batches (exact squared sums)."""
+    n = 8
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * n),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(
+            ["view", "view", "click", "click",   # u1: 2/2 -> 0.5
+             "view", "view",                      # u2: pure -> 0.0
+             "view", "click"]),                   # u3: 1/1 -> 0.5
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array([""] * n),
+    })
+    out = r.q_events_user_gini(_write(tmp_path, "events", t))
+    got = dict(zip(out["user_id"], out["gini"]))
+    assert got[1] == 0.5 and got[2] == 0.0 and got[3] == 0.5
+    assert dict(zip(out["user_id"], out["n_events"])) == {1: 4, 2: 2, 3: 2}
