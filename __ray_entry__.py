@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
         "events_user_gini": r.q_events_user_gini,
+        "customer_rfm": r.q_customer_rfm,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1022,6 +1023,42 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "customer_rfm": """
+            -- RFM segmentation: per active customer, recency/
+            -- frequency/monetary scored 1-4 by exact global quartiles
+            -- (engine: shared two-pass distributed selection, no
+            -- global sort); integer-exact until the single /100
+            WITH m AS (
+                SELECT o_custkey AS c_custkey,
+                       date_diff('day', max(o_orderdate),
+                                 (SELECT max(o_orderdate) FROM orders))
+                           AS recency_days,
+                       count(*) AS frequency,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), q AS (
+                SELECT quantile_disc(recency_days, 0.25) AS r1,
+                       quantile_disc(recency_days, 0.5)  AS r2,
+                       quantile_disc(recency_days, 0.75) AS r3,
+                       quantile_disc(frequency, 0.25) AS f1,
+                       quantile_disc(frequency, 0.5)  AS f2,
+                       quantile_disc(frequency, 0.75) AS f3,
+                       quantile_disc(cents, 0.25) AS m1,
+                       quantile_disc(cents, 0.5)  AS m2,
+                       quantile_disc(cents, 0.75) AS m3
+                FROM m)
+            SELECT c_custkey, recency_days::BIGINT AS recency_days,
+                   frequency::BIGINT AS frequency,
+                   CAST(cents AS DOUBLE) / 100.0 AS monetary,
+                   (1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                      + (recency_days > r3)::INT)::BIGINT AS r_q,
+                   (1 + (frequency > f1)::INT + (frequency > f2)::INT
+                      + (frequency > f3)::INT)::BIGINT AS f_q,
+                   (1 + (cents > m1)::INT + (cents > m2)::INT
+                      + (cents > m3)::INT)::BIGINT AS m_q
+            FROM m CROSS JOIN q ORDER BY c_custkey
         """,
         "events_user_gini": """
             -- behavioral diversity: Gini impurity of each user's

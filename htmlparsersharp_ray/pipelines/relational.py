@@ -2721,32 +2721,27 @@ def q_orders_page(sf_dir: str):
     return page
 
 
-def q_lineitem_price_quantiles(sf_dir: str):
-    """GLOBAL order statistics WITHOUT a global sort — distributed
-    selection: exact corpus-wide p25/median/p90 of l_extendedprice.
+def _selection_quantiles(ds, to_int, qs):
+    """REUSABLE distributed selection — exact discrete quantiles of an
+    int64-valued expression over a Dataset WITHOUT a global sort.
+    ``to_int(batch) -> np.int64 array``; ``qs`` maps name → fraction.
     Pass 1 reduces each batch to coarse value-histogram partials
-    (bucket = cents >> 8, so the driver merge is bounded by the VALUE
+    (bucket = value >> 8, so the driver merge is bounded by the VALUE
     RANGE / 256, never by row count); the cumulative histogram locates
-    the ≤3 buckets containing the target ranks. Pass 2 re-streams the
-    table and emits exact per-cents counts ONLY inside those buckets —
-    a bucket spans exactly 256 distinct cent values, so every batch
-    contributes ≤ 768 partial rows and the driver picks the global
-    ranks from a ≤768-entry exact histogram. Same discrete rank rule
-    as q_part_quantiles (sorted[ceil(q·n)−1] == DuckDB quantile_disc);
-    the only float op is the shared /100 back to currency."""
+    the buckets containing the target ranks. Pass 2 re-streams the
+    dataset and emits exact per-value counts ONLY inside those buckets
+    — a bucket spans exactly 256 distinct values, so every batch
+    contributes ≤ 256·|qs| partial rows and the driver picks the
+    global ranks from a tiny exact histogram. Discrete rank rule:
+    sorted[ceil(q·n)−1] == DuckDB quantile_disc. Returns
+    (dict name → int value, total row count)."""
     import math
 
     import numpy as np
 
-    QS = (("p25", 0.25), ("median", 0.5), ("p90", 0.9))
-
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"), columns=["l_extendedprice"]
-    )
-
     def coarse(b: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
-        cb, n = np.unique(cents >> 8, return_counts=True)
+        v = to_int(b)
+        cb, n = np.unique(v >> 8, return_counts=True)
         return pd.DataFrame({"cb": cb, "n": n.astype("int64")})
 
     hist = ds.map_batches(coarse, batch_format="pandas").to_pandas()
@@ -2754,7 +2749,8 @@ def q_lineitem_price_quantiles(sf_dir: str):
     merged = hist.groupby("cb")["n"].sum().sort_index()
     total = int(merged.sum())
     cum = merged.cumsum()
-    ranks = {name: max(0, math.ceil(q * total) - 1) for name, q in QS}
+    ranks = {name: max(0, math.ceil(q * total) - 1)
+             for name, q in qs.items()}
     # the coarse bucket holding each target rank (cum is 1-based counts)
     targets = {
         name: int(cum.index[int(np.searchsorted(cum.to_numpy(), r + 1))])
@@ -2770,11 +2766,9 @@ def q_lineitem_price_quantiles(sf_dir: str):
             self.want = ray.get(want_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            cents = np.round(
-                b["l_extendedprice"].to_numpy() * 100
-            ).astype("int64")
-            keep = np.isin(cents >> 8, self.want)
-            v, n = np.unique(cents[keep], return_counts=True)
+            v = to_int(b)
+            keep = np.isin(v >> 8, self.want)
+            v, n = np.unique(v[keep], return_counts=True)
             return pd.DataFrame({"vc": v, "n": n.astype("int64")})
 
     fine = ds.map_batches(
@@ -2784,12 +2778,33 @@ def q_lineitem_price_quantiles(sf_dir: str):
     fine = fine.groupby("vc")["n"].sum().sort_index()
 
     out = {}
-    for name, _ in QS:
+    for name in qs:
         b = targets[name]
         in_b = fine[(fine.index.to_numpy() >> 8) == b]
         offset = ranks[name] - before[b]
         pos = int(np.searchsorted(in_b.cumsum().to_numpy(), offset + 1))
-        out[name] = float(in_b.index[pos]) / 100.0
+        out[name] = int(in_b.index[pos])
+    return out, total
+
+
+def q_lineitem_price_quantiles(sf_dir: str):
+    """GLOBAL order statistics WITHOUT a global sort — exact corpus-wide
+    p25/median/p90 of l_extendedprice via the shared two-pass
+    distributed selection (:func:`_selection_quantiles`); the only
+    float op is the shared /100 back to currency."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice"]
+    )
+
+    def cents(b: pd.DataFrame):
+        return np.round(
+            b["l_extendedprice"].to_numpy() * 100).astype("int64")
+
+    vals, total = _selection_quantiles(
+        ds, cents, {"p25": 0.25, "median": 0.5, "p90": 0.9})
+    out = {name: float(v) / 100.0 for name, v in vals.items()}
     out["n_rows"] = total
     return pd.DataFrame([out])
 
@@ -3495,3 +3510,96 @@ def q_events_user_gini(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM SEGMENTATION: per active customer — recency (days since
+    their last order, vs the corpus max date), frequency (order
+    count), monetary (exact-cents spend) — each scored 1–4 by EXACT
+    global quartiles. The composite every retention/curriculum
+    pipeline runs; everything integer until the single /100.
+
+    Scale shape: one partial-max pass finds the global max date; ONE
+    custkey-hash exchange builds per-customer exact aggregates
+    (materialized — one bounded row per customer); each metric's
+    quartile thresholds come from the shared two-pass distributed
+    selection (:func:`_selection_quantiles`, no global sort); a final
+    vectorized compare assigns the 1–4 scores."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    nb = int(auto_buckets(ds))
+
+    gmax = (
+        ds.map_batches(
+            lambda b: pd.DataFrame({"mx": [b["o_orderdate"].max()]}),
+            batch_format="pandas",
+        ).to_pandas()["mx"].max()
+    )
+    gmax_us = np.int64(pd.Timestamp(gmax).value // 1000)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(),
+            "mx": b["o_orderdate"].to_numpy(),
+            "cents": cents,
+        })
+        g = d.groupby("c_custkey", as_index=False).agg(
+            mx=("mx", "max"), frequency=("mx", "size"),
+            cents=("cents", "sum"))
+        g["frequency"] = g["frequency"].astype("int64")
+        g["cb"] = (hashing.mix64(g["c_custkey"].to_numpy().astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_custkey", as_index=False).agg(
+            mx=("mx", "max"), frequency=("frequency", "sum"),
+            cents=("cents", "sum"))
+        mx_us = out["mx"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out["recency_days"] = (gmax_us - mx_us) // 86_400_000_000
+        return out[["c_custkey", "recency_days", "frequency", "cents"]]
+
+    per_cust = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # bounded (one row per customer); re-streamed
+    )                   # by each quantile pass below
+
+    QS = {"q1": 0.25, "q2": 0.5, "q3": 0.75}
+    th = {
+        col: _selection_quantiles(
+            per_cust, (lambda c: lambda b: b[c].to_numpy())(col), QS)[0]
+        for col in ("recency_days", "frequency", "cents")
+    }
+    th_ref = ray.put(th)
+
+    class Score:
+        def __init__(self):
+            self.th = ray.get(th_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out = {"c_custkey": b["c_custkey"].to_numpy().astype("int64"),
+                   "recency_days": b["recency_days"].to_numpy(),
+                   "frequency": b["frequency"].to_numpy(),
+                   "monetary": b["cents"].to_numpy().astype(np.float64)
+                   / 100.0}
+            for col, label in (("recency_days", "r_q"),
+                               ("frequency", "f_q"), ("cents", "m_q")):
+                t = self.th[col]
+                v = b[col].to_numpy()
+                out[label] = (1 + (v > t["q1"]).astype("int64")
+                              + (v > t["q2"]) + (v > t["q3"]))
+            return pd.DataFrame(out)
+
+    out = per_cust.map_batches(
+        Score, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)

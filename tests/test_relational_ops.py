@@ -1307,3 +1307,38 @@ def test_events_user_gini_semantics(ray_session, tmp_path):
     got = dict(zip(out["user_id"], out["gini"]))
     assert got[1] == 0.5 and got[2] == 0.0 and got[3] == 0.5
     assert dict(zip(out["user_id"], out["n_events"])) == {1: 4, 2: 2, 3: 2}
+
+
+def test_customer_rfm_scores(ray_session, tmp_path):
+    """RFM: recency measured against the corpus max date; quartile
+    scores use the discrete rule (> q_disc thresholds); aggregates
+    are exact across batches. 4 customers with clean separation."""
+    dates = pd.to_datetime([
+        "2024-04-10",                # c1: recency 0, freq 1, cents 100
+        "2024-04-01", "2024-03-01",  # c2: recency 9, freq 2
+        "2024-02-01", "2024-01-15", "2024-01-01",   # c3: recency 69, freq 3
+        "2023-06-01",                # c4: recency 314, freq 1
+    ])
+    cust = [1, 2, 2, 3, 3, 3, 4]
+    price = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 0.5]
+    n = len(cust)
+    t = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_totalprice": pa.array(price, pa.float64()),
+        "o_orderstatus": pa.array(["O"] * n),
+    })
+    out = r.q_customer_rfm(_write(tmp_path, "orders", t))
+    got = out.set_index("c_custkey")
+    assert got.loc[1, "recency_days"] == 0
+    assert got.loc[2, "recency_days"] == 9
+    assert got.loc[4, "recency_days"] == 314
+    assert got.loc[3, "frequency"] == 3
+    assert got.loc[3, "monetary"] == 9.0
+    # recency values sorted: [0, 9, 69, 314]; q_disc(.25)=0, .5=9, .75=69
+    # scores: c1: 0 -> 1; c2: 9 -> 2; c3: 69 -> 3; c4: 314 -> 4
+    assert got["r_q"].to_dict() == {1: 1, 2: 2, 3: 3, 4: 4}
+    # frequency sorted [1,1,2,3]: q=.25->1, .5->1, .75->2
+    # c1: 1 -> 1; c4: 1 -> 1; c2: 2 -> 3; c3: 3 -> 4
+    assert got["f_q"].to_dict() == {1: 1, 2: 3, 3: 4, 4: 1}
