@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_score": r.q_docs_lm_score,
         "events_user_gini": r.q_events_user_gini,
         "customer_rfm": r.q_customer_rfm,
+        "lineitem_weighted_quantiles": r.q_lineitem_weighted_quantiles,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1023,6 +1024,28 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "lineitem_weighted_quantiles": """
+            -- quantity-WEIGHTED price quantiles: smallest price whose
+            -- cumulative unit weight >= ceil(q*W) (weighted variant of
+            -- the shared distributed-selection primitive; unit weights
+            -- reduce to quantile_disc)
+            WITH t AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT) AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ), o AS (
+                SELECT v, sum(w) OVER (ORDER BY v) AS cw,
+                       (SELECT sum(w) FROM t) AS tw
+                FROM t)
+            SELECT CAST((SELECT min(v) FROM o WHERE cw >= ceil(0.25 * tw))
+                        AS DOUBLE) / 100.0 AS wp25,
+                   CAST((SELECT min(v) FROM o WHERE cw >= ceil(0.5 * tw))
+                        AS DOUBLE) / 100.0 AS wmedian,
+                   CAST((SELECT min(v) FROM o WHERE cw >= ceil(0.9 * tw))
+                        AS DOUBLE) / 100.0 AS wp90,
+                   (SELECT tw FROM o LIMIT 1)::BIGINT AS total_units
         """,
         "customer_rfm": """
             -- RFM segmentation: per active customer, recency/

@@ -2721,7 +2721,7 @@ def q_orders_page(sf_dir: str):
     return page
 
 
-def _selection_quantiles(ds, to_int, qs):
+def _selection_quantiles(ds, to_int, qs, to_weight=None):
     """REUSABLE distributed selection — exact discrete quantiles of an
     int64-valued expression over a Dataset WITHOUT a global sort.
     ``to_int(batch) -> np.int64 array``; ``qs`` maps name → fraction.
@@ -2734,15 +2734,24 @@ def _selection_quantiles(ds, to_int, qs):
     contributes ≤ 256·|qs| partial rows and the driver picks the
     global ranks from a tiny exact histogram. Discrete rank rule:
     sorted[ceil(q·n)−1] == DuckDB quantile_disc. Returns
-    (dict name → int value, total row count)."""
+    (dict name → int value, total row count).
+
+    WEIGHTED variant: pass ``to_weight(batch) -> np.int64 array`` —
+    histograms accumulate exact integer WEIGHT sums instead of counts
+    and the rule becomes "smallest value whose cumulative weight ≥
+    ceil(q·W)" (with unit weights this is exactly the rule above)."""
     import math
 
     import numpy as np
 
     def coarse(b: pd.DataFrame) -> pd.DataFrame:
         v = to_int(b)
-        cb, n = np.unique(v >> 8, return_counts=True)
-        return pd.DataFrame({"cb": cb, "n": n.astype("int64")})
+        if to_weight is None:
+            cb, n = np.unique(v >> 8, return_counts=True)
+            return pd.DataFrame({"cb": cb, "n": n.astype("int64")})
+        g = pd.DataFrame({"cb": v >> 8, "n": to_weight(b)}).groupby(
+            "cb", as_index=False)["n"].sum()
+        return g.astype({"cb": "int64", "n": "int64"})
 
     hist = ds.map_batches(coarse, batch_format="pandas").to_pandas()
     hist = _pysum_cols(hist, ["n"])
@@ -2768,8 +2777,13 @@ def _selection_quantiles(ds, to_int, qs):
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             v = to_int(b)
             keep = np.isin(v >> 8, self.want)
-            v, n = np.unique(v[keep], return_counts=True)
-            return pd.DataFrame({"vc": v, "n": n.astype("int64")})
+            if to_weight is None:
+                v, n = np.unique(v[keep], return_counts=True)
+                return pd.DataFrame({"vc": v, "n": n.astype("int64")})
+            g = pd.DataFrame(
+                {"vc": v[keep], "n": to_weight(b)[keep]}
+            ).groupby("vc", as_index=False)["n"].sum()
+            return g.astype({"vc": "int64", "n": "int64"})
 
     fine = ds.map_batches(
         FineCounts, batch_format="pandas", concurrency=(1, 4)
@@ -3603,3 +3617,34 @@ def q_customer_rfm(sf_dir: str):
     out = per_cust.map_batches(
         Score, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_lineitem_weighted_quantiles(sf_dir: str):
+    """QUANTITY-WEIGHTED price quantiles: the price points below which
+    25/50/90% of all shipped UNITS (not line rows) fall — the
+    volume-weighted percentile a pricing/mixture analysis needs.
+    Same shared two-pass distributed selection, weighted variant
+    (:func:`_selection_quantiles` with integer l_quantity weights;
+    exact integer weight sums, no global sort); rule = smallest price
+    whose cumulative unit weight ≥ ceil(q·W), mirrored in the SQL
+    oracle's window cumsum."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_quantity"],
+    )
+
+    def cents(b: pd.DataFrame):
+        return np.round(
+            b["l_extendedprice"].to_numpy() * 100).astype("int64")
+
+    def qty(b: pd.DataFrame):
+        return b["l_quantity"].to_numpy().astype("int64")
+
+    vals, total_w = _selection_quantiles(
+        ds, cents, {"wp25": 0.25, "wmedian": 0.5, "wp90": 0.9},
+        to_weight=qty)
+    out = {name: float(v) / 100.0 for name, v in vals.items()}
+    out["total_units"] = total_w
+    return pd.DataFrame([out])

@@ -1342,3 +1342,38 @@ def test_customer_rfm_scores(ray_session, tmp_path):
     # frequency sorted [1,1,2,3]: q=.25->1, .5->1, .75->2
     # c1: 1 -> 1; c4: 1 -> 1; c2: 2 -> 3; c3: 3 -> 4
     assert got["f_q"].to_dict() == {1: 1, 2: 3, 3: 4, 4: 1}
+
+
+def test_lineitem_weighted_quantiles(ray_session, tmp_path):
+    """Weighted selection: quantiles follow unit weights, not row
+    counts — one heavy cheap row outweighs many light expensive ones;
+    rule = smallest value with cumweight >= ceil(q*W)."""
+    # prices 1.00..5.00; weights: price 1.00 carries 90 of 100 units
+    price = [1.0, 2.0, 3.0, 4.0, 5.0]
+    qty = [90.0, 4.0, 3.0, 2.0, 1.0]
+    n = len(price)
+    t = pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array(
+            pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+    })
+    out = r.q_lineitem_weighted_quantiles(_write(tmp_path, "lineitem", t))
+    # W=100: ceil(.25*100)=25 -> 1.00; ceil(.5*100)=50 -> 1.00;
+    # ceil(.9*100)=90 -> 1.00 (cum at 1.00 is exactly 90)
+    assert out.loc[0, "wp25"] == 1.0
+    assert out.loc[0, "wmedian"] == 1.0
+    assert out.loc[0, "wp90"] == 1.0
+    assert out.loc[0, "total_units"] == 100
+    # shift one unit: 89 cheap units -> p90 rank 90 crosses into 2.00
+    qty2 = [89.0, 5.0, 3.0, 2.0, 1.0]
+    t2 = t.set_column(2, "l_quantity", pa.array(qty2, pa.float64()))
+    d2 = tmp_path / "w2"
+    d2.mkdir()
+    out2 = r.q_lineitem_weighted_quantiles(_write(d2, "lineitem", t2))
+    assert out2.loc[0, "wp90"] == 2.0
