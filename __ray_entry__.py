@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gini": r.q_events_user_gini,
         "customer_rfm": r.q_customer_rfm,
         "lineitem_weighted_quantiles": r.q_lineitem_weighted_quantiles,
+        "orders_order_gap": r.q_orders_order_gap,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1024,6 +1025,23 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "orders_order_gap": """
+            -- inter-arrival gaps per customer (>= 2 orders): exact
+            -- BIGINT day gaps; median over the integer domain is
+            -- bit-reproducible (the only float op is halving two ints)
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('day',
+                                 lag(o_orderdate) OVER (
+                                     PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS gap
+                FROM orders)
+            SELECT o_custkey AS c_custkey, count(gap)::BIGINT AS n_gaps,
+                   median(gap) AS median_gap, max(gap)::BIGINT AS max_gap
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY c_custkey
         """,
         "lineitem_weighted_quantiles": """
             -- quantity-WEIGHTED price quantiles: smallest price whose

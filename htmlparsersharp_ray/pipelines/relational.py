@@ -3648,3 +3648,55 @@ def q_lineitem_weighted_quantiles(sf_dir: str):
     out = {name: float(v) / 100.0 for name, v in vals.items()}
     out["total_units"] = total_w
     return pd.DataFrame([out])
+
+
+def q_orders_order_gap(sf_dir: str):
+    """INTER-ARRIVAL ANALYSIS: per customer with ≥ 2 orders, the
+    number / median / max of day gaps between consecutive orders (by
+    (o_orderdate, o_orderkey)) — the churn-risk cadence feature. ONE
+    custkey-hash exchange; inside the bucket one sort + one shift
+    computes every customer's gaps (no per-customer loop); gaps are
+    exact BIGINT days, and the median's only float op is the final
+    halving of two small ints — exact in IEEE, so DuckDB's
+    median(BIGINT) matches bit-for-bit (the r3 lesson: integer-domain
+    medians are reproducible, DOUBLE-domain ones are not)."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds), col="o_custkey")
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cust = g["o_custkey"].to_numpy()
+        days = (g["o_orderdate"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = days[1:] - days[:-1]
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = cust[1:] == cust[:-1]
+        d = pd.DataFrame({"c_custkey": cust[same], "gap": gap[same]})
+        if d.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "median_gap": pd.Series([], dtype=np.float64),
+                "max_gap": pd.Series([], dtype=np.int64)})
+        out = d.groupby("c_custkey", as_index=False).agg(
+            n_gaps=("gap", "size"), median_gap=("gap", "median"),
+            max_gap=("gap", "max"))
+        return out.astype({"n_gaps": np.int64, "max_gap": np.int64,
+                           "median_gap": np.float64})
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)

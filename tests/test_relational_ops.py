@@ -1377,3 +1377,32 @@ def test_lineitem_weighted_quantiles(ray_session, tmp_path):
     d2.mkdir()
     out2 = r.q_lineitem_weighted_quantiles(_write(d2, "lineitem", t2))
     assert out2.loc[0, "wp90"] == 2.0
+
+
+def test_orders_order_gap_semantics(ray_session, tmp_path):
+    """Order gaps: same-date tie ordered by orderkey gives a 0 gap;
+    single-order customers drop; median interpolates two middles
+    exactly."""
+    dates = pd.to_datetime([
+        "2024-01-01", "2024-01-11", "2024-01-11", "2024-02-10",  # c1
+        "2024-03-01",                                            # c2 solo
+        "2024-01-01", "2024-01-02",                              # c3
+    ])
+    cust = [1, 1, 1, 1, 2, 3, 3]
+    n = len(cust)
+    t = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0] * n, pa.float64()),
+        "o_orderstatus": pa.array(["O"] * n),
+    })
+    out = r.q_orders_order_gap(_write(tmp_path, "orders", t))
+    got = out.set_index("c_custkey")
+    assert set(got.index) == {1, 3}           # c2 has no gaps
+    # c1 gaps: 10, 0 (tie), 30 -> n=3, median 10, max 30
+    assert got.loc[1, "n_gaps"] == 3
+    assert got.loc[1, "median_gap"] == 10.0
+    assert got.loc[1, "max_gap"] == 30
+    # c3: single gap of 1 day
+    assert got.loc[3, "n_gaps"] == 1 and got.loc[3, "median_gap"] == 1.0
