@@ -1406,3 +1406,34 @@ def test_orders_order_gap_semantics(ray_session, tmp_path):
     assert got.loc[1, "max_gap"] == 30
     # c3: single gap of 1 day
     assert got.loc[3, "n_gaps"] == 1 and got.loc[3, "median_gap"] == 1.0
+
+
+def test_selection_quantiles_weighted_bruteforce(ray_session):
+    """Weighted distributed selection == brute-force rule (smallest
+    value with cumulative weight >= ceil(q*W)) on seeded random data
+    spanning many coarse buckets, including weight-0 rows and
+    duplicate values."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        n = 5000
+        v = rng.integers(0, 10_000, n)
+        w = rng.integers(0, 5, n)
+        df = pd.DataFrame({"v": v.astype("int64"), "w": w.astype("int64")})
+        ds = ray.data.from_pandas(df).repartition(7)
+        got, total = r._selection_quantiles(
+            ds, lambda b: b["v"].to_numpy(),
+            {"q25": 0.25, "q5": 0.5, "q9": 0.9},
+            to_weight=lambda b: b["w"].to_numpy())
+        assert total == int(w.sum())
+        order = np.argsort(v, kind="stable")
+        sv, sw = v[order], w[order]
+        cw = np.cumsum(sw)
+        for name, q in (("q25", 0.25), ("q5", 0.5), ("q9", 0.9)):
+            r_w = max(1, math.ceil(q * total))
+            exp = int(sv[np.searchsorted(cw, r_w)])
+            assert got[name] == exp, (seed, name)
