@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": r.q_customer_rfm,
         "lineitem_weighted_quantiles": r.q_lineitem_weighted_quantiles,
         "orders_order_gap": r.q_orders_order_gap,
+        "events_dau_mau": r.q_events_dau_mau,
+        "docs_dup_rate_by_source": r.q_docs_dup_rate_by_source,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1025,6 +1027,40 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "docs_dup_rate_by_source": """
+            -- per-source exact-dedup drop report: a doc is a dup if
+            -- its full text exists under a smaller doc_id ANYWHERE in
+            -- the corpus (global keep-first); rate = one mirrored
+            -- float division
+            WITH k AS (
+                SELECT doc_id, source,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                FROM documents)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum((doc_id <> keeper)::INT)::BIGINT AS n_dups,
+                   CAST(sum((doc_id <> keeper)::INT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM k GROUP BY source ORDER BY source
+        """,
+        "events_dau_mau": """
+            -- engagement stickiness: per day, exact distinct users
+            -- (DAU), the containing month's distinct users (MAU), and
+            -- the single mirrored float division
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       count(DISTINCT user_id) AS dau
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT strftime(ts, '%Y-%m') AS month,
+                       count(DISTINCT user_id) AS mau
+                FROM events GROUP BY 1
+            )
+            SELECT d.day, d.dau::BIGINT AS dau, m.mau::BIGINT AS mau,
+                   CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)
+                       AS stickiness
+            FROM d JOIN m ON substr(d.day, 1, 7) = m.month
+            ORDER BY d.day
         """,
         "orders_order_gap": """
             -- inter-arrival gaps per customer (>= 2 orders): exact

@@ -3700,3 +3700,111 @@ def q_orders_order_gap(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_events_dau_mau(sf_dir: str):
+    """ENGAGEMENT STICKINESS: per calendar day — exact distinct active
+    users that day (DAU), exact distinct users of the containing
+    month (MAU), and the DAU/MAU ratio — the standard engagement
+    metric. Exact distinct at scale: per-batch (user, day) dedup
+    partials → ONE user-hash exchange where per-(bucket, day) and
+    per-(bucket, month) distinct counts are computed vectorized —
+    counts over DISJOINT user sets are additive, so the tiny per-day
+    merge on the driver is exact (the events_user_distinct shape,
+    two granularities in one pass). Integer counts; the ratio is the
+    single mirrored float division."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "day": g["ts"].dt.strftime("%Y-%m-%d"),
+        })
+        dd = d.drop_duplicates()
+        day_counts = dd.groupby("day", as_index=False).size().rename(
+            columns={"size": "n"})
+        day_counts["kind"] = 0
+        m = pd.DataFrame({
+            "user_id": d["user_id"],
+            "day": d["day"].str.slice(0, 7),  # month key
+        }).drop_duplicates()
+        mon_counts = m.groupby("day", as_index=False).size().rename(
+            columns={"size": "n"})
+        mon_counts["kind"] = 1
+        out = pd.concat([day_counts, mon_counts], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = _pysum_cols(parts, ["n"])
+    agg = parts.groupby(["kind", "day"], as_index=False)["n"].sum()
+    dau = agg.loc[agg["kind"] == 0, ["day", "n"]].rename(
+        columns={"n": "dau"})
+    mau = agg.loc[agg["kind"] == 1, ["day", "n"]].rename(
+        columns={"day": "month", "n": "mau"})
+    dau["month"] = dau["day"].str.slice(0, 7)
+    out = dau.merge(mau, on="month")
+    out["stickiness"] = (out["dau"].to_numpy().astype(np.float64)
+                         / out["mau"].to_numpy().astype(np.float64))
+    out = out[["day", "dau", "mau", "stickiness"]].astype(
+        {"dau": "int64", "mau": "int64"})
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_docs_dup_rate_by_source(sf_dir: str):
+    """DEDUP REPORTING: per source — total docs, docs that global
+    keep-first exact dedup would DROP (their text already exists under
+    a smaller doc_id anywhere in the corpus), and the drop rate — the
+    per-domain duplication report a curation pipeline publishes after
+    a dedup pass. ONE text-hash exchange (the exact_dedup shape):
+    inside the bucket every full-text group finds its keeper (min
+    doc_id, vectorized transform) and collapses to per-source count
+    partials; counts over disjoint text groups are additive, so the
+    driver merge is |sources| rows and the rate is the single
+    mirrored float division."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+    nb = int(auto_buckets(ds))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        tb = (hashing.hash_strings64(b["text"].fillna("").to_numpy())
+              % np.uint64(nb)).astype(np.int64)
+        return b.assign(tb=tb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("text", sort=False)["doc_id"].transform("min")
+        dup = (g["doc_id"].to_numpy() != keeper.to_numpy())
+        d = pd.DataFrame({"source": g["source"].to_numpy(),
+                          "n_docs": np.int64(1),
+                          "n_dups": dup.astype(np.int64)})
+        return d.groupby("source", as_index=False).sum()
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = _pysum_cols(parts, ["n_docs", "n_dups"])
+    out = parts.groupby("source", as_index=False).sum()
+    out["dup_rate"] = (out["n_dups"].to_numpy().astype(np.float64)
+                       / out["n_docs"].to_numpy().astype(np.float64))
+    out = out.astype({"n_docs": "int64", "n_dups": "int64"})
+    return out.sort_values("source").reset_index(drop=True)

@@ -1437,3 +1437,53 @@ def test_selection_quantiles_weighted_bruteforce(ray_session):
             r_w = max(1, math.ceil(q * total))
             exp = int(sv[np.searchsorted(cw, r_w)])
             assert got[name] == exp, (seed, name)
+
+
+def test_events_dau_mau(ray_session, tmp_path):
+    """DAU/MAU: distinct users dedup within day and month across
+    batches and buckets; MAU spans the whole month; stickiness is
+    dau/mau."""
+    ts = pd.to_datetime([
+        "2024-01-01 03:00", "2024-01-01 09:00",  # u1 twice on day 1
+        "2024-01-01 10:00",                       # u2 day 1
+        "2024-01-15 12:00",                       # u1 again mid-month
+        "2024-02-01 00:00",                       # u3 new month
+    ])
+    users = [1, 1, 2, 1, 3]
+    n = len(users)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array([""] * n),
+    })
+    out = r.q_events_dau_mau(_write(tmp_path, "events", t))
+    got = out.set_index("day")
+    assert got.loc["2024-01-01", "dau"] == 2     # u1 deduped
+    assert got.loc["2024-01-01", "mau"] == 2     # jan users: u1, u2
+    assert got.loc["2024-01-01", "stickiness"] == 1.0
+    assert got.loc["2024-01-15", "dau"] == 1
+    assert got.loc["2024-01-15", "stickiness"] == 0.5
+    assert got.loc["2024-02-01", "mau"] == 1     # feb: u3 only
+
+
+def test_docs_dup_rate_by_source(ray_session, tmp_path):
+    """Dup-rate report: keep-first is GLOBAL (a dup in source B whose
+    keeper lives in source A still counts against B); keeper itself is
+    not a dup; rate = dups/docs."""
+    texts = ["same", "same", "same", "unique1", "unique2"]
+    srcs = ["A", "B", "B", "A", "B"]
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(srcs),
+    })
+    out = r.q_docs_dup_rate_by_source(_write(tmp_path, "documents", t))
+    got = out.set_index("source")
+    # A: docs 0 (keeper) + 3 -> 0 dups; B: docs 1,2 dups of 0 + 4
+    assert got.loc["A", "n_docs"] == 2 and got.loc["A", "n_dups"] == 0
+    assert got.loc["B", "n_docs"] == 3 and got.loc["B", "n_dups"] == 2
+    assert got.loc["B", "dup_rate"] == 2.0 / 3.0
