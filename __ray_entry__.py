@@ -602,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_order_gap": r.q_orders_order_gap,
         "events_dau_mau": r.q_events_dau_mau,
         "docs_dup_rate_by_source": r.q_docs_dup_rate_by_source,
+        "embeddings_norm_quantiles": r.q_embeddings_norm_quantiles,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1027,6 +1028,25 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "embeddings_norm_quantiles": """
+            -- float-domain selection: exact quantiles of the L2 norm
+            -- via fixed-point micro-units (floor of the same IEEE
+            -- product on both engines — no rounding ties); norm order
+            -- matches the engine's sequential cumsum
+            WITH n AS (
+                SELECT CAST(floor(sqrt(list_sum(list_transform(
+                           embedding::DOUBLE[], x -> x * x))) * 1000000)
+                           AS BIGINT) AS v
+                FROM embeddings)
+            SELECT CAST(quantile_disc(v, 0.25) AS DOUBLE)/1000000.0
+                       AS qp25,
+                   CAST(quantile_disc(v, 0.5)  AS DOUBLE)/1000000.0
+                       AS qmedian,
+                   CAST(quantile_disc(v, 0.9)  AS DOUBLE)/1000000.0
+                       AS qp90,
+                   count(*)::BIGINT AS n_vecs
+            FROM n
         """,
         "docs_dup_rate_by_source": """
             -- per-source exact-dedup drop report: a doc is a dup if

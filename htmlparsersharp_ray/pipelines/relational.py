@@ -3808,3 +3808,42 @@ def q_docs_dup_rate_by_source(sf_dir: str):
                        / out["n_docs"].to_numpy().astype(np.float64))
     out = out.astype({"n_docs": "int64", "n_dups": "int64"})
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_embeddings_norm_quantiles(sf_dir: str):
+    """FLOAT-DOMAIN SELECTION: exact global quantiles of the per-vector
+    L2 norm — the embedding-health check (collapsed / exploding norms)
+    run before similarity indexing. Floats enter the shared integer
+    selection primitive via FIXED-POINT micro-units: v = floor(norm ·
+    1e6) (floor of the same IEEE product on both engines — no rounding
+    ties, the money-column pattern), so the two-pass histogram stays
+    bounded by the VALUE RANGE / 256 and the result is bit-exact vs
+    quantile_disc over the same quantization. Norms reuse the
+    sequential-cumsum kernel that matches DuckDB's list_sum order."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["embedding"]
+    )
+
+    def micro_norm(b) -> np.ndarray:
+        t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+        emb = t.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy()
+        lens = np.diff(offs)
+        flat = emb.flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sq = flat * flat
+        if len(lens) and lens[0] > 0 and (lens == lens[0]).all():
+            tot = np.cumsum(sq.reshape(len(lens), lens[0]), axis=1)[:, -1]
+        else:
+            tot = np.array([np.cumsum(sq[s:e])[-1] if e > s else 0.0
+                            for s, e in zip(offs[:-1], offs[1:])])
+        return np.floor(np.sqrt(tot) * 1e6).astype(np.int64)
+
+    vals, total = _selection_quantiles(
+        ds, micro_norm, {"qp25": 0.25, "qmedian": 0.5, "qp90": 0.9})
+    out = {name: float(v) / 1e6 for name, v in vals.items()}
+    out["n_vecs"] = total
+    return pd.DataFrame([out])

@@ -1487,3 +1487,24 @@ def test_docs_dup_rate_by_source(ray_session, tmp_path):
     assert got.loc["A", "n_docs"] == 2 and got.loc["A", "n_dups"] == 0
     assert got.loc["B", "n_docs"] == 3 and got.loc["B", "n_dups"] == 2
     assert got.loc["B", "dup_rate"] == 2.0 / 3.0
+
+
+def test_embeddings_norm_quantiles(ray_session, tmp_path):
+    """Float-domain selection: micro-quantized norm quantiles follow
+    the discrete rank rule over planted norms (vectors [k,0] have norm
+    exactly k); ragged vectors still norm correctly."""
+    vecs = ([[1.0, 0.0]] * 5 + [[2.0, 0.0]] * 3 + [[10.0, 0.0]] * 2
+            + [[3.0]])  # ragged 1-dim vector, norm 3
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(["x"] * len(vecs)),
+    })
+    out = r.q_embeddings_norm_quantiles(_write(tmp_path, "embeddings", t))
+    # sorted norms: 1x5, 2x3, 3, 10x2 (n=11)
+    # q25 -> rank ceil(2.75)=3 -> 1; median -> rank 6 -> 2;
+    # p90 -> rank ceil(9.9)=10 -> 10
+    assert out.loc[0, "qp25"] == 1.0
+    assert out.loc[0, "qmedian"] == 2.0
+    assert out.loc[0, "qp90"] == 10.0
+    assert out.loc[0, "n_vecs"] == 11
