@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_mau": r.q_events_dau_mau,
         "docs_dup_rate_by_source": r.q_docs_dup_rate_by_source,
         "embeddings_norm_quantiles": r.q_embeddings_norm_quantiles,
+        "docs_language_mixture": r.q_docs_language_mixture,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1028,6 +1029,45 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "docs_language_mixture": """
+            -- per-source predicted-language mixture (docs_langid's
+            -- vetted stopword-argmax kernel composed with a grouped
+            -- count + within-source share, one mirrored division)
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS ws,
+                     regexp_matches(text, '[一-鿿]') AS has_cjk
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, has_cjk,
+                len(list_filter(ws, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','mit','auf','für'], x))) AS de,
+                len(list_filter(ws, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+                len(list_filter(ws, x -> list_contains(
+                  ['el','la','los','y','de','un','una','es','para','en'], x))) AS es,
+                len(list_filter(ws, x -> list_contains(
+                  ['le','la','les','et','de','un','une','est','pour','dans'], x))) AS fr
+              FROM w
+            ), p AS (
+              SELECT source,
+                CASE WHEN has_cjk THEN 'zh'
+                     WHEN greatest(de, en, es, fr) = 0 THEN 'en'
+                     WHEN de = greatest(de, en, es, fr) THEN 'de'
+                     WHEN en = greatest(de, en, es, fr) THEN 'en'
+                     WHEN es = greatest(de, en, es, fr) THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+              FROM c
+            )
+            SELECT source, lang_pred, count(*)::BIGINT AS n_docs,
+                   CAST(count(*) AS DOUBLE)
+                       / CAST(sum(count(*)) OVER (PARTITION BY source)
+                              AS DOUBLE) AS share
+            FROM p GROUP BY source, lang_pred
+            ORDER BY source, lang_pred
         """,
         "embeddings_norm_quantiles": """
             -- float-domain selection: exact quantiles of the L2 norm

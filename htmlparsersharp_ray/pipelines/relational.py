@@ -3847,3 +3847,43 @@ def q_embeddings_norm_quantiles(sf_dir: str):
     out = {name: float(v) / 1e6 for name, v in vals.items()}
     out["n_vecs"] = total
     return pd.DataFrame([out])
+
+
+def q_docs_language_mixture(sf_dir: str):
+    """LANGUAGE MIXTURE REPORT: per (source, predicted language) —
+    document count and within-source share — the composition dashboard
+    a multilingual-corpus pipeline publishes (and the input to
+    language-aware mixture weights). Reuses the vetted LangIdUDF
+    kernel (vectorized stopword argmax, CJK short-circuit) with the
+    source column riding through; per-batch (source, lang) count
+    partials bound the exchange, the driver merge is |sources|×|langs|
+    Python-int rows, and the share is the single mirrored float
+    division of exact int64 counts."""
+    import numpy as np
+
+    from ..stages.text_analysis import LangIdUDF
+
+    class WithSource(LangIdUDF):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            src = batch["source"].to_numpy()
+            out = super().__call__(batch)  # preserves row order
+            d = pd.DataFrame({"source": src,
+                              "lang_pred": out["lang_pred"].to_numpy()})
+            p = d.groupby(["source", "lang_pred"], as_index=False).size()
+            p["size"] = p["size"].astype("int64")
+            return p.rename(columns={"size": "n_docs"})
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source", "lang"]
+    ).map_batches(
+        WithSource, batch_format="pandas", batch_size=2048,
+        concurrency=(1, 2),
+    )
+    parts = _pysum_cols(ds.to_pandas(), ["n_docs"])
+    out = parts.groupby(["source", "lang_pred"], as_index=False).sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    totals = out.groupby("source")["n_docs"].transform("sum")
+    out["share"] = (out["n_docs"].to_numpy().astype(np.float64)
+                    / totals.to_numpy().astype(np.float64))
+    return (out.sort_values(["source", "lang_pred"])
+            .reset_index(drop=True))

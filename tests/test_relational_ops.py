@@ -1508,3 +1508,30 @@ def test_embeddings_norm_quantiles(ray_session, tmp_path):
     assert out.loc[0, "qmedian"] == 2.0
     assert out.loc[0, "qp90"] == 10.0
     assert out.loc[0, "n_vecs"] == 11
+
+
+def test_docs_language_mixture(ray_session, tmp_path):
+    """Language mixture: per-source counts + shares over the langid
+    kernel — planted de/es/zh docs classify, zero-hit text falls back
+    to en, shares sum to 1 per source."""
+    texts = [
+        "the cat is on the mat for a while",   # en
+        "der hund ist ein tier und das ist gut",  # de
+        "el perro es un animal y la casa",     # es
+        "这是中文文本",                          # zh (CJK)
+        "qqq zzz xxx",                          # zero-hit -> en
+    ]
+    srcs = ["s1", "s1", "s2", "s2", "s1"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(srcs),
+        "lang": pa.array(["x"] * len(texts)),
+    })
+    out = r.q_docs_language_mixture(_write(tmp_path, "documents", t))
+    got = {(r_.source, r_.lang_pred): (r_.n_docs, r_.share)
+           for r_ in out.itertuples()}
+    assert got[("s1", "en")] == (2, 2.0 / 3.0)
+    assert got[("s1", "de")] == (1, 1.0 / 3.0)
+    assert got[("s2", "es")] == (1, 0.5)
+    assert got[("s2", "zh")] == (1, 0.5)
