@@ -177,8 +177,45 @@ def main() -> int:
             open(marker, "w").write("ok")
         return d
 
+    def synth_docs_lm(d="/tmp/graft_sweep_lm"):
+        # the 1M-doc sweep corpus as a single documents.parquet (the
+        # sf_dir shape the graded query reads)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            t = pq.read_table(files[0]).schema  # noqa: F841 (warm check)
+            parts_t = [pq.read_table(f, columns=["doc_id", "text"])
+                       for f in files]
+            pq.write_table(pa.concat_tables(parts_t),
+                           os.path.join(d, "documents.parquet"),
+                           row_group_size=1 << 16)
+            open(marker, "w").write("ok")
+        return d
+
+    def synth_events(n=10_000_000, d="/tmp/graft_sweep_ev"):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(13)
+            base = np.int64(1_700_000_000_000_000)  # fixed epoch-us
+            ts = (base + rng.integers(0, 90 * 86_400_000_000, n)
+                  ).astype("datetime64[us]")
+            pq.write_table(pa.table({
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": rng.integers(0, 100_000, n).astype(np.int64),
+                "event_type": pa.array(["view"] * n),
+                "value": np.zeros(n),
+                "props": pa.array([""] * n),
+            }), os.path.join(d, "events.parquet"),
+                row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
     from htmlparsersharp_ray.pipelines.relational import (
+        q_docs_lm_score,
         q_docs_mixture_sample,
+        q_events_dau_mau,
         q_part_fuzzy_pairs,
         q_part_skyline,
     )
@@ -187,6 +224,8 @@ def main() -> int:
     run("fuzzy_pairs_220k", lambda: q_part_fuzzy_pairs(synth_part_names()))
     run("mixture_sample_1m",
         lambda: q_docs_mixture_sample(synth_docs_src()))
+    run("lm_score_1m", lambda: q_docs_lm_score(synth_docs_lm()))
+    run("dau_mau_10m", lambda: q_events_dau_mau(synth_events()))
 
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
