@@ -3478,14 +3478,17 @@ def q_docs_lm_score(sf_dir: str):
         return out.assign(lm_score=score).astype(
             {"n_bigrams": np.int64, "sum_cnt": np.int64})
 
-    out = (
-        ds.map_batches(emit, batch_format="pandas")
-        .groupby("tb")
-        .map_groups(score_bucket, batch_format="pandas")
-        .groupby("db")
-        .map_groups(finalize, batch_format="pandas")
-        .to_pandas()
-    )
+    # both exchanges go through the blob exchange (joins.py::
+    # bucket_group_map): the all-to-all sorts blocks x buckets blob
+    # rows instead of the tens of millions of (doc, bigram) rows
+    from .joins import bucket_group_map
+
+    emitted = ds.map_batches(emit, batch_format="pandas")
+    scored = bucket_group_map(
+        emitted, lambda t: t.column("tb").to_numpy(), score_bucket)
+    out = bucket_group_map(
+        scored, lambda t: t.column("db").to_numpy(), finalize
+    ).to_pandas()
     return (out[["doc_id", "n_bigrams", "sum_cnt", "lm_score"]]
             .sort_values("doc_id").reset_index(drop=True))
 

@@ -374,3 +374,52 @@ def test_join_planner_full_takes_shuffle_path(ray_session, tmp_path):
                "k", "k", how="full").to_pandas()
     assert len(out) == 3
     assert out["lv"].notna().sum() == 2 and out["rv"].notna().sum() == 2
+
+
+def test_bucket_group_map_matches_plain_map_groups(ray_session):
+    """bucket_group_map == map_batches(tag) -> groupby -> map_groups:
+    same rows for an order-insensitive per-bucket aggregate, across
+    multi-block inputs, empty buckets never reaching fn."""
+    import numpy as np
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import bucket_group_map
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=500),
+        "v": rng.integers(-1000, 1000, size=500),
+        "s": [f"s{i % 13}" for i in range(500)],
+    })
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        assert len(g) > 0  # empty buckets must never reach fn
+        return (g.groupby("k", as_index=False)
+                 .agg(total=("v", "sum"), n=("v", "size"),
+                      smin=("s", "min")))
+
+    got = bucket_group_map(
+        _mk_ds(df, n_blocks=6),
+        lambda t: t.column("k").to_numpy() % 8,
+        agg,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+
+    want = (df.groupby("k", as_index=False)
+              .agg(total=("v", "sum"), n=("v", "size"), smin=("s", "min"))
+              .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"total": "int64", "n": "int64"}),
+        want.astype({"total": "int64", "n": "int64"}))
+
+
+def test_bucket_group_map_empty_input(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import bucket_group_map
+
+    df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                       "v": pd.Series([], dtype="int64")})
+    out = bucket_group_map(
+        _mk_ds(df, n_blocks=1),
+        lambda t: t.column("k").to_numpy(),
+        lambda g: g,
+    ).to_pandas()
+    assert len(out) == 0
