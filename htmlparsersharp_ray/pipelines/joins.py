@@ -50,15 +50,12 @@ _EXCHANGE_SCHEMA = pa.schema([
 _SALT_STEP = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _serialize(table: pa.Table) -> bytes:
-    sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, table.schema) as w:
-        w.write_table(table)
-    return sink.getvalue().to_pybytes()
-
-
-def _deserialize(blob: bytes) -> pa.Table:
-    return pa.ipc.open_stream(pa.py_buffer(blob)).read_all()
+# IPC helpers + the single-input blob exchange live in stages/exchange.py
+# (shared with the dedup/text stages); re-exported here for callers that
+# think of them as join machinery.
+from ..stages.exchange import bucket_group_map  # noqa: F401  (re-export)
+from ..stages.exchange import deserialize_table as _deserialize
+from ..stages.exchange import serialize_table as _serialize
 
 
 def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -405,49 +402,3 @@ def join(
     # right-only rows (no worker knows which right rows matched nowhere)
     return hash_join(left, right, left_on, right_on, how, n_buckets)
 
-
-def bucket_group_map(ds: ray.data.Dataset, bucket_of, fn):
-    """Bucketed ``groupby().map_groups`` with an Arrow-IPC BLOB
-    exchange: the scale replacement for feeding millions of raw rows
-    through Ray's sort-based groupby. Each input batch is split into
-    per-bucket slices (``bucket_of(pa.Table) -> int64 array``, one
-    vectorized call) and packed into ONE IPC blob per (batch, bucket),
-    so the all-to-all sorts only ``blocks × occupied_buckets`` rows;
-    ``fn(pandas DataFrame of the whole bucket) -> DataFrame`` then runs
-    exactly like a map_groups callable. Blob rows carry the slice's
-    schema, so empty buckets never reach ``fn`` and mixed-schema
-    warnings don't arise. Same semantics as
-    ``ds.map_batches(tag).groupby(b).map_groups(fn)`` — pytest-gated
-    equivalence in tests/test_joins.py."""
-    import numpy as np
-
-    def pack(batch: pa.Table) -> pa.Table:
-        batch = batch.replace_schema_metadata(None)
-        if batch.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             "blob": pa.array([], pa.large_binary())})
-        buckets = np.asarray(bucket_of(batch), dtype=np.int64)
-        order = np.argsort(buckets, kind="stable")
-        sorted_tab = batch.take(pa.array(order))
-        sb = buckets[order]
-        uniq, starts = np.unique(sb, return_index=True)
-        ends = np.append(starts[1:], len(sb))
-        return pa.table({
-            "bucket": pa.array([int(b) for b in uniq], pa.int64()),
-            "blob": pa.array(
-                [_serialize(sorted_tab.slice(lo, hi - lo))
-                 for lo, hi in zip(starts, ends)],
-                pa.large_binary()),
-        })
-
-    def unpack(group: pd.DataFrame) -> pd.DataFrame:
-        tabs = [_deserialize(b) for b in group["blob"]]
-        df = pa.concat_tables(tabs).to_pandas()
-        return fn(df)
-
-    out = (
-        ds.map_batches(pack, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(unpack, batch_format="pandas")
-    )
-    return out
