@@ -3900,3 +3900,125 @@ def q_docs_language_mixture(sf_dir: str):
                     / totals.to_numpy().astype(np.float64))
     return (out.sort_values(["source", "lang_pred"])
             .reset_index(drop=True))
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Count-of-counts with zero-fill (TPC-H Q13 shape): the
+    distribution of per-customer order counts INCLUDING customers with
+    no orders — the LEFT-join-then-double-groupby idiom. Reference n/a
+    (engine-level relational op).
+
+    Scale shape: orders pre-aggregate to per-batch (custkey, partial
+    count) rows — the exchange carries at most |distinct custkeys per
+    batch| rows per batch, never raw orders — and customer keys ride
+    the SAME custkey-hash bucketed exchange, so the zero-fill LEFT
+    join, the per-customer sum and the count-of-counts partial all
+    happen inside one bounded bucket group. The driver only merges
+    per-bucket (c_count, partial) rows: O(buckets × distinct counts),
+    independent of row volume."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    nb = 32
+
+    def order_partials(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        kb = (hashing.mix64(uniq.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "kb": pa.array(kb), "key": pa.array(uniq),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "is_cust": pa.array(np.zeros(len(uniq), dtype=np.int64)),
+        })
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = (hashing.mix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "kb": pa.array(kb), "key": pa.array(k),
+            "cnt": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "is_cust": pa.array(np.ones(len(k), dtype=np.int64)),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby("key").agg(cnt=("cnt", "sum"),
+                                       is_cust=("is_cust", "max"))
+        counts = per_key.loc[per_key["is_cust"] == 1, "cnt"]
+        vc = counts.value_counts()
+        return pd.DataFrame({"c_count": vc.index.astype("int64"),
+                             "n_custs": vc.to_numpy().astype("int64")})
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey"]
+    ).map_batches(order_partials, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    parts = (
+        orders.union(cust)
+        .groupby("kb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("c_count", as_index=False)["n_custs"].sum()
+    out["n_custs"] = out["n_custs"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def q_orders_big_spenders(sf_dir: str):
+    """HAVING-filter join-back (TPC-H Q18 shape): customers whose
+    lifetime order spend is ≥ a threshold, returned WITH their detail
+    order rows and the qualifying total. Reference n/a (engine-level).
+
+    The aggregate-then-retrieve needs ONE exchange: detail rows and the
+    aggregate co-locate in the same custkey-hash bucket, so the
+    per-customer sum, the HAVING filter and the detail join-back all
+    run inside one bucket group — no second shuffle, no broadcast of a
+    qualifying-key set. Money sums are exact int64 cents (bounded by
+    bucket size; the qualifying output is small by construction)."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    thresh_cents = 480_000_000  # $4.8M lifetime spend
+    nb = 32
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = (hashing.mix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "kb": pa.array(kb),
+            "o_custkey": pa.array(k),
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": pa.array(cents),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("o_custkey")["price_cents"].sum()
+        qual = tot[tot >= thresh_cents]
+        out = g[g["o_custkey"].isin(qual.index)].copy()
+        out["cust_total_cents"] = qual.reindex(out["o_custkey"]).to_numpy()
+        return out[["o_custkey", "o_orderkey", "price_cents",
+                    "cust_total_cents"]]
+
+    out = (
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"),
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(add_kb, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"o_custkey": "int64", "o_orderkey": "int64",
+                    "price_cents": "int64", "cust_total_cents": "int64"})
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )

@@ -1535,3 +1535,47 @@ def test_docs_language_mixture(ray_session, tmp_path):
     assert got[("s1", "de")] == (1, 1.0 / 3.0)
     assert got[("s2", "es")] == (1, 0.5)
     assert got[("s2", "zh")] == (1, 0.5)
+
+
+def test_customer_order_counts_zero_fill(ray_session, tmp_path):
+    """Q13 shape: customers with NO orders appear in the c_count=0 row
+    (the zero-fill LEFT-join path — absent from the sf corpora), and
+    the distribution matches a pandas reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    custkeys = np.arange(1, 41, dtype=np.int64)
+    o_cust = rng.choice(custkeys[:30], size=200)  # custkeys 31..40 orderless
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array(custkeys),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array(o_cust),
+    }))
+    out = r.q_customer_order_counts(str(tmp_path))
+
+    counts = pd.Series(o_cust).value_counts().reindex(custkeys, fill_value=0)
+    want = (counts.value_counts().rename_axis("c_count")
+            .reset_index(name="n_custs").astype("int64")
+            .sort_values("c_count").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+    assert int(out.loc[out["c_count"] == 0, "n_custs"].iloc[0]) == 10
+
+
+def test_orders_big_spenders_having_joinback(ray_session, tmp_path):
+    """Q18 shape: only customers at/over the threshold survive; every
+    one of their detail rows comes back with the qualifying total."""
+    import numpy as np
+
+    # customer 1: 3 orders of $2M (qualifies: $6M >= $4.8M)
+    # customer 2: 2 orders of $2M (doesn't: $4M)
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 20, 21], pa.int64()),
+        "o_totalprice": pa.array([2e6, 2e6, 2e6, 2e6, 2e6], pa.float64()),
+    }))
+    out = r.q_orders_big_spenders(str(tmp_path))
+    assert out["o_custkey"].tolist() == [1, 1, 1]
+    assert out["o_orderkey"].tolist() == [10, 11, 12]
+    assert (out["cust_total_cents"] == 600_000_000).all()
+    assert (out["price_cents"] == 200_000_000).all()
