@@ -127,6 +127,36 @@ def _q_docs_gram_dups(sf_dir: str):
     return gram_dups(_docs(sf_dir), n=8)
 
 
+def _q_docs_incremental_dedup(sf_dir: str):
+    """Incremental near-dedup of a new shard (doc_id % 5 == 0) against
+    the existing corpus (doc_id % 5 != 0): exact 3-gram Jaccard >= 0.5
+    via cross-side-filtered MinHash banding + distributed verify — see
+    stages/dedup.py::incremental_near_dups. The driver compares value
+    hashes, so the jaccard column is the SAME exact ratio DuckDB
+    computes (both sides do one float division of exact set sizes)."""
+    import numpy as np
+
+    from htmlparsersharp_ray.stages.dedup import incremental_near_dups
+
+    return incremental_near_dups(
+        _docs(sf_dir), is_new=lambda ids: (ids % 5) == 0,
+        jaccard_threshold=0.5, n=3,
+    )
+
+
+def _q_embeddings_kmeans(sf_dir: str):
+    """Distributed k-means (k=8, 8 Lloyd iterations) over the embedding
+    column — per-vector cluster assignments. Iterative ML op, not
+    SQL-expressible (no oracle_sql); the differential gate is
+    tests/test_stages.py: bitwise equality vs a single-node numpy
+    implementation of the same fixed-point algorithm at several
+    parallelism levels. See stages/clustering.py."""
+    from htmlparsersharp_ray.stages.clustering import kmeans
+
+    out, _cent = kmeans(_emb(sf_dir), k=8, iters=8)
+    return out
+
+
 def _q_embeddings_norms(sf_dir: str):
     """List-column processing: per-vector L2 norm + dimension over the
     list<float> embedding column — zero-copy Arrow flatten, one
@@ -604,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate_by_source": r.q_docs_dup_rate_by_source,
         "embeddings_norm_quantiles": r.q_embeddings_norm_quantiles,
         "docs_language_mixture": r.q_docs_language_mixture,
+        "customer_order_counts": r.q_customer_order_counts,
+        "orders_big_spenders": r.q_orders_big_spenders,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -655,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_normalize": _q_docs_normalize,
         "docs_gram_dups": _q_docs_gram_dups,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
@@ -1121,6 +1155,35 @@ def oracle_sql() -> dict[str, str]:
                        AS stickiness
             FROM d JOIN m ON substr(d.day, 1, 7) = m.month
             ORDER BY d.day
+        """,
+        "customer_order_counts": """
+            -- TPC-H Q13 shape: distribution of per-customer order
+            -- counts including zero-order customers (LEFT join +
+            -- double groupby; COUNT(o_custkey) is 0 for unmatched)
+            SELECT c_count, COUNT(*) AS n_custs FROM (
+                SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count ORDER BY c_count
+        """,
+        "orders_big_spenders": """
+            -- TPC-H Q18 shape: HAVING over a grouped exact-cents sum,
+            -- then join back to the qualifying customers' detail rows
+            WITH t AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS cust_total_cents
+                FROM orders GROUP BY o_custkey
+                HAVING SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       >= 480000000
+            )
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   t.cust_total_cents
+            FROM orders o JOIN t USING (o_custkey)
+            ORDER BY o_custkey, o_orderkey
         """,
         "orders_order_gap": """
             -- inter-arrival gaps per customer (>= 2 orders): exact
@@ -2090,6 +2153,50 @@ def oracle_sql() -> dict[str, str]:
                         '[ \t\n\r\f]+', ' ', 'g'), ' ') <> text
                         AS BIGINT) AS changed
             FROM documents ORDER BY doc_id
+        """,
+        "docs_incremental_dedup": """
+            -- incremental near-dedup: new-shard docs (doc_id % 5 = 0)
+            -- whose exact 3-gram Jaccard vs ANY existing-corpus doc is
+            -- >= 0.5; per new doc, the smallest matching corpus id and
+            -- that pair's jaccard. Engine path: cross-side-filtered
+            -- MinHash banding (same banding/threshold whose complete
+            -- recall on this corpus is verified for docs_minhash_pairs)
+            -- + distributed exact verify. Both sides compute jaccard as
+            -- ONE double division of exact integer set sizes.
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), p AS (
+              SELECT n.doc_id AS doc_id, e.doc_id AS dup_of,
+                     len(list_intersect(n.sh, e.sh))::DOUBLE
+                       / (len(n.sh) + len(e.sh)
+                          - len(list_intersect(n.sh, e.sh))) AS j
+              FROM s n JOIN s e
+                ON n.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+               AND len(n.sh) * 2 >= len(e.sh)
+               AND len(e.sh) * 2 >= len(n.sh)
+              WHERE len(n.sh) + len(e.sh) > 0
+                AND len(list_intersect(n.sh, e.sh))::DOUBLE
+                      / (len(n.sh) + len(e.sh)
+                         - len(list_intersect(n.sh, e.sh))) >= 0.5
+            )
+            SELECT doc_id, dup_of, j AS jaccard FROM (
+              SELECT doc_id, dup_of, j,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY dup_of) AS rn
+              FROM p
+            ) WHERE rn = 1 ORDER BY doc_id
         """,
         "docs_gram_dups": """
             -- distinct word-8-grams each doc shares with >=1 OTHER doc;

@@ -261,7 +261,7 @@ def _bloom_contains(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
 
 def minhash_lsh_pairs_ds(
     docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
-    prune: bool = True,
+    prune: bool = True, pair_filter=None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs with DISTRIBUTED exact-Jaccard
     verification — nothing ever materializes on the driver (VERDICT r1
@@ -297,7 +297,15 @@ def minhash_lsh_pairs_ds(
         return batch.append_column("bb", pa.array(bb))
 
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        out = group.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        if pair_filter is not None:
+            # vectorized (doc_a, doc_b) -> bool mask — prunes candidate
+            # pairs BEFORE the shingle semi-join and exact verify, so an
+            # incremental (cross-side-only) run never pays verification
+            # for within-side pairs
+            out = out[pair_filter(out["doc_a"].to_numpy(),
+                                  out["doc_b"].to_numpy())]
+        return out
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -441,6 +449,70 @@ def minhash_lsh_pairs(
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def incremental_near_dups(
+    docs: ray.data.Dataset, is_new, jaccard_threshold: float = 0.5,
+    n: int = 3,
+) -> pd.DataFrame:
+    """Incremental near-dedup: flag documents of a NEW shard that are
+    near-duplicates (exact ``n``-gram Jaccard ≥ threshold) of any doc
+    in the EXISTING corpus — the pass a crawl pipeline runs on every
+    incoming shard before admitting it. ``is_new`` is a vectorized
+    ``int64 doc_ids -> bool`` predicate defining the shard (a pure
+    id/metadata function, so it can run anywhere without data
+    movement). Returns one row per flagged new doc: ``(doc_id,
+    dup_of, jaccard)`` with ``dup_of`` = the smallest matching corpus
+    doc id and ``jaccard`` = that pair's similarity.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs_ds` (banding →
+    bounded-bucket groupbys → distributed exact verify) except the
+    candidate stream drops within-side pairs BEFORE the shingle
+    semi-join (``pair_filter``), so verification cost tracks the
+    cross-side candidate volume — at a steady-state dup rate that is
+    O(|new shard|), not O(|corpus|²). The per-new-doc min reduction
+    runs in the same bounded pair buckets; the driver sees only
+    flagged rows."""
+    is_new_v = is_new
+
+    def cross_only(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return is_new_v(a) != is_new_v(b)
+
+    pairs = minhash_lsh_pairs_ds(
+        docs, jaccard_threshold, n, prune=True, pair_filter=cross_only,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = batch.column("jaccard").to_numpy(zero_copy_only=False)
+        a_new = is_new_v(a)
+        new_id = np.where(a_new, a, b)
+        old_id = np.where(a_new, b, a)
+        return pa.table({
+            "nb": pa.array(_ibucket(new_id)),
+            "doc_id": pa.array(new_id),
+            "dup_of": pa.array(old_id),
+            "jaccard": pa.array(j),
+        })
+
+    def min_per_new(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["doc_id", "dup_of"])
+               .drop_duplicates("doc_id", keep="first"))
+        return out[["doc_id", "dup_of", "jaccard"]]
+
+    out = (
+        pairs.map_batches(orient, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(min_per_new, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_of": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return (out.astype({"doc_id": "int64", "dup_of": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 # --- SimHash ---------------------------------------------------------------

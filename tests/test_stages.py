@@ -1065,3 +1065,82 @@ def test_gram_dups_census(ray_session):
     assert list(out["doc_id"]) == [1, 2]
     assert list(out["n_shared_grams"]) == [1, 1]   # the shared (a..h)
     assert out.equals(gram_dups(ds, n=8, n_buckets=1))
+
+
+def test_incremental_near_dups(docs_ds):
+    """New shard = even doc_ids. Doc 0 (new) matches corpus docs 1 and
+    5 -> dup_of must be the SMALLEST corpus match (1) with jaccard 1.0;
+    doc 2 (new) near-matches corpus docs 1/5; within-side pairs (e.g.
+    corpus 1 vs corpus 5) and distinct docs are never flagged."""
+    from htmlparsersharp_ray.stages.dedup import incremental_near_dups
+
+    out = incremental_near_dups(
+        docs_ds, is_new=lambda ids: ids % 2 == 0, jaccard_threshold=0.5,
+    )
+    by_id = {int(r.doc_id): r for r in out.itertuples()}
+    assert set(by_id) <= {0, 2, 4}
+    assert 0 in by_id and by_id[0].dup_of == 1 and by_id[0].jaccard == 1.0
+    assert 2 in by_id and by_id[2].dup_of in (1, 5)
+    assert 4 not in by_id  # distinct doc
+    # all flagged rows are new-side, all dup_of are corpus-side
+    assert all(k % 2 == 0 for k in by_id)
+    assert all(int(r.dup_of) % 2 == 1 for r in out.itertuples())
+
+
+def test_incremental_near_dups_empty(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import incremental_near_dups
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 3], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "zeta eta theta iota"]),
+    }))
+    out = incremental_near_dups(ds, is_new=lambda ids: ids % 2 == 0)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "dup_of", "jaccard"]
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    """Distributed k-means == single-node numpy fixed-point reference,
+    BITWISE (assignments integer-equal, centroids float64-equal),
+    across different block layouts — the determinism argument is that
+    fixed-point partial sums make reduction order irrelevant."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import kmeans, kmeans_reference
+
+    rng = np.random.default_rng(11)
+    n, d, k = 400, 16, 5
+    centers = rng.normal(size=(k, d)) * 4
+    x = (centers[rng.integers(0, k, n)]
+         + rng.normal(size=(n, d))).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)  # ids not in storage order
+
+    ref_a, ref_c = kmeans_reference(ids, x, k=k, iters=6)
+    # reference returns assignments in row order of x; key them by id
+    ref_by_id = dict(zip(ids.tolist(), ref_a.tolist()))
+
+    for blocks in (1, 7):
+        tab = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([row.tolist() for row in x],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tab).repartition(blocks)
+        out, cent = kmeans(ds, k=k, iters=6)
+        got = dict(zip(out["vec_id"], out["cluster"]))
+        assert got == ref_by_id, f"assignments diverge at blocks={blocks}"
+        np.testing.assert_array_equal(cent, ref_c)
+
+
+def test_kmeans_fewer_points_than_k(ray_session):
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import kmeans
+
+    tab = pa.table({
+        "vec_id": pa.array([5, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())),
+    })
+    out, cent = kmeans(ray.data.from_arrow(tab), k=8, iters=3)
+    assert len(out) == 2 and cent.shape == (2, 2)
+    # each point sits exactly on a centroid -> distinct clusters
+    assert sorted(out["cluster"].tolist()) == [0, 1]
