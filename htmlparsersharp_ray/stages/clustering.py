@@ -1,0 +1,180 @@
+"""Distributed k-means (Lloyd) over an embedding column — the iterative
+ML primitive a training-data pipeline uses for corpus bucketing /
+curriculum binning / IVF list building. Reference n/a — engine-level op
+(the reference is a transform library, SURVEY.md §2.6).
+
+Bit-deterministic by construction, independent of batching and task
+order (the repo's determinism creed, CLAUDE.md):
+
+- Per-point sums accumulate in FIXED-POINT int64 (``round(x · 2^20)``),
+  so partial sums are exact integers and any reduction order yields the
+  same total — no float-summation order sensitivity. The driver merges
+  partials in Python ints (arbitrary precision), so 10^12-row clusters
+  cannot wrap (per-batch partials stay bounded int64).
+- Centroid update is ONE float64 division of exact integers
+  (``sum_fp / (count · 2^20)``) — identical on every host.
+- Assignment is ``argmin(-2·X·Cᵀ + |C|²)`` in float64 from the same
+  centroid bits; numpy argmin breaks ties toward the lowest cluster id.
+- Init = the vectors of the k smallest ids (found via per-batch
+  partial top-k, a bounded reduce — no driver scan).
+
+Scale shape: each iteration is one streaming pass (map_batches → tiny
+per-batch partials of k rows each); the driver holds k×d centroid
+state only. The quantization (2^-20 per coordinate) is the documented
+accuracy trade for order-free exactness — at unit-scale embeddings it
+is far below any meaningful cluster geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SCALE = float(1 << 20)
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(rows, d) float64 matrix from a list<float> column (one flatten,
+    no per-row Python)."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin squared distance; ties -> lowest cluster id (np.argmin)."""
+    scores = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
+    return np.argmin(scores, axis=1).astype(np.int64)
+
+
+def kmeans(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Lloyd's k-means; returns (assignments DataFrame sorted by id
+    with columns ``(id_col, cluster)``, final (k, d) float64 centroids).
+    Deterministic at any parallelism — see module docstring."""
+    # ---- init: vectors of the k smallest ids (bounded partial top-k)
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col).slice(0, 0)})
+        keep = np.argsort(ids, kind="stable")[:k]
+        t = batch.select([id_col, vec_col]).take(pa.array(np.sort(keep)))
+        return t
+
+    seeds = (
+        embeddings.map_batches(seed_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    cent = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in seeds[vec_col]])
+    if len(cent) == 0:
+        return (pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "cluster": pd.Series([], dtype="int64")}),
+                np.zeros((0, 0)))
+    k = len(cent)  # corpus smaller than k -> shrink
+    d = cent.shape[1]
+
+    # ---- Lloyd iterations: one streaming pass each
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        class Partials:
+            def __init__(self):
+                self.cent = ray.get(cent_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                x = _batch_matrix(batch, vec_col)
+                if x.shape[0] == 0:
+                    return pa.table({
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "sums": pa.array([], pa.large_binary()),
+                    })
+                a = _assign(x, self.cent)
+                x_fp = np.rint(x * _SCALE).astype(np.int64)
+                uniq = np.unique(a)
+                sums, ns = [], []
+                for c in uniq:
+                    m = a == c
+                    ns.append(int(m.sum()))
+                    sums.append(x_fp[m].sum(axis=0).tobytes())
+                return pa.table({
+                    "cluster": pa.array(uniq, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "sums": pa.array(sums, pa.large_binary()),
+                })
+
+        parts = embeddings.map_batches(
+            Partials, batch_format="pyarrow", concurrency=(1, 4),
+        ).to_pandas()
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        for c, grp in parts.groupby("cluster"):
+            # Python-int merge: exact at any cluster size (no int64 wrap)
+            tot = [0] * d
+            for blob in grp["sums"]:
+                v = np.frombuffer(blob, dtype=np.int64)
+                for j in range(d):
+                    tot[j] += int(v[j])
+            n = int(grp["n"].sum())
+            new_cent[int(c)] = np.array(
+                [t / (n * _SCALE) for t in tot], dtype=np.float64)
+        cent = new_cent
+
+    # ---- final assignment pass
+    cent_ref = ray.put(cent)
+
+    class AssignUDF:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _batch_matrix(batch, vec_col)
+            ids = batch.column(id_col)
+            if x.shape[0] == 0:
+                return pa.table({id_col: ids,
+                                 "cluster": pa.array([], pa.int64())})
+            return pa.table({id_col: ids,
+                             "cluster": pa.array(_assign(x, self.cent))})
+
+    out = embeddings.map_batches(
+        AssignUDF, batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    out = (out.astype({id_col: "int64", "cluster": "int64"})
+           .sort_values(id_col).reset_index(drop=True))
+    return out, cent
+
+
+def kmeans_reference(
+    ids: np.ndarray, x: np.ndarray, k: int = 8, iters: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-node numpy reference implementing the SAME fixed-point
+    algorithm — bitwise-identical to :func:`kmeans` at any parallelism
+    (differential gate in tests/test_stages.py)."""
+    order = np.argsort(ids, kind="stable")
+    cent = x[order[:k]].astype(np.float64)
+    k = len(cent)
+    x = x.astype(np.float64)
+    x_fp = np.rint(x * _SCALE).astype(np.int64)
+    for _ in range(iters):
+        a = _assign(x, cent)
+        new_cent = cent.copy()
+        for c in range(k):
+            m = a == c
+            n = int(m.sum())
+            if n:
+                tot = [int(v) for v in x_fp[m].sum(axis=0)]
+                new_cent[c] = np.array([t / (n * _SCALE) for t in tot])
+        cent = new_cent
+    return _assign(x, cent), cent
