@@ -220,6 +220,41 @@ def main() -> int:
         q_part_skyline,
     )
 
+    def synth_vecs(n=1_000_000, dim=32, d="/tmp/graft_sweep_vec"):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(17)
+            centers = rng.normal(size=(16, dim)) * 3
+            x = (centers[rng.integers(0, 16, n)]
+                 + rng.normal(size=(n, dim))).astype(np.float32)
+            pq.write_table(pa.table({
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.reshape(-1)), dim).cast(
+                        pa.list_(pa.float32())),
+            }), os.path.join(d, "embeddings.parquet"),
+                row_group_size=1 << 17)
+            open(marker, "w").write("ok")
+        return d
+
+    def kmeans_1m():
+        from htmlparsersharp_ray.stages.clustering import kmeans
+
+        out, _ = kmeans(ray.data.read_parquet(
+            os.path.join(synth_vecs(), "embeddings.parquet")),
+            k=16, iters=8)
+        return out
+
+    def incr_dedup_100k():
+        from htmlparsersharp_ray.stages.dedup import incremental_near_dups
+
+        return incremental_near_dups(
+            docs(pair_files), is_new=lambda ids: ids % 10 == 0,
+            jaccard_threshold=0.5)
+
+    run("kmeans_1m", kmeans_1m)
+    run("incr_dedup_100k", incr_dedup_100k)
     run("skyline_20m", lambda: q_part_skyline(synth_part_sky()))
     run("fuzzy_pairs_220k", lambda: q_part_fuzzy_pairs(synth_part_names()))
     run("mixture_sample_1m",
