@@ -505,6 +505,60 @@ def _q_docs_dup_clusters(sf_dir: str):
     return dup_clusters(nodes, edges[["doc_a", "doc_b"]], id_col="doc_id")
 
 
+def _q_docs_canonical(sf_dir: str):
+    """Canonical-document selection: for every text near-dup cluster
+    (docs_dup_clusters' connected components), keep ONE survivor — the
+    longest document, ties to the smallest doc_id (the keep-best step
+    that turns dup clustering into an actual dedup decision; Lee et
+    al.'s dedup pipelines keep one representative per cluster).
+
+    Engine composition, all distributed: CC labels → bucketed hash
+    join back to (doc_id, n_chars) → cluster-hash-bucketed argmax +
+    cluster size. Output: one row per cluster (cluster_rep, doc_id,
+    n_chars, n_docs)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+    from htmlparsersharp_ray.stages import hashing
+
+    labels = _q_docs_dup_clusters(sf_dir)  # (doc_id, cluster_rep)
+    meta = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    joined = hash_join(
+        ray.data.from_pandas(labels), meta, "doc_id", "doc_id",
+        how="inner", n_buckets=16,
+    )
+
+    def add_cb(b: pa.Table) -> pa.Table:
+        c = b.column("cluster_rep").to_numpy(zero_copy_only=False)
+        cb = (hashing.mix64(c.astype(np.uint64)) % np.uint64(16)).astype(np.int64)
+        return b.append_column("cb", pa.array(cb))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_rep", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        sizes = g.groupby("cluster_rep")["doc_id"].size()
+        out = g.drop_duplicates("cluster_rep", keep="first")
+        return pd.DataFrame({
+            "cluster_rep": out["cluster_rep"].to_numpy(),
+            "doc_id": out["doc_id"].to_numpy(),
+            "n_chars": out["n_chars"].to_numpy(),
+            "n_docs": sizes.reindex(out["cluster_rep"]).to_numpy(),
+        })
+
+    out = (
+        joined.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.astype({"cluster_rep": "int64", "doc_id": "int64",
+                        "n_chars": "int64", "n_docs": "int64"})
+            .sort_values("cluster_rep").reset_index(drop=True))
+
+
 def _q_dup_pairs_multi(sf_dir: str):
     """Multi-signal near-dup UNION: pairs flagged by the TEXT detector
     (3-gram Jaccard >= 0.4), the EMBEDDING detector (cosine >= 0.45 via
@@ -672,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_lsh_dups": _q_embeddings_lsh_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "docs_dup_clusters": _q_docs_dup_clusters,
+        "docs_canonical": _q_docs_canonical,
         "dup_pairs_multi": _q_dup_pairs_multi,
         # text analysis
         "docs_clean_corpus": _q_docs_clean_corpus,
@@ -2385,6 +2440,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(v) AS cluster_rep
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "docs_canonical": """
+            -- canonical survivor per text near-dup cluster: the
+            -- docs_dup_clusters closure, then keep the longest doc
+            -- (ties -> min doc_id) + cluster size
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 2
+               AND len(b.sh) * 5 >= len(a.sh) * 2
+              WHERE len(a.sh) + len(b.sh) > 0
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.4
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b AS u, doc_a AS v FROM p
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), labels AS (
+              SELECT u AS doc_id, min(v) AS cluster_rep
+              FROM reach GROUP BY u
+            ), ranked AS (
+              SELECT l.cluster_rep, d.doc_id, d.n_chars,
+                     COUNT(*) OVER (PARTITION BY l.cluster_rep) AS n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY l.cluster_rep
+                                        ORDER BY d.n_chars DESC,
+                                                 d.doc_id) AS rn
+              FROM labels l JOIN documents d USING (doc_id)
+            )
+            SELECT cluster_rep, doc_id, n_chars, n_docs
+            FROM ranked WHERE rn = 1 ORDER BY cluster_rep
         """,
         "embeddings_label_stats": """
             -- per (label, dim) min/max/count over the vectors; min/max

@@ -1144,3 +1144,32 @@ def test_kmeans_fewer_points_than_k(ray_session):
     assert len(out) == 2 and cent.shape == (2, 2)
     # each point sits exactly on a centroid -> distinct clusters
     assert sorted(out["cluster"].tolist()) == [0, 1]
+
+
+def test_docs_canonical_survivor_selection(ray_session, tmp_path):
+    """Per dup cluster: the LONGEST doc survives, ties break to the
+    smallest doc_id; singletons survive as themselves with n_docs=1."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    near_a = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa lambda mu")
+    near_b = near_a + " EXTRA TAIL WORDS HERE"     # longer near-dup
+    docs = [
+        (0, near_a),
+        (1, near_b),          # cluster {0,1}: 1 is longer -> survivor
+        (2, near_a),          # also joins the cluster (exact dup of 0)
+        (3, "a completely different document about ray data pipelines"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = entry._q_docs_canonical(str(tmp_path))
+    by_rep = {int(r.cluster_rep): r for r in out.itertuples()}
+    assert by_rep[0].doc_id == 1 and by_rep[0].n_docs == 3
+    assert by_rep[3].doc_id == 3 and by_rep[3].n_docs == 1
+    assert len(out) == 2
