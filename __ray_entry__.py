@@ -512,23 +512,29 @@ def _q_docs_canonical(sf_dir: str):
     that turns dup clustering into an actual dedup decision; Lee et
     al.'s dedup pipelines keep one representative per cluster).
 
-    Engine composition, all distributed: CC labels → bucketed hash
-    join back to (doc_id, n_chars) → cluster-hash-bucketed argmax +
-    cluster size. Output: one row per cluster (cluster_rep, doc_id,
-    n_chars, n_docs)."""
+    Engine composition, all distributed: CC labels (kept as a Dataset
+    in the object store — the driver never holds a row per doc) →
+    bucketed hash join back to (doc_id, n_chars) → cluster-hash-
+    bucketed argmax + cluster size. Output: one row per cluster
+    (cluster_rep, doc_id, n_chars, n_docs)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
-    import ray.data
     from htmlparsersharp_ray.pipelines.joins import hash_join
     from htmlparsersharp_ray.stages import hashing
+    from htmlparsersharp_ray.stages.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
 
-    labels = _q_docs_dup_clusters(sf_dir)  # (doc_id, cluster_rep)
+    edges = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.4)
+    nodes = _docs(sf_dir).select_columns(["doc_id"])
+    labels = dup_clusters(nodes, edges[["doc_a", "doc_b"]],
+                          id_col="doc_id", as_dataset=True)
     meta = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
     joined = hash_join(
-        ray.data.from_pandas(labels), meta, "doc_id", "doc_id",
-        how="inner", n_buckets=16,
+        labels, meta, "doc_id", "doc_id", how="inner", n_buckets=16,
     )
 
     def add_cb(b: pa.Table) -> pa.Table:

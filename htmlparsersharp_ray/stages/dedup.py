@@ -971,8 +971,8 @@ def embedding_cosine_dup_pairs_exact(
 
 def dup_clusters(
     nodes: ray.data.Dataset, edges, id_col: str = "doc_id",
-    max_iters: int = 50
-) -> pd.DataFrame:
+    max_iters: int = 50, as_dataset: bool = False,
+):
     """Connected components over near-dup pairs → cluster representative
     per node (min id in component) — the decision step that turns pair
     detection into keep-first dedup.
@@ -1002,6 +1002,12 @@ def dup_clusters(
     """
     if isinstance(edges, pd.DataFrame):
         if edges.empty:
+            if as_dataset:
+                def self_labels(batch: pa.Table) -> pa.Table:
+                    ids = batch.column(id_col).cast(pa.int64())
+                    return pa.table({id_col: ids, "cluster_rep": ids})
+
+                return nodes.map_batches(self_labels, batch_format="pyarrow")
             out = nodes.to_pandas()[[id_col]].astype({id_col: "int64"})
             out["cluster_rep"] = out[id_col]
             return out.sort_values(id_col).reset_index(drop=True)
@@ -1121,6 +1127,16 @@ def dup_clusters(
             .materialize()
         )
         prev_sum = labels.sum("label")
+
+    if as_dataset:
+        # downstream consumers (docs_canonical's join-back) keep the
+        # label table in the object store — the driver never holds a
+        # row per node
+        def rename_cols(batch: pa.Table) -> pa.Table:
+            return pa.table({id_col: batch.column("node"),
+                             "cluster_rep": batch.column("label")})
+
+        return labels.map_batches(rename_cols, batch_format="pyarrow")
 
     out = labels.to_pandas().rename(columns={"node": id_col,
                                              "label": "cluster_rep"})
