@@ -134,8 +134,6 @@ def _q_docs_incremental_dedup(sf_dir: str):
     stages/dedup.py::incremental_near_dups. The driver compares value
     hashes, so the jaccard column is the SAME exact ratio DuckDB
     computes (both sides do one float division of exact set sizes)."""
-    import numpy as np
-
     from htmlparsersharp_ray.stages.dedup import incremental_near_dups
 
     return incremental_near_dups(

@@ -3919,8 +3919,15 @@ def q_customer_order_counts(sf_dir: str):
     import numpy as np
 
     from ..stages import hashing
+    from .joins import auto_buckets
 
-    nb = 32
+    orders_ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey"])
+    cust_ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey"])
+    # orders-metadata sizing is an upper bound for the exchange (it
+    # carries per-batch DISTINCT-custkey partials, not raw orders)
+    nb = auto_buckets(orders_ds, cust_ds)
 
     def order_partials(b: pa.Table) -> pa.Table:
         k = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3949,12 +3956,8 @@ def q_customer_order_counts(sf_dir: str):
         return pd.DataFrame({"c_count": vc.index.astype("int64"),
                              "n_custs": vc.to_numpy().astype("int64")})
 
-    orders = ray.data.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_custkey"]
-    ).map_batches(order_partials, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        _t(sf_dir, "customer"), columns=["c_custkey"]
-    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = orders_ds.map_batches(order_partials, batch_format="pyarrow")
+    cust = cust_ds.map_batches(cust_rows, batch_format="pyarrow")
 
     parts = (
         orders.union(cust)
@@ -3981,9 +3984,14 @@ def q_orders_big_spenders(sf_dir: str):
     import numpy as np
 
     from ..stages import hashing
+    from .joins import auto_buckets
 
     thresh_cents = 480_000_000  # $4.8M lifetime spend
-    nb = 32
+    orders_ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    nb = auto_buckets(orders_ds)
 
     def add_kb(b: pa.Table) -> pa.Table:
         k = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4007,10 +4015,7 @@ def q_orders_big_spenders(sf_dir: str):
                     "cust_total_cents"]]
 
     out = (
-        ray.data.read_parquet(
-            _t(sf_dir, "orders"),
-            columns=["o_custkey", "o_orderkey", "o_totalprice"],
-        )
+        orders_ds
         .map_batches(add_kb, batch_format="pyarrow")
         .groupby("kb")
         .map_groups(bucket, batch_format="pandas")

@@ -71,12 +71,16 @@ def kmeans(
         t = batch.select([id_col, vec_col]).take(pa.array(np.sort(keep)))
         return t
 
-    seeds = (
-        embeddings.map_batches(seed_partial, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(id_col)
-        .head(k)
-    )
+    seeds = embeddings.map_batches(
+        seed_partial, batch_format="pyarrow").to_pandas()
+    # order by (id, vector BYTES): ids are normally unique, but if a
+    # caller feeds duplicate ids the content tie-break keeps seeding
+    # independent of block arrival order (a plain stable sort would
+    # still be order-dependent across parallelism levels)
+    seeds["_vb"] = [
+        np.asarray(v, dtype=np.float64).tobytes() for v in seeds[vec_col]]
+    seeds = (seeds.sort_values([id_col, "_vb"], kind="stable")
+             .drop_duplicates(id_col, keep="first").head(k))
     cent = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in seeds[vec_col]])
     if len(cent) == 0:
@@ -162,8 +166,18 @@ def kmeans_reference(
     """Single-node numpy reference implementing the SAME fixed-point
     algorithm — bitwise-identical to :func:`kmeans` at any parallelism
     (differential gate in tests/test_stages.py)."""
-    order = np.argsort(ids, kind="stable")
-    cent = x[order[:k]].astype(np.float64)
+    # same seeding rule as kmeans: k smallest DISTINCT ids, duplicate
+    # ids resolved by smallest float64 vector bytes (order-free)
+    order = sorted(range(len(ids)),
+                   key=lambda i: (ids[i], x[i].astype(np.float64).tobytes()))
+    seen, seed_rows = set(), []
+    for i in order:
+        if ids[i] not in seen:
+            seen.add(ids[i])
+            seed_rows.append(i)
+        if len(seed_rows) == k:
+            break
+    cent = x[seed_rows].astype(np.float64)
     k = len(cent)
     x = x.astype(np.float64)
     x_fp = np.rint(x * _SCALE).astype(np.int64)
