@@ -513,15 +513,11 @@ def _q_docs_canonical(sf_dir: str):
     Engine composition, all distributed: CC labels (kept as a Dataset
     in the object store — the driver never holds a row per doc) →
     bucketed hash join back to (doc_id, n_chars) → cluster-hash-
-    bucketed argmax + cluster size. Output: one row per cluster
-    (cluster_rep, doc_id, n_chars, n_docs)."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-
-    from htmlparsersharp_ray.pipelines.joins import hash_join
-    from htmlparsersharp_ray.stages import hashing
+    bucketed argmax + cluster size (stages/dedup.py::
+    cluster_survivors). Output: one row per cluster (cluster_rep,
+    doc_id, n_chars, n_docs)."""
     from htmlparsersharp_ray.stages.dedup import (
+        cluster_survivors,
         dup_clusters,
         ngram_jaccard_pairs,
     )
@@ -531,36 +527,7 @@ def _q_docs_canonical(sf_dir: str):
     labels = dup_clusters(nodes, edges[["doc_a", "doc_b"]],
                           id_col="doc_id", as_dataset=True)
     meta = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
-    joined = hash_join(
-        labels, meta, "doc_id", "doc_id", how="inner", n_buckets=16,
-    )
-
-    def add_cb(b: pa.Table) -> pa.Table:
-        c = b.column("cluster_rep").to_numpy(zero_copy_only=False)
-        cb = (hashing.mix64(c.astype(np.uint64)) % np.uint64(16)).astype(np.int64)
-        return b.append_column("cb", pa.array(cb))
-
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cluster_rep", "n_chars", "doc_id"],
-                          ascending=[True, False, True])
-        sizes = g.groupby("cluster_rep")["doc_id"].size()
-        out = g.drop_duplicates("cluster_rep", keep="first")
-        return pd.DataFrame({
-            "cluster_rep": out["cluster_rep"].to_numpy(),
-            "doc_id": out["doc_id"].to_numpy(),
-            "n_chars": out["n_chars"].to_numpy(),
-            "n_docs": sizes.reindex(out["cluster_rep"]).to_numpy(),
-        })
-
-    out = (
-        joined.map_batches(add_cb, batch_format="pyarrow")
-        .groupby("cb")
-        .map_groups(best, batch_format="pandas")
-        .to_pandas()
-    )
-    return (out.astype({"cluster_rep": "int64", "doc_id": "int64",
-                        "n_chars": "int64", "n_docs": "int64"})
-            .sort_values("cluster_rep").reset_index(drop=True))
+    return cluster_survivors(labels, meta)
 
 
 def _q_dup_pairs_multi(sf_dir: str):

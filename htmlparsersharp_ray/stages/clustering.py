@@ -67,9 +67,14 @@ def kmeans(
         if len(ids) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              vec_col: batch.column(vec_col).slice(0, 0)})
-        keep = np.argsort(ids, kind="stable")[:k]
-        t = batch.select([id_col, vec_col]).take(pa.array(np.sort(keep)))
-        return t
+        # keep ALL rows carrying the batch's k smallest DISTINCT ids —
+        # dropping same-id rows here could discard the row the driver's
+        # content tie-break would have picked, or starve a later
+        # distinct id out of the global top-k
+        uniq = np.unique(ids)  # sorted
+        cut = uniq[min(k, len(uniq)) - 1]
+        mask = ids <= cut
+        return batch.select([id_col, vec_col]).filter(pa.array(mask))
 
     seeds = embeddings.map_batches(
         seed_partial, batch_format="pyarrow").to_pandas()

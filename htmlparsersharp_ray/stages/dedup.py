@@ -1147,6 +1147,52 @@ def dup_clusters(
     )
 
 
+def cluster_survivors(
+    labels: ray.data.Dataset, meta: ray.data.Dataset,
+    id_col: str = "doc_id", size_col: str = "n_chars",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Canonical-survivor selection per dup cluster: join CC labels
+    (``(id_col, cluster_rep)``) back to per-doc metadata and keep the
+    LARGEST ``size_col`` per cluster, ties to the smallest id — the
+    keep-best decision that turns clustering into dedup. One bucketed
+    hash join (by id) + one cluster-hash-bucketed argmax; nothing
+    driver-resident but the survivors."""
+    from ..pipelines.joins import hash_join
+    from . import hashing
+
+    joined = hash_join(labels, meta, id_col, id_col, how="inner",
+                       n_buckets=n_buckets)
+
+    def add_cb(b: pa.Table) -> pa.Table:
+        c = b.column("cluster_rep").to_numpy(zero_copy_only=False)
+        cb = (hashing.mix64(c.astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("cb", pa.array(cb))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_rep", size_col, id_col],
+                          ascending=[True, False, True])
+        sizes = g.groupby("cluster_rep")[id_col].size()
+        out = g.drop_duplicates("cluster_rep", keep="first")
+        return pd.DataFrame({
+            "cluster_rep": out["cluster_rep"].to_numpy(),
+            id_col: out[id_col].to_numpy(),
+            size_col: out[size_col].to_numpy(),
+            "n_docs": sizes.reindex(out["cluster_rep"]).to_numpy(),
+        })
+
+    out = (
+        joined.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.astype({"cluster_rep": "int64", id_col: "int64",
+                        size_col: "int64", "n_docs": "int64"})
+            .sort_values("cluster_rep").reset_index(drop=True))
+
+
 def gram_dups(
     docs: ray.data.Dataset, n: int = 8, n_buckets: int = 64
 ) -> pd.DataFrame:

@@ -1173,3 +1173,32 @@ def test_docs_canonical_survivor_selection(ray_session, tmp_path):
     assert by_rep[0].doc_id == 1 and by_rep[0].n_docs == 3
     assert by_rep[3].doc_id == 3 and by_rep[3].n_docs == 1
     assert len(out) == 2
+
+
+def test_kmeans_duplicate_ids_deterministic(ray_session):
+    """Duplicate ids with DIFFERENT vectors: seeding resolves the tie
+    by vector bytes (order-free), so assignments match the reference
+    and are identical across block layouts."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import kmeans, kmeans_reference
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(60, 8)).astype(np.float32)
+    ids = np.arange(60, dtype=np.int64)
+    ids[1] = ids[0]  # duplicate id 0 with a different vector
+    ids[10] = ids[9]
+
+    ref_a, ref_c = kmeans_reference(ids, x, k=4, iters=4)
+
+    results = []
+    for blocks in (1, 5):
+        tab = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in x],
+                                  pa.list_(pa.float32())),
+        })
+        out, cent = kmeans(ray.data.from_arrow(tab).repartition(blocks),
+                           k=4, iters=4)
+        results.append((tuple(map(tuple, out.to_numpy())), cent.tobytes()))
+        np.testing.assert_array_equal(cent, ref_c)
+    assert results[0] == results[1]

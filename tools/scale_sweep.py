@@ -253,8 +253,74 @@ def main() -> int:
             docs(pair_files), is_new=lambda ids: ids % 10 == 0,
             jaccard_threshold=0.5)
 
+    def canonical_100k():
+        from htmlparsersharp_ray.stages.dedup import (
+            cluster_survivors,
+            dup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        import pyarrow.compute as pc
+
+        d = docs(pair_files)
+        edges = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+        labels = dup_clusters(d.select_columns(["doc_id"]),
+                              edges[["doc_a", "doc_b"]],
+                              id_col="doc_id", as_dataset=True)
+
+        def with_len(b: pa.Table) -> pa.Table:
+            # sweep corpus has no n_chars column; derive it
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+            })
+
+        meta = d.map_batches(with_len, batch_format="pyarrow")
+        return cluster_survivors(labels, meta, n_buckets=64)
+
+    def synth_media(n=100_000, d="/tmp/graft_sweep_media"):
+        # 32x32 REAL PPM images (vectorized pixel synthesis; the P6
+        # encode is one header + one tobytes per image) — ~315 MB of
+        # binary payload, the multimodal-column shape at scale
+        from htmlparsersharp_ray.stages.multimodal import encode_ppm
+
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(29)
+            grad = np.linspace(0, 255, 32, dtype=np.float32)
+            base = grad[None, :, None] * 0.5 + grad[:, None, None] * 0.5
+            shard = 10_000
+            for s in range(0, n, shard):
+                m = min(shard, n - s)
+                noise = rng.uniform(0, 64, size=(m, 32, 32, 3)).astype(np.float32)
+                imgs = np.clip(base[None] + noise, 0, 255).astype(np.uint8)
+                pq.write_table(pa.table({
+                    "media_id": np.arange(s, s + m, dtype=np.int64),
+                    "payload": pa.array([encode_ppm(im) for im in imgs],
+                                        pa.binary()),
+                }), os.path.join(d, f"media-{s:07d}.parquet"),
+                    row_group_size=1 << 12)
+            open(marker, "w").write("ok")
+        return d
+
+    def media_100k():
+        from htmlparsersharp_ray.stages.multimodal import MediaFeatureUDF
+
+        d = synth_media()
+        media_files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet")]
+        ds = ray.data.read_parquet(media_files)
+        out = ds.map_batches(
+            MediaFeatureUDF, fn_constructor_kwargs={"fake": False},
+            batch_format="pyarrow", batch_size=256, concurrency=(1, 27),
+        )
+        return out.count()  # consume distributed; never driver-collect
+
     run("kmeans_1m", kmeans_1m)
     run("incr_dedup_100k", incr_dedup_100k)
+    run("canonical_100k", canonical_100k)
+    run("media_features_100k", media_100k)
     run("skyline_20m", lambda: q_part_skyline(synth_part_sky()))
     run("fuzzy_pairs_220k", lambda: q_part_fuzzy_pairs(synth_part_names()))
     run("mixture_sample_1m",
