@@ -95,38 +95,34 @@ def kmeans(
     k = len(cent)  # corpus smaller than k -> shrink
     d = cent.shape[1]
 
-    # ---- Lloyd iterations: one streaming pass each
+    # ---- Lloyd iterations: one streaming pass each. The centroid
+    # matrix is k×d float64 (a few KB) — ship it inside a plain task
+    # function closure instead of spinning an actor pool per iteration
     for _ in range(iters):
-        cent_ref = ray.put(cent)
-
-        class Partials:
-            def __init__(self):
-                self.cent = ray.get(cent_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                x = _batch_matrix(batch, vec_col)
-                if x.shape[0] == 0:
-                    return pa.table({
-                        "cluster": pa.array([], pa.int64()),
-                        "n": pa.array([], pa.int64()),
-                        "sums": pa.array([], pa.large_binary()),
-                    })
-                a = _assign(x, self.cent)
-                x_fp = np.rint(x * _SCALE).astype(np.int64)
-                uniq = np.unique(a)
-                sums, ns = [], []
-                for c in uniq:
-                    m = a == c
-                    ns.append(int(m.sum()))
-                    sums.append(x_fp[m].sum(axis=0).tobytes())
+        def partial_fn(batch: pa.Table, _cent=cent) -> pa.Table:
+            x = _batch_matrix(batch, vec_col)
+            if x.shape[0] == 0:
                 return pa.table({
-                    "cluster": pa.array(uniq, pa.int64()),
-                    "n": pa.array(ns, pa.int64()),
-                    "sums": pa.array(sums, pa.large_binary()),
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.large_binary()),
                 })
+            a = _assign(x, _cent)
+            x_fp = np.rint(x * _SCALE).astype(np.int64)
+            uniq = np.unique(a)
+            sums, ns = [], []
+            for c in uniq:
+                m = a == c
+                ns.append(int(m.sum()))
+                sums.append(x_fp[m].sum(axis=0).tobytes())
+            return pa.table({
+                "cluster": pa.array(uniq, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "sums": pa.array(sums, pa.large_binary()),
+            })
 
         parts = embeddings.map_batches(
-            Partials, batch_format="pyarrow", concurrency=(1, 4),
+            partial_fn, batch_format="pyarrow",
         ).to_pandas()
         new_cent = cent.copy()  # empty clusters keep their centroid
         for c, grp in parts.groupby("cluster"):
@@ -141,25 +137,17 @@ def kmeans(
                 [t / (n * _SCALE) for t in tot], dtype=np.float64)
         cent = new_cent
 
-    # ---- final assignment pass
-    cent_ref = ray.put(cent)
-
-    class AssignUDF:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            x = _batch_matrix(batch, vec_col)
-            ids = batch.column(id_col)
-            if x.shape[0] == 0:
-                return pa.table({id_col: ids,
-                                 "cluster": pa.array([], pa.int64())})
+    # ---- final assignment pass (same small-closure shape)
+    def assign_fn(batch: pa.Table, _cent=cent) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        ids = batch.column(id_col)
+        if x.shape[0] == 0:
             return pa.table({id_col: ids,
-                             "cluster": pa.array(_assign(x, self.cent))})
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({id_col: ids,
+                         "cluster": pa.array(_assign(x, _cent))})
 
-    out = embeddings.map_batches(
-        AssignUDF, batch_format="pyarrow", concurrency=(1, 4),
-    ).to_pandas()
+    out = embeddings.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
     out = (out.astype({id_col: "int64", "cluster": "int64"})
            .sort_values(id_col).reset_index(drop=True))
     return out, cent
