@@ -184,13 +184,8 @@ def run_bench() -> dict:
     gram_dups(docs, n=8)
     queries["docs_gram_dups"] = round(time.time() - t0, 3)
 
-    import importlib.util as _ilu
+    import __ray_entry__ as entry_mod  # same directory; script path is on sys.path
 
-    spec = _ilu.spec_from_file_location(
-        "__ray_entry__", os.path.join(os.path.dirname(__file__),
-                                      "__ray_entry__.py"))
-    entry_mod = _ilu.module_from_spec(spec)
-    spec.loader.exec_module(entry_mod)
     t0 = time.time()
     entry_mod._q_docs_canonical(sf_dir)
     queries["docs_canonical"] = round(time.time() - t0, 3)

@@ -56,6 +56,7 @@ _SALT_STEP = np.uint64(0x9E3779B97F4A7C15)
 from ..stages.exchange import bucket_group_map  # noqa: F401  (re-export)
 from ..stages.exchange import deserialize_table as _deserialize
 from ..stages.exchange import serialize_table as _serialize
+from ..stages.exchange import split_sorted as _split_sorted
 
 
 def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -163,14 +164,10 @@ def _to_exchange_rows(side: int, key: str, n_buckets: int,
                 h = np.concatenate([h, np.tile(h[hot_mask], salt - 1)])
         buckets = ((h + variants * _SALT_STEP) % np.uint64(n_buckets)).astype(np.int64)
         order = np.argsort(buckets, kind="stable")
-        sorted_tab = batch.take(pa.array(idx[order]))
-        sorted_buckets = buckets[order]
-        uniq, starts = np.unique(sorted_buckets, return_index=True)
-        ends = np.append(starts[1:], len(sorted_buckets))
-        out_bucket, out_blob = [], []
-        for b, lo, hi in zip(uniq, starts, ends):
-            out_bucket.append(int(b))
-            out_blob.append(_serialize(sorted_tab.slice(lo, hi - lo)))
+        uniq, blobs = _split_sorted(batch.take(pa.array(idx[order])),
+                                    buckets[order])
+        out_bucket = [int(b) for b in uniq]
+        out_blob = list(blobs)
         if null_blob is not None:
             out_bucket.append(null_bucket)
             out_blob.append(null_blob)

@@ -148,8 +148,13 @@ def kmeans(
                          "cluster": pa.array(_assign(x, _cent))})
 
     out = embeddings.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
+    # sort includes cluster so duplicate-id rows (different vectors →
+    # possibly different clusters) come back in a content-determined
+    # order, not block-arrival order; equal (id, cluster) rows are
+    # interchangeable
     out = (out.astype({id_col: "int64", "cluster": "int64"})
-           .sort_values(id_col).reset_index(drop=True))
+           .sort_values([id_col, "cluster"], kind="stable")
+           .reset_index(drop=True))
     return out, cent
 
 

@@ -39,6 +39,17 @@ def deserialize_table(blob: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(blob)).read_all()
 
 
+def split_sorted(table: pa.Table, sorted_buckets: np.ndarray):
+    """(bucket ids, IPC blobs) for a table whose rows are already
+    sorted by ``sorted_buckets`` — the shared tail of every blob-pack
+    path (here and joins.py::_to_exchange_rows)."""
+    uniq, starts = np.unique(sorted_buckets, return_index=True)
+    ends = np.append(starts[1:], len(sorted_buckets))
+    blobs = [serialize_table(table.slice(lo, hi - lo))
+             for lo, hi in zip(starts, ends)]
+    return uniq, blobs
+
+
 def bucket_group_map(ds: ray.data.Dataset, bucket_of, fn):
     """Bucketed ``groupby().map_groups`` with an Arrow-IPC BLOB
     exchange: the scale replacement for feeding millions of raw rows
@@ -60,16 +71,11 @@ def bucket_group_map(ds: ray.data.Dataset, bucket_of, fn):
                              "blob": pa.array([], pa.large_binary())})
         buckets = np.asarray(bucket_of(batch), dtype=np.int64)
         order = np.argsort(buckets, kind="stable")
-        sorted_tab = batch.take(pa.array(order))
-        sb = buckets[order]
-        uniq, starts = np.unique(sb, return_index=True)
-        ends = np.append(starts[1:], len(sb))
+        uniq, blobs = split_sorted(batch.take(pa.array(order)),
+                                   buckets[order])
         return pa.table({
-            "bucket": pa.array([int(b) for b in uniq], pa.int64()),
-            "blob": pa.array(
-                [serialize_table(sorted_tab.slice(lo, hi - lo))
-                 for lo, hi in zip(starts, ends)],
-                pa.large_binary()),
+            "bucket": pa.array(uniq.astype(np.int64)),
+            "blob": pa.array(blobs, pa.large_binary()),
         })
 
     def unpack(group: pd.DataFrame) -> pd.DataFrame:

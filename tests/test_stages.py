@@ -1202,3 +1202,29 @@ def test_kmeans_duplicate_ids_deterministic(ray_session):
         results.append((tuple(map(tuple, out.to_numpy())), cent.tobytes()))
         np.testing.assert_array_equal(cent, ref_c)
     assert results[0] == results[1]
+
+
+def test_incremental_matches_postfiltered_full_mining(docs_ds):
+    """pair_filter only PRUNES: the incremental result equals taking
+    the FULL pair mining, keeping cross-side pairs, and reducing to
+    the min corpus partner per new doc."""
+    from htmlparsersharp_ray.stages.dedup import (
+        incremental_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    full = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5)
+    want = {}
+    for a, b, j in zip(full["doc_a"], full["doc_b"], full["jaccard"]):
+        a, b = int(a), int(b)
+        if (a % 2 == 0) == (b % 2 == 0):
+            continue  # within-side
+        new_id, old_id = (a, b) if a % 2 == 0 else (b, a)
+        if new_id not in want or old_id < want[new_id][0]:
+            want[new_id] = (old_id, float(j))
+
+    got = incremental_near_dups(
+        docs_ds, is_new=lambda ids: ids % 2 == 0, jaccard_threshold=0.5)
+    got_map = {int(r.doc_id): (int(r.dup_of), float(r.jaccard))
+               for r in got.itertuples()}
+    assert got_map == want and len(want) > 0

@@ -311,9 +311,11 @@ def main() -> int:
         media_files = [os.path.join(d, f) for f in sorted(os.listdir(d))
                        if f.endswith(".parquet")]
         ds = ray.data.read_parquet(media_files)
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         out = ds.map_batches(
             MediaFeatureUDF, fn_constructor_kwargs={"fake": False},
-            batch_format="pyarrow", batch_size=256, concurrency=(1, 27),
+            batch_format="pyarrow", batch_size=256,
+            concurrency=(1, ncpu - max(1, ncpu // 6)),  # leave CPUs for IO
         )
         return out.count()  # consume distributed; never driver-collect
 
