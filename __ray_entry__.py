@@ -95,6 +95,21 @@ def _q_docs_ngram_jaccard(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard_pct"]]
 
 
+def _q_docs_jaccard_prefix(sf_dir: str):
+    """Exact Jaccard >= 0.4 pairs via symmetric PREFIX FILTERING
+    (AllPairs/PPJoin) instead of MinHash banding — deterministic zero-miss
+    candidate generation ordered by global token document frequency; the
+    oracle is the same exact-Jaccard SQL as docs_ngram_jaccard, and a
+    pytest gates prefix-vs-bruteforce pair equality on planted near-dups
+    (tests/test_stages.py::test_jaccard_prefix_*)."""
+    from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
+
+    out = jaccard_prefix_pairs(_docs(sf_dir), jaccard_threshold=0.4)
+    out = out.copy()
+    out["jaccard_pct"] = (out["jaccard"] * 100).astype("int64")
+    return out[["doc_a", "doc_b", "jaccard_pct"]]
+
+
 def _q_docs_normalize(sf_dir: str):
     """Text normalization: lowercase, collapse ASCII whitespace runs to
     a single space, trim — three pandas .str C passes per batch, no
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_jaccard_prefix": _q_docs_jaccard_prefix,
         "embeddings_norms": _q_embeddings_norms,
         "embeddings_label_stats": _q_embeddings_label_stats,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
@@ -735,7 +751,7 @@ def oracle_sql() -> dict[str, str]:
     # they contain no single quotes, so direct SQL-literal interpolation
     # is safe, and DuckDB string literals pass backslashes through to RE2
     _redact_p1, _redact_p2 = REDACT_PATTERNS
-    return {
+    sql = {
         "lineitem_agg": """
             -- TPC-H semantics: money/quantity columns are DECIMAL(x,2).
             -- Casting before summing makes the aggregate exact (hugeint
@@ -2506,3 +2522,8 @@ def oracle_sql() -> dict[str, str]:
         # round-trip tests, and extract_turns has 334 conformance
         # fixtures + determinism/ordering pytest invariants.
     }
+    # docs_jaccard_prefix computes the SAME exact 3-gram Jaccard >= 0.4
+    # pair set as docs_ngram_jaccard, just via prefix-filter candidate
+    # generation instead of MinHash banding — one shared oracle.
+    sql["docs_jaccard_prefix"] = sql["docs_ngram_jaccard"]
+    return sql

@@ -259,21 +259,41 @@ def _bloom_contains(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return mask
 
 
-def minhash_lsh_pairs_ds(
-    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
-    prune: bool = True, pair_filter=None,
-) -> ray.data.Dataset:
-    """MinHash+LSH near-duplicate pairs with DISTRIBUTED exact-Jaccard
-    verification — nothing ever materializes on the driver (VERDICT r1
-    item 2; round 1 collected candidates driver-side and streamed the
-    whole corpus through a driver loop).
+def _dedup_candidates(raw: ray.data.Dataset, pair_filter=None) -> ray.data.Dataset:
+    """Dedup raw ``(doc_a, doc_b)`` candidate rows across their generating
+    sources (LSH bands / prefix tokens): ONE bounded groupby on a pair-hash
+    bucket, ``drop_duplicates`` vectorized inside the bucket. The optional
+    ``pair_filter`` (vectorized ``(a, b) -> bool mask``) prunes candidates
+    BEFORE the shingle semi-join and exact verify, so e.g. an incremental
+    (cross-side-only) run never pays verification for within-side pairs."""
 
-    Stages (all Dataset ops; every shuffle is a groupby on a BOUNDED
-    bucket key — never on a high-cardinality key, because Ray map_groups
-    costs ~1 ms per group — with vectorized pandas joins inside buckets):
-      1. doc → 16 (band, band_hash) rows; coarse-bucket groupby → candidate
-         pairs (exact-hash grouping vectorized inside the bucket)
-      2. pair dedup across bands: groupby pair-hash bucket, drop_duplicates
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("pb", pa.array(_pair_bucket(a, b)))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        if pair_filter is not None:
+            out = out[pair_filter(out["doc_a"].to_numpy(),
+                                  out["doc_b"].to_numpy())]
+        return out
+
+    return (
+        raw.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+def _verify_pairs_exact(
+    cand: ray.data.Dataset, docs: ray.data.Dataset, n: int,
+    jaccard_threshold: float, prune: bool = True,
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification of a deduped candidate-pair
+    Dataset against the corpus — the shared back half of every pair-mining
+    path (MinHash bands, prefix filtering, incremental dedup):
+
       3. semi-join shingle sets back by doc_id: candidates explode to one
          request row per side; docs map to (doc_id, shingle-hash set);
          union → groupby doc_id-bucket → vectorized pandas merge
@@ -287,40 +307,6 @@ def minhash_lsh_pairs_ds(
     ``prune=False`` skips the candidate materialization and reshuffles
     every doc's shingle-hash set (same order of bytes as the text read).
     """
-    sig_ds = docs.map_batches(
-        MinHashUDF, fn_constructor_args=(n,),
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
-    )
-
-    def add_coarse_bucket(batch: pa.Table) -> pa.Table:
-        bb = _ibucket(batch.column("band_hash").to_numpy(zero_copy_only=False))
-        return batch.append_column("bb", pa.array(bb))
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-        if pair_filter is not None:
-            # vectorized (doc_a, doc_b) -> bool mask — prunes candidate
-            # pairs BEFORE the shingle semi-join and exact verify, so an
-            # incremental (cross-side-only) run never pays verification
-            # for within-side pairs
-            out = out[pair_filter(out["doc_a"].to_numpy(),
-                                  out["doc_b"].to_numpy())]
-        return out
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("pb", pa.array(_pair_bucket(a, b)))
-
-    cand = (
-        sig_ds.map_batches(add_coarse_bucket, batch_format="pyarrow")
-        .groupby("bb")
-        .map_groups(_bucket_pairs_coarse, batch_format="pandas")
-        .map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup_pairs, batch_format="pandas")
-    )
-
     bloom_ref = None
     if prune:
         import ray as _ray
@@ -433,13 +419,55 @@ def minhash_lsh_pairs_ds(
     )
 
 
+def minhash_lsh_pairs_ds(
+    docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
+    prune: bool = True, pair_filter=None,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate pairs with DISTRIBUTED exact-Jaccard
+    verification — nothing ever materializes on the driver (VERDICT r1
+    item 2; round 1 collected candidates driver-side and streamed the
+    whole corpus through a driver loop).
+
+    Stages (all Dataset ops; every shuffle is a groupby on a BOUNDED
+    bucket key — never on a high-cardinality key, because Ray map_groups
+    costs ~1 ms per group — with vectorized pandas joins inside buckets):
+      1. doc → 16 (band, band_hash) rows; coarse-bucket groupby → candidate
+         pairs (exact-hash grouping vectorized inside the bucket)
+      2. pair dedup across bands: :func:`_dedup_candidates`
+      3-4. exact verification + Bloom prune: :func:`_verify_pairs_exact`
+    """
+    sig_ds = docs.map_batches(
+        MinHashUDF, fn_constructor_args=(n,),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
+    )
+
+    def add_coarse_bucket(batch: pa.Table) -> pa.Table:
+        bb = _ibucket(batch.column("band_hash").to_numpy(zero_copy_only=False))
+        return batch.append_column("bb", pa.array(bb))
+
+    raw = (
+        sig_ds.map_batches(add_coarse_bucket, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(_bucket_pairs_coarse, batch_format="pandas")
+    )
+    cand = _dedup_candidates(raw, pair_filter)
+    return _verify_pairs_exact(cand, docs, n, jaccard_threshold, prune)
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset, jaccard_threshold: float = 0.8, n: int = 3,
     prune: bool = True,
 ) -> pd.DataFrame:
     """Small-result wrapper over :func:`minhash_lsh_pairs_ds` — the only
     driver-side collection is the final verified pair set."""
-    out = minhash_lsh_pairs_ds(docs, jaccard_threshold, n, prune).to_pandas()
+    return _pairs_to_pandas(
+        minhash_lsh_pairs_ds(docs, jaccard_threshold, n, prune))
+
+
+def _pairs_to_pandas(pairs: ray.data.Dataset) -> pd.DataFrame:
+    """Collect a (doc_a, doc_b, jaccard) pair Dataset into a sorted,
+    dtype-stable DataFrame (the only driver-side materialization)."""
+    out = pairs.to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
@@ -449,6 +477,118 @@ def minhash_lsh_pairs(
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def jaccard_prefix_pairs_ds(
+    docs: ray.data.Dataset, jaccard_threshold: float = 0.4, n: int = 3,
+    prune: bool = True, pair_filter=None,
+) -> ray.data.Dataset:
+    """EXACT Jaccard ≥ t pair mining via symmetric prefix filtering
+    (AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08, both public) — the deterministic complement to the
+    probabilistic MinHash path: ZERO missed pairs by construction, same
+    output schema ``(doc_a, doc_b, jaccard)``.
+
+    Correctness (symmetric prefix theorem): fix a global total order on
+    shingle hashes. If J(A, B) ≥ t, then c = |A∩B| ≥ ceil(t·|A|) and
+    ≥ ceil(t·|B|); the FIRST common token w is followed (within each
+    set) by the remaining c-1 common tokens, so w's rank in A is
+    ≤ |A| - c + 1 ≤ |A| - ceil(t·|A|) + 1 — i.e. w lies in BOTH docs'
+    prefixes of length |x| - ceil(t·|x|) + 1. Grouping docs by prefix
+    tokens therefore finds every qualifying pair; the exact verify
+    (shared with the MinHash path) discards the rest.
+
+    The global order is (document frequency ASC, hash): rare tokens
+    first, so prefix-token groups stay small (a token in d prefixes
+    contributes C(d,2) candidates). Stages — every shuffle a bounded
+    bucket groupby, nothing driver-resident:
+      1. doc → distinct shingle-hash rows ``(token, doc_id, set size)``
+      2. groupby token-bucket: df per token computed AND attached inside
+         one group pass (the group holds all rows of its tokens)
+      3. groupby doc-bucket: per-doc sort by (df, token), keep prefix
+      4. groupby token-bucket: pairs within exact-token groups, size
+         filter min ≥ t·max (J ≤ min/max always)
+      5. :func:`_dedup_candidates` + :func:`_verify_pairs_exact`
+
+    Float guards err toward MORE candidates, never fewer: prefix length
+    uses ceil(t·s − 1e-9); the size filter keeps min + 1e-9 ≥ t·max.
+    False keeps are discarded by the exact verify; a false drop would be
+    a missed pair.
+    """
+    t = float(jaccard_threshold)
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sets = _shingle_hash_sets(batch.column("text").to_pylist(), n)
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+        tok = np.concatenate(sets) if sets else np.empty(0, np.int64)
+        tok = tok.astype(np.int64)
+        return pa.table({
+            "tb": pa.array(_ibucket(tok)),
+            "token": pa.array(tok),
+            "doc_id": pa.array(np.repeat(ids, sizes)),
+            "s": pa.array(np.repeat(sizes, sizes)),
+        })
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        # rows are one-per-(doc, token), so a token's document frequency
+        # is simply its row count in this group — no second exchange
+        out = group[["token", "doc_id", "s"]].copy()
+        out["df"] = group.groupby("token")["token"].transform("size").astype("int64")
+        out["db"] = _ibucket(out["doc_id"].to_numpy())
+        return out
+
+    def prefixes(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        s = g["s"].to_numpy()
+        p = s - np.ceil(t * s - 1e-9).astype(np.int64) + 1
+        out = g.loc[rank < p, ["token", "doc_id", "s"]].copy()
+        out["tb"] = _ibucket(out["token"].to_numpy())
+        return out
+
+    def token_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        g = group[group.duplicated("token", keep=False)]
+        if g.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, sub in g.groupby("token", sort=False):
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sz = sub["s"].to_numpy().astype(np.float64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ok = np.minimum(sz[ii], sz[jj]) + 1e-9 >= t * np.maximum(sz[ii], sz[jj])
+            out_a.append(ids[ii][ok])
+            out_b.append(ids[jj][ok])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+        })
+
+    raw = (
+        docs.map_batches(token_rows, batch_format="pyarrow", batch_size=512)
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(prefixes, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(token_pairs, batch_format="pandas")
+    )
+    cand = _dedup_candidates(raw, pair_filter)
+    return _verify_pairs_exact(cand, docs, n, jaccard_threshold, prune)
+
+
+def jaccard_prefix_pairs(
+    docs: ray.data.Dataset, jaccard_threshold: float = 0.4, n: int = 3,
+    prune: bool = True,
+) -> pd.DataFrame:
+    """Small-result wrapper over :func:`jaccard_prefix_pairs_ds`."""
+    return _pairs_to_pandas(
+        jaccard_prefix_pairs_ds(docs, jaccard_threshold, n, prune))
 
 
 def incremental_near_dups(

@@ -1228,3 +1228,124 @@ def test_incremental_matches_postfiltered_full_mining(docs_ds):
     got_map = {int(r.doc_id): (int(r.dup_of), float(r.jaccard))
                for r in got.itertuples()}
     assert got_map == want and len(want) > 0
+
+
+def _bruteforce_jaccard_pairs(texts, ids, threshold, n=3):
+    """Independent all-pairs exact Jaccard via an inverted token index —
+    the reference the prefix-filter path must match EXACTLY (it is
+    deterministic zero-miss by the prefix theorem, unlike LSH banding)."""
+    from htmlparsersharp_ray.stages.dedup import _shingle_hash_sets
+
+    sets = _shingle_hash_sets(list(texts), n)
+    sizes = [s.size for s in sets]
+    postings = {}
+    for i, s in enumerate(sets):
+        for tok in s.tolist():
+            postings.setdefault(tok, []).append(i)
+    inter = {}
+    for docs in postings.values():
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                key = (docs[x], docs[y])
+                inter[key] = inter.get(key, 0) + 1
+    out = {}
+    for (i, j), c in inter.items():
+        jac = c / (sizes[i] + sizes[j] - c)
+        if jac >= threshold:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            out[(a, b)] = jac
+    return out
+
+
+def test_jaccard_prefix_equals_bruteforce_planted(ray_session):
+    """Prefix filtering (AllPairs/PPJoin) is EXACT: on a corpus with
+    planted near-dups, rewrites, and unrelated docs, the mined pair set
+    and jaccard values equal an independent brute-force all-pairs pass."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{k}" for k in range(300)]
+    texts, ids = [], []
+    did = 0
+    for c in range(12):
+        base = " ".join(rng.choice(vocab, size=40).tolist())
+        texts.append(base); ids.append(did); did += 1
+        words = base.split()
+        # near dup: swap 3 words
+        w = words.copy()
+        for pos in rng.choice(len(w), size=3, replace=False):
+            w[pos] = str(rng.choice(vocab))
+        texts.append(" ".join(w)); ids.append(did); did += 1
+        # heavier rewrite: swap 15 words (usually below 0.4)
+        w = words.copy()
+        for pos in rng.choice(len(w), size=15, replace=False):
+            w[pos] = str(rng.choice(vocab))
+        texts.append(" ".join(w)); ids.append(did); did += 1
+    for _ in range(20):  # unrelated docs
+        texts.append(" ".join(rng.choice(vocab, size=30).tolist()))
+        ids.append(did); did += 1
+    texts.append("")  # empty doc must not break token_rows
+    ids.append(did)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(6)
+
+    want = _bruteforce_jaccard_pairs(texts, ids, 0.4)
+    got = jaccard_prefix_pairs(ds, jaccard_threshold=0.4)
+    got_map = {(int(a), int(b)): float(j) for a, b, j in
+               zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert set(got_map) == set(want)
+    for k in want:
+        assert got_map[k] == pytest.approx(want[k], abs=1e-12)
+    assert len(want) >= 12  # every light near-dup pair qualifies
+
+
+def test_jaccard_prefix_equals_bruteforce_sf001(ray_session):
+    """Driver-scale differential: prefix path == brute force on the
+    sf0.01 documents table at the graded threshold (0.4)."""
+    import os
+
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    tbl = docs.to_pandas()
+    want = _bruteforce_jaccard_pairs(tbl["text"], tbl["doc_id"], 0.4)
+    got = jaccard_prefix_pairs(docs, jaccard_threshold=0.4)
+    got_map = {(int(a), int(b)): float(j) for a, b, j in
+               zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert set(got_map) == set(want) and len(want) > 0
+
+
+def test_jaccard_prefix_prune_and_filter(docs_ds):
+    """prune=False must not change results; pair_filter prunes pairs
+    BEFORE verification (same contract as the MinHash path); the _ds
+    path never materializes on the driver."""
+    import inspect
+
+    import ray.data
+    from htmlparsersharp_ray.stages import dedup
+
+    a = dedup.jaccard_prefix_pairs(docs_ds, jaccard_threshold=0.4, prune=True)
+    b = dedup.jaccard_prefix_pairs(docs_ds, jaccard_threshold=0.4, prune=False)
+    pd.testing.assert_frame_equal(a, b)
+    assert (0, 1) in set(zip(a["doc_a"], a["doc_b"]))
+
+    only_even = dedup.jaccard_prefix_pairs_ds(
+        docs_ds, jaccard_threshold=0.4,
+        pair_filter=lambda x, y: (x % 2 == 0) & (y % 2 == 0)).to_pandas()
+    got = set(zip(only_even["doc_a"], only_even["doc_b"]))
+    want = {(x, y) for x, y in zip(a["doc_a"], a["doc_b"])
+            if x % 2 == 0 and y % 2 == 0}
+    assert got == want
+
+    src = inspect.getsource(dedup.jaccard_prefix_pairs_ds)
+    for banned in ("to_pandas", "iter_batches", "take_all", "iter_rows"):
+        assert banned not in src
+    assert isinstance(dedup.jaccard_prefix_pairs_ds(docs_ds), ray.data.Dataset)
