@@ -128,6 +128,44 @@ def main() -> int:
 
     run("gram_dups_slice", lambda: gram_dups(docs(pair_files), n=8))
 
+    def synth_docs_prefix(n=100_000, d="/tmp/graft_sweep_prefix"):
+        # mostly-DISTINCT corpus (50k vocab, 40-word docs → cross-doc
+        # token collisions rare) with a 3-word-substitution twin for
+        # every 10th doc: the intended regime for the zero-miss prefix
+        # join. (The dup-heavy sweep corpus is MinHash's regime — prefix
+        # raw candidates grow with family_size² × prefix_length, while
+        # banding emits a bounded 16 rows/doc regardless of dup rate.)
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = _np.random.default_rng(41)
+            base = rng.integers(0, 50_000, (n, 40))
+            twins = base[::10].copy()
+            for pos in range(3):  # deterministic twin edit positions
+                twins[:, 7 + 11 * pos] = rng.integers(0, 50_000, len(twins))
+            words = _np.char.add("w", _np.concatenate([base, twins]).astype(str))
+            texts = [" ".join(row) for row in words]
+            _pq.write_table(_pa.table({
+                "doc_id": _np.arange(len(texts), dtype=_np.int64),
+                "text": _pa.array(texts),
+            }), os.path.join(d, "documents.parquet"), row_group_size=1 << 15)
+            open(marker, "w").write("ok")
+        return d
+
+    def jaccard_prefix_110k():
+        from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
+
+        return jaccard_prefix_pairs(
+            ray.data.read_parquet(
+                os.path.join(synth_docs_prefix(), "documents.parquet")),
+            jaccard_threshold=0.4)
+
+    run("jaccard_prefix_110k", jaccard_prefix_110k)
+
     # ---- new-operator scale probes (synth sf_dir-shaped inputs,
     # cached under /tmp by _COMPLETE markers) -------------------------
     import numpy as np
