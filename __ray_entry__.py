@@ -663,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": r.q_docs_source_cap,
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "part_skyline": r.q_part_skyline,
+        "part_pagerank": r.q_part_pagerank,
+        "part_triangles": r.q_part_triangles,
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
@@ -2526,4 +2528,60 @@ def oracle_sql() -> dict[str, str]:
     # pair set as docs_ngram_jaccard, just via prefix-filter candidate
     # generation instead of MinHash banding — one shared oracle.
     sql["docs_jaccard_prefix"] = sql["docs_ngram_jaccard"]
+    # part_pagerank: 5 power iterations unrolled as chained CTEs with the
+    # SAME integer expressions the engine computes (fixed-point 1e6 scale,
+    # per-edge floor division by out-degree, damping = one integer
+    # multiply + floor-divide after the full incoming sum) — integer
+    # arithmetic is order-independent, so Ray and DuckDB agree bitwise.
+    pr_iters = [
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"]
+    for k in range(1, 6):
+        pr_iters.append(f"""r{k} AS (
+            SELECT n.node,
+                   CAST((1000000 * 15) // 100
+                        + (85 * COALESCE(SUM(p.r // deg.d), 0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN r{k - 1} p ON p.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY n.node)""")
+    pr_chain = ",\n        ".join(pr_iters)
+    sql["part_pagerank"] = f"""
+        -- integer-exact PageRank over the part co-purchase graph
+        -- (distinct directed pairs of parts sharing an order); dangling
+        -- mass leaks (simple variant), teleport floor = 150000
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        {pr_chain}
+        SELECT node, r AS pagerank_scaled FROM r5 ORDER BY node
+    """
+    sql["part_triangles"] = """
+        -- per-node triangle counts over the part co-purchase graph:
+        -- undirected edges as a<b pairs, each triangle enumerated once
+        -- via the a<b<c three-way self-join, then each corner counted.
+        -- (Engine uses degree-ordered wedges + a pair-bucket semi-join;
+        -- counts are exact integers so both sides agree bitwise.)
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        SELECT node, COUNT(*) AS triangles
+        FROM corners GROUP BY node ORDER BY node
+    """
     return sql

@@ -4027,3 +4027,52 @@ def q_orders_big_spenders(sf_dir: str):
         .sort_values(["o_custkey", "o_orderkey"])
         .reset_index(drop=True)
     )
+
+
+def q_part_pagerank(sf_dir: str):
+    """DISTRIBUTED ITERATIVE GRAPH ANALYTICS #2 (power-iteration family,
+    complementing the min-label-propagation connected components): PageRank
+    over the part co-purchase graph — parts are linked when they appear in
+    the same order, the standard fact-table-to-graph construction.
+
+    Integer-exact (fixed-point 1e6 scale, per-edge floor division by
+    out-degree, damping as one integer multiply + floor-divide per node
+    per iteration), so the 5-iteration result is BITWISE identical at any
+    parallelism AND reproducible by the oracle's unrolled chained CTEs
+    with the same integer expressions. See
+    :mod:`htmlparsersharp_ray.stages.graph` for the scale shape (one
+    reused degree-decorated edge exchange + two bounded bucket groupbys
+    per iteration — a Pregel superstep)."""
+    from ..stages.graph import group_cooccurrence_edges, pagerank
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = pagerank(edges, iters=5).to_pandas()
+    out = out.rename(columns={"r": "pagerank_scaled"}).astype(
+        {"node": "int64", "pagerank_scaled": "int64"})
+    return (out[["node", "pagerank_scaled"]]
+            .sort_values("node").reset_index(drop=True))
+
+
+def q_part_triangles(sf_dir: str):
+    """DISTRIBUTED TRIANGLE COUNTING over the part co-purchase graph —
+    per-node triangle membership counts, the classic graph-statistics
+    kernel (clustering-coefficient numerator, community density).
+
+    Degree-ordered wedge generation bounds the per-node fan-out at
+    O(sqrt(m)) for any degree distribution (a hub's C(deg,2) wedge
+    blow-up never happens); wedges close against the undirected edge set
+    in one pair-bucket semi-join. Exact integer counts — bitwise
+    deterministic at any parallelism (pytest differential vs brute-force
+    enumeration across block layouts). Oracle: the a<b<c three-way
+    self-join (quadratic in edges — sf0.01 gate scale)."""
+    from ..stages.graph import group_cooccurrence_edges, triangle_counts
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = triangle_counts(edges).to_pandas().astype(
+        {"node": "int64", "triangles": "int64"})
+    return (out[["node", "triangles"]]
+            .sort_values("node").reset_index(drop=True))

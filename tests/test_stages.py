@@ -1349,3 +1349,101 @@ def test_jaccard_prefix_prune_and_filter(docs_ds):
     for banned in ("to_pandas", "iter_batches", "take_all", "iter_rows"):
         assert banned not in src
     assert isinstance(dedup.jaccard_prefix_pairs_ds(docs_ds), ray.data.Dataset)
+
+
+def _ref_pagerank_int(edges_pd, iters=5, num=85, den=100, scale=10**6):
+    """Sequential integer reference — same fixed-point formula."""
+    nodes = sorted(set(edges_pd["src"]) | set(edges_pd["dst"]))
+    deg = edges_pd.groupby("src").size().to_dict()
+    r = {v: scale for v in nodes}
+    tele = (scale * (den - num)) // den
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in zip(edges_pd["src"], edges_pd["dst"]):
+            s[v] += r[u] // deg[u]
+        r = {v: tele + (num * s[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference_and_block_layouts(ray_session):
+    """Distributed PageRank is BITWISE equal to the sequential integer
+    reference, at 1 block and at 8 blocks (parallelism invariance), on a
+    graph with a hub, a chain, a cycle, and a dangling node."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    rows = [(i, 0) for i in range(1, 30)]            # hub
+    rows += [(i, i + 1) for i in range(30, 60)]      # chain -> dangling 60
+    rows += [(70, 71), (71, 72), (72, 70)]           # cycle
+    rows += [(int(a), int(b)) for a, b in rng.integers(0, 80, (100, 2))
+             if a != b]
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+    edges_pd = edges_pd.astype("int64").reset_index(drop=True)
+    want = _ref_pagerank_int(edges_pd)
+
+    for parts in (1, 8):
+        ds = ray.data.from_pandas(edges_pd).repartition(parts)
+        out = pagerank(ds, iters=5).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["r"].astype(int)))
+        assert got == want, f"mismatch at {parts} blocks"
+    # dangling chain end (no out-edges, one in-edge) and no-in-edge nodes
+    assert want[60] > 150000
+    assert all(want[i] == 150000 for i in (30,))  # chain head: teleport floor
+
+
+def test_group_cooccurrence_edges_semantics(ray_session):
+    """Distinct directed pairs per shared group; both directions, no
+    self-loops, no duplicate edges across groups or duplicate rows."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import group_cooccurrence_edges
+
+    tbl = pd.DataFrame({
+        "g":  [10, 10, 10, 20, 20, 30, 30, 40],
+        "it": [1,  2,  3,  2,  3,  7,  7,  9],   # g30 repeats item 7
+    }).astype("int64")
+    ds = ray.data.from_pandas(tbl).repartition(4)
+    e = group_cooccurrence_edges(ds, "g", "it").to_pandas()
+    got = sorted(zip(e["src"], e["dst"]))
+    want = sorted([(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)])
+    assert got == want  # (2,3) appears in two groups but once here
+
+
+def test_triangle_counts_matches_bruteforce_and_block_layouts(ray_session):
+    """Per-node triangle counts equal brute-force enumeration, at 1 and
+    6 blocks, on a graph with a 6-clique (20 triangles), a 30-spoke hub
+    star (zero triangles — the degree-ordered orientation must not blow
+    up on it), and random edges."""
+    from itertools import combinations
+
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    for a, b in combinations(range(6), 2):
+        edges.add((a, b))
+    for i in range(101, 131):   # star isolated from the random-edge
+        edges.add((100, i))     # id range so it truly closes nothing
+    for a, b in rng.integers(0, 50, (120, 2)):
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    epd = pd.DataFrame(sorted(edges), columns=["src", "dst"]).astype("int64")
+
+    adj = {}
+    for u, v in zip(epd["src"], epd["dst"]):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(epd).repartition(parts)
+        out = triangle_counts(ds).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["triangles"].astype(int)))
+        assert got == want, f"mismatch at {parts} blocks"
+    assert want[0] >= 10    # clique corner sits in many triangles
+    assert 100 not in want  # hub star closes nothing
