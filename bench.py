@@ -186,6 +186,15 @@ def run_bench() -> dict:
 
     import __ray_entry__ as entry_mod  # same directory; script path is on sys.path
 
+    # distributed iterative graph ops over the part co-purchase graph
+    # (~2.4M directed edges at sf0.1): blob-exchange Pregel supersteps
+    t0 = time.time()
+    r.q_part_pagerank(sf_dir)
+    queries["part_pagerank"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    r.q_part_triangles(sf_dir)
+    queries["part_triangles"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     entry_mod._q_docs_canonical(sf_dir)
     queries["docs_canonical"] = round(time.time() - t0, 3)

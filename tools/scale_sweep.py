@@ -166,6 +166,50 @@ def main() -> int:
 
     run("jaccard_prefix_110k", jaccard_prefix_110k)
 
+    def synth_graph(n_nodes=1_000_000, n_edges=10_000_000,
+                    d="/tmp/graft_sweep_graph"):
+        # sparse directed graph (~10 out-edges/node, web-ish) with a
+        # planted 100-clique so triangle counting has guaranteed
+        # closures (a clique of c carries C(c,3) triangles — keep c
+        # modest or the probe measures enumeration volume, not the
+        # operator: a first attempt with c=1000 planted 166M triangles)
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = _np.random.default_rng(43)
+            src = rng.integers(0, n_nodes, n_edges)
+            dst = rng.integers(0, n_nodes, n_edges)
+            keep = src != dst
+            cl = _np.arange(100, dtype=_np.int64)
+            ii, jj = _np.triu_indices(100, k=1)
+            _pq.write_table(_pa.table({
+                "src": _np.concatenate([src[keep], cl[ii]]).astype(_np.int64),
+                "dst": _np.concatenate([dst[keep], cl[jj]]).astype(_np.int64),
+            }), os.path.join(d, "edges.parquet"), row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    def pagerank_10m():
+        from htmlparsersharp_ray.stages.graph import pagerank
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+        return pagerank(e, iters=5).count()
+
+    def triangles_10m():
+        from htmlparsersharp_ray.stages.graph import triangle_counts
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+        return triangle_counts(e).count()
+
+    run("pagerank_10m", pagerank_10m)
+    run("triangles_10m", triangles_10m)
+
     # ---- new-operator scale probes (synth sf_dir-shaped inputs,
     # cached under /tmp by _COMPLETE markers) -------------------------
     import numpy as np
