@@ -110,6 +110,20 @@ def _q_docs_jaccard_prefix(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard_pct"]]
 
 
+def _q_docs_bpe_vocab(sf_dir: str):
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): 20
+    merges over the corpus word-frequency table — one bounded word-hash
+    exchange up front, then per merge ONE pair-count exchange (driver
+    reduces n_buckets top-1 candidates to the global winner) + a
+    map-only resegmentation. Bitwise-deterministic merge list (integer
+    counts, (count desc, pair lex) tie-break); rows-only for the driver
+    (iterative argmax is not SQL-expressible) with a sequential-
+    reference differential pytest (tests/test_stages.py::test_bpe_*)."""
+    from htmlparsersharp_ray.stages.bpe import bpe_learn
+
+    return bpe_learn(_docs(sf_dir), n_merges=20)
+
+
 def _q_docs_normalize(sf_dir: str):
     """Text normalization: lowercase, collapse ASCII whitespace runs to
     a single space, trim — three pandas .str C passes per batch, no
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_jaccard_prefix": _q_docs_jaccard_prefix,
+        "docs_bpe_vocab": _q_docs_bpe_vocab,
         "embeddings_norms": _q_embeddings_norms,
         "embeddings_label_stats": _q_embeddings_label_stats,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
@@ -2523,6 +2538,9 @@ def oracle_sql() -> dict[str, str]:
         # ANN paths have ≥0.9-recall gates, media ops have codec
         # round-trip tests, and extract_turns has 334 conformance
         # fixtures + determinism/ordering pytest invariants.
+        # docs_bpe_vocab (iterative argmax + procedural resegmentation)
+        # is likewise rows-only, gated by a sequential-reference BPE
+        # differential pytest across block layouts.
     }
     # docs_jaccard_prefix computes the SAME exact 3-gram Jaccard >= 0.4
     # pair set as docs_ngram_jaccard, just via prefix-filter candidate

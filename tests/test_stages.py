@@ -1447,3 +1447,66 @@ def test_triangle_counts_matches_bruteforce_and_block_layouts(ray_session):
         assert got == want, f"mismatch at {parts} blocks"
     assert want[0] >= 10    # clique corner sits in many triangles
     assert 100 not in want  # hub star closes nothing
+
+
+def test_bpe_matches_sequential_reference(ray_session):
+    """Distributed BPE merge list == the published dict-based sequential
+    algorithm, at 1 and 4 blocks (bitwise determinism across layouts),
+    including overlap greediness ('aaaa' merges to (aa)(aa)) and the
+    (count desc, pair lex) tie-break."""
+    import ray.data
+    from htmlparsersharp_ray.stages.bpe import bpe_learn, bpe_learn_reference
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log with the cat",
+        "aaa aaaa banana bandana",
+        "low lower lowest newest newer new",
+        "",
+        "  padded   whitespace   tokens  ",
+    ]
+    wc = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_learn_reference(wc, n_merges=15)
+    assert len(want) == 15
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(len(texts)), "text": texts,
+        })).repartition(parts)
+        got = bpe_learn(ds, n_merges=15)
+        got_list = [(int(a), str(b), str(c), int(d)) for a, b, c, d in
+                    zip(got["rank"], got["left"], got["right"],
+                        got["pair_count"])]
+        assert got_list == want, f"mismatch at {parts} blocks"
+    # greedy overlap rule: 'aaaa' contributes 3 overlapping (a,a) pairs
+    # to the count but only 2 non-overlapping merges apply
+    aa = [m for m in want if m[1] == "a" and m[2] == "a"]
+    assert aa and aa[0][3] == 5  # aaa(2) + aaaa(3) occurrences
+
+
+def test_bpe_reference_on_driver_corpus(ray_session):
+    """Driver-scale differential: 12 merges on the sf0.01 documents
+    table equal the sequential reference over the same word counts."""
+    import os
+
+    import ray.data
+    from htmlparsersharp_ray.stages.bpe import bpe_learn, bpe_learn_reference
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    tbl = docs.to_pandas()
+    wc = {}
+    for t in tbl["text"]:
+        for w in (t or "").strip().lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_learn_reference(wc, n_merges=12)
+    got = bpe_learn(docs, n_merges=12)
+    got_list = [(int(a), str(b), str(c), int(d)) for a, b, c, d in
+                zip(got["rank"], got["left"], got["right"],
+                    got["pair_count"])]
+    assert got_list == want and len(want) == 12

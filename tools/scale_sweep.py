@@ -210,6 +210,13 @@ def main() -> int:
     run("pagerank_10m", pagerank_10m)
     run("triangles_10m", triangles_10m)
 
+    def bpe_100k():
+        from htmlparsersharp_ray.stages.bpe import bpe_learn
+
+        return bpe_learn(docs(pair_files), n_merges=10)
+
+    run("bpe_100k", bpe_100k)
+
     # ---- new-operator scale probes (synth sf_dir-shaped inputs,
     # cached under /tmp by _COMPLETE markers) -------------------------
     import numpy as np
