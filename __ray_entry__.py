@@ -124,6 +124,18 @@ def _q_docs_bpe_vocab(sf_dir: str):
     return bpe_learn(_docs(sf_dir), n_merges=20)
 
 
+def _q_docs_postings(sf_dir: str):
+    """Inverted-index build: (term, df, doc_id, tf) postings with global
+    document frequency attached — per-batch explode+value_counts partials
+    (a (term, doc) pair lives in one batch, so tf is final pre-shuffle),
+    ONE term-hash bucket exchange completes df. DuckDB unnest oracle."""
+    from htmlparsersharp_ray.stages.text_analysis import postings
+
+    out = postings(_docs(sf_dir)).to_pandas()
+    return (out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+            [["term", "df", "doc_id", "tf"]])
+
+
 def _q_docs_normalize(sf_dir: str):
     """Text normalization: lowercase, collapse ASCII whitespace runs to
     a single space, trim — three pandas .str C passes per batch, no
@@ -617,6 +629,49 @@ def _q_docs_pack(sf_dir: str):
     return pack_bins(_docs(sf_dir), budget=1024)
 
 
+def _synth_phash_corpus(n: int = 200):
+    """Deterministic image corpus with planted near-dups: per-image
+    random coarse 4×4 block pattern upscaled to 16×16 (aHash-stable
+    structure), every 5th image a ±8-noise copy of its predecessor —
+    perceptually identical, byte-different. REAL PPM payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from htmlparsersharp_ray.stages.multimodal import encode_ppm
+
+    rng = np.random.default_rng(57)
+    payloads = []
+    for i in range(n):
+        if i % 5 == 1:
+            base = prev + rng.integers(-8, 9, prev.shape)
+        else:
+            coarse = rng.integers(0, 2, (4, 4, 3)) * 255
+            base = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)
+        prev = base
+        payloads.append(encode_ppm(np.clip(base, 0, 255).astype(np.uint8)))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def _q_media_phash_dups(sf_dir: str):
+    """Multimodal near-dup detection: REAL PPM decode → 64-bit
+    perceptual average-hash per image (actor pool) → the generic banded
+    64-bit pair miner shared with SimHash (complete recall to Hamming
+    7). Rows-only for the driver (decode + perceptual hash are not
+    SQL-expressible); gated by planted-dup recall + banded-vs-brute-
+    force differential pytests (tests/test_stages.py::test_phash_*)."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.multimodal import phash_dups
+
+    ds = ray.data.from_arrow(_synth_phash_corpus(200))
+    out = phash_dups(ds, max_hamming=6)
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     """REAL decode: PPM pixels / WAV samples → features (no hash fakes)."""
     import ray.data
@@ -724,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_jaccard_prefix": _q_docs_jaccard_prefix,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
+        "docs_postings": _q_docs_postings,
         "embeddings_norms": _q_embeddings_norms,
         "embeddings_label_stats": _q_embeddings_label_stats,
         "embeddings_cosine_dups": _q_embeddings_cosine_dups,
@@ -755,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_phash_dups": _q_media_phash_dups,
         "media_frames": _q_media_frames,
         # flagship extraction
         "extract_turns": _q_extract_turns,
@@ -2541,11 +2598,32 @@ def oracle_sql() -> dict[str, str]:
         # docs_bpe_vocab (iterative argmax + procedural resegmentation)
         # is likewise rows-only, gated by a sequential-reference BPE
         # differential pytest across block layouts.
+        # media_phash_dups (PPM decode + perceptual hash) is rows-only,
+        # gated by planted-dup recall + banded-vs-brute-force pytests.
     }
     # docs_jaccard_prefix computes the SAME exact 3-gram Jaccard >= 0.4
     # pair set as docs_ngram_jaccard, just via prefix-filter candidate
     # generation instead of MinHash banding — one shared oracle.
     sql["docs_jaccard_prefix"] = sql["docs_ngram_jaccard"]
+    sql["docs_postings"] = """
+        -- inverted index: per-(term, doc) tf with the term's global df
+        -- (same whitespace tokenization as docs_top_terms)
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM w GROUP BY term, doc_id
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT tf.term, df.df, tf.doc_id, tf.tf
+        FROM tf JOIN df USING (term)
+        ORDER BY tf.term, tf.doc_id
+    """
+
     # part_pagerank: 5 power iterations unrolled as chained CTEs with the
     # SAME integer expressions the engine computes (fixed-point 1e6 scale,
     # per-edge floor division by out-degree, damping = one integer

@@ -714,7 +714,19 @@ class SimHashUDF:
 
 
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 8×8-bit
+    """Near-dup pairs by SimHash over text: SimHashUDF signatures →
+    :func:`hash64_band_pairs` (the generic banded 64-bit-signature pair
+    miner, shared with image pHash dedup in ``stages/multimodal.py``)."""
+    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    return hash64_band_pairs(sig, max_hamming=max_hamming)
+
+
+def hash64_band_pairs(
+    sig: ray.data.Dataset, max_hamming: int = 6,
+    id_col: str = "doc_id", hash_col: str = "simhash",
+) -> pd.DataFrame:
+    """All pairs within Hamming ≤ ``max_hamming`` of a 64-bit signature
+    table ``(id_col, hash_col)`` — band the signature into 8×8-bit
     chunks. By pigeonhole, any pair within Hamming ≤ 7 has at least one
     unchanged chunk, so recall is COMPLETE for the default max_hamming=6
     (round 1's 4×16 banding only guaranteed Hamming ≤ 3 — ADVICE r1).
@@ -730,13 +742,20 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 6) -> pd.DataFrame:
     exactly ONE bucket: cross-signature pairs by the FIRST band whose
     chunks match (earlier zero byte of the XOR ⇒ an earlier band owns
     it), within-family (equal-signature, Hamming 0) pairs by band 0.
-    No cross-band dedup exists anywhere — no O(dup-pairs) driver sink."""
+    No cross-band dedup exists anywhere — no O(dup-pairs) driver sink.
+
+    Output columns are (doc_a, doc_b, hamming) regardless of ``id_col``
+    (the caller renames if it wants domain ids)."""
     if max_hamming > 7:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 8x8 banding recall "
             "guarantee (complete only for Hamming <= 7)"
         )
-    sig = docs.map_batches(SimHashUDF, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    if id_col != "doc_id" or hash_col != "simhash":
+        sig = sig.map_batches(
+            lambda b: pa.table({"doc_id": b.column(id_col).cast(pa.int64()),
+                                "simhash": b.column(hash_col)}),
+            batch_format="pyarrow")
 
     def add_sig_bucket(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)

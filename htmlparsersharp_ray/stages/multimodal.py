@@ -315,3 +315,64 @@ class AudioFrameSampleUDF:
                 "feature": pa.array(feat_out, pa.list_(pa.float32(), FEATURE_DIM)),
             }
         )
+
+
+def average_hash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual average-hash (aHash — public construction) of
+    an (H, W, 3) uint8 image: luma → 8×8 block means → bit i set iff
+    block i is above the global mean. Robust to noise/re-encode/resize;
+    Hamming distance ≈ perceptual difference. Deterministic integer
+    arithmetic (sums + one float mean that is order-fixed per image)."""
+    luma = (pixels.astype(np.uint32) * np.array([299, 587, 114],
+                                                dtype=np.uint32)).sum(axis=2)
+    h, w = luma.shape
+    yy = np.minimum((np.arange(8) * h) // 8, h - 1)
+    y2 = np.minimum(((np.arange(8) + 1) * h + 7) // 8, h)
+    xx = np.minimum((np.arange(8) * w) // 8, w - 1)
+    x2 = np.minimum(((np.arange(8) + 1) * w + 7) // 8, w)
+    grid = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            grid[i, j] = luma[yy[i]:max(y2[i], yy[i] + 1),
+                              xx[j]:max(x2[j], xx[j] + 1)].mean()
+    bits = (grid > grid.mean()).ravel()
+    return int(np.uint64(np.packbits(bits).view(">u8")[0]))
+
+
+class ImagePHashUDF:
+    """Actor stage: PPM image payload → 64-bit perceptual hash row
+    (``media_id``, ``phash``). Non-image payloads are dropped (the
+    caller usually pre-filters ``kind == 'image'``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if _sniff(payload or b"") != "ppm":
+                continue
+            ids.append(mid)
+            hashes.append(np.int64(np.uint64(average_hash64(
+                decode_ppm(payload)))))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(np.asarray(hashes, dtype=np.int64)),
+        })
+
+
+def phash_dups(media: "ray.data.Dataset", max_hamming: int = 6,
+               concurrency=(1, 8)):
+    """Near-duplicate IMAGE pairs by perceptual hash — the multimodal
+    member of the dedup family: REAL PPM decode → aHash per image
+    (actor pool), then the generic banded 64-bit pair miner
+    (``stages/dedup.py::hash64_band_pairs``, complete recall to
+    Hamming 7, distinct-signature collapse, single-bucket emission).
+    Returns (media_a, media_b, hamming), media_a < media_b."""
+    from .dedup import hash64_band_pairs
+
+    sig = media.map_batches(
+        ImagePHashUDF, batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency,
+    )
+    out = hash64_band_pairs(sig, max_hamming=max_hamming,
+                            id_col="media_id", hash_col="phash")
+    return out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})

@@ -744,3 +744,50 @@ def chunk_docs(docs: ray.data.Dataset, window: int = 64,
         })
 
     return docs.map_batches(chunks, batch_format="pandas", batch_size=2048)
+
+
+def postings(docs: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
+    """Inverted-index build: one ``(term, df, doc_id, tf)`` row per
+    distinct (term, document) pair — the posting-list construction pass
+    of a search/retrieval pipeline, with the term's global document
+    frequency attached (the idf numerator a ranker needs).
+
+    Scale shape: per-batch pandas explode + (term, doc) value_counts —
+    a (term, doc) pair lives in exactly one batch, so the per-batch tf
+    is already final; ONE term-hash bucket exchange then completes df
+    per term (each bucket owns a disjoint term subspace: its row count
+    per term IS the global df, since rows are one-per-(term, doc)).
+    Tokenization matches the corpus-wide convention
+    (lower(trim(text)) split on whitespace)."""
+    import ray.data  # noqa: F401  (type only)
+
+    from .hashing import hash_strings64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        ok = text != ""
+        e = pd.DataFrame({
+            "doc_id": b.loc[ok, "doc_id"].astype("int64"),
+            "term": text[ok].str.split(),
+        }).explode("term")
+        tf = e.groupby(["term", "doc_id"], as_index=False).size()
+        out = pd.DataFrame({
+            "term": tf["term"].astype(str),
+            "doc_id": tf["doc_id"].astype("int64"),
+            "tf": tf["size"].astype("int64"),
+        })
+        th = hash_strings64(out["term"].to_numpy(), categorize=True)
+        out["tb"] = (th % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["term", "doc_id", "tf"]].copy()
+        out["df"] = (g.groupby("term")["term"].transform("size")
+                     .astype("int64"))
+        return out[["term", "df", "doc_id", "tf"]]
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pandas")
+    )

@@ -1510,3 +1510,58 @@ def test_bpe_reference_on_driver_corpus(ray_session):
                 zip(got["rank"], got["left"], got["right"],
                     got["pair_count"])]
     assert got_list == want and len(want) == 12
+
+
+def test_phash_planted_dups_and_differential(ray_session):
+    """Image pHash dedup finds every planted near-dup pair, and the
+    banded miner equals brute-force Hamming over the engine's own
+    hashes (the same differential gate SimHash carries)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import ImagePHashUDF, phash_dups
+
+    import __ray_entry__ as entry_mod
+
+    tbl = entry_mod._synth_phash_corpus(100)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = phash_dups(ds, max_hamming=6)
+    got_set = set(zip(got["media_a"].astype(int), got["media_b"].astype(int)))
+    planted = {(i - 1, i) for i in range(1, 100) if i % 5 == 1}
+    assert planted <= got_set          # complete recall on planted dups
+
+    sig = ds.map_batches(ImagePHashUDF, batch_format="pyarrow",
+                         batch_size=32, concurrency=2).to_pandas()
+    sig = sig.sort_values("media_id").reset_index(drop=True)
+    ids = sig["media_id"].to_numpy()
+    h = sig["phash"].to_numpy().astype(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    # SWAR popcount
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    dist = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    ii, jj = np.nonzero(dist <= 6)
+    want = {(int(ids[a]), int(ids[b])) for a, b in zip(ii, jj) if ids[a] < ids[b]}
+    assert got_set == want
+
+
+def test_average_hash_invariances():
+    """aHash is stable under small noise and resize, different for
+    different structure — the perceptual contract."""
+    import numpy as np
+
+    from htmlparsersharp_ray.stages.multimodal import average_hash64
+
+    rng = np.random.default_rng(3)
+    coarse = rng.integers(0, 2, (4, 4, 3)) * 255
+    img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1).astype(np.uint8)
+    noisy = np.clip(img.astype(int) + rng.integers(-8, 9, img.shape),
+                    0, 255).astype(np.uint8)
+    small = img[::2, ::2]              # 16×16 downsample of the same scene
+    other = np.repeat(np.repeat(rng.integers(0, 2, (4, 4, 3)) * 255,
+                                8, axis=0), 8, axis=1).astype(np.uint8)
+
+    h = average_hash64(img)
+    assert bin(h ^ average_hash64(noisy)).count("1") <= 2
+    assert bin(h ^ average_hash64(small)).count("1") <= 2
+    assert bin(h ^ average_hash64(other)).count("1") >= 10
