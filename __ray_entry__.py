@@ -21,10 +21,11 @@ def _docs(sf_dir):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _emb(sf_dir):
+def _emb(sf_dir, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=columns)
 
 
 def entry() -> Any:
@@ -134,6 +135,22 @@ def _q_docs_postings(sf_dir: str):
     out = postings(_docs(sf_dir)).to_pandas()
     return (out.sort_values(["term", "doc_id"]).reset_index(drop=True)
             [["term", "df", "doc_id", "tf"]])
+
+
+def _q_docs_bpe_tokens(sf_dir: str):
+    """BPE learn→APPLY: segment the corpus with the 20 learned merges
+    and return the subword frequency table — the full tokenizer story
+    (vocab + corpus token statistics). Segmentation replays the SAME
+    vectorized merge kernel the trainer uses, so it is byte-identical
+    to training; rows-only for the driver with a sequential-reference
+    differential pytest (tests/test_stages.py::test_bpe_segment_*)."""
+    from htmlparsersharp_ray.stages.bpe import bpe_learn, bpe_segment_counts
+
+    docs = _docs(sf_dir)
+    merges = bpe_learn(docs, n_merges=20)
+    out = bpe_segment_counts(docs, merges).to_pandas()
+    return (out.sort_values("subword").reset_index(drop=True)
+            [["subword", "n"]])
 
 
 def _q_docs_normalize(sf_dir: str):
@@ -483,6 +500,28 @@ def _q_embeddings_topk(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]]
 
 
+def _q_embeddings_filtered_topk(sf_dir: str):
+    """Metadata-FILTERED vector search (the filter+ANN combo every
+    retrieval stack needs): exact cosine top-10 per query vector over
+    only the corpus rows with label IN (0, 1, 2) — the predicate prunes
+    vectorized per batch BEFORE any distance math, so the scan cost is
+    the filtered fraction. Same partials-then-tiny-merge shape as
+    embeddings_topk; oracle adds the WHERE."""
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk
+
+    def label_filter(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b.column("label"),
+                                 value_set=pa.array([0, 1, 2])))
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding", "label"])
+    filt = emb.map_batches(label_filter, batch_format="pyarrow")
+    df = brute_force_topk(filt, _query_vectors(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
 def _q_embeddings_lsh_topk(sf_dir: str):
     from htmlparsersharp_ray.stages.similarity import lsh_topk
 
@@ -779,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_jaccard_prefix": _q_docs_jaccard_prefix,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_postings": _q_docs_postings,
         "embeddings_norms": _q_embeddings_norms,
         "embeddings_label_stats": _q_embeddings_label_stats,
@@ -807,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
+        "embeddings_filtered_topk": _q_embeddings_filtered_topk,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing
@@ -2679,5 +2720,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT c FROM tri)
         SELECT node, COUNT(*) AS triangles
         FROM corners GROUP BY node ORDER BY node
+    """
+    sql["embeddings_filtered_topk"] = """
+        -- metadata-filtered exact vector search: cosine top-10 per
+        -- query restricted to label IN (0,1,2); queries = 5 smallest
+        -- vec_ids of the FULL table (query vectors need not satisfy
+        -- the filter — only corpus candidates do)
+        SELECT query_id, rank, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                       ) DESC, e.vec_id
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE label IN (0, 1, 2)) e
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN
+                        (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) q
+        )
+        WHERE rank <= 10
+        ORDER BY query_id, rank
     """
     return sql

@@ -224,3 +224,75 @@ def bpe_learn_reference(word_counts: dict, n_merges: int = 20):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
         vocab = new_vocab
     return merges
+
+
+def bpe_segment_counts(docs: ray.data.Dataset, merges: pd.DataFrame,
+                       n_buckets: int = 64) -> ray.data.Dataset:
+    """APPLY a learned merge list: segment every word with the merges in
+    rank order and return the corpus subword-frequency table
+    ``(subword, n)`` — the learn→apply pair is the full tokenizer
+    story (vocab + corpus token statistics for it).
+
+    Map-only until one token-hash exchange: each batch builds its own
+    distinct word-count table, replays the merges with the same
+    vectorized :func:`_apply_merge` kernel the trainer uses (so
+    segmentation is BYTE-identical to training), then explodes to
+    weighted subword partials. The merge list is a closure constant
+    (a few hundred strings — no broadcast machinery needed)."""
+    mlist = [(str(l), str(r)) for l, r in
+             zip(merges["left"], merges["right"])]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        toks = text[text != ""].str.split()
+        counts = toks.explode().value_counts()
+        words = counts.index.astype(str).tolist()
+        t = pa.table({
+            "n": pa.array(counts.to_numpy().astype(np.int64)),
+            "sym": pa.array([list(w) for w in words], pa.list_(pa.string())),
+        })
+        for left, right in mlist:
+            t = _apply_merge(t, left, right)
+        flat, lens, w = _flatten(t)
+        part = (pd.DataFrame({"subword": flat,
+                              "n": np.repeat(w, lens)})
+                .groupby("subword", as_index=False, sort=False)["n"].sum())
+        out = pd.DataFrame({"subword": part["subword"].astype(str),
+                            "n": part["n"].astype("int64")})
+        th = hash_strings64(out["subword"].to_numpy(), categorize=False)
+        out["tb"] = (th % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("subword", as_index=False)["n"].sum()
+        return pd.DataFrame({"subword": m["subword"].astype(str),
+                             "n": m["n"].astype("int64")})
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def bpe_segment_reference(word_counts: dict, merges: list) -> dict:
+    """Sequential reference application — {subword: count} after
+    replaying ``merges`` (as returned by :func:`bpe_learn_reference`)
+    over a word-count dict."""
+    out = {}
+    for word, cnt in word_counts.items():
+        sym = list(word)
+        for m in merges:
+            l, r = m[1], m[2]
+            new, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            sym = new
+        for s in sym:
+            out[s] = out.get(s, 0) + cnt
+    return out

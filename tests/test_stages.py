@@ -1565,3 +1565,43 @@ def test_average_hash_invariances():
     assert bin(h ^ average_hash64(noisy)).count("1") <= 2
     assert bin(h ^ average_hash64(small)).count("1") <= 2
     assert bin(h ^ average_hash64(other)).count("1") >= 10
+
+
+def test_bpe_segment_matches_reference(ray_session):
+    """Distributed learn→apply == sequential reference learn→apply:
+    the corpus subword counts under 10 learned merges agree exactly,
+    across block layouts."""
+    import ray.data
+    from htmlparsersharp_ray.stages.bpe import (
+        bpe_learn,
+        bpe_learn_reference,
+        bpe_segment_counts,
+        bpe_segment_reference,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log with the cat",
+        "aaa aaaa banana bandana",
+        "low lower lowest newest newer new",
+    ]
+    wc = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    ref_merges = bpe_learn_reference(wc, n_merges=10)
+    want = bpe_segment_reference(wc, ref_merges)
+
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(len(texts)), "text": texts,
+        })).repartition(parts)
+        merges = bpe_learn(ds, n_merges=10)
+        got_df = bpe_segment_counts(ds, merges).to_pandas()
+        got = dict(zip(got_df["subword"].astype(str),
+                       got_df["n"].astype(int)))
+        assert got == want, f"mismatch at {parts} blocks"
+    # conservation: total subword mass == total character mass is NOT
+    # expected (merges shrink counts); but every subword's chars concat
+    # back into corpus words
+    assert sum(want.values()) < sum(len(w) * c for w, c in wc.items())
