@@ -773,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": r.q_part_skyline,
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
+        "part_kcore": r.q_part_kcore,
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
@@ -2641,6 +2642,8 @@ def oracle_sql() -> dict[str, str]:
         # differential pytest across block layouts.
         # media_phash_dups (PPM decode + perceptual hash) is rows-only,
         # gated by planted-dup recall + banded-vs-brute-force pytests.
+        # part_kcore (fixpoint peeling over aggregates) is rows-only,
+        # gated by a sequential-peel differential pytest.
     }
     # docs_jaccard_prefix computes the SAME exact 3-gram Jaccard >= 0.4
     # pair set as docs_ngram_jaccard, just via prefix-filter candidate

@@ -4076,3 +4076,29 @@ def q_part_triangles(sf_dir: str):
         {"node": "int64", "triangles": "int64"})
     return (out[["node", "triangles"]]
             .sort_values("node").reset_index(drop=True))
+
+
+def q_part_kcore(sf_dir: str):
+    """K-CORE DECOMPOSITION of the part co-purchase graph (k=82 —
+    just below the sf0.01 percolation threshold at 83, giving a
+    20-round peeling cascade that still leaves a core): the maximal
+    subgraph where every part co-occurs with ≥ k others. Third member
+    of the iterative-graph family — fixpoint peeling (vs fixed power
+    iterations and converging label propagation); per round two
+    blob-exchange endpoint filters against one degree snapshot, one
+    edge-count convergence scalar. Deterministic integer degrees;
+    rows-only for the driver (a fixpoint over aggregates is not
+    SQL-expressible) with a sequential-peel differential pytest
+    (tests/test_stages.py::test_kcore_*)."""
+    from ..stages.graph import group_cooccurrence_edges, kcore
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = kcore(edges, k=82).to_pandas()
+    if out.empty:  # Ray drops columns on all-empty to_pandas()
+        out = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                            "core_deg": pd.Series([], dtype="int64")})
+    out = out.astype({"node": "int64", "core_deg": "int64"})
+    return (out[["node", "core_deg"]]
+            .sort_values("node").reset_index(drop=True))

@@ -1188,13 +1188,15 @@ def dup_clusters(
             "label": pa.array([None] * (2 * len(a)), pa.int64()),
         }, schema=_schema)
 
-    sym = edges.map_batches(to_sym_edges, batch_format="pyarrow").materialize()
+    from .exchange import checkpoint
+
+    sym = checkpoint(edges.map_batches(to_sym_edges, batch_format="pyarrow"))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
 
-    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+    labels = checkpoint(nodes.map_batches(init_labels, batch_format="pyarrow"))
 
     def as_label_rows(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1255,7 +1257,7 @@ def dup_clusters(
 
     prev_sum = None
     for _ in range(max_iters):
-        propagated = (
+        propagated = checkpoint(
             labels.map_batches(as_label_rows, batch_format="pyarrow")
             .union(sym)
             .groupby("kb")
@@ -1264,9 +1266,11 @@ def dup_clusters(
             .map_groups(combine_min, batch_format="pandas")
             # union doubles the block count every round; pin it back down
             # or the task count grows 2^rounds (measured: 18→638 blocks in
-            # 5 rounds). Referenced twice below, hence the materialize.
+            # 5 rounds). Referenced twice below AND each round derives
+            # from the previous round's result twice (label rows + jump
+            # requests), so checkpoint() must also CUT LINEAGE — nested
+            # plans otherwise double per round (exchange.py::checkpoint).
             .repartition(16)
-            .materialize()
         )
         # A propagate fixpoint means every label already equals min(self,
         # neighbors) — i.e. the component minimum — so the jump step would
@@ -1275,7 +1279,7 @@ def dup_clusters(
         if total == prev_sum:
             labels = propagated
             break
-        labels = (
+        labels = checkpoint(
             propagated.map_batches(as_label_rows, batch_format="pyarrow")
             .union(propagated.map_batches(as_jump_requests, batch_format="pyarrow"))
             .groupby("kb")
@@ -1283,7 +1287,6 @@ def dup_clusters(
             .groupby("kb")
             .map_groups(combine_min, batch_format="pandas")
             .repartition(16)
-            .materialize()
         )
         prev_sum = labels.sum("label")
 

@@ -88,3 +88,19 @@ def bucket_group_map(ds: ray.data.Dataset, bucket_of, fn):
         .groupby("bucket")
         .map_groups(unpack, batch_format="pandas")
     )
+
+
+def checkpoint(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize AND CUT LINEAGE — mandatory for iterative pipelines
+    that rebind a Dataset every round.
+
+    ``materialize()`` alone is not enough: deriving a new Dataset from a
+    MaterializedDataset still DEEP-COPIES its logical plan into the new
+    plan, so a loop whose round r+1 references round r twice (state +
+    a derived side) builds a plan tree that DOUBLES per round — measured
+    on the k-core peel at sf0.01: round walls 1.0 → 2.5 → ... → 127 s
+    (2^r) while every actual execution stayed under one second.
+    Re-rooting the plan at the materialized blocks
+    (``from_arrow_refs(to_arrow_refs())``) makes rounds flat
+    (~0.8 s/round, 20 rounds in 16 s on the same input)."""
+    return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())

@@ -145,7 +145,7 @@ def pagerank(
     """
     teleport = (scale * (damping_den - damping_num)) // damping_den
 
-    from .exchange import deserialize_table, serialize_table
+    from .exchange import checkpoint, deserialize_table, serialize_table
 
     _EMPTY = _EMPTY_BLOBS
 
@@ -221,7 +221,7 @@ def pagerank(
                          "blob": pa.array(bls, pa.large_binary())},
                         schema=_BLOB_SCHEMA)
 
-    state = static.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    state = checkpoint(static.map_batches(seed_rows, batch_format="pyarrow"))
 
     def _bucket_ranks(tabs: list) -> pd.DataFrame:
         """Recover this bucket's ranks from the incoming blobs: seed
@@ -264,15 +264,17 @@ def pagerank(
         return _pack_by(out, _ibucket(node))
 
     for _ in range(iters):
-        state = (
+        # checkpoint(), not bare materialize: it also CUTS LINEAGE so
+        # round r+1's plan does not embed round r's (see
+        # stages/exchange.py::checkpoint for the measured blowup);
+        # the repartition pins block count (union grows it by static's
+        # blocks every round — measured +64 blocks/iter, superstep wall
+        # 1.5→8.1 s by round 5)
+        state = checkpoint(
             state.union(static)
             .groupby("bucket")
             .map_groups(superstep, batch_format="pandas")
-            # union grows the block count by static's blocks every round
-            # and map_groups inherits it (measured: +64 blocks/iter,
-            # superstep wall 1.5→8.1 s by round 5); pin it back down
             .repartition(32)
-            .materialize()
         )
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
@@ -495,4 +497,139 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(close_triangles, batch_format="pandas")
         .groupby("kb")
         .map_groups(count_tris, batch_format="pandas")
+    )
+
+
+def kcore(edges: ray.data.Dataset, k: int,
+          max_rounds: int = 100) -> ray.data.Dataset:
+    """The k-CORE of the undirected graph induced by ``(src, dst)``
+    edges: the maximal subgraph in which every node has degree ≥ k.
+    Returns ``(node, core_deg)`` for the surviving nodes (degree
+    measured inside the core). Third member of the graph family — a
+    FIXPOINT-PEELING iteration (vs pagerank's fixed power iterations
+    and dup_clusters' converging label propagation): each round drops
+    every node with degree < k and the edges touching it; removing a
+    node lowers its neighbors' degrees, so peeling cascades until an
+    edge-count fixpoint (unchanged edge count ⟹ unchanged degrees ⟹
+    unchanged alive set).
+
+    Scale shape: per round, TWO blob-exchange groupbys (filter by the
+    u endpoint's aliveness, then by v's — both against the SAME round's
+    degree snapshot, recomputed in-bucket from endpoint slices exactly
+    like triangle_counts' degree attach) + one tiny count aggregation
+    for the convergence scalar. Deterministic (integer degrees only);
+    differential pytest vs a sequential peel. Not SQL-expressible (a
+    fixpoint over aggregates) → rows-only driver check.
+    """
+    from .exchange import deserialize_table
+
+    def und_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"pb": pa.array(_pair_bucket(u, v)),
+                         "u": pa.array(u), "v": pa.array(v)})
+
+    def und_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    from .exchange import checkpoint
+
+    alive = checkpoint(
+        edges.map_batches(und_rows, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(und_distinct, batch_format="pandas")
+    )
+
+    def pack_side(key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(u):
+                return _EMPTY_BLOBS
+            key = u if key_col == "u" else v
+            et = pa.table({"u": pa.array(u), "v": pa.array(v)})
+            node = np.concatenate([u, v])
+            nt = pa.table({"node": pa.array(node)})
+            return pa.concat_tables([_pack_by(et, _ibucket(key)),
+                                     _pack_by(nt, _ibucket(node))])
+        return fn
+
+    def filter_side(key_col: str):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            tabs = [deserialize_table(b) for b in group["blob"]]
+            et = [t for t in tabs if "u" in t.column_names]
+            if not et:
+                return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                     "v": pd.Series([], dtype="int64")})
+            nt = [t for t in tabs if "node" in t.column_names]
+            deg = (pa.concat_tables(nt).to_pandas()
+                   .groupby("node").size()) if nt else pd.Series(dtype=int)
+            alive_set = deg[deg >= k].index
+            e = pa.concat_tables(et).to_pandas()
+            return e[e[key_col].isin(alive_set)][["u", "v"]]
+        return fn
+
+    prev = -1
+    for _ in range(max_rounds):
+        # endpoint slices come from THIS round's full edge set in both
+        # passes: both endpoint filters use one consistent degree
+        # snapshot (sequential peel removes the same node set)
+        # checkpoint, not materialize: the round derives from BOTH
+        # half and alive, so nested plans double per round (measured
+        # 2^r round walls — stages/exchange.py::checkpoint)
+        half = checkpoint(
+            alive.map_batches(pack_side("u"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(filter_side("u"), batch_format="pandas")
+        )
+
+        def repack_v(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(u):
+                return _EMPTY_BLOBS
+            return _pack_by(pa.table({"u": pa.array(u), "v": pa.array(v)}),
+                            _ibucket(v))
+
+        def endpoints_of_round(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(u):
+                return _EMPTY_BLOBS
+            node = np.concatenate([u, v])
+            return _pack_by(pa.table({"node": pa.array(node)}),
+                            _ibucket(node))
+
+        alive = checkpoint(
+            half.map_batches(repack_v, batch_format="pyarrow")
+            .union(alive.map_batches(endpoints_of_round,
+                                     batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(filter_side("v"), batch_format="pandas")
+            .repartition(16)
+        )
+        n = alive.count()
+        if n == prev:
+            break
+        prev = n
+
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([u, v])
+        return pa.table({"kb": pa.array(_ibucket(node)),
+                         "node": pa.array(node)})
+
+    def core_deg(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("node", as_index=False, sort=False).size()
+        return pd.DataFrame({"node": out["node"].astype("int64"),
+                             "core_deg": out["size"].astype("int64")})
+
+    return (
+        alive.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(core_deg, batch_format="pandas")
     )

@@ -1605,3 +1605,50 @@ def test_bpe_segment_matches_reference(ray_session):
     # expected (merges shrink counts); but every subword's chars concat
     # back into corpus words
     assert sum(want.values()) < sum(len(w) * c for w, c in wc.items())
+
+
+def test_kcore_matches_sequential_peel(ray_session):
+    """Distributed k-core == sequential peeling for several k, at 1 and
+    5 blocks, on a graph with an 8-clique (7-core), a chain (1-core),
+    and random edges — including the cascade case where removing one
+    node drags neighbors below k."""
+    from itertools import combinations
+
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(9)
+    edges = set()
+    for a, b in combinations(range(8), 2):
+        edges.add((a, b))
+    for i in range(20, 50):
+        edges.add((i, i + 1))
+    for a, b in rng.integers(0, 60, (150, 2)):
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    epd = pd.DataFrame(sorted(edges), columns=["src", "dst"]).astype("int64")
+
+    def seq_kcore(epd, k):
+        adj = {}
+        for u, v in zip(epd["src"], epd["dst"]):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                changed = True
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        return {n: len(nb) for n, nb in adj.items() if len(nb) > 0}
+
+    for k in (3, 5, 7):
+        want = seq_kcore(epd, k)
+        for parts in (1, 5):
+            ds = ray.data.from_pandas(epd).repartition(parts)
+            out = kcore(ds, k=k).to_pandas()
+            got = dict(zip(out["node"].astype(int),
+                           out["core_deg"].astype(int)))
+            assert got == want, f"k={k} parts={parts}"
+    assert len(seq_kcore(epd, 7)) == 8  # exactly the clique survives
