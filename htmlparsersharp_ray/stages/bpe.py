@@ -166,7 +166,9 @@ def bpe_learn(docs: ray.data.Dataset, n_merges: int = 20,
     (see module docstring). The word table never leaves the object
     store; the driver holds one (left, right, count) winner per
     iteration."""
-    words = _word_freq_table(docs, n_buckets).materialize()
+    from .exchange import checkpoint
+
+    words = checkpoint(_word_freq_table(docs, n_buckets))
     merges = []
     for rank in range(n_merges):
         cands = (
@@ -186,10 +188,13 @@ def bpe_learn(docs: ray.data.Dataset, n_merges: int = 20,
                               str(cands.iloc[0]["r"]),
                               int(cands.iloc[0]["c"]))
         merges.append((rank, left, right, count))
-        words = words.map_batches(
+        # checkpoint, not materialize: each round derives from the
+        # previous round twice (pair-count pass + resegmentation), so
+        # bare materialize() nests plans — exchange.py::checkpoint
+        words = checkpoint(words.map_batches(
             lambda b, lft=left, rgt=right: _apply_merge(b, lft, rgt),
             batch_format="pyarrow",
-        ).materialize()
+        ))
     return pd.DataFrame(merges, columns=["rank", "left", "right",
                                          "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"})

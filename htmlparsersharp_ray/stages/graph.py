@@ -63,6 +63,30 @@ def _pack_by(table: pa.Table, buckets: np.ndarray) -> pa.Table:
     }, schema=_BLOB_SCHEMA)
 
 
+def _undirected_distinct(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct undirected edges as canonical ``(u, v)`` with u < v
+    (self-loops dropped) — one pair-bucket exchange. Shared by
+    triangle_counts and kcore."""
+
+    def und_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"pb": pa.array(_pair_bucket(u, v)),
+                         "u": pa.array(u), "v": pa.array(v)})
+
+    def und_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return (
+        edges.map_batches(und_rows, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(und_distinct, batch_format="pandas")
+    )
+
+
 def group_cooccurrence_edges(
     ds: ray.data.Dataset, group_col: str, item_col: str,
 ) -> ray.data.Dataset:
@@ -125,8 +149,8 @@ def pagerank(
     bitwise-deterministic at any parallelism (pytest differential vs a
     sequential numpy reference across block layouts). int64 headroom:
     a node's incoming sum is bounded by total mass = n_nodes·scale, so
-    ``damping_num · n_nodes · scale`` must stay < 2^63 (holds beyond
-    1e14 nodes at the default scale).
+    ``damping_num · n_nodes · scale`` must stay < 2^63 (≈1.08e11
+    nodes at the default scale — past that, lower ``scale``).
 
     Nodes = src ∪ dst of the edge set. Dangling nodes (no out-edges)
     leak their mass — the classic simple variant; the teleport term
@@ -312,24 +336,7 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     """
     from .exchange import deserialize_table, serialize_table
 
-    def und_rows(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        return pa.table({"pb": pa.array(_pair_bucket(u, v)),
-                         "u": pa.array(u), "v": pa.array(v)})
-
-    def und_distinct(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["u", "v"])[["u", "v"]]
-
-    und = (
-        edges.map_batches(und_rows, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(und_distinct, batch_format="pandas")
-        .materialize()
-    )
+    und = _undirected_distinct(edges).materialize()
 
     def pack_first(batch: pa.Table) -> pa.Table:
         """Edge slices keyed by kb(u) + endpoint slices keyed by
@@ -521,27 +528,9 @@ def kcore(edges: ray.data.Dataset, k: int,
     differential pytest vs a sequential peel. Not SQL-expressible (a
     fixpoint over aggregates) → rows-only driver check.
     """
-    from .exchange import deserialize_table
+    from .exchange import checkpoint, deserialize_table
 
-    def und_rows(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        return pa.table({"pb": pa.array(_pair_bucket(u, v)),
-                         "u": pa.array(u), "v": pa.array(v)})
-
-    def und_distinct(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["u", "v"])[["u", "v"]]
-
-    from .exchange import checkpoint
-
-    alive = checkpoint(
-        edges.map_batches(und_rows, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(und_distinct, batch_format="pandas")
-    )
+    alive = checkpoint(_undirected_distinct(edges))
 
     def pack_side(key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -573,6 +562,7 @@ def kcore(edges: ray.data.Dataset, k: int,
         return fn
 
     prev = -1
+    converged = False
     for _ in range(max_rounds):
         # endpoint slices come from THIS round's full edge set in both
         # passes: both endpoint filters use one consistent degree
@@ -613,8 +603,15 @@ def kcore(edges: ray.data.Dataset, k: int,
         )
         n = alive.count()
         if n == prev:
+            converged = True
             break
         prev = n
+    if not converged:
+        # a silent fallthrough would return a NON-k-core remnant (long
+        # cascades, e.g. a path with k=2, peel only 2 nodes per round)
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint within max_rounds={max_rounds} "
+            f"(edges still changing: {prev} -> {n}); raise max_rounds")
 
     def endpoint_rows(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)

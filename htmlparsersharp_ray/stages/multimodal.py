@@ -351,11 +351,13 @@ class ImagePHashUDF:
             if _sniff(payload or b"") != "ppm":
                 continue
             ids.append(mid)
-            hashes.append(np.int64(np.uint64(average_hash64(
-                decode_ppm(payload)))))
+            hashes.append(average_hash64(decode_ppm(payload)))
+        # uint64 -> int64 via array view: deterministic wrap on every
+        # numpy version (scalar np.int64(big_uint) raises on numpy 2.x)
+        ph = np.asarray(hashes, dtype=np.uint64).view(np.int64)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "phash": pa.array(np.asarray(hashes, dtype=np.int64)),
+            "phash": pa.array(ph),
         })
 
 

@@ -1652,3 +1652,19 @@ def test_kcore_matches_sequential_peel(ray_session):
                            out["core_deg"].astype(int)))
             assert got == want, f"k={k} parts={parts}"
     assert len(seq_kcore(epd, 7)) == 8  # exactly the clique survives
+
+
+def test_kcore_raises_on_nonconvergence(ray_session):
+    """A long path with k=2 peels only 2 nodes per round — hitting
+    max_rounds before the fixpoint must RAISE, not silently return a
+    non-k-core remnant (review finding)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import kcore
+
+    path = pd.DataFrame({"src": np.arange(0, 60, dtype=np.int64),
+                         "dst": np.arange(1, 61, dtype=np.int64)})
+    ds = ray.data.from_pandas(path)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(ds, k=2, max_rounds=5)
+    out = kcore(ds, k=2, max_rounds=40).to_pandas()
+    assert len(out) == 0  # the true 2-core of a path is empty

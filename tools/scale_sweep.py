@@ -156,6 +156,9 @@ def main() -> int:
             open(marker, "w").write("ok")
         return d
 
+    if not only or "jaccard_prefix_110k" in only:
+        synth_docs_prefix()  # synthesis cost stays OUT of the timed pass
+
     def jaccard_prefix_110k():
         from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
 
