@@ -2801,6 +2801,91 @@ def _selection_quantiles(ds, to_int, qs, to_weight=None):
     return out, total
 
 
+def _selection_quantiles_multi(ds, to_ints, qs):
+    """Fused MULTI-metric variant of :func:`_selection_quantiles`: ONE
+    coarse pass + ONE fine pass for ALL metrics instead of two passes
+    per metric (q_customer_rfm previously re-streamed its per-customer
+    table six times — NOTES_r3 round-4 lead #6). ``to_ints`` maps
+    metric name → ``batch -> np.int64 array``; returns
+    ``(dict metric → dict q-name → int value, total row count)``.
+    Identical rank rule per metric (discrete, == DuckDB
+    quantile_disc)."""
+    import math
+
+    import numpy as np
+
+    names = list(to_ints)
+
+    def coarse(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, nm in enumerate(names):
+            v = to_ints[nm](b)
+            cb, n = np.unique(v >> 8, return_counts=True)
+            frames.append(pd.DataFrame({
+                "m": np.full(len(cb), i, dtype=np.int64),
+                "cb": cb, "n": n.astype("int64"),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = ds.map_batches(coarse, batch_format="pandas").to_pandas()
+    hist = _pysum_cols(hist, ["n"])
+
+    ranks, targets, before, total = {}, {}, {}, 0
+    for i, nm in enumerate(names):
+        merged = (hist[hist["m"] == i].groupby("cb")["n"].sum()
+                  .sort_index())
+        total = int(merged.sum())  # same dataset → same count per metric
+        cum = merged.cumsum()
+        ranks[nm] = {q: max(0, math.ceil(f * total) - 1)
+                     for q, f in qs.items()}
+        targets[nm] = {
+            q: int(cum.index[int(np.searchsorted(cum.to_numpy(), r + 1))])
+            for q, r in ranks[nm].items()
+        }
+        before[nm] = {}
+        for b_ in sorted(set(targets[nm].values())):
+            loc = cum.index.get_loc(b_)
+            before[nm][b_] = int(cum.iloc[loc - 1]) if loc > 0 else 0
+
+    want_ref = ray.put({
+        i: np.array(sorted(set(targets[nm].values())), dtype=np.int64)
+        for i, nm in enumerate(names)
+    })
+
+    class FineCounts:
+        def __init__(self):
+            self.want = ray.get(want_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for i, nm in enumerate(names):
+                v = to_ints[nm](b)
+                v = v[np.isin(v >> 8, self.want[i])]
+                vc, n = np.unique(v, return_counts=True)
+                frames.append(pd.DataFrame({
+                    "m": np.full(len(vc), i, dtype=np.int64),
+                    "vc": vc, "n": n.astype("int64"),
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+    fine = ds.map_batches(
+        FineCounts, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    fine = _pysum_cols(fine, ["n"])
+
+    out = {}
+    for i, nm in enumerate(names):
+        fm = fine[fine["m"] == i].groupby("vc")["n"].sum().sort_index()
+        out[nm] = {}
+        for q in qs:
+            b_ = targets[nm][q]
+            in_b = fm[(fm.index.to_numpy() >> 8) == b_]
+            offset = ranks[nm][q] - before[nm][b_]
+            pos = int(np.searchsorted(in_b.cumsum().to_numpy(), offset + 1))
+            out[nm][q] = int(in_b.index[pos])
+    return out, total
+
+
 def q_lineitem_price_quantiles(sf_dir: str):
     """GLOBAL order statistics WITHOUT a global sort — exact corpus-wide
     p25/median/p90 of l_extendedprice via the shared two-pass
@@ -3602,11 +3687,11 @@ def q_customer_rfm(sf_dir: str):
     )                   # by each quantile pass below
 
     QS = {"q1": 0.25, "q2": 0.5, "q3": 0.75}
-    th = {
-        col: _selection_quantiles(
-            per_cust, (lambda c: lambda b: b[c].to_numpy())(col), QS)[0]
-        for col in ("recency_days", "frequency", "cents")
-    }
+    th, _ = _selection_quantiles_multi(
+        per_cust,
+        {col: (lambda c: lambda b: b[c].to_numpy())(col)
+         for col in ("recency_days", "frequency", "cents")},
+        QS)
     th_ref = ray.put(th)
 
     class Score:
