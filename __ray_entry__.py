@@ -774,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
         "part_kcore": r.q_part_kcore,
+        "part_sorted_neighbors": r.q_part_sorted_neighbors,
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
@@ -2743,5 +2744,21 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE rank <= 10
         ORDER BY query_id, rank
+    """
+    sql["part_sorted_neighbors"] = """
+        -- sorted-neighborhood blocking (merge/purge): distinct names in
+        -- alphabetical rank order, pairs within rank distance 10 kept
+        -- if levenshtein <= 2 (engine: 2-char-prefix range buckets give
+        -- globally contiguous local ranks; cross-boundary pairs via a
+        -- straddle group reconstructing ranks from carried counts)
+        WITH d AS (SELECT DISTINCT p_name FROM part),
+        r AS (SELECT p_name,
+                     row_number() OVER (ORDER BY p_name) AS rk
+              FROM d)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 10
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b
     """
     return sql

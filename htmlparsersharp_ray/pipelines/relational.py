@@ -4187,3 +4187,136 @@ def q_part_kcore(sf_dir: str):
     out = out.astype({"node": "int64", "core_deg": "int64"})
     return (out[["node", "core_deg"]]
             .sort_values("node").reset_index(drop=True))
+
+
+def q_part_sorted_neighbors(sf_dir: str):
+    """SORTED-NEIGHBORHOOD dedup blocking (Hernández & Stolfo's classic
+    merge/purge method — the third candidate-generation family next to
+    FastSS deletion neighborhoods and MinHash banding): sort the
+    DISTINCT names alphabetically, compare each name only to its w=10
+    nearest neighbors in sort order, keep pairs within Levenshtein 2.
+
+    Scale shape — global alphabetical order WITHOUT a global sort:
+    names range-partition by their 2-char prefix (prefix order is
+    consistent with full-string order, so bucket-local sorted ranks are
+    globally contiguous); in-bucket window pairs come from w vectorized
+    shift passes over the sorted array; pairs that CROSS bucket
+    boundaries involve only each bucket's first/last w names, which
+    flow (with local index + bucket count) into one tiny straddle
+    group that reconstructs global ranks from the carried counts —
+    no driver participation. The exact Levenshtein verify is the
+    shared all-pairs numpy DP (:func:`_levenshtein_pairs`).
+
+    Oracle: ROW_NUMBER window self-join on rank distance ≤ w with
+    DuckDB levenshtein() (quadratic in w·names — sf0.01 gate)."""
+    import numpy as np
+
+    W, K = 10, 2
+
+    ds = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["p_name"].drop_duplicates().astype(str)
+        return pd.DataFrame({"pb": u.str.slice(0, 2), "p_name": u})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        names = np.sort(g["p_name"].astype(str).unique())
+        n = len(names)
+        out_a, out_b = [], []
+        for k in range(1, min(W, n - 1) + 1):
+            out_a.append(names[:-k])
+            out_b.append(names[k:])
+        cand_a = (np.concatenate(out_a) if out_a
+                  else np.empty(0, dtype=object))
+        cand_b = (np.concatenate(out_b) if out_b
+                  else np.empty(0, dtype=object))
+        pb = str(g["pb"].iloc[0])
+        head = np.arange(min(W, n))
+        tail = np.arange(max(0, n - W), n)
+        edge_idx = np.unique(np.concatenate([head, tail]))
+        return pd.concat([
+            pd.DataFrame({"kind": np.int64(0), "name_a": cand_a,
+                          "name_b": cand_b, "pb": "", "idx": np.int64(-1),
+                          "cnt": np.int64(-1)}),
+            pd.DataFrame({"kind": np.int64(1), "name_a": names[edge_idx],
+                          "name_b": "", "pb": pb,
+                          "idx": edge_idx.astype(np.int64),
+                          "cnt": np.int64(n)}),
+        ], ignore_index=True)
+
+    rows = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # consumed twice (in-bucket pairs + straddle)
+    )
+
+    in_bucket = rows.map_batches(
+        lambda b: b.loc[b["kind"] == 0, ["name_a", "name_b"]],
+        batch_format="pandas")
+
+    def straddle_key(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.loc[b["kind"] == 1, ["pb", "name_a", "idx", "cnt"]]
+        return s.assign(sk=np.int64(0))   # one global straddle group
+
+    def straddle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # reconstruct global ranks: offsets = cumsum of per-bucket
+        # counts in prefix order (counts ride on every straddle row)
+        counts = (g.drop_duplicates("pb").sort_values("pb")
+                  [["pb", "cnt"]])
+        offs = dict(zip(counts["pb"],
+                        np.concatenate([[0], counts["cnt"].cumsum()
+                                        .to_numpy()[:-1]])))
+        rank = (g["pb"].map(offs).to_numpy(dtype=np.int64)
+                + g["idx"].to_numpy(dtype=np.int64))
+        order = np.argsort(rank, kind="stable")
+        nm = g["name_a"].to_numpy(dtype=object)[order]
+        rk = rank[order]
+        pb = g["pb"].to_numpy(dtype=object)[order]
+        out_a, out_b = [], []
+        for k in range(1, len(nm)):
+            # straddle-set neighbors are not rank-adjacent in general;
+            # pair every element with later ones within rank window W,
+            # cross-bucket only (in-bucket pairs already emitted)
+            ok = (rk[k:] - rk[:-k] <= W) & (pb[k:] != pb[:-k])
+            if not ok.any():
+                continue
+            out_a.append(nm[:-k][ok])
+            out_b.append(nm[k:][ok])
+        if not out_a:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                                 "name_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"name_a": np.concatenate(out_a),
+                             "name_b": np.concatenate(out_b)})
+
+    straddle = (
+        rows.map_batches(straddle_key, batch_format="pandas")
+        .groupby("sk")
+        .map_groups(straddle_pairs, batch_format="pandas")
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                                 "name_b": pd.Series([], dtype=object),
+                                 "dist": pd.Series([], dtype="int64")})
+        a = b["name_a"].to_numpy(dtype=object)
+        c = b["name_b"].to_numpy(dtype=object)
+        d = _levenshtein_pairs(a, c)
+        keep = d <= K
+        lo = np.minimum(a[keep], c[keep])
+        hi = np.maximum(a[keep], c[keep])
+        return pd.DataFrame({"name_a": lo, "name_b": hi,
+                             "dist": d[keep].astype("int64")})
+
+    out = (
+        in_bucket.union(straddle)
+        .map_batches(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                             "name_b": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype="int64")})
+    return (out.drop_duplicates(["name_a", "name_b"])
+            .sort_values(["name_a", "name_b"]).reset_index(drop=True))

@@ -1579,3 +1579,49 @@ def test_orders_big_spenders_having_joinback(ray_session, tmp_path):
     assert out["o_orderkey"].tolist() == [10, 11, 12]
     assert (out["cust_total_cents"] == 600_000_000).all()
     assert (out["price_cents"] == 200_000_000).all()
+
+
+def test_sorted_neighbors_straddle_and_window(ray_session, tmp_path):
+    """Sorted-neighborhood blocking must find pairs that CROSS a
+    2-char-prefix bucket boundary (e.g. 'az...' vs 'ba...') and honor
+    the rank-window cutoff exactly — differential vs a brute-force
+    rank self-join over the same distinct names."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htmlparsersharp_ray.pipelines.relational import (
+        _levenshtein_pairs,
+        q_part_sorted_neighbors,
+    )
+
+    rng = np.random.default_rng(21)
+    names = []
+    # boundary twins in DIFFERENT prefix buckets but rank-adjacent
+    names += ["azzzy", "bazzy"]          # cross-bucket, lev 2
+    names += ["cat", "cbt", "cct"]       # in-bucket chain, lev 1 apart
+    # filler spreading across buckets (push some pairs out of window)
+    letters = "abcdefghij"
+    for i in range(80):
+        names.append(letters[i % 10] + letters[(i // 10) % 10]
+                     + f"xx{i:03d}")
+    tbl = pa.table({"p_name": pa.array(names * 3)})  # dup rows collapse
+    pq.write_table(tbl, str(tmp_path / "part.parquet"))
+
+    got = q_part_sorted_neighbors(str(tmp_path))
+    got_set = set(zip(got["name_a"], got["name_b"]))
+
+    # brute-force reference over distinct sorted names
+    d = sorted(set(names))
+    want = set()
+    for i in range(len(d)):
+        for j in range(i + 1, min(i + 11, len(d))):
+            dist = int(_levenshtein_pairs(
+                np.array([d[i]], dtype=object),
+                np.array([d[j]], dtype=object))[0])
+            if dist <= 2:
+                want.add((d[i], d[j]))
+    assert got_set == want
+    assert ("azzzy", "bazzy") in got_set      # the straddle pair
+    assert ("cat", "cbt") in got_set
