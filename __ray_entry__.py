@@ -711,6 +711,56 @@ def _q_media_phash_dups(sf_dir: str):
     return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
 
 
+def _synth_audio_corpus(n: int = 200):
+    """Deterministic audio corpus with planted near-dups: per-clip
+    random two-tone mix with a random on/off envelope (structure the
+    energy fingerprint keys on), every 5th clip a half-volume +
+    small-noise copy of its predecessor — perceptually the same
+    envelope, byte-different. REAL PCM16 WAV payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from htmlparsersharp_ray.stages.multimodal import encode_wav
+
+    rng = np.random.default_rng(61)
+    t = np.arange(4096, dtype=np.float32) / 16000.0
+    payloads = []
+    for i in range(n):
+        if i % 5 == 1:
+            clip = prev * 0.5 + rng.normal(0, 0.005, prev.shape
+                                           ).astype(np.float32)
+        else:
+            f1, f2 = rng.uniform(200, 2000, 2)
+            env = np.repeat(rng.integers(0, 2, 16).astype(np.float32),
+                            256)
+            clip = env * (0.5 * np.sin(2 * np.pi * f1 * t)
+                          + 0.3 * np.sin(2 * np.pi * f2 * t)
+                          ).astype(np.float32)
+        prev = clip
+        payloads.append(encode_wav(clip, 16000))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["audio"] * n),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def _q_media_audio_dups(sf_dir: str):
+    """Multimodal near-dup detection, AUDIO member: REAL WAV decode →
+    64-bit energy-envelope fingerprint (volume-invariant via median
+    thresholding) → the generic banded 64-bit pair miner shared with
+    SimHash/pHash. Rows-only for the driver; gated by planted-dup
+    recall (half-volume noisy copies) + banded-vs-brute-force
+    differential pytests (tests/test_stages.py::test_audio_*)."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.multimodal import audio_dups
+
+    ds = ray.data.from_arrow(_synth_audio_corpus(200))
+    out = audio_dups(ds, max_hamming=6)
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     """REAL decode: PPM pixels / WAV samples → features (no hash fakes)."""
     import ray.data
@@ -855,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_phash_dups": _q_media_phash_dups,
+        "media_audio_dups": _q_media_audio_dups,
         "media_frames": _q_media_frames,
         # flagship extraction
         "extract_turns": _q_extract_turns,
@@ -2641,8 +2692,9 @@ def oracle_sql() -> dict[str, str]:
         # docs_bpe_vocab (iterative argmax + procedural resegmentation)
         # is likewise rows-only, gated by a sequential-reference BPE
         # differential pytest across block layouts.
-        # media_phash_dups (PPM decode + perceptual hash) is rows-only,
-        # gated by planted-dup recall + banded-vs-brute-force pytests.
+        # media_phash_dups / media_audio_dups (codec decode +
+        # perceptual hashing) are rows-only, gated by planted-dup
+        # recall + banded-vs-brute-force pytests.
         # part_kcore (fixpoint peeling over aggregates) is rows-only,
         # gated by a sequential-peel differential pytest.
     }

@@ -1668,3 +1668,56 @@ def test_kcore_raises_on_nonconvergence(ray_session):
         kcore(ds, k=2, max_rounds=5)
     out = kcore(ds, k=2, max_rounds=40).to_pandas()
     assert len(out) == 0  # the true 2-core of a path is empty
+
+
+def test_audio_dups_planted_and_differential(ray_session):
+    """Audio fingerprint dedup finds every planted half-volume noisy
+    copy, and the banded miner equals brute-force Hamming over the
+    engine's own fingerprints."""
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import AudioHashUDF, audio_dups
+
+    import __ray_entry__ as entry_mod
+
+    tbl = entry_mod._synth_audio_corpus(100)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = audio_dups(ds, max_hamming=6)
+    got_set = set(zip(got["media_a"].astype(int), got["media_b"].astype(int)))
+    planted = {(i - 1, i) for i in range(1, 100) if i % 5 == 1}
+    assert planted <= got_set
+
+    sig = ds.map_batches(AudioHashUDF, batch_format="pyarrow",
+                         batch_size=32, concurrency=2).to_pandas()
+    sig = sig.sort_values("media_id").reset_index(drop=True)
+    ids = sig["media_id"].to_numpy()
+    h = sig["ahash"].to_numpy().astype(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    dist = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    ii, jj = np.nonzero(dist <= 6)
+    want = {(int(ids[a]), int(ids[b])) for a, b in zip(ii, jj)
+            if ids[a] < ids[b]}
+    assert got_set == want
+
+
+def test_audio_hash_volume_invariance():
+    """The energy fingerprint is exactly invariant to volume scaling
+    and different for a different envelope."""
+    import numpy as np
+
+    from htmlparsersharp_ray.stages.multimodal import audio_hash64
+
+    rng = np.random.default_rng(5)
+    t = np.arange(4096, dtype=np.float32) / 16000.0
+    env = np.repeat(rng.integers(0, 2, 16).astype(np.float32), 256)
+    clip = env * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    other_env = 1.0 - env
+    other = other_env * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+
+    h = audio_hash64(clip)
+    assert audio_hash64(clip * 0.25) == h          # volume invariance
+    assert audio_hash64(clip * 3.0) == h
+    assert bin(h ^ audio_hash64(other)).count("1") >= 20
