@@ -794,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_frame": r.q_events_range_frame,
         "events_transitions": r.q_events_transitions,
         "events_latest": r.q_events_latest,
+        "events_cdc_apply": r.q_events_cdc_apply,
         "events_share": r.q_events_share,
         "events_rolling_median": r.q_events_rolling_median,
         "events_retention": r.q_events_retention,
@@ -2812,5 +2813,18 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 10
         WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY name_a, name_b
+    """
+    sql["events_cdc_apply"] = """
+        -- CDC apply with tombstones: latest change per user wins;
+        -- users whose latest change is an 'error' (the tombstone
+        -- stand-in) are absent from the final state
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS ts_us, value
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id
     """
     return sql

@@ -4320,3 +4320,41 @@ def q_part_sorted_neighbors(sf_dir: str):
                              "dist": pd.Series([], dtype="int64")})
     return (out.drop_duplicates(["name_a", "name_b"])
             .sort_values(["name_a", "name_b"]).reset_index(drop=True))
+
+
+def q_events_cdc_apply(sf_dir: str):
+    """CDC APPLY WITH TOMBSTONES: materialize the final state of a
+    change log — per entity (user_id), the latest change by
+    (ts, event_id) wins, and entities whose latest change is a
+    tombstone ('error' events stand in for deletes) are ABSENT from
+    the result. The merge-on-read compaction step a lakehouse /
+    feature-store pipeline runs; extends the keep-latest primitive
+    (q_events_latest) with delete semantics.
+
+    Same scale shape: every entity's history lands in one user-hash
+    bucket; ONE sort + duplicated() mask picks each entity's latest
+    row; a vectorized != filter drops tombstoned entities. Hash-exact
+    (rows carried verbatim)."""
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def apply_changes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        keep = ~g.duplicated(["user_id"], keep="last")
+        out = g.loc[keep]
+        out = out[out["event_type"] != "error"]
+        res = out[["user_id", "event_id", "event_type", "value"]].copy()
+        res["ts_us"] = out["ts"].astype("int64")
+        return res[["user_id", "event_id", "event_type", "ts_us", "value"]]
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(apply_changes, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

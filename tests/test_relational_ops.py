@@ -1625,3 +1625,50 @@ def test_sorted_neighbors_straddle_and_window(ray_session, tmp_path):
     assert got_set == want
     assert ("azzzy", "bazzy") in got_set      # the straddle pair
     assert ("cat", "cbt") in got_set
+
+
+def test_cdc_apply_tombstone_semantics(ray_session, tmp_path):
+    """Latest change wins per entity; an entity whose LATEST change is
+    a tombstone vanishes; a tombstone followed by a later upsert
+    resurrects the entity (standard CDC merge-on-read)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htmlparsersharp_ray.pipelines.relational import q_events_cdc_apply
+
+    base = np.int64(1_700_000_000_000_000)
+    rows = [
+        # user 1: upsert then tombstone -> absent
+        (1, 1, base + 1, "view", 1.0),
+        (2, 1, base + 2, "error", 0.0),
+        # user 2: tombstone then later upsert -> resurrected w/ latest
+        (3, 2, base + 1, "error", 0.0),
+        (4, 2, base + 2, "purchase", 9.5),
+        # user 3: two upserts -> latest value
+        (5, 3, base + 1, "view", 1.0),
+        (6, 3, base + 2, "click", 2.0),
+        # user 4: ts tie -> higher event_id wins
+        (7, 4, base + 5, "view", 1.0),
+        (8, 4, base + 5, "signup", 3.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_i",
+                                     "event_type", "value"])
+    tbl = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(df["ts_i"].to_numpy().astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "event_type": pa.array(df["event_type"]),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = q_events_cdc_apply(str(tmp_path))
+    state = {int(r.user_id): (str(r.event_type), float(r.value))
+             for r in out.itertuples()}
+    assert 1 not in state                      # tombstoned away
+    assert state[2] == ("purchase", 9.5)       # resurrected
+    assert state[3] == ("click", 2.0)          # latest upsert
+    assert state[4] == ("signup", 3.0)         # event_id tie-break
