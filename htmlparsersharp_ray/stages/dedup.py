@@ -516,6 +516,14 @@ def jaccard_prefix_pairs_ds(
     a missed pair.
     """
     t = float(jaccard_threshold)
+    # the token exchange's bucket groups hold ALL (doc, token) rows of
+    # their token subspace (df must be computed over the whole corpus),
+    # so the bucket count must scale with input size — auto-size from
+    # file metadata like the joins (the banding-family exchanges emit a
+    # bounded 16 rows/doc and are less pressure-sensitive)
+    from ..pipelines.joins import auto_buckets
+
+    nb = int(auto_buckets(docs))
 
     def token_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -524,7 +532,7 @@ def jaccard_prefix_pairs_ds(
         tok = np.concatenate(sets) if sets else np.empty(0, np.int64)
         tok = tok.astype(np.int64)
         return pa.table({
-            "tb": pa.array(_ibucket(tok)),
+            "tb": pa.array(_ibucket(tok, nb)),
             "token": pa.array(tok),
             "doc_id": pa.array(np.repeat(ids, sizes)),
             "s": pa.array(np.repeat(sizes, sizes)),
@@ -535,7 +543,7 @@ def jaccard_prefix_pairs_ds(
         # is simply its row count in this group — no second exchange
         out = group[["token", "doc_id", "s"]].copy()
         out["df"] = group.groupby("token")["token"].transform("size").astype("int64")
-        out["db"] = _ibucket(out["doc_id"].to_numpy())
+        out["db"] = _ibucket(out["doc_id"].to_numpy(), nb)
         return out
 
     def prefixes(group: pd.DataFrame) -> pd.DataFrame:
@@ -544,7 +552,7 @@ def jaccard_prefix_pairs_ds(
         s = g["s"].to_numpy()
         p = s - np.ceil(t * s - 1e-9).astype(np.int64) + 1
         out = g.loc[rank < p, ["token", "doc_id", "s"]].copy()
-        out["tb"] = _ibucket(out["token"].to_numpy())
+        out["tb"] = _ibucket(out["token"].to_numpy(), nb)
         return out
 
     def token_pairs(group: pd.DataFrame) -> pd.DataFrame:

@@ -1721,3 +1721,59 @@ def test_audio_hash_volume_invariance():
     assert audio_hash64(clip * 0.25) == h          # volume invariance
     assert audio_hash64(clip * 3.0) == h
     assert bin(h ^ audio_hash64(other)).count("1") >= 20
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.3), (2, 0.5), (3, 0.7)])
+def test_jaccard_prefix_random_differential(ray_session, seed, threshold):
+    """Randomized differential sweep: prefix filtering == brute force
+    at several thresholds and corpus shapes (zero-miss is a THEOREM —
+    any miss is a bug, not bad luck)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import jaccard_prefix_pairs
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{k}" for k in range(60)]     # small vocab → real overlap
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 25)).tolist())
+             for _ in range(30)]
+    ids = list(range(30))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    want = _bruteforce_jaccard_pairs(texts, ids, threshold)
+    got = jaccard_prefix_pairs(ds, jaccard_threshold=threshold)
+    got_map = {(int(a), int(b)): float(j) for a, b, j in
+               zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert set(got_map) == set(want)
+    for k, v in want.items():
+        assert got_map[k] == pytest.approx(v, abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_bpe_random_differential(ray_session, seed):
+    """Randomized differential: distributed BPE == sequential reference
+    on random Zipf-ish corpora (tie-breaks exercised by repetition)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.bpe import bpe_learn, bpe_learn_reference
+
+    rng = np.random.default_rng(seed)
+    vocab = ["".join(rng.choice(list("abcdef"), size=rng.integers(2, 7)))
+             for _ in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=20,
+                                 p=np.arange(40, 0, -1) / np.arange(40, 0, -1).sum()
+                                 ).tolist())
+             for _ in range(15)]
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_learn_reference(wc, n_merges=10)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = bpe_learn(ds, n_merges=10)
+    got_list = [(int(a), str(b), str(c), int(d)) for a, b, c, d in
+                zip(got["rank"], got["left"], got["right"],
+                    got["pair_count"])]
+    assert got_list == want
