@@ -839,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_language_mixture": r.q_docs_language_mixture,
         "customer_order_counts": r.q_customer_order_counts,
         "orders_big_spenders": r.q_orders_big_spenders,
+        "lineitem_below_avg": r.q_lineitem_below_avg,
+        "supplier_top_revenue": r.q_supplier_top_revenue,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1395,6 +1397,47 @@ def oracle_sql() -> dict[str, str]:
                    t.cust_total_cents
             FROM orders o JOIN t USING (o_custkey)
             ORDER BY o_custkey, o_orderkey
+        """,
+        "lineitem_below_avg": """
+            -- TPC-H Q17 shape: correlated aggregate subquery — rows
+            -- below 20% of their part's OWN average quantity. The
+            -- comparison is the exact integer cross-multiply the
+            -- engine uses (5*q_u*cnt < sum_q in 1e-2 qty units), so
+            -- no float-division drift can flip a boundary row
+            WITH l AS (
+                SELECT l_partkey,
+                       CAST(ROUND(l_quantity * 100) AS BIGINT) AS q_u,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM lineitem
+            ), s AS (
+                SELECT l_partkey, COUNT(*) AS cnt,
+                       SUM(q_u) AS sum_q
+                FROM l GROUP BY l_partkey
+            )
+            SELECT l.l_partkey,
+                   SUM(l.price_cents) AS below_avg_cents,
+                   COUNT(*) AS n_below
+            FROM l JOIN s USING (l_partkey)
+            WHERE 5 * l.q_u * s.cnt < s.sum_q
+            GROUP BY l.l_partkey
+            ORDER BY l.l_partkey
+        """,
+        "supplier_top_revenue": """
+            -- TPC-H Q15 shape: supplier(s) achieving the global max
+            -- total revenue (ties included); exact 1e-6-dollar units
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (10000 -
+                              CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                           AS total_u
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, CAST(total_u AS BIGINT) AS total_u
+            FROM rev
+            WHERE total_u = (SELECT MAX(total_u) FROM rev)
+            ORDER BY l_suppkey
         """,
         "orders_order_gap": """
             -- inter-arrival gaps per customer (>= 2 orders): exact

@@ -4358,3 +4358,150 @@ def q_events_cdc_apply(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_lineitem_below_avg(sf_dir: str):
+    """Correlated aggregate subquery (TPC-H Q17 shape): per part, sum the
+    extended price of lineitem rows whose quantity is below 20% of that
+    part's OWN average quantity — the aggregate-compare-filter idiom
+    (`l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE same part)`).
+    Reference n/a (engine-level relational op).
+
+    ONE partkey-hash exchange: a part's detail rows co-locate in one
+    bucket group, so the per-part (count, sum-of-quantity) aggregate,
+    the correlated comparison and the qualifying-row re-aggregate all
+    happen inside the group — no second shuffle, no broadcast of the
+    per-part averages. The comparison is EXACT integer cross-multiply
+    (q_u < sum_q/(5·cnt)  ⇔  5·q_u·cnt < sum_q in 1e-2 quantity
+    units), so no float-division drift can flip a boundary row; the
+    oracle uses the identical integer predicate. Money stays in int64
+    cents (per-part totals — bounded by the bucket's working set; a
+    corpus where ONE part's qualifying spend nears 2^63 cents would
+    need the _pysum_cols Python-int merge, noted not armed)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    li_ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    nb = auto_buckets(li_ds)
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        k = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = (hashing.mix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        q_u = np.round(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        price_cents = np.round(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "kb": pa.array(kb), "l_partkey": pa.array(k),
+            "q_u": pa.array(q_u), "price_cents": pa.array(price_cents),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_partkey")["q_u"].agg(["count", "sum"])
+        cnt = agg["count"].reindex(g["l_partkey"]).to_numpy()
+        sum_q = agg["sum"].reindex(g["l_partkey"]).to_numpy()
+        below = g.loc[5 * g["q_u"].to_numpy() * cnt < sum_q]
+        if below.empty:
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype="int64"),
+                "below_avg_cents": pd.Series([], dtype="int64"),
+                "n_below": pd.Series([], dtype="int64"),
+            })
+        out = below.groupby("l_partkey").agg(
+            below_avg_cents=("price_cents", "sum"),
+            n_below=("price_cents", "size"),
+        ).reset_index()
+        return out.astype({"l_partkey": "int64",
+                           "below_avg_cents": "int64", "n_below": "int64"})
+
+    out = (
+        li_ds.map_batches(add_kb, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.astype({"l_partkey": "int64", "below_avg_cents": "int64",
+                        "n_below": "int64"})
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
+def q_supplier_top_revenue(sf_dir: str):
+    """Max-over-aggregate (TPC-H Q15 shape): the supplier(s) whose total
+    lineitem revenue equals the GLOBAL maximum — aggregate, find the max
+    of the aggregate, return the achievers (ties included, like Q15's
+    `total_revenue = (SELECT max(total_revenue) ...)`). Reference n/a
+    (engine-level relational op).
+
+    Scale shape: per-batch revenue partials collapse each batch to its
+    distinct suppliers BEFORE the exchange; one suppkey-hash bucket
+    groupby finalizes per-supplier totals (Python-int merge — exact at
+    any corpus size) and each bucket emits ONLY its local argmax rows,
+    so the driver merges n_buckets candidate rows, never the supplier
+    dimension. Revenue is exact 1e-6-dollar units
+    (cents × (10000 − discount·1e4)) — the oracle mirrors it in
+    HUGEINT."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    li_ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    nb = auto_buckets(li_ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pr_c = np.round(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        di_u = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        rev = pr_c * (10000 - di_u)
+        df = pd.DataFrame({"k": k, "rev_u": rev}).groupby(
+            "k", as_index=False)["rev_u"].sum()
+        kb = (hashing.mix64(df["k"].to_numpy().astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "kb": pa.array(kb),
+            "l_suppkey": pa.array(df["k"].to_numpy()),
+            "rev_u": pa.array(df["rev_u"].to_numpy()),
+        })
+
+    def bucket_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # Python-int accumulation (exact at any fan-in), then emit
+        # int64: a supplier total wraps only past ~1.8e10 lineitem rows
+        # PER supplier (rev_u ≈ 5e8/row) — guarded, not silent
+        tot: dict[int, int] = {}
+        for k, r in zip(g["l_suppkey"].to_numpy(), g["rev_u"].to_numpy()):
+            tot[int(k)] = tot.get(int(k), 0) + int(r)
+        best = max(tot.values())
+        if best >= (1 << 63):  # pragma: no cover
+            raise OverflowError("supplier revenue exceeds int64 units; "
+                                "rescale rev_u before the exchange")
+        rows = sorted(k for k, v in tot.items() if v == best)
+        return pd.DataFrame({
+            "l_suppkey": pd.Series(rows, dtype="int64"),
+            "total_u": pd.Series([best] * len(rows), dtype="int64"),
+        })
+
+    cand = (
+        li_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_argmax, batch_format="pandas")
+        .to_pandas()
+    )
+    best = int(cand["total_u"].max())
+    out = cand[cand["total_u"] == best]
+    return (out[["l_suppkey", "total_u"]]
+            .astype({"l_suppkey": "int64", "total_u": "int64"})
+            .sort_values("l_suppkey").reset_index(drop=True))

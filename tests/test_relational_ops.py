@@ -1672,3 +1672,39 @@ def test_cdc_apply_tombstone_semantics(ray_session, tmp_path):
     assert state[2] == ("purchase", 9.5)       # resurrected
     assert state[3] == ("click", 2.0)          # latest upsert
     assert state[4] == ("signup", 3.0)         # event_id tie-break
+
+
+def test_lineitem_below_avg_boundary_exact(ray_session, tmp_path):
+    """Q17 shape: the correlated comparison is strict (<) and exact at
+    the 0.2*avg boundary — a row AT exactly one-fifth of the part's
+    average must NOT qualify (float division would make this flaky)."""
+    # part 1: quantities [1, 5, 5, 5, 9] -> avg 5, 0.2*avg = 1.0;
+    #   the qty=1 row sits exactly ON the boundary -> excluded
+    # part 2: quantities [1, 9] -> avg 5, boundary 1.0; qty=1 ON -> none
+    # part 3: quantities [1, 99] -> avg 50, boundary 10; qty=1 qualifies
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_quantity": pa.array(
+            [1.0, 5, 5, 5, 9, 1, 9, 1, 99], pa.float64()),
+        "l_extendedprice": pa.array(
+            [10.0, 20, 20, 20, 20, 10, 20, 7.77, 20], pa.float64()),
+    }))
+    out = r.q_lineitem_below_avg(str(tmp_path))
+    assert out["l_partkey"].tolist() == [3]
+    assert out["below_avg_cents"].tolist() == [777]
+    assert out["n_below"].tolist() == [1]
+
+
+def test_supplier_top_revenue_ties(ray_session, tmp_path):
+    """Q15 shape: ALL suppliers tied at the global max come back, and
+    the revenue arithmetic is exact scaled-int (2 and 3 tie bitwise:
+    100.00*(1-0.10) == 90.00*(1-0.00))."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 3], pa.int64()),
+        "l_extendedprice": pa.array([50.0, 100.0, 45.0, 45.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.10, 0.0, 0.0], pa.float64()),
+    }))
+    out = r.q_supplier_top_revenue(str(tmp_path))
+    assert out["l_suppkey"].tolist() == [2, 3]
+    assert out["total_u"].nunique() == 1
+    assert int(out["total_u"].iloc[0]) == 100_00 * (10000 - 1000)
