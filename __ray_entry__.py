@@ -437,6 +437,17 @@ def _q_docs_chunk(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def _q_docs_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup + reassembly (CCNet-style paragraph
+    dedup over 16-word windows): near-dup documents lose exactly their
+    shared spans, first occurrence survives. Two content/doc-hash
+    bucket exchanges, no driver state."""
+    from htmlparsersharp_ray.stages.dedup import chunk_dedup
+
+    out = chunk_dedup(_docs(sf_dir), window=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_quality_score(sf_dir: str):
     """Model-based quality scoring — the batched-inference actor shape
     (model broadcast once via ray.put, fetched per actor in __init__,
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_quality_score": _q_docs_quality_score,
         "docs_chunk": _q_docs_chunk,
+        "docs_chunk_dedup": _q_docs_chunk_dedup,
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_fingerprint_fast": _q_docs_fingerprint_fast,
@@ -2285,6 +2297,40 @@ def oracle_sql() -> dict[str, str]:
                                i -> md5(array_to_string(ws[i:i+4], ' '))))
                    END AS fingerprint
             FROM w ORDER BY doc_id
+        """,
+        "docs_chunk_dedup": r"""
+            -- chunk-level exact dedup + reassembly: non-overlapping
+            -- 16-word windows; the FIRST occurrence of each distinct
+            -- chunk (by doc_id, chunk_idx) survives; docs rebuild from
+            -- surviving chunks in order (docs losing every chunk drop)
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(st / 16 AS BIGINT) AS chunk_idx,
+                     array_to_string(ws[st + 1 : least(st + 16, n)], ' ')
+                         AS chunk_text
+              FROM (
+                SELECT doc_id, ws, len(ws) AS n,
+                       unnest(generate_series(0, len(ws) - 1, 16)) AS st
+                FROM w WHERE len(ws) > 0
+              )
+            ), k AS (
+              SELECT doc_id, chunk_idx, chunk_text,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM c
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_kept,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                       AS text_dedup
+            FROM k WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "docs_chunk": """
             -- sliding token windows: starts 0,48,96,... while < n; the

@@ -1420,3 +1420,67 @@ def gram_dups(
     out = parts.groupby("doc_id", as_index=False)["n_shared_grams"].sum()
     out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_dedup(
+    docs: ray.data.Dataset, window: int = 16, n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """CHUNK-LEVEL exact dedup with document reassembly (the CCNet /
+    paragraph-dedup pass a pretraining pipeline runs BELOW doc-level
+    dedup): split every document into non-overlapping ``window``-word
+    chunks, keep only the FIRST occurrence of each distinct chunk
+    corpus-wide (first = smallest ``(doc_id, chunk_idx)``), then
+    reassemble each document from its surviving chunks in order.
+    Near-duplicate documents thus lose exactly their shared spans while
+    unique spans survive. Reference n/a — engine-level op (the
+    reference is a parse library, SURVEY.md §2.6).
+
+    Scale shape: two bounded exchanges, no driver state. (1) chunk rows
+    bucket by CONTENT hash, so all copies of a chunk co-locate and the
+    keep-first rule is a vectorized per-group ``duplicated()`` — equality
+    is checked on the actual string inside the group, so a 64-bit hash
+    collision can never merge distinct chunks; (2) survivors re-bucket by
+    doc_id hash and each document's text rebuilds inside one group.
+    Output: ``(doc_id, n_kept, text_dedup)`` — documents whose every
+    chunk was dropped emit nothing (matches the SQL oracle's GROUP BY).
+    """
+    from ..pipelines.joins import auto_buckets
+    from .hashing import hash_strings64, mix64
+    from .text_analysis import chunk_docs
+
+    nb = int(n_buckets or auto_buckets(docs))
+    chunks = chunk_docs(docs, window=window, stride=window)
+
+    def add_cb(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash_strings64(b["chunk_text"].to_numpy(), categorize=False)
+        return pd.DataFrame({
+            "cb": (h % np.uint64(nb)).astype("int64"),
+            "doc_id": b["doc_id"].astype("int64"),
+            "chunk_idx": b["chunk_idx"].astype("int64"),
+            "chunk_text": b["chunk_text"],
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_idx"], kind="stable")
+        out = g.loc[~g.duplicated("chunk_text", keep="first"),
+                    ["doc_id", "chunk_idx", "chunk_text"]].copy()
+        db = (mix64(out["doc_id"].to_numpy().astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return out.assign(db=db)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_idx"])
+        agg = g.groupby("doc_id").agg(
+            n_kept=("chunk_idx", "size"),
+            text_dedup=("chunk_text", " ".join),
+        ).reset_index()
+        return agg.astype({"doc_id": "int64", "n_kept": "int64"})
+
+    return (
+        chunks
+        .map_batches(add_cb, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("db")
+        .map_groups(reassemble, batch_format="pandas")
+    )

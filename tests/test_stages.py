@@ -1777,3 +1777,30 @@ def test_bpe_random_differential(ray_session, seed):
                 zip(got["rank"], got["left"], got["right"],
                     got["pair_count"])]
     assert got_list == want
+
+
+def test_chunk_dedup_semantics(ray_session):
+    """Chunk dedup: first occurrence survives (cross-doc AND within-doc),
+    a doc whose every chunk duplicates earlier content vanishes, short
+    trailing chunks dedupe like any other chunk."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import chunk_dedup
+
+    w = 4
+    a = "a1 a2 a3 a4 b1 b2 b3 b4 a1 a2 a3 a4"   # 3 chunks; 3rd == 1st
+    b = "b1 b2 b3 b4 c1 c2 c3 c4 tail"           # chunk1 dups doc0's 2nd
+    c = "a1 a2 a3 a4 b1 b2 b3 b4"                # fully duplicated -> drops
+    d = "tail"                                    # short chunk dups doc1's tail
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([a, b, c, d], pa.string()),
+    })).repartition(3)
+    out = (chunk_dedup(ds, window=w, n_buckets=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = {int(r.doc_id): (int(r.n_kept), r.text_dedup)
+           for r in out.itertuples()}
+    # doc 2 (every chunk seen in doc 0) and doc 3 (its only chunk
+    # "tail" first occurs as doc 1's trailing short chunk) both vanish
+    assert set(got) == {0, 1}
+    assert got[0] == (2, "a1 a2 a3 a4 b1 b2 b3 b4")
+    assert got[1] == (2, "c1 c2 c3 c4 tail")
