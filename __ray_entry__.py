@@ -213,6 +213,19 @@ def _q_embeddings_kmeans(sf_dir: str):
     return out
 
 
+def _q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (k-means bucket + within-cluster greedy cosine prune) —
+    survivor set after semantic dedup. Threshold 0.45 = the corpus's
+    planted-duplicate cosine level (same as embeddings_cosine_dups), so
+    the prune genuinely fires at driver scale. Iterative ML op, not
+    SQL-expressible (no oracle_sql); differential gate in
+    tests/test_stages.py: bitwise-equal survivors vs a single-node
+    numpy implementation at several parallelism levels."""
+    from htmlparsersharp_ray.stages.clustering import semdedup
+
+    return semdedup(_emb(sf_dir), k=8, iters=8, threshold=0.45)
+
+
 def _q_embeddings_norms(sf_dir: str):
     """List-column processing: per-vector L2 norm + dimension over the
     list<float> embedding column — zero-copy Arrow flatten, one
@@ -911,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gram_dups": _q_docs_gram_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,

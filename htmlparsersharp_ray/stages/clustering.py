@@ -54,13 +54,14 @@ def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(scores, axis=1).astype(np.int64)
 
 
-def kmeans(
+def fit_centroids(
     embeddings: ray.data.Dataset, k: int = 8, iters: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",
-) -> tuple[pd.DataFrame, np.ndarray]:
-    """Lloyd's k-means; returns (assignments DataFrame sorted by id
-    with columns ``(id_col, cluster)``, final (k, d) float64 centroids).
-    Deterministic at any parallelism — see module docstring."""
+) -> np.ndarray:
+    """Lloyd iterations only — returns the final (k, d) float64 centroid
+    matrix WITHOUT materializing per-point assignments on the driver
+    (the scale entry point for downstream per-batch assignment, e.g.
+    :func:`semdedup`). Same fixed-point determinism as :func:`kmeans`."""
     # ---- init: vectors of the k smallest ids (bounded partial top-k)
     def seed_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -89,9 +90,7 @@ def kmeans(
     cent = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in seeds[vec_col]])
     if len(cent) == 0:
-        return (pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                              "cluster": pd.Series([], dtype="int64")}),
-                np.zeros((0, 0)))
+        return np.zeros((0, 0))
     k = len(cent)  # corpus smaller than k -> shrink
     d = cent.shape[1]
 
@@ -136,6 +135,25 @@ def kmeans(
             new_cent[int(c)] = np.array(
                 [t / (n * _SCALE) for t in tot], dtype=np.float64)
         cent = new_cent
+    return cent
+
+
+def kmeans(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Lloyd's k-means; returns (assignments DataFrame sorted by id
+    with columns ``(id_col, cluster)``, final (k, d) float64 centroids).
+    Deterministic at any parallelism — see module docstring. The
+    returned assignment frame is driver-resident (one row per point) —
+    for corpora where that matters, use :func:`fit_centroids` and
+    assign per batch downstream."""
+    cent = fit_centroids(embeddings, k=k, iters=iters,
+                         vec_col=vec_col, id_col=id_col)
+    if cent.size == 0:
+        return (pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "cluster": pd.Series([], dtype="int64")}),
+                cent)
 
     # ---- final assignment pass (same small-closure shape)
     def assign_fn(batch: pa.Table, _cent=cent) -> pa.Table:
@@ -190,3 +208,95 @@ def kmeans_reference(
                 new_cent[c] = np.array([t / (n * _SCALE) for t in tot])
         cent = new_cent
     return _assign(x, cent), cent
+
+
+def semdedup(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    SEMANTIC dedup = k-means bucket the embedding space, then inside
+    each cluster greedily drop every point whose cosine similarity to
+    an already-kept point exceeds ``threshold``; keep order is
+    ascending id (ties by vector bytes), so the survivor set is
+    deterministic at any parallelism. Complements the exact/LSH dup
+    families: it removes *semantic* redundancy no literal hash can see.
+    Reference n/a — engine-level op (SURVEY.md §2.6).
+
+    Scale shape: centroids fit WITHOUT driver-resident assignments
+    (:func:`fit_centroids`); assignment is a per-batch argmin against
+    the closure-shipped k×d matrix; the quadratic cosine work happens
+    per CLUSTER inside one bucket group — pick ``k`` ∝ corpus/target
+    cluster size so a cluster fits a worker (the paper's regime), same
+    contract as every bucketed map_groups in this repo. Returns the
+    survivor frame ``(vec_id, cluster)`` sorted by id."""
+    cent = fit_centroids(embeddings, k=k, iters=iters,
+                         vec_col=vec_col, id_col=id_col)
+    if cent.size == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+
+    def assign_fn(batch: pa.Table, _cent=cent) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        if x.shape[0] == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "cluster": pa.array([], pa.int64()),
+                             "vb": pa.array([], pa.large_binary())})
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(_assign(x, cent)),
+            # float64 row bytes: one blob per point — carries the vector
+            # through the exchange without a list-column re-encode and
+            # doubles as the duplicate-id tie-break key
+            "vb": pa.array([r.tobytes() for r in x], pa.large_binary()),
+        })
+
+    def cluster_greedy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "vb"], kind="stable").reset_index(drop=True)
+        x = np.frombuffer(b"".join(g["vb"]), dtype=np.float64).reshape(
+            len(g), -1)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0.0] = 1.0          # zero vectors: cos := 0 vs all
+        u = x / nrm[:, None]
+        kept: list[int] = []
+        for i in range(len(g)):
+            if not kept or float(np.max(u[kept] @ u[i])) <= threshold:
+                kept.append(i)
+        out = g.loc[kept, [id_col, "cluster"]]
+        return out.astype({id_col: "int64", "cluster": "int64"})
+
+    out = (
+        embeddings.map_batches(assign_fn, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_greedy, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.astype({id_col: "int64", "cluster": "int64"})
+            .sort_values([id_col, "cluster"], kind="stable")
+            .reset_index(drop=True))
+
+
+def semdedup_reference(
+    ids: np.ndarray, x: np.ndarray, k: int = 8, iters: int = 8,
+    threshold: float = 0.9,
+) -> list[tuple[int, int]]:
+    """Single-node numpy reference for :func:`semdedup` — the same
+    fixed-point k-means, the same greedy-by-id within-cluster cosine
+    prune; bitwise-identical survivors at any parallelism (differential
+    gate in tests/test_stages.py)."""
+    a, _cent = kmeans_reference(ids, x, k=k, iters=iters)
+    x = x.astype(np.float64)
+    nrm = np.linalg.norm(x, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    u = x / nrm[:, None]
+    out: list[tuple[int, int]] = []
+    for c in np.unique(a):
+        idx = np.where(a == c)[0]
+        idx = sorted(idx, key=lambda i: (int(ids[i]), x[i].tobytes()))
+        kept: list[int] = []
+        for i in idx:
+            if not kept or float(np.max(u[kept] @ u[i])) <= threshold:
+                kept.append(i)
+        out.extend((int(ids[i]), int(c)) for i in kept)
+    return sorted(out)

@@ -1804,3 +1804,38 @@ def test_chunk_dedup_semantics(ray_session):
     assert set(got) == {0, 1}
     assert got[0] == (2, "a1 a2 a3 a4 b1 b2 b3 b4")
     assert got[1] == (2, "c1 c2 c3 c4 tail")
+
+
+def test_semdedup_matches_numpy_reference(ray_session):
+    """Distributed SemDeDup == single-node numpy reference (same
+    fixed-point k-means, same greedy-by-id cosine prune) BITWISE across
+    block layouts — and it actually drops the planted near-duplicates."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import (
+        semdedup, semdedup_reference)
+
+    rng = np.random.default_rng(23)
+    n, d, k = 300, 12, 4
+    centers = rng.normal(size=(k, d)) * 4
+    x = (centers[rng.integers(0, k, n)]
+         + rng.normal(size=(n, d))).astype(np.float32)
+    # plant 30 near-copies of the first 30 points (tiny perturbation ->
+    # cosine ~ 1) with HIGHER ids, so greedy keeps the originals
+    x[n - 30:] = x[:30] + rng.normal(scale=1e-4, size=(30, d)).astype(
+        np.float32)
+    ids = np.arange(n, dtype=np.int64)
+
+    want = semdedup_reference(ids, x, k=k, iters=6, threshold=0.9)
+    assert len(want) < n                       # the prune fired
+    assert not {int(i) for i in ids[n - 30:]} & {i for i, _ in want}
+
+    for blocks in (1, 5):
+        tab = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([row.tolist() for row in x],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tab).repartition(blocks)
+        out = semdedup(ds, k=k, iters=6, threshold=0.9)
+        got = list(zip(out["vec_id"].tolist(), out["cluster"].tolist()))
+        assert got == want, f"survivors diverge at blocks={blocks}"
