@@ -865,6 +865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_big_spenders": r.q_orders_big_spenders,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
+        "orders_sorted": r.q_orders_sorted,
+        "events_hopping": r.q_events_hopping,
         "events_dedup_consecutive": r.q_events_dedup_consecutive,
         "orders_page": r.q_orders_page,
         "part_unpivot": r.q_part_unpivot,
@@ -1448,6 +1450,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE 5 * l.q_u * s.cnt < s.sum_q
             GROUP BY l.l_partkey
             ORDER BY l.l_partkey
+        """,
+        "orders_sorted": """
+            -- distributed global sort (range-partitioned): the driver
+            -- compare is order-insensitive, so the VALUES check lives
+            -- here and the global-ORDER guarantee is pytest-enforced
+            -- (tests/test_relational_ops.py::test_orders_sorted_*)
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            ORDER BY price_cents, o_orderkey
+        """,
+        "events_hopping": """
+            -- hopping window (1 h window / 15 min hop): each event in
+            -- exactly 4 windows; exact-cents sums
+            WITH e AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                       (epoch_us(ts) // 900000000) * 900000000 AS slot_us
+                FROM events
+            ), x AS (
+                SELECT event_type, v_c,
+                       make_timestamp(slot_us - k * 900000000)
+                           AS window_start
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS k)
+            )
+            SELECT event_type, window_start,
+                   CAST(SUM(v_c) AS DOUBLE) / 100.0 AS sum_value,
+                   COUNT(*) AS n_events
+            FROM x
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         "supplier_top_revenue": """
             -- TPC-H Q15 shape: supplier(s) achieving the global max

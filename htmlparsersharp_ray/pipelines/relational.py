@@ -4505,3 +4505,118 @@ def q_supplier_top_revenue(sf_dir: str):
     return (out[["l_suppkey", "total_u"]]
             .astype({"l_suppkey": "int64", "total_u": "int64"})
             .sort_values("l_suppkey").reset_index(drop=True))
+
+
+def q_orders_sorted(sf_dir: str):
+    """DISTRIBUTED GLOBAL SORT — range-partitioned, never
+    ``Dataset.sort()`` (whose all-to-all sort measured 13 s of a 14 s
+    flagship run, NOTES r1). Reference n/a (engine-level op).
+
+    Split points are EXACT quantiles of the sort key from the two-pass
+    selection machinery (:func:`_selection_quantiles` — bounded driver
+    state, no sampling skew, fully deterministic), so every range
+    bucket holds ~1/n of the rows BY CONSTRUCTION even under heavy
+    value skew. ONE range exchange co-locates each key range; buckets
+    sort independently (vectorized); bucket id == global position, so
+    at 100 TB each bucket streams straight to its own parquet partition
+    (partition dir = global order) with no driver pass. For the graded
+    result the driver reassembles with a STABLE int32-key sort on the
+    bucket id only — within-bucket order rides through untouched; the
+    sort KEY itself is never re-sorted on the driver.
+
+    Total order: (price_cents, o_orderkey) — the exchange ranges on
+    price alone (equal keys co-locate), the tie-break resolves inside
+    the bucket."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    nparts = auto_buckets(ds)
+
+    def cents(b: pd.DataFrame) -> "np.ndarray":
+        return np.round(
+            b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+
+    qs = {f"s{i:04d}": i / nparts for i in range(1, nparts)}
+    splits_d, _total = _selection_quantiles(ds, cents, qs)
+    splits = np.asarray([splits_d[k] for k in sorted(splits_d)],
+                        dtype=np.int64)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rb = np.searchsorted(splits, c, side="right").astype(np.int64)
+        return pa.table({
+            "rb": pa.array(rb),
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": pa.array(c),
+        })
+
+    def bucket_sort(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["price_cents", "o_orderkey"])
+
+    out = (
+        ds.map_batches(add_rb, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(bucket_sort, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("rb", kind="stable")  # bucket-order merge only
+    return (out[["o_orderkey", "price_cents"]]
+            .astype({"o_orderkey": "int64", "price_cents": "int64"})
+            .reset_index(drop=True))
+
+
+def q_events_hopping(sf_dir: str):
+    """HOPPING-window aggregate (1-hour window, 15-minute hop): every
+    event lands in FOUR overlapping windows — the streaming window
+    family's other half next to the tumbling q_events_window.
+    Reference n/a (engine-level op).
+
+    Shape: a per-batch 4× vectorized expansion (np.repeat/tile on the
+    int64 microsecond timestamps — windows are derived keys, no
+    shuffle of raw events), then the same exact-cents per-batch partial
+    aggregate as the tumbling window: the exchange carries
+    (event_type, window, partial) rows only, and the driver merge is
+    Python-int exact."""
+    import numpy as np
+
+    HOP_US = 15 * 60 * 1_000_000
+    K = 4  # window / hop
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ts_us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v_c = np.round(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        slot = (ts_us // HOP_US) * HOP_US
+        starts = (np.repeat(slot, K)
+                  - np.tile(np.arange(K, dtype=np.int64) * HOP_US,
+                            len(slot)))
+        df = pd.DataFrame({
+            "event_type": np.repeat(et, K),
+            "window_start_us": starts,
+            "value_c": np.repeat(v_c, K),
+        })
+        return df.groupby(["event_type", "window_start_us"],
+                          as_index=False).agg(
+            value_c=("value_c", "sum"), n_events=("value_c", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _pysum_cols(parts, ["value_c"])
+    df = (parts.groupby(["event_type", "window_start_us"], as_index=False)
+          .agg(value_c=("value_c", "sum"), n_events=("n_events", "sum")))
+    df["window_start"] = pd.to_datetime(df.pop("window_start_us"), unit="us")
+    df["sum_value"] = df.pop("value_c") / 100.0
+    df["n_events"] = df["n_events"].astype("int64")
+    return (df[["event_type", "window_start", "sum_value", "n_events"]]
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))

@@ -1708,3 +1708,46 @@ def test_supplier_top_revenue_ties(ray_session, tmp_path):
     assert out["l_suppkey"].tolist() == [2, 3]
     assert out["total_u"].nunique() == 1
     assert int(out["total_u"].iloc[0]) == 100_00 * (10000 - 1000)
+
+
+def test_orders_sorted_global_order_under_skew(ray_session, tmp_path):
+    """Range-partitioned global sort: output must be GLOBALLY ordered by
+    (price_cents, o_orderkey) — the driver compare is order-insensitive,
+    so this test carries the ordering guarantee. Heavy value skew (80%
+    of rows share one price) exercises duplicate split points."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    price = np.where(rng.random(n) < 0.8, 100.0,
+                     rng.integers(1, 10_000, n) / 7.0)
+    keys = rng.permutation(n).astype(np.int64)
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(keys),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }))
+    out = r.q_orders_sorted(str(tmp_path))
+    assert len(out) == n
+    got = list(zip(out["price_cents"], out["o_orderkey"]))
+    assert got == sorted(got), "output not globally ordered"
+    want_cents = np.sort(np.round(price * 100).astype(np.int64))
+    assert (out["price_cents"].to_numpy() == want_cents).all()
+
+
+def test_events_hopping_membership(ray_session, tmp_path):
+    """Hopping window (1 h / 15 min): an event at 10:37 belongs to
+    exactly the windows starting 09:45, 10:00, 10:15, 10:30 — and sums
+    are exact cents."""
+    ts = pd.to_datetime(["2024-01-01 10:37:00", "2024-01-01 10:44:59"])
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(["a", "a"]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1.25, 2.50], pa.float64()),
+    }))
+    out = r.q_events_hopping(str(tmp_path))
+    # both events share the same 15-min slot -> same 4 windows
+    assert len(out) == 4
+    starts = pd.to_datetime(out["window_start"]).dt.strftime("%H:%M").tolist()
+    assert starts == ["09:45", "10:00", "10:15", "10:30"]
+    assert (out["sum_value"] == 3.75).all()
+    assert (out["n_events"] == 2).all()
