@@ -391,6 +391,15 @@ def _q_docs_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir), k=20)
 
 
+def _q_docs_top_terms_by_source(sf_dir: str):
+    """Per-group heavy hitters: top-5 terms per source (exact counts,
+    (n desc, term asc) ties) via the pair-hash-bucketed candidate
+    exchange — driver merges candidates, never the vocabulary."""
+    from htmlparsersharp_ray.stages.text_analysis import top_terms_by_group
+
+    return top_terms_by_group(_docs(sf_dir), group_col="source", k=5)
+
+
 def _q_docs_top_terms_sketch(sf_dir: str):
     """Two-pass Misra-Gries heavy hitters + broadcast exact recount —
     the vocabulary-bounded scale path for corpus top terms (pass 1
@@ -890,6 +899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_top_terms_by_source": _q_docs_top_terms_by_source,
+        "lineitem_profile": r.q_lineitem_profile,
         "docs_top_terms_sketch": _q_docs_top_terms_sketch,
         "docs_tfidf": _q_docs_tfidf,
         # dedup family
@@ -2143,6 +2154,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n FROM w
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "docs_top_terms_by_source": """
+            -- per-source top-5 terms, ties (n DESC, term ASC); same
+            -- tokenization convention as docs_top_terms
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                FROM documents WHERE trim(text) <> ''
+            ), cnt AS (
+                SELECT source, term, count(*) AS n
+                FROM w GROUP BY source, term
+            ), rk AS (
+                SELECT source, term, n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n DESC, term) AS rn
+                FROM cnt
+            )
+            SELECT source, term, n FROM rk WHERE rn <= 5
+            ORDER BY source, n DESC, term
+        """,
+        "lineitem_profile": """
+            -- per-column data-profiling audit: nulls, exact distinct,
+            -- min/max as float64 (exact for these value ranges)
+            SELECT 'l_discount' AS col, COUNT(*) - COUNT(l_discount) AS n_null,
+                   COUNT(DISTINCT l_discount) AS n_distinct,
+                   CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+                   CAST(MAX(l_discount) AS DOUBLE) AS max_v FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+                   COUNT(DISTINCT l_extendedprice),
+                   CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_orderkey', COUNT(*) - COUNT(l_orderkey),
+                   COUNT(DISTINCT l_orderkey),
+                   CAST(MIN(l_orderkey) AS DOUBLE),
+                   CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', COUNT(*) - COUNT(l_partkey),
+                   COUNT(DISTINCT l_partkey),
+                   CAST(MIN(l_partkey) AS DOUBLE),
+                   CAST(MAX(l_partkey) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity),
+                   COUNT(DISTINCT l_quantity),
+                   CAST(MIN(l_quantity) AS DOUBLE),
+                   CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', COUNT(*) - COUNT(l_suppkey),
+                   COUNT(DISTINCT l_suppkey),
+                   CAST(MIN(l_suppkey) AS DOUBLE),
+                   CAST(MAX(l_suppkey) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', COUNT(*) - COUNT(l_tax),
+                   COUNT(DISTINCT l_tax),
+                   CAST(MIN(l_tax) AS DOUBLE),
+                   CAST(MAX(l_tax) AS DOUBLE) FROM lineitem
+            ORDER BY col
         """,
         "docs_top_terms_sketch": """
             -- SAME definition as docs_top_terms: the sketch only bounds the

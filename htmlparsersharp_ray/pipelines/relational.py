@@ -4620,3 +4620,84 @@ def q_events_hopping(sf_dir: str):
     return (df[["event_type", "window_start", "sum_value", "n_events"]]
             .sort_values(["event_type", "window_start"])
             .reset_index(drop=True))
+
+
+def q_lineitem_profile(sf_dir: str):
+    """DATA-PROFILING AUDIT: per numeric column — null count, EXACT
+    distinct count, min and max — the validation pass a pipeline runs
+    before trusting an input drop. Reference n/a (engine-level op).
+
+    ONE streaming pass, one exchange: each batch emits (a) one tiny
+    stats-partial row per column (nulls/min/max — mergeable anywhere)
+    and (b) its batch-local DISTINCT (column, value) pairs, bucketed by
+    value hash so a value's global presence is decided inside exactly
+    one bucket group; per-bucket per-column distinct partials sum to
+    the exact global distinct count. The driver merges
+    O(batches × columns + buckets × columns) rows — never values.
+    Values travel as float64 bits (exact for these columns' int64
+    ranges ≤ 2^53 and for native doubles)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    nb = auto_buckets(ds)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        frames = []
+        for ci, c in enumerate(cols):
+            arr = b.column(c)
+            n_null = int(arr.null_count)
+            v = arr.drop_null().to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            uniq = np.unique(v)
+            if len(uniq):
+                vb = (hashing.mix64(uniq.view(np.uint64))
+                      % np.uint64(nb)).astype(np.int64)
+                frames.append(pd.DataFrame({
+                    "vb": vb, "col_id": np.int64(ci), "value": uniq,
+                    "n_null": np.int64(0),
+                }))
+            frames.append(pd.DataFrame({
+                "vb": [np.int64(-1)], "col_id": [np.int64(ci)],
+                "value": [uniq[0] if len(uniq) else np.nan],
+                "n_null": [np.int64(n_null)],
+                "min_v": [uniq[0] if len(uniq) else np.nan],
+                "max_v": [uniq[-1] if len(uniq) else np.nan],
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        if "min_v" not in out.columns:
+            out["min_v"] = np.nan
+            out["max_v"] = np.nan
+        return out
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["vb"].iloc[0]) == -1:
+            agg = g.groupby("col_id").agg(
+                n_null=("n_null", "sum"), min_v=("min_v", "min"),
+                max_v=("max_v", "max")).reset_index()
+            agg["n_distinct"] = np.int64(0)
+            return agg[["col_id", "n_null", "n_distinct", "min_v", "max_v"]]
+        d = g.drop_duplicates(["col_id", "value"]).groupby(
+            "col_id").size().reset_index(name="n_distinct")
+        d["n_null"] = np.int64(0)
+        d["min_v"] = np.nan
+        d["max_v"] = np.nan
+        return d[["col_id", "n_null", "n_distinct", "min_v", "max_v"]]
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("col_id").agg(
+        n_null=("n_null", "sum"), n_distinct=("n_distinct", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max")).reset_index()
+    out["col"] = [cols[int(i)] for i in out["col_id"]]
+    out = out[["col", "n_null", "n_distinct", "min_v", "max_v"]].astype(
+        {"n_null": "int64", "n_distinct": "int64"})
+    return out.sort_values("col").reset_index(drop=True)

@@ -791,3 +791,53 @@ def postings(docs: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset
         .groupby("tb")
         .map_groups(attach_df, batch_format="pandas")
     )
+
+
+def top_terms_by_group(docs: ray.data.Dataset, group_col: str = "source",
+                       k: int = 5, n_buckets: int = 64) -> pd.DataFrame:
+    """PER-GROUP heavy hitters: the top-``k`` most frequent tokens of
+    each ``group_col`` value (exact counts, ties broken term-ascending)
+    — the per-source vocabulary audit next to the global
+    :func:`top_terms`. Reference n/a — engine-level op.
+
+    Scale shape: each batch collapses to (group, term, partial-count)
+    rows via ONE explode+value_counts; partials bucket by hash of the
+    (group, term) PAIR, so a pair's count is complete inside its bucket
+    and the per-bucket per-group top-k are globally valid CANDIDATES
+    (the true per-group top-k is a subset of the union); the driver
+    merges ≤ n_buckets × |groups| × k candidate rows — never the
+    vocabulary. Tokenization: lower(trim(text)) split on whitespace
+    (the corpus-wide oracle convention)."""
+    from .hashing import hash_strings64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        ok = text != ""
+        e = pd.DataFrame({
+            "grp": b.loc[ok, group_col].astype(str),
+            "term": text[ok].str.split(),
+        }).explode("term")
+        cnt = e.groupby(["grp", "term"]).size().reset_index(name="n")
+        pair = (cnt["grp"] + "\x00" + cnt["term"]).to_numpy()
+        ph = hash_strings64(pair, categorize=False)
+        cnt["pb"] = (ph % np.uint64(n_buckets)).astype("int64")
+        return cnt
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["grp", "term"], as_index=False)["n"].sum()
+        m["n"] = m["n"].astype("int64")
+        m = m.sort_values(["grp", "n", "term"],
+                          ascending=[True, False, True])
+        return m.groupby("grp", group_keys=False).head(k)
+
+    cand = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["grp", "n", "term"],
+                            ascending=[True, False, True])
+    out = cand.groupby("grp", group_keys=False).head(k)
+    return (out.rename(columns={"grp": group_col})
+            [[group_col, "term", "n"]].reset_index(drop=True))

@@ -1839,3 +1839,58 @@ def test_semdedup_matches_numpy_reference(ray_session):
         out = semdedup(ds, k=k, iters=6, threshold=0.9)
         got = list(zip(out["vec_id"].tolist(), out["cluster"].tolist()))
         assert got == want, f"survivors diverge at blocks={blocks}"
+
+
+def test_top_terms_by_group_cross_batch_counts(ray_session):
+    """Per-group heavy hitters: counts for the same (group, term) pair
+    split across blocks must merge exactly, ties break (n desc, term
+    asc), and each group gets its own independent top-k."""
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import top_terms_by_group
+
+    docs = [
+        ("s1", "x x x y y z"), ("s1", "y z z w"), ("s1", "q"),
+        ("s2", "a a b"), ("s2", "b b a c"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array([d[0] for d in docs]),
+        "text": pa.array([d[1] for d in docs]),
+    })).repartition(4)
+    out = top_terms_by_group(ds, group_col="source", k=2, n_buckets=8)
+    got = [(r.source, r.term, int(r.n)) for r in out.itertuples()]
+    # s1: x=3, y=3 (tie -> term asc: x before y), z=3? z appears 1+2=3 ->
+    # three-way tie at 3 between x,y,z -> top-2 = x,y
+    assert got == [("s1", "x", 3), ("s1", "y", 3),
+                   ("s2", "a", 3), ("s2", "b", 3)]
+
+
+def test_lineitem_profile_nulls_and_distinct(ray_session, tmp_path):
+    """Profiling audit: null counts, exact cross-block distinct counts
+    and min/max — including an all-null column."""
+    import pyarrow.parquet as pq
+    from htmlparsersharp_ray.pipelines.relational import q_lineitem_profile
+
+    n = 1000
+    t = pa.table({
+        "l_orderkey": pa.array(list(range(500)) * 2, pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([None] * n, pa.int64()),
+        "l_quantity": pa.array([float(i % 7) for i in range(n)]),
+        "l_extendedprice": pa.array(
+            [100.5 if i % 2 else None for i in range(n)]),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([i / 100.0 for i in range(n)]),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet", row_group_size=100)
+    out = q_lineitem_profile(str(tmp_path))
+    row = {r.col: r for r in out.itertuples()}
+    assert (row["l_orderkey"].n_null, row["l_orderkey"].n_distinct) == (0, 500)
+    assert (row["l_partkey"].n_distinct, row["l_partkey"].min_v,
+            row["l_partkey"].max_v) == (1, 1.0, 1.0)
+    assert row["l_suppkey"].n_null == n and row["l_suppkey"].n_distinct == 0
+    assert np.isnan(row["l_suppkey"].min_v)
+    assert (row["l_extendedprice"].n_null,
+            row["l_extendedprice"].n_distinct) == (500, 1)
+    assert (row["l_quantity"].n_distinct, row["l_quantity"].max_v) == (7, 6.0)
+    assert row["l_tax"].n_distinct == n
