@@ -202,6 +202,17 @@ def run_bench() -> dict:
     entry_mod._q_embeddings_kmeans(sf_dir)
     queries["embeddings_kmeans"] = round(time.time() - t0, 3)
 
+    # range-partitioned global sort / chunk-level dedup / SemDeDup
+    t0 = time.time()
+    r.q_orders_sorted(sf_dir)
+    queries["orders_sorted"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entry_mod._q_docs_chunk_dedup(sf_dir)
+    queries["docs_chunk_dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entry_mod._q_embeddings_semdedup(sf_dir)
+    queries["embeddings_semdedup"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {
