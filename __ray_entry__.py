@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": r.q_part_skyline,
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
+        "part_bfs_hops": r.q_part_bfs_hops,
         "part_kcore": r.q_part_kcore,
         "part_sorted_neighbors": r.q_part_sorted_neighbors,
         "docs_mixture_sample": r.q_docs_mixture_sample,
@@ -2961,6 +2962,28 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         {pr_chain}
         SELECT node, r AS pagerank_scaled FROM r5 ORDER BY node
+    """
+    sql["part_bfs_hops"] = """
+        -- multi-source BFS over the part co-purchase graph: minimum
+        -- hop distance from any size-1 part, bounded at 3 hops; the
+        -- bounded recursive CTE enumerates (node, d) pairs (UNION
+        -- dedups) and MIN picks the BFS distance — integer mins only,
+        -- so Ray's bounded-frontier propagation agrees bitwise
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        src AS (SELECT DISTINCT p_partkey AS node FROM part
+                WHERE p_size = 1),
+        bfs(node, d) AS (
+            SELECT node, 0 FROM src
+            UNION
+            SELECT e.dst, bfs.d + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.d < 3
+        )
+        SELECT node, MIN(d) AS hops FROM bfs GROUP BY node ORDER BY node
     """
     sql["part_triangles"] = """
         -- per-node triangle counts over the part co-purchase graph:

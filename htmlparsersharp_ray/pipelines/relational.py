@@ -4140,6 +4140,37 @@ def q_part_pagerank(sf_dir: str):
             .sort_values("node").reset_index(drop=True))
 
 
+def q_part_bfs_hops(sf_dir: str):
+    """MULTI-SOURCE BFS REACHABILITY over the part co-purchase graph:
+    minimum hop distance from any size-1 part to every part reachable
+    within 3 hops — the graph-traversal kernel (impact radius, k-hop
+    neighborhood expansion, taint propagation) on the same
+    fact-table-to-graph construction as PageRank/triangles.
+
+    Integer mins only, so the bounded-frontier propagation is bitwise
+    identical at any parallelism and hash-exact vs a bounded recursive
+    CTE. See :func:`htmlparsersharp_ray.stages.graph.bfs_hops` for the
+    scale shape (edge blobs ride the blob exchange unparsed; per-round
+    work is proportional to the frontier's out-edges)."""
+    from ..stages.graph import bfs_hops, group_cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    def size1(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("p_size"), pa.scalar(1))
+        return pa.table({"node": b.filter(keep).column("p_partkey")
+                         .cast(pa.int64())})
+
+    sources = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size"]
+    ).map_batches(size1, batch_format="pyarrow")
+    out = bfs_hops(edges, sources, max_hops=3).to_pandas()
+    out = out.astype({"node": "int64", "hops": "int64"})
+    return (out[["node", "hops"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def q_part_triangles(sf_dir: str):
     """DISTRIBUTED TRIANGLE COUNTING over the part co-purchase graph —
     per-node triangle membership counts, the classic graph-statistics

@@ -507,6 +507,118 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def bfs_hops(edges: ray.data.Dataset, sources: ray.data.Dataset,
+             max_hops: int = 3) -> ray.data.Dataset:
+    """Multi-source BFS over directed ``(src, dst)`` edges: returns
+    ``(node, hops)`` — the minimum hop distance from ANY source — for
+    every node reachable within ``max_hops`` (sources themselves at
+    hops=0, whether or not they appear in the edge set). Fourth member
+    of the graph family — a BOUNDED-FRONTIER propagation (vs pagerank's
+    fixed power iterations, dup_clusters' converging min-label, and
+    kcore's fixpoint peel).
+
+    Integer mins only → order-independent, bitwise-deterministic at any
+    parallelism, and exactly reproducible by a bounded recursive CTE
+    (``WHERE d < max_hops``) — a hash-exact oracle.
+
+    Scale shape (Arrow-IPC blob exchange, ``stages/exchange.py``): edge
+    blobs keyed by kb(src) build once and ride every superstep
+    unparsed; distance state lives as one blob per bucket. Each round
+    is ONE fused groupby: finalize this bucket's mins, detect the
+    frontier (a node's min equals r-1 exactly when its first candidate
+    arrived this round — candidates carrying value v are only ever
+    emitted in round v), and send (dst, r) candidates down the
+    frontier's out-edges, pre-deduplicated per destination. Work per
+    round is proportional to the FRONTIER's out-edges, not the graph —
+    the textbook BFS bound. Driver memory O(1); ``max_hops`` rounds,
+    no convergence scalar needed (the hop budget bounds the loop).
+    Reference n/a — engine-level extension, like dup_clusters.
+    """
+    from .exchange import checkpoint, deserialize_table, serialize_table
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(src):
+            return _EMPTY_BLOBS
+        et = pa.table({"node": pa.array(src), "dst": pa.array(dst)})
+        return _pack_by(et, _ibucket(src))
+
+    static = (
+        edges.map_batches(pack_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        node = np.unique(
+            batch.column("node").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        if not len(node):
+            return _EMPTY_BLOBS
+        dt = pa.table({"node": pa.array(node),
+                       "d": pa.array(np.zeros(len(node), dtype=np.int64))})
+        return _pack_by(dt, _ibucket(node))
+
+    state = checkpoint(sources.map_batches(seed, batch_format="pyarrow"))
+
+    def _merged_dists(tabs: list) -> pd.DataFrame:
+        dt = [t for t in tabs if "d" in t.column_names]
+        if not dt:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64")})
+        d = pa.concat_tables(dt).to_pandas()
+        return d.groupby("node", as_index=False, sort=False)["d"].min()
+
+    def make_superstep(r: int):
+        def superstep(group: pd.DataFrame) -> pa.Table:
+            tabs = [deserialize_table(b) for b in group["blob"]]
+            merged = _merged_dists(tabs)
+            if merged.empty:
+                return _EMPTY_BLOBS   # edges-only bucket: nothing reached yet
+            b = int(group["bucket"].iloc[0])
+            out = [pa.table(
+                {"bucket": pa.array([b], pa.int64()),
+                 "blob": pa.array([serialize_table(pa.Table.from_pandas(
+                     merged, preserve_index=False))], pa.large_binary())},
+                schema=_BLOB_SCHEMA)]
+            frontier = merged[merged["d"] == r - 1]
+            et = [t for t in tabs if "dst" in t.column_names]
+            if len(frontier) and et:
+                e = pa.concat_tables(et).to_pandas()
+                m = e.merge(frontier[["node"]], on="node", how="inner")
+                dsts = np.unique(m["dst"].to_numpy(dtype=np.int64))
+                if len(dsts):
+                    cand = pa.table({
+                        "node": pa.array(dsts),
+                        "d": pa.array(np.full(len(dsts), r, dtype=np.int64)),
+                    })
+                    out.append(_pack_by(cand, _ibucket(dsts)))
+            return pa.concat_tables(out)
+        return superstep
+
+    for r in range(1, max_hops + 1):
+        # checkpoint, not materialize: cuts lineage so round r+1's plan
+        # does not embed round r's (exchange.py::checkpoint rationale);
+        # repartition pins block count against union growth
+        state = checkpoint(
+            state.union(static)
+            .groupby("bucket")
+            .map_groups(make_superstep(r), batch_format="pandas")
+            .repartition(16)
+        )
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        merged = _merged_dists(
+            [deserialize_table(b) for b in group["blob"]])
+        return pd.DataFrame({"node": merged["node"].astype("int64"),
+                             "hops": merged["d"].astype("int64")})
+
+    # the loop's last round emitted candidates valued max_hops that are
+    # still unmerged — the final pass folds them in (and needs no edges)
+    return state.groupby("bucket").map_groups(finalize,
+                                              batch_format="pandas")
+
+
 def kcore(edges: ray.data.Dataset, k: int,
           max_rounds: int = 100) -> ray.data.Dataset:
     """The k-CORE of the undirected graph induced by ``(src, dst)``

@@ -1392,6 +1392,59 @@ def test_pagerank_matches_integer_reference_and_block_layouts(ray_session):
     assert all(want[i] == 150000 for i in (30,))  # chain head: teleport floor
 
 
+def _ref_bfs_hops(edges_pd, sources, max_hops):
+    """Sequential BFS reference: min hop distance from any source,
+    capped at max_hops."""
+    adj = {}
+    for u, v in zip(edges_pd["src"], edges_pd["dst"]):
+        adj.setdefault(int(u), set()).add(int(v))
+    dist = {int(s): 0 for s in sources}
+    frontier = set(dist)
+    for d in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_sequential_and_block_layouts(ray_session):
+    """Multi-source BFS hop distances are BITWISE equal to a sequential
+    BFS, at 1 and 8 blocks, on a graph with a long chain (exercises the
+    hop cap), a hub, a cycle reachable from a source, random edges, a
+    source with no edges at all (must appear at hops=0), and
+    unreachable nodes (must be absent)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    rows = [(i, i + 1) for i in range(100, 110)]      # chain: cap bites
+    rows += [(0, i) for i in range(1, 15)]            # hub fan-out
+    rows += [(200, 201), (201, 202), (202, 200)]      # cycle
+    rows += [(300, 301)]                              # unreachable island
+    rows += [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2))
+             if a != b]
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+    edges_pd = edges_pd.astype("int64").reset_index(drop=True)
+    sources = [0, 100, 200, 999]   # 999 has no edges: hops=0 only
+    for max_hops in (1, 3):
+        want = _ref_bfs_hops(edges_pd, sources, max_hops)
+        for parts in (1, 8):
+            ds = ray.data.from_pandas(edges_pd).repartition(parts)
+            src = ray.data.from_pandas(
+                pd.DataFrame({"node": sources}).astype("int64"))
+            out = bfs_hops(ds, src, max_hops=max_hops).to_pandas()
+            got = dict(zip(out["node"].astype(int),
+                           out["hops"].astype(int)))
+            assert got == want, f"mismatch at {parts} blocks, H={max_hops}"
+        assert want[999] == 0          # edgeless source present
+        assert 300 not in want and 301 not in want   # island absent
+        assert want[100 + max_hops] == max_hops      # chain capped exactly
+
+
 def test_group_cooccurrence_edges_semantics(ray_session):
     """Distinct directed pairs per shared group; both directions, no
     self-loops, no duplicate edges across groups or duplicate rows."""
