@@ -863,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_sample": r.q_docs_mixture_sample,
         "part_name_clusters": r.q_part_name_clusters,
         "docs_lm_score": r.q_docs_lm_score,
+        "docs_pmi": r.q_docs_pmi,
         "events_user_gini": r.q_events_user_gini,
         "customer_rfm": r.q_customer_rfm,
         "lineitem_weighted_quantiles": r.q_lineitem_weighted_quantiles,
@@ -1596,6 +1597,42 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - (CAST(sum(c*c) AS DOUBLE)
                           / CAST(sum(c)*sum(c) AS DOUBLE)) AS gini
             FROM t GROUP BY user_id ORDER BY user_id
+        """,
+        "docs_pmi": """
+            -- PMI collocations: adjacent word pairs with count >= 5,
+            -- scored by the monotone PMI ratio c_xy*T/(c_x*c_y) —
+            -- integer counts until ONE mirrored float expression
+            -- (left-assoc: (double(cxy)*double(T)) / double(cx*cy)).
+            -- Tokens never contain whitespace, so splitting the bigram
+            -- string on its single space is lossless.
+            WITH w AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ), b AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM w WHERE len(ws) >= 2
+            ), g AS (SELECT bg, count(*) AS cxy FROM b GROUP BY bg),
+            tot AS (SELECT sum(cxy) AS t FROM g),
+            u AS (
+                SELECT t AS tok, count(*) AS c
+                FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t
+            ),
+            f AS (
+                SELECT split_part(bg, ' ', 1) AS x,
+                       split_part(bg, ' ', 2) AS y, cxy
+                FROM g WHERE cxy >= 5
+            )
+            SELECT f.x AS term_x, f.y AS term_y,
+                   f.cxy AS pair_count, ux.c AS count_x, uy.c AS count_y,
+                   CAST(f.cxy AS DOUBLE) * tot.t / (ux.c * uy.c)
+                       AS pmi_ratio
+            FROM f
+            JOIN u ux ON ux.tok = f.x
+            JOIN u uy ON uy.tok = f.y
+            CROSS JOIN tot
+            ORDER BY term_x, term_y
         """,
         "docs_lm_score": """
             -- corpus-LM commonness: mean global bigram count over each

@@ -3463,6 +3463,145 @@ def q_part_name_clusters(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def q_docs_pmi(sf_dir: str, min_count: int = 5):
+    """PMI COLLOCATION MINING: corpus-global pointwise-mutual-information
+    scores for every adjacent word pair occurring at least ``min_count``
+    times — the classic collocation extractor (Church & Hanks) a
+    training-data pipeline runs to find multi-word expressions worth
+    preserving through tokenization. PMI = log(P(x,y) / (P(x)·P(y)));
+    log is monotone, so the emitted ``pmi_ratio`` = c_xy·T / (c_x·c_y)
+    ranks identically and stays ONE mirrored float expression over
+    integer partials (bit-reproducible vs SQL, the events_share /
+    lm_score pattern).
+
+    Two bounded blob exchanges (``stages/exchange.py``), both keyed by
+    TOKEN hash so unigram counts and the bigrams needing them co-locate:
+      1. bucket by hash(x): sum bigram partials → global c_xy (every
+         occurrence of (x,y) shares x), sum unigram partials → global
+         c_x, filter c_xy ≥ min_count EARLY (prunes the second exchange
+         to the survivors), attach c_x, emit per-bucket T partials;
+      2. bucket by hash(y): attach c_y from the same unigram table.
+    The driver sees only the filtered collocations plus ≤n_buckets
+    T-partial rows. int64 headroom: c_x·c_y < 2^63 holds through ~3e9
+    occurrences of both words; past that, carry the product as float.
+    """
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+    from ..stages.exchange import bucket_group_map
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    nb = int(auto_buckets(ds))
+    nbu = np.uint64(nb)
+
+    def _key(tokens: np.ndarray) -> np.ndarray:
+        return (hashing.hash_strings64(np.asarray(tokens, dtype=object))
+                % nbu).astype(np.int64)
+
+    E1 = {"kind": np.int64, "x": object, "y": object, "cnt": np.int64,
+          "key": np.int64}
+
+    def _empty(schema: dict) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in schema.items()})
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        lists = text[(text != "").to_numpy()].str.split().tolist()
+        if not lists:
+            return _empty(E1)
+        lens = np.fromiter(map(len, lists), np.int64, len(lists))
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        # unigram partials over ALL token occurrences
+        u = pd.DataFrame({"x": flat}).groupby("x", as_index=False).size()
+        u = pd.DataFrame({"kind": np.int64(0), "x": u["x"], "y": "",
+                          "cnt": u["size"].astype(np.int64)})
+        # bigram partials: adjacent tokens within the same document
+        doc_pos = np.arange(len(flat)) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        same_doc = doc_pos[1:] != 0
+        parts = [u]
+        if same_doc.any():
+            bg = pd.DataFrame({"x": flat[:-1][same_doc],
+                               "y": flat[1:][same_doc]})
+            bg = bg.groupby(["x", "y"], as_index=False).size()
+            parts.append(pd.DataFrame({
+                "kind": np.int64(1), "x": bg["x"], "y": bg["y"],
+                "cnt": bg["size"].astype(np.int64)}))
+        out = pd.concat(parts, ignore_index=True)
+        out["key"] = _key(out["x"].to_numpy())
+        return out
+
+    def bucket1(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["kind", "x", "y", "c1", "c2", "key"]
+        uni = (g.loc[g["kind"] == 0].groupby("x", as_index=False)["cnt"]
+               .sum())
+        bgp = g.loc[g["kind"] == 1]
+        bg = bgp.groupby(["x", "y"], as_index=False)["cnt"].sum()
+        t_part = int(bg["cnt"].sum())
+        b = int(g["key"].iloc[0])
+        out = [pd.DataFrame({"kind": np.int64(2), "x": "", "y": "",
+                             "c1": np.array([t_part], dtype=np.int64),
+                             "c2": np.int64(0), "key": np.int64(b)})]
+        if len(uni):
+            out.append(pd.DataFrame({
+                "kind": np.int64(0), "x": uni["x"], "y": "",
+                "c1": uni["cnt"].astype(np.int64), "c2": np.int64(0),
+                "key": np.int64(b)}))
+        keep = bg[bg["cnt"] >= min_count]
+        if len(keep):
+            m = keep.merge(uni.rename(columns={"cnt": "cx"}), on="x")
+            out.append(pd.DataFrame({
+                "kind": np.int64(1), "x": m["x"], "y": m["y"],
+                "c1": m["cnt"].astype(np.int64),
+                "c2": m["cx"].astype(np.int64),
+                "key": _key(m["y"].to_numpy())}))
+        return pd.concat(out, ignore_index=True)[cols]
+
+    def bucket2(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["kind", "x", "y", "cxy", "cx", "cy"]
+        out = [pd.DataFrame({
+            "kind": np.int64(2), "x": "", "y": "",
+            "cxy": g.loc[g["kind"] == 2, "c1"].astype(np.int64),
+            "cx": np.int64(0), "cy": np.int64(0)})]
+        bg = g.loc[g["kind"] == 1]
+        if len(bg):
+            uni = (g.loc[g["kind"] == 0].groupby("x", as_index=False)["c1"]
+                   .sum().rename(columns={"x": "y", "c1": "cy"}))
+            m = bg.merge(uni, on="y")
+            out.append(pd.DataFrame({
+                "kind": np.int64(1), "x": m["x"], "y": m["y"],
+                "cxy": m["c1"].astype(np.int64),
+                "cx": m["c2"].astype(np.int64),
+                "cy": m["cy"].astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)[cols]
+
+    emitted = ds.map_batches(emit, batch_format="pandas")
+    ex1 = bucket_group_map(
+        emitted, lambda t: t.column("key").to_numpy(), bucket1)
+    out = bucket_group_map(
+        ex1, lambda t: t.column("key").to_numpy(), bucket2).to_pandas()
+
+    total = int(out.loc[out["kind"] == 2, "cxy"].sum())
+    f = out.loc[out["kind"] == 1].copy()
+    cxy = f["cxy"].to_numpy(dtype=np.int64)
+    cx = f["cx"].to_numpy(dtype=np.int64)
+    cy = f["cy"].to_numpy(dtype=np.int64)
+    # ONE mirrored float expression (left-assoc like the SQL):
+    # (double(cxy) * double(T)) / double(cx*cy)
+    ratio = (cxy.astype(np.float64) * np.float64(total)) / (
+        (cx * cy).astype(np.float64))
+    res = pd.DataFrame({
+        "term_x": f["x"].astype(str), "term_y": f["y"].astype(str),
+        "pair_count": cxy, "count_x": cx, "count_y": cy,
+        "pmi_ratio": ratio})
+    return (res.sort_values(["term_x", "term_y"])
+            .reset_index(drop=True))
+
+
 def q_docs_lm_score(sf_dir: str):
     """CORPUS-LM COMMONNESS SCORE: build a global bigram count table
     over the corpus, then score every document by the mean corpus

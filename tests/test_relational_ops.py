@@ -1269,6 +1269,30 @@ def test_docs_lm_score_counts(ray_session, tmp_path):
     assert got[2] == (2, 5, 2.5)
 
 
+def test_docs_pmi_semantics(ray_session, tmp_path):
+    """PMI collocations: pair counts aggregate globally across docs,
+    the min-count threshold prunes, unigram counts cover ALL token
+    occurrences (including doc-final ones), and the ratio equals
+    c_xy*T/(c_x*c_y) with T = total bigram occurrences pre-threshold."""
+    texts = (["new york"] * 5            # "new york" x5
+             + ["new deal york"]          # "new deal", "deal york"
+             + ["york"])                  # unigram only
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    out = r.q_docs_pmi(_write(tmp_path, "documents", t), min_count=5)
+    # survivors: only ("new", "york") with 5; T = 7 bigrams total
+    assert out["term_x"].tolist() == ["new"]
+    assert out["term_y"].tolist() == ["york"]
+    assert out["pair_count"].tolist() == [5]
+    assert out["count_x"].tolist() == [6]    # "new" x6
+    assert out["count_y"].tolist() == [7]    # "york" x7
+    want = (np.float64(5) * np.float64(7)) / np.float64(6 * 7)
+    assert out["pmi_ratio"].tolist() == [want]
+
+
 def test_part_name_clusters_all_singletons(ray_session, tmp_path):
     """No exact dups and no fuzzy pairs at all: both edge datasets are
     empty and every part is its own cluster rep (exercises the
