@@ -858,6 +858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
         "part_bfs_hops": r.q_part_bfs_hops,
+        "supplier_ship_islands": r.q_supplier_ship_islands,
+        "part_transit_concurrency": r.q_part_transit_concurrency,
         "part_kcore": r.q_part_kcore,
         "part_sorted_neighbors": r.q_part_sorted_neighbors,
         "docs_mixture_sample": r.q_docs_mixture_sample,
@@ -2999,6 +3001,61 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         {pr_chain}
         SELECT node, r AS pagerank_scaled FROM r5 ORDER BY node
+    """
+    sql["supplier_ship_islands"] = """
+        -- gaps-and-islands: merge each supplier's overlapping-or-
+        -- touching half-open transit intervals [ship, ship + (qty%30+1)
+        -- days) into maximal islands; integer epoch-us arithmetic
+        -- end to end. First row of each partition: the preceding-rows
+        -- frame is empty, max(e) is NULL, s <= NULL is NULL -> break.
+        WITH iv AS (
+            SELECT l_suppkey AS k, epoch_us(l_shipdate) AS s,
+                   epoch_us(l_shipdate)
+                   + (CAST(l_quantity AS BIGINT) % 30 + 1)
+                     * 86400000000 AS e
+            FROM lineitem),
+        m AS (
+            SELECT k, s, e,
+                   CASE WHEN s <= max(e) OVER (
+                            PARTITION BY k ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS brk
+            FROM iv),
+        g AS (
+            SELECT k, s, e,
+                   sum(brk) OVER (PARTITION BY k ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM m),
+        i AS (SELECT k, isl, min(s) AS is_, max(e) AS ie
+              FROM g GROUP BY k, isl)
+        SELECT k AS l_suppkey, count(*)::BIGINT AS n_islands,
+               sum(ie - is_)::BIGINT AS covered_us,
+               max(ie - is_)::BIGINT AS max_island_us
+        FROM i GROUP BY k ORDER BY l_suppkey
+    """
+    sql["part_transit_concurrency"] = """
+        -- sweep-line max concurrency: peak number of a part's shipments
+        -- simultaneously in transit over the same half-open intervals
+        -- as supplier_ship_islands; +1/-1 events collapse per (part,
+        -- timestamp) so the running sum's ORDER BY d is total
+        WITH iv AS (
+            SELECT l_partkey AS k, epoch_us(l_shipdate) AS s,
+                   epoch_us(l_shipdate)
+                   + (CAST(l_quantity AS BIGINT) % 30 + 1)
+                     * 86400000000 AS e
+            FROM lineitem),
+        ev AS (
+            SELECT k, s AS d, 1 AS dl FROM iv
+            UNION ALL
+            SELECT k, e, -1 FROM iv),
+        byd AS (SELECT k, d, sum(dl) AS dl FROM ev GROUP BY k, d),
+        run AS (
+            SELECT k, sum(dl) OVER (PARTITION BY k ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+            FROM byd)
+        SELECT k AS l_partkey, max(conc)::BIGINT AS max_in_transit
+        FROM run GROUP BY k ORDER BY l_partkey
     """
     sql["part_bfs_hops"] = """
         -- multi-source BFS over the part co-purchase graph: minimum

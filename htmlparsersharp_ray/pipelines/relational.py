@@ -4871,3 +4871,157 @@ def q_lineitem_profile(sf_dir: str):
     out = out[["col", "n_null", "n_distinct", "min_v", "max_v"]].astype(
         {"n_null": "int64", "n_distinct": "int64"})
     return out.sort_values("col").reset_index(drop=True)
+
+def q_supplier_ship_islands(sf_dir: str):
+    """GAPS-AND-ISLANDS: merge each supplier's overlapping-or-touching
+    shipment transit intervals into maximal coverage islands and report
+    per supplier the island count, total covered transit time, and the
+    longest island — the classic interval-coalescing op (uptime
+    stitching, session coverage, contract continuity) that needs an
+    ordered scan per key.
+
+    Intervals are half-open ``[ship, ship + transit)`` with a
+    DETERMINISTIC synthetic transit (quantity % 30 + 1 days — the table
+    carries no receipt date), in int64 epoch-microseconds end to end,
+    so the per-bucket vectorized island scan (new island exactly when
+    start > running max of prior ends) agrees BITWISE with the oracle's
+    window-function formulation. One bounded exchange: supplier-hash
+    buckets; inside a bucket the scan is one lexsort + one cumulative
+    max per supplier run — no per-row Python.
+    """
+    import numpy as np
+
+    from ..stages.dedup import _ibucket
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_quantity"])
+    nb = int(auto_buckets(ds))
+    DAY_US = np.int64(86_400_000_000)
+
+    def emit(b: pa.Table) -> pa.Table:
+        k = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = (b.column("l_quantity").to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 30 + 1)
+        e = s + days * DAY_US
+        return pa.table({"kb": pa.array(_ibucket(k, nb)),
+                         "k": pa.array(k), "s": pa.array(s),
+                         "e": pa.array(e)})
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        e = g["e"].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, s, k))
+        k, s, e = k[order], s[order], e[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        # prior-rows max end within the supplier run: per-key cummax
+        # (C kernel) shifted one row; run-start rows are new islands
+        # regardless, so the cross-run leak at shift(1) never matters
+        sk = pd.Series(k)
+        cm = pd.Series(e).groupby(sk, sort=False).cummax()
+        prior = cm.shift(1).fillna(0).to_numpy(dtype=np.int64)
+        new_island = new_key | (s > prior)
+        isl = np.cumsum(new_island) - 1
+        df = pd.DataFrame({"k": k, "isl": isl, "s": s, "e": e})
+        agg = df.groupby(["k", "isl"], as_index=False, sort=False).agg(
+            is_=("s", "min"), ie=("e", "max"))
+        span = agg["ie"].to_numpy() - agg["is_"].to_numpy()
+        out = (pd.DataFrame({"k": agg["k"], "span": span})
+               .groupby("k", as_index=False, sort=False)
+               .agg(n_islands=("span", "size"),
+                    covered_us=("span", "sum"),
+                    max_island_us=("span", "max")))
+        return out.astype({"k": np.int64, "n_islands": np.int64,
+                           "covered_us": np.int64,
+                           "max_island_us": np.int64})
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"k": "l_suppkey"})
+    return (out[["l_suppkey", "n_islands", "covered_us", "max_island_us"]]
+            .sort_values("l_suppkey").reset_index(drop=True))
+
+
+def q_part_transit_concurrency(sf_dir: str):
+    """SWEEP-LINE MAX CONCURRENCY: for every part, the maximum number of
+    its shipments simultaneously in transit — the interval-stabbing
+    maximum (peak concurrent sessions, warehouse load, connection-pool
+    high-water mark). Same deterministic half-open transit intervals as
+    q_supplier_ship_islands.
+
+    One bounded exchange keyed by part hash; inside a bucket the sweep
+    is fully vectorized: +1/-1 events collapse per (part, timestamp),
+    a per-part-run cumulative sum gives the concurrency profile, and a
+    per-run max reduces it. Integer events only — bitwise-deterministic
+    and hash-exact vs the oracle's window-sum formulation.
+    """
+    import numpy as np
+
+    from ..stages.dedup import _ibucket
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_quantity"])
+    nb = int(auto_buckets(ds))
+    DAY_US = np.int64(86_400_000_000)
+
+    def emit(b: pa.Table) -> pa.Table:
+        k = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = (b.column("l_quantity").to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 30 + 1)
+        e = s + days * DAY_US
+        # pre-collapse events per (part, ts) inside the batch
+        ev = pd.DataFrame({
+            "k": np.concatenate([k, k]),
+            "d": np.concatenate([s, e]),
+            "dl": np.concatenate([np.ones(len(k), dtype=np.int64),
+                                  np.full(len(k), -1, dtype=np.int64)]),
+        }).groupby(["k", "d"], as_index=False, sort=False)["dl"].sum()
+        kk = ev["k"].to_numpy(dtype=np.int64)
+        return pa.table({"kb": pa.array(_ibucket(kk, nb)),
+                         "k": pa.array(kk),
+                         "d": pa.array(ev["d"].to_numpy(dtype=np.int64)),
+                         "dl": pa.array(ev["dl"].to_numpy(dtype=np.int64))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g.groupby(["k", "d"], as_index=False, sort=False)["dl"].sum()
+        k = ev["k"].to_numpy(dtype=np.int64)
+        d = ev["d"].to_numpy(dtype=np.int64)
+        dl = ev["dl"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, k))
+        k, dl = k[order], dl[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        run_id = np.cumsum(new_key) - 1
+        c = np.cumsum(dl)
+        # reset the cumulative sum at each part run (subtract the
+        # prefix before the run start)
+        starts = np.flatnonzero(new_key)
+        prefix = np.r_[0, c[starts[1:] - 1]][run_id]
+        conc = c - prefix
+        out = (pd.DataFrame({"k": k, "conc": conc})
+               .groupby("k", as_index=False, sort=False)["conc"].max())
+        return pd.DataFrame({
+            "l_partkey": out["k"].astype(np.int64),
+            "max_in_transit": out["conc"].astype(np.int64)})
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out[["l_partkey", "max_in_transit"]]
+            .sort_values("l_partkey").reset_index(drop=True))

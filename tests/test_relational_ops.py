@@ -1269,6 +1269,60 @@ def test_docs_lm_score_counts(ray_session, tmp_path):
     assert got[2] == (2, 5, 2.5)
 
 
+def _transit_lineitem(tmp_path):
+    """Synthetic lineitem for the interval ops: transit = qty%30+1 days,
+    half-open [ship, ship+transit). Supplier/part 1: three intervals —
+    [d0, d0+3) and [d0+3, d0+4) touch (merge), [d0+10, d0+11) is a
+    separate island. Supplier/part 2: two overlapping [d0, d0+5) and
+    [d0+3, d0+7) plus a nested [d0+4, d0+5) => peak concurrency 3."""
+    d0 = pd.Timestamp("2024-01-01")
+    ship = [d0, d0 + pd.Timedelta(days=3), d0 + pd.Timedelta(days=10),
+            d0, d0 + pd.Timedelta(days=3), d0 + pd.Timedelta(days=4)]
+    qty = [2.0, 0.0, 0.0, 4.0, 3.0, 0.0]   # transit = qty % 30 + 1 days
+    key = [1, 1, 1, 2, 2, 2]
+    t = pa.table({
+        "l_orderkey": pa.array(range(6), pa.int64()),
+        "l_partkey": pa.array(key, pa.int64()),
+        "l_suppkey": pa.array(key, pa.int64()),
+        "l_linenumber": pa.array([1] * 6, pa.int32()),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 6, pa.float64()),
+        "l_discount": pa.array([0.0] * 6, pa.float64()),
+        "l_tax": pa.array([0.0] * 6, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 6),
+        "l_linestatus": pa.array(["O"] * 6),
+        "l_shipdate": pa.array(pd.Series(ship).astype("datetime64[us]")),
+    })
+    return _write(tmp_path, "lineitem", t)
+
+
+def test_supplier_ship_islands_semantics(ray_session, tmp_path):
+    """Touching half-open intervals merge; disjoint ones form separate
+    islands; covered/max spans are exact integer microseconds."""
+    sf = _transit_lineitem(tmp_path)
+    out = r.q_supplier_ship_islands(sf)
+    DAY = 86_400_000_000
+    got = {row.l_suppkey: (row.n_islands, row.covered_us,
+                           row.max_island_us)
+           for row in out.itertuples()}
+    # supplier 1: [0,3)+[3,4) merged + [10,11) => 2 islands, 4+1 days
+    assert got[1] == (2, 5 * DAY, 4 * DAY)
+    # supplier 2: [0,5),[3,7),[4,5) all merge => 1 island of 7 days
+    assert got[2] == (1, 7 * DAY, 7 * DAY)
+
+
+def test_part_transit_concurrency_semantics(ray_session, tmp_path):
+    """Sweep-line peak: nested/overlapping intervals count
+    simultaneously; touching half-open intervals do NOT overlap."""
+    sf = _transit_lineitem(tmp_path)
+    out = r.q_part_transit_concurrency(sf)
+    got = dict(zip(out["l_partkey"], out["max_in_transit"]))
+    # part 1: [0,3) and [3,4) touch (no overlap), [10,11) alone => 1
+    assert got[1] == 1
+    # part 2: at day 4, [0,5)+[3,7)+[4,5) are all live => 3
+    assert got[2] == 3
+
+
 def test_docs_pmi_semantics(ray_session, tmp_path):
     """PMI collocations: pair counts aggregate globally across docs,
     the min-count threshold prunes, unigram counts cover ALL token
