@@ -900,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram": r.q_events_histogram,
         "lineitem_global_agg": r.q_lineitem_global_agg,
         "docs_sample": r.q_docs_sample,
+        "docs_split": r.q_docs_split,
+        "docs_search": r.q_docs_search,
         "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
@@ -2162,6 +2164,41 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 1) IN ('0', '1')
+            ORDER BY doc_id
+        """,
+        "docs_split": """
+            -- group-aware train/val/test split: the first md5 byte of
+            -- the SOURCE assigns the whole source to one split
+            -- (leakage-safe: within-source near-dups can't straddle)
+            SELECT doc_id, source,
+                   CASE WHEN v < 204 THEN 'train'
+                        WHEN v < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         CAST(('0x' || substr(md5(coalesce(source, '')),
+                                              1, 2))::BIGINT AS BIGINT)
+                             AS v
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "docs_search": """
+            -- conjunctive keyword search: docs containing ALL of
+            -- ('join','hash','vector'), scored by total tf over the
+            -- query terms (same whitespace tokenization as postings)
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            hits AS (
+                SELECT doc_id, t, count(*) AS tf FROM w
+                WHERE t IN ('join', 'hash', 'vector')
+                GROUP BY doc_id, t
+            )
+            SELECT doc_id, sum(tf)::BIGINT AS tf_total
+            FROM hits GROUP BY doc_id
+            HAVING count(DISTINCT t) = 3
             ORDER BY doc_id
         """,
         "docs_shuffle": """

@@ -5025,3 +5025,91 @@ def q_part_transit_concurrency(sf_dir: str):
     )
     return (out[["l_partkey", "max_in_transit"]]
             .sort_values("l_partkey").reset_index(drop=True))
+
+def q_docs_split(sf_dir: str):
+    """GROUP-AWARE TRAIN/VAL/TEST SPLIT: assign every document to a
+    split by hashing its SOURCE, so all documents from one source land
+    in the same split — the leakage-safe split a training pipeline
+    needs (near-duplicates cluster within a source; a doc-level split
+    would leak them across train and test). Deterministic md5-based
+    (no RNG, no shuffle, reproducible at any parallelism): the first
+    md5 byte of the source name picks train (<204/256 ≈ 80%),
+    val (<230 ≈ 10%) or test.
+
+    Pure per-batch map with a PER-UNIQUE-SOURCE hash (sources
+    factorize; one md5 per distinct source per batch, not per row) —
+    zero exchanges, streams at read speed at any scale."""
+    import hashlib
+
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(batch["source"].fillna(""))
+        vals = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:2], 16)
+             for u in uniques), np.int64, len(uniques))
+        v = vals[codes]
+        split = np.where(v < 204, "train",
+                         np.where(v < 230, "val", "test"))
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "source": batch["source"],
+                             "split": split})
+
+    out = docs.map_batches(assign, batch_format="pandas").to_pandas()
+    return (out[["doc_id", "source", "split"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_docs_search(sf_dir: str, terms: tuple = ("join", "hash", "vector")):
+    """BOOLEAN KEYWORD SEARCH (conjunctive): documents containing ALL
+    query terms, scored by total term frequency — the AND-retrieval op
+    over the same whitespace tokenization as the inverted index
+    (docs_postings). A real pipeline uses it for targeted corpus
+    slicing ("every doc mentioning all of X, Y, Z").
+
+    Embarrassingly parallel: one ``np.isin`` over the batch's flattened
+    tokens against the tiny query set, per-(doc, term) counts via a
+    factorized bincount, conjunction = per-doc min over the terms — no
+    exchange at all; only matches leave the worker. Integer tf sums →
+    hash-exact vs SQL."""
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    term_list = list(terms)
+    t_index = {t: i for i, t in enumerate(term_list)}
+    n_terms = len(term_list)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "tf_total": pd.Series([], dtype=np.int64)})
+        text = b["text"].fillna("").str.strip().str.lower()
+        lists = text[(text != "").to_numpy()].str.split().tolist()
+        ids = b.loc[(text != "").to_numpy(), "doc_id"].to_numpy(np.int64)
+        if not lists:
+            return empty
+        lens = np.fromiter(map(len, lists), np.int64, len(lists))
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        doc_ix = np.repeat(np.arange(len(lists)), lens)
+        hit = np.isin(flat, term_list)
+        if not hit.any():
+            return empty
+        t_ix = np.fromiter((t_index[t] for t in flat[hit]), np.int64,
+                           int(hit.sum()))
+        # per-(doc, term) counts in one bincount over a combined index
+        combo = doc_ix[hit] * n_terms + t_ix
+        counts = np.bincount(combo, minlength=len(lists) * n_terms)
+        counts = counts.reshape(len(lists), n_terms)
+        all_present = (counts > 0).all(axis=1)
+        return pd.DataFrame({
+            "doc_id": ids[all_present],
+            "tf_total": counts[all_present].sum(axis=1).astype(np.int64)})
+
+    out = docs.map_batches(match, batch_format="pandas").to_pandas()
+    return (out[["doc_id", "tf_total"]]
+            .sort_values("doc_id").reset_index(drop=True))

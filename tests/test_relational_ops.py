@@ -1323,6 +1323,44 @@ def test_part_transit_concurrency_semantics(ray_session, tmp_path):
     assert got[2] == 3
 
 
+def test_docs_split_group_aware(ray_session, tmp_path):
+    """Every doc of a source lands in the same split (leakage safety),
+    splits are deterministic md5-of-source, all three labels legal."""
+    import hashlib
+    srcs = [f"s{i}" for i in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "text": pa.array(["x"] * 80),
+        "source": pa.array([srcs[i % 40] for i in range(80)]),
+    })
+    out = r.q_docs_split(_write(tmp_path, "documents", t))
+    per_src = out.groupby("source")["split"].nunique()
+    assert (per_src == 1).all()          # group-aware: one split per source
+    for s, grp in out.groupby("source"):
+        v = int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+        want = "train" if v < 204 else ("val" if v < 230 else "test")
+        assert (grp["split"] == want).all()
+
+
+def test_docs_search_conjunctive(ray_session, tmp_path):
+    """AND semantics: only docs containing every query term match;
+    score sums tf over the query terms only."""
+    texts = [
+        "join hash vector join",      # all 3: tf_total = 2+1+1 = 4
+        "join hash join hash",        # missing 'vector' -> no match
+        "vector",                     # missing others -> no match
+        "join the hash and vector",   # all 3 once each -> 3
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    out = r.q_docs_search(_write(tmp_path, "documents", t))
+    assert dict(zip(out["doc_id"], out["tf_total"])) == {0: 4, 3: 3}
+
+
 def test_docs_pmi_semantics(ray_session, tmp_path):
     """PMI collocations: pair counts aggregate globally across docs,
     the min-count threshold prunes, unigram counts cover ALL token
