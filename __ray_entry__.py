@@ -902,6 +902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": r.q_docs_sample,
         "docs_split": r.q_docs_split,
         "docs_search": r.q_docs_search,
+        "embeddings_label_centroids": r.q_embeddings_label_centroids,
+        "events_late_arrivals": r.q_events_late_arrivals,
         "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
@@ -2180,6 +2182,52 @@ def oracle_sql() -> dict[str, str]:
                              AS v
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "embeddings_label_centroids": """
+            -- per-label embedding centroid via FIXED-POINT components:
+            -- each float32 scales by 2^20 (exact power-of-two multiply
+            -- in double) and CAST rounds half-to-even == np.rint, so
+            -- the int64 sums are order-independent; mean is ONE
+            -- mirrored float expression
+            WITH u AS (
+                -- parallel unnests of equal-length lists zip in DuckDB
+                SELECT label,
+                       CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                            AS BIGINT) AS v,
+                       unnest(generate_series(1, len(embedding)))
+                           AS dim1
+                FROM embeddings
+            )
+            SELECT label, dim1 - 1 AS dim, count(*)::BIGINT AS n,
+                   sum(v)::BIGINT AS sum_scaled,
+                   CAST(sum(v) AS DOUBLE) / (count(*) * 1048576.0)
+                       AS centroid
+            FROM u GROUP BY label, dim1 ORDER BY label, dim
+        """,
+        "events_late_arrivals": """
+            -- watermark lateness accounting under simulated
+            -- out-of-order ingestion: arrival order is the
+            -- deterministic md5 permutation of the ingest ids
+            -- (the table itself is time-ordered — that order would
+            -- make every event on-time and test nothing); the
+            -- watermark before each arrival is the running max
+            -- event-time over all prior arrivals; an event is late
+            -- when its event-time is older than watermark - 5 min.
+            -- First arrival: empty frame, NULL watermark, never late.
+            WITH o AS (
+                SELECT event_type, epoch_us(ts) AS tu,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                    event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   coalesce(sum(CASE WHEN tu < wm - 300000000
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_late
+            FROM o GROUP BY event_type ORDER BY event_type
         """,
         "docs_search": """
             -- conjunctive keyword search: docs containing ALL of

@@ -5113,3 +5113,158 @@ def q_docs_search(sf_dir: str, terms: tuple = ("join", "hash", "vector")):
     out = docs.map_batches(match, batch_format="pandas").to_pandas()
     return (out[["doc_id", "tf_total"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+def q_embeddings_label_centroids(sf_dir: str):
+    """GROUPED VECTOR AGGREGATE: the per-label centroid of the embedding
+    column — the building block of class prototypes, SemDeDup cluster
+    seeds, and per-domain embedding drift monitors.
+
+    Float sums are order-dependent, so the engine sums FIXED-POINT
+    int64 components instead: each float32 component scales by 2^20
+    (exact — a power-of-two multiply in double) and rounds HALF-TO-EVEN
+    (np.rint), which is bitwise DuckDB's CAST(DOUBLE AS BIGINT)
+    semantics; integer sums are order-independent at any parallelism,
+    and the final mean is ONE mirrored float expression
+    (double(sum) / (double(count) * 2^20)). int64 headroom: unit-norm
+    components scaled by 2^20 leave room for ~8.8e12 rows per
+    (label, dim); past that, raise the final merge to Python ints.
+
+    Per-batch bincount over a (label, dim) combined index — one partial
+    row per (label, dim) per batch, merged on the driver (labels × dims
+    is tiny); no exchange at all."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        v = np.rint(mat * SCALE).astype(np.int64)
+        labels = b["label"].to_numpy()
+        codes, uniq = pd.factorize(labels)
+        n_l, d = len(uniq), mat.shape[1]
+        sums = np.zeros((n_l, d), dtype=np.int64)
+        np.add.at(sums, codes, v)
+        counts = np.bincount(codes, minlength=n_l).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n_l),
+            "n": np.repeat(counts, d),
+            "s": sums.ravel(),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), sum_scaled=("s", "sum"))
+    centroid = (out["sum_scaled"].to_numpy().astype(np.float64)
+                / (out["n"].to_numpy().astype(np.float64) * float(SCALE)))
+    out = out.assign(centroid=centroid).astype(
+        {"label": np.int64, "dim": np.int64, "n": np.int64,
+         "sum_scaled": np.int64})
+    return (out[["label", "dim", "n", "sum_scaled", "centroid"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+def q_events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000):
+    """STREAMING WATERMARK ACCOUNTING: how many events arrive LATE —
+    event-time older than the watermark (running max event-time over
+    ARRIVAL order, minus the allowed lateness) at the moment they
+    arrive. The op every streaming pipeline needs before windowed
+    aggregation: it measures how much data a given watermark delay
+    would drop. Arrival order simulates OUT-OF-ORDER ingestion: a
+    deterministic md5 permutation of the ingest ids — (md5(event_id),
+    event_id) — the shuffled-arrival stress case a watermark policy is
+    tuned against (the table itself is time-ordered, which would make
+    every event on-time and test nothing).
+
+    A GLOBAL running max over that order WITHOUT a global sort: the
+    md5 hex prefix is a range partitioner (docs_shuffle's primitive),
+    so two passes suffice:
+      1. one map_batches pass emits per-hex-bucket max-ts partials
+         (tiny: blocks x 256 rows, merged on the driver into per-bucket
+         CARRY maxima — the prefix max of all earlier buckets);
+      2. one hex-bucket blob exchange sorts each bucket by
+         (md5, event_id) WITHIN the bucket only, takes the shifted
+         prefix max, combines it with the broadcast carry, flags
+         ts < watermark - lateness, and emits per-type partial counts.
+    Integer epoch-us comparisons only — hash-exact vs the oracle's
+    window-max formulation. The first arrival globally has no
+    watermark (SQL NULL) and is never late (int64-min/4 sentinel)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..stages.exchange import bucket_group_map
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    SENTINEL = np.int64(-(2 ** 62))
+
+    def md5s(ids: np.ndarray) -> list:
+        return [hashlib.md5(str(int(i)).encode()).hexdigest()
+                for i in ids]
+
+    def bucket_max(b: pa.Table) -> pd.DataFrame:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        hb = np.array([int(h[:2], 16) for h in md5s(ids)], dtype=np.int64)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out = (pd.DataFrame({"hb": hb, "ts": ts})
+               .groupby("hb", as_index=False)["ts"].max())
+        return out.rename(columns={"ts": "mx"})
+
+    bmax = (ds.map_batches(bucket_max, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("hb")["mx"].max())
+    # carry[b] = max ts over ALL hex buckets strictly before b
+    carry = np.full(256, SENTINEL, dtype=np.int64)
+    running = SENTINEL
+    for b in range(256):
+        carry[b] = running
+        if b in bmax.index:
+            running = max(running, int(bmax.loc[b]))
+
+    L = np.int64(lateness_us)
+
+    def decorate(b: pa.Table) -> pd.DataFrame:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        hs = md5s(ids)
+        return pd.DataFrame({
+            "event_id": ids,
+            "h": hs,
+            "hb": np.array([int(h[:2], 16) for h in hs], dtype=np.int64),
+            "tu": b.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_type": b.column("event_type").to_pylist(),
+        })
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["hb"].iloc[0])
+        g = g.sort_values(["h", "event_id"])
+        ts = g["tu"].to_numpy(dtype=np.int64)
+        prior = np.empty_like(ts)
+        prior[0] = SENTINEL
+        np.maximum.accumulate(ts[:-1], out=prior[1:])
+        wm = np.maximum(prior, carry[b])
+        # never-late sentinel: wm - L stays hugely negative (no wrap)
+        late = ts < wm - L
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+
+    decorated = ds.map_batches(decorate, batch_format="pyarrow")
+    parts = bucket_group_map(
+        decorated,
+        lambda t: t.column("hb").to_numpy(zero_copy_only=False),
+        flag,
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum")).astype(
+        {"n_events": "int64", "n_late": "int64"})
+    return (out[["event_type", "n_events", "n_late"]]
+            .sort_values("event_type").reset_index(drop=True))

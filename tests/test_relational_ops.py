@@ -1323,6 +1323,63 @@ def test_part_transit_concurrency_semantics(ray_session, tmp_path):
     assert got[2] == 3
 
 
+def test_embeddings_label_centroids_fixed_point(ray_session, tmp_path):
+    """Per-label centroids: fixed-point component sums are exact and
+    order-independent; half-to-even rounding matches CAST semantics."""
+    emb = [[1.0, -0.5], [0.0, 0.5], [2.0, 2.0]]
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 8], pa.int32()),
+    })
+    out = r.q_embeddings_label_centroids(_write(tmp_path, "embeddings", t))
+    S = 1 << 20
+    got = {(row.label, row.dim): (row.n, row.sum_scaled, row.centroid)
+           for row in out.itertuples()}
+    assert got[(7, 0)] == (2, S, S / (2 * float(S)))          # mean 0.5
+    assert got[(7, 1)] == (2, 0, 0.0)                         # -0.5+0.5
+    assert got[(8, 0)] == (1, 2 * S, 2.0)
+    assert got[(8, 1)] == (1, 2 * S, 2.0)
+
+
+def test_events_late_arrivals_watermark(ray_session, tmp_path):
+    """Lateness is judged against the running max event-time in md5
+    arrival order minus the allowed lateness; the first arrival is
+    never late; ties and on-time events stay on-time."""
+    import hashlib
+    n = 50
+    ids = list(range(n))
+    # event times INCREASE with id; md5 arrival order scrambles them,
+    # so an event is late iff some md5-earlier event has a much later ts
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(hours=i) for i in ids]
+    t = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(pd.Series(ts).astype("datetime64[us]")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["a" if i % 2 else "b" for i in ids]),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    out = r.q_events_late_arrivals(_write(tmp_path, "events", t))
+    # sequential reference over the same md5 arrival permutation
+    order = sorted(ids, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))
+    us = {i: (base + pd.Timedelta(hours=i)).value // 1000 for i in ids}
+    wm, late = None, {"a": 0, "b": 0}
+    totals = {"a": 0, "b": 0}
+    for i in order:
+        typ = "a" if i % 2 else "b"
+        totals[typ] += 1
+        if wm is not None and us[i] < wm - 300_000_000:
+            late[typ] += 1
+        wm = us[i] if wm is None else max(wm, us[i])
+    got = {row.event_type: (row.n_events, row.n_late)
+           for row in out.itertuples()}
+    assert got == {k: (totals[k], late[k]) for k in ("a", "b")}
+    assert sum(late.values()) > 0     # the scramble makes some late
+
+
 def test_docs_split_group_aware(ray_session, tmp_path):
     """Every doc of a source lands in the same split (leakage safety),
     splits are deterministic md5-of-source, all three labels legal."""
