@@ -904,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search": r.q_docs_search,
         "embeddings_label_centroids": r.q_embeddings_label_centroids,
         "events_late_arrivals": r.q_events_late_arrivals,
+        "events_time_weighted": r.q_events_time_weighted,
         "docs_shuffle": r.q_docs_shuffle,
         "docs_stratified_sample": r.q_docs_stratified_sample,
         "docs_top_terms": _q_docs_top_terms,
@@ -2228,6 +2229,35 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END), 0)::BIGINT
                        AS n_late
             FROM o GROUP BY event_type ORDER BY event_type
+        """,
+        "events_time_weighted": """
+            -- step-function time-weighted average of value per user:
+            -- each value holds until the user's next event, weighted
+            -- by whole elapsed seconds; values scale to int64 ticks
+            -- (CAST rounds half-to-even == np.rint) so the weighted
+            -- sum is order-independent; ONE mirrored float division.
+            -- Users spanning < 1 whole second drop.
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tu,
+                       CAST(value * 10000.0 AS BIGINT) AS v,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN nxt IS NULL THEN 0
+                            ELSE v * ((nxt - tu) // 1000000)
+                       END)::BIGINT AS num_scaled,
+                   ((max(tu) - min(tu)) // 1000000)::BIGINT AS span_s,
+                   CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                                 ELSE v * ((nxt - tu) // 1000000) END)
+                        AS DOUBLE)
+                       / (((max(tu) - min(tu)) // 1000000) * 10000.0)
+                       AS twa
+            FROM e GROUP BY user_id
+            HAVING ((max(tu) - min(tu)) // 1000000) > 0
+            ORDER BY user_id
         """,
         "docs_search": """
             -- conjunctive keyword search: docs containing ALL of

@@ -5268,3 +5268,73 @@ def q_events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000):
         {"n_events": "int64", "n_late": "int64"})
     return (out[["event_type", "n_events", "n_late"]]
             .sort_values("event_type").reset_index(drop=True))
+
+def q_events_time_weighted(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE (TWAP): per user, the step-function
+    time-weighted mean of ``value`` over the user's event timeline —
+    each value holds from its event until the next (last event holds
+    nothing), weights are whole elapsed seconds. The op behind
+    time-weighted prices, utilization billing, and exposure metrics,
+    where a plain AVG over-counts bursts.
+
+    Exactness: values scale to int64 ticks via CAST(value*10000.0 AS
+    BIGINT) — DuckDB CAST rounds half-to-even, bitwise np.rint — and
+    durations are integer floor-div seconds, so the weighted sum is an
+    order-independent int64 and the final TWA is ONE mirrored float
+    division. Users whose events span < 1 whole second drop (the
+    SQL HAVING). int64 headroom: |ticks| ≤ 1e8 × seconds ≤ 1e8 per
+    event-gap-day ⇒ ~1e6 event-days per user before overflow.
+
+    One user-hash bucket exchange; inside a bucket the integration is
+    fully vectorized over every user at once (sort by (user, ts,
+    event_id), shifted timestamps masked at run boundaries, one
+    groupby-sum) — the events_sessions shape."""
+    import numpy as np
+
+    from ..stages.dedup import _ibucket
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_id", "ts", "value"])
+    nb = int(auto_buckets(ds))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column("ub", pa.array(_ibucket(uid, nb)))
+
+    def twa(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tu = g["ts"].astype("int64").to_numpy()
+        v = np.rint(g["value"].to_numpy(dtype=np.float64)
+                    * 10000.0).astype(np.int64)
+        nxt = np.empty_like(tu)
+        nxt[:-1] = tu[1:]
+        last = np.r_[uid[1:] != uid[:-1], True]   # last row of each user
+        dt_s = np.where(last, 0, (nxt - tu) // 1_000_000)
+        d = pd.DataFrame({"user_id": uid, "w": v * dt_s, "tu": tu})
+        agg = d.groupby("user_id", as_index=False, sort=False).agg(
+            num_scaled=("w", "sum"), t0=("tu", "min"), t1=("tu", "max"))
+        span = (agg["t1"].to_numpy(dtype=np.int64)
+                - agg["t0"].to_numpy(dtype=np.int64)) // 1_000_000
+        keep = span > 0
+        num = agg["num_scaled"].to_numpy(dtype=np.int64)[keep]
+        span = span[keep]
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(dtype=np.int64)[keep],
+            "num_scaled": num,
+            "span_s": span,
+            "twa": num.astype(np.float64) / (span.astype(np.float64)
+                                             * 10000.0),
+        })
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(twa, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out[["user_id", "num_scaled", "span_s", "twa"]]
+            .sort_values("user_id").reset_index(drop=True))

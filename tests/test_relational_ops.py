@@ -1323,6 +1323,38 @@ def test_part_transit_concurrency_semantics(ray_session, tmp_path):
     assert got[2] == 3
 
 
+def test_events_time_weighted_step_integration(ray_session, tmp_path):
+    """TWAP: each value holds until the next event (the last holds
+    nothing); weights are whole elapsed seconds; sub-second-span users
+    drop; ticks round half-to-even."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: v=2 for 10 s, v=4 for 30 s -> twa = (20+120)/40 = 3.5
+        (1, 1, base, 2.0),
+        (2, 1, base + pd.Timedelta(seconds=10), 4.0),
+        (3, 1, base + pd.Timedelta(seconds=40), 99.0),   # last: no weight
+        # user 2: single event -> span 0 -> dropped
+        (4, 2, base, 5.0),
+        # user 3: two events 500ms apart -> span_s floor 0 -> dropped
+        (5, 3, base, 1.0),
+        (6, 3, base + pd.Timedelta(milliseconds=500), 1.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.Series([r[2] for r in rows])
+                       .astype("datetime64[us]")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    out = r.q_events_time_weighted(_write(tmp_path, "events", t))
+    assert out["user_id"].tolist() == [1]
+    assert out["num_scaled"].tolist() == [(20000 * 10) + (40000 * 30)]
+    assert out["span_s"].tolist() == [40]
+    assert out["twa"].tolist() == [3.5]
+
+
 def test_embeddings_label_centroids_fixed_point(ray_session, tmp_path):
     """Per-label centroids: fixed-point component sums are exact and
     order-independent; half-to-even rounding matches CAST semantics."""
