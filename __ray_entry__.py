@@ -858,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
         "part_bfs_hops": r.q_part_bfs_hops,
+        "part_substitutes": r.q_part_substitutes,
         "supplier_ship_islands": r.q_supplier_ship_islands,
         "part_transit_concurrency": r.q_part_transit_concurrency,
         "part_kcore": r.q_part_kcore,
@@ -3116,6 +3117,37 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         {pr_chain}
         SELECT node, r AS pagerank_scaled FROM r5 ORDER BY node
+    """
+    sql["part_substitutes"] = """
+        -- graph similarity join / k-truss support: per co-purchase
+        -- edge, the common-neighbor count (= triangles containing the
+        -- edge), both degrees, and the neighbor-set Jaccard over
+        -- N(u)\\{v} vs N(v)\\{u}; support >= 5 only. Integer counts +
+        -- ONE mirrored float division.
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        adj AS (SELECT a AS n, b AS m FROM e
+                UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+        sup AS (
+            SELECT e.a, e.b, count(*) AS support
+            FROM e
+            JOIN adj x ON x.n = e.a
+            JOIN adj y ON y.n = e.b AND y.m = x.m
+            GROUP BY e.a, e.b
+        )
+        SELECT a AS u, b AS v, support,
+               da.d AS deg_u, db.d AS deg_v,
+               CAST(support AS DOUBLE)
+                   / (da.d + db.d - 2 - support) AS nbr_jaccard
+        FROM sup
+        JOIN deg da ON da.n = a
+        JOIN deg db ON db.n = b
+        WHERE support >= 5
+        ORDER BY u, v
     """
     sql["supplier_ship_islands"] = """
         -- gaps-and-islands: merge each supplier's overlapping-or-

@@ -4310,6 +4310,37 @@ def q_part_bfs_hops(sf_dir: str):
             .sort_values("node").reset_index(drop=True))
 
 
+def q_part_substitutes(sf_dir: str, min_support: int = 5):
+    """GRAPH SIMILARITY JOIN (k-truss support): for every co-purchase
+    edge with at least ``min_support`` common neighbors, the common-
+    neighbor count, both degrees, and the neighbor-set Jaccard — the
+    structural-equivalence signal behind substitute detection ("parts
+    bought alongside the same things") and truss decomposition.
+
+    Exact integer support via the degree-ordered wedge pipeline (each
+    triangle credits its three edges; see
+    :func:`htmlparsersharp_ray.stages.graph.edge_support`); the Jaccard
+    over N(u)\\{v} vs N(v)\\{u} is ONE mirrored float expression over
+    integer fields — hash-exact vs the oracle's adjacency self-join."""
+    import numpy as np
+
+    from ..stages.graph import edge_support, group_cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = edge_support(edges).to_pandas()
+    out = out[out["support"] >= min_support].copy()
+    sup = out["support"].to_numpy(dtype=np.int64)
+    du = out["deg_u"].to_numpy(dtype=np.int64)
+    dv = out["deg_v"].to_numpy(dtype=np.int64)
+    out["nbr_jaccard"] = sup.astype(np.float64) / (du + dv - 2 - sup)
+    out = out.astype({"u": "int64", "v": "int64", "support": "int64",
+                      "deg_u": "int64", "deg_v": "int64"})
+    return (out[["u", "v", "support", "deg_u", "deg_v", "nbr_jaccard"]]
+            .sort_values(["u", "v"]).reset_index(drop=True))
+
+
 def q_part_triangles(sf_dir: str):
     """DISTRIBUTED TRIANGLE COUNTING over the part co-purchase graph —
     per-node triangle membership counts, the classic graph-statistics

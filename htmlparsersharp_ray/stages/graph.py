@@ -507,6 +507,223 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def edge_support(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-EDGE triangle support over the undirected graph induced by
+    ``(src, dst)`` edges: for every undirected edge {u, v} (canonical
+    u < v), the number of triangles containing it — i.e. the common-
+    neighbor count |N(u) ∩ N(v)| — plus both endpoint degrees. Returns
+    ``(u, v, support, deg_u, deg_v)`` for EVERY distinct edge
+    (support 0 included). The k-truss building block, and the
+    structural-similarity join: Jaccard(N(u)\\{v}, N(v)\\{u}) =
+    support / (deg_u + deg_v - 2 - support), all integers.
+
+    Scale shape: the triangle_counts wedge pipeline (degree-ordered
+    orientation bounds per-node fan-out at O(sqrt(m)); wedges close
+    against the edge set in one pair-bucket semi-join), but each closed
+    triangle {x, y, c} credits its THREE edges instead of its corners —
+    partials pre-aggregate per pair bucket, one more bucketed sum joins
+    them back onto the degree-decorated edge list. Exact integer
+    counts: bitwise-deterministic at any parallelism and SQL-oracle-
+    expressible (three-way self-join). Cites triangle_counts above for
+    the shared stages; reference n/a — engine-level extension.
+    """
+    from .exchange import deserialize_table, serialize_table
+
+    und = _undirected_distinct(edges).materialize()
+
+    def pack_first(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return _EMPTY_BLOBS
+        et = pa.table({"u": pa.array(u), "v": pa.array(v)})
+        node = np.concatenate([u, v])
+        nt = pa.table({"node": pa.array(node)})
+        return pa.concat_tables([_pack_by(et, _ibucket(u)),
+                                 _pack_by(nt, _ibucket(node))])
+
+    def attach_u(group: pd.DataFrame) -> pa.Table:
+        tabs = [deserialize_table(b) for b in group["blob"]]
+        b = int(group["bucket"].iloc[0])
+        nt = [t for t in tabs if "node" in t.column_names]
+        n = pa.concat_tables(nt).to_pandas() if nt else pd.DataFrame(
+            {"node": pd.Series([], dtype="int64")})
+        deg = n.groupby("node", as_index=False, sort=False).size()
+        deg = pd.DataFrame({"node": deg["node"].astype("int64"),
+                            "deg": deg["size"].astype("int64")})
+        out = [pa.table({"bucket": pa.array([b], pa.int64()),
+                         "blob": pa.array([serialize_table(
+                             pa.Table.from_pandas(deg,
+                                                  preserve_index=False))],
+                             pa.large_binary())}, schema=_BLOB_SCHEMA)]
+        et = [t for t in tabs if "u" in t.column_names]
+        if et:
+            e = pa.concat_tables(et).to_pandas()
+            m = e.merge(deg.rename(columns={"node": "u", "deg": "du"}),
+                        on="u", how="inner")
+            v = m["v"].to_numpy(dtype=np.int64)
+            half = pa.table({
+                "u": pa.array(m["u"].to_numpy(dtype=np.int64)),
+                "v": pa.array(v),
+                "du": pa.array(m["du"].to_numpy(dtype=np.int64)),
+            })
+            out.append(_pack_by(half, _ibucket(v)))
+        return pa.concat_tables(out)
+
+    def attach_v_orient(group: pd.DataFrame) -> pa.Table:
+        """Attach deg(v); emit BOTH the oriented wedge-generation slices
+        (keyed by tail bucket) and the fully-decorated edge rows (keyed
+        by their pair bucket — where closure counts will land)."""
+        tabs = [deserialize_table(b) for b in group["blob"]]
+        ht = [t for t in tabs if "du" in t.column_names]
+        if not ht:
+            return _EMPTY_BLOBS
+        dt = [t for t in tabs if "deg" in t.column_names]
+        deg = pa.concat_tables(dt).to_pandas()
+        h = pa.concat_tables(ht).to_pandas()
+        m = h.merge(deg.rename(columns={"node": "v", "deg": "dv"}),
+                    on="v", how="inner")
+        u = m["u"].to_numpy(dtype=np.int64)
+        v = m["v"].to_numpy(dtype=np.int64)
+        du = m["du"].to_numpy(dtype=np.int64)
+        dv = m["dv"].to_numpy(dtype=np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        tail = np.where(u_first, u, v)
+        head = np.where(u_first, v, u)
+        wedge_slices = _pack_by(pa.table({"tail": pa.array(tail),
+                                          "head": pa.array(head)}),
+                                _ibucket(tail))
+        edge_rows = _pack_by(
+            pa.table({"u": pa.array(u), "v": pa.array(v),
+                      "du": pa.array(du), "dv": pa.array(dv)}),
+            _pair_bucket(u, v))
+        return pa.concat_tables([wedge_slices, edge_rows])
+
+    def wedges(group: pd.DataFrame) -> pa.Table:
+        """Same run-length offset-pass pairing as triangle_counts.wedges
+        — decorated edge rows (du present) pass through unchanged, they
+        are already keyed by their pair bucket."""
+        tabs = [deserialize_table(b) for b in group["blob"]]
+        passthrough = [t for t in tabs if "du" in t.column_names]
+        out = []
+        b = int(group["bucket"].iloc[0])
+        for t in passthrough:
+            out.append(pa.table(
+                {"bucket": pa.array([b], pa.int64()),
+                 "blob": pa.array([serialize_table(t)], pa.large_binary())},
+                schema=_BLOB_SCHEMA))
+        wt = [t for t in tabs if "tail" in t.column_names]
+        if wt:
+            g = pa.concat_tables(wt).to_pandas()
+            L = g.groupby("tail")["tail"].transform("size").to_numpy(
+                dtype=np.int64)
+            order = np.lexsort((g["head"].to_numpy(dtype=np.int64),
+                                g["tail"].to_numpy(dtype=np.int64), L))
+            t_ = g["tail"].to_numpy(dtype=np.int64)[order]
+            h_ = g["head"].to_numpy(dtype=np.int64)[order]
+            L = L[order]
+            starts = np.flatnonzero(np.r_[True, t_[1:] != t_[:-1]])
+            run_id = np.cumsum(np.r_[False, t_[1:] != t_[:-1]])
+            pos = np.arange(len(t_)) - starts[run_id]
+            ox, oy, oc = [], [], []
+            max_l = int(L[-1]) if len(L) else 0
+            for k in range(1, max_l):
+                lo = np.searchsorted(L, k + 1)
+                sel = np.flatnonzero(pos[lo:] + k < L[lo:]) + lo
+                if not len(sel):
+                    continue
+                ox.append(h_[sel]); oy.append(h_[sel + k])
+                oc.append(t_[sel])
+            if ox:
+                x = np.concatenate(ox); y = np.concatenate(oy)
+                tt = pa.table({"x": pa.array(x), "y": pa.array(y),
+                               "center": pa.array(np.concatenate(oc))})
+                out.append(_pack_by(tt, _pair_bucket(x, y)))
+        if not out:
+            return _EMPTY_BLOBS
+        return pa.concat_tables(out)
+
+    def close_and_credit(group: pd.DataFrame) -> pd.DataFrame:
+        """Wedge (x, y) with center c closes iff edge {x, y} lives in
+        this bucket; each triangle credits all THREE of its edges.
+        Support partials pre-aggregate per (pair-bucket, u, v) before
+        the final bucketed sum; decorated edge rows re-key unchanged."""
+        empty = pd.DataFrame({
+            "pb": pd.Series([], dtype="int64"),
+            "u": pd.Series([], dtype="int64"),
+            "v": pd.Series([], dtype="int64"),
+            "c": pd.Series([], dtype="int64"),
+            "du": pd.Series([], dtype="int64"),
+            "dv": pd.Series([], dtype="int64"),
+            "kind": pd.Series([], dtype="int64")})
+        tabs = [deserialize_table(b) for b in group["blob"]]
+        out = []
+        eg = [t for t in tabs if "du" in t.column_names]
+        if eg:
+            e = pa.concat_tables(eg).to_pandas()
+            u = e["u"].to_numpy(dtype=np.int64)
+            v = e["v"].to_numpy(dtype=np.int64)
+            out.append(pd.DataFrame({
+                "pb": _pair_bucket(u, v), "u": u, "v": v,
+                "c": np.zeros(len(u), dtype=np.int64),
+                "du": e["du"].to_numpy(dtype=np.int64),
+                "dv": e["dv"].to_numpy(dtype=np.int64),
+                "kind": np.zeros(len(u), dtype=np.int64)}))
+        wg = [t for t in tabs if "center" in t.column_names]
+        if eg and wg:
+            e = out[0][["u", "v"]].rename(columns={"u": "x", "v": "y"})
+            w = pa.concat_tables(wg).to_pandas()
+            m = w.merge(e.drop_duplicates(), on=["x", "y"], how="inner")
+            if len(m):
+                x = m["x"].to_numpy(dtype=np.int64)
+                y = m["y"].to_numpy(dtype=np.int64)
+                c = m["center"].to_numpy(dtype=np.int64)
+                eu = np.concatenate([x, np.minimum(x, c),
+                                     np.minimum(y, c)])
+                ev = np.concatenate([y, np.maximum(x, c),
+                                     np.maximum(y, c)])
+                part = (pd.DataFrame({"u": eu, "v": ev})
+                        .groupby(["u", "v"], as_index=False, sort=False)
+                        .size())
+                pu = part["u"].to_numpy(dtype=np.int64)
+                pv = part["v"].to_numpy(dtype=np.int64)
+                out.append(pd.DataFrame({
+                    "pb": _pair_bucket(pu, pv), "u": pu, "v": pv,
+                    "c": part["size"].astype("int64"),
+                    "du": np.zeros(len(pu), dtype=np.int64),
+                    "dv": np.zeros(len(pu), dtype=np.int64),
+                    "kind": np.ones(len(pu), dtype=np.int64)}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)[empty.columns]
+
+    def final_sum(group: pd.DataFrame) -> pd.DataFrame:
+        edges_g = group.loc[group["kind"] == 0, ["u", "v", "du", "dv"]]
+        cr = (group.loc[group["kind"] == 1]
+              .groupby(["u", "v"], as_index=False, sort=False)["c"].sum())
+        m = edges_g.merge(cr, on=["u", "v"], how="left")
+        sup = m["c"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            "u": m["u"].astype("int64"), "v": m["v"].astype("int64"),
+            "support": sup,
+            "deg_u": m["du"].astype("int64"),
+            "deg_v": m["dv"].astype("int64")})
+
+    return (
+        und.map_batches(pack_first, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_u, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(attach_v_orient, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(close_and_credit, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(final_sum, batch_format="pandas")
+    )
+
+
 def bfs_hops(edges: ray.data.Dataset, sources: ray.data.Dataset,
              max_hops: int = 3) -> ray.data.Dataset:
     """Multi-source BFS over directed ``(src, dst)`` edges: returns

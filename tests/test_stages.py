@@ -1392,6 +1392,45 @@ def test_pagerank_matches_integer_reference_and_block_layouts(ray_session):
     assert all(want[i] == 150000 for i in (30,))  # chain head: teleport floor
 
 
+def test_edge_support_matches_bruteforce_and_block_layouts(ray_session):
+    """Per-edge triangle support equals brute-force common-neighbor
+    counting on every distinct undirected edge (support-0 edges
+    included, degrees attached), at 1 and 8 blocks, on a 4-clique +
+    pendant + random graph."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import edge_support
+
+    rng = np.random.default_rng(7)
+    rows = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    rows += [(5, 1)]                                   # pendant: support 0
+    rows += [(int(a), int(b)) for a, b in rng.integers(10, 40, (60, 2))
+             if a != b]
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst"])
+    edges_pd = edges_pd.astype("int64").reset_index(drop=True)
+
+    # brute-force reference over canonical undirected edges
+    und = set()
+    for a, b in zip(edges_pd["src"], edges_pd["dst"]):
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {(a, b): (len(adj[a] & adj[b]), len(adj[a]), len(adj[b]))
+            for a, b in und}
+
+    for parts in (1, 8):
+        ds = ray.data.from_pandas(edges_pd).repartition(parts)
+        out = edge_support(ds).to_pandas()
+        got = {(int(r.u), int(r.v)): (int(r.support), int(r.deg_u),
+                                      int(r.deg_v))
+               for r in out.itertuples()}
+        assert got == want, f"mismatch at {parts} blocks"
+    assert want[(1, 2)] == (2, 4, 3)   # clique edge: 2 common nbrs
+    assert want[(1, 5)][0] == 0        # pendant edge: no triangles
+
+
 def _ref_bfs_hops(edges_pd, sources, max_hops):
     """Sequential BFS reference: min hop distance from any source,
     capped at max_hops."""
