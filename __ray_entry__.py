@@ -877,6 +877,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_language_mixture": r.q_docs_language_mixture,
         "customer_order_counts": r.q_customer_order_counts,
         "orders_big_spenders": r.q_orders_big_spenders,
+        "nation_volume": r.q_nation_volume,
+        "promo_revenue": r.q_promo_revenue,
+        "lineitem_disjunctive": r.q_lineitem_disjunctive,
+        "supplier_last_to_ship": r.q_supplier_last_to_ship,
+        "customer_idle_balance": r.q_customer_idle_balance,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1446,6 +1451,119 @@ def oracle_sql() -> dict[str, str]:
                    t.cust_total_cents
             FROM orders o JOIN t USING (o_custkey)
             ORDER BY o_custkey, o_orderkey
+        """,
+        "nation_volume": """
+            -- TPC-H Q7 shape: revenue shipped between two nations by
+            -- (supplier nation, customer nation, year). DECIMAL sums
+            -- cast to DOUBLE mirror the engine's exact scaled-int64
+            -- accumulation (see lineitem_agg)
+            WITH sn AS (
+                SELECT s_suppkey, n_name AS supp_nation
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2')
+            ), cn AS (
+                SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2')
+            )
+            SELECT supp_nation, cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN sn ON l_suppkey = s_suppkey
+            JOIN cn ON o_custkey = c_custkey
+            WHERE supp_nation <> cust_nation
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1996-12-31'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "promo_revenue": """
+            -- TPC-H Q14 shape: exact integer-unit numerator and
+            -- denominator, ONE float division (the events_share idiom)
+            WITH c AS (
+                SELECT l_partkey,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100
+                                     AS BIGINT)) AS rev_u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+                  AND l_shipdate <  TIMESTAMP '1995-10-01'
+            )
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                         THEN rev_u ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev_u) AS DOUBLE) AS promo_revenue
+            FROM c JOIN part ON l_partkey = p_partkey
+        """,
+        "lineitem_disjunctive": """
+            -- TPC-H Q19 shape: disjunctive multi-clause predicate join
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "supplier_last_to_ship": """
+            -- TPC-H Q21 shape (adapted: no receipt/commit dates):
+            -- strictly-last-to-ship supplier on multi-supplier 'F'
+            -- orders — the multi-EXISTS correlated pattern via windows
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+                FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderstatus = 'F')
+                GROUP BY 1, 2
+            ), w1 AS (
+                SELECT l_orderkey, l_suppkey, smax,
+                       max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+                       count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+                FROM ls
+            ), w2 AS (
+                SELECT *, sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY l_orderkey) AS nmax
+                FROM w1
+            )
+            SELECT l_suppkey, count(*) AS num_last
+            FROM w2
+            WHERE nsupp >= 2 AND nmax = 1 AND smax = omax
+            GROUP BY l_suppkey
+            ORDER BY num_last DESC, l_suppkey
+            LIMIT 10
+        """,
+        "customer_idle_balance": """
+            -- TPC-H Q22 shape: above-average-balance customers with no
+            -- RECENT orders, by nation. The above-average test is the
+            -- integer cross-multiply the engine uses
+            -- (bal_c * n_pos > sum_c), so no float-division boundary
+            -- drift
+            WITH t AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS bal_c
+                FROM customer
+            ), s AS (
+                SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+                FROM t WHERE bal_c > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+            FROM t
+            WHERE bal_c * (SELECT n_pos FROM s) > (SELECT sum_c FROM s)
+              AND c_custkey NOT IN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "lineitem_below_avg": """
             -- TPC-H Q17 shape: correlated aggregate subquery — rows

@@ -5369,3 +5369,423 @@ def q_events_time_weighted(sf_dir: str):
     )
     return (out[["user_id", "num_scaled", "span_s", "twa"]]
             .sort_values("user_id").reset_index(drop=True))
+
+
+def q_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations by (supplier nation, customer nation, year).
+
+    Scale shape — the multi-join plan a 100-TB run needs:
+      * supplier and nation are broadcast dims (suppkey→nation name,
+        pre-filtered to the 2 nations of interest, so the shipped map is
+        a FRACTION of the dim);
+      * customer is fact-sized ⇒ orders ⋈ customer is the bucketed
+        two-sided shuffle join (joins.hash_join), pre-filtered to the
+        nation pair on the customer side;
+      * lineitem pre-aggregates exact scaled-int64 revenue per
+        (l_orderkey, supp_nation, l_year) INSIDE map_batches before its
+        shuffle join with orders, so the second join's left side is
+        bounded by |orders| × 2 nations × 2 years, not |lineitem|.
+    Final aggregate is a tiny exact-cents merge (≤ 8 groups)."""
+    import numpy as np
+
+    from .joins import hash_join
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1996-12-31")
+    pair = {1: "NATION_1", 2: "NATION_2"}
+
+    # broadcast dim: suppkey -> nation name, only the pair's nations
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(pair.keys())]
+    supp_map_ref = ray.put((
+        np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64)),
+        supp.sort_values("s_suppkey")["s_nationkey"]
+            .map(pair).to_numpy(dtype=object),
+    ))
+
+    class LiPartial:
+        """Filter + broadcast supplier-nation attach + per-batch exact
+        revenue partial, grouped at (orderkey, supp_nation, year)."""
+
+        def __init__(self):
+            self.keys, self.nations = ray.get(supp_map_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "supp_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "rev_u": pd.Series([], dtype="int64"),
+            })
+            if len(self.keys) == 0:
+                return empty
+            b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] <= hi)]
+            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(self.keys, sk)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            ok = self.keys[pos_c] == sk
+            b = b[ok]
+            if len(b) == 0:
+                return empty
+            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "supp_nation": self.nations[pos_c[ok]],
+                "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+                "rev_u": pr_c * (100 - di_c),
+            }).groupby(["l_orderkey", "supp_nation", "l_year"],
+                       as_index=False, sort=False)["rev_u"].sum()
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df.loc[df["c_nationkey"].isin(pair.keys()),
+                                "c_custkey"],
+            "cust_nation": df.loc[df["c_nationkey"].isin(pair.keys()),
+                                  "c_nationkey"].map(pair),
+        }),
+        batch_format="pandas",
+    )
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    o_nat = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        lambda df: df[["o_orderkey", "cust_nation"]], batch_format="pandas"
+    ).repartition(8)
+
+    joined = hash_join(li, o_nat, left_on="l_orderkey", right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        return df.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False, sort=False)["rev_u"].sum()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # all-empty to_pandas loses columns (NOTES_r2)
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+        })
+    out = _pysum_cols(parts, ["rev_u"]).groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False)["rev_u"].sum()
+    out["revenue"] = [int(v) / 10000.0 for v in out.pop("rev_u")]
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): percentage of one month's
+    revenue from PROMO-type parts. Broadcast semi-attach: the promo
+    partkey set ships once via ray.put as a SORTED int64 array (binary
+    search per batch, no hash table build per task); revenue accumulates
+    in exact scaled int64 with per-batch partials, and the percentage is
+    ONE float division mirrored bit-for-bit by the oracle. At part-table
+    scales where even the key subset won't broadcast, the same query
+    runs through joins.hash_join — the broadcast threshold is the
+    planner rule in joins.join()."""
+    import numpy as np
+
+    lo = pd.Timestamp("1995-09-01")
+    hi = pd.Timestamp("1995-10-01")
+
+    promo = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_type"), pa.scalar("PROMO")))
+        .select(["p_partkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    promo_ref = ray.put(np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+            rev = pr_c * (100 - di_c)
+            pk = b["l_partkey"].to_numpy(dtype=np.int64)
+            if len(self.promo) == 0:
+                is_promo = np.zeros(len(b), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(self.promo, pk),
+                                 len(self.promo) - 1)
+                is_promo = self.promo[pos] == pk
+            return pd.DataFrame({
+                "promo_u": [int(rev[is_promo].sum())],
+                "total_u": [int(rev.sum())],
+            })
+
+    parts = (
+        ray.data.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+        .map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    promo_u = sum(int(v) for v in parts["promo_u"])  # Python-int merge
+    total_u = sum(int(v) for v in parts["total_u"])
+    return pd.DataFrame({
+        "promo_revenue": [100.0 * float(promo_u) / float(total_u)],
+    })
+
+
+def q_lineitem_disjunctive(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue): lineitem ⋈ part under an
+    OR of three (brand, size-range, quantity-range) conjunctions — the
+    disjunctive-predicate join. The part side prunes to the union of the
+    three brand clauses BEFORE broadcast (a fraction of the dim), each
+    batch merges against the broadcast attributes once, and the three
+    clauses evaluate as vectorized boolean masks OR-ed together. Exact
+    scaled-int64 revenue, one global row."""
+    import numpy as np
+
+    clauses = [
+        # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#34", 1, 15, 20.0, 30.0),
+    ]
+    brands = [c[0] for c in clauses]
+
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("p_brand"),
+                                    value_set=pa.array(brands))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    part_ref = ray.put(part.sort_values("p_partkey").reset_index(drop=True))
+
+    class Partial:
+        def __init__(self):
+            self.part = ray.get(part_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(self.part, left_on="l_partkey", right_on="p_partkey",
+                        how="inner")
+            if len(m) == 0:
+                return pd.DataFrame({"rev_u": [0], "n_rows": [0]})
+            qty = m["l_quantity"].to_numpy()
+            size = m["p_size"].to_numpy()
+            brand = m["p_brand"].to_numpy(dtype=object)
+            keep = np.zeros(len(m), dtype=bool)
+            for br, slo, shi, qlo, qhi in clauses:
+                keep |= ((brand == br) & (size >= slo) & (size <= shi)
+                         & (qty >= qlo) & (qty <= qhi))
+            m = m[keep]
+            pr_c = np.round(m["l_extendedprice"].to_numpy() * 100).astype("int64")
+            di_c = np.round(m["l_discount"].to_numpy() * 100).astype("int64")
+            return pd.DataFrame({
+                "rev_u": [int((pr_c * (100 - di_c)).sum())],
+                "n_rows": [int(len(m))],
+            })
+
+    parts = (
+        ray.data.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    rev_u = sum(int(v) for v in parts["rev_u"])
+    n = int(parts["n_rows"].sum())
+    return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [n]})
+
+
+def q_supplier_last_to_ship(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (no receipt/commit dates): for each completed order
+    ('F') touching ≥2 distinct suppliers, find the supplier who was
+    STRICTLY the last to ship (their max shipdate is the order's max
+    and no other supplier ties it) — the multi-EXISTS / NOT-EXISTS
+    correlated pattern. Top 10 suppliers by count.
+
+    Scale shape: lineitem collapses to per-(order, supplier) max-ship
+    partials inside map_batches, and ONE orderkey-hash exchange
+    co-locates those partials WITH the order's 'F' status row (the Q18
+    side-tagged-union trick, q_orders_big_spenders) — the status
+    semi-join, the per-order EXISTS logic (vectorized
+    groupby-transform) and the per-supplier partial counts all run
+    inside the single bucket group; the final per-supplier count is a
+    tiny driver merge."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    li_ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    nb = auto_buckets(li_ds)
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                      sort=False)["l_shipdate"].max()
+        okey = g["l_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "kb": (hashing.mix64(okey.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64),
+            "okey": okey,
+            "suppkey": g["l_suppkey"].to_numpy(dtype=np.int64),
+            "smax": g["l_shipdate"].to_numpy(dtype="datetime64[us]")
+                     .astype(np.int64),
+            "side": np.zeros(len(g), dtype=np.int8),
+        })
+
+    li = li_ds.map_batches(li_partial, batch_format="pandas")
+
+    def orders_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderstatus"] == "F"]
+        okey = b["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "kb": (hashing.mix64(okey.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64),
+            "okey": okey,
+            "suppkey": np.full(len(b), -1, dtype=np.int64),
+            "smax": np.zeros(len(b), dtype=np.int64),
+            "side": np.ones(len(b), dtype=np.int8),
+        })
+
+    orders_f = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(orders_rows, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f_keys = df.loc[df["side"] == 1, "okey"].to_numpy()
+        d = df[df["side"] == 0]
+        d = d[np.isin(d["okey"].to_numpy(), f_keys)]  # status semi-join
+        # finish the per-(order, supplier) max (partials may split a key
+        # across input batches; the bucket holds every row of its orders)
+        g = d.groupby(["okey", "suppkey"], as_index=False,
+                      sort=False)["smax"].max()
+        grp = g.groupby("okey")["smax"]
+        omax = grp.transform("max")
+        nsupp = grp.transform("size")
+        at_max = g["smax"].eq(omax)
+        nmax = at_max.groupby(g["okey"]).transform("sum")
+        win = g[(nsupp >= 2) & (nmax == 1) & at_max]
+        out = win.groupby("suppkey", as_index=False).agg(
+            num_last=("okey", "size"))
+        return out.rename(columns={"suppkey": "l_suppkey"})
+
+    cand = (
+        li.union(orders_f)
+        .groupby("kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:  # all-empty to_pandas loses columns (NOTES_r2)
+        return pd.DataFrame({
+            "l_suppkey": pd.Series([], dtype="int64"),
+            "num_last": pd.Series([], dtype="int64"),
+        })
+    out = cand.groupby("l_suppkey", as_index=False)["num_last"].sum()
+    out = out.sort_values(["num_last", "l_suppkey"],
+                          ascending=[False, True]).head(10)
+    out["num_last"] = out["num_last"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_customer_idle_balance(sf_dir: str):
+    """TPC-H Q22 shape (global-market opportunity): customers whose
+    balance exceeds the average POSITIVE balance and who have placed no
+    order since 2000-01-01, grouped by nation. Composite of a two-pass
+    global scalar subquery + broadcast anti-join + exact-cents
+    aggregate. (The date cutoff keeps the anti-join non-trivial on the
+    sf corpora, where every customer has SOME order — same cutoff as
+    q_customer_anti.)
+
+    The above-average comparison is INTEGER-exact: instead of dividing
+    (avg = sum/count, a float whose boundary rounding could flip rows),
+    each batch tests ``acctbal_cents * count > sum_cents`` in int64 —
+    the oracle mirrors the same multiplied comparison in DECIMAL."""
+    import numpy as np
+
+    cust_path = _t(sf_dir, "customer")
+
+    # pass 1: exact global avg of positive balances (cents partials)
+    def avg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        c = c[c > 0]
+        return pd.DataFrame({"s": [int(c.sum())], "n": [int(len(c))]})
+
+    p = (ray.data.read_parquet(cust_path, columns=["c_acctbal"])
+         .map_batches(avg_partial, batch_format="pandas").to_pandas())
+    sum_c = sum(int(v) for v in p["s"])
+    n_pos = int(p["n"].sum())
+
+    # distinct recent-purchaser keys (bounded by |customer|), broadcast once
+    cutoff = pd.Timestamp("2000-01-01")
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("o_orderdate"),
+                                      pa.scalar(cutoff)))
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
+
+    active = (
+        ray.data.read_parquet(_t(sf_dir, "orders"),
+                              columns=["o_custkey", "o_orderdate"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .to_pandas()["o_custkey"].unique()
+    )
+    active_ref = ray.put(np.sort(active.astype("int64")))
+
+    class Idle:
+        def __init__(self):
+            self.active = ray.get(active_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
+            rich = cents * n_pos > sum_c          # integer-exact > avg
+            no_orders = ~np.isin(b["c_custkey"].to_numpy(), self.active)
+            b = b[rich & no_orders]
+            cents = cents[rich & no_orders]
+            return pd.DataFrame({
+                "c_nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+                "bal_c": cents,
+            }).groupby("c_nationkey", as_index=False).agg(
+                numcust=("bal_c", "size"), bal_c=("bal_c", "sum"))
+
+    parts = (
+        ray.data.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        )
+        .map_batches(Idle, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()
+    )
+    if len(parts) == 0:  # all-empty to_pandas loses columns (NOTES_r2)
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([], dtype="int64"),
+            "numcust": pd.Series([], dtype="int64"),
+            "totacctbal": pd.Series([], dtype="float64"),
+        })
+    out = _pysum_cols(parts, ["bal_c"]).groupby(
+        "c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), bal_c=("bal_c", "sum"))
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = [int(v) / 100.0 for v in out.pop("bal_c")]
+    return out.sort_values("c_nationkey").reset_index(drop=True)

@@ -1956,3 +1956,150 @@ def test_events_hopping_membership(ray_session, tmp_path):
     assert starts == ["09:45", "10:00", "10:15", "10:30"]
     assert (out["sum_value"] == 3.75).all()
     assert (out["n_events"] == 2).all()
+
+
+def test_nation_volume_pair_routing(ray_session, tmp_path):
+    """Q7 shape: only cross-nation (supp != cust) revenue within the
+    {NATION_1, NATION_2} pair survives, split by ship year; nations
+    outside the pair and same-nation flows drop."""
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_nationkey": pa.array([1, 2, 3], pa.int64()),  # 12 outside pair
+    }))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([20, 21, 22], pa.int64()),
+        "c_nationkey": pa.array([2, 1, 4], pa.int64()),  # 22 outside pair
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([20, 21, 22], pa.int64()),
+    }))
+    ship = pd.to_datetime([
+        "1995-06-01",  # supp1 -> cust-nation2 (keep, 1995)
+        "1996-06-01",  # supp1 -> cust-nation2 (keep, 1996)
+        "1995-07-01",  # supp2 -> cust-nation2: same nation, drop
+        "1995-08-01",  # supp3 (outside pair), drop
+        "1997-01-01",  # out of date range, drop
+    ])
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([10, 10, 11, 12, 10], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.10, 0.00, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }))
+    out = r.q_nation_volume(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"supp_nation": "NATION_1", "cust_nation": "NATION_2",
+         "l_year": 1995, "revenue": 90.0},
+        {"supp_nation": "NATION_1", "cust_nation": "NATION_2",
+         "l_year": 1996, "revenue": 200.0},
+    ]
+
+
+def test_promo_revenue_ratio(ray_session, tmp_path):
+    """Q14 shape: the percentage is promo/total of the month's
+    discounted revenue; out-of-month rows don't contribute."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"]),
+    }))
+    ship = pd.to_datetime(
+        ["1995-09-10", "1995-09-20", "1995-10-01"])  # 3rd outside month
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 2, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }))
+    out = r.q_promo_revenue(str(tmp_path))
+    assert out["promo_revenue"].tolist() == [100.0 * 100.0 / 400.0]
+
+
+def test_lineitem_disjunctive_clauses(ray_session, tmp_path):
+    """Q19 shape: a row qualifies through ANY single clause (brand AND
+    size-range AND qty-range together); partial matches drop."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#34", "Brand#12"]),
+        "p_size": pa.array([3, 8, 12, 40], pa.int64()),  # 4: size too big
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        # clause1 qty 1-11 ok; clause2 qty 10-20 ok; clause3 qty 20-30
+        # TOO LOW (19); part4 wrong size; part1 qty out of range
+        "l_quantity": pa.array([5.0, 15.0, 19.0, 5.0, 50.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 40.0, 80.0, 160.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.0]),
+    }))
+    out = r.q_lineitem_disjunctive(str(tmp_path))
+    assert out["n_rows"].tolist() == [2]
+    assert out["revenue"].tolist() == [10.0 + 10.0]  # 20 * (1-0.5) = 10
+
+
+def test_supplier_last_to_ship_exists_semantics(ray_session, tmp_path):
+    """Q21 shape: single-supplier orders drop, ties at the order max
+    drop (STRICTLY last), non-'F' orders drop; the count attributes to
+    the unique last supplier."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+    }))
+    ship = pd.to_datetime([
+        # order 1: supp 7 strictly last (keep)
+        "2024-01-01", "2024-01-05",
+        # order 2: supp 7 and 8 TIE at max (drop)
+        "2024-02-01", "2024-02-01",
+        # order 3: single supplier (drop)
+        "2024-03-01",
+        # order 4: status 'O' (drop even though supp 9 is strictly last)
+        "2024-04-01", "2024-04-09",
+    ])
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([6, 7, 7, 8, 7, 6, 9], pa.int64()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }))
+    out = r.q_supplier_last_to_ship(str(tmp_path))
+    assert out.to_dict("records") == [{"l_suppkey": 7, "num_last": 1}]
+
+
+def test_customer_idle_balance_boundaries(ray_session, tmp_path):
+    """Q22 shape: balance EQUAL to the average positive balance drops
+    (> is strict, integer cross-multiply); a recent order disqualifies;
+    negative balances count for grouping but not the average."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 2], pa.int64()),
+        # positive balances: 100, 200, 300, 250 -> avg = 212.5
+        "c_acctbal": pa.array([100.0, 200.0, 300.0, 250.0, -50.0]),
+    }))
+    # customer 4 (bal 250 > avg) ordered recently -> disqualified
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([4, 3], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(["2000-05-01", "1999-01-01"]),
+                                pa.timestamp("us")),
+    }))
+    out = r.q_customer_idle_balance(str(tmp_path))
+    # avg positive = (100+200+250+300)/4 = 212.5 -> only cust 3 and 4
+    # exceed; 4 is recently active -> only cust 3 (nation 1) remains
+    assert out.to_dict("records") == [
+        {"c_nationkey": 1, "numcust": 1, "totacctbal": 300.0}]
+
+
+def test_customer_idle_balance_empty(ray_session, tmp_path):
+    """All customers recently active -> empty result with stable
+    schema (the all-empty to_pandas column-loss wart, NOTES_r2)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int64()),
+        "c_acctbal": pa.array([100.0]),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(["2000-05-01"]),
+                                pa.timestamp("us")),
+    }))
+    out = r.q_customer_idle_balance(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_nationkey", "numcust", "totacctbal"]
