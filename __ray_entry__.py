@@ -882,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_disjunctive": r.q_lineitem_disjunctive,
         "supplier_last_to_ship": r.q_supplier_last_to_ship,
         "customer_idle_balance": r.q_customer_idle_balance,
+        "orders_semi_shuffle": r.q_orders_semi_shuffle,
+        "orders_anti_shuffle": r.q_orders_anti_shuffle,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1564,6 +1566,31 @@ def oracle_sql() -> dict[str, str]:
                     WHERE o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "orders_semi_shuffle": """
+            -- TPC-H Q4 shape: EXISTS via the distributed shuffle semi
+            -- join; exact-cents sums (see lineitem_agg)
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                        AS DOUBLE) AS total_price
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >= TIMESTAMP '2000-06-01')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "orders_anti_shuffle": """
+            -- NOT EXISTS via the distributed shuffle anti join
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                        AS DOUBLE) AS total_price
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey
+                                AND l_shipdate >= TIMESTAMP '2000-06-01')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "lineitem_below_avg": """
             -- TPC-H Q17 shape: correlated aggregate subquery — rows

@@ -197,7 +197,17 @@ def hash_join(
 
     Returns a Dataset with the pandas-merge column layout (left columns
     then right columns; a shared key name joins without duplication when
-    ``left_on == right_on``). Supports how in {"inner", "left", "full"}.
+    ``left_on == right_on``). Supports how in {"inner", "left", "full",
+    "semi", "anti"}.
+
+    ``semi`` / ``anti`` return LEFT columns only, with EXISTS /
+    NOT-EXISTS semantics (not NOT-IN three-valued-NULL semantics): a
+    left row passes a semi join iff some right row shares its key, and
+    passes an anti join iff none does; left NULL-key rows match nothing
+    (dropped by semi, KEPT by anti), right NULL keys are ignored. The
+    right side ships ONLY its key column through the exchange — the
+    semi/anti fact-to-fact filter moves O(|right keys|) bytes, not
+    O(|right|).
 
     ``n_buckets=None`` (default) auto-sizes from input-file metadata —
     see :func:`auto_buckets` — so small inputs don't pay 64-bucket
@@ -228,8 +238,9 @@ def hash_join(
     layouts lazily from the exchanged blobs, where a fully disjoint
     inner join yields a zero-column empty Dataset (documented contract:
     Ray map UDFs skip the zero-column marker blocks)."""
-    if how not in ("inner", "left", "full"):
-        raise ValueError(f"unsupported how={how!r} (inner/left/full)")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(
+            f"unsupported how={how!r} (inner/left/full/semi/anti)")
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     if how == "full" and salt > 1:
@@ -294,11 +305,21 @@ def hash_join(
         empty_left = None
         empty_right = _empty_frame(rs) if how in ("left", "full") else None
 
+    if how in ("semi", "anti"):
+        # only the key column crosses the exchange, deduped per batch —
+        # the filter needs key MEMBERSHIP, never right payloads
+        right = right.map_batches(
+            lambda t, col=right_on: pa.table(
+                {col: pc.unique(pc.drop_null(t.column(col)))}),
+            batch_format="pyarrow",
+        )
+
     lrows = left.map_batches(
         _to_exchange_rows(0, left_on, n_buckets,
-                          drop_null_keys=(how == "inner"),
+                          drop_null_keys=(how in ("inner", "semi")),
                           salt=salt, hot_keys=hot_keys,
-                          null_bucket=(-1 if how == "full" else None)),
+                          null_bucket=(-1 if how in ("full", "anti")
+                                       else None)),
         batch_format="pyarrow",
     )
     rrows = right.map_batches(
@@ -312,6 +333,23 @@ def hash_join(
     def merge_bucket(group: pd.DataFrame):
         lt = [_deserialize(b) for b in group[group["side"] == 0]["blob"]]
         rt = [_deserialize(b) for b in group[group["side"] == 1]["blob"]]
+        if how in ("semi", "anti"):
+            if not lt:
+                if empty_left is None:
+                    return pa.table({})  # zero-column marker (see below)
+                return pa.Table.from_pandas(empty_left,
+                                            preserve_index=False)
+            ltab = pa.concat_tables(lt)
+            if not rt:
+                # no right keys in this bucket (incl. the -1 null-key
+                # bucket): anti keeps everything, semi keeps nothing
+                return ltab if how == "anti" else ltab.slice(0, 0)
+            rkeys = pc.unique(
+                pa.concat_tables(rt).column(right_on).combine_chunks())
+            mask = pc.is_in(ltab.column(left_on), value_set=rkeys)
+            if how == "anti":
+                mask = pc.invert(mask)
+            return ltab.filter(mask)
         if not lt or (not rt and how == "inner"):
             if empty_left is None:
                 # no joinable rows in this bucket; a zero-column marker —

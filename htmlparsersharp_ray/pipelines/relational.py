@@ -5789,3 +5789,69 @@ def q_customer_idle_balance(sf_dir: str):
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal"] = [int(v) / 100.0 for v in out.pop("bal_c")]
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def _orders_ship_exists(sf_dir: str, how: str) -> pd.DataFrame:
+    """Shared body of q_orders_semi_shuffle / q_orders_anti_shuffle:
+    distributed EXISTS / NOT-EXISTS against a filtered fact table via
+    joins.hash_join(how="semi"/"anti") — the shuffle counterpart of the
+    broadcast key-set patterns in q_orders_semi / q_customer_anti, for
+    when the right side's key set is itself too large to broadcast.
+    Only the right KEY COLUMN crosses the exchange. The grouped count +
+    exact-cents sum collapses per batch after the filter."""
+    import numpy as np
+
+    from .joins import hash_join
+
+    cutoff = pd.Timestamp("2000-06-01")
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    recent_li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(cutoff))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    filtered = hash_join(orders, recent_li, left_on="o_orderkey",
+                         right_on="l_orderkey", how=how)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_orders": np.ones(len(b), dtype=np.int64),
+            "total_c": cents,
+        }).groupby("o_orderpriority", as_index=False).sum()
+
+    parts = filtered.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+            "total_price": pd.Series([], dtype="float64"),
+        })
+    out = _pysum_cols(parts, ["total_c"]).groupby(
+        "o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_c=("total_c", "sum"))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = [int(v) / 100.0 for v in out.pop("total_c")]
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_orders_semi_shuffle(sf_dir: str):
+    """TPC-H Q4 shape via the distributed SHUFFLE semi join: orders with
+    at least one recently-shipped lineitem, counted by priority (see
+    _orders_ship_exists)."""
+    return _orders_ship_exists(sf_dir, "semi")
+
+
+def q_orders_anti_shuffle(sf_dir: str):
+    """NOT-EXISTS twin of q_orders_semi_shuffle via the distributed
+    SHUFFLE anti join: orders with NO recently-shipped lineitem."""
+    return _orders_ship_exists(sf_dir, "anti")

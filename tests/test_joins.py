@@ -423,3 +423,87 @@ def test_bucket_group_map_empty_input(ray_session):
         lambda g: g,
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_hash_join_semi_matches_pandas(join_inputs):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    out = hash_join(_mk_ds(left), _mk_ds(right), "k", "k",
+                    how="semi").to_pandas()
+    exp = (left[left["k"].isin(right["k"])]
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    got = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lv"]], exp[["k", "lv"]])
+    assert list(out.columns) == ["k", "lv"]  # LEFT columns only
+
+
+def test_hash_join_anti_matches_pandas(join_inputs):
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left, right = join_inputs
+    out = hash_join(_mk_ds(left), _mk_ds(right), "k", "k",
+                    how="anti").to_pandas()
+    exp = (left[~left["k"].isin(right["k"])]
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    got = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lv"]], exp[["k", "lv"]])
+
+
+def test_hash_join_semi_anti_null_keys_exists_semantics(ray_session):
+    """EXISTS / NOT-EXISTS semantics (NOT the NOT-IN null trap): left
+    null keys match nothing — semi drops them, anti KEEPS them; right
+    null keys are ignored entirely."""
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, None, 4], dtype="Int64"),
+        "lv": np.arange(4, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": pd.array([2, None], dtype="Int64"),
+        "rv": np.array([20, 99], dtype=np.int64),
+    })
+    semi = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k",
+                     how="semi").to_pandas()
+    assert sorted(semi["lv"].tolist()) == [1]          # only k=2 matches
+    anti = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k",
+                     how="anti").to_pandas()
+    # k=1, k=4 unmatched; the NULL-key row matches nothing -> kept
+    assert sorted(anti["lv"].tolist()) == [0, 2, 3]
+
+
+def test_hash_join_semi_no_dup_amplification(ray_session):
+    """Duplicate right keys must NOT duplicate left rows (semi is a
+    filter, not a join-multiply)."""
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": np.array([7, 8], dtype=np.int64),
+                         "lv": np.array([0, 1], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([7, 7, 7], dtype=np.int64)})
+    out = hash_join(_mk_ds(left, 2), _mk_ds(right, 2), "k", "k",
+                    how="semi").to_pandas()
+    assert out["lv"].tolist() == [0]
+
+
+def test_hash_join_anti_disjoint_keeps_all(ray_session, tmp_path):
+    """Fully disjoint keys: anti passes every left row through; semi
+    yields an empty result that still carries the left layout when the
+    schema is metadata-known."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "lv": pa.array([10, 20], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([5, 6], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    l_ds = ray.data.read_parquet(str(tmp_path / "l.parquet"))
+    r_ds = ray.data.read_parquet(str(tmp_path / "r.parquet"))
+    anti = hash_join(l_ds, r_ds, "k", "k", how="anti").to_pandas()
+    assert sorted(anti["lv"].tolist()) == [10, 20]
+    semi = hash_join(l_ds, r_ds, "k", "k", how="semi")
+    assert semi.count() == 0
+    assert "lv" in semi.schema().names
