@@ -213,6 +213,30 @@ def _q_embeddings_kmeans(sf_dir: str):
     return out
 
 
+def _q_embeddings_pca(sf_dir: str):
+    """Distributed PCA (top-8 components) over the embedding column:
+    exact fixed-point second-moment partials (one streaming pass) +
+    one driver-side d×d eigh. Linear-algebra op, not SQL-expressible
+    (no oracle_sql); the differential gate is tests/test_stages.py:
+    bitwise-identical output across block layouts + allclose vs a
+    single-node numpy PCA of the same quantized data. See
+    stages/similarity.py::pca_components."""
+    import numpy as np
+    import pandas as pd
+
+    from htmlparsersharp_ray.stages.similarity import pca_components
+
+    ratio, comps, n = pca_components(_emb(sf_dir), k=8)
+    top_dim = np.abs(comps).argmax(axis=1).astype("int64")
+    return pd.DataFrame({
+        "component": np.arange(len(ratio), dtype="int64"),
+        "explained_ratio": ratio,
+        "top_dim": top_dim,
+        "top_loading": comps[np.arange(len(ratio)), top_dim],
+        "n_rows": np.full(len(ratio), n, dtype="int64"),
+    })
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (k-means bucket + within-cluster greedy cosine prune) —
     survivor set after semantic dedup. Threshold 0.45 = the corpus's
@@ -954,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gram_dups": _q_docs_gram_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_pca": _q_embeddings_pca,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_pack": _q_docs_pack,
         # similarity search

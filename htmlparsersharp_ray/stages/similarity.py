@@ -300,3 +300,62 @@ def ivf_topk(
 
     out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def pca_components(ds: ray.data.Dataset, k: int = 8, scale_bits: int = 20):
+    """Distributed PCA over an embedding column, bitwise-deterministic
+    at ANY parallelism / block layout.
+
+    One streaming pass: each batch quantizes its vectors to fixed point
+    (round(x * 2^scale_bits), int64) and emits EXACT integer
+    second-moment partials (n, Σx, ΣxᵀX as a flattened d×d). The driver
+    merges the tiny partials in Python ints (arbitrary precision — the
+    second moments are the first place an int64 global sum would wrap),
+    assembles the exact scaled covariance n·ΣxxT − (Σx)(Σx)ᵀ, and runs
+    ONE d×d eigh — d is small (embedding width), so the only O(N) work
+    is the distributed pass. Sign convention: each component's
+    largest-|loading| entry is made positive (eigh's sign is otherwise
+    arbitrary). Reference n/a — engine-level operator (the SemDeDup /
+    IVF family's missing projection step).
+
+    Returns (explained_ratio: np.ndarray [k], components: np.ndarray
+    [k, d], n_rows: int)."""
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, emb = _batch_matrix(batch)
+        q = np.rint(emb * scale).astype(np.int64)
+        s = q.sum(axis=0)
+        outer = q.T @ q
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+            "outer": pa.array([outer.ravel().tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    if n == 0:
+        raise ValueError("pca_components: empty input")
+    d = len(parts["s"].iloc[0])
+    s_tot = np.zeros(d, dtype=object)
+    o_tot = np.zeros(d * d, dtype=object)
+    for s_row, o_row in zip(parts["s"], parts["outer"]):
+        s_tot = s_tot + np.asarray(s_row, dtype=object)
+        o_tot = o_tot + np.asarray(o_row, dtype=object)
+    # exact integer scaled covariance: n * Σxxᵀ − (Σx)(Σx)ᵀ
+    m = (np.asarray(o_tot, dtype=object).reshape(d, d) * n
+         - np.outer(s_tot, s_tot))
+    cov = np.asarray(m, dtype=np.float64)  # ONE deterministic rounding
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T.copy()
+    # deterministic sign: largest-|loading| entry positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    trace = float(np.trace(cov))
+    ratio = evals / trace if trace > 0 else np.zeros_like(evals)
+    return ratio, comps, n

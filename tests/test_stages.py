@@ -1986,3 +1986,73 @@ def test_lineitem_profile_nulls_and_distinct(ray_session, tmp_path):
             row["l_extendedprice"].n_distinct) == (500, 1)
     assert (row["l_quantity"].n_distinct, row["l_quantity"].max_v) == (7, 6.0)
     assert row["l_tax"].n_distinct == n
+
+
+def test_pca_bitwise_across_layouts_and_matches_numpy(ray_session):
+    """Distributed PCA: bitwise-identical (ratio AND components) across
+    block layouts — integer partials make reduction order irrelevant —
+    and allclose to a direct numpy eigh of the same quantized data's
+    covariance."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import pca_components
+
+    rng = np.random.default_rng(7)
+    n, d, k = 300, 12, 5
+    # anisotropic data: a few dominant directions
+    basis = rng.normal(size=(d, d))
+    x = (rng.normal(size=(n, 4)) * np.array([8.0, 4.0, 2.0, 1.0])
+         ) @ basis[:4] + rng.normal(size=(n, d)) * 0.05
+
+    results = []
+    for blocks in (1, 6):
+        tab = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in x],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tab).repartition(blocks)
+        results.append(pca_components(ds, k=k))
+    (r1, c1, n1), (r2, c2, n2) = results
+    assert n1 == n2 == n
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(c1, c2)
+
+    # numpy reference over the same quantization (float32 storage!)
+    q = np.rint(x.astype(np.float32).astype(np.float64) * (1 << 20))
+    cov = np.cov(q, rowvar=False, bias=True) * n * n  # n·Σxxᵀ−(Σx)(Σx)ᵀ
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref_ratio = evals[order] / np.trace(cov)
+    np.testing.assert_allclose(r1, ref_ratio, rtol=1e-9, atol=1e-12)
+    for i, j in enumerate(order):
+        v = evecs[:, j]
+        jj = int(np.argmax(np.abs(v)))
+        if v[jj] < 0:
+            v = -v
+        np.testing.assert_allclose(c1[i], v, rtol=1e-6, atol=1e-9)
+
+
+def test_pca_sign_convention_and_variance_order(ray_session):
+    """Components come largest-variance-first, unit-norm, with the
+    largest-|loading| entry positive."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import pca_components
+
+    rng = np.random.default_rng(3)
+    n = 200
+    x = np.zeros((n, 3))
+    x[:, 0] = rng.normal(size=n) * 10  # dominant axis 0
+    x[:, 1] = rng.normal(size=n) * 1
+    x[:, 2] = rng.normal(size=n) * 0.1
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    ratio, comps, _ = pca_components(
+        ray.data.from_arrow(tab).repartition(4), k=3)
+    assert ratio[0] > ratio[1] > ratio[2]
+    assert ratio[0] > 0.9
+    assert abs(comps[0, 0]) > 0.99 and comps[0, 0] > 0  # sign fixed
+    np.testing.assert_allclose(np.linalg.norm(comps, axis=1), 1.0,
+                               rtol=1e-12)
