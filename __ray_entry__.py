@@ -15,10 +15,11 @@ from collections.abc import Callable
 from typing import Any
 
 
-def _docs(sf_dir):
+def _docs(sf_dir, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
 
 
 def _emb(sf_dir, columns=None):
@@ -235,6 +236,28 @@ def _q_embeddings_pca(sf_dir: str):
         "top_loading": comps[np.arange(len(ratio)), top_dim],
         "n_rows": np.full(len(ratio), n, dtype="int64"),
     })
+
+
+def _q_embeddings_project(sf_dir: str):
+    """PCA projection pipeline: every vector reduced to its top-4
+    principal coordinates (stats pass + streaming projection pass).
+    Not SQL-expressible (no oracle_sql); differential gate in
+    tests/test_stages.py (bitwise across layouts, allclose vs numpy)."""
+    from htmlparsersharp_ray.stages.similarity import pca_project
+
+    out = pca_project(_emb(sf_dir), k=4).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_docs_sentences(sf_dir: str):
+    """Sentence segmentation stats per document (count + longest
+    sentence chars) over a shared lookbehind-free boundary regex —
+    hash-exact vs the DuckDB regexp_split_to_array oracle built from
+    the SAME pattern constant."""
+    from htmlparsersharp_ray.stages.text_analysis import sentence_stats
+
+    out = sentence_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_embeddings_semdedup(sf_dir: str):
@@ -979,7 +1002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "embeddings_pca": _q_embeddings_pca,
+        "embeddings_project": _q_embeddings_project,
         "embeddings_semdedup": _q_embeddings_semdedup,
+        "docs_sentences": _q_docs_sentences,
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
@@ -1002,6 +1027,10 @@ def oracle_sql() -> dict[str, str]:
     # single source of truth for the scrub patterns (engine & oracle);
     # they contain no single quotes, so direct SQL-literal interpolation
     # is safe, and DuckDB string literals pass backslashes through to RE2
+    from htmlparsersharp_ray.stages.text_analysis import (
+        SENTENCE_SPLIT_PATTERN,
+    )
+
     _redact_p1, _redact_p2 = REDACT_PATTERNS
     sql = {
         "lineitem_agg": """
@@ -2167,6 +2196,25 @@ def oracle_sql() -> dict[str, str]:
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
             ORDER BY r_name
+        """,
+        "docs_sentences": f"""
+            -- sentence segmentation: boundary regex interpolated from
+            -- the SAME SENTENCE_SPLIT_PATTERN constant the engine
+            -- compiles (lookbehind-free, so Python re == RE2)
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(text,
+                               '{SENTENCE_SPLIT_PATTERN}'),
+                           x -> len(x) > 0) AS sents
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(sents) AS n_sentences,
+                   coalesce(list_max(list_transform(sents,
+                                                    x -> len(x))), 0)
+                       AS max_sent_chars
+            FROM s ORDER BY doc_id
         """,
         "docs_redact": f"""
             -- regex scrub: patterns interpolated from the SAME

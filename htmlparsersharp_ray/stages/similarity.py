@@ -359,3 +359,28 @@ def pca_components(ds: ray.data.Dataset, k: int = 8, scale_bits: int = 20):
     trace = float(np.trace(cov))
     ratio = evals / trace if trace > 0 else np.zeros_like(evals)
     return ratio, comps, n
+
+
+def pca_project(ds: ray.data.Dataset, k: int = 4,
+                scale_bits: int = 20) -> ray.data.Dataset:
+    """Project every embedding onto the corpus's top-k principal
+    components (pca_components) — the dimensionality-reduction stage in
+    front of ANN / clustering. Two passes: the exact-partials stats
+    pass, then a streaming projection pass. The k×d component matrix is
+    a few KB — shipped in a plain task-function closure, NOT an actor
+    pool (the kmeans lesson: actor pools are for per-actor state worth
+    amortizing, never for broadcasting tiny read-only arrays).
+    Deterministic at any layout: each row's projection is an
+    independent dot product against bitwise-deterministic components."""
+    _, comps, _ = pca_components(ds, k=k, scale_bits=scale_bits)
+    ct = comps.T.copy()  # (d, k)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids, emb = _batch_matrix(batch)
+        proj = emb @ ct
+        cols = {"vec_id": pa.array(ids)}
+        for j in range(ct.shape[1]):
+            cols[f"pc{j}"] = pa.array(proj[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

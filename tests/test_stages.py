@@ -2056,3 +2056,57 @@ def test_pca_sign_convention_and_variance_order(ray_session):
     assert abs(comps[0, 0]) > 0.99 and comps[0, 0] > 0  # sign fixed
     np.testing.assert_allclose(np.linalg.norm(comps, axis=1), 1.0,
                                rtol=1e-12)
+
+
+def test_sentence_stats_semantics(ray_session):
+    """Boundary = punctuation run + whitespace run: trailing punctuation
+    with no following whitespace does NOT split; empty docs yield 0/0;
+    multi-punct runs ('!?') are one boundary."""
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import sentence_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "One. Two! Three?",          # 3 sentences (trailing ? no ws)
+            "No terminal punctuation",   # 1
+            "",                          # 0
+            "A!? B",                     # 2 (multi-punct run = 1 boundary)
+            "Tab.\tSplit too.\nAnd nl",  # 3
+        ],
+    })
+    out = (sentence_stats(ray.data.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_sentences"].tolist() == [3, 1, 0, 2, 3]
+    # "Three?" keeps its trailing '?' (no following whitespace) -> 6;
+    # "No terminal punctuation" -> 23; "A"/"B" -> 1; "Split too" -> 9
+    assert out["max_sent_chars"].tolist() == [6, 23, 0, 1, 9]
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Projection pipeline: bitwise-identical across layouts and equal
+    to emb @ components.T computed directly."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import (
+        pca_components, pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 150, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(tab).repartition(blocks)
+        outs.append(pca_project(ds, k=3).to_pandas()
+                    .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    _, comps, _ = pca_components(ray.data.from_arrow(tab), k=3)
+    want = x.astype(np.float64) @ comps.T
+    got = outs[0][["pc0", "pc1", "pc2"]].to_numpy()
+    np.testing.assert_array_equal(got, want)
