@@ -931,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_idle_balance": r.q_customer_idle_balance,
         "orders_semi_shuffle": r.q_orders_semi_shuffle,
         "orders_anti_shuffle": r.q_orders_anti_shuffle,
+        "nation_market_share": r.q_nation_market_share,
+        "events_new_users": r.q_events_new_users,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1645,6 +1647,52 @@ def oracle_sql() -> dict[str, str]:
                                 AND l_shipdate >= TIMESTAMP '2000-06-01')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "nation_market_share": """
+            -- TPC-H Q8 shape: NATION_1 suppliers' share of region-0
+            -- customers' revenue by order year. Exact integer-unit
+            -- numerator/denominator, ONE float division per year
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(3,2))
+                                     * 100 AS BIGINT)) AS rev_u
+                FROM lineitem
+            ), o_r0 AS (
+                SELECT o_orderkey,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_regionkey = 0
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 1 THEN rev_u
+                                 ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(rev_u) AS DOUBLE) AS mkt_share
+            FROM li
+            JOIN o_r0 ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "events_new_users": """
+            -- daily new users (first-event day per user) + running
+            -- cumulative total
+            WITH f AS (
+                SELECT user_id, min(ts) AS first_ts
+                FROM events GROUP BY user_id
+            ), d AS (
+                SELECT date_trunc('day', first_ts) AS day,
+                       count(*) AS new_users
+                FROM f GROUP BY 1
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d ORDER BY day
         """,
         "lineitem_below_avg": """
             -- TPC-H Q17 shape: correlated aggregate subquery — rows

@@ -5855,3 +5855,142 @@ def q_orders_anti_shuffle(sf_dir: str):
     """NOT-EXISTS twin of q_orders_semi_shuffle via the distributed
     SHUFFLE anti join: orders with NO recently-shipped lineitem."""
     return _orders_ship_exists(sf_dir, "anti")
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): NATION_1 suppliers' share
+    of all revenue delivered to region-0 customers, by order year — a
+    conditional-numerator / grouped-denominator ratio over a multi-join.
+
+    Scale shape: supplier→nation is a broadcast key set (only the ONE
+    numerator nation ships); customer prunes to region-0 nations before
+    its shuffle join with orders; lineitem pre-aggregates BOTH exact
+    int64 sums (total, nation-only) per order inside map_batches, so
+    the second shuffle join is orders-sized. The share is ONE float
+    division per year, mirrored by the oracle (events_share idiom)."""
+    import numpy as np
+
+    from .joins import hash_join
+
+    # region 0's nations and the numerator nation's suppliers — both
+    # broadcast key sets (dims prune before shipping)
+    nation = ray.data.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    r0_nations = set(
+        nation.loc[nation["n_regionkey"] == 0, "n_nationkey"].tolist())
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    n1_supp_ref = ray.put(np.sort(
+        supp.loc[supp["s_nationkey"] == 1, "s_suppkey"]
+        .to_numpy(dtype=np.int64)))
+
+    class LiPartial:
+        def __init__(self):
+            self.n1 = ray.get(n1_supp_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+            rev = pr_c * (100 - di_c)
+            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
+            if len(self.n1):
+                pos = np.minimum(np.searchsorted(self.n1, sk),
+                                 len(self.n1) - 1)
+                is_n1 = self.n1[pos] == sk
+            else:
+                is_n1 = np.zeros(len(b), dtype=bool)
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "total_u": rev,
+                "nation_u": np.where(is_n1, rev, 0),
+            }).groupby("l_orderkey", as_index=False, sort=False).sum()
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda df: df.loc[df["c_nationkey"].isin(r0_nations),
+                          ["c_custkey"]],
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    o_r0 = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+        }),
+        batch_format="pandas",
+    ).repartition(8)
+
+    joined = hash_join(li, o_r0, left_on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", as_index=False)[
+            ["total_u", "nation_u"]].sum()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype="int64"),
+            "mkt_share": pd.Series([], dtype="float64"),
+        })
+    out = _pysum_cols(parts, ["total_u", "nation_u"]).groupby(
+        "o_year", as_index=False)[["total_u", "nation_u"]].sum()
+    out["mkt_share"] = [float(a) / float(b) for a, b
+                        in zip(out.pop("nation_u"), out.pop("total_u"))]
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_events_new_users(sf_dir: str):
+    """Daily new-user counts + running cumulative total: each user's
+    FIRST event day (per-batch min partials → one user-hash bucket
+    exchange → per-bucket exact min), then a tiny per-day aggregate and
+    a driver-side cumsum over the bounded day axis. The heavy data
+    never leaves its bucket; the shipped state is |users| partials and
+    |days| rows."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+    nb = auto_buckets(ds)
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False)["ts"].min()
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "ub": (hashing.mix64(uid.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64),
+            "user_id": uid,
+            "ts": g["ts"],
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["ts"].min()
+        day = first.dt.floor("D")
+        out = day.value_counts().sort_index()
+        return pd.DataFrame({"day": out.index, "new_users": out.to_numpy()})
+
+    days = (
+        ds.map_batches(first_partial, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (days.groupby("day", as_index=False)["new_users"].sum()
+           .sort_values("day").reset_index(drop=True))
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum().astype("int64")
+    return out

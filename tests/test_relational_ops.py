@@ -2103,3 +2103,56 @@ def test_customer_idle_balance_empty(ray_session, tmp_path):
     out = r.q_customer_idle_balance(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["c_nationkey", "numcust", "totacctbal"]
+
+
+def test_nation_market_share_ratio(ray_session, tmp_path):
+    """Q8 shape: numerator counts only NATION_1-supplier revenue, the
+    denominator counts ALL revenue of region-0 customers' orders, and
+    orders from other regions are excluded entirely."""
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1, 5], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_1", "NATION_5"]),
+        "n_regionkey": pa.array([0, 1, 0], pa.int64()),
+    }))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_nationkey": pa.array([1, 5], pa.int64()),
+    }))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([20, 21], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),  # 21: region 1, drop
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([20, 21], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(["1995-03-01", "1995-04-01"]),
+                                pa.timestamp("us")),
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }))
+    out = r.q_nation_market_share(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"o_year": 1995, "mkt_share": 100.0 / 400.0}]
+
+
+def test_events_new_users_cumulative(ray_session, tmp_path):
+    """First-event day per user; repeat events don't recount; the
+    running total accumulates over days."""
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-02 09:00",  # u1 first on Jan 1
+        "2024-01-01 23:59",                       # u2 first on Jan 1
+        "2024-01-03 00:00",                       # u3 first on Jan 3
+    ])
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    out = r.q_events_new_users(str(tmp_path))
+    assert out["new_users"].tolist() == [2, 1]
+    assert out["cum_users"].tolist() == [2, 3]
+    assert pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d").tolist() == [
+        "2024-01-01", "2024-01-03"]
