@@ -933,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_shuffle": r.q_orders_anti_shuffle,
         "nation_market_share": r.q_nation_market_share,
         "events_new_users": r.q_events_new_users,
+        "events_rolling_dau": r.q_events_rolling_dau,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1677,6 +1678,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "events_rolling_dau": """
+            -- rolling 7-day COUNT(DISTINCT user) per observed day —
+            -- non-decomposable distinct-over-window; the engine
+            -- computes it from per-user coverage-interval diffs
+            WITH du AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            ), days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, count(DISTINCT u.user_id) AS dau7
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day
+            ORDER BY d.day
         """,
         "events_new_users": """
             -- daily new users (first-event day per user) + running

@@ -5994,3 +5994,87 @@ def q_events_new_users(sf_dir: str):
     out["new_users"] = out["new_users"].astype("int64")
     out["cum_users"] = out["new_users"].cumsum().astype("int64")
     return out
+
+
+def q_events_rolling_dau(sf_dir: str, window_days: int = 7):
+    """Rolling 7-day distinct active users per day — COUNT(DISTINCT)
+    over a sliding window, which is NOT decomposable by day. The
+    distributed trick: distinct (user, day) pairs partition by USER
+    hash, each bucket merges every user's activity days into coverage
+    intervals ([d, d+W-1] unioned) and emits tiny ±1 diff rows at
+    interval starts/ends — per-day ADDITIVE partials — plus observed-day
+    markers. The driver sums diffs per day and takes one cumsum over
+    the bounded day axis. No per-day distinct sets ever ship."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    W = np.int64(window_days)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id", "ts"])
+    nb = auto_buckets(ds)
+    us_per_day = np.int64(86_400_000_000)
+
+    def pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        g = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64), "day": day,
+        }).drop_duplicates()
+        uid = g["user_id"].to_numpy()
+        g["ub"] = (hashing.mix64(uid.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        # interval starts: first activity day of a user, or a gap that
+        # outruns the window's coverage [d_prev, d_prev + W - 1]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[np.int64(0), d[1:] - d[:-1]]
+        start = new_user | (gap >= W)
+        # interval end day = the activity day right before the next
+        # start (or the user's last); coverage stops after end + W - 1
+        next_start = np.r_[start[1:], True]
+        starts_d = d[start]
+        ends_d = d[next_start]
+        diffs = pd.DataFrame({
+            "day": np.concatenate([starts_d, ends_d + W]),
+            "delta": np.concatenate([
+                np.ones(len(starts_d), dtype=np.int64),
+                -np.ones(len(ends_d), dtype=np.int64),
+            ]),
+            "obs": np.zeros(len(starts_d) + len(ends_d), dtype=np.int64),
+        })
+        obs = pd.DataFrame({
+            "day": np.unique(d),
+            "delta": np.int64(0),
+            "obs": np.int64(1),
+        })
+        out = pd.concat([diffs, obs], ignore_index=True)
+        return out.groupby("day", as_index=False).agg(
+            delta=("delta", "sum"), obs=("obs", "max"))
+
+    parts = (
+        ds.map_batches(pairs_partial, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "dau7": pd.Series([], dtype="int64"),
+        })
+    m = parts.groupby("day", as_index=False).agg(
+        delta=("delta", "sum"), obs=("obs", "max")).sort_values("day")
+    m["dau7"] = m["delta"].cumsum()
+    m = m[m["obs"] == 1]
+    return pd.DataFrame({
+        "day": pd.to_datetime(m["day"].to_numpy() * us_per_day, unit="us"),
+        "dau7": m["dau7"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)

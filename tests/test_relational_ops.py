@@ -2156,3 +2156,26 @@ def test_events_new_users_cumulative(ray_session, tmp_path):
     assert out["cum_users"].tolist() == [2, 3]
     assert pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d").tolist() == [
         "2024-01-01", "2024-01-03"]
+
+
+def test_events_rolling_dau_interval_semantics(ray_session, tmp_path):
+    """Distinct-over-sliding-window: a user active twice within one
+    window counts once; a gap >= 7 days splits their coverage; only
+    observed days emit rows."""
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-03",   # u1: days 1,3 (one merged cover)
+        "2024-01-01",                 # u2: day 1 only
+        "2024-01-15",                 # u1 again after a long gap
+    ])
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    out = r.q_events_rolling_dau(str(tmp_path))
+    got = dict(zip(pd.to_datetime(out["day"]).dt.strftime("%m-%d"),
+                   out["dau7"]))
+    # observed days: 01-01, 01-03, 01-15
+    # 01-01 window [12-26..01-01]: u1,u2 -> 2
+    # 01-03 window [12-28..01-03]: u1,u2 -> 2
+    # 01-15 window [01-09..01-15]: only u1's second burst -> 1
+    assert got == {"01-01": 2, "01-03": 2, "01-15": 1}
