@@ -934,6 +934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": r.q_nation_market_share,
         "events_new_users": r.q_events_new_users,
         "events_rolling_dau": r.q_events_rolling_dau,
+        "nation_top_customers": r.q_nation_top_customers,
+        "region_nation_cross": r.q_region_nation_cross,
+        "events_bag_except": r.q_events_bag_except,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1678,6 +1681,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "nation_top_customers": """
+            -- ordered string aggregation of the per-group top-3
+            WITH ranked AS (
+                SELECT c_nationkey, c_name,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS bal_c, c_custkey,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                         * 100 AS BIGINT) DESC,
+                                    c_custkey) AS rk
+                FROM customer
+            )
+            SELECT c_nationkey,
+                   string_agg(c_name, ','
+                              ORDER BY bal_c DESC, c_custkey)
+                       AS top_customers
+            FROM ranked WHERE rk <= 3
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
+        """,
+        "region_nation_cross": """
+            -- CROSS JOIN: every non-matching (region, nation) pair
+            SELECT r_name, n_name
+            FROM region CROSS JOIN nation
+            WHERE r_regionkey <> n_regionkey
+            ORDER BY r_name, n_name
+        """,
+        "events_bag_except": """
+            -- EXCEPT ALL (multiset surplus) of even-user event types
+            -- over odd-user event types, as per-type multiplicities
+            WITH x AS (
+                SELECT event_type FROM events WHERE user_id % 2 = 0
+                EXCEPT ALL
+                SELECT event_type FROM events WHERE user_id % 2 = 1
+            )
+            SELECT event_type, count(*) AS surplus
+            FROM x GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_rolling_dau": """
             -- rolling 7-day COUNT(DISTINCT user) per observed day —

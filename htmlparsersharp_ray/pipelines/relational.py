@@ -6078,3 +6078,105 @@ def q_events_rolling_dau(sf_dir: str, window_days: int = 7):
         "day": pd.to_datetime(m["day"].to_numpy() * us_per_day, unit="us"),
         "dau7": m["dau7"].astype("int64").to_numpy(),
     }).reset_index(drop=True)
+
+
+def q_nation_top_customers(sf_dir: str):
+    """Ordered string aggregation per group: each nation's top-3
+    customers by balance, concatenated in rank order — the
+    collect_list/string_agg aggregate family. Per-batch top-3 partials
+    bound the exchange (3 rows per nation per batch, the top-k-per-
+    group trick), the per-nation finalize sorts ≤ 3×batches rows, and
+    the concat is bounded by construction (never a full-group string
+    at scale)."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({
+            "c_nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "c_name": b["c_name"],
+            "bal_c": cents,
+            "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+        })
+        return (d.sort_values(["bal_c", "c_custkey"],
+                              ascending=[False, True])
+                .groupby("c_nationkey", as_index=False).head(3))
+
+    parts = (
+        ray.data.read_parquet(
+            _t(sf_dir, "customer"),
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([], dtype="int64"),
+            "top_customers": pd.Series([], dtype=object),
+        })
+    top = (parts.sort_values(["bal_c", "c_custkey"],
+                             ascending=[False, True])
+           .groupby("c_nationkey", as_index=False).head(3)
+           .sort_values(["c_nationkey", "bal_c", "c_custkey"],
+                        ascending=[True, False, True]))
+    out = top.groupby("c_nationkey", as_index=False).agg(
+        top_customers=("c_name", ",".join))
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_region_nation_cross(sf_dir: str):
+    """CROSS JOIN (the one join variant the engine hadn't exposed):
+    every (region, nation) name pair that is NOT the nation's actual
+    region — a 125-row dim×dim product. Small×small cross products
+    broadcast one side and expand per batch; fact×anything cross joins
+    are a deliberate non-feature (row explosion)."""
+    regions = ray.data.read_parquet(_t(sf_dir, "region")).to_pandas()
+    nations = ray.data.read_parquet(_t(sf_dir, "nation"))
+    r_ref = ray.put(regions)
+
+    class CrossExpand:
+        def __init__(self):
+            self.regions = ray.get(r_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out = b.merge(self.regions, how="cross")
+            out = out[out["r_regionkey"] != out["n_regionkey"]]
+            return out[["r_name", "n_name"]]
+
+    out = (
+        nations.map_batches(CrossExpand, batch_format="pandas",
+                            concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def q_events_bag_except(sf_dir: str):
+    """EXCEPT ALL (bag/multiset semantics — the set-ops family's
+    missing half, see q_key_set_ops): per event_type, the surplus
+    multiplicity of even-user events over odd-user events. Bag ops
+    reduce to per-key COUNT partials tagged by side — one tiny merge,
+    never row-level row matching."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        even = (b["user_id"].to_numpy(dtype=np.int64) % 2) == 0
+        d = pd.DataFrame({"event_type": b["event_type"], "even": even})
+        g = d.groupby(["event_type", "even"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = (
+        ray.data.read_parquet(_t(sf_dir, "events"),
+                              columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby(["event_type", "even"], as_index=False)["n"].sum()
+    wide = g.pivot(index="event_type", columns="even", values="n").fillna(0)
+    surplus = (wide.get(True, 0) - wide.get(False, 0)).clip(lower=0)
+    surplus = surplus[surplus > 0]
+    return pd.DataFrame({
+        "event_type": surplus.index,
+        "surplus": surplus.to_numpy().astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)

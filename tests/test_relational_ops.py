@@ -2179,3 +2179,31 @@ def test_events_rolling_dau_interval_semantics(ray_session, tmp_path):
     # 01-03 window [12-28..01-03]: u1,u2 -> 2
     # 01-15 window [01-09..01-15]: only u1's second burst -> 1
     assert got == {"01-01": 2, "01-03": 2, "01-15": 1}
+
+
+def test_nation_top_customers_rank_order(ray_session, tmp_path):
+    """Top-3 per nation by (balance desc, custkey asc), concatenated in
+    rank order; cross-batch partials must not lose a global top-3
+    member."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d", "e"]),
+        "c_nationkey": pa.array([0, 0, 0, 0, 1], pa.int64()),
+        "c_acctbal": pa.array([10.0, 30.0, 20.0, 30.0, 5.0]),
+    }))
+    out = r.q_nation_top_customers(str(tmp_path))
+    got = dict(zip(out["c_nationkey"], out["top_customers"]))
+    # nation 0: 30(b, key2), 30(d, key4), 20(c) — 'a' drops
+    assert got == {0: "b,d,c", 1: "e"}
+
+
+def test_events_bag_except_multiset(ray_session, tmp_path):
+    """Bag semantics: surplus = max(count_even - count_odd, 0), per
+    type; equal counts vanish."""
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([2, 4, 6, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["x", "x", "x", "x", "y", "y"]),
+    }))
+    out = r.q_events_bag_except(str(tmp_path))
+    # x: even {2,4,6}=3 vs odd {1}=1 -> surplus 2; y: 1 vs 1 -> gone
+    assert out.to_dict("records") == [{"event_type": "x", "surplus": 2}]
