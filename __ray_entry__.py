@@ -260,6 +260,19 @@ def _q_docs_sentences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_curate(sf_dir: str):
+    """End-to-end corpus curation funnel (exact dedup → MinHash
+    near-dedup keep-representative → quality floor → token accounting)
+    — ONE row of stage counts. Composite of individually-oracled
+    operators; the composition itself is not SQL-expressible in one
+    query (the near-dup stage), so no oracle_sql — the gate is the
+    planted-corpus pytest (tests/test_pipeline.py) where every funnel
+    count is known by construction."""
+    from htmlparsersharp_ray.pipelines.curate import curate
+
+    return curate(_docs(sf_dir))
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (k-means bucket + within-cluster greedy cosine prune) —
     survivor set after semantic dedup. Threshold 0.45 = the corpus's
@@ -1011,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_project": _q_embeddings_project,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_sentences": _q_docs_sentences,
+        "docs_curate": _q_docs_curate,
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,

@@ -164,3 +164,48 @@ def test_cli_bench_subcommand(tmp_path, capsys):
     assert (tmp_path / "out.html").exists()
     # serialize → re-parse is a fixed point for well-formed content
     assert out["reparse_serialized"]["total_ms"] >= 0
+
+
+def test_curate_funnel_counts_planted(ray_session, tmp_path):
+    """Corpus curation funnel on a planted corpus where every stage's
+    effect is known by construction: 2 exact dups collapse, 1 near-dup
+    pair keeps its min-id representative, 1 low-quality doc (almost all
+    punctuation) falls to the quality floor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from htmlparsersharp_ray.pipelines.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field toward the river ") * 4
+    near = base + "with one extra tail sentence appended at the end"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            base,                     # 0: kept (rep of near-dup cluster)
+            base,                     # 1: exact dup of 0 -> dropped
+            near,                     # 2: near dup of 0 -> dropped
+            "a completely different document about distributed "
+            "dataflow engines and arrow batches flowing through "
+            "object stores with backpressure",            # 3: kept
+            "!!! ??? ... !!! ??? ... !!! ??? ... !!!",     # 4: low quality
+            "short unique words only here",               # 5: kept
+        ],
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+
+    out = curate(ds, jaccard_threshold=0.6, min_quality=0.05)
+    row = out.iloc[0]
+    assert row["n_input"] == 6
+    assert row["n_after_exact"] == 5          # doc 1 collapses into 0
+    assert row["n_after_near"] == 4           # doc 2 drops, 0 survives
+    assert row["n_after_quality"] == 3        # doc 4 drops
+    # token total = whitespace tokens of docs 0, 3, 5
+    want = sum(len(t.split()) for t in [docs.text[0], docs.text[3],
+                                        docs.text[5]])
+    assert row["total_ws_tokens"] == want
