@@ -213,6 +213,12 @@ def run_bench() -> dict:
     entry_mod._q_embeddings_semdedup(sf_dir)
     queries["embeddings_semdedup"] = round(time.time() - t0, 3)
 
+    # composite curation funnel (exact dedup -> near-dedup -> quality
+    # floor -> token accounting) — the end-to-end corpus pass
+    t0 = time.time()
+    entry_mod._q_docs_curate(sf_dir)
+    queries["docs_curate"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {
