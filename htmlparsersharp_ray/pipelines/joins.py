@@ -433,6 +433,32 @@ def join(
     if (how in ("inner", "left") and right_bytes is not None
             and right_bytes <= broadcast_threshold_bytes):
         return broadcast_join(left, right.to_pandas(), left_on, right_on, how)
+    if (how in ("semi", "anti") and right_bytes is not None
+            and right_bytes <= broadcast_threshold_bytes):
+        # map-side key-membership filter: the right KEY SET ships once
+        # (EXISTS semantics, matching hash_join's semi/anti contract)
+        keys = (right.map_batches(
+            lambda t, col=right_on: pa.table(
+                {col: pc.unique(pc.drop_null(t.column(col)))}),
+            batch_format="pyarrow",
+        ).to_pandas()[right_on].unique())
+        keys_ref = ray.put(np.sort(keys))
+        keep_match = how == "semi"
+
+        class KeyFilter:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                vals = b[left_on]
+                hit = vals.isin(self.keys).to_numpy()
+                if keep_match:
+                    # EXISTS: null left keys never match
+                    return b[hit & vals.notna().to_numpy()]
+                return b[~hit]  # NOT EXISTS: null left keys kept
+
+        return left.map_batches(KeyFilter, batch_format="pandas",
+                                concurrency=(1, 4))
     # FULL joins always shuffle: a map-side broadcast can't emit the
     # right-only rows (no worker knows which right rows matched nowhere)
     return hash_join(left, right, left_on, right_on, how, n_buckets)

@@ -507,3 +507,36 @@ def test_hash_join_anti_disjoint_keeps_all(ray_session, tmp_path):
     semi = hash_join(l_ds, r_ds, "k", "k", how="semi")
     assert semi.count() == 0
     assert "lv" in semi.schema().names
+
+
+def test_join_planner_broadcast_semi_anti(ray_session, tmp_path):
+    """join() routes small metadata-known right sides of semi/anti
+    through the broadcast key-set path — same EXISTS semantics as the
+    shuffle path (null left keys: dropped by semi, kept by anti)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from htmlparsersharp_ray.pipelines import joins
+
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, None, 4], pa.int64()),
+        "lv": pa.array([0, 1, 2, 3], pa.int64()),
+    }), str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([2, 2, None], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    l_ds = ray.data.read_parquet(str(tmp_path / "l.parquet"))
+    r_ds = ray.data.read_parquet(str(tmp_path / "r.parquet"))
+
+    semi = joins.join(l_ds, r_ds, "k", "k", how="semi").to_pandas()
+    assert sorted(semi["lv"].tolist()) == [1]
+    anti = joins.join(ray.data.read_parquet(str(tmp_path / "l.parquet")),
+                      ray.data.read_parquet(str(tmp_path / "r.parquet")),
+                      "k", "k", how="anti").to_pandas()
+    assert sorted(anti["lv"].tolist()) == [0, 2, 3]
+
+    # over-threshold: falls back to the shuffle semi (same result)
+    semi2 = joins.join(ray.data.read_parquet(str(tmp_path / "l.parquet")),
+                       ray.data.read_parquet(str(tmp_path / "r.parquet")),
+                       "k", "k", how="semi",
+                       broadcast_threshold_bytes=0).to_pandas()
+    assert sorted(semi2["lv"].tolist()) == [1]
