@@ -950,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_customers": r.q_nation_top_customers,
         "region_nation_cross": r.q_region_nation_cross,
         "events_bag_except": r.q_events_bag_except,
+        "customer_revenue_deciles": r.q_customer_revenue_deciles,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1695,6 +1696,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "customer_revenue_deciles": """
+            -- Pareto concentration: rank-order deciles over exact
+            -- per-customer cents ((rank-1)*10 // N, NTILE-free exact
+            -- definition), one mirrored float division per decile
+            WITH c AS (
+                SELECT o_custkey,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT)) AS rev_c
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT rev_c,
+                       row_number() OVER (ORDER BY rev_c DESC, o_custkey)
+                           AS rn,
+                       count(*) OVER () AS cnt
+                FROM c
+            )
+            SELECT ((rn - 1) * 10) // cnt AS decile,
+                   count(*) AS n_custs,
+                   CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue,
+                   CAST(sum(rev_c) AS DOUBLE)
+                       / CAST((SELECT sum(rev_c) FROM c) AS DOUBLE)
+                       AS rev_share
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         "nation_top_customers": """
             -- ordered string aggregation of the per-group top-3

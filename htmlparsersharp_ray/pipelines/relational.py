@@ -6180,3 +6180,114 @@ def q_events_bag_except(sf_dir: str):
         "event_type": surplus.index,
         "surplus": surplus.to_numpy().astype("int64"),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def q_customer_revenue_deciles(sf_dir: str):
+    """Pareto/concentration report: customers ranked by lifetime spend,
+    bucketed into deciles (rank order, NTILE-free exact definition:
+    decile = (rank-1)*10 // N), with each decile's exact revenue and
+    revenue share — "the top 10% drive X% of revenue".
+
+    This is the engine's ORDER-BY-VALUE global rank (the hash-rank
+    twin is q_docs_shuffle): per-customer exact cents (one custkey
+    exchange) → global min/max from tiny partials → 256 equal-width
+    VALUE-range buckets, which are globally ordered by construction, so
+    pass 2 counts per bucket (driver computes exclusive offsets in
+    Python ints) and pass 3 sorts only WITHIN buckets (rev desc,
+    custkey asc — ties share a value so they share a bucket) and adds
+    the offset. No all-to-all sort; per-bucket work is customers/256
+    (value skew can unbalance buckets — documented; rank stays exact).
+    The share is one mirrored float division per decile."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.exchange import checkpoint
+    from .joins import auto_buckets
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    nb = auto_buckets(orders)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+            "rev_c": cents,
+        }).groupby("o_custkey", as_index=False)["rev_c"].sum()
+        k = g["o_custkey"].to_numpy()
+        g["kb"] = (hashing.mix64(k.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["rev_c"].sum()
+
+    percust = checkpoint(
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(per_cust, batch_format="pandas")
+    )  # reused by three passes below — cut lineage once
+
+    stats = percust.map_batches(
+        lambda df: pd.DataFrame({
+            "lo": [int(df["rev_c"].min())], "hi": [int(df["rev_c"].max())],
+            "n": [len(df)], "tot": [int(df["rev_c"].sum())],
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(stats) == 0:
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype="int64"),
+            "n_custs": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "rev_share": pd.Series([], dtype="float64"),
+        })
+    lo = min(int(v) for v in stats["lo"])
+    hi = max(int(v) for v in stats["hi"])
+    n_total = sum(int(v) for v in stats["n"])
+    rev_total = sum(int(v) for v in stats["tot"])  # Python-int merge
+    B = 256
+    span = hi - lo + 1
+
+    def vbucket(rev: np.ndarray) -> np.ndarray:
+        # bucket 0 = highest revenue (rank order is rev DESC)
+        return ((np.int64(hi) - rev) * np.int64(B)) // np.int64(span)
+
+    counts = percust.map_batches(
+        lambda df: pd.DataFrame({"vb": vbucket(df["rev_c"].to_numpy())})
+        .groupby("vb", as_index=False).size().rename(columns={"size": "n"}),
+        batch_format="pandas",
+    ).to_pandas()
+    per_vb = [0] * B
+    for vb, n in zip(counts["vb"], counts["n"]):
+        per_vb[int(vb)] += int(n)
+    offsets = np.cumsum([0] + per_vb[:-1]).astype(np.int64)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["o_custkey", "rev_c"]].copy()
+        df["vb"] = vbucket(df["rev_c"].to_numpy())
+        return df
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev_c", "o_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+        rank0 = offsets[int(g["vb"].iloc[0])] + np.arange(len(g),
+                                                          dtype=np.int64)
+        dec = (rank0 * 10) // np.int64(n_total)
+        return pd.DataFrame({"decile": dec, "rev_c": g["rev_c"]}).groupby(
+            "decile", as_index=False).agg(
+            n_custs=("rev_c", "size"), rev_c=("rev_c", "sum"))
+
+    parts = (
+        percust.map_batches(add_vb, batch_format="pandas")
+        .groupby("vb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = _pysum_cols(parts, ["rev_c"]).groupby("decile", as_index=False).agg(
+        n_custs=("n_custs", "sum"), rev_c=("rev_c", "sum"))
+    out["n_custs"] = out["n_custs"].astype("int64")
+    rev = [int(v) for v in out.pop("rev_c")]
+    out["revenue"] = [v / 100.0 for v in rev]
+    out["rev_share"] = [float(v) / float(rev_total) for v in rev]
+    return out.sort_values("decile").reset_index(drop=True)

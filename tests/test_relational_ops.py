@@ -2207,3 +2207,25 @@ def test_events_bag_except_multiset(ray_session, tmp_path):
     out = r.q_events_bag_except(str(tmp_path))
     # x: even {2,4,6}=3 vs odd {1}=1 -> surplus 2; y: 1 vs 1 -> gone
     assert out.to_dict("records") == [{"event_type": "x", "surplus": 2}]
+
+
+def test_customer_revenue_deciles_rank_semantics(ray_session, tmp_path):
+    """Rank-order deciles with N not divisible by 10 and a revenue tie
+    broken by custkey; shares sum to 1."""
+    import numpy as np
+
+    # 12 customers: two tie at the top (100.0), rest descending
+    rev = [100.0, 100.0, 90.0, 80.0, 70.0, 60.0,
+           50.0, 40.0, 30.0, 20.0, 10.0, 5.0]
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array(np.arange(1, 13, dtype=np.int64)),
+        "o_totalprice": pa.array(rev),
+    }))
+    out = r.q_customer_revenue_deciles(str(tmp_path))
+    # ranks 1..12; decile = (rank-1)*10 // 12 -> 0,0,1,2,3,4,5,5,6,7,8,9
+    assert out["n_custs"].tolist() == [2, 1, 1, 1, 1, 2, 1, 1, 1, 1]
+    # decile 0 = the two tied 100s
+    assert out.loc[0, "revenue"] == 200.0
+    total = sum(rev)
+    np.testing.assert_allclose(out["rev_share"].sum(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(out.loc[0, "rev_share"], 200.0 / total)
