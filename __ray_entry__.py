@@ -951,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_cross": r.q_region_nation_cross,
         "events_bag_except": r.q_events_bag_except,
         "customer_revenue_deciles": r.q_customer_revenue_deciles,
+        "orders_yoy": r.q_orders_yoy,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1696,6 +1697,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "orders_yoy": """
+            -- year-over-year monthly growth: exact-cents months,
+            -- explicit (year-1, month) self-match (NOT LAG(12) — it
+            -- mispairs across missing months), one mirrored float
+            -- expression per row
+            WITH m AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                           AS o_month,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT)) AS rev_c
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT cur.o_year, cur.o_month,
+                   CAST(cur.rev_c AS DOUBLE) / 100.0 AS revenue,
+                   100.0 * CAST(cur.rev_c - prev.rev_c AS DOUBLE)
+                       / CAST(prev.rev_c AS DOUBLE) AS yoy_pct
+            FROM m cur
+            JOIN m prev ON prev.o_year = cur.o_year - 1
+                       AND prev.o_month = cur.o_month
+            ORDER BY cur.o_year, cur.o_month
         """,
         "customer_revenue_deciles": """
             -- Pareto concentration: rank-order deciles over exact

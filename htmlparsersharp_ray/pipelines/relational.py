@@ -6291,3 +6291,39 @@ def q_customer_revenue_deciles(sf_dir: str):
     out["revenue"] = [v / 100.0 for v in rev]
     out["rev_share"] = [float(v) / float(rev_total) for v in rev]
     return out.sort_values("decile").reset_index(drop=True)
+
+
+def q_orders_yoy(sf_dir: str):
+    """Year-over-year growth per calendar month: exact monthly cents
+    partials (one pass, bounded month axis merged in Python ints on the
+    driver), then an explicit (year-1, month) self-match — NOT LAG(12),
+    which silently mispairs across missing months — and ONE mirrored
+    float expression per row. Months without a prior-year counterpart
+    are omitted (inner-match semantics, mirrored by the oracle)."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
+            "o_month": b["o_orderdate"].dt.month.astype("int64"),
+            "rev_c": cents,
+        }).groupby(["o_year", "o_month"], as_index=False)["rev_c"].sum()
+
+    parts = (
+        ray.data.read_parquet(_t(sf_dir, "orders"),
+                              columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    m = _pysum_cols(parts, ["rev_c"]).groupby(
+        ["o_year", "o_month"], as_index=False)["rev_c"].sum()
+    prev = m.copy()
+    prev["o_year"] = prev["o_year"] + 1
+    j = m.merge(prev, on=["o_year", "o_month"], how="inner",
+                suffixes=("", "_prev"))
+    j["revenue"] = [int(v) / 100.0 for v in j["rev_c"]]
+    j["yoy_pct"] = [100.0 * float(int(c) - int(p)) / float(int(p))
+                    for c, p in zip(j["rev_c"], j["rev_c_prev"])]
+    return (j[["o_year", "o_month", "revenue", "yoy_pct"]]
+            .sort_values(["o_year", "o_month"]).reset_index(drop=True))
