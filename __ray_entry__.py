@@ -865,6 +865,23 @@ def _q_media_features(sf_dir: str):
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_meta(sf_dir: str):
+    """Header-only multimodal metadata scan (kind, dimensions, sample
+    rate/length, payload bytes) — no pixel/sample decode. Rows-only
+    (binary header parsing, non-SQL); gated by the header-vs-decoder
+    parity pytest in tests/test_stages.py."""
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import (
+        MediaMetaUDF,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = ds.map_batches(MediaMetaUDF, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 2))
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from htmlparsersharp_ray.pipelines import relational as r
 
@@ -1035,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_meta": _q_media_meta,
         "media_phash_dups": _q_media_phash_dups,
         "media_audio_dups": _q_media_audio_dups,
         "media_frames": _q_media_frames,

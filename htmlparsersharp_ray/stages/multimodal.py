@@ -439,3 +439,76 @@ def audio_dups(media: "ray.data.Dataset", max_hamming: int = 6,
     out = hash64_band_pairs(sig, max_hamming=max_hamming,
                             id_col="media_id", hash_col="ahash")
     return out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})
+
+
+def ppm_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a P6 header WITHOUT touching pixel data —
+    the metadata-scan path (same header walk as decode_ppm)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, _maxval = fields
+    return w, h
+
+
+def wav_meta(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples) from RIFF chunk headers WITHOUT
+    converting PCM data — chunk sizes alone carry both."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            rate = struct.unpack("<I", payload[pos + 12:pos + 16])[0]
+        elif cid == b"data":
+            n_samples = size // 2  # PCM16 mono
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, n_samples
+
+
+class MediaMetaUDF:
+    """Header-only metadata scan: kind sniff + dimensions / duration per
+    payload WITHOUT decoding pixels or samples — the cheap first pass a
+    multimodal pipeline runs over 100 TB of blobs before deciding what
+    to decode. Per-item header parsing is a few byte-slices; the binary
+    column itself is never copied."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        kind, w, h, rate, ns, nbytes = [], [], [], [], [], []
+        for p in payloads:
+            fmt = _sniff(p)  # "ppm" / "wav" (raises on unknown codecs)
+            nbytes.append(len(p))
+            if fmt == "ppm":
+                kind.append("image")
+                pw, ph = ppm_meta(p)
+                w.append(pw); h.append(ph); rate.append(0); ns.append(0)
+            else:
+                kind.append("audio")
+                r, n = wav_meta(p)
+                w.append(0); h.append(0); rate.append(r); ns.append(n)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "sample_rate": pa.array(rate, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+        })

@@ -2110,3 +2110,48 @@ def test_pca_project_matches_numpy(ray_session):
     want = x.astype(np.float64) @ comps.T
     got = outs[0][["pc0", "pc1", "pc2"]].to_numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_media_meta_header_parity(ray_session):
+    """Header-only metadata equals what the full decoders report, for
+    every payload in the synthetic table — without decoding."""
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import (
+        MediaMetaUDF, decode_ppm, decode_wav, synth_media_table,
+    )
+
+    tab = synth_media_table(40)
+    out = (ray.data.from_arrow(tab)
+           .map_batches(MediaMetaUDF, batch_format="pyarrow",
+                        batch_size=7, concurrency=(1, 2))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    payloads = tab.column("payload").to_pylist()
+    for i, row in out.iterrows():
+        p = payloads[i]
+        assert row["payload_bytes"] == len(p)
+        if row["kind"] == "image":
+            px = decode_ppm(p)
+            assert (row["width"], row["height"]) == (px.shape[1],
+                                                     px.shape[0])
+            assert row["sample_rate"] == 0 and row["n_samples"] == 0
+        else:
+            s, rate = decode_wav(p)
+            assert row["sample_rate"] == rate
+            assert row["n_samples"] == len(s)
+
+
+def test_ppm_meta_comment_and_multidigit_header():
+    """PPM header walk handles comments and multi-digit dims (meta must
+    not assume the synth table's fixed 8x8 shape)."""
+    import numpy as np
+    from htmlparsersharp_ray.stages.multimodal import (
+        decode_ppm, encode_ppm, ppm_meta,
+    )
+
+    img = np.zeros((12, 345, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    assert ppm_meta(payload) == (345, 12)
+    # hand-built header with a comment line
+    commented = b"P6\n# a comment\n17 4\n255\n" + bytes(17 * 4 * 3)
+    assert ppm_meta(commented) == (17, 4)
+    assert decode_ppm(commented).shape == (4, 17, 3)

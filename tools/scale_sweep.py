@@ -436,6 +436,38 @@ def main() -> int:
     run("lm_score_1m", lambda: q_docs_lm_score(synth_docs_lm()))
     run("dau_mau_10m", lambda: q_events_dau_mau(synth_events()))
 
+    # --- continuation-session probes ---------------------------------
+    from htmlparsersharp_ray.pipelines.curate import curate
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_customer_revenue_deciles,
+        q_events_rolling_dau,
+    )
+    from htmlparsersharp_ray.stages.similarity import pca_components
+
+    def synth_orders(n=10_000_000, d="/tmp/graft_sweep_ord"):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(23)
+            pq.write_table(pa.table({
+                "o_custkey": rng.integers(0, 1_000_000, n).astype(np.int64),
+                "o_totalprice": rng.integers(100, 60_000_001, n) / 100.0,
+            }), os.path.join(d, "orders.parquet"), row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    # distinct-over-window at 10M events / 100k users / 90 days
+    run("rolling_dau_10m", lambda: q_events_rolling_dau(synth_events()))
+    # order-by-value global rank at 10M orders / 1M customers
+    run("revenue_deciles_10m",
+        lambda: q_customer_revenue_deciles(synth_orders()))
+    # exact-covariance PCA pass at 1M x 32
+    run("pca_1m", lambda: pca_components(ray.data.read_parquet(
+        os.path.join(synth_vecs(), "embeddings.parquet")), k=8)[1])
+    # end-to-end curation funnel on the dup-heavy 100k slice
+    run("curate_100k", lambda: curate(docs(pair_files),
+                                      jaccard_threshold=0.5))
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
