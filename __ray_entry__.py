@@ -62,6 +62,46 @@ def _q_extract_turns(sf_dir: str):
     return table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _q_extract_links(sf_dir: str):
+    """Link-graph extraction over the transcripts corpus: real HTML5
+    parse per turn → one row per <a href> → per-target aggregate
+    (total links, editorial in-content links). The 1→N flat-map +
+    partial-aggregate shape of crawl-frontier construction. Rows-only
+    (the transcripts table is not one of the driver's oracle views,
+    like extract_turns); semantics gated by tests/test_extract.py
+    (nested anchors, boilerplate ancestry, missing href)."""
+    import pandas as pd
+
+    import ray.data
+    from htmlparsersharp_ray.sources.transcripts import transcripts_for_sf
+    from htmlparsersharp_ray.stages.parse_stage import LinkExtractUDF
+
+    tdir = transcripts_for_sf(sf_dir)
+    links = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(LinkExtractUDF, batch_format="pyarrow",
+                  batch_size=256, concurrency=(1, 4))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("href", as_index=False).agg(
+            n_links=("href", "size"),
+            n_content=("in_content", "sum"))
+        g["n_content"] = g["n_content"].astype("int64")
+        return g
+
+    parts = links.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "href": pd.Series([], dtype=object),
+            "n_links": pd.Series([], dtype="int64"),
+            "n_content": pd.Series([], dtype="int64"),
+        })
+    out = parts.groupby("href", as_index=False).agg(
+        n_links=("n_links", "sum"), n_content=("n_content", "sum"))
+    out = out.astype({"n_links": "int64", "n_content": "int64"})
+    return out.sort_values("href").reset_index(drop=True)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from htmlparsersharp_ray.stages.dedup import exact_dedup
 
@@ -1058,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         # flagship extraction
         "extract_turns": _q_extract_turns,
+        "extract_links": _q_extract_links,
     }
 
 

@@ -160,3 +160,75 @@ class HtmlExtractUDF:
                 "metrics": metrics_arr,
             }
         )
+
+
+class LinkExtractUDF:
+    """Link-graph extraction: parse each turn with the real HTML5 parser
+    and emit one row per ``<a href>`` — (conv_id, turn_idx, href,
+    anchor_text, in_content). The 1→N flat-map that builds a web link
+    graph from raw HTML; ``in_content`` marks anchors OUTSIDE
+    nav/header/footer/aside ancestry (boilerplate links vs editorial
+    links — the signal link-based crawl frontiers weight by).
+
+    Actor-pool stage (parser state amortizes per actor); the DOM walk is
+    iterative (explicit stack — no recursion limit on deep markup).
+    Reference parity: the reference parses and exposes the DOM
+    (SimpleHtmlParser.cs); link extraction is an engine-level consumer
+    of the same tree."""
+
+    _BOILER = frozenset(("nav", "header", "footer", "aside"))
+
+    def __init__(self, max_text_chars: int = DEFAULT_MAX_TEXT_CHARS):
+        self.max_text_chars = max_text_chars
+
+    def _links_of(self, text: str):
+        from ..extract.boilerplate import _norm
+        from ..html import parse
+        from ..html.dom import Element, Text
+
+        root = parse(text[: self.max_text_chars] if text else "").root
+        out = []
+        # iterative preorder: children pushed REVERSED so the LIFO pop
+        # visits them in document order. Stack entries: (node, bdepth).
+        stack = [(root, 0)]
+        while stack:
+            node, bdepth = stack.pop()
+            if isinstance(node, Element):
+                name = node.name
+                if name in self._BOILER:
+                    bdepth += 1
+                if name == "a" and "href" in node.attrs:
+                    # anchor text: Text descendants in document order
+                    parts = []
+                    tstack = list(reversed(node.children))
+                    while tstack:
+                        c = tstack.pop()
+                        if isinstance(c, Text):
+                            parts.append(c.data)
+                        else:
+                            tstack.extend(reversed(c.children))
+                    out.append((node.attrs["href"], _norm("".join(parts)),
+                                bdepth == 0))
+            for child in reversed(node.children):
+                stack.append((child, bdepth))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        turns = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        conv_o, turn_o, href_o, text_o, content_o = [], [], [], [], []
+        for cid, tix, text in zip(convs, turns, texts):
+            for href, anchor, in_content in self._links_of(text):
+                conv_o.append(cid)
+                turn_o.append(tix)
+                href_o.append(href)
+                text_o.append(anchor)
+                content_o.append(in_content)
+        return pa.table({
+            "conv_id": pa.array(conv_o, pa.string()),
+            "turn_idx": pa.array(turn_o, pa.int64()),
+            "href": pa.array(href_o, pa.string()),
+            "anchor_text": pa.array(text_o, pa.string()),
+            "in_content": pa.array(content_o, pa.bool_()),
+        })

@@ -80,3 +80,46 @@ def test_udf_empty_and_none():
     udf = HtmlExtractUDF()
     assert udf.extract_one("")["extracted_text"] == ""
     assert udf.extract_one(None)["extracted_text"] == ""
+
+
+def test_link_extract_semantics(ray_session):
+    """One row per <a href> in document order; nested markup inside the
+    anchor contributes its text; anchors without href drop; nav/footer
+    ancestry clears in_content; deep nesting inside content keeps it."""
+    import pyarrow as pa
+
+    from htmlparsersharp_ray.stages.parse_stage import LinkExtractUDF
+
+    html = (
+        "<nav><a href=/home>Home <b>now</b></a><a>no-href</a></nav>"
+        "<div><p>intro <a href='http://x/y'>deep <i>link</i> text</a>"
+        "</p></div>"
+        "<footer><a href=/p>Privacy</a></footer>"
+    )
+    batch = pa.table({
+        "conv_id": pa.array(["c1"]),
+        "turn_idx": pa.array([0], pa.int64()),
+        "text": pa.array([html]),
+    })
+    out = LinkExtractUDF()(batch).to_pandas()
+    assert out["href"].tolist() == ["/home", "http://x/y", "/p"]
+    assert out["anchor_text"].tolist() == ["Home now", "deep link text",
+                                           "Privacy"]
+    assert out["in_content"].tolist() == [False, True, False]
+
+
+def test_link_extract_malformed_html(ray_session):
+    """Links survive spec error recovery (unclosed tags, foster
+    parenting) — the parser, not a regex, finds them."""
+    import pyarrow as pa
+
+    from htmlparsersharp_ray.stages.parse_stage import LinkExtractUDF
+
+    html = "<table><tr><td><a href=/in-cell>cell</a><a href=/stray>s</a>"
+    batch = pa.table({
+        "conv_id": pa.array(["c"]),
+        "turn_idx": pa.array([0], pa.int64()),
+        "text": pa.array([html]),
+    })
+    out = LinkExtractUDF()(batch).to_pandas()
+    assert out["href"].tolist() == ["/in-cell", "/stray"]
