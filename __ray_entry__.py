@@ -313,6 +313,25 @@ def _q_docs_curate(sf_dir: str):
     return curate(_docs(sf_dir))
 
 
+def _q_embeddings_knn_graph(sf_dir: str):
+    """Exact cosine kNN graph (top-3 neighbors per vector) — the
+    quadratic broadcast BASELINE, documented like embeddings_cosine_dups;
+    the scale path is embeddings_knn_lsh."""
+    from htmlparsersharp_ray.stages.similarity import knn_graph_exact
+
+    return knn_graph_exact(_emb(sf_dir, ["vec_id", "embedding"]), k=3)
+
+
+def _q_embeddings_knn_lsh(sf_dir: str):
+    """kNN graph via hyperplane LSH — the scale path (bounded candidate
+    volume, no broadcast matrix). Rows-only (approximate by design);
+    the gate is the ≥0.9-recall pytest vs the exact graph
+    (tests/test_stages.py)."""
+    from htmlparsersharp_ray.stages.similarity import knn_graph_lsh
+
+    return knn_graph_lsh(_emb(sf_dir, ["vec_id", "embedding"]), k=3)
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (k-means bucket + within-cluster greedy cosine prune) —
     survivor set after semantic dedup. Threshold 0.45 = the corpus's
@@ -1087,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack": _q_docs_pack,
         # similarity search
         "embeddings_topk": _q_embeddings_topk,
+        "embeddings_knn_graph": _q_embeddings_knn_graph,
+        "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "embeddings_filtered_topk": _q_embeddings_filtered_topk,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
@@ -3304,6 +3325,23 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "embeddings_knn_graph": """
+            -- exact cosine kNN graph (top-3 per vector, self excluded),
+            -- ties to the smaller neighbor id
+            SELECT vec_id, rank, nbr_id FROM (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               b.embedding::DOUBLE[], a.embedding::DOUBLE[]
+                           ) DESC, b.vec_id
+                       ) AS rank
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            WHERE rank <= 3
+            ORDER BY vec_id, rank
         """,
         "embeddings_cosine_dups": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

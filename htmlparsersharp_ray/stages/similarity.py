@@ -384,3 +384,133 @@ def pca_project(ds: ray.data.Dataset, k: int = 4,
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _normalized(emb: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return emb / norms
+
+
+def knn_graph_exact(ds: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
+    """Exact cosine kNN GRAPH (top-k neighbor list for EVERY vector,
+    self excluded) — the quadratic broadcast baseline, same contract as
+    embedding_cosine_dup_pairs_exact: the full normalized matrix ships
+    once via ray.put and each batch does one matmul against it. The
+    scale path is :func:`knn_graph_lsh`. Ties break to the smaller
+    neighbor id (stable argsort of -sims over id-ascending columns)."""
+    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    x = _normalized(np.asarray(full["embedding"].tolist(),
+                               dtype=np.float64))
+    ref = ray.put((ids, x))
+
+    class KnnUDF:
+        def __init__(self):
+            self.ids, self.x = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bi, bx = _batch_matrix(batch)
+            bx = _normalized(bx)
+            sims = bx @ self.x.T
+            # mask self-matches (corpus ids are sorted; one searchsorted)
+            pos = np.searchsorted(self.ids, bi)
+            ok = (pos < len(self.ids)) & (self.ids[np.minimum(
+                pos, len(self.ids) - 1)] == bi)
+            sims[np.nonzero(ok)[0], pos[ok]] = -np.inf
+            kk = min(k, sims.shape[1] - 1)
+            # stable argsort of -sims: ties fall to the lower column
+            # index, which is the lower nbr id (columns are id-sorted)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            n = len(bi)
+            return pa.table({
+                "vec_id": pa.array(np.repeat(bi, kk).astype(np.int64)),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1,
+                                                   dtype=np.int64), n)),
+                "nbr_id": pa.array(self.ids[order.ravel()]),
+            })
+
+    out = ds.map_batches(KnnUDF, batch_format="pyarrow",
+                         batch_size=1024, concurrency=(1, 4)).to_pandas()
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def knn_graph_lsh(ds: ray.data.Dataset, k: int = 3, n_planes: int = 4,
+                  n_tables: int = 32) -> pd.DataFrame:
+    """kNN graph via hyperplane LSH — the scale path: vectors bucket
+    into n_tables independent tables (the dedup family's
+    _PlaneBucketUDF), each (table, bucket) group emits every member's
+    within-bucket top-k candidates (one small matmul), and one
+    vec-hash-bucketed merge dedupes candidates across tables and keeps
+    the global top-k per vector (sim desc, nbr asc). Candidate volume
+    is bounded by k × n_tables per vector; no quadratic pass, no
+    broadcast matrix. Recall is corpus-dependent (pytest gates ≥0.9
+    vs the exact graph on the test corpus)."""
+    import ray as _ray
+
+    from ..stages import hashing
+    from .dedup import _PlaneBucketUDF, make_planes
+
+    dim = len(ds.take(1)[0]["embedding"])
+    planes_ref = _ray.put(make_planes(n_tables, n_planes, dim))
+
+    _empty = {
+        "vec_id": pd.Series([], dtype="int64"),
+        "nbr_id": pd.Series([], dtype="int64"),
+        "sim": pd.Series([], dtype="float64"),
+    }
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(_empty)
+        emb = _normalized(np.asarray(g["embedding"].tolist(),
+                                     dtype=np.float64))
+        sims = emb @ emb.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = order.ravel()
+        return pd.DataFrame({
+            "vec_id": ids[rows],
+            "nbr_id": ids[cols],
+            "sim": sims[rows, cols],
+        })
+
+    def add_vb(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vb = (hashing.mix64(v.astype(np.uint64)) % np.uint64(64)
+              ).astype(np.int64)
+        return batch.append_column("vb", pa.array(vb))
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["vec_id", "nbr_id"])
+             .sort_values(["vec_id", "sim", "nbr_id"],
+                          ascending=[True, False, True]))
+        g = g.groupby("vec_id", as_index=False).head(k)
+        g["rank"] = g.groupby("vec_id").cumcount() + 1
+        return g[["vec_id", "rank", "nbr_id"]]
+
+    out = (
+        ds.map_batches(
+            _PlaneBucketUDF, fn_constructor_args=(planes_ref,),
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
+        )
+        .groupby(["table", "bucket"])
+        .map_groups(bucket_topk, batch_format="pandas")
+        .map_batches(add_vb, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+            "nbr_id": pd.Series([], dtype="int64"),
+        })
+    return (out.astype({"vec_id": "int64", "rank": "int64",
+                        "nbr_id": "int64"})
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))

@@ -2155,3 +2155,55 @@ def test_ppm_meta_comment_and_multidigit_header():
     commented = b"P6\n# a comment\n17 4\n255\n" + bytes(17 * 4 * 3)
     assert ppm_meta(commented) == (17, 4)
     assert decode_ppm(commented).shape == (4, 17, 3)
+
+
+def test_knn_graph_lsh_recall_vs_exact(ray_session):
+    """LSH kNN graph recovers >= 0.9 of the exact graph's neighbor
+    edges on a clustered corpus, and both produce k rows per vector
+    with rank 1..k."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import (
+        knn_graph_exact, knn_graph_lsh,
+    )
+
+    rng = np.random.default_rng(19)
+    n, d, k = 400, 24, 3
+    centers = rng.normal(size=(12, d)) * 4
+    x = (centers[rng.integers(0, 12, n)]
+         + rng.normal(size=(n, d)) * 0.3).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tab).repartition(4)
+    exact = knn_graph_exact(ds, k=k)
+    approx = knn_graph_lsh(ray.data.from_arrow(tab).repartition(4), k=k)
+
+    assert len(exact) == n * k
+    assert exact.groupby("vec_id")["rank"].max().eq(k).all()
+    e = set(zip(exact["vec_id"], exact["nbr_id"]))
+    a = set(zip(approx["vec_id"], approx["nbr_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_knn_graph_exact_self_excluded_and_ties(ray_session):
+    """Self never appears as a neighbor; exact duplicate vectors tie
+    and break to the smaller id."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import knn_graph_exact
+
+    x = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                 dtype=np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.array([10, 20, 30, 40], dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    out = knn_graph_exact(ray.data.from_arrow(tab).repartition(2), k=2)
+    assert not (out["vec_id"] == out["nbr_id"]).any()
+    # vec 10's neighbors: ties among {20, 30} -> id order
+    assert out[out["vec_id"] == 10]["nbr_id"].tolist() == [20, 30]
+    # vec 40 is orthogonal to all: still gets k neighbors, smallest ids
+    assert out[out["vec_id"] == 40]["nbr_id"].tolist() == [10, 20]
