@@ -18,9 +18,32 @@ import ray.data
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from a (vec_id, embedding) batch. The
+    list column flattens ZERO-COPY via its Arrow value buffer when
+    rectangular (fixed-size lists, or var lists with uniform lengths)
+    — the to_pylist() fallback was the dominant cost of the whole
+    1M-vector PCA pass (one Python object per float). Ragged or
+    null-bearing columns fall back; float32→float64 is exact either
+    way, so both paths are bitwise-identical."""
     ids = batch.column("vec_id").to_numpy()
-    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, emb
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return ids, flat.astype(np.float64).reshape(len(col), d)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offs = col.offsets.to_numpy()
+            lens = np.diff(offs)
+            if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                d = int(lens[0])
+                flat = col.values.to_numpy(zero_copy_only=False)
+                start = int(offs[0])
+                flat = flat[start:start + len(col) * d]
+                return ids, flat.astype(np.float64).reshape(len(col), d)
+    return ids, np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 class CosineTopK:
@@ -326,14 +349,31 @@ def pca_components(ds: ray.data.Dataset, k: int = 8, scale_bits: int = 20):
         _, emb = _batch_matrix(batch)
         q = np.rint(emb * scale).astype(np.int64)
         s = q.sum(axis=0)
-        outer = q.T @ q
+        # EXACT qᵀq via BLAS: numpy integer matmul has no BLAS path
+        # (measured 23 s for one 1M×32 pass). Split q = hi·2¹¹ + lo
+        # (|q| ≤ scale·max|x| ≪ 2²², so hi, lo < 2¹¹ in magnitude):
+        # every float64 dgemm partial sums products < 2²² over ≤ 2¹⁴
+        # batch rows — < 2³⁶ ≪ 2⁵³, exactly representable — and the
+        # int64 recombination is exact. Bitwise-identical to the
+        # integer matmul (pytest-gated), ~BLAS-speed.
+        if len(q) > (1 << 14):
+            raise ValueError("pca partial: batch too large for the "
+                             "exact split-matmul bound (2^14 rows)")
+        hi = (q >> 11).astype(np.float64)
+        lo = (q - ((q >> 11) << 11)).astype(np.float64)
+        hh = (hi.T @ hi).astype(np.int64)
+        hl = (hi.T @ lo).astype(np.int64)
+        lh = (lo.T @ hi).astype(np.int64)
+        ll = (lo.T @ lo).astype(np.int64)
+        outer = (hh << 22) + ((hl + lh) << 11) + ll
         return pa.table({
             "n": pa.array([len(q)], pa.int64()),
             "s": pa.array([s.tolist()], pa.list_(pa.int64())),
             "outer": pa.array([outer.ravel().tolist()], pa.list_(pa.int64())),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
     n = sum(int(v) for v in parts["n"])
     if n == 0:
         raise ValueError("pca_components: empty input")
