@@ -1028,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bag_except": r.q_events_bag_except,
         "customer_revenue_deciles": r.q_customer_revenue_deciles,
         "orders_yoy": r.q_orders_yoy,
+        "customer_returns": r.q_customer_returns,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1777,6 +1778,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "customer_returns": """
+            -- TPC-H Q10 shape: top-20 customers by returned-item
+            -- revenue in a quarter; ordering by EXACT integer revenue
+            WITH r AS (
+                SELECT o_custkey,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * 100 AS BIGINT)
+                           * (100 - CAST(CAST(l_discount AS DECIMAL(3,2))
+                                         * 100 AS BIGINT))) AS rev_u
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1995-07-01'
+                  AND o_orderdate <  TIMESTAMP '1995-10-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, n_name,
+                   CAST(rev_u AS DOUBLE) / 10000.0 AS revenue
+            FROM r
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY rev_u DESC, c_custkey
+            LIMIT 20
         """,
         "orders_yoy": """
             -- year-over-year monthly growth: exact-cents months,

@@ -6327,3 +6327,102 @@ def q_orders_yoy(sf_dir: str):
                     for c, p in zip(j["rev_c"], j["rev_c_prev"])]
     return (j[["o_year", "o_month", "revenue", "yoy_pct"]]
             .sort_values(["o_year", "o_month"]).reset_index(drop=True))
+
+
+def q_customer_returns(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter, with name and nation. The
+    classic join-aggregate-topk: lineitem pre-filters 'R' rows and
+    pre-aggregates exact cents per order inside map_batches; ONE
+    shuffle join against the date-filtered orders attaches custkey; a
+    custkey-hash exchange finishes per-customer sums AND takes each
+    bucket's top-20 (exact-int ordering), the driver merges ≤
+    20×buckets candidates, and the 20 survivors join their attributes
+    via a tiny broadcast lookup. Ordering is by exact integer revenue
+    (no float compare), mirrored by the oracle's ORDER BY rev_u."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets, hash_join
+
+    lo = pd.Timestamp("1995-07-01")
+    hi = pd.Timestamp("1995-10-01")
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "rev_u": pr_c * (100 - di_c),
+        }).groupby("l_orderkey", as_index=False, sort=False)["rev_u"].sum()
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(li, orders, left_on="l_orderkey",
+                       right_on="o_orderkey")
+    nb = auto_buckets(ray.data.read_parquet(_t(sf_dir, "orders")))
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False)["rev_u"].sum()
+        k = g["o_custkey"].to_numpy(dtype=np.int64)
+        g["kb"] = (hashing.mix64(k.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey", as_index=False)["rev_u"].sum()
+        return m.sort_values(["rev_u", "o_custkey"],
+                             ascending=[False, True]).head(20)
+
+    cand = (
+        joined.map_batches(add_kb, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype="float64"),
+        })
+    top = (cand.sort_values(["rev_u", "o_custkey"],
+                            ascending=[False, True])
+           .head(20).reset_index(drop=True))
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(
+        lambda t, keys=top["o_custkey"].tolist(): t.filter(
+            pc.is_in(t.column("c_custkey"),
+                     value_set=pa.array(keys, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    nation = ray.data.read_parquet(_t(sf_dir, "nation")).to_pandas()
+
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey")
+           .merge(nation[["n_nationkey", "n_name"]],
+                  left_on="c_nationkey", right_on="n_nationkey"))
+    out["revenue"] = [int(v) / 10000.0 for v in out["rev_u"]]
+    out = out.sort_values(["rev_u", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]

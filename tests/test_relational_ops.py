@@ -2229,3 +2229,35 @@ def test_customer_revenue_deciles_rank_semantics(ray_session, tmp_path):
     total = sum(rev)
     np.testing.assert_allclose(out["rev_share"].sum(), 1.0, rtol=1e-12)
     np.testing.assert_allclose(out.loc[0, "rev_share"], 200.0 / total)
+
+
+def test_customer_returns_semantics(ray_session, tmp_path):
+    """Q10 shape: only 'R' lineitems of in-window orders count; revenue
+    ties break to the smaller custkey; attributes join back."""
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["NATION_0"]),
+        "n_regionkey": pa.array([0], pa.int64()),
+    }))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["ca", "cb", "cc"]),
+        "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+    }))
+    dates = pd.to_datetime(["1995-08-01", "1995-08-02", "1996-01-01"])
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R"]),  # N drops
+        "l_extendedprice": pa.array([50.0, 999.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    }))
+    out = r.q_customer_returns(str(tmp_path))
+    # cust 3's order is out of window; 1 and 2 tie at 50 -> custkey order
+    assert out["c_custkey"].tolist() == [1, 2]
+    assert out["revenue"].tolist() == [50.0, 50.0]
+    assert out["n_name"].tolist() == ["NATION_0", "NATION_0"]
