@@ -332,6 +332,20 @@ def _q_embeddings_knn_lsh(sf_dir: str):
     return knn_graph_lsh(_emb(sf_dir, ["vec_id", "embedding"]), k=3)
 
 
+def _q_embeddings_pq(sf_dir: str):
+    """Product quantization (m=4 subspaces × k=16 codes): per-vector PQ
+    codes + squared reconstruction error. Iterative ML op, not
+    SQL-expressible (no oracle_sql); gates in tests/test_stages.py:
+    planted-codeword exact recovery (zero error), layout invariance
+    (bitwise), and error-vs-m monotonicity."""
+    from htmlparsersharp_ray.stages.clustering import product_quantize
+
+    codes, _books = product_quantize(_emb(sf_dir, ["vec_id", "embedding"]),
+                                     m=4, k=16, iters=6)
+    return (codes.to_pandas().sort_values("vec_id")
+            .reset_index(drop=True))
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (k-means bucket + within-cluster greedy cosine prune) —
     survivor set after semantic dedup. Threshold 0.45 = the corpus's
@@ -1101,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": _q_embeddings_kmeans,
         "embeddings_pca": _q_embeddings_pca,
         "embeddings_project": _q_embeddings_project,
+        "embeddings_pq": _q_embeddings_pq,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_sentences": _q_docs_sentences,
         "docs_curate": _q_docs_curate,

@@ -300,3 +300,68 @@ def semdedup_reference(
                 kept.append(i)
         out.extend((int(ids[i]), int(c)) for i in kept)
     return sorted(out)
+
+
+def product_quantize(
+    embeddings: ray.data.Dataset, m: int = 4, k: int = 16, iters: int = 6,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+):
+    """Product quantization: split each d-dim vector into ``m``
+    contiguous subvectors, fit a k-centroid codebook per subspace
+    (:func:`fit_centroids` — fixed-point Lloyd, bitwise-deterministic
+    at any parallelism), then ONE streaming pass assigns every vector
+    its m codes and squared reconstruction error. The compressed
+    representation behind billion-scale vector stores: d floats →
+    m small ints (+ an m×k×(d/m) codebook a few KB big, shipped in a
+    task closure — the kmeans lesson).
+
+    Returns ``(codes: ray.data.Dataset, codebooks: np.ndarray
+    (m, k, d/m))``; the codes Dataset has (id_col, code_0..code_{m-1},
+    recon_err). Reference n/a — engine-level vector-store operator."""
+    first = embeddings.take(1)[0][vec_col]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    books = []
+    for j in range(m):
+        lo = j * sub
+
+        def slice_j(batch: pa.Table, lo=lo) -> pa.Table:
+            x = _batch_matrix(batch, vec_col)
+            xs = x[:, lo:lo + sub] if len(x) else x.reshape(0, 0)
+            return pa.table({
+                id_col: batch.column(id_col),
+                vec_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.ascontiguousarray(xs).ravel(),
+                             pa.float64()), sub
+                ).cast(pa.list_(pa.float64())),
+            })
+
+        books.append(fit_centroids(
+            embeddings.map_batches(slice_j, batch_format="pyarrow"),
+            k=k, iters=iters, vec_col=vec_col, id_col=id_col))
+    books = np.stack(books)  # (m, k, sub)
+
+    def assign_codes(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        n = len(x)
+        cols = {id_col: batch.column(id_col)}
+        if n == 0:
+            for j in range(m):
+                cols[f"code_{j}"] = pa.array([], pa.int64())
+            cols["recon_err"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        err = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            code = _assign(xs, books[j])
+            cols[f"code_{j}"] = pa.array(code, pa.int64())
+            diff = xs - books[j][code]
+            err += (diff * diff).sum(axis=1)
+        cols["recon_err"] = pa.array(err, pa.float64())
+        return pa.table(cols)
+
+    return (embeddings.map_batches(assign_codes, batch_format="pyarrow"),
+            books)

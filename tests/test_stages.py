@@ -2207,3 +2207,67 @@ def test_knn_graph_exact_self_excluded_and_ties(ray_session):
     assert out[out["vec_id"] == 10]["nbr_id"].tolist() == [20, 30]
     # vec 40 is orthogonal to all: still gets k neighbors, smallest ids
     assert out[out["vec_id"] == 40]["nbr_id"].tolist() == [10, 20]
+
+
+def test_product_quantize_planted_codewords(ray_session):
+    """Vectors built FROM codewords quantize back to them exactly (zero
+    reconstruction error), bitwise-identically across block layouts."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import product_quantize
+
+    rng = np.random.default_rng(31)
+    m, k, sub, n = 2, 4, 3, 120
+    words = rng.normal(size=(m, k, sub)) * 5
+    # cyclic planting: ids 0..k-1 cover every codeword in every
+    # subspace, so the smallest-id seeding starts on the optimum (a
+    # random plant can seed two centroids on one codeword — a genuine
+    # k-means local minimum, not an engine defect)
+    codes_true = ((np.arange(n)[:, None] + np.arange(m)[None, :]) % k)
+    x = np.concatenate([words[j][codes_true[:, j]] for j in range(m)],
+                       axis=1).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(tab).repartition(blocks)
+        codes, books = product_quantize(ds, m=m, k=k, iters=8)
+        outs.append(codes.to_pandas().sort_values("vec_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # every vector reconstructs exactly (codebooks converge onto the
+    # planted codewords; float32 storage round-trips into float64)
+    np.testing.assert_allclose(outs[0]["recon_err"].to_numpy(), 0.0,
+                               atol=1e-10)
+    # same-true-code vectors share engine codes (a relabel-invariant
+    # check: the mapping true-code -> engine-code must be a bijection)
+    for j in range(m):
+        got = outs[0][f"code_{j}"].to_numpy()
+        mapping = {}
+        for t, g in zip(codes_true[:, j], got):
+            assert mapping.setdefault(int(t), int(g)) == int(g)
+        assert len(set(mapping.values())) == len(mapping)
+
+
+def test_product_quantize_error_decreases_with_m(ray_session):
+    """More subspaces -> finer quantization: mean reconstruction error
+    is non-increasing from m=1 to m=4 on random data."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import product_quantize
+
+    rng = np.random.default_rng(33)
+    n, d = 300, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32())),
+    })
+    errs = []
+    for m in (1, 4):
+        codes, _ = product_quantize(ray.data.from_arrow(tab), m=m, k=8,
+                                    iters=6)
+        errs.append(codes.to_pandas()["recon_err"].mean())
+    assert errs[1] <= errs[0]
