@@ -540,3 +540,73 @@ def test_join_planner_broadcast_semi_anti(ray_session, tmp_path):
                        "k", "k", how="semi",
                        broadcast_threshold_bytes=0).to_pandas()
     assert sorted(semi2["lv"].tolist()) == [1]
+
+
+def test_hash_join_all_hows_randomized_vs_pandas(ray_session):
+    """Seeded randomized differential across every join type: keys with
+    heavy duplication, partial overlap and nulls; result must equal the
+    pandas reference (EXISTS semantics for semi/anti). 12 seeds × 5
+    hows, multi-block inputs."""
+    from htmlparsersharp_ray.pipelines.joins import hash_join
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        nl, nr = rng.integers(1, 120, size=2)
+        lk = rng.integers(0, 25, size=nl).astype(float)
+        rk = rng.integers(10, 35, size=nr).astype(float)
+        lk[rng.random(nl) < 0.1] = np.nan
+        rk[rng.random(nr) < 0.1] = np.nan
+        left = pd.DataFrame({
+            "k": pd.array([None if np.isnan(v) else int(v) for v in lk],
+                          dtype="Int64"),
+            "lv": np.arange(nl, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": pd.array([None if np.isnan(v) else int(v) for v in rk],
+                          dtype="Int64"),
+            "rv": np.arange(nr, dtype=np.int64),
+        })
+        lmask = left["k"].notna()
+        rmask = right["k"].notna()
+        for how in ("inner", "left", "full", "semi", "anti"):
+            got = hash_join(_mk_ds(left, 3), _mk_ds(right, 2), "k", "k",
+                            how=how).to_pandas()
+            if how == "semi":
+                want = left[lmask & left["k"].isin(
+                    right.loc[rmask, "k"])][["lv"]]
+                assert sorted(got["lv"]) == sorted(want["lv"]), (seed, how)
+                continue
+            if how == "anti":
+                want = left[~(lmask & left["k"].isin(
+                    right.loc[rmask, "k"]))][["lv"]]
+                assert sorted(got["lv"]) == sorted(want["lv"]), (seed, how)
+                continue
+            # pandas merge matches NaN==NaN, so drop nulls per SQL rules
+            # and re-append the null-key rows the engine keeps
+            li = left[lmask]
+            ri = right[rmask]
+            want = li.merge(ri, on="k", how="inner")
+            pairs = set(zip(want["lv"], want["rv"]))
+            if how == "inner":
+                assert set(zip(got["lv"], got["rv"])) == pairs, (seed, how)
+                continue
+            matched_l = set(want["lv"])
+            got_pairs = set(zip(got["lv"],
+                                got["rv"].fillna(-1).astype(int)))
+            want_pairs = set(pairs)
+            if how in ("left", "full"):
+                want_pairs |= {(lv, -1) for lv in left["lv"]
+                               if lv not in matched_l}
+            if how == "full":
+                matched_r = set(want["rv"])
+                got_r_only = set(got.loc[got["lv"].isna(), "rv"]
+                                 .astype(int))
+                want_r_only = {rv for rv in right["rv"]
+                               if rv not in matched_r}
+                assert got_r_only == want_r_only, (seed, how)
+                got_pairs = {(lv, rv) for lv, rv in
+                             zip(got["lv"].fillna(-2),
+                                 got["rv"].fillna(-1).astype(int))
+                             if lv != -2}
+                got_pairs = {(int(lv), rv) for lv, rv in got_pairs}
+            assert got_pairs == want_pairs, (seed, how)
