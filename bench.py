@@ -14,6 +14,7 @@ Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -83,6 +84,7 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/graft_bench_out/{os.path.basename(tdir)}-{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    gc.collect()
     t0 = time.time()
     manifest = run_extract_pipeline(
         tdir,
@@ -119,6 +121,7 @@ def run_bench() -> dict:
         ("events_window", r.q_events_window),
         ("orders_topk", r.q_orders_topk),
     ]:
+        gc.collect()
         t0 = time.time()
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):
@@ -128,6 +131,7 @@ def run_bench() -> dict:
     from htmlparsersharp_ray.stages.dedup import minhash_lsh_pairs
     import ray.data as rd
 
+    gc.collect()
     t0 = time.time()
     minhash_lsh_pairs(
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet")),
@@ -140,12 +144,14 @@ def run_bench() -> dict:
         simhash_pairs,
     )
 
+    gc.collect()
     t0 = time.time()
     simhash_pairs(
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet")),
         max_hamming=6,
     )
     queries["docs_simhash_pairs"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     embedding_cosine_dup_pairs(
         rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
@@ -158,9 +164,11 @@ def run_bench() -> dict:
     from htmlparsersharp_ray.stages.text_analysis import fingerprints, fingerprints_fast
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    gc.collect()
     t0 = time.time()
     fingerprints(docs).to_pandas()
     queries["docs_fingerprint"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     fingerprints_fast(docs).to_pandas()
     queries["docs_fingerprint_fast"] = round(time.time() - t0, 3)
@@ -170,9 +178,11 @@ def run_bench() -> dict:
     from htmlparsersharp_ray.stages.text_analysis import pack_bins
     from htmlparsersharp_ray.stages.dedup import decontaminate
 
+    gc.collect()
     t0 = time.time()
     pack_bins(docs, budget=1024)
     queries["docs_pack"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     decontaminate(docs, bench_mod=20, n=8)
     queries["docs_decontaminate"] = round(time.time() - t0, 3)
@@ -180,6 +190,7 @@ def run_bench() -> dict:
     # cross-doc duplicate-gram census: the bounded gram-hash exchange
     from htmlparsersharp_ray.stages.dedup import gram_dups
 
+    gc.collect()
     t0 = time.time()
     gram_dups(docs, n=8)
     queries["docs_gram_dups"] = round(time.time() - t0, 3)
@@ -188,33 +199,41 @@ def run_bench() -> dict:
 
     # distributed iterative graph ops over the part co-purchase graph
     # (~2.4M directed edges at sf0.1): blob-exchange Pregel supersteps
+    gc.collect()
     t0 = time.time()
     r.q_part_pagerank(sf_dir)
     queries["part_pagerank"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     r.q_part_triangles(sf_dir)
     queries["part_triangles"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     entry_mod._q_docs_canonical(sf_dir)
     queries["docs_canonical"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     entry_mod._q_embeddings_kmeans(sf_dir)
     queries["embeddings_kmeans"] = round(time.time() - t0, 3)
 
     # range-partitioned global sort / chunk-level dedup / SemDeDup
+    gc.collect()
     t0 = time.time()
     r.q_orders_sorted(sf_dir)
     queries["orders_sorted"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     entry_mod._q_docs_chunk_dedup(sf_dir)
     queries["docs_chunk_dedup"] = round(time.time() - t0, 3)
+    gc.collect()
     t0 = time.time()
     entry_mod._q_embeddings_semdedup(sf_dir)
     queries["embeddings_semdedup"] = round(time.time() - t0, 3)
 
     # composite curation funnel (exact dedup -> near-dedup -> quality
     # floor -> token accounting) — the end-to-end corpus pass
+    gc.collect()
     t0 = time.time()
     entry_mod._q_docs_curate(sf_dir)
     queries["docs_curate"] = round(time.time() - t0, 3)
