@@ -96,6 +96,9 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        import gc
+
+        gc.collect()  # see bench.py: cycles pin object-store blocks
         t0 = time.time()
         try:
             result = to_pandas(fn(sf_dir))

@@ -97,6 +97,9 @@ def main() -> int:
     def run(name, fn):
         if only and name not in only:
             return
+        import gc
+
+        gc.collect()  # earlier passes' ObjectRef cycles pin blocks
         t0 = time.time()
         r = fn()
         results[name] = {
