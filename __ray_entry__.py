@@ -1043,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_deciles": r.q_customer_revenue_deciles,
         "orders_yoy": r.q_orders_yoy,
         "customer_returns": r.q_customer_returns,
+        "events_bursts": r.q_events_bursts,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1793,6 +1794,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "events_bursts": """
+            -- all-integer burst detection: hour buckets whose count
+            -- more than doubles the trailing-8-OBSERVED-buckets sum
+            -- (absent hours don't zero-fill), min support 10
+            WITH m AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, bucket_ts, n,
+                       sum(n) OVER (PARTITION BY event_type
+                                    ORDER BY bucket_ts
+                                    ROWS BETWEEN 8 PRECEDING
+                                         AND 1 PRECEDING) AS trail,
+                       count(*) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_ts
+                                      ROWS BETWEEN 8 PRECEDING
+                                           AND 1 PRECEDING) AS ntrail
+                FROM m
+            )
+            SELECT event_type, bucket_ts, n, trail
+            FROM w
+            WHERE ntrail = 8 AND n >= 10 AND n * 8 > 2 * trail
+            ORDER BY event_type, bucket_ts
         """,
         "customer_returns": """
             -- TPC-H Q10 shape: top-20 customers by returned-item

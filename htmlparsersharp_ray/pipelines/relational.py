@@ -6426,3 +6426,82 @@ def q_customer_returns(sf_dir: str):
     out = out.sort_values(["rev_u", "c_custkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+def q_events_bursts(sf_dir: str):
+    """Burst detection (Kleinberg-lite): hour buckets where an event
+    type's count more than DOUBLES its trailing-8-observed-buckets
+    average, at a minimum support — the rate-anomaly screen a
+    streaming pipeline runs per key. ALL-INTEGER decision
+    (n·8 > 2·trail — no float rate compare can flip a boundary), and
+    'trailing' means the previous 8 OBSERVED buckets (absent hours
+    don't zero-fill), mirrored exactly by the oracle's ROWS frame.
+
+    Scale shape: per-batch (type, hour) count partials collapse the
+    stream first; one type-hash bucket exchange; per-type rolling sums
+    are one sliding-window cumsum inside the bucket."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    W, RATIO, SUPPORT = 8, 2, 10
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hour = b["ts"].dt.floor("h")
+        g = (pd.DataFrame({"event_type": b["event_type"],
+                           "bucket_ts": hour})
+             .groupby(["event_type", "bucket_ts"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        tb = (hashing.hash_strings64(
+            g["event_type"].to_numpy(dtype=object), categorize=False)
+            % np.uint64(16)).astype(np.int64)
+        g["tb"] = tb
+        return g
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["event_type", "bucket_ts"], as_index=False)["n"]
+             .sum().sort_values(["event_type", "bucket_ts"]))
+        out = []
+        for et, d in g.groupby("event_type", sort=False):
+            n = d["n"].to_numpy(dtype=np.int64)
+            if len(n) <= W:
+                continue
+            c = np.concatenate([[0], np.cumsum(n)])
+            # trailing sum of the previous W observed buckets
+            trail = c[W:-1] - c[:-W - 1]
+            cur = n[W:]
+            burst = (cur >= SUPPORT) & (cur * W > RATIO * trail)
+            if burst.any():
+                out.append(pd.DataFrame({
+                    "event_type": et,
+                    "bucket_ts": d["bucket_ts"].to_numpy()[W:][burst],
+                    "n": cur[burst],
+                    "trail": trail[burst],
+                }))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+                "n": pd.Series([], dtype="int64"),
+                "trail": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    parts = (
+        ray.data.read_parquet(_t(sf_dir, "events"),
+                              columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+            "n": pd.Series([], dtype="int64"),
+            "trail": pd.Series([], dtype="int64"),
+        })
+    return (parts.astype({"n": "int64", "trail": "int64"})
+            .sort_values(["event_type", "bucket_ts"])
+            .reset_index(drop=True))

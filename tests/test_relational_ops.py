@@ -2261,3 +2261,34 @@ def test_customer_returns_semantics(ray_session, tmp_path):
     assert out["c_custkey"].tolist() == [1, 2]
     assert out["revenue"].tolist() == [50.0, 50.0]
     assert out["n_name"].tolist() == ["NATION_0", "NATION_0"]
+
+
+def test_events_bursts_integer_decision(ray_session, tmp_path):
+    """Burst requires 8 PRIOR observed buckets, min support, and a
+    strict > 2x trailing-average rate — boundary exactly-2x does NOT
+    fire (integer cross-multiply)."""
+    rows = []
+    # type 'a': 8 quiet hours of 4, then a 10-count hour (10*8 > 2*32
+    # -> burst), then an hour of exactly 2x the new trailing avg
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for h in range(8):
+        rows += [("a", base + pd.Timedelta(hours=h))] * 4
+    rows += [("a", base + pd.Timedelta(hours=8))] * 10
+    # type 'b': spikes but with only 7 prior buckets -> never fires
+    for h in range(7):
+        rows += [("b", base + pd.Timedelta(hours=h))] * 4
+    rows += [("b", base + pd.Timedelta(hours=7))] * 100
+    # type 'c': exactly 2x boundary — trail 8x5=40, n=10: 10*8 == 2*40
+    for h in range(8):
+        rows += [("c", base + pd.Timedelta(hours=h))] * 5
+    rows += [("c", base + pd.Timedelta(hours=8))] * 10
+    et = [r[0] for r in rows]
+    ts = [r[1] for r in rows]
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(et),
+        "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+    }))
+    out = r.q_events_bursts(str(tmp_path))
+    assert out["event_type"].tolist() == ["a"]
+    assert out["n"].tolist() == [10]
+    assert out["trail"].tolist() == [32]
