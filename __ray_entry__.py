@@ -1044,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy": r.q_orders_yoy,
         "customer_returns": r.q_customer_returns,
         "events_bursts": r.q_events_bursts,
+        "events_pattern": r.q_events_pattern,
+        "part_multi_nation": r.q_part_multi_nation,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
         "orders_sorted": r.q_orders_sorted,
@@ -1794,6 +1796,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "events_pattern": """
+            -- MATCH_RECOGNIZE-lite: adjacent view,view,purchase triple
+            -- per user, ordered by (ts, event_id); matches of this
+            -- pattern cannot overlap, so the non-overlapping regex
+            -- count equals the engine's shifted-compare count
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(seq, 'vvp')) AS BIGINT)
+                       AS n_matches
+            FROM s WHERE seq LIKE '%vvp%'
+            ORDER BY user_id
+        """,
+        "part_multi_nation": """
+            -- HAVING over grouped COUNT(DISTINCT): supply-chain
+            -- diversity screen
+            SELECT l_partkey, count(*) AS n_nations FROM (
+                SELECT DISTINCT l_partkey, s_nationkey
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            )
+            GROUP BY l_partkey HAVING count(*) >= 18
+            ORDER BY l_partkey
         """,
         "events_bursts": """
             -- all-integer burst detection: hour buckets whose count

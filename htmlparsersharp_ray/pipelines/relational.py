@@ -6505,3 +6505,118 @@ def q_events_bursts(sf_dir: str):
     return (parts.astype({"n": "int64", "trail": "int64"})
             .sort_values(["event_type", "bucket_ts"])
             .reset_index(drop=True))
+
+
+def q_part_multi_nation(sf_dir: str):
+    """HAVING over a grouped COUNT(DISTINCT …): parts whose suppliers
+    span ≥ 18 nations — the supply-chain-diversity screen. Distinct
+    (part, nation) pairs collapse per batch (broadcast supp→nation
+    attach), finish inside one partkey-hash bucket, and the HAVING
+    filter is vectorized there; only qualifying rows leave the bucket."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(dtype=np.int64),
+                        supp["s_nationkey"].to_numpy(dtype=np.int64)))
+
+    li_ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+    nb = auto_buckets(li_ds)
+
+    class Pairs:
+        def __init__(self):
+            self.keys, self.nat = ray.get(supp_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(self.keys, sk)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            g = pd.DataFrame({
+                "l_partkey": b["l_partkey"].to_numpy(dtype=np.int64),
+                "nation": self.nat[pos],
+            })[self.keys[pos] == sk].drop_duplicates()
+            k = g["l_partkey"].to_numpy(dtype=np.int64)
+            g["kb"] = (hashing.mix64(k.astype(np.uint64))
+                       % np.uint64(nb)).astype(np.int64)
+            return g
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_partkey", "nation"])
+        cnt = d.groupby("l_partkey", as_index=False).size()
+        cnt = cnt[cnt["size"] >= 18]
+        return pd.DataFrame({
+            "l_partkey": cnt["l_partkey"].astype("int64"),
+            "n_nations": cnt["size"].astype("int64"),
+        })
+
+    out = (
+        li_ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))
+        .groupby("kb")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({
+            "l_partkey": pd.Series([], dtype="int64"),
+            "n_nations": pd.Series([], dtype="int64"),
+        })
+    return (out.astype({"l_partkey": "int64", "n_nations": "int64"})
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
+def q_events_pattern(sf_dir: str):
+    """Sequence-pattern match (MATCH_RECOGNIZE-lite): users whose
+    time-ordered event stream contains the ADJACENT triple
+    view→view→purchase, with the per-user match count. Per-user
+    sequences order by (ts, event_id) — deterministic under timestamp
+    ties — and the adjacent-triple test is two shifted vector compares
+    inside the user-hash bucket; no per-user Python loop, no
+    sequence ever leaves its bucket."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts",
+                                       "event_type"])
+    nb = auto_buckets(ds)
+
+    def pattern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["event_type"].to_numpy(dtype=object)
+        if len(u) < 3:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_matches": pd.Series([], dtype="int64"),
+            })
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        hit = same & (t[:-2] == "view") & (t[1:-1] == "view") \
+            & (t[2:] == "purchase")
+        users = u[:-2][hit]
+        if len(users) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_matches": pd.Series([], dtype="int64"),
+            })
+        uu, cc = np.unique(users, return_counts=True)
+        return pd.DataFrame({"user_id": uu, "n_matches": cc.astype("int64")})
+
+    out = (
+        _add_user_bucket(ds, nb)
+        .groupby("ub")
+        .map_groups(pattern, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_matches": pd.Series([], dtype="int64"),
+        })
+    return (out.astype({"user_id": "int64", "n_matches": "int64"})
+            .sort_values("user_id").reset_index(drop=True))

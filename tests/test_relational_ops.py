@@ -2292,3 +2292,56 @@ def test_events_bursts_integer_decision(ray_session, tmp_path):
     assert out["event_type"].tolist() == ["a"]
     assert out["n"].tolist() == [10]
     assert out["trail"].tolist() == [32]
+
+
+def test_events_pattern_adjacency_and_ties(ray_session, tmp_path):
+    """Pattern requires ADJACENCY (an intervening event breaks it);
+    timestamp ties order by event_id; per-user counts accumulate."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: v v p -> 1 match, then another v v p later -> 2 total
+        (1, 1, base, "view"), (1, 2, base, "view"),
+        (1, 3, base, "purchase"),  # ts TIES: event_id orders v,v,p
+        (1, 4, base + pd.Timedelta("1h"), "view"),
+        (1, 5, base + pd.Timedelta("2h"), "view"),
+        (1, 6, base + pd.Timedelta("3h"), "purchase"),
+        # u2: v CLICK v p -> intervening click breaks adjacency
+        (2, 7, base, "view"), (2, 8, base + pd.Timedelta("1m"), "click"),
+        (2, 9, base + pd.Timedelta("2m"), "view"),
+        (2, 10, base + pd.Timedelta("3m"), "purchase"),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+    }))
+    out = r.q_events_pattern(str(tmp_path))
+    assert out.to_dict("records") == [{"user_id": 1, "n_matches": 2}]
+
+
+def test_part_multi_nation_distinct_and_threshold(ray_session, tmp_path):
+    """Duplicate (part, nation) pairs count once; threshold is >= 18."""
+    import numpy as np
+
+    # part 1: suppliers from 18 nations (many dup lineitems);
+    # part 2: 17 nations -> below threshold
+    supp_keys = np.arange(1, 40, dtype=np.int64)
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array(supp_keys),
+        "s_nationkey": pa.array(supp_keys % 25),
+    }))
+    li_part, li_supp = [], []
+    for s in range(1, 19):          # part 1: nations 1..18
+        li_part += [1, 1]           # duplicated rows
+        li_supp += [s, s]
+    for s in range(1, 18):          # part 2: nations 1..17
+        li_part.append(2)
+        li_supp.append(s)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array(li_part, pa.int64()),
+        "l_suppkey": pa.array(li_supp, pa.int64()),
+    }))
+    out = r.q_part_multi_nation(str(tmp_path))
+    assert out.to_dict("records") == [{"l_partkey": 1, "n_nations": 18}]
