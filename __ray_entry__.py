@@ -1045,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_returns": r.q_customer_returns,
         "events_bursts": r.q_events_bursts,
         "events_pattern": r.q_events_pattern,
+        "events_attribution": r.q_events_attribution,
         "part_multi_nation": r.q_part_multi_nation,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
@@ -1796,6 +1797,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "events_attribution": """
+            -- last-touch attribution: most recent prior click within
+            -- 1 hour, strict (ts, event_id) ordering, exact cents
+            WITH s AS (
+                SELECT event_id, user_id, event_type, ts,
+                       CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           AS vc,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER w AS click_raw,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN ts END IGNORE NULLS)
+                           OVER w AS click_ts
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id,
+                   click_raw AS click_event_id,
+                   CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT)
+                       AS gap_us,
+                   vc AS value_cents
+            FROM s
+            WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+            ORDER BY event_id
         """,
         "events_pattern": """
             -- MATCH_RECOGNIZE-lite: adjacent view,view,purchase triple

@@ -6620,3 +6620,71 @@ def q_events_pattern(sf_dir: str):
         })
     return (out.astype({"user_id": "int64", "n_matches": "int64"})
             .sort_values("user_id").reset_index(drop=True))
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase attributes to the user's
+    most recent PRIOR click WITHIN A 1-HOUR TOLERANCE — the as-of join
+    (q_events_asof) plus the max-age window marketing attribution
+    needs. Purchases with no qualifying click drop (inner-attribution
+    semantics); the attributed purchase value rides along in exact
+    cents. Tolerance is an integer-µs compare — no float time math."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    tol_us = np.int64(3_600_000_000)
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    nb = np.uint64(auto_buckets(ds))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % nb).astype(np.int64)
+        return t.append_column("ub", pa.array(ub))
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        is_click = (g["event_type"] == "click").to_numpy()
+        cid = pd.Series(np.where(is_click, g["event_id"], np.nan))
+        cus = pd.Series(np.where(is_click, g["user_id"], np.nan))
+        cts = pd.Series(g["ts"].where(pd.Series(is_click, index=g.index)))
+        prev_id = cid.shift(1).ffill()
+        prev_us = cus.shift(1).ffill()
+        prev_ts = cts.shift(1).ffill()
+        gap = (g["ts"].astype("int64").to_numpy()
+               - prev_ts.astype("int64").to_numpy())
+        valid = ((prev_us.to_numpy() == g["user_id"].to_numpy())
+                 & (gap <= tol_us))
+        keep = (g["event_type"] == "purchase").to_numpy() & valid
+        vc = np.rint(g["value"].to_numpy(dtype=np.float64)[keep]
+                     * 100).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g.loc[keep, "event_id"].to_numpy(dtype=np.int64),
+            "user_id": g.loc[keep, "user_id"].to_numpy(dtype=np.int64),
+            "click_event_id": prev_id.to_numpy()[keep].astype("int64"),
+            "gap_us": gap[keep].astype("int64"),
+            "value_cents": vc,
+        })
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "click_event_id": pd.Series([], dtype="int64"),
+            "gap_us": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+        })
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -2345,3 +2345,35 @@ def test_part_multi_nation_distinct_and_threshold(ray_session, tmp_path):
     }))
     out = r.q_part_multi_nation(str(tmp_path))
     assert out.to_dict("records") == [{"l_partkey": 1, "n_nations": 18}]
+
+
+def test_events_attribution_tolerance_and_last_touch(ray_session, tmp_path):
+    """Attribution picks the LAST prior click (not the max id), drops
+    purchases whose latest click is older than 1 h, and drops
+    click-less purchases; value rides in exact cents."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: click#9, then click#5 LATER (lower id!), purchase 10 min
+        # after -> attributes to #5 (last touch), not #9 (max id)
+        (1, 9, base, "click", 0.0),
+        (1, 5, base + pd.Timedelta("30min"), "click", 0.0),
+        (1, 20, base + pd.Timedelta("40min"), "purchase", 12.34),
+        # u2: click then purchase 2 h later -> outside tolerance
+        (2, 30, base, "click", 0.0),
+        (2, 31, base + pd.Timedelta("2h"), "purchase", 5.0),
+        # u3: purchase with no click at all
+        (3, 40, base, "purchase", 7.0),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    }))
+    out = r.q_events_attribution(str(tmp_path))
+    assert out.to_dict("records") == [{
+        "event_id": 20, "user_id": 1, "click_event_id": 5,
+        "gap_us": 600_000_000, "value_cents": 1234,
+    }]
