@@ -1046,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bursts": r.q_events_bursts,
         "events_pattern": r.q_events_pattern,
         "events_attribution": r.q_events_attribution,
+        "events_windowed_join": r.q_events_windowed_join,
         "part_multi_nation": r.q_part_multi_nation,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
@@ -1797,6 +1798,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "events_windowed_join": """
+            -- stream-stream interval join: ALL (purchase, view) pairs
+            -- of a user with the view in the 10 min before the
+            -- purchase (strictly before on the (ts, event_id) tuple)
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id,
+                   CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT)
+                       AS gap_us
+            FROM events p
+            JOIN events v ON p.user_id = v.user_id
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+              AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+              AND (v.ts < p.ts
+                   OR (v.ts = p.ts AND v.event_id < p.event_id))
+            ORDER BY purchase_id, view_id
         """,
         "events_attribution": """
             -- last-touch attribution: most recent prior click within

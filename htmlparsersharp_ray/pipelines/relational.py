@@ -6688,3 +6688,126 @@ def q_events_attribution(sf_dir: str):
             "value_cents": pd.Series([], dtype="int64"),
         })
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_windowed_join(sf_dir: str):
+    """Stream-stream WINDOWED JOIN (Flink-style interval join): every
+    (purchase, view) pair of the same user where the view happened in
+    the 10 minutes BEFORE the purchase (strictly before by
+    (ts, event_id), inclusive window edge). Unlike the as-of join this
+    is 1:N — all qualifying pairs emit.
+
+    Scale shape: one user-hash bucket exchange; inside the bucket both
+    sides sort once and each purchase's qualifying view RANGE comes
+    from two np.searchsorted calls over the user's view timeline — the
+    pair expansion is run-length (repeat + offset arange), no per-event
+    loop. Pair volume is bounded by the window, the partitioning
+    assumption is the session one (a user's events fit a bucket)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    win_us = np.int64(600_000_000)
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    nb = np.uint64(auto_buckets(ds))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["view", "purchase"]))
+        t = batch.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ub = (hashing.mix64(u) % nb).astype(np.int64)
+        return t.append_column("ub", pa.array(ub))
+
+    def wjoin(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series([], dtype="int64"),
+            "view_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "gap_us": pd.Series([], dtype="int64"),
+        })
+        v = g[g["event_type"] == "view"]
+        p = g[g["event_type"] == "purchase"]
+        if len(v) == 0 or len(p) == 0:
+            return empty
+        # global (user, ts, id) order makes each user's views one
+        # contiguous run; vectorized searchsorted over the whole bucket
+        # works because the sort key leads with user_id
+        v = v.sort_values(["user_id", "ts", "event_id"])
+        vu = v["user_id"].to_numpy(dtype=np.int64)
+        vt = v["ts"].astype("int64").to_numpy()
+        vid = v["event_id"].to_numpy(dtype=np.int64)
+        pu = p["user_id"].to_numpy(dtype=np.int64)
+        pt = p["ts"].astype("int64").to_numpy()
+        pid = p["event_id"].to_numpy(dtype=np.int64)
+        # ONE vectorized searchsorted over the whole bucket: shift each
+        # user's timeline into a disjoint numeric range (composite key
+        # = user_rank·span + ts_offset). Exact while ranks·span fits
+        # int64 — guarded; the fallback is a per-purchase slice loop.
+        uniq_u = np.unique(vu)
+        t_min = min(int(vt.min()), int(pt.min()))
+        t_max = max(int(vt.max()), int(pt.max()))
+        span = np.int64(t_max - t_min + int(win_us) + 2)
+        if len(uniq_u) * int(span) < (1 << 62):
+            vr = np.searchsorted(uniq_u, vu)
+            pr = np.minimum(np.searchsorted(uniq_u, pu), len(uniq_u) - 1)
+            # a purchase whose user has NO views would land on another
+            # user's rank — mask it to an empty range
+            has_views = uniq_u[pr] == pu
+            vkey = vr * span + (vt - t_min)
+            pkey_hi = pr * span + (pt - t_min)
+            pkey_lo = pkey_hi - win_us
+            starts = np.searchsorted(vkey, pkey_lo, side="left")
+            ends = np.searchsorted(vkey, pkey_hi, side="right")
+            ends = np.where(has_views, ends, starts)
+        else:  # pragmatic exact fallback for astronomically wide spans
+            user_lo = np.searchsorted(vu, pu, side="left")
+            user_hi = np.searchsorted(vu, pu, side="right")
+            starts = np.empty(len(p), dtype=np.int64)
+            ends = np.empty(len(p), dtype=np.int64)
+            for i in range(len(p)):
+                s, e = user_lo[i], user_hi[i]
+                starts[i] = s + np.searchsorted(vt[s:e], pt[i] - win_us,
+                                                side="left")
+                ends[i] = s + np.searchsorted(vt[s:e], pt[i],
+                                              side="right")
+        counts = ends - starts
+        keep = counts > 0
+        if not keep.any():
+            return empty
+        reps = counts[keep]
+        p_idx = np.repeat(np.nonzero(keep)[0], reps)
+        offs = np.concatenate([np.arange(c) for c in reps])
+        v_idx = starts[keep].repeat(reps) + offs
+        # strictly-before on the (ts, event_id) tuple: drop pairs where
+        # the view is the purchase itself timewise AND not earlier
+        g_us = pt[p_idx] - vt[v_idx]
+        strict = (g_us > 0) | ((g_us == 0) & (vid[v_idx] < pid[p_idx]))
+        return pd.DataFrame({
+            "purchase_id": pid[p_idx][strict],
+            "view_id": vid[v_idx][strict],
+            "user_id": pu[p_idx][strict],
+            "gap_us": g_us[strict],
+        })
+
+    out = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(wjoin, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({
+            "purchase_id": pd.Series([], dtype="int64"),
+            "view_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "gap_us": pd.Series([], dtype="int64"),
+        })
+    return (out.astype({"purchase_id": "int64", "view_id": "int64",
+                        "user_id": "int64", "gap_us": "int64"})
+            .sort_values(["purchase_id", "view_id"])
+            .reset_index(drop=True))

@@ -2377,3 +2377,38 @@ def test_events_attribution_tolerance_and_last_touch(ray_session, tmp_path):
         "event_id": 20, "user_id": 1, "click_event_id": 5,
         "gap_us": 600_000_000, "value_cents": 1234,
     }]
+
+
+def test_events_windowed_join_semantics(ray_session, tmp_path):
+    """1:N windowed join: all views within 10 min before the purchase
+    emit; older views drop; same-ts ties break by event_id; a purchase
+    whose user has NO views must not capture another user's views (the
+    composite-key rank-collision case)."""
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # u10: views at -15min (drop), -5min, -1min, tie-ts lower id
+        (10, 1, base - pd.Timedelta("15min"), "view"),
+        (10, 2, base - pd.Timedelta("5min"), "view"),
+        (10, 3, base - pd.Timedelta("1min"), "view"),
+        (10, 4, base, "view"),          # ts tie with purchase, id 4 < 5
+        (10, 5, base, "purchase"),
+        # u20: purchase but NO views at all (rank-collision guard)
+        (20, 6, base, "purchase"),
+        # u30: views only, no purchase
+        (30, 7, base, "view"),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+    }))
+    out = r.q_events_windowed_join(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"purchase_id": 5, "view_id": 2, "user_id": 10,
+         "gap_us": 300_000_000},
+        {"purchase_id": 5, "view_id": 3, "user_id": 10,
+         "gap_us": 60_000_000},
+        {"purchase_id": 5, "view_id": 4, "user_id": 10, "gap_us": 0},
+    ]
