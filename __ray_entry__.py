@@ -1047,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pattern": r.q_events_pattern,
         "events_attribution": r.q_events_attribution,
         "events_windowed_join": r.q_events_windowed_join,
+        "region_nation_share": r.q_region_nation_share,
         "part_multi_nation": r.q_part_multi_nation,
         "lineitem_below_avg": r.q_lineitem_below_avg,
         "supplier_top_revenue": r.q_supplier_top_revenue,
@@ -1798,6 +1799,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY o_year
             ORDER BY o_year
+        """,
+        "region_nation_share": """
+            -- two-level percent-of-parent from one exact-cents grain
+            WITH f AS (
+                SELECT n_regionkey, n_nationkey,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT)) AS rev_c
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT n_regionkey, n_nationkey,
+                   CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+                   CAST(rev_c AS DOUBLE)
+                       / CAST(sum(rev_c) OVER (PARTITION BY n_regionkey)
+                              AS DOUBLE) AS share_in_region,
+                   CAST(sum(rev_c) OVER (PARTITION BY n_regionkey)
+                        AS DOUBLE)
+                       / CAST(sum(rev_c) OVER () AS DOUBLE)
+                       AS region_share
+            FROM f
+            ORDER BY n_regionkey, n_nationkey
         """,
         "events_windowed_join": """
             -- stream-stream interval join: ALL (purchase, view) pairs

@@ -6811,3 +6811,74 @@ def q_events_windowed_join(sf_dir: str):
                         "user_id": "int64", "gap_us": "int64"})
             .sort_values(["purchase_id", "view_id"])
             .reset_index(drop=True))
+
+
+def q_region_nation_share(sf_dir: str):
+    """Two-level percent-of-parent: each nation's revenue share WITHIN
+    its region, and each region's share of the total — the hierarchical
+    ratio report (ratio-to-report's nested sibling, see q_events_share).
+    One pass of exact-cents partials keyed by (region, nation) via
+    broadcast dims; all three aggregation levels derive from the same
+    finest-grain exact integers (the CUBE rule), and every share is one
+    mirrored float division."""
+    import numpy as np
+
+    nation = ray.data.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cn = cust.merge(nation, left_on="c_nationkey",
+                    right_on="n_nationkey").sort_values("c_custkey")
+    cust_ref = ray.put((
+        cn["c_custkey"].to_numpy(dtype=np.int64),
+        cn["n_regionkey"].to_numpy(dtype=np.int64),
+        cn["n_nationkey"].to_numpy(dtype=np.int64),
+    ))
+
+    class Partial:
+        def __init__(self):
+            self.keys, self.region, self.nat = ray.get(cust_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ck = b["o_custkey"].to_numpy(dtype=np.int64)
+            pos = np.minimum(np.searchsorted(self.keys, ck),
+                             len(self.keys) - 1)
+            ok = self.keys[pos] == ck
+            cents = np.round(b["o_totalprice"].to_numpy()[ok]
+                             * 100).astype("int64")
+            return pd.DataFrame({
+                "r": self.region[pos[ok]],
+                "n": self.nat[pos[ok]],
+                "rev_c": cents,
+            }).groupby(["r", "n"], as_index=False)["rev_c"].sum()
+
+    parts = (
+        ray.data.read_parquet(_t(sf_dir, "orders"),
+                              columns=["o_custkey", "o_totalprice"])
+        .map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "n_regionkey": pd.Series([], dtype="int64"),
+            "n_nationkey": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "share_in_region": pd.Series([], dtype="float64"),
+            "region_share": pd.Series([], dtype="float64"),
+        })
+    fine = _pysum_cols(parts, ["rev_c"]).groupby(
+        ["r", "n"], as_index=False)["rev_c"].sum()
+    region_tot = {r: sum(int(v) for v in g["rev_c"])
+                  for r, g in fine.groupby("r")}
+    total = sum(region_tot.values())
+    out = pd.DataFrame({
+        "n_regionkey": fine["r"].astype("int64"),
+        "n_nationkey": fine["n"].astype("int64"),
+        "revenue": [int(v) / 100.0 for v in fine["rev_c"]],
+        "share_in_region": [float(int(v)) / float(region_tot[r])
+                            for r, v in zip(fine["r"], fine["rev_c"])],
+        "region_share": [float(region_tot[r]) / float(total)
+                         for r in fine["r"]],
+    })
+    return (out.sort_values(["n_regionkey", "n_nationkey"])
+            .reset_index(drop=True))
