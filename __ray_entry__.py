@@ -102,6 +102,39 @@ def _q_extract_links(sf_dir: str):
     return out.sort_values("href").reset_index(drop=True)
 
 
+def _q_docs_dedup_thresholds(sf_dir: str):
+    """Dedup threshold-sensitivity report: near-dup pair counts at each
+    Jaccard threshold in {0.5, 0.6, 0.7, 0.8, 0.9}, from ONE verified
+    MinHash pass (mine at the loosest threshold, histogram the exact
+    per-pair Jaccards with per-batch partials) — the tuning report a
+    team runs before picking a dedup threshold. Banding at 0.5 captures
+    every qualifying pair of this corpus (the recall argument
+    documented at docs_minhash_pairs), so each count is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from htmlparsersharp_ray.stages.dedup import minhash_lsh_pairs_ds
+
+    pairs = minhash_lsh_pairs_ds(_docs(sf_dir, ["doc_id", "text"]),
+                                 jaccard_threshold=0.5)
+    thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["jaccard"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "threshold": thresholds,
+            "n_pairs": [int((j >= t).sum()) for t in thresholds],
+        })
+
+    parts = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"threshold": thresholds,
+                             "n_pairs": [0] * len(thresholds)})
+    out = parts.groupby("threshold", as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("threshold").reset_index(drop=True)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from htmlparsersharp_ray.stages.dedup import exact_dedup
 
@@ -1088,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_dedup_thresholds": _q_docs_dedup_thresholds,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_jaccard_prefix": _q_docs_jaccard_prefix,
@@ -3045,6 +3079,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, score FROM scored
             WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "docs_dedup_thresholds": """
+            -- threshold-sensitivity histogram over the SAME exact
+            -- 3-gram Jaccard as docs_minhash_pairs: pair counts at each
+            -- candidate dedup threshold (cumulative >= t)
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), j AS (
+              SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))) AS jac
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 2 >= len(b.sh)
+               AND len(b.sh) * 2 >= len(a.sh)
+              WHERE len(a.sh) + len(b.sh) > 0
+            )
+            SELECT t.threshold,
+                   (SELECT count(*) FROM j WHERE jac >= t.threshold)
+                       AS n_pairs
+            FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+                 t(threshold)
+            ORDER BY t.threshold
         """,
         "docs_minhash_pairs": """
             -- exact 3-gram Jaccard >= 0.5 pair mining, brute force. The
