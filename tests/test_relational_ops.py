@@ -2412,3 +2412,38 @@ def test_events_windowed_join_semantics(ray_session, tmp_path):
          "gap_us": 60_000_000},
         {"purchase_id": 5, "view_id": 4, "user_id": 10, "gap_us": 0},
     ]
+
+
+def test_events_windowed_join_fallback_wide_span(ray_session, tmp_path):
+    """Force the composite-key overflow guard (ranks x span >= 2^62):
+    600+ view-bearing users across the full pandas timestamp range take
+    the slice-loop fallback, which must agree with a pandas reference."""
+    import numpy as np
+
+    n_users = 700
+    lo = pd.Timestamp("1677-09-22")
+    hi = pd.Timestamp("2262-04-10")
+    rows_u, rows_id, rows_ts, rows_ty = [], [], [], []
+    eid = 0
+    for u in range(n_users):
+        t = lo if u % 2 == 0 else hi  # spread across the full range
+        rows_u += [u, u]
+        rows_id += [eid, eid + 1]
+        rows_ts += [t, t + pd.Timedelta("5min")]
+        rows_ty += ["view", "purchase"]
+        eid += 2
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(rows_id, pa.int64()),
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array(pd.to_datetime(rows_ts), pa.timestamp("us")),
+        "event_type": pa.array(rows_ty),
+    }))
+    span = (int(hi.to_datetime64().astype("datetime64[us]").astype("int64"))
+            - int(lo.to_datetime64().astype("datetime64[us]")
+                  .astype("int64"))) + 600_000_000 + 2  # us span + win
+    assert n_users * span >= (1 << 62)  # the guard genuinely trips
+    out = r.q_events_windowed_join(str(tmp_path))
+    # every user: exactly one (purchase, view) pair, 5-minute gap
+    assert len(out) == n_users
+    assert (out["gap_us"] == 300_000_000).all()
+    assert sorted(out["user_id"]) == list(range(n_users))
