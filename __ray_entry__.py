@@ -259,6 +259,17 @@ def _q_docs_gram_dups(sf_dir: str):
     return gram_dups(_docs(sf_dir), n=8)
 
 
+def _q_docs_fingerprint_dups(sf_dir: str):
+    """MOSS-style winnowing pair mining: distinct k=4-window minima over
+    5-word md5 hashes per doc; pairs sharing >= 2 fingerprints, with
+    stop-fingerprints (> 32 docs) dropped before pair expansion — see
+    stages/dedup.py::fingerprint_dups. md5 selection is mirrored exactly
+    by the DuckDB oracle (hex order == numeric order)."""
+    from htmlparsersharp_ray.stages.dedup import fingerprint_dups
+
+    return fingerprint_dups(_docs(sf_dir))
+
+
 def _q_docs_incremental_dedup(sf_dir: str):
     """Incremental near-dedup of a new shard (doc_id % 5 == 0) against
     the existing corpus (doc_id % 5 != 0): exact 3-gram Jaccard >= 0.5
@@ -1077,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy": r.q_orders_yoy,
         "customer_returns": r.q_customer_returns,
         "events_bursts": r.q_events_bursts,
+        "events_anomaly": r.q_events_anomaly,
         "events_pattern": r.q_events_pattern,
         "events_attribution": r.q_events_attribution,
         "events_windowed_join": r.q_events_windowed_join,
@@ -1151,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_normalize": _q_docs_normalize,
         "docs_gram_dups": _q_docs_gram_dups,
+        "docs_fingerprint_dups": _q_docs_fingerprint_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "embeddings_pca": _q_embeddings_pca,
@@ -1954,6 +1967,33 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE ntrail = 8 AND n >= 10 AND n * 8 > 2 * trail
             ORDER BY event_type, bucket_ts
+        """,
+        "events_anomaly": """
+            -- robust |v - median| > 3.5*MAD outliers per event_type,
+            -- decided in exact integers: half-cent median m2 =
+            -- median(2c) (avg of two even middles is an exact int in
+            -- double, CAST exact), quarter-cent MAD mad4 =
+            -- median(2*dev2); 3.5x cross-multiplies to 4*dev2 > 7*mad4
+            WITH c AS (
+                SELECT event_id, event_type, value,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ), m AS (
+                SELECT event_type, CAST(median(2 * c) AS BIGINT) AS m2
+                FROM c GROUP BY event_type
+            ), d AS (
+                SELECT c.event_id, c.event_type, c.value,
+                       abs(2 * c.c - m.m2) AS dev2
+                FROM c JOIN m USING (event_type)
+            ), mm AS (
+                SELECT event_type,
+                       CAST(median(2 * dev2) AS BIGINT) AS mad4
+                FROM d GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value
+            FROM d JOIN mm USING (event_type)
+            WHERE 4 * d.dev2 > 7 * mm.mad4
+            ORDER BY d.event_id
         """,
         "customer_returns": """
             -- TPC-H Q10 shape: top-20 customers by returned-item
@@ -3496,6 +3536,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, count(*) AS n_shared_grams
             FROM g JOIN s USING (gram)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "docs_fingerprint_dups": """
+            -- MOSS winnowing pair mining: per doc, DISTINCT minima of
+            -- every 4-window over the 5-word-window md5 sequence
+            -- (guarantee: a shared 8-word run yields a shared
+            -- fingerprint); pairs sharing >= 2 fingerprints, with
+            -- stop-fingerprints (> 32 docs) dropped pre-expansion;
+            -- md5 hex order == numeric order, so selection mirrors
+            -- the engine exactly; docs under 5 words emit nothing
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(
+                         generate_series(1, len(ws) - 4),
+                         i -> md5(array_to_string(ws[i:i+4], ' '))) AS whs
+              FROM w WHERE len(ws) >= 5
+            ), f AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(
+                             1, len(whs) - least(4, len(whs)) + 1),
+                         p -> list_min(
+                             whs[p : p + least(4, len(whs)) - 1]))) AS fp
+                FROM h)
+            ), s AS (
+              SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 32
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared_fps
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                     JOIN s ON s.fp = a.fp
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
         """,
         "docs_decontaminate": """
             -- benchmark decontamination: training docs (doc_id % 20 <> 0)

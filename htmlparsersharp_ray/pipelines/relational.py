@@ -6882,3 +6882,88 @@ def q_region_nation_share(sf_dir: str):
     })
     return (out.sort_values(["n_regionkey", "n_nationkey"])
             .reset_index(drop=True))
+
+
+def q_events_anomaly(sf_dir: str):
+    """ROBUST OUTLIER DETECTION (Iglewicz–Hoaglin modified-z family):
+    flag events whose value deviates from their event_type's median by
+    more than 3.5× the MAD — the resilient screen a metrics pipeline
+    runs where mean/stddev would be dragged by the very outliers it
+    hunts. The decision is made ENTIRELY in integers: with cents c,
+    half-cent median m2 = median(2c) (avg of two even middles is an
+    exact int), deviations dev2 = |2c − m2| (half-cents), quarter-cent
+    MAD mad4 = median(2·dev2), and the 3.5× test cross-multiplies to
+    4·dev2 > 7·mad4 — no float compare anywhere, so the survivor set
+    is bit-identical to the SQL oracle's.
+
+    Scale shape: pass 1 collapses each batch to a per-(type, cents)
+    HISTOGRAM partial — bounded by the metric's distinct cent values
+    (a bounded-range metric, not row count), additive across batches.
+    The driver computes BOTH nested weighted medians from that tiny
+    histogram (the deviation histogram derives from the value histogram
+    by relabeling, no second data pass) and broadcasts ~5 thresholds;
+    pass 2 is a stateless vectorized filter. No all-to-all exchange.
+    Reference n/a — engine-level op (SURVEY.md §2.6)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        c = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype("int64")
+        t = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(), "c": c,
+        })
+        return t.groupby(["event_type", "c"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "c"], as_index=False)["n"].sum()
+    )
+
+    def wmedian2(vals: "np.ndarray", wts: "np.ndarray") -> int:
+        """2× the weighted median of a value histogram (sorted vals):
+        lower+upper middle element summed — exact int, equal to
+        CAST(median(2*v) AS BIGINT) in DuckDB for any int multiset."""
+        cum = np.cumsum(wts)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    thresholds = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("c")
+        vals = g["c"].to_numpy()
+        wts = g["n"].to_numpy()
+        m2 = wmedian2(vals, wts)
+        dev = pd.DataFrame({"d2": np.abs(2 * vals - m2), "n": wts})
+        dev = dev.groupby("d2", as_index=False)["n"].sum().sort_values("d2")
+        mad4 = wmedian2(dev["d2"].to_numpy(), dev["n"].to_numpy())
+        thresholds[et] = (m2, mad4)
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        et = batch.column("event_type").to_pylist()
+        c = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype("int64")
+        m2 = np.array([thresholds[e][0] for e in et], dtype=np.int64)
+        mad4 = np.array([thresholds[e][1] for e in et], dtype=np.int64)
+        dev2 = np.abs(2 * c - m2)
+        keep = 4 * dev2 > 7 * mad4
+        return pd.DataFrame({
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False)[keep],
+            "event_type": np.asarray(et, dtype=object)[keep],
+            "value": batch.column("value").to_numpy(
+                zero_copy_only=False)[keep],
+        })
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

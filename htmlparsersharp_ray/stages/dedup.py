@@ -1484,3 +1484,112 @@ def chunk_dedup(
         .groupby("db")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def fingerprint_dups(
+    docs: ray.data.Dataset,
+    w: int = 5,
+    k: int = 4,
+    min_shared: int = 2,
+    cap: int = 32,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """MOSS-style winnowing pair mining (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): each
+    document keeps the DISTINCT minima of every ``k``-window over its
+    ``w``-word md5 hashes (guarantee: any shared run of w+k-1 words
+    yields a shared fingerprint), and pairs sharing at least
+    ``min_shared`` fingerprints are reported with their overlap count.
+    md5 is the selection hash ON PURPOSE: hex strings order
+    lexicographically == numerically and DuckDB's md5 replicates the
+    whole selection, so the op is oracle-checkable end to end (the
+    docs_fingerprint precedent); FingerprintFastUDF remains the
+    vectorized scale path for the one-min-per-doc sketch.
+
+    Scale shape: fingerprints bucket by CONTENT hash, so "which docs
+    share this fingerprint" is decided inside one bounded group;
+    fingerprints hitting more than ``cap`` documents are dropped as
+    stop-fingerprints BEFORE pair expansion (mirrored by the oracle's
+    HAVING), so no group ever goes quadratic in corpus size; per-bucket
+    pair partials are additive (fingerprint sets are disjoint across
+    buckets by construction). Documents under ``w`` words emit nothing.
+    """
+    import hashlib
+
+    from ..pipelines.joins import auto_buckets
+    from . import hashing
+
+    nb = int(n_buckets or auto_buckets(docs))
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            words = (text or "").split()
+            if len(words) < w:
+                continue
+            whs = np.array([
+                hashlib.md5(" ".join(words[i:i + w]).encode()).hexdigest()
+                for i in range(len(words) - w + 1)
+            ], dtype=object)
+            nwin = len(whs)
+            span = min(k, nwin)
+            mins = np.minimum.reduce(
+                [whs[j:nwin - span + 1 + j] for j in range(span)])
+            sel = np.unique(mins)
+            ids.extend([doc_id] * len(sel))
+            fps.extend(sel)
+        fp_arr = np.asarray(fps, dtype=object)
+        fb = ((hashing.hash_strings64(fp_arr) % np.uint64(nb))
+              .astype(np.int64) if len(fp_arr) else
+              np.empty(0, dtype=np.int64))
+        return pd.DataFrame({
+            "fb": fb,
+            "fp": fp_arr,
+            "doc_id": pd.Series(ids, dtype="int64"),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # (fp, doc_id) rows are distinct (np.unique per doc); group by
+        # fp, drop stop-fingerprints (> cap docs), expand each group's
+        # doc list to ordered pairs — groups are <= cap so the
+        # expansion is bounded.
+        g = g.sort_values(["fp", "doc_id"], kind="stable")
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= cap)]
+        outs = []
+        for _, grp in g.groupby("fp"):
+            d = grp["doc_id"].to_numpy()
+            ai, bi = np.triu_indices(len(d), k=1)
+            outs.append(pd.DataFrame({"doc_a": d[ai], "doc_b": d[bi]}))
+        if not outs:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        pairs = pd.concat(outs, ignore_index=True)
+        return (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    parts = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        # Ray's to_pandas drops columns on an all-empty dataset
+        parts = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        })
+    out = (parts.groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_shared_fps"}))
+    out = out[out["n_shared_fps"] >= min_shared]
+    out = out.astype({"doc_a": "int64", "doc_b": "int64",
+                      "n_shared_fps": "int64"})
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

@@ -2447,3 +2447,43 @@ def test_events_windowed_join_fallback_wide_span(ray_session, tmp_path):
     assert len(out) == n_users
     assert (out["gap_us"] == 300_000_000).all()
     assert sorted(out["user_id"]) == list(range(n_users))
+
+
+def test_events_anomaly_mad_decision(ray_session, tmp_path):
+    # Type A: 7 values clustered at $10.00 +/- a few cents plus one
+    # wild $500.00 outlier. n=8 sorted cents C = [990..1010, 50000];
+    # median interpolates between the 4th/5th values. Type B: constant
+    # values → MAD = 0, so ANY deviation flags (4*dev2 > 0); the
+    # constant rows themselves never flag.
+    vals_a = [9.90, 9.95, 10.00, 10.00, 10.05, 10.10, 10.20, 500.00]
+    vals_b = [5.00] * 6 + [5.25]
+    t = pa.table({
+        "event_id": pa.array(range(len(vals_a) + len(vals_b)), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01"] * (len(vals_a) + len(vals_b)))),
+        "user_id": pa.array([1] * (len(vals_a) + len(vals_b)), pa.int64()),
+        "event_type": pa.array(["A"] * len(vals_a) + ["B"] * len(vals_b)),
+        "value": pa.array(vals_a + vals_b, pa.float64()),
+        "props": pa.array([""] * (len(vals_a) + len(vals_b))),
+    })
+    out = r.q_events_anomaly(_write(tmp_path, "events", t))
+
+    # reference: per type, exact integer modified-z decision
+    df = t.to_pandas()
+    df["c"] = np.round(df["value"] * 100).astype("int64")
+    expect = []
+    for et, g in df.groupby("event_type"):
+        c = np.sort(g["c"].to_numpy())
+        n = len(c)
+        m2 = int(c[(n - 1) // 2]) + int(c[n // 2])
+        dev2 = np.abs(2 * g["c"].to_numpy() - m2)
+        sd = np.sort(dev2)
+        mad4 = int(sd[(n - 1) // 2]) + int(sd[n // 2])
+        expect.extend(g.loc[4 * dev2 > 7 * mad4, "event_id"].tolist())
+    assert sorted(out["event_id"].tolist()) == sorted(expect)
+    # the planted $500 outlier is flagged; B's lone deviant is flagged
+    # (MAD=0), B's constant bulk is not
+    assert 7 in out["event_id"].tolist()
+    assert len(vals_a) + len(vals_b) - 1 in out["event_id"].tolist()
+    assert not set(range(len(vals_a), len(vals_a) + 6)) & set(
+        out["event_id"].tolist())

@@ -2271,3 +2271,58 @@ def test_product_quantize_error_decreases_with_m(ray_session):
                                     iters=6)
         errs.append(codes.to_pandas()["recon_err"].mean())
     assert errs[1] <= errs[0]
+
+
+def test_fingerprint_dups_winnowing(ray_session):
+    """fingerprint_dups: the winnowing guarantee (a shared run of
+    w+k-1 = 8 words yields a shared fingerprint), the min_shared
+    threshold, the stop-fingerprint cap, and bucket-count invariance
+    against a brute-force single-process reference."""
+    import hashlib
+
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import fingerprint_dups
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " \
+             "iota kappa lambda mu"
+    rows = {
+        1: shared + " one ending here now",
+        2: "start differs then " + shared,
+        3: "totally different content that shares nothing at all ok",
+        4: shared + " one ending here now",       # exact dup of 1
+        5: "four words only here",                # 4 words: no windows
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    )
+    out = fingerprint_dups(ds, min_shared=1)
+
+    def fps(text, w=5, k=4):
+        words = text.split()
+        if len(words) < w:
+            return set()
+        whs = [hashlib.md5(" ".join(words[i:i + w]).encode()).hexdigest()
+               for i in range(len(words) - w + 1)]
+        span = min(k, len(whs))
+        return {min(whs[i:i + span])
+                for i in range(len(whs) - span + 1)}
+    ref_fps = {d: fps(t) for d, t in rows.items()}
+    expect = {}
+    for a in rows:
+        for b in rows:
+            if a < b and len(ref_fps[a] & ref_fps[b]):
+                expect[(a, b)] = len(ref_fps[a] & ref_fps[b])
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.n_shared_fps)
+           for r in out.itertuples()}
+    assert got == expect
+    assert (1, 2) in got and (1, 4) in got       # guarantee + exact dup
+    assert not any(3 in p or 5 in p for p in got)
+    # min_shared threshold prunes the weaker overlap rows
+    out2 = fingerprint_dups(ds, min_shared=10**6)
+    assert len(out2) == 0
+    # stop-fingerprint cap: with cap=1 every shared fp is dropped
+    out3 = fingerprint_dups(ds, min_shared=1, cap=1)
+    assert len(out3) == 0
+    # bucket-count invariance
+    assert out.equals(fingerprint_dups(ds, min_shared=1, n_buckets=1))
