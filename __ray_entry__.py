@@ -285,6 +285,18 @@ def _q_docs_incremental_dedup(sf_dir: str):
     )
 
 
+def _q_embeddings_kcenter(sf_dir: str):
+    """Greedy k-center diversity sample (k=16, Gonzalez farthest-point):
+    (center_rank, vec_id, radius) with the non-increasing cover-radius
+    sequence. Iterative selection, not SQL-expressible (no oracle_sql);
+    the differential gate is tests/test_stages.py: bitwise equality vs
+    the single-node fixed-point reference across parallelism levels.
+    See stages/clustering.py::kcenter_sample."""
+    from htmlparsersharp_ray.stages.clustering import kcenter_sample
+
+    return kcenter_sample(_emb(sf_dir), k=16)
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     """Distributed k-means (k=8, 8 Lloyd iterations) over the embedding
     column — per-vector cluster assignments. Iterative ML op, not
@@ -1166,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint_dups": _q_docs_fingerprint_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_kcenter": _q_embeddings_kcenter,
         "embeddings_pca": _q_embeddings_pca,
         "embeddings_project": _q_embeddings_project,
         "embeddings_pq": _q_embeddings_pq,

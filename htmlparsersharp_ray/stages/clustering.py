@@ -365,3 +365,142 @@ def product_quantize(
 
     return (embeddings.map_batches(assign_codes, batch_format="pyarrow"),
             books)
+
+
+def kcenter_sample(
+    embeddings: ray.data.Dataset, k: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """DIVERSITY SAMPLING via greedy k-center (Gonzalez farthest-point
+    traversal, the 2-approximation to the k-center cover): pick the
+    vector with the smallest id, then k−1 times pick the point FARTHEST
+    from everything picked so far — the coverage-maximising selection a
+    curation pipeline uses to seed evaluation sets / dedup anchors.
+    Returns (center_rank, vec_id, radius): ``radius`` is the distance at
+    which rank r was selected, i.e. the k-center cover radius AFTER
+    r−1 centers — a non-increasing sequence.
+
+    Bit-deterministic at any parallelism (the kmeans creed): distances
+    are EXACT integers over fixed-point coordinates q = rint(x·2²⁰)
+    (per-coord diff² ≤ ~2⁴⁹ · d — inside int64), so the global argmax +
+    smallest-id tie-break is reduction-order-free.
+
+    Scale shape: the classic incremental trick — each round computes
+    distances to the ONE new center and folds them into a carried
+    per-row ``mind2`` column (O(n·d) per round, not O(n·k·d)), so the
+    whole selection is k streaming passes. The carried state lives in
+    the object store (checkpoint() per round cuts lineage, CLAUDE.md
+    rule); the driver holds only the k×d center matrix. Stops early
+    when the cover radius hits 0 (every remaining point duplicates a
+    center)."""
+    from .exchange import checkpoint
+
+    # seed = vector of the smallest id (content tie-break on dup ids,
+    # same rationale as fit_centroids)
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return batch.select([id_col, vec_col])
+        m = ids == ids.min()
+        return batch.select([id_col, vec_col]).filter(pa.array(m))
+
+    seeds = embeddings.map_batches(
+        seed_partial, batch_format="pyarrow").to_pandas()
+    if len(seeds) == 0:
+        return pd.DataFrame({
+            "center_rank": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "radius": pd.Series([], dtype="float64"),
+        })
+    seeds["_vb"] = [
+        np.asarray(v, dtype=np.float64).tobytes() for v in seeds[vec_col]]
+    seeds = seeds.sort_values([id_col, "_vb"], kind="stable")
+    seed_id = int(seeds[id_col].iloc[0])
+    seed_q = np.rint(
+        np.asarray(seeds[vec_col].iloc[0], dtype=np.float64) * _SCALE
+    ).astype(np.int64)
+
+    chosen = [(0, seed_id, 0.0)]
+    state = None  # Dataset carrying (id, vec, mind2)
+
+    def fold_center(batch: pa.Table, _cq=seed_q, _first=True) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        q = np.rint(x * _SCALE).astype(np.int64)
+        diff = q - _cq
+        d2 = (diff * diff).sum(axis=1) if len(q) else np.empty(0, np.int64)
+        if not _first:
+            d2 = np.minimum(
+                d2, batch.column("mind2").to_numpy(zero_copy_only=False))
+        t = batch.select([id_col, vec_col])
+        return t.append_column("mind2", pa.array(d2, pa.int64()))
+
+    state = checkpoint(
+        embeddings.map_batches(fold_center, batch_format="pyarrow"))
+
+    def far_partial(batch: pa.Table) -> pa.Table:
+        d2 = batch.column("mind2").to_numpy(zero_copy_only=False)
+        if len(d2) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "mind2": pa.array([], pa.int64()),
+                "q": pa.array([], pa.large_binary()),
+            })
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = d2.max()
+        cand = np.flatnonzero(d2 == m)
+        i = cand[np.argmin(ids[cand])]
+        qv = np.rint(
+            _batch_matrix(batch, vec_col)[i] * _SCALE).astype(np.int64)
+        return pa.table({
+            id_col: pa.array([int(ids[i])], pa.int64()),
+            "mind2": pa.array([int(m)], pa.int64()),
+            "q": pa.array([qv.tobytes()], pa.large_binary()),
+        })
+
+    for rank in range(1, k):
+        parts = state.map_batches(
+            far_partial, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(
+            ["mind2", id_col], ascending=[False, True], kind="stable")
+        best_d2 = int(parts["mind2"].iloc[0])
+        if best_d2 == 0:
+            break  # perfect cover: remaining points duplicate centers
+        best_id = int(parts[id_col].iloc[0])
+        best_q = np.frombuffer(parts["q"].iloc[0], dtype=np.int64)
+        chosen.append((rank, best_id, float(np.sqrt(best_d2)) / _SCALE))
+        if rank < k - 1:
+            def fold(batch: pa.Table, _cq=best_q) -> pa.Table:
+                return fold_center(batch, _cq=_cq, _first=False)
+            state = checkpoint(
+                state.map_batches(fold, batch_format="pyarrow"))
+
+    out = pd.DataFrame(chosen, columns=["center_rank", "vec_id", "radius"])
+    return out.astype({"center_rank": "int64", "vec_id": "int64"})
+
+
+def kcenter_reference(
+    ids: np.ndarray, vecs: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Single-process greedy k-center over the same fixed-point integers
+    — the differential oracle for :func:`kcenter_sample`."""
+    vb = np.asarray([np.asarray(v, dtype=np.float64).tobytes()
+                     for v in vecs], dtype=object)
+    order = np.lexsort((vb, ids))  # (id, vector-bytes): dup-id tie-break
+    ids = ids[order]
+    vecs = np.asarray(vecs)[order]
+    q = np.rint(np.asarray(vecs, dtype=np.float64) * _SCALE).astype(np.int64)
+    i0 = 0  # smallest id first (lexsort put it there)
+    chosen = [(0, int(ids[i0]), 0.0)]
+    diff = q - q[i0]
+    mind2 = (diff * diff).sum(axis=1)
+    for rank in range(1, k):
+        m = mind2.max()
+        if m == 0:
+            break
+        cand = np.flatnonzero(mind2 == m)
+        i = cand[np.argmin(ids[cand])]
+        chosen.append((rank, int(ids[i]), float(np.sqrt(int(m))) / _SCALE))
+        diff = q - q[i]
+        mind2 = np.minimum(mind2, (diff * diff).sum(axis=1))
+    out = pd.DataFrame(chosen, columns=["center_rank", "vec_id", "radius"])
+    return out.astype({"center_rank": "int64", "vec_id": "int64"})

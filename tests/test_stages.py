@@ -2326,3 +2326,52 @@ def test_fingerprint_dups_winnowing(ray_session):
     assert len(out3) == 0
     # bucket-count invariance
     assert out.equals(fingerprint_dups(ds, min_shared=1, n_buckets=1))
+
+
+def test_kcenter_matches_reference_and_block_layouts(ray_session):
+    """Distributed greedy k-center selects BITWISE the same (rank, id,
+    radius) sequence as the single-node fixed-point reference, at 1 and
+    8 blocks, on a corpus with two planted far clusters + noise; the
+    radius sequence is non-increasing and the planted far point is the
+    second pick."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import (
+        kcenter_reference, kcenter_sample,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 0.05, (200, 8)).astype(np.float32)
+    vecs[150:] += 0.8                      # far cluster
+    vecs[137] = 25.0                       # extreme point: must be pick #2
+    ids = np.arange(100, 300, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    want = kcenter_reference(ids, vecs.astype(np.float64), k=12)
+    for parts in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = kcenter_sample(ds, k=12)
+        pd.testing.assert_frame_equal(got, want)
+    assert want["vec_id"].iloc[0] == 100          # smallest id seeds
+    assert want["vec_id"].iloc[1] == 237          # extreme point next
+    r = want["radius"].to_numpy()[1:]
+    assert (np.diff(r) <= 1e-12).all()            # non-increasing cover
+
+
+def test_kcenter_early_stop_on_duplicates(ray_session):
+    """k larger than the number of DISTINCT points: selection stops when
+    the cover radius hits zero instead of emitting duplicate centers."""
+    import ray.data
+    from htmlparsersharp_ray.stages.clustering import kcenter_sample
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.0, 0.0], [1.0, 1.0], [1.0, 1.0]],
+            pa.list_(pa.float32())),
+    })
+    out = kcenter_sample(ray.data.from_arrow(t), k=4)
+    assert list(out["vec_id"]) == [1, 3]
+    assert list(out["center_rank"]) == [0, 1]
