@@ -359,11 +359,14 @@ def _q_docs_sentences(sf_dir: str):
 def _q_docs_curate(sf_dir: str):
     """End-to-end corpus curation funnel (exact dedup → MinHash
     near-dedup keep-representative → quality floor → token accounting)
-    — ONE row of stage counts. Composite of individually-oracled
-    operators; the composition itself is not SQL-expressible in one
-    query (the near-dup stage), so no oracle_sql — the gate is the
-    planted-corpus pytest (tests/test_pipeline.py) where every funnel
-    count is known by construction."""
+    — ONE row of stage counts. The near-dup stage's pair set is the
+    EXACT Jaccard >= 0.8 relation (banding proposes, distributed exact
+    verify decides — the docs_minhash_pairs equivalence argument), so
+    the whole funnel composes in SQL: dedup CTE → exact-Jaccard pairs →
+    recursive-CTE components → min-id representative → the QualityUDF
+    score expression mirrored verbatim → exact token sum. Also gated by
+    the planted-corpus pytest (tests/test_pipeline.py) where every
+    funnel count is known by construction."""
     from htmlparsersharp_ray.pipelines.curate import curate
 
     return curate(_docs(sf_dir))
@@ -3768,6 +3771,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(v) AS cluster_rep
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "docs_curate": """
+            -- curation funnel composed from individually-proven CTEs:
+            -- exact dedup (docs_exact_dedup), exact 3-gram Jaccard
+            -- >= 0.8 pairs (docs_minhash_pairs shape; the engine's
+            -- banding+exact-verify yields this exact relation),
+            -- recursive-CTE components with min-id representative
+            -- (docs_canonical shape), the QualityUDF score expression
+            -- mirrored verbatim (ASCII corpus: RE2 [^\\w\\s] == Python,
+            -- parity pre-verified corpus-wide), exact token sum
+            WITH RECURSIVE dedup AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (
+                  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+              )
+            ), w AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS ws
+              FROM dedup
+            ), s AS (
+              SELECT doc_id, text, ws,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), p AS (
+              SELECT a.doc_id AS pu, b.doc_id AS pv
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 4
+               AND len(b.sh) * 5 >= len(a.sh) * 4
+              WHERE len(a.sh) + len(b.sh) > 0
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.8
+            ), edges AS (
+              SELECT pu AS u, pv AS v FROM p
+              UNION ALL
+              SELECT pv AS u, pu AS v FROM p
+            ), reach(u, v) AS (
+              SELECT doc_id, doc_id FROM dedup
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), labels AS (
+              SELECT u AS doc_id, min(v) AS rep FROM reach GROUP BY u
+            ), near AS (
+              SELECT s.doc_id, s.text, len(s.ws) AS n_words
+              FROM s JOIN labels l USING (doc_id)
+              WHERE l.doc_id = l.rep
+            ), q AS (
+              SELECT doc_id, n_words,
+                     (least(CAST(n_words AS DOUBLE), 100) / 100.0)
+                     * (1.0 - least(
+                         CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                              AS DOUBLE)
+                         / greatest(length(text), 1), 1.0)) AS score
+              FROM near
+            ), fin AS (
+              SELECT doc_id, n_words FROM q WHERE score >= 0.3
+            )
+            SELECT (SELECT count(*) FROM documents) AS n_input,
+                   (SELECT count(*) FROM dedup) AS n_after_exact,
+                   (SELECT count(*) FROM near) AS n_after_near,
+                   (SELECT count(*) FROM fin) AS n_after_quality,
+                   (SELECT coalesce(sum(n_words), 0)
+                    FROM fin) AS total_ws_tokens
         """,
         "docs_canonical": """
             -- canonical survivor per text near-dup cluster: the
