@@ -356,6 +356,37 @@ def _q_docs_sentences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_pdf_extract(sf_dir: str):
+    """PDF layout parse round trip (north-rule "PDF/layout parse"):
+    documents render to real PDF 1.4 bytes (greedy wrap, pagination,
+    Flate content streams — htmlparsersharp_ray/pdf/writer.py), then
+    the from-scratch extractor (pdf/extractor.py: object tokenizer,
+    page-tree walk, content-stream text interpreter, layout line
+    reconstruction) recovers reading-order text. For words ≤ the wrap
+    width (all corpus words), extracted text == whitespace-normalized
+    source, so the oracle is plain SQL over documents. The extractor
+    itself is additionally gated against HAND-WRITTEN adversarial PDFs
+    in tests/test_pdf.py (hex strings, TJ kerning, out-of-order
+    chunks, nested page trees, indirect /Length, content arrays)."""
+    from htmlparsersharp_ray.stages.pdf_stage import pdf_roundtrip
+
+    out = pdf_roundtrip(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return (out[["doc_id", "text"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_docs_pdf_layout(sf_dir: str):
+    """Layout metrics from the same PDF round trip: pages and text
+    operators per document. Rows-only (greedy-wrap pagination is not
+    SQL-expressible); the gate is the exact-layout pytest in
+    tests/test_pdf.py (constructed docs with known wrap/pagination)."""
+    from htmlparsersharp_ray.stages.pdf_stage import pdf_roundtrip
+
+    out = pdf_roundtrip(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return (out[["doc_id", "n_pages", "n_text_ops"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_docs_curate(sf_dir: str):
     """End-to-end corpus curation funnel (exact dedup → MinHash
     near-dedup keep-representative → quality floor → token accounting)
@@ -1187,6 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq": _q_embeddings_pq,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_sentences": _q_docs_sentences,
+        "docs_pdf_extract": _q_docs_pdf_extract,
+        "docs_pdf_layout": _q_docs_pdf_layout,
         "docs_curate": _q_docs_curate,
         "docs_pack": _q_docs_pack,
         # similarity search
@@ -2734,6 +2767,16 @@ def oracle_sql() -> dict[str, str]:
                         + len(regexp_extract_all(
                               regexp_replace(text, '{_redact_p1}', '<X>', 'g'),
                               '{_redact_p2}')) AS BIGINT) AS n_redactions
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_pdf_extract": r"""
+            -- PDF render→extract round trip: layout extraction
+            -- recovers reading-order text, which equals the
+            -- whitespace-normalized source for words <= the wrap
+            -- width (all corpus words; hard-broken oversized words
+            -- would re-extract with whitespace at break points)
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\s+', ' ', 'g') AS text
             FROM documents ORDER BY doc_id
         """,
         "topk_per_group": """

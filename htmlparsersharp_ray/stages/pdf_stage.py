@@ -1,0 +1,83 @@
+"""Ray stages for the PDF layer: render documents to PDF bytes and
+extract text back with layout metrics.
+
+Both UDFs are actor-pool classes over small pyarrow batches (binary
+payloads — same sizing discipline as stages/multimodal.py: batch ×
+concurrency must fit worker heaps; blocks flow zero-copy Arrow).
+Per-document codec work is a sanctioned per-row loop, exactly like the
+HTML parse stage: a document codec has no columnar kernel.
+
+Reference basis: the north-star extraction pipeline names "PDF/layout
+parse" alongside the HTML boilerplate strip; the reference repo itself
+is HTML-only (Boddlnagg/HtmlParserSharp has no PDF side), so this layer
+is engine-level scope, built from the public PDF 32000-1 spec.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from htmlparsersharp_ray.pdf.extractor import extract_text
+from htmlparsersharp_ray.pdf.writer import render_pdf
+
+
+class PdfRenderUDF:
+    """(doc_id, text) → (doc_id, pdf: binary). Deterministic bytes."""
+
+    def __init__(self, compress: bool = True):
+        self.compress = compress
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        payloads = [render_pdf(t or "", compress=self.compress)
+                    for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pdf": pa.array(payloads, type=pa.binary()),
+        })
+
+
+class PdfExtractUDF:
+    """(doc_id, pdf) → (doc_id, text, n_pages, n_text_ops).
+
+    ``text`` is reading-order text with lines joined by a single space
+    (the engine's normalized-text contract for downstream dedup /
+    quality stages, which are whitespace-normalizing anyway)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts, n_pages, n_ops = [], [], []
+        for payload in batch.column("pdf"):
+            r = extract_text(payload.as_py())
+            texts.append(" ".join(r.text.split()))
+            n_pages.append(r.n_pages)
+            n_ops.append(r.n_text_ops)
+        return pa.table({
+            "doc_id": ids,
+            "text": pa.array(texts, type=pa.string()),
+            "n_pages": pa.array(n_pages, type=pa.int64()),
+            "n_text_ops": pa.array(n_ops, type=pa.int64()),
+        })
+
+
+def render_corpus(docs: ray.data.Dataset, *,
+                  compress: bool = True) -> ray.data.Dataset:
+    """documents(doc_id, text) → (doc_id, pdf)."""
+    return docs.map_batches(
+        PdfRenderUDF, fn_constructor_kwargs={"compress": compress},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+
+def extract_corpus(pdfs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, pdf) → (doc_id, text, n_pages, n_text_ops)."""
+    return pdfs.map_batches(
+        PdfExtractUDF, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def pdf_roundtrip(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Render → extract, streaming: no stage materializes the corpus."""
+    return extract_corpus(render_corpus(docs))
