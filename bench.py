@@ -238,6 +238,12 @@ def run_bench() -> dict:
     entry_mod._q_docs_curate(sf_dir)
     queries["docs_curate"] = round(time.time() - t0, 3)
 
+    # PDF layout parse round trip (render -> extract over the corpus)
+    gc.collect()
+    t0 = time.time()
+    entry_mod._q_docs_pdf_extract(sf_dir)
+    queries["docs_pdf_extract"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {

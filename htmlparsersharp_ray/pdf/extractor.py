@@ -229,7 +229,7 @@ class _Lexer:
                 raise PdfError("EOF inside array")
             if isinstance(tok, _Keyword):
                 if tok == "]":
-                    return self._fold_refs(out)
+                    return out
                 if tok == "R" and len(out) >= 2:
                     gen, num = out.pop(), out.pop()
                     if isinstance(num, int) and isinstance(gen, int):
@@ -243,10 +243,6 @@ class _Lexer:
                 raise PdfError(f"unexpected keyword {tok!r} in array")
             else:
                 out.append(tok)
-
-    @staticmethod
-    def _fold_refs(items: list) -> list:
-        return items
 
     def _dict(self) -> dict:
         self.pos += 2
