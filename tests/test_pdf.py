@@ -199,6 +199,31 @@ def test_page_tree_cycle_raises():
         extract_text(_wrap_pdf(objs))
 
 
+# --- property tests -----------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LATIN1 = st.characters(min_codepoint=1, max_codepoint=0xFF)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=_LATIN1, max_size=400))
+def test_property_roundtrip_normalized(text):
+    # whole Latin-1 plane incl. control chars, parens, backslashes;
+    # hypothesis words may exceed the wrap width, so compare against
+    # the wrapped-lines projection (line breaks are whitespace)
+    r = extract_text(render_pdf(text))
+    assert r.text.split() == " ".join(wrap_text(text)).split()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=_LATIN1, max_size=400))
+def test_property_extractor_never_raises_on_writer_output(text):
+    for compress in (True, False):
+        r = extract_text(render_pdf(text, compress=compress))
+        assert r.n_pages >= 1
+
+
 # --- Ray stage ----------------------------------------------------------------
 def test_pdf_roundtrip_stage(ray_session):
     import pandas as pd

@@ -131,6 +131,13 @@ def main() -> int:
 
     run("gram_dups_slice", lambda: gram_dups(docs(pair_files), n=8))
 
+    from htmlparsersharp_ray.stages.pdf_stage import pdf_roundtrip
+
+    # PDF render->extract round trip on a 10%-of-corpus slice (~100k
+    # docs): per-doc codec work, embarrassingly parallel actor pools
+    run("pdf_roundtrip_slice",
+        lambda: pdf_roundtrip(docs(pair_files)).count())
+
     def synth_docs_prefix(n=100_000, d="/tmp/graft_sweep_prefix"):
         # mostly-DISTINCT corpus (50k vocab, 40-word docs → cross-doc
         # token collisions rare) with a 3-word-substitution twin for
