@@ -1098,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
         "part_bfs_hops": r.q_part_bfs_hops,
+        "part_sssp": r.q_part_sssp,
         "part_substitutes": r.q_part_substitutes,
         "supplier_ship_islands": r.q_supplier_ship_islands,
         "part_transit_concurrency": r.q_part_transit_concurrency,
@@ -4151,6 +4152,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE bfs.d < 3
         )
         SELECT node, MIN(d) AS hops FROM bfs GROUP BY node ORDER BY node
+    """
+    sql["part_sssp"] = """
+        -- weighted shortest path, bounded Bellman-Ford: min total
+        -- weight from any size-1 part within 4 edges, edge weight
+        -- w = 1 + 20 // (co-purchase order count). Four UNROLLED
+        -- relaxation CTEs — d_k(v) = min(d_{k-1}(v),
+        -- min_u d_{k-1}(u) + w(u,v)) — each one aggregating join, so
+        -- no path-enumeration blowup; integer mins/sums only, so the
+        -- engine's frontier-tagged min-plus propagation agrees bitwise
+        WITH e AS (
+            SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+                   CAST(1 + 20 // COUNT(DISTINCT l1.l_orderkey)
+                        AS BIGINT) AS w
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey
+            GROUP BY l1.l_partkey, l2.l_partkey),
+        d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS d
+               FROM part WHERE p_size = 1),
+        d1 AS (SELECT node, MIN(d) AS d FROM (
+                   SELECT node, d FROM d0
+                   UNION ALL
+                   SELECT e.dst, p.d + e.w FROM d0 p
+                   JOIN e ON e.src = p.node) GROUP BY node),
+        d2 AS (SELECT node, MIN(d) AS d FROM (
+                   SELECT node, d FROM d1
+                   UNION ALL
+                   SELECT e.dst, p.d + e.w FROM d1 p
+                   JOIN e ON e.src = p.node) GROUP BY node),
+        d3 AS (SELECT node, MIN(d) AS d FROM (
+                   SELECT node, d FROM d2
+                   UNION ALL
+                   SELECT e.dst, p.d + e.w FROM d2 p
+                   JOIN e ON e.src = p.node) GROUP BY node),
+        d4 AS (SELECT node, MIN(d) AS d FROM (
+                   SELECT node, d FROM d3
+                   UNION ALL
+                   SELECT e.dst, p.d + e.w FROM d3 p
+                   JOIN e ON e.src = p.node) GROUP BY node)
+        SELECT node, d AS dist FROM d4 ORDER BY node
     """
     sql["part_triangles"] = """
         -- per-node triangle counts over the part co-purchase graph:

@@ -4310,6 +4310,50 @@ def q_part_bfs_hops(sf_dir: str):
             .sort_values("node").reset_index(drop=True))
 
 
+def q_part_sssp(sf_dir: str):
+    """WEIGHTED SHORTEST PATH (bounded Bellman-Ford) over the part
+    co-purchase graph: minimum total edge weight from any size-1 part
+    within 4 edges, where an edge's weight falls with tie strength —
+    w = 1 + 20 // (number of co-purchase orders). The min-plus sibling
+    of part_bfs_hops: same graph construction, a semiring upgrade.
+
+    Integer weights and mins only, so the frontier-tagged propagation
+    (:func:`htmlparsersharp_ray.stages.graph.sssp`) is bitwise identical
+    at any parallelism and hash-exact vs four unrolled relaxation CTEs
+    (no path-enumeration blowup: each CTE is one aggregating join)."""
+    import numpy as np
+
+    from ..stages.graph import group_cooccurrence_weighted_edges, sssp
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    weighted = group_cooccurrence_weighted_edges(
+        li, "l_orderkey", "l_partkey")
+
+    def to_w(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "w": pa.array(1 + 20 // cnt.astype(np.int64)),
+        })
+
+    edges = weighted.map_batches(to_w, batch_format="pyarrow")
+
+    def size1(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("p_size"), pa.scalar(1))
+        return pa.table({"node": b.filter(keep).column("p_partkey")
+                         .cast(pa.int64())})
+
+    sources = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size"]
+    ).map_batches(size1, batch_format="pyarrow")
+    out = sssp(edges, sources, max_rounds=4).to_pandas()
+    out = out.astype({"node": "int64", "dist": "int64"})
+    return (out[["node", "dist"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def q_part_substitutes(sf_dir: str, min_support: int = 5):
     """GRAPH SIMILARITY JOIN (k-truss support): for every co-purchase
     edge with at least ``min_support`` common neighbors, the common-

@@ -130,6 +130,173 @@ def group_cooccurrence_edges(
     )
 
 
+def group_cooccurrence_weighted_edges(
+    ds: ray.data.Dataset, group_col: str, item_col: str,
+) -> ray.data.Dataset:
+    """Directed co-occurrence edges ``(src, dst, cnt)`` where ``cnt`` is
+    the number of DISTINCT groups the ordered pair shares — the weighted
+    sibling of :func:`group_cooccurrence_edges` (tie strength for
+    SSSP / similarity weighting). Same two bounded exchanges; the
+    pair-bucket pass sums per-bucket partial counts instead of
+    dropping duplicates."""
+
+    def add_gb(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "gb": pa.array(_ibucket(g)),
+            "g": pa.array(g),
+            "item": batch.column(item_col).cast(pa.int64()),
+        })
+
+    def group_pair_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["g", "item"])[["g", "item"]]
+        m = g.merge(g, on="g")
+        m = m[m["item_x"] != m["item_y"]]
+        # pairs are unique per group after the item dedup, so the
+        # per-bucket partial count = multiplicity across this bucket's
+        # groups
+        part = (m.groupby(["item_x", "item_y"], sort=False)
+                .size().reset_index(name="cnt"))
+        src = part["item_x"].to_numpy(dtype=np.int64)
+        dst = part["item_y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "pb": _pair_bucket(src, dst), "src": src, "dst": dst,
+            "cnt": part["cnt"].to_numpy(dtype=np.int64),
+        })
+
+    def pair_sum(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(["src", "dst"], as_index=False, sort=False)
+                ["cnt"].sum())
+
+    return (
+        ds.map_batches(add_gb, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(group_pair_counts, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_sum, batch_format="pandas")
+    )
+
+
+def sssp(edges: ray.data.Dataset, sources: ray.data.Dataset,
+         max_rounds: int = 4) -> ray.data.Dataset:
+    """Weighted multi-source shortest path, bounded Bellman-Ford:
+    ``edges`` is directed ``(src, dst, w)`` with int64 weights > 0,
+    ``sources`` a ``(node,)`` Dataset; returns ``(node, dist)`` — the
+    minimum total weight over paths of at most ``max_rounds`` edges
+    from any source, for every node with such a path. Fifth member of
+    the graph family: BFS with a min-PLUS semiring instead of hop
+    counting.
+
+    Integer mins/sums only → order-independent, bitwise-deterministic
+    at any parallelism, and exactly reproducible by ``max_rounds``
+    unrolled relaxation CTEs (d_k(v) = min(d_{k-1}(v),
+    min_u d_{k-1}(u) + w(u,v))) — a hash-exact oracle with no
+    path-enumeration blowup.
+
+    Scale shape = :func:`bfs_hops` (edge blobs keyed by bucket(src)
+    ride every superstep unparsed; ONE fused groupby per round), with
+    one extra piece of state: each node's distance row carries ``newr``,
+    the round that last IMPROVED it, so round r relaxes only the
+    r-1-improved frontier. An unimproved node's contribution was
+    already delivered the round after it last improved, so frontier-
+    only emission preserves the ≤k-edge-paths invariant exactly.
+    Per-round work ∝ the frontier's out-edges. Driver memory O(1).
+    Reference n/a — engine-level extension, like bfs_hops."""
+    from .exchange import checkpoint, deserialize_table, serialize_table
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(src):
+            return _EMPTY_BLOBS
+        et = pa.table({"node": pa.array(src), "dst": pa.array(dst),
+                       "w": pa.array(w)})
+        return _pack_by(et, _ibucket(src))
+
+    static = (
+        edges.map_batches(pack_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        node = np.unique(
+            batch.column("node").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        if not len(node):
+            return _EMPTY_BLOBS
+        z = np.zeros(len(node), dtype=np.int64)
+        dt = pa.table({"node": pa.array(node), "d": pa.array(z),
+                       "newr": pa.array(z)})
+        return _pack_by(dt, _ibucket(node))
+
+    state = checkpoint(sources.map_batches(seed, batch_format="pyarrow"))
+
+    def _merged(tabs: list) -> pd.DataFrame:
+        dt = [t for t in tabs if "d" in t.column_names]
+        if not dt:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64"),
+                                 "newr": pd.Series([], dtype="int64")})
+        d = pa.concat_tables(dt).to_pandas()
+        # min d per node; among equal d, the EARLIEST improving round
+        # wins (so a node that merely re-receives its current distance
+        # does not rejoin the frontier) — (d, newr) lexicographic min
+        # is reduction-order-free
+        d = d.sort_values(["node", "d", "newr"], kind="stable")
+        return d.drop_duplicates("node", keep="first")[
+            ["node", "d", "newr"]]
+
+    def make_superstep(r: int):
+        def superstep(group: pd.DataFrame) -> pa.Table:
+            tabs = [deserialize_table(b) for b in group["blob"]]
+            merged = _merged(tabs)
+            if merged.empty:
+                return _EMPTY_BLOBS
+            b = int(group["bucket"].iloc[0])
+            out = [pa.table(
+                {"bucket": pa.array([b], pa.int64()),
+                 "blob": pa.array([serialize_table(pa.Table.from_pandas(
+                     merged, preserve_index=False))], pa.large_binary())},
+                schema=_BLOB_SCHEMA)]
+            frontier = merged[merged["newr"] == r - 1]
+            et = [t for t in tabs if "dst" in t.column_names]
+            if len(frontier) and et:
+                e = pa.concat_tables(et).to_pandas()
+                m = e.merge(frontier[["node", "d"]], on="node",
+                            how="inner")
+                if len(m):
+                    cand = (m.assign(nd=m["d"] + m["w"])
+                            .groupby("dst", as_index=False, sort=False)
+                            ["nd"].min())
+                    dsts = cand["dst"].to_numpy(dtype=np.int64)
+                    ct = pa.table({
+                        "node": pa.array(dsts),
+                        "d": pa.array(cand["nd"].to_numpy(dtype=np.int64)),
+                        "newr": pa.array(
+                            np.full(len(dsts), r, dtype=np.int64)),
+                    })
+                    out.append(_pack_by(ct, _ibucket(dsts)))
+            return pa.concat_tables(out)
+        return superstep
+
+    for r in range(1, max_rounds + 1):
+        state = checkpoint(
+            state.union(static)
+            .groupby("bucket")
+            .map_groups(make_superstep(r), batch_format="pandas")
+            .repartition(16)
+        )
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        merged = _merged([deserialize_table(b) for b in group["blob"]])
+        return pd.DataFrame({"node": merged["node"].astype("int64"),
+                             "dist": merged["d"].astype("int64")})
+
+    return state.groupby("bucket").map_groups(finalize,
+                                              batch_format="pandas")
+
+
 def pagerank(
     edges: ray.data.Dataset, iters: int = 5,
     damping_num: int = 85, damping_den: int = 100,

@@ -1484,6 +1484,84 @@ def test_bfs_hops_matches_sequential_and_block_layouts(ray_session):
         assert want[100 + max_hops] == max_hops      # chain capped exactly
 
 
+def _ref_sssp(edges_pd, sources, max_rounds):
+    """Sequential bounded Bellman-Ford reference: d_k(v) = min over
+    paths of <= max_rounds edges, full relaxation every round."""
+    dist = {int(s): 0 for s in sources}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        for u, v, w in zip(edges_pd["src"], edges_pd["dst"],
+                           edges_pd["w"]):
+            u, v, w = int(u), int(v), int(w)
+            if u in dist and dist[u] + w < new.get(v, 1 << 60):
+                new[v] = dist[u] + w
+        dist = new
+    return dist
+
+
+def test_sssp_matches_sequential_and_block_layouts(ray_session):
+    """Weighted bounded SSSP is bitwise equal to a full-relaxation
+    Bellman-Ford at 1 and 8 blocks, on a graph where (a) a 3-edge
+    cheap path beats a 1-edge expensive edge (re-improvement: the
+    frontier tag must re-fire), (b) a negative case: the cheap path
+    needs MORE edges than the round budget, so the expensive edge must
+    win under the cap, (c) a cycle, (d) an edgeless source."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import sssp
+
+    rows = [
+        (0, 9, 100),                       # expensive direct
+        (0, 1, 1), (1, 2, 1), (2, 9, 1),   # cheap 3-edge path → 3
+        (0, 20, 50),                       # expensive direct to 20
+        (0, 10, 1), (10, 11, 1), (11, 12, 1), (12, 20, 1),  # 4 edges
+        (200, 201, 2), (201, 202, 3), (202, 200, 4),        # cycle
+        (300, 301, 7),                     # unreachable island
+        (5, 0, 1),                         # back-edge into a source
+    ]
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst", "w"]).astype(
+        "int64")
+    sources = [0, 200, 999]
+    for max_rounds in (2, 3, 4, 6):
+        want = _ref_sssp(edges_pd, sources, max_rounds)
+        for parts in (1, 8):
+            ds = ray.data.from_pandas(edges_pd).repartition(parts)
+            src = ray.data.from_pandas(
+                pd.DataFrame({"node": sources}).astype("int64"))
+            out = sssp(ds, src, max_rounds=max_rounds).to_pandas()
+            got = dict(zip(out["node"].astype(int),
+                           out["dist"].astype(int)))
+            assert got == want, f"mismatch at {parts} blocks, K={max_rounds}"
+    # semantics pinned at K=3: cheap 3-edge path wins to node 9, but
+    # node 20's 4-edge path exceeds the budget → expensive edge wins
+    want3 = _ref_sssp(edges_pd, sources, 3)
+    assert want3[9] == 3 and want3[20] == 50
+    want4 = _ref_sssp(edges_pd, sources, 4)
+    assert want4[20] == 4                 # one more round: cheap path
+    assert want3[999] == 0 and 300 not in want3
+
+
+def test_group_cooccurrence_weighted_edges_counts(ray_session):
+    """cnt = number of DISTINCT groups sharing the ordered pair;
+    within-group duplicates collapse; block-layout invariant."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import (
+        group_cooccurrence_weighted_edges)
+
+    df = pd.DataFrame({
+        "g":    [1, 1, 1, 2, 2, 3, 3, 3],
+        "item": [10, 11, 10, 10, 11, 10, 11, 12],
+    }).astype("int64")   # pair (10,11) shared by groups 1,2,3 → cnt 3
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = group_cooccurrence_weighted_edges(ds, "g", "item").to_pandas()
+        got = {(int(r.src), int(r.dst)): int(r.cnt)
+               for r in out.itertuples()}
+        assert got[(10, 11)] == 3 and got[(11, 10)] == 3
+        assert got[(10, 12)] == 1 and got[(12, 11)] == 1
+        assert (10, 10) not in got
+        assert len(got) == 6
+
+
 def test_group_cooccurrence_edges_semantics(ray_session):
     """Distinct directed pairs per shared group; both directions, no
     self-loops, no duplicate edges across groups or duplicate rows."""
