@@ -1092,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_mad": r.q_part_mad,
         "lineitem_price_quantiles": r.q_lineitem_price_quantiles,
         "events_cooccurrence": r.q_events_cooccurrence,
+        "events_assoc_rules": r.q_events_assoc_rules,
         "docs_source_cap": r.q_docs_source_cap,
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "part_skyline": r.q_part_skyline,
@@ -2482,6 +2483,39 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WHERE prev_type IS NULL OR prev_type <> event_type
             ORDER BY event_id
+        """,
+        "events_assoc_rules": """
+            -- association rules a→b over (user, event_type) baskets:
+            -- exact int64 support counts; confidence and lift are the
+            -- ONLY floats, each ONE mirrored expression over exact
+            -- ints (products < 2^53), so both sides agree bitwise
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+            tc AS (SELECT event_type, COUNT(*) AS n FROM ut
+                   GROUP BY event_type),
+            pairs AS (
+                SELECT a.event_type AS antecedent,
+                       b.event_type AS consequent,
+                       COUNT(*) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type <> b.event_type
+                GROUP BY 1, 2)
+            SELECT antecedent, consequent,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CAST(ta.n AS BIGINT) AS n_ante,
+                   CAST(tb.n AS BIGINT) AS n_cons,
+                   CAST(tot.n_users AS BIGINT) AS n_users,
+                   CAST(n_both AS DOUBLE) / CAST(ta.n AS DOUBLE)
+                       AS confidence,
+                   (CAST(n_both AS DOUBLE) * CAST(tot.n_users AS DOUBLE))
+                   / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))
+                       AS lift
+            FROM pairs
+            JOIN tc ta ON ta.event_type = antecedent
+            JOIN tc tb ON tb.event_type = consequent
+            CROSS JOIN tot
+            WHERE n_both >= 5
+            ORDER BY antecedent, consequent
         """,
         "events_cooccurrence": """
             -- unordered event-type pairs performed by the same user

@@ -2645,6 +2645,94 @@ def q_part_mad(sf_dir: str):
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
+def q_events_assoc_rules(sf_dir: str, min_support: int = 5):
+    """ASSOCIATION RULES (market-basket a→b): for every ordered
+    event-type pair performed by ≥ ``min_support`` common users,
+    exact support / confidence / lift. The mining upgrade of
+    events_cooccurrence: all three count families — ordered pair
+    counts, per-type user counts, and the distinct-user total — ride
+    ONE user-hash exchange as a tagged-union partial frame (user sets
+    are disjoint across buckets, so every partial is additive), and
+    the rule table assembles on the driver at |types|² size.
+
+    Floats appear only as two mirrored expressions over exact int64
+    counts (confidence = both/ante; lift = (both·users)/(ante·cons),
+    products < 2^53) — identical operand trees on both sides, so the
+    DuckDB oracle agrees bitwise."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    nb = np.uint64(auto_buckets(ds))
+
+    def distinct_tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        u = d["user_id"].to_numpy().astype(np.uint64)
+        return d.assign(ub=(hashing.mix64(u) % nb).astype(np.int64))
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])[
+            ["user_id", "event_type"]
+        ]
+        # kind 0: distinct users in this bucket (disjoint ⇒ additive)
+        out = [pd.DataFrame({"kind": [0], "key_a": [""], "key_b": [""],
+                             "n": [d["user_id"].nunique()]})]
+        # kind 1: per-type user counts
+        tc = d.groupby("event_type", as_index=False).size()
+        out.append(pd.DataFrame({
+            "kind": 1, "key_a": tc["event_type"], "key_b": "",
+            "n": tc["size"],
+        }))
+        # kind 2: ordered pair counts (both directions)
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] != m["event_type_b"]]
+        pc2 = m.groupby(["event_type_a", "event_type_b"],
+                        as_index=False).size()
+        out.append(pd.DataFrame({
+            "kind": 2, "key_a": pc2["event_type_a"],
+            "key_b": pc2["event_type_b"], "n": pc2["size"],
+        }))
+        r = pd.concat(out, ignore_index=True)
+        r["n"] = r["n"].astype("int64")
+        return r
+
+    parts = (
+        ds.map_batches(distinct_tag, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    sums = parts.groupby(["kind", "key_a", "key_b"], as_index=False)[
+        "n"].sum()
+    n_users = int(sums.loc[sums["kind"] == 0, "n"].sum())
+    tc = dict(zip(sums.loc[sums["kind"] == 1, "key_a"],
+                  sums.loc[sums["kind"] == 1, "n"]))
+    pairs = sums[(sums["kind"] == 2) & (sums["n"] >= min_support)]
+
+    ante = pairs["key_a"].to_numpy()
+    cons = pairs["key_b"].to_numpy()
+    n_both = pairs["n"].to_numpy(dtype=np.int64)
+    n_ante = np.array([tc[a] for a in ante], dtype=np.int64)
+    n_cons = np.array([tc[c] for c in cons], dtype=np.int64)
+    bothf, antef, consf = (n_both.astype(np.float64),
+                           n_ante.astype(np.float64),
+                           n_cons.astype(np.float64))
+    usersf = np.float64(n_users)
+    out = pd.DataFrame({
+        "antecedent": ante, "consequent": cons,
+        "n_both": n_both, "n_ante": n_ante, "n_cons": n_cons,
+        "n_users": np.full(len(ante), n_users, dtype=np.int64),
+        "confidence": bothf / antef,
+        "lift": (bothf * usersf) / (antef * consf),
+    })
+    return (out.sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))
+
+
 def q_events_cooccurrence(sf_dir: str):
     """CO-OCCURRENCE self-join: for each unordered event-type pair, how
     many users performed BOTH — the market-basket / co-engagement

@@ -2487,3 +2487,43 @@ def test_events_anomaly_mad_decision(ray_session, tmp_path):
     assert len(vals_a) + len(vals_b) - 1 in out["event_id"].tolist()
     assert not set(range(len(vals_a), len(vals_a) + 6)) & set(
         out["event_id"].tolist())
+
+
+def test_events_assoc_rules_planted_counts(ray_session, tmp_path):
+    """Planted basket: 6 users do A; 4 of them also do B; 2 do only B
+    (B total = 6); 1 does C alone. With min_support=3 only A↔B
+    survives. confidence(A→B) = 4/6, lift = 4·9/(6·6); duplicates of
+    the same (user, type) must not inflate counts."""
+    users = []
+    types = []
+    for u in range(6):
+        users.append(u)
+        types.append("A")
+    for u in range(4):          # 4 of the A users also do B (twice: dup)
+        users += [u, u]
+        types += ["B", "B"]
+    for u in (100, 101):        # B-only users
+        users.append(u)
+        types.append("B")
+    users.append(200)           # C loner
+    types.append("C")
+    n = len(users)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array([""] * n),
+    })
+    d = _write(tmp_path, "events", t)
+    out = r.q_events_assoc_rules(d, min_support=3)
+    got = {(row.antecedent, row.consequent): row for row in out.itertuples()}
+    assert set(got) == {("A", "B"), ("B", "A")}
+    ab = got[("A", "B")]
+    assert (ab.n_both, ab.n_ante, ab.n_cons, ab.n_users) == (4, 6, 6, 9)
+    assert ab.confidence == 4.0 / 6.0
+    assert ab.lift == (4.0 * 9.0) / (6.0 * 6.0)
+    ba = got[("B", "A")]
+    assert (ba.n_both, ba.n_ante) == (4, 6)
