@@ -1100,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": r.q_part_triangles,
         "part_bfs_hops": r.q_part_bfs_hops,
         "part_sssp": r.q_part_sssp,
+        "part_communities": r.q_part_communities,
         "part_substitutes": r.q_part_substitutes,
         "supplier_ship_islands": r.q_supplier_ship_islands,
         "part_transit_concurrency": r.q_part_transit_concurrency,
@@ -4226,6 +4227,39 @@ def oracle_sql() -> dict[str, str]:
                    SELECT e.dst, p.d + e.w FROM d3 p
                    JOIN e ON e.src = p.node) GROUP BY node)
         SELECT node, d AS dist FROM d4 ORDER BY node
+    """
+    sql["part_communities"] = """
+        -- synchronous label propagation, 3 rounds: labels start as
+        -- node ids; each round every node simultaneously takes its
+        -- neighbors' majority label (COUNT DESC, label ASC
+        -- tie-break). Unrolled vote-then-argmax CTEs reproduce the
+        -- engine's Pregel rounds exactly (synchronous ⇒ each round is
+        -- a pure function of the previous labeling)
+        WITH e2 AS (
+            SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e2),
+        v1 AS (SELECT e2.dst AS node, l0.lab, COUNT(*) AS c
+               FROM e2 JOIN l0 ON l0.node = e2.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lab FROM (
+                   SELECT node, lab, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY c DESC, lab) AS rn
+                   FROM v1) WHERE rn = 1),
+        v2 AS (SELECT e2.dst AS node, l1.lab, COUNT(*) AS c
+               FROM e2 JOIN l1 ON l1.node = e2.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lab FROM (
+                   SELECT node, lab, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY c DESC, lab) AS rn
+                   FROM v2) WHERE rn = 1),
+        v3 AS (SELECT e2.dst AS node, l2.lab, COUNT(*) AS c
+               FROM e2 JOIN l2 ON l2.node = e2.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lab FROM (
+                   SELECT node, lab, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY c DESC, lab) AS rn
+                   FROM v3) WHERE rn = 1)
+        SELECT node, CAST(lab AS BIGINT) AS label FROM l3 ORDER BY node
     """
     sql["part_triangles"] = """
         -- per-node triangle counts over the part co-purchase graph:

@@ -4442,6 +4442,28 @@ def q_part_sssp(sf_dir: str):
             .sort_values("node").reset_index(drop=True))
 
 
+def q_part_communities(sf_dir: str):
+    """COMMUNITY DETECTION (synchronous label propagation, 3 rounds)
+    over the part co-purchase graph: every part's community label after
+    three simultaneous majority-vote rounds (ties to the smallest
+    label). Sixth graph-family member — an argmax semiring next to
+    pagerank's weighted average, CC's min, BFS/SSSP's min-hop/min-plus.
+
+    Synchronous updates make each round a pure function of the last
+    labeling, so the propagation is bitwise-deterministic and
+    hash-exact vs three unrolled vote-then-argmax CTEs (classic
+    asynchronous LPA is visit-order-dependent — uncheckable)."""
+    from ..stages.graph import group_cooccurrence_edges, label_propagation
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = label_propagation(edges, iters=3).to_pandas()
+    out = out.astype({"node": "int64", "label": "int64"})
+    return (out[["node", "label"]]
+            .sort_values("node").reset_index(drop=True))
+
+
 def q_part_substitutes(sf_dir: str, min_support: int = 5):
     """GRAPH SIMILARITY JOIN (k-truss support): for every co-purchase
     edge with at least ``min_support`` common neighbors, the common-

@@ -478,6 +478,128 @@ def pagerank(
     )
 
 
+def label_propagation(edges: ray.data.Dataset,
+                      iters: int = 3) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED graph induced by ``(src, dst)``: labels start as node
+    ids; each round EVERY node simultaneously takes the majority label
+    of its neighbors, ties broken by the smallest label. Returns
+    ``(node, label)`` after exactly ``iters`` rounds — the sixth graph
+    op (vs pagerank's weighted average, CC's min, BFS/SSSP's min-hop /
+    min-plus, this one is an argmax semiring).
+
+    Synchronous updates + the (count DESC, label ASC) tie-break make
+    every round a pure function of the previous labeling —
+    order-independent, bitwise-deterministic at any parallelism, and
+    exactly reproducible by ``iters`` unrolled vote-then-argmax CTEs
+    (a hash-exact oracle; classic asynchronous LPA is
+    visit-order-dependent and would be uncheckable).
+
+    Scale shape = :func:`pagerank`'s fused finalize+send: vote partials
+    land keyed by the bucket the next round's labels are read from, so
+    each round is ONE groupby (K+2 exchanges total); the symmetrized
+    edge blobs ride every superstep unparsed. In the symmetrized edge
+    set every node has ≥1 neighbor, so every node receives votes every
+    round — no carry-old-label branch. Driver memory O(1).
+    Reference n/a — engine-level extension, like pagerank."""
+    from .exchange import checkpoint, deserialize_table, serialize_table
+
+    und = _undirected_distinct(edges)
+
+    def pack_sym(batch: pa.Table) -> pa.Table:
+        """Both directions of each undirected edge, keyed by
+        bucket(src)."""
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return _EMPTY_BLOBS
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        et = pa.table({"node": pa.array(src), "dst": pa.array(dst)})
+        return _pack_by(et, _ibucket(src))
+
+    static = (
+        und.map_batches(pack_sym, batch_format="pyarrow")
+        .repartition(16)
+        .materialize()
+    )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        """Initial labels = node id, derived from each bucket's edge
+        sources (every node appears as a source after symmetrizing)."""
+        bks, bls = [], []
+        for bk, blob in zip(batch.column("bucket").to_pylist(),
+                            batch.column("blob").to_pylist()):
+            t = deserialize_table(blob)
+            node = np.unique(t.column("node").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            bks.append(bk)
+            bls.append(serialize_table(pa.table({
+                "node": pa.array(node), "lab": pa.array(node)})))
+        return pa.table({"bucket": pa.array(bks, pa.int64()),
+                         "blob": pa.array(bls, pa.large_binary())},
+                        schema=_BLOB_SCHEMA)
+
+    state = checkpoint(static.map_batches(seed, batch_format="pyarrow"))
+
+    def _bucket_labels(tabs: list) -> pd.DataFrame:
+        """This bucket's labels: seed label rows pass through;
+        otherwise sum vote partials per (node, lab) and take the
+        majority with the (count DESC, label ASC) tie-break."""
+        lr = [t for t in tabs if "lab" in t.column_names
+              and "c" not in t.column_names]
+        if lr:
+            # a bucket can hold several seed blobs with OVERLAPPING
+            # node sets (one per input batch): dedup, or each duplicate
+            # label row would double that node's outgoing votes
+            return (pa.concat_tables(lr).to_pandas()
+                    .drop_duplicates("node"))
+        votes = pa.concat_tables(
+            [t for t in tabs if "c" in t.column_names]).to_pandas()
+        tot = votes.groupby(["node", "lab"], as_index=False,
+                            sort=False)["c"].sum()
+        tot = tot.sort_values(["node", "c", "lab"], kind="stable",
+                              ascending=[True, False, True])
+        return tot.drop_duplicates("node")[["node", "lab"]]
+
+    def superstep(group: pd.DataFrame) -> pa.Table:
+        """Fused finalize + send: this bucket's labels flow down its
+        out-edges as per-(dst, lab) vote partials."""
+        tabs = [deserialize_table(b) for b in group["blob"]]
+        labels = _bucket_labels(tabs)
+        et = [t for t in tabs if "dst" in t.column_names]
+        if not et:
+            return _EMPTY_BLOBS
+        e = pa.concat_tables(et).to_pandas()
+        m = e.merge(labels, on="node", how="inner")
+        part = (m.groupby(["dst", "lab"], as_index=False, sort=False)
+                .size().rename(columns={"size": "c"}))
+        dst = part["dst"].to_numpy(dtype=np.int64)
+        out = pa.table({
+            "node": pa.array(dst),
+            "lab": pa.array(part["lab"].to_numpy(dtype=np.int64)),
+            "c": pa.array(part["c"].to_numpy(dtype=np.int64)),
+        })
+        return _pack_by(out, _ibucket(dst))
+
+    for _ in range(iters):
+        state = checkpoint(
+            state.union(static)
+            .groupby("bucket")
+            .map_groups(superstep, batch_format="pandas")
+            .repartition(16)
+        )
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        labels = _bucket_labels(
+            [deserialize_table(b) for b in group["blob"]])
+        return pd.DataFrame({"node": labels["node"].astype("int64"),
+                             "label": labels["lab"].astype("int64")})
+
+    return state.groupby("bucket").map_groups(finalize,
+                                              batch_format="pandas")
+
+
 def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Per-node triangle counts over the UNDIRECTED graph induced by an
     edge Dataset ``(src, dst)`` — returns ``(node, triangles)`` for every

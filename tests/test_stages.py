@@ -1540,6 +1540,56 @@ def test_sssp_matches_sequential_and_block_layouts(ray_session):
     assert want3[999] == 0 and 300 not in want3
 
 
+def _ref_lpa(edges_pd, iters):
+    """Sequential synchronous LPA reference: labels start at node id;
+    every round all nodes take their neighbors' majority label (count
+    desc, label asc tie-break) simultaneously."""
+    adj = {}
+    for u, v in zip(edges_pd["src"], edges_pd["dst"]):
+        u, v = int(u), int(v)
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            new[n] = min(counts, key=lambda k: (-counts[k], k))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_sequential_and_layouts(ray_session):
+    """Synchronous LPA is bitwise equal to the sequential reference at
+    1 and 8 blocks; two 5-cliques joined by a bridge resolve into two
+    communities labelled by each clique's smallest node."""
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import label_propagation
+
+    rows = []
+    for base in (0, 100):                       # two 5-cliques
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append((base + i, base + j))
+    rows.append((4, 100))                       # bridge
+    rows += [(200, 201), (201, 202)]            # path of 3
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst"]).astype("int64")
+    for iters in (1, 3, 5):
+        want = _ref_lpa(edges_pd, iters)
+        for parts in (1, 8):
+            ds = ray.data.from_pandas(edges_pd).repartition(parts)
+            out = label_propagation(ds, iters=iters).to_pandas()
+            got = dict(zip(out["node"].astype(int),
+                           out["label"].astype(int)))
+            assert got == want, f"mismatch at {parts} blocks, K={iters}"
+    want3 = _ref_lpa(edges_pd, 3)
+    assert all(want3[i] == 0 for i in range(4))        # clique A → 0
+    assert all(want3[100 + i] == 100 for i in range(1, 5))  # clique B
+
+
 def test_group_cooccurrence_weighted_edges_counts(ray_session):
     """cnt = number of DISTINCT groups sharing the ordered pair;
     within-group duplicates collapse; block-layout invariant."""
