@@ -207,7 +207,7 @@ def main() -> int:
         return d
 
     if not only or {"pagerank_10m", "triangles_10m",
-                    "kcore_10m"} & only:
+                    "kcore_10m", "sssp_10m", "lpa_10m"} & only:
         synth_graph()  # synthesis cost stays OUT of the timed passes
 
     def pagerank_10m():
@@ -233,9 +233,40 @@ def main() -> int:
             os.path.join(synth_graph(), "edges.parquet"))
         return kcore(e, k=12).count()
 
+    def sssp_10m():
+        # weighted shortest path, 4 relaxation rounds from 100 seeds;
+        # deterministic weights derived from endpoint ids
+        from htmlparsersharp_ray.stages.graph import sssp
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+
+        def with_w(b):
+            import pyarrow as _pa
+
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            d2 = b.column("dst").to_numpy(zero_copy_only=False)
+            w = (s + d2) % 9 + 1
+            return b.append_column("w", _pa.array(w.astype("int64")))
+
+        src = ray.data.range(100).map_batches(
+            lambda b: {"node": (b["id"] * 10_007) % 1_000_000},
+            batch_format="numpy")
+        return sssp(e.map_batches(with_w, batch_format="pyarrow"),
+                    src, max_rounds=4).count()
+
+    def lpa_10m():
+        from htmlparsersharp_ray.stages.graph import label_propagation
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+        return label_propagation(e, iters=3).count()
+
     run("pagerank_10m", pagerank_10m)
     run("triangles_10m", triangles_10m)
     run("kcore_10m", kcore_10m)
+    run("sssp_10m", sssp_10m)
+    run("lpa_10m", lpa_10m)
 
     def bpe_100k():
         from htmlparsersharp_ray.stages.bpe import bpe_learn
