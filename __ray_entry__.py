@@ -102,6 +102,36 @@ def _q_extract_links(sf_dir: str):
     return out.sort_values("href").reset_index(drop=True)
 
 
+def _q_extract_tables(sf_dir: str):
+    """HTML-table round trip (structured-data extraction, hash-exact):
+    the ``part`` table renders to deliberately-messy HTML documents
+    (implied ``</td>``/``</tr>``, numeric char refs, in-row comments,
+    foster-parented stray text, a ``<th>`` header the extractor must
+    skip — one markup style per ``p_partkey % 4``), then the REAL HTML5
+    parser recovers one typed row per data row. Extraction inverts the
+    render exactly, so the oracle is plain SQL over ``part`` — the same
+    round-trip trick as docs_pdf_extract. Prices travel as exact cents
+    strings (no float text). Parse recovery rules are what make this
+    work: three of the four row styles are unclosed markup the WHATWG
+    tree builder must repair (reference: TreeBuilder.cs table modes)."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.parse_stage import (
+        TableExtractUDF, render_part_tables)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand", "p_type",
+                 "p_size", "p_retailprice"],
+    )
+    out = (ds.map_batches(render_part_tables, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(TableExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("p_partkey").reset_index(drop=True))
+
+
 def _q_docs_dedup_thresholds(sf_dir: str):
     """Dedup threshold-sensitivity report: near-dup pair counts at each
     Jaccard threshold in {0.5, 0.6, 0.7, 0.8, 0.9}, from ONE verified
@@ -1241,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction
         "extract_turns": _q_extract_turns,
         "extract_links": _q_extract_links,
+        "extract_tables": _q_extract_tables,
     }
 
 
@@ -2804,6 +2835,16 @@ def oracle_sql() -> dict[str, str]:
                               regexp_replace(text, '{_redact_p1}', '<X>', 'g'),
                               '{_redact_p2}')) AS BIGINT) AS n_redactions
             FROM documents ORDER BY doc_id
+        """,
+        "extract_tables": """
+            -- HTML <table> render->parse round trip: the extractor
+            -- inverts the deterministic render exactly (cells travel
+            -- as escaped text / numeric char refs; prices as exact
+            -- cents strings), so the oracle is the source rows.
+            SELECT p_partkey, p_name, p_brand, p_type,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+            FROM part ORDER BY p_partkey
         """,
         "docs_pdf_extract": r"""
             -- PDF render→extract round trip: layout extraction

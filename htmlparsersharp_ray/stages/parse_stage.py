@@ -232,3 +232,146 @@ class LinkExtractUDF:
             "anchor_text": pa.array(text_o, pa.string()),
             "in_content": pa.array(content_o, pa.bool_()),
         })
+
+
+# --- HTML table round trip (structured-data extraction) ---------------------
+
+_TABLE_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _esc(s: str) -> str:
+    for ch, rep in _TABLE_ESCAPES.items():
+        s = s.replace(ch, rep)
+    return s
+
+
+def render_part_tables(batch: pa.Table) -> pa.Table:
+    """Render ONE deliberately-messy HTML document per input batch: a
+    data ``<table>`` holding the batch's ``part`` rows, wrapped in
+    boilerplate (nav/footer), with per-row markup style keyed on
+    ``p_partkey % 4`` so the corpus deterministically exercises the
+    WHATWG table insertion modes the reference implements
+    (reference: TreeBuilder.cs IN_TABLE/IN_ROW/IN_CELL handling):
+
+    - style 0: fully closed ``<tr><td>…</td></tr>``
+    - style 1: implied end tags — ``<tr><td>a<td>b`` (no ``</td></tr>``)
+    - style 2: spaces in text cells rendered as numeric char refs
+      (``&#x20;``) + an attribute on the row
+    - style 3: an HTML comment inside the row (legal in table content)
+
+    Each document also carries stray text directly inside ``<table>``
+    (foster-parented OUT of the table per spec — extraction must not
+    see it as cell data) and a ``<thead>`` of ``<th>`` cells that the
+    extractor must skip. Deterministic: output rows depend only on
+    input rows, never on batch boundaries (one table row per part)."""
+    import numpy as np
+
+    keys = batch.column("p_partkey").to_pylist()
+    names = batch.column("p_name").to_pylist()
+    brands = batch.column("p_brand").to_pylist()
+    types = batch.column("p_type").to_pylist()
+    sizes = batch.column("p_size").to_pylist()
+    cents = np.round(
+        batch.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+    ).astype("int64")
+
+    parts = [
+        "<!DOCTYPE html><html><head><title>parts</title>"
+        "<meta charset=utf-8></head><body>"
+        "<nav><a href=/>home</a> <a href=/parts>parts</a></nav>"
+        "<p>Catalog excerpt.</p>"
+        "<table class=data>STRAY<caption>parts</caption>"
+        "<thead><tr><th>key<th>name<th>brand<th>type<th>size<th>cents"
+        "</thead>"
+    ]
+    for k, nm, br, ty, sz, ct in zip(keys, names, brands, types, sizes, cents):
+        cells = [str(k), _esc(nm), _esc(br), _esc(ty), str(sz), str(ct)]
+        style = k % 4
+        if style == 0:
+            parts.append(
+                "<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>")
+        elif style == 1:
+            parts.append("<tr>" + "".join(f"<td>{c}" for c in cells))
+        elif style == 2:
+            cells = [c.replace(" ", "&#x20;") for c in cells]
+            parts.append(
+                '<tr class="r">' + "".join(f"<td>{c}" for c in cells))
+        else:
+            parts.append(
+                f"<tr><!-- row {k} -->" + "".join(f"<td>{c}" for c in cells))
+    parts.append("</table><footer>generated</footer>")
+    return pa.table({"html": pa.array(["".join(parts)], pa.string())})
+
+
+class TableExtractUDF:
+    """Structured-data extraction: parse each HTML document with the real
+    HTML5 parser and emit one typed row per data row of the FIRST
+    ``<table>`` — the wrapper-table/data-table shape of web scraping.
+    Skips header rows (``th`` cells), caption text, and foster-parented
+    stray text (which the spec moves OUT of the table). Actor-pool
+    stage; iterative DOM walks (no recursion limit)."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def _text_of(node) -> str:
+        from ..html.dom import Text
+
+        parts = []
+        stack = list(reversed(node.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, Text):
+                parts.append(c.data)
+            else:
+                stack.extend(reversed(c.children))
+        return "".join(parts)
+
+    def _rows_of(self, html: str):
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        root = parse(html).root
+        # first <table> in document order (iterative preorder)
+        table = None
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element) and node.name == "table":
+                table = node
+                break
+            stack.extend(reversed(node.children))
+        if table is None:
+            return []
+        out = []
+        stack = [table]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element) and node.name == "tr":
+                tds = [c for c in node.children
+                       if isinstance(c, Element) and c.name == "td"]
+                if tds:
+                    out.append([self._text_of(td) for td in tds])
+                continue  # no nested tables in this corpus shape
+            stack.extend(reversed(node.children))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, names, brands, types, sizes, cents = [], [], [], [], [], []
+        for html in batch.column("html").to_pylist():
+            for cells in self._rows_of(html):
+                keys.append(int(cells[0]))
+                names.append(cells[1])
+                brands.append(cells[2])
+                types.append(cells[3])
+                sizes.append(int(cells[4]))
+                cents.append(int(cells[5]))
+        return pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(brands, pa.string()),
+            "p_type": pa.array(types, pa.string()),
+            "p_size": pa.array(sizes, pa.int64()),
+            "price_cents": pa.array(cents, pa.int64()),
+        })

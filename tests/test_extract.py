@@ -123,3 +123,66 @@ def test_link_extract_malformed_html(ray_session):
     })
     out = LinkExtractUDF()(batch).to_pandas()
     assert out["href"].tolist() == ["/in-cell", "/stray"]
+
+
+def _part_batch(keys, names=None):
+    import pyarrow as pa
+
+    n = len(keys)
+    return pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": pa.array(names or [f"name {k}" for k in keys]),
+        "p_brand": pa.array([f"Brand#{k % 5}" for k in keys]),
+        "p_type": pa.array(["STANDARD & <PLATED>"] * n),
+        "p_size": pa.array([k % 50 for k in keys], pa.int32()),
+        "p_retailprice": pa.array([900.05 + k for k in keys], pa.float64()),
+    })
+
+
+def test_table_roundtrip_all_styles():
+    """Every markup style (closed / implied end tags / numeric char
+    refs / in-row comments) round-trips exactly, including escaped
+    metacharacters in cell text."""
+    from htmlparsersharp_ray.stages.parse_stage import (
+        TableExtractUDF, render_part_tables)
+
+    batch = _part_batch([0, 1, 2, 3, 4, 5, 6, 7],
+                        names=['a & b', 'c < d', 'e > f', 'g "h"',
+                               'i  j', ' lead', 'trail ', 'plain'])
+    html = render_part_tables(batch)
+    out = TableExtractUDF()(html).to_pandas().sort_values("p_partkey")
+    assert out["p_partkey"].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert out["p_name"].tolist() == ['a & b', 'c < d', 'e > f', 'g "h"',
+                                      'i  j', ' lead', 'trail ', 'plain']
+    assert out["p_type"].unique().tolist() == ["STANDARD & <PLATED>"]
+    assert out["p_size"].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert out["price_cents"].tolist() == [
+        90005 + 100 * k for k in range(8)]
+
+
+def test_table_extract_skips_foster_text_header_caption():
+    """Stray text inside <table> is foster-parented out (spec), <th>
+    header rows and <caption> never become data rows."""
+    from htmlparsersharp_ray.stages.parse_stage import TableExtractUDF
+    import pyarrow as pa
+
+    html = ("<table>STRAY<caption>cap</caption>"
+            "<thead><tr><th>h1<th>h2</thead>"
+            "<tr><td>1<td>x<td>B<td>T<td>2<td>300")
+    out = TableExtractUDF()(pa.table({"html": [html]})).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "p_partkey"] == 1
+    assert out.loc[0, "p_name"] == "x"
+    assert out.loc[0, "price_cents"] == 300
+
+
+def test_table_extract_first_table_only():
+    """Only the first <table> in document order is the data table;
+    trailing tables (e.g. layout chrome) are ignored."""
+    from htmlparsersharp_ray.stages.parse_stage import TableExtractUDF
+    import pyarrow as pa
+
+    html = ("<table><tr><td>7<td>n<td>B<td>T<td>1<td>42</table>"
+            "<table><tr><td>9<td>z<td>B<td>T<td>1<td>43</table>")
+    out = TableExtractUDF()(pa.table({"html": [html]})).to_pandas()
+    assert out["p_partkey"].tolist() == [7]
