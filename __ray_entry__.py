@@ -1087,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_nation_region": r.q_join_nation_region,
         "events_window": r.q_events_window,
         "events_sessions": r.q_events_sessions,
+        "events_resample": r.q_events_resample,
         "events_running_total": r.q_events_running_total,
         "events_user_hll": _q_events_user_hll,
         "events_user_distinct": r.q_event_user_distinct,
@@ -1337,6 +1338,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, window_start
+        """,
+        "events_resample": """
+            -- per-user hourly gap-fill + forward fill; all-integer
+            -- (cents), so the grid and fill are exact. The engine's
+            -- fill anchor is each user's first OBSERVED hour, matching
+            -- min(hour) here (filled_cents is never NULL).
+            WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour,
+                       count(*) AS n_events,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2
+            ), spans AS (
+                SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                FROM hourly GROUP BY 1
+            ), grid AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1,
+                                              INTERVAL '1 hour')) AS hour
+                FROM spans
+            )
+            SELECT g.user_id, g.hour,
+                   coalesce(h.n_events, 0) AS n_events,
+                   CAST(last_value(h.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                   ) AS BIGINT) AS filled_cents
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hour = h.hour
+            ORDER BY g.user_id, g.hour
         """,
         "events_sessions": """
             WITH o AS (

@@ -2527,3 +2527,35 @@ def test_events_assoc_rules_planted_counts(ray_session, tmp_path):
     assert ab.lift == (4.0 * 9.0) / (6.0 * 6.0)
     ba = got[("B", "A")]
     assert (ba.n_both, ba.n_ante) == (4, 6)
+
+
+def test_events_resample_gap_fill(ray_session, tmp_path):
+    """Resample: gaps between a user's first and last observed hour get
+    n_events=0 and forward-filled cents; grids never extend past the
+    span or bleed across users."""
+    rows = [
+        # u1: hours 0, 1, 4 observed -> grid 0..4, fill from hour 1
+        (1, "2024-01-01 00:10", 1, 1.00),
+        (2, "2024-01-01 00:20", 1, 2.00),
+        (3, "2024-01-01 01:30", 1, 5.00),
+        (4, "2024-01-01 04:05", 1, 7.00),
+        # u2: single hour -> one grid row, no fill needed
+        (5, "2024-01-02 10:00", 2, 9.00),
+    ]
+    t = pa.table({
+        "event_id": pa.array([x[0] for x in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([x[1] for x in rows]),
+                       pa.timestamp("us")),
+        "user_id": pa.array([x[2] for x in rows], pa.int64()),
+        "event_type": pa.array(["e"] * len(rows)),
+        "value": pa.array([x[3] for x in rows], pa.float64()),
+        "props": pa.array([""] * len(rows)),
+    })
+    out = r.q_events_resample(_write(tmp_path, "events", t))
+    assert len(out) == 6  # u1 hours 0..4, u2 one row
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    assert u1["n_events"].tolist() == [2, 1, 0, 0, 1]
+    assert u1["filled_cents"].tolist() == [300, 500, 500, 500, 700]
+    u2 = out[out["user_id"] == 2].reset_index(drop=True)
+    assert u2["n_events"].tolist() == [1]
+    assert u2["filled_cents"].tolist() == [900]
