@@ -132,6 +132,101 @@ def _q_extract_tables(sf_dir: str):
                .sort_values("p_partkey").reset_index(drop=True))
 
 
+def _q_extract_meta(sf_dir: str):
+    """<head> metadata round trip (hash-exact): each ``customer`` row
+    renders to an HTML profile document in one of three markup styles
+    (fully-closed / UPPERCASE-unquoted / NO html-head-body tags at
+    all), and the REAL HTML5 parser recovers <title> RCDATA text with
+    named+decimal+hex character references decoded, <meta name/content>
+    pairs, <link rel=canonical>, and the <html lang> attribute — which
+    is "" exactly for the rows whose <html> the parser synthesized, so
+    implicit-element synthesis is observable in the graded output.
+    Balances travel as exact cents strings. Reference surface:
+    TreeBuilder.cs head modes + Tokenizer.cs RCDATA/charref states."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        MetaExtractUDF, render_customer_profiles)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    )
+    out = (ds.map_batches(render_customer_profiles, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(MetaExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+
+
+def _q_extract_lists(sf_dir: str):
+    """Nested-list hierarchy round trip (hash-exact): nation rows render
+    into region→nation <ul> nests with implied </li> end tags at both
+    levels and &#32;-encoded spaces in odd-keyed names; extraction
+    recovers (n_nationkey, n_name, r_name) via DOM ancestry. The region
+    side is the broadcast small side (5 rows, shipped in the render
+    closure). Reference surface: GenerateImpliedEndTags
+    (TreeBuilder.cs:4238-4281) + NCR decoding."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        ListExtractUDF, make_render_nation_lists)
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    region_names = dict(zip(region.column("r_regionkey").to_pylist(),
+                            region.column("r_name").to_pylist()))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    out = (ds.map_batches(make_render_nation_lists(region_names),
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(ListExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 2)))
+    return (out.to_pandas()
+               .sort_values("n_nationkey").reset_index(drop=True))
+
+
+def _q_extract_fragments(sf_dir: str):
+    """Fragment-context parse round trip (hash-exact): the reference's
+    ParseStringFragment API (SimpleHtmlParser.cs:42-46,67-73) as a
+    graded query. Each supplier row renders to an innerHTML-style
+    fragment parsed with a "tr" / "table" / "tbody" context element
+    (style = s_suppkey % 3), exercising ResetTheInsertionMode from a
+    fragment context and the implied-<tbody> IN_TABLE fix-up; typed
+    cells recover from the <td> elements in document order."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        FragmentExtractUDF, render_supplier_fragments)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    out = (ds.map_batches(render_supplier_fragments, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(FragmentExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def _q_docs_readability(sf_dir: str):
+    """Flesch reading-ease readability screen (hash-exact): word /
+    vowel-group / sentence-boundary counts from three vectorized
+    regex-count passes (patterns shared verbatim with the oracle), the
+    score one mirrored float expression over the exact integer counts
+    (bitwise-equal doubles, the gini/share discipline)."""
+    from htmlparsersharp_ray.stages.text_analysis import readability
+
+    out = readability(_docs(sf_dir, ["doc_id", "text"]))
+    return (out.to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_docs_dedup_thresholds(sf_dir: str):
     """Dedup threshold-sensitivity report: near-dup pair counts at each
     Jaccard threshold in {0.5, 0.6, 0.7, 0.8, 0.9}, from ONE verified
@@ -1273,6 +1368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": _q_extract_turns,
         "extract_links": _q_extract_links,
         "extract_tables": _q_extract_tables,
+        "extract_meta": _q_extract_meta,
+        "extract_lists": _q_extract_lists,
+        "extract_fragments": _q_extract_fragments,
+        "docs_readability": _q_docs_readability,
     }
 
 
@@ -1283,6 +1382,9 @@ def oracle_sql() -> dict[str, str]:
     # they contain no single quotes, so direct SQL-literal interpolation
     # is safe, and DuckDB string literals pass backslashes through to RE2
     from htmlparsersharp_ray.stages.text_analysis import (
+        READABILITY_BOUNDARY_PATTERN,
+        READABILITY_SYLLABLE_PATTERN,
+        READABILITY_WORD_PATTERN,
         SENTENCE_SPLIT_PATTERN,
     )
 
@@ -2831,6 +2933,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
             ORDER BY r_name
         """,
+        "docs_readability": f"""
+            -- Flesch reading-ease: the three count patterns are
+            -- interpolated from the SAME constants the engine uses
+            -- (READABILITY_*_PATTERN); the score is the mirrored
+            -- float expression over the exact integer counts
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                           '{READABILITY_WORD_PATTERN}')) AS w,
+                       len(regexp_extract_all(lower(text),
+                           '{READABILITY_BOUNDARY_PATTERN}')) AS s,
+                       len(regexp_extract_all(lower(text),
+                           '{READABILITY_SYLLABLE_PATTERN}')) AS y
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(y AS BIGINT) AS n_syllables,
+                   206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / GREATEST(s, 1))
+                     - 84.6 * (CAST(y AS DOUBLE) / GREATEST(w, 1))
+                       AS flesch
+            FROM c ORDER BY doc_id
+        """,
         "docs_sentences": f"""
             -- sentence segmentation: boundary regex interpolated from
             -- the SAME SENTENCE_SPLIT_PATTERN constant the engine
@@ -2874,6 +3001,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS BIGINT) AS p_size,
                    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
             FROM part ORDER BY p_partkey
+        """,
+        "extract_meta": """
+            -- <head> metadata render->parse round trip: titles decode
+            -- the em-dash char refs back to U+2014; html_lang is ''
+            -- exactly where the markup style omitted <html> (style
+            -- key % 3 = 2) and the parser synthesized it
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 2 THEN '' ELSE 'en' END
+                       AS html_lang,
+                   'Customer ' || c_name || ' — profile' AS title,
+                   c_mktsegment AS segment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents,
+                   'https://example.com/c/' || c_custkey AS canonical
+            FROM customer ORDER BY c_custkey
+        """,
+        "extract_lists": """
+            -- nested <ul> render->parse round trip: DOM ancestry
+            -- reconstructs the region of each nation item
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey
+        """,
+        "extract_fragments": """
+            -- fragment-context parse round trip (ParseStringFragment):
+            -- typed supplier rows recover from <td> cells
+            SELECT s_suppkey, s_name,
+                   CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM supplier ORDER BY s_suppkey
         """,
         "docs_pdf_extract": r"""
             -- PDF render→extract round trip: layout extraction

@@ -1,0 +1,357 @@
+"""Structured-data extraction round trips over the REAL HTML5 parser.
+
+Three render→parse→recover pipelines that put parser surfaces the
+flagship doesn't isolate into the GRADED oracle gate (same trick as
+``parse_stage.render_part_tables`` / ``TableExtractUDF``):
+
+- ``render_customer_profiles`` / ``MetaExtractUDF`` — <head> metadata
+  extraction: <title> RCDATA text (named/decimal/hex character
+  references), <meta name/content> in every quoting style, <link
+  rel=canonical>, and the <html lang> attribute. One of the three
+  markup styles omits <html>/<head> entirely, so the implicit-element
+  synthesis path (reference: TreeBuilder.cs AppendHtmlElementToDocument
+  / head synthesis in BEFORE_HEAD) is observable in the graded output
+  (html_lang = "" exactly when the parser synthesized <html>).
+- ``make_render_nation_lists`` / ``ListExtractUDF`` — nested <ul>/<li>
+  hierarchy recovery via DOM ancestry, with implied </li> end tags at
+  both levels (reference: TreeBuilder.cs GenerateImpliedEndTags) and
+  numeric-char-ref text in the odd-keyed items.
+- ``render_supplier_fragments`` / ``FragmentExtractUDF`` — the
+  reference's ParseStringFragment API (SimpleHtmlParser.cs:42-46,67-73)
+  as a graded query: innerHTML-style fragment parses with "tr",
+  "table" and "tbody" context elements, exercising
+  ResetTheInsertionMode from a fragment context and the implied-<tbody>
+  fix-up for <tr> in IN_TABLE.
+
+All renders are deterministic functions of the input rows (never of
+batch boundaries: one output row per input row for profiles/fragments;
+list extraction depends only on each row's own ancestry). Prices travel
+as exact cents strings, so each oracle is plain SQL over the source
+table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+def _esc(s: str) -> str:
+    for ch, rep in _ESCAPES.items():
+        s = s.replace(ch, rep)
+    return s
+
+
+def element_text(node) -> str:
+    """Concatenated descendant text (iterative walk, no recursion)."""
+    from ..html.dom import Text
+
+    parts = []
+    stack = list(reversed(node.children))
+    while stack:
+        c = stack.pop()
+        if isinstance(c, Text):
+            parts.append(c.data)
+        else:
+            stack.extend(reversed(c.children))
+    return "".join(parts)
+
+
+def _own_text(el) -> str:
+    """Descendant text of ``el`` EXCLUDING nested list subtrees — the
+    label of a list item whose children include a sub-list."""
+    from ..html.dom import Element, Text
+
+    parts = []
+    stack = list(reversed(el.children))
+    while stack:
+        c = stack.pop()
+        if isinstance(c, Text):
+            parts.append(c.data)
+        elif isinstance(c, Element) and c.name in ("ul", "ol"):
+            continue
+        else:
+            stack.extend(reversed(c.children))
+    return "".join(parts).strip()
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """double money column → exact int64 cents, matching the oracle's
+    CAST(round(x * 100) AS BIGINT) (same idiom as render_part_tables)."""
+    return np.round(
+        col.to_numpy(zero_copy_only=False) * 100
+    ).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# <head> metadata extraction (customer profiles)
+# ---------------------------------------------------------------------------
+
+def render_customer_profiles(batch: pa.Table) -> pa.Table:
+    """One HTML profile document per customer row; markup style keyed
+    on ``c_custkey % 3``:
+
+    - style 0: fully-closed lowercase markup, double-quoted attributes,
+      ``&mdash;`` named reference in the RCDATA <title>
+    - style 1: UPPERCASE tag/attribute names, unquoted and
+      single-quoted attribute values, <head> implied-closed by <BODY>,
+      ``&#8212;`` decimal reference
+    - style 2: NO <html>/<head>/<body> tags at all — the parser must
+      synthesize them and route <title>/<meta>/<link> into the
+      synthesized head; ``&#x2014;`` hex reference. Extraction reads
+      <html lang>, so this style's output row carries lang = ""
+      (no author <html> tag to put it on).
+    """
+    keys = batch.column("c_custkey").to_pylist()
+    names = batch.column("c_name").to_pylist()
+    segs = batch.column("c_mktsegment").to_pylist()
+    cents = _cents(batch.column("c_acctbal"))
+
+    docs = []
+    for k, nm, seg, ct in zip(keys, names, segs, cents):
+        nm_esc = _esc(nm)
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html lang=\"en\"><head>"
+                f"<title>Customer {nm_esc} &mdash; profile</title>"
+                "<meta charset=\"utf-8\">"
+                f"<meta name=\"segment\" content=\"{seg}\">"
+                f"<meta name=\"balance\" content=\"{ct}\">"
+                f"<link rel=\"canonical\" href=\"https://example.com/c/{k}\">"
+                f"</head><body><h1>{nm_esc}</h1><p>profile {k}</p>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                "<!DOCTYPE html><HTML LANG=en><HEAD>"
+                f"<TITLE>Customer {nm_esc} &#8212; profile</TITLE>"
+                "<META CHARSET=utf-8>"
+                f"<META NAME=segment CONTENT={seg}>"
+                f"<META NAME=balance CONTENT='{ct}'>"
+                f"<LINK REL=canonical HREF=https://example.com/c/{k}>"
+                f"<BODY><P>profile {k}"
+            )
+        else:
+            docs.append(
+                f"<title>Customer {nm_esc} &#x2014; profile</title>"
+                f"<meta name=segment content=\"{seg}\">"
+                f"<meta name=balance content=\"{ct}\">"
+                f"<link rel=canonical href='https://example.com/c/{k}'>"
+                f"profile text {k} with <b>markup</b>"
+            )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class MetaExtractUDF:
+    """Parse each profile document and emit its head metadata as one
+    typed row. Actor-pool stage (parser tables amortized per actor)."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def _fields(html: str):
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        doc = parse(html).root
+        html_el = next(
+            (c for c in doc.children
+             if isinstance(c, Element) and c.name == "html"), None)
+        if html_el is None:  # pragma: no cover - parser always builds one
+            return None
+        head = next(
+            (c for c in html_el.children
+             if isinstance(c, Element) and c.name == "head"), None)
+        lang = html_el.attrs.get("lang", "")
+        title = ""
+        metas: dict[str, str] = {}
+        canonical = ""
+        for c in (head.children if head is not None else ()):
+            if not isinstance(c, Element):
+                continue
+            if c.name == "title":
+                title = element_text(c)
+            elif c.name == "meta":
+                name = c.attrs.get("name")
+                if name:
+                    metas[name] = c.attrs.get("content", "")
+            elif c.name == "link" and c.attrs.get("rel") == "canonical":
+                canonical = c.attrs.get("href", "")
+        return lang, title, metas, canonical
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, langs, titles, segs, bals, canons = [], [], [], [], [], []
+        for html in batch.column("html").to_pylist():
+            got = self._fields(html)
+            if got is None:  # pragma: no cover
+                continue
+            lang, title, metas, canonical = got
+            # canonical carries the key: https://example.com/c/<key>
+            keys.append(int(canonical.rsplit("/", 1)[1]))
+            langs.append(lang)
+            titles.append(title)
+            segs.append(metas.get("segment", ""))
+            bals.append(int(metas.get("balance", "0")))
+            canons.append(canonical)
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "html_lang": pa.array(langs, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "segment": pa.array(segs, pa.string()),
+            "balance_cents": pa.array(bals, pa.int64()),
+            "canonical": pa.array(canons, pa.string()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# nested-list hierarchy extraction (region → nation)
+# ---------------------------------------------------------------------------
+
+def make_render_nation_lists(region_names: dict[int, str]):
+    """Render a batch of nation rows as ONE document holding a nested
+    region→nation <ul>, using implied </li> end tags at both levels.
+    ``region_names`` is the broadcast small side (regionkey → name) —
+    read once on the driver, shipped in the task closure.
+
+    Batch-boundary independent: each nation row's extracted
+    (n_nationkey, n_name, r_name) depends only on its own ancestry,
+    never on which other rows share the document.
+    """
+
+    def render(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_pylist()
+        names = batch.column("n_name").to_pylist()
+        rkeys = batch.column("n_regionkey").to_pylist()
+        groups: dict[str, list[tuple[int, str]]] = {}
+        for k, nm, rk in zip(keys, names, rkeys):
+            groups.setdefault(region_names[rk], []).append((int(k), nm))
+        parts = [
+            "<!DOCTYPE html><html><head><title>geo</title></head><body>"
+            "<ul class=regions>"
+        ]
+        for rname in sorted(groups):
+            parts.append(f"<li>{_esc(rname)}<ul>")
+            for k, nm in groups[rname]:
+                if k % 2:
+                    enc = _esc(nm).replace(" ", "&#32;")
+                    parts.append(f"<li data-k={k} class='n'><b>{enc}</b>")
+                else:
+                    parts.append(f"<li data-k={k}>{_esc(nm)}")
+            parts.append("</ul>")
+        parts.append("</ul><footer>generated</footer></body></html>")
+        return pa.table({"html": pa.array(["".join(parts)], pa.string())})
+
+    return render
+
+
+class ListExtractUDF:
+    """Recover (n_nationkey, n_name, r_name) rows from the nested-list
+    documents by DOM ancestry: a nation is any <li> carrying data-k;
+    its region is the label text of the <li> two levels up (excluding
+    the nested <ul> subtree)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, names, regions = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "li" \
+                        and "data-k" in node.attrs:
+                    region_li = node.parent.parent  # li > ul > li(region)
+                    keys.append(int(node.attrs["data-k"]))
+                    names.append(_own_text(node))
+                    regions.append(_own_text(region_li))
+                    continue  # nation items carry no nested lists
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "n_nationkey": pa.array(keys, pa.int64()),
+            "n_name": pa.array(names, pa.string()),
+            "r_name": pa.array(regions, pa.string()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# fragment parsing (the reference's ParseStringFragment API)
+# ---------------------------------------------------------------------------
+
+def render_supplier_fragments(batch: pa.Table) -> pa.Table:
+    """One innerHTML-style fragment per supplier row, with the fragment
+    CONTEXT varying by ``s_suppkey % 3``:
+
+    - style 0, context "tr":    bare ``<td>`` cells (implied </td>)
+    - style 1, context "table": a fully-closed ``<tr>`` — the parser
+      must synthesize the implied <tbody> (IN_TABLE fix-up)
+    - style 2, context "tbody": an attributed unclosed row
+    """
+    keys = batch.column("s_suppkey").to_pylist()
+    names = batch.column("s_name").to_pylist()
+    nkeys = batch.column("s_nationkey").to_pylist()
+    cents = _cents(batch.column("s_acctbal"))
+
+    frags, ctxs = [], []
+    for k, nm, nk, ct in zip(keys, names, nkeys, cents):
+        cells = [str(k), _esc(nm), str(int(nk)), str(ct)]
+        style = k % 3
+        if style == 0:
+            ctxs.append("tr")
+            frags.append("".join(f"<td>{c}" for c in cells))
+        elif style == 1:
+            ctxs.append("table")
+            frags.append(
+                "<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>")
+        else:
+            ctxs.append("tbody")
+            frags.append("<tr class=s>" + "".join(f"<td>{c}" for c in cells))
+    return pa.table({
+        "fragment": pa.array(frags, pa.string()),
+        "ctx": pa.array(ctxs, pa.string()),
+    })
+
+
+class FragmentExtractUDF:
+    """Parse each fragment with its context element
+    (``parse_fragment``, mirroring ParseStringFragment) and recover the
+    typed supplier row from the <td> cells in document order."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse_fragment
+
+        keys, names, nkeys, bals = [], [], [], []
+        frags = batch.column("fragment").to_pylist()
+        ctxs = batch.column("ctx").to_pylist()
+        for frag, ctx in zip(frags, ctxs):
+            fragment = parse_fragment(frag, ctx).root
+            cells = []
+            stack = list(reversed(fragment.children))
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "td":
+                    cells.append(element_text(node))
+                    continue  # no nested tables in this corpus shape
+                stack.extend(reversed(node.children))
+            keys.append(int(cells[0]))
+            names.append(cells[1])
+            nkeys.append(int(cells[2]))
+            bals.append(int(cells[3]))
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(names, pa.string()),
+            "s_nationkey": pa.array(nkeys, pa.int64()),
+            "bal_cents": pa.array(bals, pa.int64()),
+        })

@@ -883,3 +883,42 @@ def sentence_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         SentenceStatsUDF, batch_format="pandas", batch_size=2048,
         concurrency=(1, 2),
     )
+
+
+# Flesch reading-ease counts: patterns shared verbatim with the DuckDB
+# oracle (the SENTENCE_SPLIT_PATTERN idiom), RE2-compatible. All three
+# counts are exact integers; the score is ONE mirrored float expression
+# over them, so it bit-matches the oracle like the gini/share queries.
+READABILITY_WORD_PATTERN = "[a-z]+"
+READABILITY_SYLLABLE_PATTERN = "[aeiouy]+"
+READABILITY_BOUNDARY_PATTERN = "[.!?]+"
+
+
+def readability_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Flesch reading-ease per document — the classic corpus-quality
+    readability screen. Words = runs of [a-z] in the lowercased text,
+    syllables = vowel-group runs (the standard cheap estimator),
+    sentences = [.!?]+ boundary runs; all three are vectorized pandas
+    .str.count passes (non-overlapping match counts, same semantics as
+    DuckDB's regexp_extract_all length). Zero denominators guard to 1
+    on both sides (GREATEST in the oracle)."""
+    low = batch["text"].fillna("").str.lower()
+    w = low.str.count(READABILITY_WORD_PATTERN).to_numpy(dtype=np.int64)
+    y = low.str.count(READABILITY_SYLLABLE_PATTERN).to_numpy(dtype=np.int64)
+    s = low.str.count(READABILITY_BOUNDARY_PATTERN).to_numpy(dtype=np.int64)
+    wf = np.maximum(w, 1).astype(np.float64)
+    sf = np.maximum(s, 1).astype(np.float64)
+    flesch = 206.835 - 1.015 * (w.astype(np.float64) / sf) \
+        - 84.6 * (y.astype(np.float64) / wf)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_words": w,
+        "n_sentences": s,
+        "n_syllables": y,
+        "flesch": flesch,
+    })
+
+
+def readability(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(readability_stats, batch_format="pandas",
+                            batch_size=4096)

@@ -1,0 +1,193 @@
+"""Structured-extraction round trips (stages/structured.py): head
+metadata, nested lists, fragment-context parses. Pure-function tests —
+no Ray; the Ray wiring is exercised by the driver queries and
+tools/check_oracle.py."""
+
+import pyarrow as pa
+import pytest
+
+from htmlparsersharp_ray.stages.structured import (
+    FragmentExtractUDF,
+    ListExtractUDF,
+    MetaExtractUDF,
+    make_render_nation_lists,
+    render_customer_profiles,
+    render_supplier_fragments,
+)
+
+
+def _cust(keys, names=None, segs=None, bals=None):
+    n = len(keys)
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": names or [f"Customer#{k:09d}" for k in keys],
+        "c_mktsegment": segs or ["BUILDING"] * n,
+        "c_acctbal": bals or [100.25] * n,
+    })
+
+
+class TestMetaExtract:
+    def test_all_three_styles_round_trip(self):
+        t = _cust([0, 1, 2], names=["A & B <Co>", "N#1", "Pl>ain"],
+                  bals=[12.34, -5.67, 0.01])
+        out = MetaExtractUDF()(render_customer_profiles(t)).to_pandas()
+        # titles decode the em-dash refs (&mdash; / &#8212; / &#x2014;)
+        assert out["title"].tolist() == [
+            "Customer A & B <Co> — profile",
+            "Customer N#1 — profile",
+            "Customer Pl>ain — profile",
+        ]
+        assert out["segment"].tolist() == ["BUILDING"] * 3
+        assert out["balance_cents"].tolist() == [1234, -567, 1]
+        assert out["canonical"].tolist() == [
+            f"https://example.com/c/{k}" for k in (0, 1, 2)]
+
+    def test_style2_synthesized_html_has_no_lang(self):
+        # style = key % 3 == 2 renders NO <html> tag: the parser
+        # synthesizes one, so lang must be "" exactly for those rows
+        t = _cust([0, 1, 2, 3, 4, 5])
+        out = MetaExtractUDF()(render_customer_profiles(t)).to_pandas()
+        assert out["html_lang"].tolist() == ["en", "en", "", "en", "en", ""]
+
+    def test_title_and_meta_land_in_synthesized_head(self):
+        from htmlparsersharp_ray.html.dom import Element
+        from htmlparsersharp_ray.html.parser import parse
+
+        t = _cust([2])  # style 2: no explicit html/head/body
+        html = render_customer_profiles(t).column("html").to_pylist()[0]
+        assert "<head" not in html.lower()
+        doc = parse(html).root
+        html_el = next(c for c in doc.children
+                       if isinstance(c, Element) and c.name == "html")
+        head = next(c for c in html_el.children
+                    if isinstance(c, Element) and c.name == "head")
+        names = [c.name for c in head.children if isinstance(c, Element)]
+        assert "title" in names and "meta" in names and "link" in names
+
+    def test_negative_and_large_balances_exact(self):
+        t = _cust([0, 1], bals=[-9999.99, 4999999.5])
+        out = MetaExtractUDF()(render_customer_profiles(t)).to_pandas()
+        assert out["balance_cents"].tolist() == [-999999, 499999950]
+
+
+class TestListExtract:
+    REGIONS = {0: "AFRICA", 1: "AMERICA", 2: "EUROPE"}
+
+    def _nations(self, rows):
+        ks, ns, rs = zip(*rows)
+        return pa.table({
+            "n_nationkey": pa.array(ks, pa.int32()),
+            "n_name": list(ns),
+            "n_regionkey": pa.array(rs, pa.int32()),
+        })
+
+    def test_ancestry_recovery(self):
+        t = self._nations([(0, "ALGERIA", 0), (1, "UNITED STATES", 1),
+                           (2, "GERMANY", 2), (3, "UNITED KINGDOM", 2)])
+        out = (ListExtractUDF()(make_render_nation_lists(self.REGIONS)(t))
+               .to_pandas().sort_values("n_nationkey"))
+        assert out["n_name"].tolist() == [
+            "ALGERIA", "UNITED STATES", "GERMANY", "UNITED KINGDOM"]
+        assert out["r_name"].tolist() == [
+            "AFRICA", "AMERICA", "EUROPE", "EUROPE"]
+
+    def test_batch_boundary_invariance(self):
+        rows = [(k, f"N{k} X", k % 3) for k in range(10)]
+        t = self._nations(rows)
+        render = make_render_nation_lists(self.REGIONS)
+        whole = (ListExtractUDF()(render(t)).to_pandas()
+                 .sort_values("n_nationkey").reset_index(drop=True))
+        split = pa.concat_tables([render(t.slice(0, 4)),
+                                  render(t.slice(4, 3)),
+                                  render(t.slice(7))])
+        parts = (ListExtractUDF()(split).to_pandas()
+                 .sort_values("n_nationkey").reset_index(drop=True))
+        assert whole.equals(parts)
+
+    def test_implied_end_tags_render(self):
+        # the render relies on implied </li>: no literal </li> appears
+        t = self._nations([(1, "UNITED STATES", 1), (3, "FRANCE", 2)])
+        html = (make_render_nation_lists(self.REGIONS)(t)
+                .column("html").to_pylist()[0])
+        assert "</li>" not in html
+        # odd keys space-encode via &#32;
+        assert "UNITED&#32;STATES" in html
+        out = ListExtractUDF()(make_render_nation_lists(self.REGIONS)(t)) \
+            .to_pandas().sort_values("n_nationkey")
+        assert out["n_name"].tolist() == ["UNITED STATES", "FRANCE"]
+
+
+class TestFragmentExtract:
+    def _sup(self, keys, names=None, bals=None):
+        n = len(keys)
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": names or [f"Supplier#{k:09d}" for k in keys],
+            "s_nationkey": pa.array([k % 25 for k in keys], pa.int32()),
+            "s_acctbal": bals or [42.42] * n,
+        })
+
+    def test_all_three_contexts_round_trip(self):
+        t = self._sup([0, 1, 2], names=["S&P <q>", "S1", "S2"],
+                      bals=[10.55, -0.05, 123.0])
+        rendered = render_supplier_fragments(t)
+        assert rendered.column("ctx").to_pylist() == ["tr", "table", "tbody"]
+        out = FragmentExtractUDF()(rendered).to_pandas()
+        assert out["s_suppkey"].tolist() == [0, 1, 2]
+        assert out["s_name"].tolist() == ["S&P <q>", "S1", "S2"]
+        assert out["s_nationkey"].tolist() == [0, 1, 2]
+        assert out["bal_cents"].tolist() == [1055, -5, 12300]
+
+    def test_table_context_synthesizes_tbody(self):
+        from htmlparsersharp_ray.html.dom import Element
+        from htmlparsersharp_ray.html.parser import parse_fragment
+
+        t = self._sup([1])  # style 1: context "table", closed <tr>
+        frag = render_supplier_fragments(t).column("fragment").to_pylist()[0]
+        root = parse_fragment(frag, "table").root
+        tops = [c.name for c in root.children if isinstance(c, Element)]
+        assert tops == ["tbody"]
+
+    @pytest.mark.parametrize("key", [0, 1, 2])
+    def test_fragment_parse_is_error_tolerant(self, key):
+        # unclosed-cell styles parse without raising and recover all 4
+        t = self._sup([key])
+        out = FragmentExtractUDF()(render_supplier_fragments(t))
+        assert out.num_rows == 1
+
+
+class TestReadability:
+    def test_counts_and_score(self):
+        import numpy as np
+        import pandas as pd
+
+        from htmlparsersharp_ray.stages.text_analysis import (
+            readability_stats)
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["Hello world. This is fine!", "", "one two three"],
+        })
+        out = readability_stats(df)
+        assert out["n_words"].tolist() == [5, 0, 3]
+        assert out["n_sentences"].tolist() == [2, 0, 0]
+        # vowel groups: hello(e,o) world(o) this(i) is(i) fine(i,e) = 7;
+        # one(o,e) two(o) three(ee) = 4
+        assert out["n_syllables"].tolist() == [7, 0, 4]
+        # empty doc guards both denominators to 1 -> base constant
+        assert out["flesch"][1] == 206.835
+        # hand-check row 0: 206.835 - 1.015*(5/2) - 84.6*(7/5)
+        expect = 206.835 - 1.015 * 2.5 - 84.6 * 1.4
+        assert np.float64(out["flesch"][0]).tobytes() == \
+            np.float64(expect).tobytes()
+
+    def test_none_text_treated_empty(self):
+        import pandas as pd
+
+        from htmlparsersharp_ray.stages.text_analysis import (
+            readability_stats)
+
+        out = readability_stats(
+            pd.DataFrame({"doc_id": [1], "text": [None]}))
+        assert out["n_words"].tolist() == [0]
+        assert out["flesch"][0] == 206.835
