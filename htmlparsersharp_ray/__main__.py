@@ -146,6 +146,9 @@ def main(argv=None):
     p_ext.add_argument("--concurrency", type=int, default=None)
     p_ext.add_argument("--batch-size", type=int, default=512)
     p_ext.add_argument("--no-resume", action="store_true")
+    p_ext.add_argument("--format", default="parquet",
+                       choices=["parquet", "csv", "jsonl", "html"],
+                       help="input source format (sources/formats.py)")
     p_ext.add_argument("--num-cpus", type=int, default=None)
 
     p_syn = sub.add_parser("synth", help="generate a synthetic transcript table")
@@ -219,6 +222,7 @@ def main(argv=None):
             concurrency=concurrency,
             batch_size=args.batch_size,
             resume=not args.no_resume,
+            input_format=args.format,
         )
         print(
             json.dumps(

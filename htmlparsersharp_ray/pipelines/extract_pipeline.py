@@ -236,6 +236,25 @@ def _finalize_bucket(out_dir: str, run_id: str):
     return fn
 
 
+def _read_transcripts(input_dir: str, input_format: str):
+    """Source-format dispatch: Parquet prunes at the read; the alternate
+    formats (sources/formats.py) read the canonical table and project
+    down to READ_COLUMNS in the same task."""
+    if input_format == "parquet":
+        return ray.data.read_parquet(input_dir, columns=READ_COLUMNS)
+    from ..sources import formats
+
+    if input_format == "csv":
+        ds = formats.read_transcripts_csv(input_dir)
+    elif input_format == "jsonl":
+        ds = formats.read_transcripts_jsonl(input_dir)
+    elif input_format == "html":
+        ds = formats.read_html_dir(input_dir)
+    else:
+        raise ValueError(f"unknown input_format: {input_format!r}")
+    return ds.select_columns(READ_COLUMNS)
+
+
 def run_extract_pipeline(
     input_dir: str,
     out_dir: str,
@@ -244,6 +263,7 @@ def run_extract_pipeline(
     concurrency=None,
     batch_size: int = 256,
     resume: bool = True,
+    input_format: str = "parquet",
 ):
     """Run the flagship pipeline; returns the manifest as a pandas DataFrame
     (one row per bucket written this run)."""
@@ -259,7 +279,7 @@ def run_extract_pipeline(
     # across runs into finalize
     shutil.rmtree(os.path.join(out_dir, "_partial"), ignore_errors=True)
     run_id = uuid.uuid4().hex[:12]
-    ds = ray.data.read_parquet(input_dir, columns=READ_COLUMNS)
+    ds = _read_transcripts(input_dir, input_format)
     ds = ds.map_batches(
         AddBucket(n_buckets, salt_cap, skip_buckets=skip),
         batch_format="pyarrow",
