@@ -260,6 +260,35 @@ def _q_docs_dedup_thresholds(sf_dir: str):
     return out.sort_values("threshold").reset_index(drop=True)
 
 
+def _q_docs_containment(sf_dir: str):
+    """EXACT set-containment join (hash-exact): ordered (container,
+    contained) pairs with |S_a∩S_b|/|S_b| ≥ 0.8 over 3-gram shingle
+    sets — the quote-inclusion / near-subset dedup signal symmetric
+    Jaccard misses. Zero-miss asymmetric prefix filtering (B's prefix
+    vs A's full index under df-ascending order) proposes; the shared
+    distributed exact verify decides (stages/dedup.py::
+    containment_pairs_ds)."""
+    import pandas as pd
+
+    from htmlparsersharp_ray.stages.dedup import containment_pairs_ds
+
+    pairs = containment_pairs_ds(_docs(sf_dir, ["doc_id", "text"]),
+                                 threshold=0.8)
+    out = pairs.to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "container": pd.Series([], dtype="int64"),
+            "contained": pd.Series([], dtype="int64"),
+            "containment_pct": pd.Series([], dtype="int64"),
+        })
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    out["containment_pct"] = (out["containment"] * 100).astype("int64")
+    out = out.rename(columns={"doc_a": "container", "doc_b": "contained"})
+    return (out[["container", "contained", "containment_pct"]]
+            .sort_values(["container", "contained"])
+            .reset_index(drop=True))
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from htmlparsersharp_ray.stages.dedup import exact_dedup
 
@@ -1312,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_jaccard_prefix": _q_docs_jaccard_prefix,
+        "docs_containment": _q_docs_containment,
         "docs_bpe_vocab": _q_docs_bpe_vocab,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_postings": _q_docs_postings,
@@ -3541,6 +3571,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, CAST(trunc(100 * jac) AS BIGINT) AS jaccard_pct
             FROM j WHERE jac >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        "docs_containment": r"""
+            -- exact set-containment join: ordered (container, contained)
+            -- with |A∩B|/|B| >= 0.8 over 3-gram shingle sets (same
+            -- shingle definition as docs_ngram_jaccard); truncated
+            -- percentage from the same exact-int / deterministic-double
+            -- division both sides compute
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS sh
+              FROM w
+            ), c AS (
+              SELECT a.doc_id AS container, b.doc_id AS contained,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)
+                         AS cont
+              FROM s a JOIN s b
+                ON a.doc_id <> b.doc_id AND len(b.sh) > 0
+            )
+            SELECT container, contained,
+                   CAST(trunc(100 * cont) AS BIGINT) AS containment_pct
+            FROM c WHERE cont >= 0.8
+            ORDER BY container, contained
         """,
         "docs_exact_dedup": """
             SELECT doc_id, n_chars FROM documents

@@ -289,6 +289,7 @@ def _dedup_candidates(raw: ray.data.Dataset, pair_filter=None) -> ray.data.Datas
 def _verify_pairs_exact(
     cand: ray.data.Dataset, docs: ray.data.Dataset, n: int,
     jaccard_threshold: float, prune: bool = True,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Distributed exact-Jaccard verification of a deduped candidate-pair
     Dataset against the corpus — the shared back half of every pair-mining
@@ -306,7 +307,15 @@ def _verify_pairs_exact(
     sets. False positives just ship extra rows; results are identical.
     ``prune=False`` skips the candidate materialization and reshuffles
     every doc's shingle-hash set (same order of bytes as the text read).
+
+    ``metric`` selects the verified score: symmetric ``"jaccard"``
+    (|A∩B| / |A∪B|, unordered pairs) or asymmetric ``"containment"``
+    (|A∩B| / |B| — doc_b's coverage inside doc_a, ORDERED pairs; the
+    output column is named ``containment``).
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric: {metric!r}")
+    score_col = "jaccard" if metric == "jaccard" else "containment"
     bloom_ref = None
     if prune:
         import ray as _ray
@@ -383,39 +392,53 @@ def _verify_pairs_exact(
             return pd.DataFrame({"pb": pd.Series([], dtype="int64"),
                                  "doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
+                                 "isb": pd.Series([], dtype="bool"),
                                  "sh": pd.Series([], dtype="object")})
         m = req_rows.merge(doc_rows, on="doc_id", how="inner")
         a = m["doc_a"].astype("int64").to_numpy()
         b = m["doc_b"].astype("int64").to_numpy()
         return pd.DataFrame({"pb": _pair_bucket(a, b), "doc_a": a,
-                             "doc_b": b, "sh": m["sh"]})
+                             "doc_b": b,
+                             "isb": m["doc_id"].to_numpy() == b,
+                             "sh": m["sh"]})
 
-    def jaccard(group: pd.DataFrame) -> pd.DataFrame:
-        """Exact Jaccard per candidate pair inside one pair bucket; the
+    def score_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Exact score per candidate pair inside one pair bucket; the
         loop is over candidate PAIRS (≪ docs), everything else is C."""
         out_a, out_b, out_j = [], [], []
         for (a, b), sub in group.groupby(["doc_a", "doc_b"], sort=False):
             if len(sub) != 2:
                 continue  # a side's doc row was missing
-            sa = np.asarray(sub["sh"].iloc[0], dtype=np.int64)
-            sb = np.asarray(sub["sh"].iloc[1], dtype=np.int64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = (inter / union) if union else 0.0
+            if metric == "containment":
+                # pick sets by side: sb = the CONTAINED doc's set
+                rb = sub[sub["isb"]]
+                ra = sub[~sub["isb"]]
+                if len(rb) != 1 or len(ra) != 1:
+                    continue
+                sa = np.asarray(ra["sh"].iloc[0], dtype=np.int64)
+                sb = np.asarray(rb["sh"].iloc[0], dtype=np.int64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = (inter / sb.size) if sb.size else 0.0
+            else:
+                sa = np.asarray(sub["sh"].iloc[0], dtype=np.int64)
+                sb = np.asarray(sub["sh"].iloc[1], dtype=np.int64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = (inter / union) if union else 0.0
             if j >= jaccard_threshold:
                 out_a.append(int(a))
                 out_b.append(int(b))
                 out_j.append(j)
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                              "doc_b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+                             score_col: pd.Series(out_j, dtype="float64")})
 
     return (
         requests.union(shingle_rows)
         .groupby("db")
         .map_groups(attach, batch_format="pandas")
         .groupby("pb")
-        .map_groups(jaccard, batch_format="pandas")
+        .map_groups(score_pairs, batch_format="pandas")
     )
 
 
@@ -597,6 +620,119 @@ def jaccard_prefix_pairs(
     """Small-result wrapper over :func:`jaccard_prefix_pairs_ds`."""
     return _pairs_to_pandas(
         jaccard_prefix_pairs_ds(docs, jaccard_threshold, n, prune))
+
+
+def containment_pairs_ds(
+    docs: ray.data.Dataset, threshold: float = 0.8, n: int = 3,
+    prune: bool = True,
+) -> ray.data.Dataset:
+    """EXACT set-containment join: every ORDERED pair (container,
+    contained) with |S_container ∩ S_contained| / |S_contained| ≥ t over
+    word-n-gram shingle sets — the quote-inclusion / near-subset dedup
+    signal symmetric Jaccard misses (a small doc pasted inside a large
+    one has low Jaccard but containment 1.0). Zero missed pairs by the
+    ASYMMETRIC prefix filter (the set-containment-join adaptation of
+    AllPairs — Bayardo et al. WWW'07): if containment ≥ t then
+    |A∩B| ≥ ceil(t·|B|) ≥ 1, so under ANY global token order the first
+    common token has rank ≤ |B| − ceil(t·|B|) + 1 in B — i.e. it lies
+    in B's prefix — while A indexes ALL its tokens. Grouping B-prefix
+    rows against full A-index rows per token therefore proposes every
+    qualifying ordered pair; the shared exact verify
+    (:func:`_verify_pairs_exact` with ``metric="containment"``) decides.
+
+    The global order is (document frequency ASC, hash), so prefixes
+    prefer the corpus's RAREST tokens and hot-token groups stay small
+    on the probe side (scale assumption: candidate volume per token =
+    df(token) × |prefix rows of token|; df-ordering keeps the second
+    factor near zero for hot tokens). Size prefilter: containment needs
+    |A| ≥ t·|B| (float-guarded toward MORE candidates). Self-pairs
+    excluded; both directions of a mutual near-dup emit independently.
+    Empty shingle sets never qualify (containment undefined; the
+    oracle mirrors with len(b.sh) > 0).
+    """
+    t = float(threshold)
+    from ..pipelines.joins import auto_buckets
+
+    nb = int(auto_buckets(docs))
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sets = _shingle_hash_sets(batch.column("text").to_pylist(), n)
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+        tok = np.concatenate(sets) if sets else np.empty(0, np.int64)
+        tok = tok.astype(np.int64)
+        return pa.table({
+            "tb": pa.array(_ibucket(tok, nb)),
+            "token": pa.array(tok),
+            "doc_id": pa.array(np.repeat(ids, sizes)),
+            "s": pa.array(np.repeat(sizes, sizes)),
+        })
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        out = group[["token", "doc_id", "s"]].copy()
+        out["df"] = group.groupby("token")["token"].transform("size").astype("int64")
+        out["db"] = _ibucket(out["doc_id"].to_numpy(), nb)
+        return out
+
+    def index_and_prefix(group: pd.DataFrame) -> pd.DataFrame:
+        """Per doc: ALL tokens as index rows (side 0) + the containment
+        prefix (rank < s − ceil(t·s) + 1 under (df, token) order) as
+        probe rows (side 1)."""
+        g = group.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        s = g["s"].to_numpy()
+        p = s - np.ceil(t * s - 1e-9).astype(np.int64) + 1
+        idx = g[["token", "doc_id", "s"]].copy()
+        idx["side"] = np.int8(0)
+        prb = g.loc[rank < p, ["token", "doc_id", "s"]].copy()
+        prb["side"] = np.int8(1)
+        out = pd.concat([idx, prb], ignore_index=True)
+        out["tb"] = _ibucket(out["token"].to_numpy(), nb)
+        return out
+
+    def token_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Ordered candidates per token: (container = index row's doc)
+        × (contained = probe row's doc), size-filtered."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        out_a, out_b = [], []
+        for _, sub in group.groupby("token", sort=False):
+            prb = sub[sub["side"] == 1]
+            if prb.empty:
+                continue
+            idx = sub[sub["side"] == 0]
+            if idx.empty:
+                continue
+            ai = idx["doc_id"].to_numpy()
+            sa = idx["s"].to_numpy().astype(np.float64)
+            bi = prb["doc_id"].to_numpy()
+            sb = prb["s"].to_numpy().astype(np.float64)
+            na, nbp = len(ai), len(bi)
+            aa = np.repeat(ai, nbp)
+            bb = np.tile(bi, na)
+            ok = (aa != bb) & (np.repeat(sa, nbp) + 1e-9 >= t * np.tile(sb, na))
+            if ok.any():
+                out_a.append(aa[ok])
+                out_b.append(bb[ok])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+        })
+
+    raw = (
+        docs.map_batches(token_rows, batch_format="pyarrow", batch_size=512)
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(index_and_prefix, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(token_pairs, batch_format="pandas")
+    )
+    cand = _dedup_candidates(raw)
+    return _verify_pairs_exact(cand, docs, n, t, prune,
+                               metric="containment")
 
 
 def incremental_near_dups(

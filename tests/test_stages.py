@@ -2503,3 +2503,91 @@ def test_kcenter_early_stop_on_duplicates(ray_session):
     out = kcenter_sample(ray.data.from_arrow(t), k=4)
     assert list(out["vec_id"]) == [1, 3]
     assert list(out["center_rank"]) == [0, 1]
+
+
+def _bruteforce_containment_pairs(texts, ids, threshold, n=3):
+    """Independent all-ORDERED-pairs exact containment |A∩B|/|B| —
+    the reference the asymmetric prefix-filter path must match EXACTLY."""
+    from htmlparsersharp_ray.stages.dedup import _shingle_hash_sets
+
+    sets = _shingle_hash_sets(list(texts), n)
+    out = {}
+    for i, sa in enumerate(sets):
+        for j, sb in enumerate(sets):
+            if i == j or sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            c = inter / sb.size
+            if c >= threshold:
+                out[(ids[i], ids[j])] = c
+    return out
+
+
+def test_containment_planted_quote_inclusion(ray_session):
+    """A small doc pasted inside a large one has low Jaccard but
+    containment 1.0 — the directed pair (big contains small) must be
+    found, the reverse direction must NOT."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import containment_pairs_ds
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(500)]
+    big_words = rng.choice(vocab, size=200, replace=False).tolist()
+    big = " ".join(big_words)
+    small = " ".join(big_words[50:80])          # contiguous quote
+    half = " ".join(big_words[:15] +
+                    rng.choice(vocab[400:], size=15).tolist())
+    texts = [big, small, half, ""]
+    ids = [0, 1, 2, 3]
+    for k in range(20):  # unrelated
+        texts.append(" ".join(rng.choice(vocab, size=40).tolist()))
+        ids.append(4 + k)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    got = containment_pairs_ds(ds, threshold=0.8).to_pandas()
+    got_map = {(int(a), int(b)): float(c) for a, b, c in
+               zip(got["doc_a"], got["doc_b"], got["containment"])}
+    assert got_map[(0, 1)] == 1.0            # big contains the quote
+    assert (1, 0) not in got_map             # direction matters
+    assert (0, 2) not in got_map             # half-quote below 0.8
+    want = _bruteforce_containment_pairs(texts, ids, 0.8)
+    assert got_map == pytest.approx(want)
+
+
+@pytest.mark.parametrize("seed,threshold", [(3, 0.7), (19, 0.9)])
+def test_containment_equals_bruteforce_random(ray_session, seed, threshold):
+    """Zero-miss differential: random corpus with planted slices and
+    near-dups — pipeline pair set and values equal brute force exactly."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import containment_pairs_ds
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{k}" for k in range(200)]
+    texts, ids = [], []
+    did = 0
+    for _ in range(10):
+        words = rng.choice(vocab, size=60).tolist()
+        texts.append(" ".join(words)); ids.append(did); did += 1
+        lo = int(rng.integers(0, 30))
+        span = int(rng.integers(5, 25))
+        texts.append(" ".join(words[lo:lo + span]))  # slice quote
+        ids.append(did); did += 1
+    for _ in range(15):
+        texts.append(" ".join(rng.choice(vocab, size=int(rng.integers(1, 50))).tolist()))
+        ids.append(did); did += 1
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(7)
+    got = containment_pairs_ds(ds, threshold=threshold).to_pandas()
+    got_map = {(int(a), int(b)): float(c) for a, b, c in
+               zip(got["doc_a"], got["doc_b"], got["containment"])}
+    want = _bruteforce_containment_pairs(texts, ids, threshold)
+    assert set(got_map) == set(want)
+    for k, v in want.items():
+        assert got_map[k] == pytest.approx(v, abs=1e-12)
+    assert len(want) > 0
