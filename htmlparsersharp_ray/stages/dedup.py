@@ -692,33 +692,31 @@ def containment_pairs_ds(
 
     def token_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """Ordered candidates per token: (container = index row's doc)
-        × (contained = probe row's doc), size-filtered."""
+        × (contained = probe row's doc), size-filtered. ONE vectorized
+        pandas hash merge on token — never a per-token Python loop
+        (tokens are near-unique in a distinct corpus, so a group loop
+        would iterate millions of times per bucket)."""
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        for _, sub in group.groupby("token", sort=False):
-            prb = sub[sub["side"] == 1]
-            if prb.empty:
-                continue
-            idx = sub[sub["side"] == 0]
-            if idx.empty:
-                continue
-            ai = idx["doc_id"].to_numpy()
-            sa = idx["s"].to_numpy().astype(np.float64)
-            bi = prb["doc_id"].to_numpy()
-            sb = prb["s"].to_numpy().astype(np.float64)
-            na, nbp = len(ai), len(bi)
-            aa = np.repeat(ai, nbp)
-            bb = np.tile(bi, na)
-            ok = (aa != bb) & (np.repeat(sa, nbp) + 1e-9 >= t * np.tile(sb, na))
-            if ok.any():
-                out_a.append(aa[ok])
-                out_b.append(bb[ok])
-        if not out_a:
+        prb = group.loc[group["side"] == 1, ["token", "doc_id", "s"]]
+        if prb.empty:
             return empty
+        idx = group.loc[group["side"] == 0, ["token", "doc_id", "s"]]
+        # most index tokens have no probe row: semi-join prune before
+        # the pair merge so the merge's build side stays small
+        idx = idx[idx["token"].isin(prb["token"].to_numpy())]
+        if idx.empty:
+            return empty
+        m = idx.merge(prb, on="token", suffixes=("_a", "_b"))
+        ok = (m["doc_id_a"].to_numpy() != m["doc_id_b"].to_numpy()) & (
+            m["s_a"].to_numpy().astype(np.float64) + 1e-9
+            >= t * m["s_b"].to_numpy().astype(np.float64))
+        if not ok.any():
+            return empty
+        m = m[ok]
         return pd.DataFrame({
-            "doc_a": np.concatenate(out_a).astype("int64"),
-            "doc_b": np.concatenate(out_b).astype("int64"),
+            "doc_a": m["doc_id_a"].to_numpy().astype("int64"),
+            "doc_b": m["doc_id_b"].to_numpy().astype("int64"),
         })
 
     raw = (

@@ -179,6 +179,44 @@ def main() -> int:
 
     run("jaccard_prefix_110k", jaccard_prefix_110k)
 
+    def synth_docs_quotes(n=100_000, d="/tmp/graft_sweep_quotes"):
+        # mostly-distinct 40-word docs + a 12-word contiguous SLICE of
+        # every 20th doc (containment 1.0 in its source, Jaccard ~0.26
+        # — the regime only the asymmetric containment join catches)
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = _np.random.default_rng(43)
+            base = rng.integers(0, 50_000, (n, 40))
+            quotes = base[::20, 11:23].copy()
+            words = _np.char.add("w", base.astype(str))
+            texts = [" ".join(row) for row in words]
+            qwords = _np.char.add("w", quotes.astype(str))
+            texts += [" ".join(row) for row in qwords]
+            _pq.write_table(_pa.table({
+                "doc_id": _np.arange(len(texts), dtype=_np.int64),
+                "text": _pa.array(texts),
+            }), os.path.join(d, "documents.parquet"), row_group_size=1 << 15)
+            open(marker, "w").write("ok")
+        return d
+
+    if not only or "containment_105k" in only:
+        synth_docs_quotes()  # synthesis cost stays OUT of the timed pass
+
+    def containment_105k():
+        from htmlparsersharp_ray.stages.dedup import containment_pairs_ds
+
+        return containment_pairs_ds(
+            ray.data.read_parquet(
+                os.path.join(synth_docs_quotes(), "documents.parquet")),
+            threshold=0.8).count()
+
+    run("containment_105k", containment_105k)
+
     def synth_graph(n_nodes=1_000_000, n_edges=10_000_000,
                     d="/tmp/graft_sweep_graph"):
         # sparse directed graph (~10 out-edges/node, web-ish) with a
