@@ -734,11 +734,11 @@ class TreeBuilder:
                 if not data:
                     return
                 if mode == IN_HEAD:
-                    self.open.pop()  # head
+                    self._pop_guarded()  # head (absent in fragment ctx)
                     self.mode = AFTER_HEAD
                 elif mode == IN_HEAD_NOSCRIPT:
                     self.error()
-                    self.open.pop()  # noscript
+                    self._pop_guarded()  # noscript (absent in fragment ctx)
                     self.mode = IN_HEAD
                 else:
                     self._start_body({})
@@ -872,6 +872,17 @@ class TreeBuilder:
         self.doc.append(el)
         self.open.append(el)
 
+    def _pop_guarded(self):
+        """Pop for the head-family "act as if </head>/</noscript>" paths:
+        never pops the synthetic root. In a head/noscript-context
+        FRAGMENT these modes are entered with ONLY the root on the
+        stack (no head element was inserted), so the spec's "pop the
+        current node (which will be the head element)" would pop the
+        root and crash the next insertion (mirrors the reference's
+        `while (currentPtr > 0)` EOF guard, TreeBuilder.cs Eof)."""
+        if len(self.open) > 1:
+            self.open.pop()
+
     def _start_head(self, attrs):
         self.head_el = self._insert_element("head", attrs)
         self.mode = IN_HEAD
@@ -925,7 +936,7 @@ class TreeBuilder:
             if mode == IN_HEAD:
                 if self._start_in_head(name, attrs, self_closing):
                     return
-                self.open.pop()  # head
+                self._pop_guarded()  # head (absent in fragment ctx)
                 self.mode = mode = AFTER_HEAD
                 continue
             if mode == IN_HEAD_NOSCRIPT:
@@ -939,7 +950,7 @@ class TreeBuilder:
                     self.error()
                     return
                 self.error()
-                self.open.pop()  # noscript
+                self._pop_guarded()  # noscript (absent in fragment ctx)
                 self.mode = mode = IN_HEAD
                 continue
             if mode == AFTER_HEAD:
@@ -1713,23 +1724,23 @@ class TreeBuilder:
                 return
             if mode == IN_HEAD:
                 if name == "head":
-                    self.open.pop()
+                    self._pop_guarded()
                     self.mode = AFTER_HEAD
                     return
                 if name in ("body", "html", "br"):
-                    self.open.pop()
+                    self._pop_guarded()
                     self.mode = mode = AFTER_HEAD
                     continue
                 self.error()
                 return
             if mode == IN_HEAD_NOSCRIPT:
                 if name == "noscript":
-                    self.open.pop()
+                    self._pop_guarded()
                     self.mode = IN_HEAD
                     return
                 if name == "br":
                     self.error()
-                    self.open.pop()
+                    self._pop_guarded()
                     self.mode = mode = IN_HEAD
                     continue
                 self.error()
@@ -2104,12 +2115,21 @@ class TreeBuilder:
                 self._start_head({})
                 continue
             if mode == IN_HEAD:
-                self.open.pop()
+                # pop down TO the root, never past it: a head-context
+                # FRAGMENT enters IN_HEAD with only the synthetic root
+                # on the stack (reference: `while (currentPtr > 0)
+                # PopOnEof()`, TreeBuilder.cs Eof IN_HEAD case)
+                while len(self.open) > 1:
+                    self.open.pop()
                 self.mode = AFTER_HEAD
                 continue
             if mode == IN_HEAD_NOSCRIPT:
                 self.error()
-                self.open.pop()
+                # reference: `while (currentPtr > 1) PopOnEof()` — pop
+                # down to root + head; a scripting-on noscript-context
+                # FRAGMENT enters with only the root (nothing to pop)
+                while len(self.open) > 2:
+                    self.open.pop()
                 self.mode = IN_HEAD
                 continue
             if mode == AFTER_HEAD:

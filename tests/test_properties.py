@@ -228,3 +228,39 @@ def test_template_serialize_reparse_fixed_point():
     h2 = serialize_html(parse(h1).root)
     assert h1 == h2
     assert "<template>" in h1 and "</template>" in h1
+
+
+class TestHeadContextFragments:
+    """Fragment parsing with head/noscript context elements: the spec's
+    "pop the current node (which will be the head element)" recovery
+    paths act on a stack holding ONLY the synthetic root (no head was
+    ever inserted in these fragment contexts) — found by an 80k-seed
+    fragment fuzz as an IndexError crash; pops are now root-guarded,
+    mirroring the reference's `while (currentPtr > 0)` EOF guard."""
+
+    def test_nonws_text_recovers_into_body(self):
+        r = parse_fragment(">", "head")
+        assert serialize_tree(r.root) == '| <body>\n|   ">"'
+
+    def test_empty_input_matches_reference_eof_unwind(self):
+        # reference Eof(): IN_HEAD pops to root, AFTER_HEAD inserts body
+        r = parse_fragment("", "head")
+        assert serialize_tree(r.root) == "| <body>"
+
+    def test_end_head_tag_then_text(self):
+        r = parse_fragment("</head>after", "head")
+        assert serialize_tree(r.root) == '| <body>\n|   "after"'
+
+    def test_head_content_then_body_content(self):
+        r = parse_fragment("x<meta charset=utf-8>y", "head")
+        t = serialize_tree(r.root)
+        assert t.startswith('| <body>\n|   "x"\n|   <meta>')
+        assert t.endswith('"y"')
+
+    @pytest.mark.parametrize("ctx", ["head", "noscript", "html", "body"])
+    def test_fuzz_contexts_never_raise(self, ctx):
+        rng = random.Random(hash(ctx) % 1000)
+        for seed in range(40):
+            html = _soup(random.Random(seed * 7 + 3), 60)
+            r = parse_fragment(html, ctx)
+            serialize_tree(r.root)  # must not raise
