@@ -1248,11 +1248,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": r.q_lineitem_price_quantiles,
         "events_cooccurrence": r.q_events_cooccurrence,
         "events_assoc_rules": r.q_events_assoc_rules,
+        "events_ab_test": r.q_events_ab_test,
         "docs_source_cap": r.q_docs_source_cap,
         "part_fuzzy_pairs": r.q_part_fuzzy_pairs,
         "part_skyline": r.q_part_skyline,
         "part_pagerank": r.q_part_pagerank,
         "part_triangles": r.q_part_triangles,
+        "part_link_predict": r.q_part_link_predict,
         "part_bfs_hops": r.q_part_bfs_hops,
         "part_sssp": r.q_part_sssp,
         "part_communities": r.q_part_communities,
@@ -4572,6 +4574,60 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT c FROM tri)
         SELECT node, COUNT(*) AS triangles
         FROM corners GROUP BY node ORDER BY node
+    """
+    sql["events_ab_test"] = """
+        -- A/B readout: user_id-parity cohorts, Welch's t per event type
+        -- from exact integer moments; the float expressions mirror the
+        -- engine's verbatim (means/variances/t bitwise-equal)
+        WITH c AS (
+            SELECT event_type,
+                   CAST(user_id % 2 AS BIGINT) AS cohort,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events),
+        agg AS (
+            SELECT event_type, cohort,
+                   COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+            FROM c GROUP BY event_type, cohort)
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s AS DOUBLE) / a.n / 100.0 AS mean_a,
+               CAST(b.s AS DOUBLE) / b.n / 100.0 AS mean_b,
+               (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt(
+                   ((CAST(a.q AS DOUBLE)
+                     - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+                    / (a.n - 1)) / a.n
+                   + ((CAST(b.q AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+                      / (b.n - 1)) / b.n
+               ) AS t_welch
+        FROM agg a JOIN agg b USING (event_type)
+        WHERE a.cohort = 0 AND b.cohort = 1
+        ORDER BY a.event_type
+    """
+    sql["part_link_predict"] = """
+        -- common-neighbors link prediction on the part co-purchase
+        -- graph: wedge self-join over the undirected adjacency, count
+        -- per non-edge pair, floor 22. (Engine: center-bucketed wedge
+        -- partials + pair-bucket merge with edge anti-markers; exact
+        -- integer counts so both sides agree bitwise.)
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        und AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+        wedge AS (
+            SELECT n1.v AS a, n2.v AS b
+            FROM und n1 JOIN und n2
+              ON n1.u = n2.u AND n1.v < n2.v),
+        cn AS (SELECT a, b, COUNT(*) AS common_neighbors
+               FROM wedge GROUP BY a, b)
+        SELECT cn.a AS part_a, cn.b AS part_b, cn.common_neighbors
+        FROM cn LEFT JOIN e ON e.a = cn.a AND e.b = cn.b
+        WHERE e.a IS NULL AND cn.common_neighbors >= 22
+        ORDER BY part_a, part_b
     """
     sql["embeddings_filtered_topk"] = """
         -- metadata-filtered exact vector search: cosine top-10 per

@@ -2014,6 +2014,60 @@ def q_lineitem_regr(sf_dir: str):
     )
 
 
+def q_events_ab_test(sf_dir: str):
+    """A/B EXPERIMENT READOUT: deterministic cohort split (user_id
+    parity — the hash-assignment stand-in), then per event type the two
+    cohorts' sizes, mean values, and Welch's t-statistic — the
+    experimentation-analytics kernel (two-sample comparison over an
+    event stream).
+
+    The q_lineitem_corr construction: per-batch scaled-int64 partials
+    (n, Σv, Σv² in cents per (event_type, cohort)), Python-int driver
+    merge, then means/variances/t as single float expressions mirrored
+    VERBATIM in the oracle — every intermediate double is identical, so
+    the statistics match bitwise with no float accumulation anywhere.
+    One bounded exchange: partial frames carry ≤ |event_types|×2 rows
+    per batch."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({
+            "event_type": b["event_type"],
+            "cohort": (b["user_id"].to_numpy() % 2).astype("int64"),
+            "s": v, "q": v * v,
+        })
+        out = d.groupby(["event_type", "cohort"], as_index=False).agg(
+            s=("s", "sum"), q=("q", "sum"), n=("s", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["s", "q", "n"])
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        agg = {int(c): (sum(gc["n"]), sum(gc["s"]), sum(gc["q"]))
+               for c, gc in g.groupby("cohort")}
+        (na, sa, qa), (nb, sb, qb) = agg[0], agg[1]
+        mean_a = float(sa) / na / 100.0
+        mean_b = float(sb) / nb / 100.0
+        var_a = (float(qa) - float(sa) * float(sa) / na) / (na - 1)
+        var_b = (float(qb) - float(sb) * float(sb) / nb) / (nb - 1)
+        t = (float(sa) / na - float(sb) / nb) / math.sqrt(
+            var_a / na + var_b / nb)
+        rows.append((et, int(na), int(nb), mean_a, mean_b, t))
+    return (
+        pd.DataFrame(rows, columns=["event_type", "n_a", "n_b",
+                                    "mean_a", "mean_b", "t_welch"])
+        .sort_values("event_type").reset_index(drop=True)
+    )
+
+
 def q_orders_monthly(sf_dir: str):
     """Monthly time-series rollup (order count + exact-cents revenue per
     calendar month) — the temporal re-bucketing every training-data
@@ -4516,6 +4570,38 @@ def q_part_triangles(sf_dir: str):
         {"node": "int64", "triangles": "int64"})
     return (out[["node", "triangles"]]
             .sort_values("node").reset_index(drop=True))
+
+
+def q_part_link_predict(sf_dir: str):
+    """LINK PREDICTION over the part co-purchase graph: for every pair
+    of parts that do NOT co-occur in any order, count their common
+    co-purchase neighbors and keep pairs sharing >= 22 — the structural
+    "customers who bought X also bought Y" candidate generator
+    (Liben-Nowell & Kleinberg's common-neighbors score), sixth member
+    of the graph family (a WEDGE-count kernel, where triangles is a
+    wedge-CLOSURE kernel).
+
+    Exact integer counts — bitwise deterministic at any parallelism and
+    hash-exact vs the wedge self-join oracle. See
+    :func:`htmlparsersharp_ray.stages.graph.common_neighbor_pairs` for
+    the scale shape (center-bucketed wedge partials + one pair-bucket
+    merge carrying edge anti-markers; ``max_center_degree`` is the
+    hub-cap scale knob — unused here so the oracle needs no cap
+    mirror, exercised in pytest)."""
+    from ..stages.graph import common_neighbor_pairs, group_cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = common_neighbor_pairs(edges, min_common=22).to_pandas()
+    if out.empty:  # Ray drops columns on all-empty to_pandas()
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("u", "v", "common")})
+    out = out.rename(columns={"u": "part_a", "v": "part_b",
+                              "common": "common_neighbors"}).astype(
+        {"part_a": "int64", "part_b": "int64", "common_neighbors": "int64"})
+    return (out[["part_a", "part_b", "common_neighbors"]]
+            .sort_values(["part_a", "part_b"]).reset_index(drop=True))
 
 
 def q_part_kcore(sf_dir: str):

@@ -1248,3 +1248,96 @@ def kcore(edges: ray.data.Dataset, k: int,
         .groupby("kb")
         .map_groups(core_deg, batch_format="pandas")
     )
+
+
+def common_neighbor_pairs(
+    edges: ray.data.Dataset, min_common: int = 2,
+    max_center_degree: int | None = None,
+) -> ray.data.Dataset:
+    """LINK PREDICTION by common-neighbor counting: for every pair of
+    nodes that is NOT an edge of the undirected graph induced by
+    ``edges`` ``(src, dst)``, count the neighbors they share, and keep
+    pairs with ``common >= min_common`` — the classic structural
+    link-prediction score (Liben-Nowell & Kleinberg 2003; the
+    "customers who bought X also bought Y" candidate generator).
+    Returns ``(u, v, common)`` with u < v.
+
+    Exact integer counts → bitwise-deterministic at any parallelism and
+    reproducible by the wedge self-join in ANSI SQL.
+
+    Scale shape: three bounded exchanges. (1) undirected distinct
+    (pair-bucket); (2) adjacency grouped by CENTER bucket — a center's
+    full neighbor set lands in one group, so per-center degree is
+    locally complete and the C(deg, 2) wedge expansion is one
+    vectorized pandas self-merge emitting per-bucket PARTIAL pair
+    counts (centers are disjoint across buckets, so partials sum
+    exactly); (3) pair-bucket merge summing partials, anti-filtering
+    pairs that are already edges (edge markers ride the same
+    exchange), and applying the ``min_common`` floor. The wedge
+    volume is Σ C(deg, 2) — unlike triangle counting there is no
+    degree-ordered orientation to hide hubs behind (a hub's wedges ARE
+    the candidates), so ``max_center_degree`` is the scale knob: it
+    drops hub centers from the evidence (mirrored in any oracle), the
+    standard cap for power-law graphs where a hub's co-occurrence
+    carries no signal.
+    """
+
+    und = edges if set(edges.schema().names) >= {"u", "v"} \
+        else _undirected_distinct(edges)
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ctr = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pa.table({"cb": pa.array(_ibucket(ctr)),
+                         "ctr": pa.array(ctr), "nbr": pa.array(nbr)})
+
+    def wedge_partials(group: pd.DataFrame) -> pa.Table:
+        # returns Arrow so the union with edge_markers is block-type
+        # uniform (mixed pandas/Arrow blocks break the sort sampler)
+        g = group[["ctr", "nbr"]]
+        if max_center_degree is not None:
+            deg = g.groupby("ctr", sort=False)["nbr"].transform("size")
+            g = g[deg <= max_center_degree]
+        m = g.merge(g, on="ctr")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        part = (m.groupby(["nbr_x", "nbr_y"], sort=False)
+                .size().reset_index(name="c"))
+        a = part["nbr_x"].to_numpy(dtype=np.int64)
+        b = part["nbr_y"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "pb": pa.array(_pair_bucket(a, b)),
+            "a": pa.array(a), "b": pa.array(b),
+            "c": pa.array(part["c"].to_numpy(dtype=np.int64)),
+            "is_edge": pa.array(np.zeros(len(a), dtype=np.int64)),
+        })
+
+    def edge_markers(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pb": pa.array(_pair_bucket(u, v)),
+            "a": pa.array(u), "b": pa.array(v),
+            "c": pa.array(np.zeros(len(u), dtype=np.int64)),
+            "is_edge": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["a", "b"], as_index=False, sort=False).agg(
+            common=("c", "sum"), edge=("is_edge", "max"))
+        keep = agg[(agg["edge"] == 0) & (agg["common"] >= min_common)]
+        return pd.DataFrame({
+            "u": keep["a"].astype("int64"),
+            "v": keep["b"].astype("int64"),
+            "common": keep["common"].astype("int64"),
+        })
+
+    wedges = (
+        und.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(wedge_partials, batch_format="pandas")
+    )
+    markers = und.map_batches(edge_markers, batch_format="pyarrow")
+    return wedges.union(markers).groupby("pb").map_groups(
+        finalize, batch_format="pandas")

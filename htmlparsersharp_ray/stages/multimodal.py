@@ -67,6 +67,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    # w/h come from untrusted text: negative values would make reshape
+    # infer a dimension from garbage, and huge ones overflow frombuffer's
+    # C ssize_t count before it can bounds-check.
+    if w <= 0 or h <= 0 or pos + w * h * 3 > len(payload):
+        raise ValueError(f"PPM dimensions {w}x{h} inconsistent with payload")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3)
 
@@ -95,6 +100,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag != 1 or bits != 16:
@@ -459,6 +466,8 @@ def ppm_meta(payload: bytes) -> tuple[int, int]:
             pos += 1
         fields.append(int(payload[start:pos]))
     w, h, _maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PPM dimensions {w}x{h} invalid")
     return w, h
 
 
@@ -472,6 +481,8 @@ def wav_meta(payload: bytes) -> tuple[int, int]:
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 16 > len(payload):  # truncated fmt chunk
+                raise ValueError("truncated WAV fmt chunk")
             rate = struct.unpack("<I", payload[pos + 12:pos + 16])[0]
         elif cid == b"data":
             n_samples = size // 2  # PCM16 mono

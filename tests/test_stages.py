@@ -1669,6 +1669,60 @@ def test_triangle_counts_matches_bruteforce_and_block_layouts(ray_session):
     assert 100 not in want  # hub star closes nothing
 
 
+def test_common_neighbor_pairs_bruteforce_and_hub_cap(ray_session):
+    """Link-prediction common-neighbor counts equal brute-force
+    enumeration over NON-edges, at 1 and 6 blocks; the hub cap drops a
+    high-degree center's wedge evidence (and only that evidence)."""
+    from itertools import combinations
+
+    import ray.data
+    from htmlparsersharp_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(23)
+    edges = set()
+    for i in range(1, 31):      # hub 0 with 30 spokes: every spoke pair
+        edges.add((0, i))       # shares >= 1 common neighbor (the hub)
+    for a, b in rng.integers(0, 40, (150, 2)):
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    epd = pd.DataFrame(sorted(edges), columns=["src", "dst"]).astype("int64")
+
+    adj = {}
+    for u, v in zip(epd["src"], epd["dst"]):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def brute(cap=None):
+        want = {}
+        for a, b in combinations(sorted(adj), 2):
+            if b in adj[a]:
+                continue
+            common = {w for w in adj[a] & adj[b]
+                      if cap is None or len(adj[w]) <= cap}
+            if len(common) >= 2:
+                want[(a, b)] = len(common)
+        return want
+
+    want = brute()
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(epd).repartition(parts)
+        out = common_neighbor_pairs(ds, min_common=2).to_pandas()
+        got = {(int(u), int(v)): int(c) for u, v, c in
+               zip(out["u"], out["v"], out["common"])}
+        assert got == want, f"mismatch at {parts} blocks"
+    assert want  # non-degenerate
+
+    # hub cap: degree-30+ center 0 no longer contributes evidence
+    want_cap = brute(cap=10)
+    ds = ray.data.from_pandas(epd).repartition(4)
+    out = common_neighbor_pairs(
+        ds, min_common=2, max_center_degree=10).to_pandas()
+    got = {(int(u), int(v)): int(c) for u, v, c in
+           zip(out["u"], out["v"], out["common"])}
+    assert got == want_cap
+    assert want_cap != want  # the cap actually bit
+
+
 def test_bpe_matches_sequential_reference(ray_session):
     """Distributed BPE merge list == the published dict-based sequential
     algorithm, at 1 and 4 blocks (bitwise determinism across layouts),
@@ -2283,6 +2337,48 @@ def test_ppm_meta_comment_and_multidigit_header():
     commented = b"P6\n# a comment\n17 4\n255\n" + bytes(17 * 4 * 3)
     assert ppm_meta(commented) == (17, 4)
     assert decode_ppm(commented).shape == (4, 17, 3)
+
+
+def test_codec_corrupt_inputs_raise_valueerror():
+    """Fuzz-found crash classes: every corrupt payload must fail with a
+    clean ValueError, never OverflowError / struct.error / a silent
+    mis-decode (120k-seed campaign, 2026-08)."""
+    import numpy as np
+    import pytest as _pytest
+    from htmlparsersharp_ray.stages.multimodal import (
+        decode_ppm, decode_wav, encode_ppm, encode_wav, ppm_meta, wav_meta,
+    )
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    wav = encode_wav(np.zeros(500, dtype=np.float32), 8000)
+
+    # huge dims overflowed frombuffer's C ssize_t count
+    huge = b"P6\n7 1000000000000000000\n255\n" + bytes(64)
+    with _pytest.raises(ValueError):
+        decode_ppm(huge)
+    # h=-1 made reshape(-1, w, 3) INFER a dim from garbage (silent wrong)
+    neg = b"P6\n7 -1\n255\n" + bytes(7 * 3 * 4)
+    with _pytest.raises(ValueError):
+        decode_ppm(neg)
+    with _pytest.raises(ValueError):
+        ppm_meta(neg)
+    # dims claiming more pixels than the payload carries
+    short = b"P6\n100 100\n255\n" + bytes(10)
+    with _pytest.raises(ValueError):
+        decode_ppm(short)
+
+    # truncated fmt chunk raised struct.error in decode_wav AND wav_meta
+    trunc_fmt = wav[:20]  # RIFF..WAVEfmt <size> then cut mid-body
+    assert trunc_fmt[12:16] == b"fmt "
+    with _pytest.raises(ValueError):
+        decode_wav(trunc_fmt)
+    with _pytest.raises(ValueError):
+        wav_meta(trunc_fmt)
+
+    # valid payloads still round-trip after the guards
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and len(samples) == 500
 
 
 def test_knn_graph_lsh_recall_vs_exact(ray_session):
