@@ -160,6 +160,34 @@ def _q_extract_meta(sf_dir: str):
                .sort_values("c_custkey").reset_index(drop=True))
 
 
+def _q_extract_markdown(sf_dir: str):
+    """HTML→Markdown round trip (hash-exact): each customer renders to a
+    page in one of three markup styles (fully-closed / implied-end-tags
+    with <b>/<i> synonyms / UPPERCASE with NCR-encoded name text), the
+    REAL HTML5 parser builds the DOM, and the Markdown converter
+    (extract/markdown.py) emits headings, lists, links, emphasis and
+    inline code. All three styles carry identical content, so the
+    Markdown is style-INVARIANT and the oracle is one string concat over
+    ``customer`` — the modern pretraining-corpus extraction target
+    (HTML→Markdown, not flat text) as a graded operator."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        MarkdownExtractUDF, render_customer_markdown_pages)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment",
+                 "c_nationkey", "c_acctbal"],
+    )
+    out = (ds.map_batches(render_customer_markdown_pages,
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(MarkdownExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+
+
 def _q_extract_lists(sf_dir: str):
     """Nested-list hierarchy round trip (hash-exact): nation rows render
     into region→nation <ul> nests with implied </li> end tags at both
@@ -1401,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "extract_tables": _q_extract_tables,
         "extract_meta": _q_extract_meta,
+        "extract_markdown": _q_extract_markdown,
         "extract_lists": _q_extract_lists,
         "extract_fragments": _q_extract_fragments,
         "docs_readability": _q_docs_readability,
@@ -3046,6 +3075,24 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment AS segment,
                    CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents,
                    'https://example.com/c/' || c_custkey AS canonical
+            FROM customer ORDER BY c_custkey
+        """,
+        "extract_markdown": """
+            -- HTML->Markdown round trip: all three markup styles carry
+            -- the same content, so the expected Markdown is one string
+            -- concat over customer (style-invariance IS the check)
+            SELECT c_custkey,
+                   '[home](/) [customers](/customers)'
+                   || chr(10) || chr(10) || '# ' || c_name
+                   || chr(10) || chr(10) || 'Customer ' || c_custkey
+                   || ' in segment ' || c_mktsegment || ' has balance `'
+                   || CAST(round(c_acctbal * 100) AS BIGINT)
+                   || '` cents.'
+                   || chr(10) || chr(10) || '- nation: ' || c_nationkey
+                   || chr(10) || '- segment: ' || c_mktsegment
+                   || chr(10) || chr(10) || 'See [profile](/customer/'
+                   || c_custkey || ') or mail **' || c_name
+                   || '** *now*.' AS markdown
             FROM customer ORDER BY c_custkey
         """,
         "extract_lists": """

@@ -355,3 +355,92 @@ class FragmentExtractUDF:
             "s_nationkey": pa.array(nkeys, pa.int64()),
             "bal_cents": pa.array(bals, pa.int64()),
         })
+
+
+def render_customer_markdown_pages(batch: pa.Table) -> pa.Table:
+    """One HTML page per customer row for the HTML→Markdown round trip;
+    markup style keyed on ``c_custkey % 3`` — all three styles carry
+    the SAME content, so the Markdown output is style-invariant (that
+    invariance is what the oracle checks):
+
+    - style 0: fully-closed lowercase markup, ``<strong>``/``<em>``
+    - style 1: implied end tags (``<li``/``<p`` unclosed), unquoted
+      attributes, ``<b>``/``<i>`` synonyms
+    - style 2: UPPERCASE tags, ``&#x20;``-encoded spaces and
+      ``&#35;``-encoded ``#`` in the name (NCR decoding must restore
+      the exact text), single-quoted attributes
+    """
+    keys = batch.column("c_custkey").to_pylist()
+    names = batch.column("c_name").to_pylist()
+    segs = batch.column("c_mktsegment").to_pylist()
+    nkeys = batch.column("c_nationkey").to_pylist()
+    cents = _cents(batch.column("c_acctbal"))
+
+    docs = []
+    for k, nm, seg, nk, ct in zip(keys, names, segs, nkeys, cents):
+        nm0 = _esc(nm)
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><head><title>c</title></head><body>"
+                '<nav><a href="/">home</a> <a href="/customers">customers</a></nav>'
+                f"<h1>{nm0}</h1>"
+                f"<p>Customer {k} in segment {seg} has balance "
+                f"<code>{ct}</code> cents.</p>"
+                f"<ul><li>nation: {nk}</li><li>segment: {seg}</li></ul>"
+                f'<p>See <a href="/customer/{k}">profile</a> or mail '
+                f"<strong>{nm0}</strong> <em>now</em>.</p>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                "<!DOCTYPE html><html><head><title>c</title></head><body>"
+                "<nav><a href=/>home</a> <a href=/customers>customers</a></nav>"
+                f"<h1>{nm0}</h1>"
+                f"<p>Customer {k} in segment {seg} has balance "
+                f"<code>{ct}</code> cents."
+                f"<ul><li>nation: {nk}<li>segment: {seg}</ul>"
+                f"<p>See <a href=/customer/{k}>profile</a> or mail "
+                f"<b>{nm0}</b> <i>now</i>."
+            )
+        else:
+            nm2 = _esc(nm).replace(" ", "&#x20;").replace("#", "&#35;")
+            docs.append(
+                "<!DOCTYPE html><HTML><HEAD><TITLE>c</TITLE></HEAD><BODY>"
+                "<NAV><A HREF='/'>home</A> <A HREF='/customers'>customers</A></NAV>"
+                f"<H1>{nm2}</H1>"
+                f"<P>Customer {k} in segment {seg} has balance "
+                f"<CODE>{ct}</CODE> cents.</P>"
+                f"<UL><LI>nation: {nk}</LI><LI>segment: {seg}</LI></UL>"
+                f"<P>See <A HREF='/customer/{k}'>profile</A> or mail "
+                f"<STRONG>{nm2}</STRONG> <EM>now</EM>.</P>"
+                "</BODY></HTML>"
+            )
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class MarkdownExtractUDF:
+    """HTML → Markdown conversion through the REAL HTML5 parser
+    (actor-pool stage): parse each page, convert the DOM via
+    :func:`htmlparsersharp_ray.extract.markdown.dom_to_markdown`.
+    The graded round trip proves heading/list/link/emphasis structure
+    survives implied-end-tag repair, NCR decoding and tag case-folding
+    — the HTML→Markdown step of a pretraining corpus pipeline."""
+
+    def __init__(self):
+        from ..extract.markdown import dom_to_markdown
+        from ..html.parser import parse
+
+        self._parse = parse
+        self._to_md = dom_to_markdown
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mds = [self._to_md(self._parse(h).root)
+               for h in batch.column("html").to_pylist()]
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "markdown": pa.array(mds, pa.string()),
+        })
