@@ -169,3 +169,45 @@ class TestPipelineFormatEquality:
 
         with pytest.raises(ValueError, match="unknown input_format"):
             _read_transcripts(str(tmp_path), "avro")
+
+
+class TestTorturePayloads:
+    """Adversarial text round trip for BOTH non-Parquet formats: control
+    chars, CR/CRLF/LF, tab, quote storms, astral-plane unicode, BOM-at-
+    content-start, empties, and multi-KB quoted blocks must survive
+    write→read EXACTLY (probed 2026-08; zero tolerance)."""
+
+    TEXTS = [
+        "", "plain", 'q"uo"tes,"",commas,,', "line1\nline2", "cr\rcr",
+        "crlf\r\nx", "tab\tend", "emoji 😀 astral 𝔘𝔫𝔦 \U0001F9EA",
+        "nul-adjacent \x01\x1f", "<pre>a,b\n\"q\"\r\n</pre>" * 200,
+        "ünïcødé ﬀ ligature   ls   ps", "trailing space ", " leading",
+        "﻿BOM-start",
+    ]
+
+    @pytest.fixture()
+    def torture_table(self):
+        n = len(self.TEXTS)
+        return pa.table({
+            "conv_id": pa.array([f"c{i:03d}" for i in range(n)]),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(self.TEXTS),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                           pa.timestamp("us")),
+        })
+
+    @pytest.mark.parametrize("kind", ["csv", "jsonl"])
+    def test_exact_round_trip(self, ray_session, torture_table, tmp_path,
+                              kind):
+        w, r = {
+            "csv": (write_transcripts_csv, read_transcripts_csv),
+            "jsonl": (write_transcripts_jsonl, read_transcripts_jsonl),
+        }[kind]
+        w(torture_table, str(tmp_path / kind), n_files=2)
+        got = (r(str(tmp_path / kind)).to_pandas()
+               .sort_values("turn_idx").reset_index(drop=True))
+        assert got["text"].tolist() == self.TEXTS
+        assert got["ts"].astype("int64").tolist() == \
+            torture_table.column("ts").cast(pa.int64()).to_pylist()
