@@ -441,6 +441,17 @@ def _q_docs_gram_dups(sf_dir: str):
     return gram_dups(_docs(sf_dir), n=8)
 
 
+def _q_docs_dup_coverage(sf_dir: str):
+    """Fraction of duplicated content per doc (Lee et al.'s
+    exact-substring-dedup report): word positions covered by the
+    interval union of cross-doc duplicate 8-gram spans — see
+    stages/dedup.py::dup_coverage. dup_frac is ONE mirrored float
+    division over exact integer counts."""
+    from htmlparsersharp_ray.stages.dedup import dup_coverage
+
+    return dup_coverage(_docs(sf_dir), n=8)
+
+
 def _q_docs_fingerprint_dups(sf_dir: str):
     """MOSS-style winnowing pair mining: distinct k=4-window minima over
     5-word md5 hashes per doc; pairs sharing >= 2 fingerprints, with
@@ -1398,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_normalize": _q_docs_normalize,
         "docs_gram_dups": _q_docs_gram_dups,
+        "docs_dup_coverage": _q_docs_dup_coverage,
         "docs_fingerprint_dups": _q_docs_fingerprint_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
@@ -3946,6 +3958,50 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY dup_of) AS rn
               FROM p
             ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "docs_dup_coverage": """
+            -- fraction of duplicated content: per doc, word positions
+            -- covered by the union of cross-doc duplicate 8-gram spans
+            -- [pos, pos+7]; string grams here, 64-bit window hashes in
+            -- the engine (gram_dups precedent). Every doc reports;
+            -- docs with < 8 words (or empty) report coverage 0.
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws) - 7)) AS pos,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 7),
+                         i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM base WHERE len(ws) >= 8
+            ), dup AS (
+              SELECT gram FROM g
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), occ AS (
+              SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+            ), ndup AS (
+              SELECT doc_id, count(*) AS n_dup_grams
+              FROM occ GROUP BY doc_id
+            ), cov AS (
+              SELECT doc_id, count(DISTINCT pos + o.o) AS covered_words
+              FROM occ, (SELECT unnest(generate_series(0, 7)) AS o) o
+              GROUP BY doc_id
+            ), nw AS (SELECT doc_id, len(ws) AS n_words FROM base)
+            SELECT nw.doc_id, nw.n_words,
+                   COALESCE(ndup.n_dup_grams, 0) AS n_dup_grams,
+                   COALESCE(cov.covered_words, 0) AS covered_words,
+                   CASE WHEN nw.n_words > 0
+                        THEN CAST(COALESCE(cov.covered_words, 0) AS DOUBLE)
+                             / nw.n_words
+                        ELSE 0.0 END AS dup_frac
+            FROM nw
+            LEFT JOIN ndup USING (doc_id)
+            LEFT JOIN cov USING (doc_id)
+            ORDER BY nw.doc_id
         """,
         "docs_gram_dups": """
             -- distinct word-8-grams each doc shares with >=1 OTHER doc;

@@ -1556,6 +1556,133 @@ def gram_dups(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dup_coverage(
+    docs: ray.data.Dataset, n: int = 8, n_buckets: int = 64
+) -> pd.DataFrame:
+    """FRACTION OF DUPLICATED CONTENT per document (Lee et al.'s
+    exact-substring dedup REPORT, at word-gram granularity): the number
+    of word positions covered by at least one word-``n``-gram that also
+    occurs in a DIFFERENT document, as an interval union over the dup
+    occurrences' ``[pos, pos+n-1]`` spans. Complements
+    :func:`gram_dups` (distinct shared grams — set size) and
+    :func:`chunk_dedup` (span REMOVAL): this is the measurement a
+    pipeline reads before deciding to run removal. Reference n/a —
+    engine-level op. Gram identity = the 64-bit token-window polynomial
+    (decontaminate precedent) vs the oracle's string grams.
+
+    Scale shape: two bounded exchanges, no driver state. (1) gram-hash
+    buckets decide "≥ 2 distinct docs" locally (all copies of a gram
+    co-locate) and forward only the DUP occurrences' (doc, pos) rows;
+    (2) doc-hash buckets compute each doc's interval union with one
+    sort + diff (positions never materialize per-offset rows — the
+    union is Σ min(gap, n) + n, vectorized across the whole bucket).
+    Every doc appears in the output (n_words rows ride exchange 2), so
+    clean docs report coverage 0."""
+    from . import hashing
+
+    def emit_occurrences(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [(t or "").split()
+                for t in batch.column("text").to_pylist()]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        th = _hash_tokens64(flat)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        gs, ds, ps = [], [], []
+        for i, c in enumerate(counts):
+            if c < n:
+                continue
+            wh = _window_hashes(th[offsets[i]:offsets[i + 1]], n)
+            gs.append(wh.view(np.int64))
+            ds.append(np.full(len(wh), ids[i], dtype=np.int64))
+            ps.append(np.arange(len(wh), dtype=np.int64))
+        g = np.concatenate(gs) if gs else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "gb": (hashing.mix64(g.view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "g": g,
+            "doc_id": (np.concatenate(ds) if ds
+                       else np.empty(0, dtype=np.int64)),
+            "pos": (np.concatenate(ps) if ps
+                    else np.empty(0, dtype=np.int64)),
+        })
+
+    def forward_dups(grp: pd.DataFrame) -> pd.DataFrame:
+        # dup = gram seen in >= 2 DISTINCT docs (within-doc repeats
+        # alone don't count — mirrors the oracle's COUNT(DISTINCT))
+        ndocs = grp.groupby("g")["doc_id"].transform("nunique")
+        occ = grp[ndocs >= 2]
+        return pd.DataFrame({
+            "db": (hashing.mix64(occ["doc_id"].to_numpy()
+                                 .astype(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "doc_id": occ["doc_id"].to_numpy(),
+            "pos": occ["pos"].to_numpy(),
+            "n_words": np.full(len(occ), -1, dtype=np.int64),
+        })
+
+    def emit_lengths(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nw = np.array([len((t or "").split())
+                       for t in batch.column("text").to_pylist()],
+                      dtype=np.int64)
+        return pd.DataFrame({
+            "db": (hashing.mix64(ids.view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "doc_id": ids,
+            "pos": np.full(len(ids), -1, dtype=np.int64),
+            "n_words": nw,
+        })
+
+    def finalize(grp: pd.DataFrame) -> pd.DataFrame:
+        lens = grp[grp["n_words"] >= 0]
+        occ = grp[grp["n_words"] < 0]
+        occ = occ.sort_values(["doc_id", "pos"])
+        did = occ["doc_id"].to_numpy()
+        pos = occ["pos"].to_numpy()
+        if len(occ):
+            gap = np.empty(len(occ), dtype=np.int64)
+            gap[0] = n
+            gap[1:] = np.minimum(pos[1:] - pos[:-1], n)
+            gap[np.flatnonzero(did[1:] != did[:-1]) + 1] = n
+            cov = pd.DataFrame({"doc_id": did, "covered": gap}).groupby(
+                "doc_id", as_index=False).agg(
+                covered=("covered", "sum"), n_dup=("covered", "size"))
+        else:
+            cov = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "covered": pd.Series([], dtype="int64"),
+                                "n_dup": pd.Series([], dtype="int64")})
+        out = lens[["doc_id", "n_words"]].merge(cov, on="doc_id",
+                                                how="left")
+        covered = out["covered"].fillna(0).astype("int64")
+        n_words = out["n_words"].to_numpy()
+        frac = np.where(n_words > 0,
+                        covered.to_numpy().astype(np.float64)
+                        / np.maximum(n_words, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_words": out["n_words"].astype("int64"),
+            "n_dup_grams": out["n_dup"].fillna(0).astype("int64"),
+            "covered_words": covered,
+            "dup_frac": frac,
+        })
+
+    occurrences = (
+        docs.map_batches(emit_occurrences, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(forward_dups, batch_format="pandas")
+    )
+    lengths = docs.map_batches(emit_lengths, batch_format="pyarrow")
+    out = (
+        occurrences.union(lengths)
+        .groupby("db")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def chunk_dedup(
     docs: ray.data.Dataset, window: int = 16, n_buckets: int | None = None,
 ) -> ray.data.Dataset:

@@ -2687,3 +2687,67 @@ def test_containment_equals_bruteforce_random(ray_session, seed, threshold):
     for k, v in want.items():
         assert got_map[k] == pytest.approx(v, abs=1e-12)
     assert len(want) > 0
+
+
+def test_dup_coverage_planted_spans(ray_session):
+    """Interval-union coverage: overlapping dup grams merge, disjoint
+    spans add, within-doc-only repeats do NOT count, short/empty docs
+    report 0 — identical at 1 and 4 blocks."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import dup_coverage
+
+    w = [f"w{i}" for i in range(40)]          # 40 unique filler words
+    shared = "alpha beta gamma delta eps zeta eta theta"   # 8 words
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4, 5], dtype="int64"),
+        "text": [
+            # doc 0: shared block at words 0-7 and again at 20-27
+            shared + " " + " ".join(w[:12]) + " " + shared,
+            # doc 1: the same shared block once, in the middle
+            " ".join(w[12:20]) + " " + shared + " " + " ".join(w[20:28]),
+            # doc 2: clean doc, >= 8 words, nothing shared
+            " ".join(w[28:40]),
+            # doc 3: within-doc repeat ONLY (same 8-gram twice in one
+            # doc, nowhere else) — must not count as duplicated
+            " ".join(["rep"] * 7 + ["x"] + ["rep"] * 7 + ["x", "tailword"]),
+            # doc 4: too short to form a gram
+            "only five words right here",
+            # doc 5: empty
+            "",
+        ],
+    })
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(docs).repartition(parts)
+        out = dup_coverage(ds, n=8).set_index("doc_id")
+        # doc 0: two disjoint 8-word spans covered
+        assert out.loc[0, "covered_words"] == 16
+        assert out.loc[0, "n_dup_grams"] == 2
+        assert out.loc[0, "n_words"] == 28
+        assert out.loc[0, "dup_frac"] == 16 / 28
+        # doc 1: one 8-word span
+        assert out.loc[1, "covered_words"] == 8
+        assert out.loc[1, "n_dup_grams"] == 1
+        # docs 2-5: nothing duplicated ACROSS docs
+        for d in (2, 3, 4, 5):
+            assert out.loc[d, "covered_words"] == 0, d
+            assert out.loc[d, "dup_frac"] == 0.0
+        assert out.loc[5, "n_words"] == 0
+        assert len(out) == 6   # every doc reports
+
+
+def test_dup_coverage_overlapping_union(ray_session):
+    """Two dup grams overlapping by 7 words cover 9 positions, not 16
+    (the union, not the sum)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.dedup import dup_coverage
+
+    nine = "a b c d e f g h i"          # 9 words → grams at pos 0 and 1
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1], dtype="int64"),
+        "text": [nine + " tail0 tail1", "pre0 pre1 " + nine],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = dup_coverage(ds, n=8).set_index("doc_id")
+    assert out.loc[0, "n_dup_grams"] == 2      # both windows shared
+    assert out.loc[0, "covered_words"] == 9    # union of [0,7] and [1,8]
+    assert out.loc[1, "covered_words"] == 9
