@@ -1366,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": r.q_docs_split,
         "docs_search": r.q_docs_search,
         "embeddings_label_centroids": r.q_embeddings_label_centroids,
+        "embeddings_nearest_centroid": r.q_embeddings_nearest_centroid,
         "events_late_arrivals": r.q_events_late_arrivals,
         "events_time_weighted": r.q_events_time_weighted,
         "docs_shuffle": r.q_docs_shuffle,
@@ -3325,6 +3326,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS DOUBLE) / (count(*) * 1048576.0)
                        AS centroid
             FROM u GROUP BY label, dim1 ORDER BY label, dim
+        """,
+        "embeddings_nearest_centroid": """
+            -- nearest-centroid classification, INTEGER-exact end to
+            -- end: 2^20 fixed-point quantization (CAST AS BIGINT ==
+            -- np.rint half-to-even), centroids from even vec_ids
+            -- re-quantized to the SAME grid via one mirrored float
+            -- division, squared distances as int64 sums, ties to the
+            -- smaller label (ROW_NUMBER == numpy first-argmin over
+            -- label-ascending rows)
+            WITH u AS (
+                SELECT vec_id, label,
+                       CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                            AS BIGINT) AS q,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings
+            ), cent AS (
+                SELECT label, dim,
+                       CAST(CAST(sum(q) AS DOUBLE) / count(*) AS BIGINT)
+                           AS qc
+                FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim
+            ), d AS (
+                SELECT t.vec_id, c.label,
+                       sum((t.q - c.qc) * (t.q - c.qc)) AS dist
+                FROM (SELECT * FROM u WHERE vec_id % 2 = 1) t
+                JOIN cent c USING (dim)
+                GROUP BY t.vec_id, c.label
+            )
+            SELECT vec_id, label AS pred_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, label) AS rn
+                FROM d) WHERE rn = 1
+            ORDER BY vec_id
         """,
         "events_late_arrivals": """
             -- watermark lateness accounting under simulated

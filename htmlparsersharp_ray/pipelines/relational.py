@@ -5438,6 +5438,94 @@ def q_embeddings_label_centroids(sf_dir: str):
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def q_embeddings_nearest_centroid(sf_dir: str):
+    """NEAREST-CENTROID CLASSIFICATION (the minimal supervised member
+    of the embedding family): train per-label centroids on the EVEN
+    vec_ids (the labeled split), assign every ODD vec_id to the closest
+    centroid — the Rocchio classifier / cluster-assignment kernel that
+    also powers SemDeDup-style cluster routing.
+
+    Fully INTEGER-exact, hence bitwise-deterministic at any parallelism
+    and SQL-mirrorable with no float-compare at the argmin:
+    components quantize to the 2^20 fixed-point grid with np.rint
+    (bitwise DuckDB's CAST(AS BIGINT) half-to-even), centroids are
+    exact int64 sums divided once in float64 and re-quantized to the
+    SAME grid (one mirrored expression), and every squared distance is
+    an int64 sum of 32 terms < 2^42 — ties break to the smaller label,
+    which numpy argmin and ROW_NUMBER agree on.
+
+    Scale shape: ZERO exchanges. Training is per-batch (label, dim)
+    bincount partials driver-merged (labels × dims rows); the k×d
+    int64 centroid grid ships in the classify task's closure (the
+    kmeans lesson — no actor pool for tiny read-only state) and
+    classification is one map-only pass."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 0]
+        if not len(b):
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "dim": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+            })
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        v = np.rint(mat * SCALE).astype(np.int64)
+        codes, uniq = pd.factorize(b["label"].to_numpy())
+        n_l, d = len(uniq), mat.shape[1]
+        sums = np.zeros((n_l, d), dtype=np.int64)
+        np.add.at(sums, codes, v)
+        counts = np.bincount(codes, minlength=n_l).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n_l),
+            "n": np.repeat(counts, d),
+            "s": sums.ravel(),
+        })
+
+    parts = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    d = int(agg["dim"].max()) + 1
+    qc = np.zeros((len(labels), d), dtype=np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    # centroid re-quantized to the SAME 2^20 grid: rint(float(s) / n)
+    qc[[lpos[int(l)] for l in agg["label"]], agg["dim"].to_numpy()] = \
+        np.rint(agg["s"].to_numpy().astype(np.float64)
+                / agg["n"].to_numpy().astype(np.float64)).astype(np.int64)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 1]
+        if not len(b):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "pred_label": pd.Series([], dtype="int64"),
+            })
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vq = np.rint(mat * SCALE).astype(np.int64)
+        diff = vq[:, None, :] - qc[None, :, :]
+        dist = np.einsum("ijk,ijk->ij", diff, diff)  # int64-exact
+        # argmin takes the FIRST minimum; rows of qc are label-ascending
+        pred = labels[np.argmin(dist, axis=1)]
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+            "pred_label": pred.astype(np.int64),
+        })
+
+    out = ds.map_batches(classify, batch_format="pandas").to_pandas()
+    return (out.astype({"vec_id": "int64", "pred_label": "int64"})
+            .sort_values("vec_id").reset_index(drop=True))
+
+
 def q_events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000):
     """STREAMING WATERMARK ACCOUNTING: how many events arrive LATE —
     event-time older than the watermark (running max event-time over

@@ -2559,3 +2559,31 @@ def test_events_resample_gap_fill(ray_session, tmp_path):
     u2 = out[out["user_id"] == 2].reset_index(drop=True)
     assert u2["n_events"].tolist() == [1]
     assert u2["filled_cents"].tolist() == [900]
+
+
+def test_embeddings_nearest_centroid_planted_and_ties(ray_session, tmp_path):
+    """Nearest-centroid classification: odd vec_ids classify to the
+    closest even-trained centroid; equidistant vectors break ties to
+    the SMALLER label; identical at 1 and 4 blocks."""
+    # even ids (training): label 1 clusters at (0, 0); label 2 at (4, 4)
+    emb = [
+        [0.0, 0.0], [0.25, -0.25],        # ids 0, 2  -> label 1
+        [4.0, 4.0], [3.75, 4.25],         # ids 4, 6  -> label 2
+        # odd ids (to classify):
+        [0.5, 0.5],                       # id 1 -> near label 1
+        [4.5, 3.5],                       # id 3 -> near label 2
+        [2.0, 2.0],                       # id 5 -> EXACTLY equidistant
+        # (bisector of centroids (0.125, -0.125) and (3.875, 4.125):
+        #  2x^2 + 0.03125 == 2x^2 - 16x + 32.03125  =>  x = 2.0)
+    ]
+    t = pa.table({
+        "vec_id": pa.array([0, 2, 4, 6, 1, 3, 5], pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2, 2, 9, 9, 9], pa.int32()),
+    })
+    sf = _write(tmp_path, "embeddings", t)
+    for parts in (1, 4):
+        import ray.data  # noqa: F401  (parallelism via the query's read)
+        out = r.q_embeddings_nearest_centroid(sf)
+        got = dict(zip(out["vec_id"], out["pred_label"]))
+        assert got == {1: 1, 3: 2, 5: 1}, got  # tie at id 5 -> label 1
