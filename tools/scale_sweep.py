@@ -547,6 +547,30 @@ def main() -> int:
     run("curate_100k", lambda: curate(docs(pair_files),
                                       jaccard_threshold=0.5))
 
+    # duplicated-content coverage on the dup-heavy 100k slice (worst
+    # case: nearly EVERY gram position is a dup occurrence, so this
+    # measures the forward+union volume, not a sparse fast path)
+    def dup_coverage_slice():
+        from htmlparsersharp_ray.stages.dedup import dup_coverage
+
+        return dup_coverage(docs(pair_files), n=8)
+
+    run("dup_coverage_slice", dup_coverage_slice)
+
+    # common-neighbors link prediction on the 10M-edge graph; cap 128
+    # keeps the planted 100-clique's centers (deg ~119) while bounding
+    # any hub — wedge volume ~sum C(deg,2) ~ 190M rows through one
+    # exchange is the cost driver being measured
+    def link_predict_10m():
+        from htmlparsersharp_ray.stages.graph import common_neighbor_pairs
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+        return common_neighbor_pairs(
+            e, min_common=2, max_center_degree=128).count()
+
+    run("link_predict_10m", link_predict_10m)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
