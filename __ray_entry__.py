@@ -242,6 +242,36 @@ def _q_extract_fragments(sf_dir: str):
                .sort_values("s_suppkey").reset_index(drop=True))
 
 
+def _q_extract_headings(sf_dir: str):
+    """Document-OUTLINE extraction round trip (hash-exact): each orders
+    row renders to a report page with a 4-heading outline in one of
+    three markup styles — fully-closed, an UNCLOSED heading chain
+    (each next <hN> start tag must pop the open heading: the WHATWG
+    "current node is h1-h6" rule, reference TreeBuilder.cs StartTag
+    h1-h6 group; engine html/treebuilder.py:1208), and UPPERCASE with
+    NCR-encoded spaces. Extraction walks the DOM in document order and
+    reconstructs each heading's outline PATH from the level sequence,
+    so the oracle is plain SQL over ``orders``. All three styles carry
+    the same outline: heading SIBLINGHOOD under unclosed markup is
+    what's graded."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        OutlineExtractUDF, render_order_outlines)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                 "o_totalprice"],
+    )
+    out = (ds.map_batches(render_order_outlines, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(OutlineExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values(["o_orderkey", "seq"]).reset_index(drop=True))
+
+
 def _q_docs_readability(sf_dir: str):
     """Flesch reading-ease readability screen (hash-exact): word /
     vowel-group / sentence-boundary counts from three vectorized
@@ -1445,7 +1475,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_markdown": _q_extract_markdown,
         "extract_lists": _q_extract_lists,
         "extract_fragments": _q_extract_fragments,
+        "extract_headings": _q_extract_headings,
         "docs_readability": _q_docs_readability,
+        # round-3 closing batch
+        "events_scd2": r.q_events_scd2,
+        "events_distinct_running": r.q_events_distinct_running,
+        "part_clustering_coeff": r.q_part_clustering_coeff,
+        "docs_bm25": r.q_docs_bm25,
     }
 
 
@@ -4814,5 +4850,149 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
         WHERE rn = 1 AND event_type <> 'error'
         ORDER BY user_id
+    """
+    sql["events_scd2"] = """
+        -- SCD type-2 dimension build: one row per event_type CHANGE
+        -- per user (consecutive repeats merge), [valid_from, valid_to)
+        -- microsecond intervals, int64-max open-end sentinel; ties on
+        -- equal ts break by event_id (mirrored in the engine's sort)
+        WITH o AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), c AS (
+            SELECT user_id, event_type, event_id, ts_us FROM o
+            WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS version,
+               event_type,
+               ts_us AS valid_from_us,
+               coalesce(lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ), 9223372036854775807) AS valid_to_us
+        FROM c
+        ORDER BY user_id, version
+    """
+    sql["events_distinct_running"] = """
+        -- running COUNT(DISTINCT event_type) per user ordered by
+        -- (ts, event_id) with a ROWS unbounded-preceding frame
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_types
+        FROM events
+        ORDER BY user_id, ts_us, event_id
+    """
+    sql["part_clustering_coeff"] = """
+        -- local clustering coefficient over the part co-purchase
+        -- graph: 2*triangles / (deg*(deg-1)) per node with deg >= 2;
+        -- integer counts, ONE mirrored float division (engine:
+        -- degree-ordered wedge triangles + a bucketed degree count)
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        und AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+        tcount AS (SELECT node, count(*) AS triangles
+                   FROM corners GROUP BY node)
+        SELECT d.node, d.deg,
+               coalesce(t.triangles, 0) AS triangles,
+               CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                   / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS cc
+        FROM deg d LEFT JOIN tcount t USING (node)
+        WHERE d.deg >= 2
+        ORDER BY d.node
+    """
+    sql["docs_bm25"] = """
+        -- BM25 top-10 (k1=1.2, b=0.75, ratio idf N/df — the
+        -- docs_tfidf no-log discipline): every float expression
+        -- mirrors the engine's verbatim (per-term contribution over
+        -- exact integer tf/dl/df/N/T, 3-term sum left-associated);
+        -- ties break doc_id-ascending
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        ), stats AS (
+            SELECT count(*) AS n, sum(len(ws)) AS t FROM w
+        ), tf AS (
+            SELECT doc_id, len(ws) AS dl,
+                   len(list_filter(ws, x -> x = 'join')) AS tf0,
+                   len(list_filter(ws, x -> x = 'hash')) AS tf1,
+                   len(list_filter(ws, x -> x = 'vector')) AS tf2
+            FROM w
+        ), df AS (
+            SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+                   count(*) FILTER (WHERE tf1 > 0) AS df1,
+                   count(*) FILTER (WHERE tf2 > 0) AS df2
+            FROM tf
+        ), scored AS (
+            SELECT tf.doc_id,
+                (CASE WHEN tf.tf0 = 0 OR df.df0 = 0 THEN 0.0 ELSE
+                    (CAST(stats.n AS DOUBLE) / CAST(df.df0 AS DOUBLE))
+                    * ((CAST(tf.tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf.tf0 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                              / (CAST(stats.t AS DOUBLE)
+                                 / CAST(stats.n AS DOUBLE)))))) END
+                 + CASE WHEN tf.tf1 = 0 OR df.df1 = 0 THEN 0.0 ELSE
+                    (CAST(stats.n AS DOUBLE) / CAST(df.df1 AS DOUBLE))
+                    * ((CAST(tf.tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf.tf1 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                              / (CAST(stats.t AS DOUBLE)
+                                 / CAST(stats.n AS DOUBLE)))))) END)
+                 + CASE WHEN tf.tf2 = 0 OR df.df2 = 0 THEN 0.0 ELSE
+                    (CAST(stats.n AS DOUBLE) / CAST(df.df2 AS DOUBLE))
+                    * ((CAST(tf.tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf.tf2 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                              / (CAST(stats.t AS DOUBLE)
+                                 / CAST(stats.n AS DOUBLE)))))) END
+                 AS score
+            FROM tf CROSS JOIN stats CROSS JOIN df
+            WHERE tf.tf0 > 0 OR tf.tf1 > 0 OR tf.tf2 > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+               doc_id, score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """
+    sql["extract_headings"] = """
+        -- outline round trip: 4 headings per order report page, path =
+        -- ' > '-joined nearer smaller-level predecessors; the render is
+        -- style-invariant so the expected outline is pure SQL
+        WITH o AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   o_orderpriority AS p,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        )
+        SELECT k AS o_orderkey, CAST(1 AS BIGINT) AS seq,
+               CAST(1 AS BIGINT) AS level,
+               'Order ' || k AS heading, '' AS path FROM o
+        UNION ALL SELECT k, 2, 2, 'Status ' || s, 'Order ' || k FROM o
+        UNION ALL SELECT k, 3, 3, 'Priority ' || p,
+                         'Order ' || k || ' > Status ' || s FROM o
+        UNION ALL SELECT k, 4, 2, 'Total ' || c, 'Order ' || k FROM o
+        ORDER BY o_orderkey, seq
     """
     return sql

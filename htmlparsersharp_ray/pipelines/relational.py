@@ -7381,3 +7381,269 @@ def q_events_resample(sf_dir: str):
         .sort_values(["user_id", "hour"])
         .reset_index(drop=True)
     )
+
+
+def q_events_scd2(sf_dir: str):
+    """SCD TYPE-2 DIMENSION BUILD: compress each user's event-type
+    stream into change-versioned validity intervals — one row per
+    CHANGE of event_type (consecutive repeats merge), carrying
+    ``[valid_from, valid_to)`` microsecond bounds, a 1-based version
+    number, and int64-max as the open-ended sentinel for the current
+    version. The slowly-changing-dimension construction every
+    warehouse/feature-store pipeline runs over a change log; the
+    compaction dual of events_latest (which keeps one row per key,
+    this keeps one row per STATE EPISODE). Reference n/a — engine-level
+    relational op (SURVEY.md §2.6).
+
+    Scale shape: ONE user-hash exchange (a user's full history
+    co-locates, like every window op here); in-bucket the change mask,
+    version numbers and interval ends are three vectorized shifts over
+    the (user, ts, event_id)-sorted frame — no per-user loop, no
+    driver state beyond the bounded result. Ordering ties on equal ts
+    break by event_id, mirrored in the oracle's window ORDER BY."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    OPEN_END = np.int64(np.iinfo(np.int64).max)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts",
+                                       "event_id"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def compress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        change = new_user | np.r_[False, et[1:] != et[:-1]]
+        keep = np.flatnonzero(change)
+        k_uid = uid[keep]
+        k_from = ts_us[keep]
+        # valid_to = next change row's valid_from within the same user
+        k_to = np.empty(len(keep), dtype=np.int64)
+        k_to[:-1] = k_from[1:]
+        k_to[-1:] = OPEN_END
+        last_of_user = np.r_[k_uid[1:] != k_uid[:-1], True]
+        k_to[last_of_user] = OPEN_END
+        # 1-based version per user among change rows
+        starts = np.flatnonzero(np.r_[True, k_uid[1:] != k_uid[:-1]])
+        run_id = np.cumsum(np.r_[False, k_uid[1:] != k_uid[:-1]])
+        version = np.arange(len(keep), dtype=np.int64) - starts[run_id] + 1
+        return pd.DataFrame({
+            "user_id": k_uid,
+            "version": version,
+            "event_type": et[keep],
+            "valid_from_us": k_from,
+            "valid_to_us": k_to,
+        })
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(compress, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["user_id", "version"])
+            .reset_index(drop=True))
+
+
+def q_events_distinct_running(sf_dir: str):
+    """RUNNING COUNT(DISTINCT) WINDOW: per user ordered by (ts,
+    event_id), the number of distinct event types seen SO FAR at each
+    event — the exploration/coverage curve behind onboarding funnels
+    and behavioral-breadth features, and the one window-family member
+    whose naive form (a set per row) doesn't vectorize. Reference n/a —
+    engine-level relational op (SURVEY.md §2.6).
+
+    Scale shape: ONE user-hash exchange; in-bucket the running distinct
+    count is first-occurrence-mask (pandas duplicated over the
+    (user, type) pair on the sorted frame) + one per-user cumulative
+    sum — integer-exact, no per-row set state. The oracle is DuckDB's
+    COUNT(DISTINCT) OVER with the same ROWS frame."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts",
+                                       "event_id"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = (~g.duplicated(["user_id", "event_type"])).to_numpy()
+        cum = np.cumsum(first.astype(np.int64))
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        run_id = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
+        base = np.r_[0, cum[:-1]][starts]  # cumsum before each user run
+        n_types = cum - base[run_id]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "user_id": uid,
+            "ts_us": ts_us,
+            "n_types": n_types,
+        })
+
+    out = (
+        bucketed.groupby("ub")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["user_id", "ts_us", "event_id"])
+            .reset_index(drop=True))
+
+
+def q_part_clustering_coeff(sf_dir: str):
+    """LOCAL CLUSTERING COEFFICIENT over the part co-purchase graph:
+    per node with degree >= 2, the fraction of its neighbor pairs that
+    are themselves connected — 2*triangles / (deg*(deg-1)), the
+    transitivity statistic next to part_triangles (its numerator) and
+    part_communities (what dense clustering predicts). Reference n/a —
+    engine-level graph op.
+
+    Scale shape: triangle counts ride the degree-ordered wedge pipeline
+    (:func:`stages.graph.triangle_counts`, bounded pair-bucket
+    exchanges); degrees are one bucketed groupby over the distinct
+    undirected edge list (:func:`stages.graph.node_degrees`); the final
+    merge is driver-side over one bounded row per node (the
+    part_triangles precedent). Integer counts everywhere; the
+    coefficient is ONE mirrored float division, so doubles match the
+    oracle bitwise."""
+    import numpy as np
+
+    from ..stages.graph import (group_cooccurrence_edges, node_degrees,
+                                triangle_counts)
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = node_degrees(edges).to_pandas().astype(
+        {"node": "int64", "deg": "int64"})
+    tri = triangle_counts(edges).to_pandas()
+    if tri.empty:  # Ray drops columns on all-empty to_pandas()
+        tri = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("node", "triangles")})
+    tri = tri.astype({"node": "int64", "triangles": "int64"})
+    out = deg.merge(tri, on="node", how="left")
+    out["triangles"] = out["triangles"].fillna(0).astype("int64")
+    out = out[out["deg"] >= 2].copy()
+    d = out["deg"].to_numpy(dtype=np.int64)
+    t = out["triangles"].to_numpy(dtype=np.int64)
+    out["cc"] = (2 * t).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+    return (out[["node", "deg", "triangles", "cc"]]
+            .sort_values("node").reset_index(drop=True))
+
+
+def q_docs_bm25(sf_dir: str, terms: tuple = ("join", "hash", "vector"),
+                k: int = 10):
+    """BM25 RANKED RETRIEVAL (top-k): score every document against a
+    fixed query by the BM25 term-saturation formula — tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)) per term, k1=1.2, b=0.75 — with the
+    ratio idf N/df (the docs_tfidf discipline: log() would pin the
+    result to a libm; the N/df ratio keeps every float bitwise-
+    reproducible across engines). The ranked-retrieval op next to
+    docs_search (boolean AND) and docs_postings (the index built for
+    exactly this scoring). Reference n/a — engine-level op.
+
+    Scale shape: TWO pruned corpus passes, no exchange. Pass 1 reduces
+    each batch to ONE integer stats row (doc count, token total,
+    per-term df); the driver merges ⌈batches⌉ rows into the broadcast
+    constants (N, avgdl, df) — shipped in the pass-2 task closure (the
+    kmeans lesson: tiny read-only arrays ride closures, not actor
+    state). Pass 2 scores matching docs per batch and keeps only that
+    batch's top-k — the global top-k is a subset of the union of
+    per-batch top-ks, so the driver merges ≤ batches×k rows, never the
+    corpus. Floats: each term's contribution is one mirrored
+    expression over exact integers (tf, dl, df, N, T); the 3-term sum
+    is written left-associated identically in the SQL oracle."""
+    import numpy as np
+
+    term_list = list(terms)
+    t_index = {t: i for i, t in enumerate(term_list)}
+    n_terms = len(term_list)
+
+    def _tf_matrix(b: pd.DataFrame):
+        """(ids, lens, counts[len × n_terms]) for non-empty docs."""
+        text = b["text"].fillna("").str.strip().str.lower()
+        ok = (text != "").to_numpy()
+        lists = text[ok].str.split().tolist()
+        ids = b.loc[ok, "doc_id"].to_numpy(np.int64)
+        if not lists:
+            return ids, np.empty(0, np.int64), np.empty((0, n_terms),
+                                                        np.int64)
+        lens = np.fromiter(map(len, lists), np.int64, len(lists))
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        doc_ix = np.repeat(np.arange(len(lists)), lens)
+        hit = np.isin(flat, term_list)
+        counts = np.zeros((len(lists), n_terms), dtype=np.int64)
+        if hit.any():
+            t_ix = np.fromiter((t_index[t] for t in flat[hit]), np.int64,
+                               int(hit.sum()))
+            combo = doc_ix[hit] * n_terms + t_ix
+            bc = np.bincount(combo, minlength=len(lists) * n_terms)
+            counts = bc.reshape(len(lists), n_terms).astype(np.int64)
+        return ids, lens, counts
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, lens, counts = _tf_matrix(b)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(lens))],
+            "tot": [lens.sum() if len(lens) else np.int64(0)],
+            **{f"df{i}": [np.int64((counts[:, i] > 0).sum())]
+               for i in range(n_terms)},
+        }).astype("int64")
+
+    def _read():
+        return ray.data.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    stats = _read().map_batches(
+        stats_partial, batch_format="pandas").to_pandas()
+    n_corpus = int(stats["n_docs"].sum())
+    tot = int(stats["tot"].sum())
+    dfs = [int(stats[f"df{i}"].sum()) for i in range(n_terms)]
+    empty = pd.DataFrame({
+        "rank": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    })
+    if n_corpus == 0:
+        return empty
+    avgdl = np.float64(tot) / np.float64(n_corpus)
+    idfs = [np.float64(n_corpus) / np.float64(d) if d else np.float64(0.0)
+            for d in dfs]
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids, lens, counts = _tf_matrix(b)
+        any_hit = (counts > 0).any(axis=1)
+        if not any_hit.any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        ids, lens, counts = ids[any_hit], lens[any_hit], counts[any_hit]
+        dl = lens.astype(np.float64)
+        norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        score = np.zeros(len(ids), dtype=np.float64)
+        # left-associated fixed-order sum, mirrored verbatim in the SQL
+        for i in range(n_terms):
+            tf = counts[:, i].astype(np.float64)
+            contrib = np.where(
+                tf > 0.0, idfs[i] * ((tf * 2.2) / (tf + norm)), 0.0)
+            score = score + contrib
+        part = pd.DataFrame({"doc_id": ids, "score": score})
+        return part.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k)
+
+    cand = _read().map_batches(score_topk, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return empty
+    out = cand.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(k)
+    out = out.astype({"doc_id": "int64"})
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out.reset_index(drop=True)

@@ -87,6 +87,34 @@ def _undirected_distinct(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node degree over the UNDIRECTED graph induced by ``(src,
+    dst)`` edges — ``(node, deg)`` for every node incident to at least
+    one distinct non-loop edge. ONE node-bucket exchange over endpoint
+    rows of the distinct undirected edge list; counts are exact
+    integers (clustering-coefficient / degree-distribution
+    denominator)."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([u, v])
+        return pa.table({"kb": pa.array(_ibucket(node)),
+                         "node": pa.array(node)})
+
+    def count(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("node", as_index=False, sort=False).size()
+        return pd.DataFrame({"node": out["node"].astype("int64"),
+                             "deg": out["size"].astype("int64")})
+
+    return (
+        _undirected_distinct(edges)
+        .map_batches(endpoints, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
 def group_cooccurrence_edges(
     ds: ray.data.Dataset, group_col: str, item_col: str,
 ) -> ray.data.Dataset:

@@ -444,3 +444,108 @@ class MarkdownExtractUDF:
             "c_custkey": batch.column("c_custkey"),
             "markdown": pa.array(mds, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# document-outline extraction (order report pages)
+# ---------------------------------------------------------------------------
+
+def render_order_outlines(batch: pa.Table) -> pa.Table:
+    """One HTML report page per orders row with a 4-heading outline
+    (h1 order / h2 status / h3 priority / h2 total); markup style keyed
+    on ``o_orderkey % 3`` — all three carry the SAME outline:
+
+    - style 0: fully-closed headings with <p> siblings between them
+    - style 1: an UNCLOSED heading chain — each next <hN> start tag
+      must POP the currently-open heading (the WHATWG "current node is
+      an h1-h6" rule, reference: TreeBuilder.cs StartTag h1-h6 group;
+      engine: html/treebuilder.py:1208), so the headings still come
+      out as siblings, not nested
+    - style 2: UPPERCASE tags with ``&#x20;``/``&#32;``-encoded spaces
+      inside the heading text (NCR decoding must restore exact text)
+    """
+    keys = batch.column("o_orderkey").to_pylist()
+    stats = batch.column("o_orderstatus").to_pylist()
+    prios = batch.column("o_orderpriority").to_pylist()
+    cents = _cents(batch.column("o_totalprice"))
+
+    docs = []
+    for k, st, pr, ct in zip(keys, stats, prios, cents):
+        h = (f"Order {k}", f"Status {st}", f"Priority {_esc(pr)}",
+             f"Total {ct}")
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><head><title>o</title></head><body>"
+                f"<h1>{h[0]}</h1><p>report {k}</p>"
+                f"<h2>{h[1]}</h2><p>status detail</p>"
+                f"<h3>{h[2]}</h3><p>priority detail</p>"
+                f"<h2>{h[3]}</h2><p>total detail</p>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                "<!DOCTYPE html>"
+                f"<h1>{h[0]}<h2>{h[1]}<h3>{h[2]}<h2>{h[3]}"
+            )
+        else:
+            enc = [t.replace(" ", "&#x20;" if i % 2 else "&#32;")
+                   for i, t in enumerate(h)]
+            docs.append(
+                "<!DOCTYPE html><HTML><HEAD><TITLE>o</TITLE></HEAD><BODY>"
+                f"<H1>{enc[0]}</H1><P>report</P>"
+                f"<H2>{enc[1]}</H2>"
+                f"<H3>{enc[2]}</H3>"
+                f"<H2>{enc[3]}</H2>"
+                "</BODY></HTML>"
+            )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class OutlineExtractUDF:
+    """Recover the document OUTLINE from each report page: walk the DOM
+    in document order, emit one row per h1-h6 element with its 1-based
+    sequence number, heading level, text, and the outline PATH — the
+    ``" > "``-joined texts of the nearest preceding headings of smaller
+    level (computed from the level sequence, the HTML5 outline
+    discipline). The h1 key rides the heading text ("Order <k>"), so
+    extraction inverts the render exactly and the oracle is plain SQL
+    over ``orders``."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, seqs, levels, texts, paths = [], [], [], [], []
+        headings = {"h1", "h2", "h3", "h4", "h5", "h6"}
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            found = []
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name in headings:
+                    found.append((int(node.name[1]), element_text(node)))
+                    continue  # headings never nest in this corpus shape
+                stack.extend(reversed(node.children))
+            key = int(found[0][1].rsplit(" ", 1)[1])
+            outline: list[tuple[int, str]] = []
+            for seq, (lvl, txt) in enumerate(found, start=1):
+                while outline and outline[-1][0] >= lvl:
+                    outline.pop()
+                keys.append(key)
+                seqs.append(seq)
+                levels.append(lvl)
+                texts.append(txt)
+                paths.append(" > ".join(t for _, t in outline))
+                outline.append((lvl, txt))
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "seq": pa.array(seqs, pa.int64()),
+            "level": pa.array(levels, pa.int64()),
+            "heading": pa.array(texts, pa.string()),
+            "path": pa.array(paths, pa.string()),
+        })
