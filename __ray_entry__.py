@@ -1482,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_running": r.q_events_distinct_running,
         "part_clustering_coeff": r.q_part_clustering_coeff,
         "docs_bm25": r.q_docs_bm25,
+        "part_degree_hist": r.q_part_degree_hist,
+        "events_paths": r.q_events_paths,
+        "docs_kwic": r.q_docs_kwic,
     }
 
 
@@ -4994,5 +4997,54 @@ def oracle_sql() -> dict[str, str]:
                          'Order ' || k || ' > Status ' || s FROM o
         UNION ALL SELECT k, 4, 2, 'Total ' || c, 'Order ' || k FROM o
         ORDER BY o_orderkey, seq
+    """
+    sql["part_degree_hist"] = """
+        -- degree distribution of the part co-purchase graph: node
+        -- count per degree over the distinct undirected edge list
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u)
+        SELECT deg, count(*) AS n_nodes
+        FROM deg GROUP BY deg ORDER BY deg
+    """
+    sql["events_paths"] = """
+        -- top user journeys: each user's first-5 event types (ordered
+        -- by ts, event_id) as a '>'-joined path, counted across users
+        WITH o AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ), p AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM o WHERE rn <= 5 GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM p GROUP BY path ORDER BY path
+    """
+    sql["docs_kwic"] = """
+        -- keyword in context: one row per occurrence of 'vector' with
+        -- up to 3 tokens of left/right context (clamped at document
+        -- bounds; greatest() keeps the lower slice bound positive —
+        -- a negative DuckDB list index would wrap from the end)
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        )
+        SELECT doc_id, i AS pos,
+               coalesce(array_to_string(
+                   ws[greatest(i - 3, 1) : i - 1], ' '), '') AS left_ctx,
+               coalesce(array_to_string(
+                   ws[i + 1 : i + 3], ' '), '') AS right_ctx
+        FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+        WHERE ws[i] = 'vector'
+        ORDER BY doc_id, pos
     """
     return sql

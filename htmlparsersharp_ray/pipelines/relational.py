@@ -7647,3 +7647,156 @@ def q_docs_bm25(sf_dir: str, terms: tuple = ("join", "hash", "vector"),
     out = out.astype({"doc_id": "int64"})
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out.reset_index(drop=True)
+
+
+def q_part_degree_hist(sf_dir: str):
+    """DEGREE DISTRIBUTION of the part co-purchase graph: how many
+    nodes have each degree — the first diagnostic a pipeline reads off
+    any graph it builds (skew detection: a heavy tail here is what the
+    degree-ordered wedge machinery exists to survive). Reference n/a —
+    engine-level graph op.
+
+    Scale shape: per-node degrees from ONE bucketed exchange
+    (:func:`stages.graph.node_degrees`); the histogram then collapses
+    per batch to (deg, count) partials and the driver merges only
+    distinct-degree rows (bounded by the max degree, not nodes)."""
+    from ..stages.graph import group_cooccurrence_edges, node_degrees
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    deg = node_degrees(group_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("deg", as_index=False).size()
+        return pd.DataFrame({"deg": out["deg"].astype("int64"),
+                             "n": out["size"].astype("int64")})
+
+    parts = deg.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("deg", as_index=False).agg(n_nodes=("n", "sum"))
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("deg").reset_index(drop=True)
+
+
+def q_events_paths(sf_dir: str, k: int = 5):
+    """TOP USER JOURNEYS: each user's first-``k`` event types (ordered
+    by ts, ties by event_id) joined into a '>'-separated path string,
+    counted across users — the sequence-mining census next to
+    events_funnel (fixed target sequence), events_pattern (regex
+    match) and events_transitions (1-step Markov): this one reports
+    the empirical k-prefix distribution itself. Reference n/a —
+    engine-level relational op.
+
+    Scale shape: ONE user-hash exchange; in-bucket a vectorized
+    run-position mask keeps each user's first k rows, per-user joins
+    run over ≤ k strings each, and the bucket emits (path, n_users)
+    PARTIALS — the driver merges distinct paths only (bounded by the
+    observed k-prefix vocabulary, ≤ |event_types|^k, never users)."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts",
+                                       "event_id"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        run_id = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
+        pos = np.arange(len(uid)) - starts[run_id]
+        head = g[pos < k]
+        p = head.groupby("user_id", sort=False)["event_type"].agg(
+            ">".join)
+        out = p.to_frame("path").groupby("path", as_index=False).size()
+        return pd.DataFrame({"path": out["path"].astype(str),
+                             "n": out["size"].astype("int64")})
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(paths, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("path", as_index=False).agg(n_users=("n", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)
+
+
+def q_docs_kwic(sf_dir: str, term: str = "vector", window: int = 3):
+    """KEYWORD IN CONTEXT (concordance): one row per occurrence of the
+    query term with up to ``window`` tokens of left/right context —
+    the corpus-inspection op behind targeted quality review and
+    decontamination forensics ("show me every hit with its
+    surroundings"). Tokenization is the corpus-wide convention
+    (lower(trim(text)) whitespace split). Reference n/a — engine-level
+    op.
+
+    Embarrassingly parallel, no exchange: per batch the flattened
+    token array yields occurrence indices via one equality compare;
+    each context column is one shifted gather masked at document
+    boundaries (empties are contiguous at the edges, so a plain join +
+    strip reproduces SQL's array_to_string over the clamped slice).
+    Only occurrence rows leave the worker."""
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def kwic(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "pos": pd.Series([], dtype="int64"),
+            "left_ctx": pd.Series([], dtype=str),
+            "right_ctx": pd.Series([], dtype=str),
+        })
+        text = b["text"].fillna("").str.strip().str.lower()
+        ok = (text != "").to_numpy()
+        lists = text[ok].str.split().tolist()
+        ids = b.loc[ok, "doc_id"].to_numpy(np.int64)
+        if not lists:
+            return empty
+        lens = np.fromiter(map(len, lists), np.int64, len(lists))
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in lists])
+        doc_ix = np.repeat(np.arange(len(lists)), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        occ = np.flatnonzero(flat == term)
+        if not len(occ):
+            return empty
+        d = doc_ix[occ]
+        o = occ - starts[d]          # 0-based position within the doc
+        sides = {}
+        for sign, name in ((-1, "left_ctx"), (1, "right_ctx")):
+            cols = []
+            rng = range(window, 0, -1) if sign < 0 else range(1, window + 1)
+            for off in rng:
+                j = o + sign * off
+                valid = (j >= 0) & (j < lens[d])
+                tok = np.where(valid, flat[np.clip(occ + sign * off, 0,
+                                                   len(flat) - 1)], "")
+                cols.append(pd.Series(tok, dtype=str))
+            joined = cols[0].str.cat(cols[1:], sep=" ").str.strip()
+            # empties are contiguous at the edges; collapse runs of
+            # spaces left by them (never between two kept tokens)
+            sides[name] = joined.str.replace(r" +", " ", regex=True)
+        return pd.DataFrame({
+            "doc_id": ids[d],
+            "pos": o + 1,            # 1-based, the SQL convention
+            "left_ctx": sides["left_ctx"].to_numpy(),
+            "right_ctx": sides["right_ctx"].to_numpy(),
+        })
+
+    out = docs.map_batches(kwic, batch_format="pandas").to_pandas()
+    if out.empty:
+        # all-empty datasets lose their columns through to_pandas()
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "pos": pd.Series([], dtype="int64"),
+            "left_ctx": pd.Series([], dtype=str),
+            "right_ctx": pd.Series([], dtype=str),
+        })
+    return (out.sort_values(["doc_id", "pos"])
+            .reset_index(drop=True))
