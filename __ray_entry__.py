@@ -272,6 +272,36 @@ def _q_extract_headings(sf_dir: str):
                .sort_values(["o_orderkey", "seq"]).reset_index(drop=True))
 
 
+def _q_extract_code(sf_dir: str):
+    """Code-block extraction round trip (hash-exact): each orders row
+    renders to a page with exactly one <pre><code> snippet — plus
+    decoy <pre> blocks without a code child and inline <code> outside
+    <pre>, which must NOT extract — in one of three markup styles.
+    Two styles put a newline immediately after the <pre> start tag:
+    the WHATWG leading-LF rule (reference TreeBuilder.cs StartTag
+    pre/listing group; engine html/treebuilder.py) must DROP it, so
+    all three styles converge to the identical code string and the
+    oracle is one SQL concat over ``orders``. Entity surfaces graded:
+    named and numeric char refs for < > & \" inside the code text,
+    quoted/unquoted/uppercase attribute styles for id and class."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        CodeExtractUDF, render_order_code)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    out = (ds.map_batches(render_order_code, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(CodeExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def _q_docs_readability(sf_dir: str):
     """Flesch reading-ease readability screen (hash-exact): word /
     vowel-group / sentence-boundary counts from three vectorized
@@ -1476,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lists": _q_extract_lists,
         "extract_fragments": _q_extract_fragments,
         "extract_headings": _q_extract_headings,
+        "extract_code": _q_extract_code,
         "docs_readability": _q_docs_readability,
         # round-3 closing batch
         "events_scd2": r.q_events_scd2,
@@ -1485,6 +1516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_degree_hist": r.q_part_degree_hist,
         "events_paths": r.q_events_paths,
         "docs_kwic": r.q_docs_kwic,
+        "events_churn": r.q_events_churn,
+        "docs_vocab_growth": r.q_docs_vocab_growth,
     }
 
 
@@ -5046,5 +5079,68 @@ def oracle_sql() -> dict[str, str]:
         FROM w, unnest(generate_series(1, len(ws))) AS t(i)
         WHERE ws[i] = 'vector'
         ORDER BY doc_id, pos
+    """
+    sql["extract_code"] = """
+        -- render->parse round trip: the recovered snippet must equal
+        -- this concat exactly (chr(10) = the literal newlines the
+        -- parser must preserve INSIDE <pre>, while dropping only the
+        -- render's leading LF after the <pre> start tag)
+        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'O' THEN 'python'
+                                  WHEN 'F' THEN 'sql'
+                                  ELSE 'rust' END AS lang,
+               '# order ' || o_orderkey || ' & customer ' || o_custkey
+               || chr(10) ||
+               'if priority == "' || o_orderpriority || '":'
+               || chr(10) ||
+               '    status = "' || o_orderstatus || '" if '
+               || o_custkey || ' < ' || o_orderkey || ' else "?"'
+               AS code
+        FROM orders ORDER BY o_orderkey
+    """
+    sql["events_churn"] = """
+        -- weekly active-user waterfall over epoch weeks (the
+        -- events_retention convention); churned(w) = active w-1,
+        -- absent w; frame = weeks with any corpus activity
+        WITH w AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ), f AS (
+            SELECT user_id, min(wk) AS fw FROM w GROUP BY user_id
+        ), k AS (SELECT DISTINCT wk FROM w)
+        SELECT k.wk AS week,
+               (SELECT count(*) FROM w WHERE w.wk = k.wk) AS n_active,
+               (SELECT count(*) FROM f WHERE f.fw = k.wk) AS n_new,
+               (SELECT count(*) FROM w a JOIN w b
+                 ON a.user_id = b.user_id AND b.wk = a.wk - 1
+                WHERE a.wk = k.wk) AS n_retained,
+               (SELECT count(*) FROM w p LEFT JOIN w c
+                 ON c.user_id = p.user_id AND c.wk = p.wk + 1
+                WHERE p.wk = k.wk - 1 AND c.user_id IS NULL
+               ) AS n_churned
+        FROM k ORDER BY week
+    """
+    sql["docs_vocab_growth"] = """
+        -- Heaps'-law census: cumulative distinct words after each
+        -- decile of the corpus in doc_id order; a word lands in the
+        -- decile of its FIRST document ((min_doc*10) // n + 1)
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(
+                       trim(lower(text)), '\\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ), f AS (
+            SELECT word, min(doc_id) AS fd FROM w GROUP BY word
+        ), d AS (
+            SELECT (fd * 10) // n.n + 1 AS decile, count(*) AS nw
+            FROM f, n GROUP BY 1
+        )
+        SELECT t AS decile,
+               CAST(coalesce((SELECT sum(nw) FROM d WHERE decile <= t),
+                             0) AS BIGINT) AS vocab_size
+        FROM unnest(generate_series(1, 10)) AS g(t)
+        ORDER BY decile
     """
     return sql

@@ -7800,3 +7800,134 @@ def q_docs_kwic(sf_dir: str, term: str = "vector", window: int = 3):
         })
     return (out.sort_values(["doc_id", "pos"])
             .reset_index(drop=True))
+
+
+def q_events_churn(sf_dir: str):
+    """WEEKLY GROWTH ACCOUNTING: per epoch-week (the events_retention
+    convention), how many users were active, new (first-ever week),
+    retained (also active the week before) and churned (active the
+    week before, absent this week) — the standard active-user
+    waterfall next to retention's cohort matrix. Reference n/a —
+    engine-level relational op.
+
+    Scale shape: ONE user-hash exchange; inside a bucket the distinct
+    (user, week) rows sort once and every flag is a shifted compare
+    over the run-length structure (no per-user loop); churn emits at
+    week+1 as a candidate. Per-bucket (week, counts) partials are
+    additive (user sets disjoint), and the driver merges rows bounded
+    by the CALENDAR (weeks × buckets), never users. Weeks with zero
+    corpus-wide activity are dropped (mirrors the oracle's
+    distinct-week frame)."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    WEEK_US = 7 * 86400 * 10**6
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def churn(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "w": g["ts"].astype("int64").to_numpy() // WEEK_US,
+        }).drop_duplicates().sort_values(["u", "w"])
+        u = d["u"].to_numpy()
+        w = d["w"].to_numpy()
+        same_prev = np.r_[False, (u[1:] == u[:-1])]
+        new = ~same_prev                                   # first week of the run
+        retained = same_prev & np.r_[False, w[1:] == w[:-1] + 1]
+        # churn source: no row (same user, week + 1) follows this one
+        cont = np.r_[(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1), False]
+        frames = [
+            pd.DataFrame({"week": w, "kind": "a"}),
+            pd.DataFrame({"week": w[new], "kind": "n"}),
+            pd.DataFrame({"week": w[retained], "kind": "r"}),
+            pd.DataFrame({"week": w[~cont] + 1, "kind": "c"}),
+        ]
+        e = pd.concat(frames, ignore_index=True)
+        out = e.groupby(["week", "kind"], as_index=False).size()
+        return pd.DataFrame({"week": out["week"].astype("int64"),
+                             "kind": out["kind"].astype(str),
+                             "n": out["size"].astype("int64")})
+
+    parts = (
+        bucketed.groupby("ub")
+        .map_groups(churn, batch_format="pandas")
+        .to_pandas()
+    )
+    p = parts.pivot_table(index="week", columns="kind", values="n",
+                          aggfunc="sum", fill_value=0).reset_index()
+    for k in "anrc":
+        if k not in p.columns:
+            p[k] = 0
+    p = p[p["a"] > 0]  # only weeks with corpus-wide activity
+    out = pd.DataFrame({
+        "week": p["week"].astype("int64"),
+        "n_active": p["a"].astype("int64"),
+        "n_new": p["n"].astype("int64"),
+        "n_retained": p["r"].astype("int64"),
+        "n_churned": p["c"].astype("int64"),
+    })
+    return out.sort_values("week").reset_index(drop=True)
+
+
+def q_docs_vocab_growth(sf_dir: str, n_buckets: int = 64):
+    """VOCABULARY GROWTH (Heaps'-law census): cumulative distinct-word
+    count after each DECILE of the corpus in doc_id order — the
+    diagnostic that says whether a corpus's vocabulary is saturating
+    (dedup working) or still growing linearly (new domains arriving).
+    Reference n/a — engine-level corpus census.
+
+    Scale shape: a word's growth contribution is decided by its global
+    MIN(doc_id) — per batch the explode collapses to per-word minima
+    (one C-level groupby), ONE term-hash bucket exchange completes the
+    global min per word, and each bucket emits only (decile, n) counts:
+    the driver merges ≤ 10 × n_buckets rows and cumsums a 10-row axis.
+    Tokenization is the corpus convention (lower(trim(text))
+    whitespace split)."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = docs.count()  # metadata-only on a fresh parquet read
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        ok = text != ""
+        e = pd.DataFrame({
+            "doc_id": b.loc[ok, "doc_id"].astype("int64"),
+            "term": text[ok].str.split(),
+        }).explode("term")
+        m = e.groupby("term", as_index=False)["doc_id"].min()
+        th = hash_strings64(m["term"].to_numpy(), categorize=True)
+        return pd.DataFrame({
+            "term": m["term"].astype(str),
+            "fd": m["doc_id"].astype("int64"),
+            "tb": (th % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def decile_counts(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("term")["fd"].min().to_numpy()
+        dec = fd * 10 // n_docs + 1
+        d, n = np.unique(dec, return_counts=True)
+        return pd.DataFrame({"decile": d.astype("int64"),
+                             "nw": n.astype("int64")})
+
+    parts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(decile_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    axis = pd.DataFrame({"decile": np.arange(1, 11, dtype=np.int64)})
+    if parts.empty:
+        merged = axis.assign(nw=0)
+    else:
+        merged = axis.merge(
+            parts.groupby("decile", as_index=False)["nw"].sum(),
+            on="decile", how="left").fillna({"nw": 0})
+    merged["vocab_size"] = merged["nw"].cumsum().astype("int64")
+    return merged[["decile", "vocab_size"]].reset_index(drop=True)

@@ -549,3 +549,125 @@ class OutlineExtractUDF:
             "heading": pa.array(texts, pa.string()),
             "path": pa.array(paths, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Code-block extraction (order snippets) — the <pre> leading-LF rule
+# ---------------------------------------------------------------------------
+
+_LANG_BY_STATUS = {"O": "python", "F": "sql", "P": "rust"}
+
+
+def _order_code(k: int, c: int, status: str, prio: str) -> str:
+    """The canonical snippet for one order row — shared by the render
+    (escaped into HTML) and the pytest expectations; the oracle mirrors
+    it as one SQL concat. Deliberately carries every character class
+    entity escaping must round-trip: ``<`` ``>`` ``&`` ``"`` and
+    newlines."""
+    return (
+        f"# order {k} & customer {c}\n"
+        f'if priority == "{prio}":\n'
+        f'    status = "{status}" if {c} < {k} else "?"'
+    )
+
+
+def render_order_code(batch: pa.Table) -> pa.Table:
+    """One HTML page per order row carrying exactly one ``<pre><code>``
+    block (plus decoys that must NOT extract: a ``<pre>`` with no code
+    child and an inline ``<code>`` outside ``<pre>``), in one of three
+    markup styles by ``o_orderkey % 3``:
+
+    - style 0: ``<pre>\\n<code ...>`` — the newline immediately after
+      the ``<pre>`` start tag must be IGNORED by the tree builder (the
+      WHATWG pre/listing leading-LF rule; reference TreeBuilder.cs
+      StartTag pre/listing group), so the extracted code must not gain
+      a leading newline. Named entities (&lt; &gt; &amp; &quot;).
+    - style 1: no doctype, unquoted attribute values, ``<pre><code``
+      with no LF — same text, proving the skip in style 0 is the rule
+      and not a strip().
+    - style 2: UPPERCASE tags, the LF-after-<PRE> variant again, and
+      NUMERIC character references (&#60; &#x3E; &#38; &#34;) for the
+      special characters.
+
+    The snippet's real newlines stay literal inside the element (pre
+    preserves them); only the leading LF is parser-dropped."""
+    keys = batch.column("o_orderkey").to_pylist()
+    custs = batch.column("o_custkey").to_pylist()
+    stats = batch.column("o_orderstatus").to_pylist()
+    prios = batch.column("o_orderpriority").to_pylist()
+
+    docs = []
+    for k, c, st, pr in zip(keys, custs, stats, prios):
+        lang = _LANG_BY_STATUS.get(st, "rust")
+        code = _order_code(int(k), int(c), st, pr)
+        named = (code.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;").replace('"', "&quot;"))
+        numeric = (code.replace("&", "&#38;").replace("<", "&#60;")
+                   .replace(">", "&#x3E;").replace('"', "&#34;"))
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><head><title>s</title></head><body>"
+                "<nav><a href=\"/\">home</a></nav>"
+                f"<pre>\n<code id=\"o-{k}\" class=\"language-{lang}\">"
+                f"{named}</code></pre>"
+                f"<pre>\ndecoy {k} has no code child</pre>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<p>see <code>inline()</code> below</p>"
+                f"<pre><code id=o-{k} class=language-{lang}>"
+                f"{named}</code></pre>"
+            )
+        else:
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<PRE>\n<CODE ID=\"o-{k}\" CLASS=\"language-{lang}\">"
+                f"{numeric}</CODE></PRE>"
+                "<PRE>\nno&#32;code here</PRE>"
+                "</BODY></HTML>"
+            )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class CodeExtractUDF:
+    """Recover (o_orderkey, lang, code) from each page: walk the DOM in
+    document order and take every ``<pre>`` whose FIRST child is a
+    ``<code>`` element (decoy <pre> blocks start with text; inline
+    <code> has no <pre> parent). The key comes from the code element's
+    ``id`` attribute ("o-<k>"), the language from its ``class``
+    ("language-<lang>"), and the code text is the element's
+    concatenated descendant text — already entity-decoded and, for the
+    LF-after-<pre> styles, already missing the parser-dropped leading
+    newline."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, langs, codes = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "pre":
+                    kids = node.children
+                    if kids and isinstance(kids[0], Element) \
+                            and kids[0].name == "code":
+                        code_el = kids[0]
+                        keys.append(int(code_el.attrs["id"][2:]))
+                        langs.append(
+                            code_el.attrs["class"].split("language-", 1)[1])
+                        codes.append(element_text(code_el))
+                    continue  # pre never nests another pre here
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "code": pa.array(codes, pa.string()),
+        })
