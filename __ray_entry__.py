@@ -302,6 +302,64 @@ def _q_extract_code(sf_dir: str):
                .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_extract_images(sf_dir: str):
+    """Image-text pair mining round trip (hash-exact): each part row
+    renders to a page with exactly one <figure><img alt><figcaption>
+    pair — plus decoys that must NOT extract (empty-alt tracking pixel,
+    alt-less banner, image-less figure, caption-less figure) — in one
+    of three markup styles (quoted/unquoted/single-quoted attributes,
+    self-closing void <img/>, UPPERCASE, named AND numeric character
+    references in the ATTRIBUTE VALUE — a different tokenizer path
+    than text content). All styles converge to the identical
+    (src, alt, caption) triple, so the oracle is plain SQL concats
+    over ``part``. This is the harvesting step of a CLIP-style
+    image-text corpus build."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        FigureExtractUDF, render_part_figures)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_type"],
+    )
+    out = (ds.map_batches(render_part_figures, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(FigureExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("p_partkey").reset_index(drop=True))
+
+
+def _q_extract_jsonld(sf_dir: str):
+    """JSON-LD structured-data extraction round trip (hash-exact):
+    each orders row renders to a page with one
+    <script type="application/ld+json"> Product object in one of three
+    JSON encodings (pretty-printed, compact, \\u-escaped specials) plus
+    decoy scripts (bare JS with ``1 < 2 &&``, text/javascript) that
+    must NOT extract. The description field embeds a literal
+    ``</script>`` (JSON-escaped as ``<\\/script>``), so the script-data
+    RAWTEXT rules (reference Tokenizer.cs script-data states; engine
+    html/tokenizer.py) sit in the graded value path: the parser must
+    neither terminate early nor decode character references inside
+    script content."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        JsonLdExtractUDF, render_order_jsonld)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    out = (ds.map_batches(render_order_jsonld, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(JsonLdExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def _q_docs_readability(sf_dir: str):
     """Flesch reading-ease readability screen (hash-exact): word /
     vowel-group / sentence-boundary counts from three vectorized
@@ -1518,6 +1576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_kwic": r.q_docs_kwic,
         "events_churn": r.q_events_churn,
         "docs_vocab_growth": r.q_docs_vocab_growth,
+        "extract_images": _q_extract_images,
+        "extract_jsonld": _q_extract_jsonld,
+        "part_modularity": r.q_part_modularity,
+        "part_zorder": r.q_part_zorder,
     }
 
 
@@ -5142,5 +5204,80 @@ def oracle_sql() -> dict[str, str]:
                              0) AS BIGINT) AS vocab_size
         FROM unnest(generate_series(1, 10)) AS g(t)
         ORDER BY decile
+    """
+    sql["extract_images"] = """
+        -- render->parse round trip: the harvested image-text pair
+        -- must equal these concats exactly for every part row
+        SELECT p_partkey,
+               '/img/parts/' || p_partkey || '.jpg' AS src,
+               p_name || ' & more <specs>' AS alt,
+               'Part ' || p_partkey || ': ' || p_type AS caption
+        FROM part ORDER BY p_partkey
+    """
+    sql["extract_jsonld"] = """
+        -- render->parse round trip: the JSON-LD Product leaf fields
+        -- must decode to these concats exactly (the description's
+        -- literal </script> travels JSON-escaped through RAWTEXT)
+        SELECT o_orderkey,
+               'Order ' || o_orderkey || ' & customer ' || o_custkey
+                 AS name,
+               o_orderpriority AS category,
+               'trap </script> & "quotes" for ' || o_orderkey
+                 AS description
+        FROM orders ORDER BY o_orderkey
+    """
+    sql["part_modularity"] = """
+        -- Newman modularity of the brand partition over the directed
+        -- distinct co-purchase edge list E (|E| = M = 2m): per brand
+        -- Q_c = (M*W_c - D_c^2) / M^2 with W_c = directed within-brand
+        -- edges, D_c = edges with src in the brand — all integer
+        -- counts, ONE mirrored float division (events_share precedent)
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        be AS (
+            SELECT ps.p_brand AS ba, pd.p_brand AS bb
+            FROM e JOIN part ps ON e.a = ps.p_partkey
+                   JOIN part pd ON e.b = pd.p_partkey),
+        m AS (SELECT count(*) AS m FROM be),
+        d AS (
+            SELECT ba AS brand, count(*) AS d_sum,
+                   CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS w
+            FROM be GROUP BY ba),
+        n AS (SELECT p_brand AS brand, count(*) AS n_nodes
+              FROM part GROUP BY p_brand)
+        SELECT n.brand, n.n_nodes,
+               coalesce(d.d_sum, 0) AS d_sum,
+               CAST(coalesce(d.w, 0) // 2 AS BIGINT) AS e_within,
+               CASE WHEN m.m = 0 THEN 0.0 ELSE
+                   CAST(m.m * coalesce(d.w, 0)
+                        - coalesce(d.d_sum, 0) * coalesce(d.d_sum, 0)
+                        AS DOUBLE)
+                   / CAST(m.m * m.m AS DOUBLE) END AS q_contrib
+        FROM n LEFT JOIN d ON n.brand = d.brand, m
+        ORDER BY n.brand
+    """
+    _morton = " + ".join(
+        f"(((x >> {i}) & 1) * {1 << (2 * i + 1)})"
+        f" + (((y >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(16))
+    sql["part_zorder"] = f"""
+        -- Morton/Z-order code over (p_size, decicent price) and the
+        -- global rank in zcode order (tie: p_partkey); the engine's
+        -- vectorized bit-spread must equal this per-bit sum exactly
+        WITH v AS (
+            SELECT p_partkey,
+                   CAST(p_size AS BIGINT) & 65535 AS x,
+                   CAST(round(p_retailprice * 10) AS BIGINT)
+                       & 65535 AS y
+            FROM part),
+        z AS (SELECT p_partkey, {_morton} AS zcode FROM v)
+        SELECT p_partkey, zcode,
+               row_number() OVER (ORDER BY zcode, p_partkey) - 1
+                 AS zrank
+        FROM z ORDER BY p_partkey
     """
     return sql

@@ -7931,3 +7931,158 @@ def q_docs_vocab_growth(sf_dir: str, n_buckets: int = 64):
             on="decile", how="left").fillna({"nw": 0})
     merged["vocab_size"] = merged["nw"].cumsum().astype("int64")
     return merged[["decile", "vocab_size"]].reset_index(drop=True)
+
+
+def q_part_modularity(sf_dir: str):
+    """GRAPH PARTITION QUALITY: Newman modularity of the brand
+    partition over the part co-purchase graph — the score a pipeline
+    reads to decide whether an attribute (here ``p_brand``) explains
+    the graph's community structure before running detection
+    (part_communities). Reference n/a — engine-level graph op.
+
+    Exactness: with the DIRECTED distinct edge list E (each undirected
+    edge appears both ways, M = |E| = 2m), a community's contribution
+    is Q_c = (M*W_c - D_c^2) / M^2 where W_c = directed within-edges
+    and D_c = edges with src in c — all plain integer counts, merged as
+    Python ints on a driver table bounded by the BRAND vocabulary, with
+    ONE mirrored float division at the end (the events_share / Welch-t
+    precedent). Q = sum(q_contrib).
+
+    Scale shape: edges from the two bounded co-occurrence exchanges,
+    brands attached by TWO hash joins (part is a dim table but not
+    broadcast-small at 100 TB), per-batch (brand, d, w) partials, and a
+    driver merge over distinct brands only."""
+    import numpy as np
+
+    from ..stages.graph import group_cooccurrence_edges
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+
+    bsrc = part.map_batches(
+        lambda b: pa.table({"pk_s": b.column("p_partkey"),
+                            "b_src": b.column("p_brand")}),
+        batch_format="pyarrow")
+    bdst = part.map_batches(
+        lambda b: pa.table({"pk_d": b.column("p_partkey"),
+                            "b_dst": b.column("p_brand")}),
+        batch_format="pyarrow")
+    annotated = hash_join(
+        hash_join(edges, bsrc, left_on="src", right_on="pk_s"),
+        bdst, left_on="dst", right_on="pk_d")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        within = (b["b_src"] == b["b_dst"]).astype("int64")
+        out = (pd.DataFrame({"brand": b["b_src"], "w": within})
+               .groupby("brand", as_index=False)
+               .agg(d=("w", "size"), w=("w", "sum")))
+        return pd.DataFrame({"brand": out["brand"].astype(str),
+                             "d": out["d"].astype("int64"),
+                             "w": out["w"].astype("int64")})
+
+    stats = (annotated.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+
+    def nodes_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("p_brand", as_index=False).size()
+        return pd.DataFrame({"brand": out["p_brand"].astype(str),
+                             "n": out["size"].astype("int64")})
+
+    nn = (part.map_batches(nodes_partial, batch_format="pandas")
+          .to_pandas().groupby("brand", as_index=False)["n"].sum())
+
+    # driver merge: Python ints over the bounded brand vocabulary
+    d_by, w_by = {}, {}
+    for brand, d, w in zip(stats["brand"], stats["d"], stats["w"]):
+        d_by[brand] = d_by.get(brand, 0) + int(d)
+        w_by[brand] = w_by.get(brand, 0) + int(w)
+    M = sum(d_by.values())
+    rows = []
+    for brand, n in sorted(zip(nn["brand"], nn["n"])):
+        d = d_by.get(brand, 0)
+        w = w_by.get(brand, 0)
+        q = float(M * w - d * d) / float(M * M) if M else 0.0
+        rows.append((brand, int(n), d, w // 2, q))
+    return pd.DataFrame(rows, columns=[
+        "brand", "n_nodes", "d_sum", "e_within", "q_contrib"])
+
+
+def q_part_zorder(sf_dir: str):
+    """Z-ORDER DATA LAYOUT CLUSTERING: each part's Morton code over the
+    (p_size, decicent price) grid and its GLOBAL rank in zcode order —
+    the multi-dimensional clustering key a lakehouse sorts files by
+    (Delta/Iceberg ``ZORDER BY``) so range predicates on EITHER
+    dimension prune well. Reference n/a — engine-level layout op.
+
+    Bit spreading is the classic vectorized mask cascade (one numpy
+    pass, no per-row loop); the global rank reuses the docs_shuffle
+    primitive — the zcode's high bits are themselves a RANGE
+    partitioner, so pass 1 collapses batches to per-bucket counts
+    (driver merges bucket offsets in Python ints) and pass 2 sorts
+    WITHIN buckets only, never a global all-to-all sort. Bucket
+    boundaries follow the DATA's value range (top-12-bit prefix), so
+    skewed dimension distributions only unbalance buckets, never break
+    ordering. round(price*10) never lands on an exact .5 for two-place
+    decimals stored as doubles, so numpy's and the oracle's rounding
+    agree."""
+    import numpy as np
+
+    def spread16(v: np.ndarray) -> np.ndarray:
+        """Interleave-ready spread: 16-bit value -> even bit positions."""
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    def zcodes(batch: pa.Table) -> pd.DataFrame:
+        x = (batch.column("p_size").to_numpy(zero_copy_only=False)
+             .astype(np.int64) & 0xFFFF)
+        y = (np.round(batch.column("p_retailprice")
+                      .to_numpy(zero_copy_only=False) * 10)
+             .astype(np.int64) & 0xFFFF)
+        z = ((spread16(x) << np.uint64(1)) | spread16(y)).astype(np.int64)
+        return pd.DataFrame({
+            "p_partkey": batch.column("p_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "zcode": z,
+            "hb": z >> 20,  # top-12-bit prefix = range bucket
+        })
+
+    coded = ray.data.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).map_batches(zcodes, batch_format="pyarrow")
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("hb", as_index=False).size()
+        return pd.DataFrame({"hb": out["hb"].astype("int64"),
+                             "n": out["size"].astype("int64")})
+
+    parts = coded.map_batches(counts, batch_format="pandas").to_pandas()
+    per_bucket: dict[int, int] = {}
+    for hb, n in zip(parts["hb"], parts["n"]):
+        per_bucket[int(hb)] = per_bucket.get(int(hb), 0) + int(n)
+    offsets: dict[int, int] = {}
+    run = 0
+    for hb in sorted(per_bucket):
+        offsets[hb] = run
+        run += per_bucket[hb]
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["zcode", "p_partkey"]).reset_index(drop=True)
+        base = offsets[int(g["hb"].iloc[0])]
+        return pd.DataFrame({
+            "p_partkey": g["p_partkey"].astype("int64"),
+            "zcode": g["zcode"].astype("int64"),
+            "zrank": (base + np.arange(len(g))).astype("int64"),
+        })
+
+    out = (coded.groupby("hb").map_groups(rank, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("p_partkey").reset_index(drop=True)

