@@ -360,6 +360,33 @@ def _q_extract_jsonld(sf_dir: str):
                .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_extract_forms(sf_dir: str):
+    """Form-field extraction round trip (hash-exact): each customer
+    row renders to a signup form — text input (c_name), a 5-option
+    segment <select> with the customer's segment selected, a
+    <textarea> note — in one of three markup styles. Graded parser
+    surfaces: IN_SELECT implied </option> close + stray-tag ignore
+    (reference TreeBuilder.cs IN_SELECT matrix), optgroup nesting, the
+    textarea leading-LF drop, and BOTH halves of the RCDATA contract
+    in one value (character references decode, literal <b> markup
+    stays text)."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        FormExtractUDF, render_customer_forms)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    out = (ds.map_batches(render_customer_forms, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(FormExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+
+
 def _q_docs_readability(sf_dir: str):
     """Flesch reading-ease readability screen (hash-exact): word /
     vowel-group / sentence-boundary counts from three vectorized
@@ -1580,6 +1607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_jsonld": _q_extract_jsonld,
         "part_modularity": r.q_part_modularity,
         "part_zorder": r.q_part_zorder,
+        "extract_forms": _q_extract_forms,
+        "part_assortativity": r.q_part_assortativity,
     }
 
 
@@ -5279,5 +5308,45 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (ORDER BY zcode, p_partkey) - 1
                  AS zrank
         FROM z ORDER BY p_partkey
+    """
+    sql["extract_forms"] = """
+        -- render->parse round trip: form fields recovered through
+        -- IN_SELECT implied closes / optgroup / textarea RCDATA must
+        -- equal these concats exactly
+        SELECT c_custkey,
+               c_name AS cust_name,
+               c_mktsegment AS segment,
+               'note ' || c_custkey || ' & co <b>unbolded</b>' AS note
+        FROM customer ORDER BY c_custkey
+    """
+    sql["part_assortativity"] = """
+        -- degree assortativity over the directed distinct co-purchase
+        -- edge list: exact integer sufficient statistics, ONE mirrored
+        -- float expression (num / (sqrt(vx) * sqrt(vy)))
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        deg AS (SELECT u, count(*) // 2 AS d FROM und GROUP BY u),
+        xy AS (
+            SELECT ds.d AS x, dd.d AS y
+            FROM e JOIN deg ds ON e.a = ds.u
+                   JOIN deg dd ON e.b = dd.u),
+        s AS (
+            SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM xy)
+        SELECT CAST(coalesce(m, 0) AS BIGINT) AS m_edges,
+               CASE WHEN coalesce(m, 0) = 0
+                         OR m * sxx - sx * sx <= 0
+                         OR m * syy - sy * sy <= 0 THEN 0.0
+                    ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+               END AS r_assort
+        FROM s
     """
     return sql

@@ -8086,3 +8086,77 @@ def q_part_zorder(sf_dir: str):
     out = (coded.groupby("hb").map_groups(rank, batch_format="pandas")
            .to_pandas())
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_part_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over the directed distinct edge
+    list — the one-number diagnostic that says whether hubs connect to
+    hubs (assortative, r > 0) or to leaves (disassortative, r < 0),
+    read alongside the degree histogram before sizing hub-cap knobs
+    (part_link_predict) and wedge machinery. Reference n/a —
+    engine-level graph op.
+
+    Exactness: all six sufficient statistics (M, Σx, Σy, Σxy, Σx², Σy²
+    with x = deg(src), y = deg(dst)) are integer counts summed as
+    per-batch int64 partials and merged as Python ints; r is computed
+    by the mirrored expression float(M·Σxy − Σx·Σy) /
+    (sqrt(float(M·Σx² − Σx²)) · sqrt(float(M·Σy² − Σy²))) — the
+    events_share / Welch-t precedent. Degenerate graphs (no edges, or
+    regular degree ⇒ zero variance) report r = 0.0, mirrored by the
+    oracle's CASE.
+
+    Scale shape: degrees from ONE node-bucket exchange
+    (:func:`stages.graph.node_degrees`), attached to both endpoints by
+    TWO hash joins, then one-row per-batch partials — the driver holds
+    six integers."""
+    import math
+
+    import numpy as np
+
+    from ..stages.graph import group_cooccurrence_edges, node_degrees
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = node_degrees(edges)
+
+    dsrc = deg.map_batches(
+        lambda b: pa.table({"n_s": b.column("node"),
+                            "deg_s": b.column("deg")}),
+        batch_format="pyarrow")
+    ddst = deg.map_batches(
+        lambda b: pa.table({"n_d": b.column("node"),
+                            "deg_d": b.column("deg")}),
+        batch_format="pyarrow")
+    annotated = hash_join(
+        hash_join(edges, dsrc, left_on="src", right_on="n_s"),
+        ddst, left_on="dst", right_on="n_d")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["deg_s"].to_numpy(np.int64)
+        y = b["deg_d"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "m": [len(b)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [int((x * y).sum())], "sxx": [int((x * x).sum())],
+            "syy": [int((y * y).sum())],
+        })
+
+    parts = (annotated.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    M = int(parts["m"].sum()) if len(parts) else 0
+    sx = sum(int(v) for v in parts["sx"]) if len(parts) else 0
+    sy = sum(int(v) for v in parts["sy"]) if len(parts) else 0
+    sxy = sum(int(v) for v in parts["sxy"]) if len(parts) else 0
+    sxx = sum(int(v) for v in parts["sxx"]) if len(parts) else 0
+    syy = sum(int(v) for v in parts["syy"]) if len(parts) else 0
+    vx = M * sxx - sx * sx
+    vy = M * syy - sy * sy
+    if M == 0 or vx <= 0 or vy <= 0:
+        r = 0.0
+    else:
+        r = (float(M * sxy - sx * sy)
+             / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+    return pd.DataFrame({"m_edges": pd.Series([M], dtype="int64"),
+                         "r_assort": pd.Series([r], dtype="float64")})

@@ -906,3 +906,143 @@ class JsonLdExtractUDF:
             "category": pa.array(cats, pa.string()),
             "description": pa.array(descs, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Form-field extraction (<form>/<input>/<select>/<textarea>) — IN_SELECT
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+             "MACHINERY")
+
+
+def _form_note(k: int) -> str:
+    """Canonical textarea note for one customer — carries a character
+    reference target (&) AND literal markup (<b>…</b>) that RCDATA must
+    keep as TEXT: references decode inside <textarea>, tags do not."""
+    return f"note {k} & co <b>unbolded</b>"
+
+
+def render_customer_forms(batch: pa.Table) -> pa.Table:
+    """One HTML page per customer row carrying a signup form — a text
+    input holding ``c_name``, a 5-option segment ``<select>`` with the
+    customer's segment ``selected``, and a ``<textarea>`` note — in one
+    of three markup styles by ``c_custkey % 3``:
+
+    - style 0: fully closed ``</option>`` tags, quoted attributes,
+      ``selected="selected"``, no leading LF in the textarea.
+    - style 1: OMITTED ``</option>`` end tags (the IN_SELECT implied
+      close; reference TreeBuilder.cs IN_SELECT option handling), a
+      stray ``<b>`` between options that IN_SELECT must IGNORE,
+      unquoted attribute values, minimized ``selected``, and a leading
+      LF after ``<textarea>`` that the WHATWG rule must DROP.
+    - style 2: UPPERCASE tags, an ``<optgroup>`` wrapping the options,
+      numeric character reference (&#38;) in the note, leading LF.
+
+    The note text carries ``&`` (escaped in the render — RCDATA
+    decodes character references) and a literal ``<b>…</b>`` (RCDATA
+    does NOT tokenize tags), so both halves of the RCDATA contract are
+    in the graded value."""
+    keys = batch.column("c_custkey").to_pylist()
+    names = batch.column("c_name").to_pylist()
+    segs = batch.column("c_mktsegment").to_pylist()
+
+    docs = []
+    for k, nm, sg in zip(keys, names, segs):
+        note = _form_note(int(k))
+        note_named = note.replace("&", "&amp;")
+        note_num = note.replace("&", "&#38;")
+        style = k % 3
+        if style == 0:
+            opts = "".join(
+                f'<option value="{s}"'
+                + (' selected="selected"' if s == sg else "")
+                + f">{s}</option>" for s in _SEGMENTS)
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f'<form id="f-{k}" action="/signup" method="post">'
+                f'<label for="cust_name">Name</label>'
+                f'<input type="text" name="cust_name" value="{nm}">'
+                f'<select name="segment">{opts}</select>'
+                f'<textarea name="note">{note_named}</textarea>'
+                "</form></body></html>"
+            )
+        elif style == 1:
+            opts = "".join(
+                f"<option{' selected' if s == sg else ''}>{s}"
+                + ("<b>" if s == _SEGMENTS[1] else "")
+                for s in _SEGMENTS)
+            docs.append(
+                f"<form id=f-{k} action=/signup>"
+                f"<input type=text name=cust_name value={nm}>"
+                f"<select name=segment>{opts}</select>"
+                f"<textarea name=note>\n{note_named}</textarea>"
+                "</form>"
+            )
+        else:
+            opts = "".join(
+                f'<OPTION VALUE="{s}"'
+                + (" SELECTED" if s == sg else "")
+                + f">{s}</OPTION>" for s in _SEGMENTS)
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f'<FORM ID="f-{k}" ACTION="/signup">'
+                f'<INPUT TYPE="text" NAME="cust_name" VALUE="{nm}">'
+                f'<SELECT NAME="segment">'
+                f'<OPTGROUP LABEL="all">{opts}</OPTGROUP></SELECT>'
+                f"<TEXTAREA NAME=\"note\">\n{note_num}</TEXTAREA>"
+                "</FORM></BODY></HTML>"
+            )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
+class FormExtractUDF:
+    """Recover (c_custkey, cust_name, segment, note) from each page's
+    form: the text input's ``value`` attribute, the ``selected``
+    option's TEXT (reached through an optional optgroup — any
+    descendant option of the select), and the textarea's RCDATA text
+    (leading LF already parser-dropped, references decoded, literal
+    markup kept). The key parses from the form's ``id``."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, names, segs, notes = [], [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "form":
+                    keys.append(int(node.attrs["id"][2:]))
+                    name = seg = note = ""
+                    inner = [node]
+                    while inner:
+                        el = inner.pop()
+                        if not isinstance(el, Element):
+                            continue
+                        if (el.name == "input"
+                                and el.attrs.get("name") == "cust_name"):
+                            name = el.attrs.get("value", "")
+                        elif (el.name == "option"
+                              and "selected" in el.attrs):
+                            seg = element_text(el)
+                        elif (el.name == "textarea"
+                              and el.attrs.get("name") == "note"):
+                            note = element_text(el)
+                        inner.extend(el.children)
+                    names.append(name)
+                    segs.append(seg)
+                    notes.append(note)
+                    continue
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "cust_name": pa.array(names, pa.string()),
+            "segment": pa.array(segs, pa.string()),
+            "note": pa.array(notes, pa.string()),
+        })

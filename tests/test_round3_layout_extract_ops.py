@@ -226,3 +226,113 @@ class TestPartZorder:
                   .reset_index(drop=True))
         assert expect["zrank"].tolist() == list(range(n))
         assert sorted(out["zrank"]) == list(range(n))
+
+
+class TestExtractForms:
+    def _cust(self, keys, segs=None):
+        n = len(keys)
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([f"Customer#{k:09d}" for k in keys],
+                               pa.string()),
+            "c_mktsegment": pa.array(segs or ["MACHINERY"] * n,
+                                     pa.string()),
+        })
+
+    def test_style_invariance(self):
+        """Closed options / implied closes+stray <b> / UPPERCASE+
+        optgroup all recover the identical (name, segment, note)."""
+        from htmlparsersharp_ray.stages.structured import (
+            FormExtractUDF, _form_note, render_customer_forms)
+
+        cust = self._cust([0, 1, 2],
+                          ["MACHINERY", "AUTOMOBILE", "BUILDING"])
+        out = FormExtractUDF()(render_customer_forms(cust)).to_pandas()
+        assert out["segment"].tolist() == [
+            "MACHINERY", "AUTOMOBILE", "BUILDING"]
+        assert out["cust_name"].tolist() == [
+            f"Customer#{k:09d}" for k in range(3)]
+        assert out["note"].tolist() == [_form_note(k) for k in range(3)]
+
+    def test_rcdata_contract(self):
+        """The note decodes &amp; but keeps <b>…</b> literal, and the
+        leading LF after <textarea> (styles 1, 2) is dropped."""
+        from htmlparsersharp_ray.stages.structured import (
+            FormExtractUDF, render_customer_forms)
+
+        cust = self._cust([1, 2])  # the two leading-LF styles
+        batch = render_customer_forms(cust)
+        for h in batch.column("html").to_pylist():
+            assert "<textarea name=note>\n" in h or "<TEXTAREA" in h
+        out = FormExtractUDF()(batch).to_pandas()
+        for note in out["note"]:
+            assert not note.startswith("\n")
+            assert " & " in note and "<b>unbolded</b>" in note
+
+    def test_stray_tag_ignored_in_select(self):
+        """Style 1 plants a bare <b> between options: IN_SELECT must
+        ignore it, leaving exactly 5 options with clean texts."""
+        from htmlparsersharp_ray.html.dom import Element
+        from htmlparsersharp_ray.html.parser import parse
+        from htmlparsersharp_ray.stages.structured import (
+            render_customer_forms)
+
+        batch = render_customer_forms(self._cust([1]))
+        html = batch.column("html").to_pylist()[0]
+        assert "<b>" in html
+        root = parse(html).root
+        opts = []
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if n.name == "option":
+                    opts.append(n)
+                if n.name == "b":
+                    raise AssertionError("stray <b> not ignored")
+            stack.extend(n.children)
+        assert len(opts) == 5
+
+
+class TestPartAssortativity:
+    def _graph(self, tmp_path, orders):
+        lk, pk = [], []
+        for i, parts in enumerate(orders):
+            lk += [i] * len(parts)
+            pk += parts
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }))
+        return str(tmp_path)
+
+    def test_star_is_disassortative(self, ray_session, tmp_path):
+        """A star (hub 0 — leaves 1..4 via pairwise orders) has zero
+        degree variance on one side of each edge pairing hub(4) with
+        leaf(1): r = -1 exactly."""
+        sf = self._graph(tmp_path, [[0, 1], [0, 2], [0, 3], [0, 4]])
+        out = r.q_part_assortativity(sf)
+        assert out["m_edges"].iloc[0] == 8  # 4 undirected edges, both ways
+        assert abs(out["r_assort"].iloc[0] + 1.0) < 1e-12
+
+    def test_regular_graph_reports_zero(self, ray_session, tmp_path):
+        """A triangle is 2-regular: zero degree variance -> r = 0.0 by
+        the documented convention (matches the oracle CASE)."""
+        sf = self._graph(tmp_path, [[0, 1, 2]])
+        out = r.q_part_assortativity(sf)
+        assert out["m_edges"].iloc[0] == 6
+        assert out["r_assort"].iloc[0] == 0.0
+
+    def test_exact_mixed_graph(self, ray_session, tmp_path):
+        """Path 0-1-2-3: degrees (1,2,2,1); hand-computed r = -1/2
+        over the 6 directed edges."""
+        sf = self._graph(tmp_path, [[0, 1], [1, 2], [2, 3]])
+        out = r.q_part_assortativity(sf)
+        # directed xy pairs: (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+        # M=6 sx=sy=10 sxy=18 sxx=syy=18: num=6*18-100=8 vx=6*18-100=8
+        # r = 8 / (sqrt(8)*sqrt(8)) = 1.0? recompute:
+        # pairs x,y: edges (0,1):(1,2) (1,0):(2,1) (1,2):(2,2)
+        # (2,1):(2,2) (2,3):(2,1) (3,2):(1,2)
+        # sx = 1+2+2+2+2+1=10 sxy = 2+2+4+4+2+2=16 sxx = 1+4+4+4+4+1=18
+        # num = 6*16-100 = -4; vx = 6*18-100 = 8 -> r = -4/8 = -0.5
+        assert abs(out["r_assort"].iloc[0] + 0.5) < 1e-12
