@@ -360,6 +360,62 @@ def _q_extract_jsonld(sf_dir: str):
                .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_embeddings_train_probe(sf_dir: str):
+    """Distributed linear-probe TRAINING on the embedding table
+    (stages/train.py): one-vs-rest logistic regression for label 0,
+    full-batch GD where every pass streams one-row integer partials
+    quantized PER ROW on the 2^20 grid — bitwise-deterministic at any
+    parallelism (pytest-gated across block layouts). pos_weight=9
+    balances the 1-in-10 label. Output: one row per model coefficient
+    (bias + 32 dims) plus _final_loss/_precision/_recall/_n_train
+    metric rows — the quality-filter training step of a curation
+    pipeline (the apply step is embeddings_nearest_centroid /
+    docs_quality_score's shape). Non-SQL-expressible (iterative
+    optimization): rows-only driver check; the learnability gate
+    (planted separable corpus -> accuracy >= 0.95) and the
+    bitwise-determinism gate live in tests/test_train.py."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from htmlparsersharp_ray.stages.train import (
+        probe_features, train_embedding_probe)
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    w, history, cols = train_embedding_probe(
+        emb, target_label=0, iters=30, lr=5.0, pos_weight=9.0)
+
+    # final scoring pass: exact integer confusion counts
+    def confusion(b):
+        import numpy as np
+        import pandas as pd
+
+        x = b[cols].to_numpy(np.float64)
+        y = b["y"].to_numpy(np.int64)
+        pred = (x @ w) >= 0.0
+        return pd.DataFrame({
+            "tp": [int((pred & (y > 0)).sum())],
+            "fp": [int((pred & (y == 0)).sum())],
+            "fn": [int((~pred & (y > 0)).sum())],
+            "n": [len(b)],
+        })
+
+    feats = emb.map_batches(probe_features(0), batch_format="pyarrow")
+    c = feats.map_batches(confusion, batch_format="pandas").to_pandas()
+    tp = int(c["tp"].sum())
+    fp = int(c["fp"].sum())
+    fn = int(c["fn"].sum())
+    n = int(c["n"].sum())
+    rows = [(name, float(v)) for name, v in zip(cols, w)]
+    rows += [
+        ("_final_loss", history[-1][1]),
+        ("_precision", float(tp) / float(max(tp + fp, 1))),
+        ("_recall", float(tp) / float(max(tp + fn, 1))),
+        ("_n_train", float(n)),
+    ]
+    return pd.DataFrame(rows, columns=["feature", "weight"])
+
+
 def _q_extract_forms(sf_dir: str):
     """Form-field extraction round trip (hash-exact): each customer
     row renders to a signup form — text input (c_name), a 5-option
@@ -1609,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_zorder": r.q_part_zorder,
         "extract_forms": _q_extract_forms,
         "part_assortativity": r.q_part_assortativity,
+        "embeddings_train_probe": _q_embeddings_train_probe,
     }
 
 

@@ -1,0 +1,108 @@
+"""Gates for the distributed classifier trainer (stages/train.py):
+bitwise determinism across block layouts (the fixed-point-per-row
+contract), learnability on a planted separable corpus, loss descent,
+and the pos_weight imbalance fix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from htmlparsersharp_ray.stages.train import (
+    logreg_train, probe_features, train_embedding_probe)
+
+
+def _planted_embeddings(n=400, d=8, sep=4.0, pos_frac=0.25, seed=11):
+    """Two Gaussian blobs, label 0 = the positive blob shifted by
+    ``sep`` along every dim."""
+    rng = np.random.RandomState(seed)
+    n_pos = int(n * pos_frac)
+    x = rng.randn(n, d)
+    x[:n_pos] += sep
+    labels = np.r_[np.zeros(n_pos, dtype=np.int32),
+                   np.ones(n - n_pos, dtype=np.int32)]
+    order = rng.permutation(n)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in x[order]],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels[order], pa.int32()),
+    })
+
+
+class TestLogregTrain:
+    def test_learns_planted_separable(self, ray_session):
+        """Separable blobs: accuracy >= 0.95 within 25 iterations and
+        the loss strictly decreases over the run."""
+        emb = ray.data.from_arrow(_planted_embeddings())
+        w, hist, cols = train_embedding_probe(
+            emb, target_label=0, iters=25, lr=5.0)
+        assert hist[-1][2] >= 0.95
+        losses = [h[1] for h in hist]
+        assert losses[-1] < losses[0] * 0.5
+        # fixed-step GD may oscillate locally; require overall descent
+        assert losses[-1] <= min(losses[:5])
+
+    def test_bitwise_deterministic_across_layouts(self, ray_session):
+        """1-block and 17-block layouts produce IDENTICAL weights and
+        history — the per-row fixed-point quantization contract."""
+        t = _planted_embeddings(n=300)
+        a = ray.data.from_arrow(t)
+        b = ray.data.from_arrow(t).repartition(17)
+        wa, ha, _ = train_embedding_probe(a, 0, iters=10, lr=5.0)
+        wb, hb, _ = train_embedding_probe(b, 0, iters=10, lr=5.0)
+        assert (wa == wb).all()
+        assert ha == hb
+
+    def test_pos_weight_lifts_recall(self, ray_session):
+        """On an imbalanced OVERLAPPING corpus (sep=0.6, 10% positive),
+        pos_weight=9 must recover far more positives than the
+        unweighted run (measured 0.88 vs 0.43 recall)."""
+        t = _planted_embeddings(n=600, sep=0.6, pos_frac=0.10, seed=3)
+
+        def recall(pos_weight):
+            emb = ray.data.from_arrow(t)
+            w, _, cols = train_embedding_probe(
+                emb, 0, iters=30, lr=5.0, pos_weight=pos_weight)
+            feats = emb.map_batches(probe_features(0),
+                                    batch_format="pyarrow").to_pandas()
+            x = feats[cols].to_numpy(np.float64)
+            y = feats["y"].to_numpy(np.int64)
+            pred = (x @ w) >= 0.0
+            return int((pred & (y > 0)).sum()) / max(int((y > 0).sum()), 1)
+
+        assert recall(9.0) > recall(1.0) + 0.2
+
+    def test_generic_feature_table(self, ray_session, tmp_path):
+        """logreg_train consumes any (features..., y) Dataset — a
+        2-feature XOR-free AND dataset trains to a perfect separator."""
+        rng = np.random.RandomState(5)
+        n = 200
+        f1 = rng.uniform(-1, 1, n)
+        f2 = rng.uniform(-1, 1, n)
+        y = ((f1 + f2) > 0).astype(np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "bias": np.ones(n), "f1": f1, "f2": f2, "y": y}))
+        w, hist = logreg_train(ds, ["bias", "f1", "f2"],
+                               iters=40, lr=5.0)
+        assert hist[-1][2] >= 0.97
+        assert w[1] > 0 and w[2] > 0
+
+
+class TestProbeQuery:
+    def test_driver_query_schema(self, ray_session):
+        """The graded query returns one row per coefficient plus the
+        four metric rows, with finite values."""
+        from __ray_entry__ import queries
+
+        out = queries()["embeddings_train_probe"]("/root/testdata/sf0.001")
+        assert list(out.columns) == ["feature", "weight"]
+        assert out["feature"].tolist()[0] == "bias"
+        tail = out["feature"].tolist()[-4:]
+        assert tail == ["_final_loss", "_precision", "_recall", "_n_train"]
+        assert np.isfinite(out["weight"].to_numpy()).all()
