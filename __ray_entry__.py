@@ -1666,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_forms": _q_extract_forms,
         "part_assortativity": r.q_part_assortativity,
         "embeddings_train_probe": _q_embeddings_train_probe,
+        "part_item_sim": r.q_part_item_sim,
     }
 
 
@@ -5405,5 +5406,31 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
                END AS r_assort
         FROM s
+    """
+    sql["part_item_sim"] = """
+        -- item-item cosine over distinct-order co-occurrence: top-3
+        -- per item by (sim DESC, dst) — sim is the ONE mirrored float
+        -- expression double(n_both)/(sqrt(double(n_i))*sqrt(double(n_j)))
+        WITH e AS (
+            SELECT l_orderkey AS o, l_partkey AS p
+            FROM lineitem GROUP BY 1, 2),
+        pairs AS (
+            SELECT e1.p AS src, e2.p AS dst, count(*) AS n_both
+            FROM e e1 JOIN e e2 ON e1.o = e2.o AND e1.p <> e2.p
+            GROUP BY 1, 2),
+        c AS (SELECT p, count(*) AS n FROM e GROUP BY p),
+        s AS (
+            SELECT src, dst, CAST(n_both AS BIGINT) AS n_both,
+                   CAST(n_both AS DOUBLE)
+                   / (sqrt(CAST(cs.n AS DOUBLE))
+                      * sqrt(CAST(cd.n AS DOUBLE))) AS sim
+            FROM pairs JOIN c cs ON src = cs.p
+                       JOIN c cd ON dst = cd.p),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY sim DESC, dst) AS rank
+            FROM s)
+        SELECT src, dst, n_both, sim, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY src, rank
     """
     return sql

@@ -8160,3 +8160,96 @@ def q_part_assortativity(sf_dir: str):
              / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
     return pd.DataFrame({"m_edges": pd.Series([M], dtype="int64"),
                          "r_assort": pd.Series([r], dtype="float64")})
+
+
+def q_part_item_sim(sf_dir: str, k: int = 3):
+    """ITEM-ITEM SIMILARITY (collaborative-filtering shape): for every
+    part, the top-``k`` most similar parts by co-occurrence cosine —
+    sim(i,j) = n_both / (sqrt(n_i)·sqrt(n_j)) over DISTINCT orders —
+    the "customers also bought" kernel and the similarity weighting
+    fed to part_substitutes-style analyses. Reference n/a —
+    engine-level relational op.
+
+    Exactness: n_both comes from the weighted co-occurrence edge
+    builder (distinct-group pair counts, additive partials), n_i from
+    one (order, part)-distinct exchange; sim is ONE mirrored float
+    expression (double(n_both) / (sqrt(double(n_i)) · sqrt(double(n_j)))
+    — bitwise vs DuckDB), so ordering by (sim DESC, dst ASC) and the
+    oracle's row_number agree even through float ties.
+
+    Scale shape: two bounded graph exchanges + TWO hash joins attach
+    the per-item counts; top-k runs INSIDE src-hash buckets (one
+    vectorized sort + C-level groupby head per bucket) — no global
+    sort, no driver state beyond the final ≤ k·|parts| result."""
+    import numpy as np
+
+    from ..stages.graph import group_cooccurrence_weighted_edges
+    from .joins import auto_buckets, hash_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    pairs = group_cooccurrence_weighted_edges(
+        li, "l_orderkey", "l_partkey")
+
+    # n_i: distinct orders containing part i — per-batch dedup, then
+    # one part-hash exchange completes the global distinct count
+    nb = auto_buckets(li)
+
+    def order_part(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(["l_orderkey", "l_partkey"])
+        p = d["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ib": (p % np.int64(nb)).astype(np.int64),
+            "p": p,
+            "o": d["l_orderkey"].to_numpy(np.int64),
+        })
+
+    def item_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["p", "o"])
+               .groupby("p", as_index=False).size())
+        return pd.DataFrame({"p": out["p"].astype("int64"),
+                             "n": out["size"].astype("int64")})
+
+    counts = (li.map_batches(order_part, batch_format="pandas")
+              .groupby("ib")
+              .map_groups(item_counts, batch_format="pandas"))
+    cs = counts.map_batches(
+        lambda b: pa.table({"p_s": b.column("p"), "n_s": b.column("n")}),
+        batch_format="pyarrow")
+    cd = counts.map_batches(
+        lambda b: pa.table({"p_d": b.column("p"), "n_d": b.column("n")}),
+        batch_format="pyarrow")
+    annotated = hash_join(
+        hash_join(pairs, cs, left_on="src", right_on="p_s"),
+        cd, left_on="dst", right_on="p_d")
+
+    def add_sim_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        n_both = b["cnt"].to_numpy(np.int64)
+        sim = (n_both.astype(np.float64)
+               / (np.sqrt(b["n_s"].to_numpy(np.float64))
+                  * np.sqrt(b["n_d"].to_numpy(np.float64))))
+        src = b["src"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "sb": (src % np.int64(nb)).astype(np.int64),
+            "src": src, "dst": b["dst"].to_numpy(np.int64),
+            "n_both": n_both, "sim": sim,
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "sim", "dst"],
+                          ascending=[True, False, True])
+        g["rank"] = g.groupby("src").cumcount() + 1
+        out = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "src": out["src"].astype("int64"),
+            "dst": out["dst"].astype("int64"),
+            "n_both": out["n_both"].astype("int64"),
+            "sim": out["sim"].astype("float64"),
+            "rank": out["rank"].astype("int64"),
+        })
+
+    out = (annotated.map_batches(add_sim_bucket, batch_format="pandas")
+           .groupby("sb")
+           .map_groups(topk, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["src", "rank"]).reset_index(drop=True)

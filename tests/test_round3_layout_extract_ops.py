@@ -336,3 +336,45 @@ class TestPartAssortativity:
         # sx = 1+2+2+2+2+1=10 sxy = 2+2+4+4+2+2=16 sxx = 1+4+4+4+4+1=18
         # num = 6*16-100 = -4; vx = 6*18-100 = 8 -> r = -4/8 = -0.5
         assert abs(out["r_assort"].iloc[0] + 0.5) < 1e-12
+
+
+class TestPartItemSim:
+    def _orders(self, tmp_path, orders):
+        lk, pk = [], []
+        for i, parts in enumerate(orders):
+            lk += [i] * len(parts)
+            pk += parts
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }))
+        return str(tmp_path)
+
+    def test_cosine_and_ranking(self, ray_session, tmp_path):
+        """Parts 0,1 co-occur twice (n_0=3, n_1=2); 0,2 once (n_2=2):
+        sim(0,1) = 2/sqrt(6) > sim(0,2) = 1/sqrt(6) — rank order and
+        exact values."""
+        sf = self._orders(tmp_path, [[0, 1], [0, 1], [0, 2], [2]])
+        out = r.q_part_item_sim(sf)
+        row01 = out[(out["src"] == 0) & (out["dst"] == 1)].iloc[0]
+        row02 = out[(out["src"] == 0) & (out["dst"] == 2)].iloc[0]
+        assert row01["n_both"] == 2 and row01["rank"] == 1
+        assert row02["rank"] == 2
+        assert abs(row01["sim"] - 2 / np.sqrt(6)) < 1e-15
+        assert abs(row02["sim"] - 1 / np.sqrt(6)) < 1e-15
+
+    def test_tie_breaks_by_dst(self, ray_session, tmp_path):
+        """Symmetric co-occurrences produce equal sims: rank follows
+        dst ascending (the oracle's row_number tie rule)."""
+        sf = self._orders(tmp_path, [[0, 5], [0, 3], [5], [3]])
+        out = r.q_part_item_sim(sf)
+        o = out[out["src"] == 0]
+        assert o["dst"].tolist() == [3, 5]  # equal sim -> dst asc
+
+    def test_top_k_cap(self, ray_session, tmp_path):
+        """A part co-occurring with 5 others emits exactly 3 rows."""
+        sf = self._orders(tmp_path, [[9, 1], [9, 2], [9, 3], [9, 4],
+                                     [9, 5], [9, 1]])
+        out = r.q_part_item_sim(sf)
+        assert len(out[out["src"] == 9]) == 3
+        assert out[out["src"] == 9]["rank"].tolist() == [1, 2, 3]
