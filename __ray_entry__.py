@@ -416,6 +416,72 @@ def _q_embeddings_train_probe(sf_dir: str):
     return pd.DataFrame(rows, columns=["feature", "weight"])
 
 
+def _q_part_als(sf_dir: str):
+    """Distributed ALS matrix factorization (stages/train.py::als_train)
+    over the customer×part purchase matrix: interactions = distinct-
+    order purchase counts (one orderkey hash join + one (u,i)-bucket
+    exchange), then alternating exact least-squares with canonical-
+    order segment sums and batched LAPACK solves — the whole run is
+    bitwise-deterministic at any parallelism (pytest-gated), factors
+    never become driver-resident until the final bounded output.
+    Output: one row per entity (kind user/item, id, f0..f7) plus
+    kind='_sse' history rows — the recommender / learned-embedding
+    counterpart to part_item_sim's memory-based kernel. Non-SQL-
+    expressible (iterative optimization): rows-only driver check; the
+    planted-low-rank recovery gate lives in tests/test_train.py."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from htmlparsersharp_ray.pipelines.joins import auto_buckets, hash_join
+    from htmlparsersharp_ray.stages.train import als_train
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, od, left_on="l_orderkey",
+                       right_on="o_orderkey")
+    nb = auto_buckets(li, od)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["o_custkey", "l_partkey"], as_index=False)
+               .size())
+        u = out["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ub": (u % np.int64(nb)).astype(np.int64),
+            "u": u,
+            "i": out["l_partkey"].to_numpy(np.int64),
+            "c": out["size"].to_numpy(np.int64),
+        })
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "i"], as_index=False)["c"].sum()
+        return pd.DataFrame({"u": out["u"].astype("int64"),
+                             "i": out["i"].astype("int64"),
+                             "c": out["c"].astype("int64")})
+
+    inter = (joined.map_batches(count_partial, batch_format="pandas")
+             .groupby("ub")
+             .map_groups(count_merge, batch_format="pandas"))
+
+    k = 8
+    users, items, hist = als_train(inter, k=k, iters=3, reg=0.1,
+                                   n_buckets=nb, track_sse="final")
+    fcols = [f"f{j}" for j in range(k)]
+    u = users.to_pandas().assign(kind="user")
+    i = items.to_pandas().assign(kind="item")
+    h = pd.DataFrame([{"id": it, "kind": "_sse", "f0": sse}
+                      for it, sse in hist])
+    out = pd.concat([u, i, h], ignore_index=True)[
+        ["kind", "id"] + fcols]
+    for c in fcols:
+        out[c] = out[c].astype("float64")
+    return (out.sort_values(["kind", "id"]).reset_index(drop=True))
+
+
 def _q_extract_forms(sf_dir: str):
     """Form-field extraction round trip (hash-exact): each customer
     row renders to a signup form — text input (c_name), a 5-option
@@ -1667,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": r.q_part_assortativity,
         "embeddings_train_probe": _q_embeddings_train_probe,
         "part_item_sim": r.q_part_item_sim,
+        "part_als": _q_part_als,
     }
 
 

@@ -143,3 +143,192 @@ def train_embedding_probe(
     w, history = logreg_train(feats, cols, iters=iters, lr=lr,
                               pos_weight=pos_weight)
     return w, history, cols
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization (alternating least squares) — recommender /
+# embedding-learning over an interaction table
+# ---------------------------------------------------------------------------
+
+
+def _hash_init_factors(ids: np.ndarray, k: int, scale: float = 0.1):
+    """Deterministic seedless init: factor (id, j) maps through
+    splitmix64 to a float in [-scale/2, scale/2). No RNG state, so any
+    worker can materialize any factor row identically."""
+    from .hashing import mix64
+
+    grid = ids.astype(np.uint64)[:, None] * np.uint64(k) + np.arange(
+        k, dtype=np.uint64)[None, :]
+    h = mix64(grid.ravel()).reshape(grid.shape)
+    return ((h / np.float64(2.0 ** 64)) - 0.5) * scale
+
+
+def _solve_side(
+    interactions: ray.data.Dataset,
+    fixed: ray.data.Dataset,
+    solve_col: str,
+    fixed_col: str,
+    k: int,
+    reg: float,
+    n_buckets: int,
+):
+    """One ALS half-step: attach the FIXED side's factors to every
+    interaction (hash join on ``fixed_col``), then solve the normal
+    equations per ``solve_col`` entity inside hash buckets.
+
+    Determinism: rows sort by (entity, counterpart id) before the
+    segment sums, so each entity's k×k Gram matrix and k-vector are
+    accumulated in a canonical order — bitwise identical at any block
+    layout — and the batched LAPACK solve is a pure function of them.
+    Vectorization: outer products for the WHOLE bucket at once,
+    np.add.reduceat over entity boundaries, ONE stacked
+    np.linalg.solve — no per-entity Python loop."""
+    from ..pipelines.joins import hash_join
+
+    fcols = [f"y{j}" for j in range(k)]
+
+    def rename_fixed(b: pa.Table) -> pa.Table:
+        cols = {"fid": b.column("id")}
+        for j, c in enumerate(fcols):
+            cols[c] = b.column(f"f{j}")
+        return pa.table(cols)
+
+    joined = hash_join(
+        interactions, fixed.map_batches(rename_fixed,
+                                        batch_format="pyarrow"),
+        left_on=fixed_col, right_on="fid", n_buckets=n_buckets)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        ent = b[solve_col].to_numpy(np.int64)
+        out = {"eb": (ent % np.int64(n_buckets)).astype(np.int64),
+               "ent": ent,
+               "cid": b[fixed_col].to_numpy(np.int64),
+               "c": b["c"].to_numpy(np.float64)}
+        for c in fcols:
+            out[c] = b[c].to_numpy(np.float64)
+        return pd.DataFrame(out)
+
+    def solve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ent", "cid"])
+        f = g[fcols].to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        ent = g["ent"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ent[1:] != ent[:-1]])
+        outer = f[:, :, None] * f[:, None, :]
+        a = np.add.reduceat(outer, starts, axis=0)
+        a += np.eye(k) * reg
+        b = np.add.reduceat(f * c[:, None], starts, axis=0)
+        x = np.linalg.solve(a, b)
+        out = {"id": ent[starts]}
+        for j in range(k):
+            out[f"f{j}"] = x[:, j]
+        return pd.DataFrame(out)
+
+    return (joined.map_batches(bucketize, batch_format="pandas")
+            .groupby("eb")
+            .map_groups(solve, batch_format="pandas"))
+
+
+def als_train(
+    interactions: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 4,
+    reg: float = 0.1,
+    n_buckets: int = 32,
+    track_sse: str = "all",
+):
+    """Distributed ALS over an ``(u, i, c)`` interaction Dataset
+    (int64 ids, float/int counts): alternating exact least-squares —
+    each half-step solves one side's regularized normal equations with
+    the other side FIXED, which never increases the regularized
+    objective (textbook alternating minimization; public method —
+    Zhou et al. 2008 large-scale ALS). Returns
+    ``(user_factors_ds, item_factors_ds, history)`` where history rows
+    are (iter, sse_q/2^20) — the training squared error measured AFTER
+    the iteration, quantized per row on the fixed-point grid so the
+    reported metric is bitwise deterministic too.
+
+    Scale shape: factors are DATASETS throughout (never driver-
+    resident); each half-step is one hash join + one bucket solve with
+    canonical-order segment sums; every round re-roots lineage via
+    checkpoint() (CLAUDE.md iterative-loop rule). Item init is a
+    seedless hash so round 1's fixed side needs no materialized
+    state. ``track_sse``: "all" measures after every iteration (two
+    extra joins each), "final" only after the last, "none" skips."""
+
+    def c_float(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": b.column("u").cast(pa.int64()),
+            "i": b.column("i").cast(pa.int64()),
+            "c": b.column("c").cast(pa.float64()),
+        })
+
+    inter = checkpoint(interactions.map_batches(
+        c_float, batch_format="pyarrow"))
+
+    def init_items(b: pa.Table) -> pd.DataFrame:
+        ids = np.unique(b.column("i").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        f = _hash_init_factors(ids, k)
+        out = {"ib": (ids % np.int64(n_buckets)).astype(np.int64),
+               "id": ids}
+        for j in range(k):
+            out[f"f{j}"] = f[:, j]
+        return pd.DataFrame(out)
+
+    def dedup_items(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("id").drop(columns=["ib"])
+
+    items = checkpoint(
+        inter.map_batches(init_items, batch_format="pyarrow")
+        .groupby("ib")
+        .map_groups(dedup_items, batch_format="pandas"))
+
+    history = []
+    users = None
+    for it in range(iters):
+        users = checkpoint(_solve_side(
+            inter, items, "u", "i", k, reg, n_buckets))
+        items = checkpoint(_solve_side(
+            inter, users, "i", "u", k, reg, n_buckets))
+        if track_sse == "all" or (track_sse == "final"
+                                  and it == iters - 1):
+            history.append(
+                (it, _als_sse(inter, users, items, k, n_buckets)))
+    return users, items, history
+
+
+def _als_sse(inter, users, items, k, n_buckets):
+    """Training squared error Σ(c − x_u·y_i)² with per-row fixed-point
+    quantization (bitwise-deterministic partial sums)."""
+    from ..pipelines.joins import hash_join
+
+    fcols = [f"f{j}" for j in range(k)]
+
+    def rename(prefix):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {f"{prefix}id": b.column("id")}
+            for j in range(k):
+                cols[f"{prefix}{j}"] = b.column(f"f{j}")
+            return pa.table(cols)
+        return fn
+
+    joined = hash_join(
+        hash_join(inter, users.map_batches(rename("u_"),
+                                           batch_format="pyarrow"),
+                  left_on="u", right_on="u_id", n_buckets=n_buckets),
+        items.map_batches(rename("i_"), batch_format="pyarrow"),
+        left_on="i", right_on="i_id", n_buckets=n_buckets)
+
+    ucols = [f"u_{j}" for j in range(k)]
+    icols = [f"i_{j}" for j in range(k)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        xu = b[ucols].to_numpy(np.float64)
+        yi = b[icols].to_numpy(np.float64)
+        err = b["c"].to_numpy(np.float64) - (xu * yi).sum(axis=1)
+        q = np.rint(err * err * _GRID).astype(np.int64)
+        return pd.DataFrame({"sse_q": [int(q.sum())], "n": [len(b)]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    return float(sum(int(v) for v in parts["sse_q"])) / _GRID

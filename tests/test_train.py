@@ -106,3 +106,81 @@ class TestProbeQuery:
         tail = out["feature"].tolist()[-4:]
         assert tail == ["_final_loss", "_precision", "_recall", "_n_train"]
         assert np.isfinite(out["weight"].to_numpy()).all()
+
+
+class TestALS:
+    def _planted(self, seed=7, nu=60, ni=40, per_user=12):
+        """Interactions from a planted positive rank-2 factorization."""
+        rng = np.random.RandomState(seed)
+        xu = rng.uniform(0.5, 1.5, (nu, 2))
+        yi = rng.uniform(0.5, 1.5, (ni, 2))
+        rows = []
+        for u in range(nu):
+            for i in rng.choice(ni, per_user, replace=False):
+                rows.append((u, i, float(xu[u] @ yi[i])))
+        return pd.DataFrame(rows, columns=["u", "i", "c"])
+
+    def test_recovers_planted_low_rank(self, ray_session):
+        """k=2 ALS on exact rank-2 data: SSE falls by >99% of the
+        zero-prediction baseline within 4 iterations, monotonically."""
+        from htmlparsersharp_ray.stages.train import als_train
+
+        df = self._planted()
+        users, items, hist = als_train(
+            ray.data.from_pandas(df), k=2, iters=4, reg=0.01,
+            n_buckets=8)
+        baseline = float((df["c"] ** 2).sum())
+        sses = [s for _, s in hist]
+        assert sses[-1] < baseline * 0.01
+        assert all(b <= a + 1e-9 for a, b in zip(sses, sses[1:]))
+        assert users.count() == 60 and items.count() == 40
+
+    def test_bitwise_deterministic_across_layouts(self, ray_session):
+        """1-block vs 9-block interactions: identical SSE history and
+        identical factor tables (canonical-order segment sums)."""
+        from htmlparsersharp_ray.stages.train import als_train
+
+        df = self._planted(seed=3)
+        a = als_train(ray.data.from_pandas(df), k=2, iters=3,
+                      reg=0.01, n_buckets=8)
+        b = als_train(ray.data.from_pandas(df).repartition(9), k=2,
+                      iters=3, reg=0.01, n_buckets=8)
+        assert a[2] == b[2]
+        fa = a[0].to_pandas().sort_values("id").reset_index(drop=True)
+        fb = b[0].to_pandas().sort_values("id").reset_index(drop=True)
+        assert (fa.to_numpy() == fb.to_numpy()).all()
+
+    def test_single_interaction_entity(self, ray_session):
+        """A user with ONE interaction still solves (regularization
+        keeps the normal equations nonsingular) and predicts its own
+        rating within the planted value's neighborhood (the item's
+        factors are shared with the planted users, so the lone rating
+        can't be fit exactly — measured ~1.47 for c=2.0)."""
+        from htmlparsersharp_ray.stages.train import als_train
+
+        df = pd.concat([self._planted(seed=5),
+                        pd.DataFrame({"u": [999], "i": [0], "c": [2.0]})],
+                       ignore_index=True)
+        users, items, hist = als_train(
+            ray.data.from_pandas(df), k=2, iters=3, reg=0.01,
+            n_buckets=8)
+        u = users.to_pandas().set_index("id")
+        i = items.to_pandas().set_index("id")
+        pred = float(np.dot(u.loc[999].to_numpy(),
+                            i.loc[0].to_numpy()))
+        assert np.isfinite(pred)
+        assert 1.0 < pred < 3.0
+
+    def test_track_sse_final(self, ray_session):
+        """track_sse='final' reports exactly one history row, equal to
+        the last row of a track-all run."""
+        from htmlparsersharp_ray.stages.train import als_train
+
+        df = self._planted(seed=9, nu=20, ni=15, per_user=6)
+        _, _, h_all = als_train(ray.data.from_pandas(df), k=2,
+                                iters=3, reg=0.01, n_buckets=4)
+        _, _, h_fin = als_train(ray.data.from_pandas(df), k=2,
+                                iters=3, reg=0.01, n_buckets=4,
+                                track_sse="final")
+        assert len(h_fin) == 1
+        assert h_fin[0] == h_all[-1]
