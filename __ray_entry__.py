@@ -416,6 +416,48 @@ def _q_embeddings_train_probe(sf_dir: str):
     return pd.DataFrame(rows, columns=["feature", "weight"])
 
 
+def _q_docs_hybrid_search(sf_dir: str):
+    """HYBRID RETRIEVAL with reciprocal-rank fusion: fuse the BM25
+    text ranking (docs_bm25's exact mirrored scorer, top-10) with an
+    exact cosine vector ranking (query = the smallest-vec_id
+    embedding, top-10) by RRF — score(d) = 1/(60+rank_text) +
+    1/(60+rank_vec), a missing leg contributing 0 — and return the
+    fused top-10. This is the standard hybrid-search composition every
+    retrieval stack ships (public method: Cormack et al. 2009 RRF);
+    both legs are existing graded operators, so the fusion is
+    hash-exact end-to-end (ranks are integers; the RRF expression is
+    mirrored verbatim in the oracle, text leg first).
+
+    Scale shape: each leg is its own bounded-partials pass (BM25: two
+    pruned corpus passes; vector: one scan with per-batch top-k); the
+    fusion itself touches only the two 10-row lists."""
+    import numpy as np
+    import pandas as pd
+
+    from htmlparsersharp_ray.pipelines import relational as _r
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk
+
+    text = _r.q_docs_bm25(sf_dir, k=10)
+    vec = brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir, n=1),
+                           k=10)
+    rt = dict(zip(text["doc_id"].astype(int), text["rank"].astype(int)))
+    rv = dict(zip(vec["vec_id"].astype(int), vec["rank"].astype(int)))
+    rows = []
+    for did in sorted(set(rt) | set(rv)):
+        a = rt.get(did, 0)
+        b = rv.get(did, 0)
+        rrf = ((1.0 / (60.0 + float(a)) if a else 0.0)
+               + (1.0 / (60.0 + float(b)) if b else 0.0))
+        rows.append((did, a, b, rrf))
+    f = pd.DataFrame(rows, columns=["doc_id", "rank_text", "rank_vec",
+                                    "rrf"])
+    f = f.sort_values(["rrf", "doc_id"],
+                      ascending=[False, True]).head(10)
+    f.insert(0, "rank", np.arange(1, len(f) + 1, dtype=np.int64))
+    return f.astype({"doc_id": "int64", "rank_text": "int64",
+                     "rank_vec": "int64"}).reset_index(drop=True)
+
+
 def _q_part_als(sf_dir: str):
     """Distributed ALS matrix factorization (stages/train.py::als_train)
     over the customer×part purchase matrix: interactions = distinct-
@@ -1734,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_train_probe": _q_embeddings_train_probe,
         "part_item_sim": r.q_part_item_sim,
         "part_als": _q_part_als,
+        "docs_hybrid_search": _q_docs_hybrid_search,
     }
 
 
@@ -5499,5 +5542,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s)
         SELECT src, dst, n_both, sim, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3 ORDER BY src, rank
+    """
+    sql["docs_hybrid_search"] = f"""
+        -- reciprocal-rank fusion of the BM25 top-10 (the docs_bm25
+        -- oracle verbatim as leg t) and the exact cosine top-10 for
+        -- the smallest-vec_id query; rrf mirrors the engine exactly
+        -- (text contribution first, missing leg = 0.0)
+        WITH t AS ({sql["docs_bm25"]}),
+        v AS (
+            SELECT doc_id, rank FROM (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[],
+                               q.embedding::DOUBLE[]) DESC,
+                           e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN (
+                    SELECT embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 1) q
+            ) WHERE rank <= 10
+        ),
+        f AS (
+            SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+                   CAST(coalesce(t.rank, 0) AS BIGINT) AS rank_text,
+                   CAST(coalesce(v.rank, 0) AS BIGINT) AS rank_vec,
+                   (CASE WHEN t.rank IS NULL THEN 0.0
+                         ELSE 1.0 / (60.0 + CAST(t.rank AS DOUBLE)) END
+                    + CASE WHEN v.rank IS NULL THEN 0.0
+                           ELSE 1.0 / (60.0 + CAST(v.rank AS DOUBLE))
+                      END) AS rrf
+            FROM t FULL JOIN v ON t.doc_id = v.doc_id)
+        SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+               doc_id, rank_text, rank_vec, rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 10
     """
     return sql

@@ -378,3 +378,24 @@ class TestPartItemSim:
         out = r.q_part_item_sim(sf)
         assert len(out[out["src"] == 9]) == 3
         assert out[out["src"] == 9]["rank"].tolist() == [1, 2, 3]
+
+
+class TestDocsHybridSearch:
+    def test_fusion_consistency(self, ray_session):
+        """Fused top-10 at sf0.001: ranks are 1..10, every rrf value
+        recomputes exactly from its (rank_text, rank_vec) pair with
+        the text-first mirrored expression, and ordering follows
+        (rrf DESC, doc_id)."""
+        from __ray_entry__ import queries
+
+        out = queries()["docs_hybrid_search"]("/root/testdata/sf0.001")
+        assert out["rank"].tolist() == list(range(1, len(out) + 1))
+        assert len(out) <= 10
+        for _, row in out.iterrows():
+            expect = ((1.0 / (60.0 + float(row.rank_text))
+                       if row.rank_text else 0.0)
+                      + (1.0 / (60.0 + float(row.rank_vec))
+                         if row.rank_vec else 0.0))
+            assert row.rrf == expect
+        r = out["rrf"].to_numpy()
+        assert (r[:-1] >= r[1:]).all()
