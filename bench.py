@@ -244,6 +244,18 @@ def run_bench() -> dict:
     entry_mod._q_docs_pdf_extract(sf_dir)
     queries["docs_pdf_extract"] = round(time.time() - t0, 3)
 
+    # item-item cosine top-k (weighted-edge exchanges + two hash joins)
+    gc.collect()
+    t0 = time.time()
+    r.q_part_item_sim(sf_dir)
+    queries["part_item_sim"] = round(time.time() - t0, 3)
+
+    # image-text pair mining round trip (render -> parse over part)
+    gc.collect()
+    t0 = time.time()
+    entry_mod._q_extract_images(sf_dir)
+    queries["extract_images"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {

@@ -571,6 +571,62 @@ def main() -> int:
 
     run("link_predict_10m", link_predict_10m)
 
+    # --- training-op probes -------------------------------------------
+    def synth_interactions(n_users=100_000, n_items=10_000, per_user=10,
+                           d="/tmp/graft_sweep_als"):
+        # 1M planted rank-4 interactions (positive factors) — ALS must
+        # stream joins + bucket solves, factors never driver-resident
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(31)
+            xu = rng.uniform(0.5, 1.5, (n_users, 4))
+            yi = rng.uniform(0.5, 1.5, (n_items, 4))
+            u = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+            i = rng.integers(0, n_items, n_users * per_user).astype(np.int64)
+            c = (xu[u] * yi[i]).sum(axis=1)
+            pq.write_table(pa.table({"u": u, "i": i, "c": c}),
+                           os.path.join(d, "inter.parquet"),
+                           row_group_size=1 << 18)
+            open(marker, "w").write("ok")
+        return d
+
+    def als_1m():
+        from htmlparsersharp_ray.stages.train import als_train
+
+        inter = ray.data.read_parquet(
+            os.path.join(synth_interactions(), "inter.parquet"))
+        users, items, hist = als_train(inter, k=4, iters=3, reg=0.05,
+                                       n_buckets=64, track_sse="final")
+        return users.count() + items.count()
+
+    run("als_1m", als_1m)
+
+    def synth_baskets(n_orders=2_000_000, n_parts=50_000, per_order=4,
+                      d="/tmp/graft_sweep_baskets"):
+        # 8M lineitem rows, 4 parts/order — item-sim's pair expansion
+        # is quadratic in ORDER size only (12 ordered pairs per order)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(37)
+            ok = np.repeat(np.arange(n_orders, dtype=np.int64), per_order)
+            # zipf-ish popularity so hot items exist
+            p = (rng.pareto(1.5, n_orders * per_order) * 50
+                 ).astype(np.int64) % n_parts
+            pq.write_table(pa.table({"l_orderkey": ok, "l_partkey": p}),
+                           os.path.join(d, "lineitem.parquet"),
+                           row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    def item_sim_8m():
+        from htmlparsersharp_ray.pipelines.relational import q_part_item_sim
+
+        return q_part_item_sim(synth_baskets())
+
+    run("item_sim_8m", item_sim_8m)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
