@@ -1777,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_item_sim": r.q_part_item_sim,
         "part_als": _q_part_als,
         "docs_hybrid_search": _q_docs_hybrid_search,
+        "part_hits": r.q_part_hits,
     }
 
 
@@ -5576,4 +5577,33 @@ def oracle_sql() -> dict[str, str]:
                doc_id, rank_text, rank_vec, rrf
         FROM f ORDER BY rrf DESC, doc_id LIMIT 10
     """
+    # HITS: unroll 2 iterations (4 half-steps) of integer sum +
+    # floor-max-normalize — every CTE mirrors the engine's int64 math
+    _hits_ctes = [
+        "e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "h0 AS (SELECT DISTINCT c AS id, CAST(1000000 AS BIGINT) AS s"
+        " FROM e)",
+    ]
+    _prev_h = "h0"
+    for _it in (1, 2):
+        _hits_ctes += [
+            f"a{_it}r AS (SELECT e.p AS id, sum(h.s) AS s FROM e"
+            f" JOIN {_prev_h} h ON e.c = h.id GROUP BY e.p)",
+            f"a{_it} AS (SELECT id, CAST(s * 1000000 //"
+            f" (SELECT max(s) FROM a{_it}r) AS BIGINT) AS s"
+            f" FROM a{_it}r)",
+            f"h{_it}r AS (SELECT e.c AS id, sum(a.s) AS s FROM e"
+            f" JOIN a{_it} a ON e.p = a.id GROUP BY e.c)",
+            f"h{_it} AS (SELECT id, CAST(s * 1000000 //"
+            f" (SELECT max(s) FROM h{_it}r) AS BIGINT) AS s"
+            f" FROM h{_it}r)",
+        ]
+        _prev_h = f"h{_it}"
+    sql["part_hits"] = (
+        "WITH " + ",\n             ".join(_hits_ctes) + """
+        SELECT 'customer' AS kind, id, s FROM h2
+        UNION ALL SELECT 'part' AS kind, id, s FROM a2
+        ORDER BY kind, id
+    """)
     return sql

@@ -399,3 +399,52 @@ class TestDocsHybridSearch:
             assert row.rrf == expect
         r = out["rrf"].to_numpy()
         assert (r[:-1] >= r[1:]).all()
+
+
+class TestPartHits:
+    def _bipartite(self, tmp_path, purchases):
+        """purchases: list of (custkey, [partkeys]) — one order each."""
+        lk, pk, ok, ck = [], [], [], []
+        for o, (c, parts) in enumerate(purchases):
+            ok.append(o)
+            ck.append(c)
+            lk += [o] * len(parts)
+            pk += parts
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }))
+        _write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_custkey": pa.array(ck, pa.int64()),
+        }))
+        return str(tmp_path)
+
+    def test_universal_part_is_top_authority(self, ray_session, tmp_path):
+        """Part 0 bought by every customer, others by one each: part 0
+        normalizes to exactly `scale`, every other part strictly
+        below."""
+        sf = self._bipartite(tmp_path, [
+            (1, [0, 10]), (2, [0, 20]), (3, [0, 30])])
+        out = r.q_part_hits(sf)
+        parts = out[out["kind"] == "part"].set_index("id")["s"]
+        assert parts.loc[0] == 1_000_000
+        assert (parts.drop(0) < 1_000_000).all()
+
+    def test_symmetric_customers_equal_hubs(self, ray_session, tmp_path):
+        """Customers with identical baskets get identical hub scores;
+        a customer with a superset basket scores at least as high."""
+        sf = self._bipartite(tmp_path, [
+            (1, [0, 10]), (2, [0, 10]), (3, [0, 10, 20])])
+        out = r.q_part_hits(sf)
+        hubs = out[out["kind"] == "customer"].set_index("id")["s"]
+        assert hubs.loc[1] == hubs.loc[2]
+        assert hubs.loc[3] >= hubs.loc[1]
+
+    def test_duplicate_purchases_count_once(self, ray_session, tmp_path):
+        """The bipartite edge is DISTINCT (cust, part): re-buying the
+        same part doesn't inflate authority."""
+        sf_a = self._bipartite(tmp_path, [(1, [0, 0, 0]), (2, [5])])
+        out_a = r.q_part_hits(sf_a)
+        a = out_a[out_a["kind"] == "part"].set_index("id")["s"]
+        assert a.loc[0] == a.loc[5]  # both single-customer parts
