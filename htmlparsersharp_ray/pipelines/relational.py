@@ -8026,9 +8026,10 @@ def q_part_zorder(sf_dir: str):
     WITHIN buckets only, never a global all-to-all sort. Bucket
     boundaries follow the DATA's value range (top-12-bit prefix), so
     skewed dimension distributions only unbalance buckets, never break
-    ordering. round(price*10) never lands on an exact .5 for two-place
-    decimals stored as doubles, so numpy's and the oracle's rounding
-    agree."""
+    ordering. Rounding mirrors DuckDB's round() (half AWAY from zero —
+    np.round is half-to-even and diverges on exact .5 ties like
+    929.25*10): non-ties use np.round, exact ties get floor+1 (values
+    are positive)."""
     import numpy as np
 
     def spread16(v: np.ndarray) -> np.ndarray:
@@ -8040,11 +8041,19 @@ def q_part_zorder(sf_dir: str):
         v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
         return v
 
+    def _round_half_away(v: np.ndarray) -> np.ndarray:
+        """DuckDB round() for positive doubles: half away from zero.
+        np.round alone is half-to-even (929.25*10 = exactly 9292.5
+        → np.round 9292, DuckDB 9293)."""
+        f = np.floor(v)
+        return np.where(v - f == 0.5, f + 1.0, np.round(v))
+
     def zcodes(batch: pa.Table) -> pd.DataFrame:
         x = (batch.column("p_size").to_numpy(zero_copy_only=False)
              .astype(np.int64) & 0xFFFF)
-        y = (np.round(batch.column("p_retailprice")
-                      .to_numpy(zero_copy_only=False) * 10)
+        y = (_round_half_away(
+                batch.column("p_retailprice")
+                .to_numpy(zero_copy_only=False) * 10)
              .astype(np.int64) & 0xFFFF)
         z = ((spread16(x) << np.uint64(1)) | spread16(y)).astype(np.int64)
         return pd.DataFrame({
@@ -8114,13 +8123,18 @@ def q_part_assortativity(sf_dir: str):
 
     import numpy as np
 
+    from ..stages.exchange import checkpoint
     from ..stages.graph import group_cooccurrence_edges, node_degrees
     from .joins import hash_join
 
     li = ray.data.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
-    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    deg = node_degrees(edges)
+    # checkpoint both: edges feeds the join's left arm AND the degree
+    # build; deg feeds BOTH join sides — without materialization the
+    # lazy lineage re-executes the pair expansion per consumer (3x)
+    edges = checkpoint(group_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey"))
+    deg = checkpoint(node_degrees(edges))
 
     dsrc = deg.map_batches(
         lambda b: pa.table({"n_s": b.column("node"),
@@ -8210,9 +8224,14 @@ def q_part_item_sim(sf_dir: str, k: int = 3):
         return pd.DataFrame({"p": out["p"].astype("int64"),
                              "n": out["size"].astype("int64")})
 
-    counts = (li.map_batches(order_part, batch_format="pandas")
-              .groupby("ib")
-              .map_groups(item_counts, batch_format="pandas"))
+    from ..stages.exchange import checkpoint
+
+    # counts feeds BOTH join sides: materialize once or the distinct
+    # (order, part) exchange executes twice inside the annotated join
+    counts = checkpoint(
+        li.map_batches(order_part, batch_format="pandas")
+        .groupby("ib")
+        .map_groups(item_counts, batch_format="pandas"))
     cs = counts.map_batches(
         lambda b: pa.table({"p_s": b.column("p"), "n_s": b.column("n")}),
         batch_format="pyarrow")

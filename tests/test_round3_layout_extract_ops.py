@@ -227,6 +227,34 @@ class TestPartZorder:
         assert expect["zrank"].tolist() == list(range(n))
         assert sorted(out["zrank"]) == list(range(n))
 
+    def test_rounding_ties_match_duckdb(self, ray_session, tmp_path):
+        """Exact .5 decicent ties (x.25 / x.75 prices are exactly
+        representable doubles) must round HALF AWAY like DuckDB, not
+        numpy's half-to-even: 929.25*10 = 9292.5 -> y must be 9293."""
+        import duckdb
+
+        table = pa.table({
+            "p_partkey": pa.array([0, 1, 2, 3], pa.int64()),
+            "p_size": pa.array([1, 1, 1, 1], pa.int32()),
+            "p_retailprice": pa.array([929.25, 929.75, 930.0, 929.4],
+                                      pa.float64()),
+        })
+        _write(tmp_path, "part", table)
+        out = r.q_part_zorder(str(tmp_path)).set_index("p_partkey")
+        ys = duckdb.sql(
+            "SELECT CAST(round(v * 10) AS BIGINT) AS y FROM (VALUES "
+            "(929.25::DOUBLE), (929.75::DOUBLE), (930.0::DOUBLE), "
+            "(929.4::DOUBLE)) t(v)").df()["y"].tolist()
+        assert ys[0] == 9293  # the half-to-even trap
+        # y occupies the even interleave bits: extract and compare
+        def deinterleave(z):
+            y = 0
+            for i in range(16):
+                y |= ((int(z) >> (2 * i)) & 1) << i
+            return y
+        for pk, yexp in zip(range(4), ys):
+            assert deinterleave(out.loc[pk, "zcode"]) == yexp & 0xFFFF
+
 
 class TestExtractForms:
     def _cust(self, keys, segs=None):
