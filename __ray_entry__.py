@@ -1778,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_als": _q_part_als,
         "docs_hybrid_search": _q_docs_hybrid_search,
         "part_hits": r.q_part_hits,
+        "audit_referential": r.q_audit_referential,
     }
 
 
@@ -5606,4 +5607,29 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'part' AS kind, id, s FROM a2
         ORDER BY kind, id
     """)
+    # referential audit: one NOT-EXISTS block per FK edge (null child
+    # keys count as orphan ROWS but not as distinct KEYS — SQL
+    # count(DISTINCT) drops nulls, mirroring the engine)
+    _fk_edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    _audit_parts = [
+        f"""SELECT '{c}.{ck}->{p}.{pk}' AS edge,
+               (SELECT count(*) FROM {c}) AS n_child,
+               (SELECT count(*) FROM {c} ch
+                 WHERE ch.{ck} IS NULL OR NOT EXISTS
+                   (SELECT 1 FROM {p} pr WHERE pr.{pk} = ch.{ck})
+               ) AS n_orphans,
+               (SELECT count(DISTINCT ch.{ck}) FROM {c} ch
+                 WHERE NOT EXISTS
+                   (SELECT 1 FROM {p} pr WHERE pr.{pk} = ch.{ck})
+               ) AS n_orphan_keys"""
+        for c, ck, p, pk in _fk_edges]
+    sql["audit_referential"] = "\nUNION ALL\n".join(_audit_parts)
     return sql

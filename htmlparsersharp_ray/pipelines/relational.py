@@ -8401,3 +8401,76 @@ def q_part_hits(sf_dir: str, iters: int = 2, scale: int = 1_000_000):
     out = pd.concat([a, h], ignore_index=True)[["kind", "id", "s"]]
     out = out.astype({"id": "int64", "s": "int64"})
     return out.sort_values(["kind", "id"]).reset_index(drop=True)
+
+
+def q_audit_referential(sf_dir: str):
+    """DATA-QUALITY AUDIT: orphan counts for every foreign-key edge of
+    the schema — lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer, customer→nation, supplier→nation, nation→region —
+    the referential-integrity report a pipeline runs before trusting
+    joins (an orphan fact row silently vanishes from every inner
+    join). One row per edge: child rows, orphan rows, distinct orphan
+    keys. Reference n/a — engine-level op.
+
+    Scale shape: each edge is ONE semi-structured anti join through
+    ``hash_join(how="anti")`` — the right side ships only its deduped
+    key column — followed by count partials; child totals come from
+    metadata-cheap ``Dataset.count()``. Null child keys count as
+    orphans here (they vanish from inner joins too, which is what the
+    audit measures) — hash_join's anti keeps them, matching the
+    oracle's ``NOT EXISTS`` + ``IS NULL`` union."""
+    import numpy as np
+
+    from .joins import hash_join
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for child, ck, parent, pk in edges:
+        c_ds = ray.data.read_parquet(_t(sf_dir, child), columns=[ck])
+        p_ds = ray.data.read_parquet(_t(sf_dir, parent), columns=[pk])
+        n_child = c_ds.count()
+        orphans = hash_join(c_ds, p_ds, left_on=ck, right_on=pk,
+                            how="anti")
+
+        # distinct orphan keys through ONE key-hash exchange (never a
+        # driver concat — a badly broken corpus could have fact-scale
+        # orphan volume); rows ride alongside as additive counts
+        def partial(b: pd.DataFrame, _ck=ck) -> pd.DataFrame:
+            keys = b[_ck].dropna().to_numpy(np.int64)
+            u = np.unique(keys)
+            return pd.DataFrame({
+                "kb": (u % np.int64(64)).astype(np.int64),
+                "key": u,
+                "n": np.r_[np.int64(len(b)),
+                           np.zeros(max(len(u) - 1, 0),
+                                    dtype=np.int64)]
+                if len(u) else np.full(0, 0, dtype=np.int64),
+            }) if len(u) else pd.DataFrame({
+                "kb": [np.int64(0)], "key": [np.int64(-1)],
+                "n": [np.int64(len(b))]})
+
+        def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+            real = g[g["key"] >= 0]
+            return pd.DataFrame({
+                "n": [int(g["n"].sum())],
+                "d": [int(real["key"].nunique())],
+            })
+
+        parts = (orphans.map_batches(partial, batch_format="pandas")
+                 .groupby("kb")
+                 .map_groups(bucket_stats, batch_format="pandas")
+                 .to_pandas())
+        n_orphan = int(parts["n"].sum()) if len(parts) else 0
+        distinct = int(parts["d"].sum()) if len(parts) else 0
+        rows.append((f"{child}.{ck}->{parent}.{pk}",
+                     int(n_child), n_orphan, distinct))
+    return pd.DataFrame(rows, columns=[
+        "edge", "n_child", "n_orphans", "n_orphan_keys"])

@@ -476,3 +476,41 @@ class TestPartHits:
         out_a = r.q_part_hits(sf_a)
         a = out_a[out_a["kind"] == "part"].set_index("id")["s"]
         assert a.loc[0] == a.loc[5]  # both single-customer parts
+
+
+class TestAuditReferential:
+    def test_planted_orphans(self, ray_session, tmp_path):
+        """Plant 3 orphan lineitem rows (2 sharing a missing orderkey,
+        1 NULL key) and a fully-consistent remainder; the audit reports
+        exactly those and zero elsewhere."""
+        _write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array([0, 1], pa.int64()),
+            "o_custkey": pa.array([10, 10], pa.int64()),
+        }))
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array([0, 1, 99, 99, None], pa.int64()),
+            "l_partkey": pa.array([5, 5, 5, 5, 5], pa.int64()),
+            "l_suppkey": pa.array([7, 7, 7, 7, 7], pa.int64()),
+        }))
+        _write(tmp_path, "part", pa.table({
+            "p_partkey": pa.array([5], pa.int64())}))
+        _write(tmp_path, "supplier", pa.table({
+            "s_suppkey": pa.array([7], pa.int64()),
+            "s_nationkey": pa.array([0], pa.int64())}))
+        _write(tmp_path, "customer", pa.table({
+            "c_custkey": pa.array([10], pa.int64()),
+            "c_nationkey": pa.array([0], pa.int64())}))
+        _write(tmp_path, "nation", pa.table({
+            "n_nationkey": pa.array([0], pa.int64()),
+            "n_regionkey": pa.array([0], pa.int64())}))
+        _write(tmp_path, "region", pa.table({
+            "r_regionkey": pa.array([0], pa.int64())}))
+
+        out = r.q_audit_referential(str(tmp_path)).set_index("edge")
+        lo = out.loc["lineitem.l_orderkey->orders.o_orderkey"]
+        assert lo["n_child"] == 5
+        assert lo["n_orphans"] == 3       # two 99s + one NULL row
+        assert lo["n_orphan_keys"] == 1   # only key 99 (NULL excluded)
+        clean = out.drop("lineitem.l_orderkey->orders.o_orderkey")
+        assert (clean["n_orphans"] == 0).all()
+        assert (clean["n_orphan_keys"] == 0).all()
