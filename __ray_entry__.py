@@ -1428,9 +1428,11 @@ def _q_docs_pack(sf_dir: str):
 
 def _synth_phash_corpus(n: int = 200):
     """Deterministic image corpus with planted near-dups: per-image
-    random coarse 4×4 block pattern upscaled to 16×16 (aHash-stable
-    structure), every 5th image a ±8-noise copy of its predecessor —
-    perceptually identical, byte-different. REAL PPM payloads."""
+    random coarse 8×8 block pattern upscaled to 16×16 (one coarse
+    block per aHash grid cell → 64 independent hash bits, so random
+    pairs sit at Hamming ~32 and never collide with the dup band),
+    every 5th image a ±8-noise copy of its predecessor — perceptually
+    identical, byte-different. REAL PPM payloads."""
     import numpy as np
     import pyarrow as pa
 
@@ -1442,8 +1444,8 @@ def _synth_phash_corpus(n: int = 200):
         if i % 5 == 1:
             base = prev + rng.integers(-8, 9, prev.shape)
         else:
-            coarse = rng.integers(0, 2, (4, 4, 3)) * 255
-            base = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)
+            coarse = rng.integers(0, 2, (8, 8, 3)) * 255
+            base = np.repeat(np.repeat(coarse, 2, axis=0), 2, axis=1)
         prev = base
         payloads.append(encode_ppm(np.clip(base, 0, 255).astype(np.uint8)))
     return pa.table({
@@ -1467,6 +1469,44 @@ def _q_media_phash_dups(sf_dir: str):
     ds = ray.data.from_arrow(_synth_phash_corpus(200))
     out = phash_dups(ds, max_hamming=6)
     return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
+def _q_media_canonical(sf_dir: str):
+    """End-to-end IMAGE dedup (the multimodal mirror of
+    docs_canonical): REAL PPM decode → perceptual aHash → banded pair
+    miner → distributed connected components → canonical survivor per
+    cluster (largest payload, ties to smallest media_id). Every stage
+    is an existing graded component; this query grades the
+    COMPOSITION. The planted corpus (every 5th image a noisy copy of
+    its predecessor) makes the expected outcome exact: 40 two-image
+    clusters whose survivor is the clean ORIGINAL, 160 survivors
+    total — pytest-pinned. Rows-only for the driver (decode +
+    perceptual hashing are not SQL-expressible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from htmlparsersharp_ray.stages.dedup import (
+        cluster_survivors, dup_clusters)
+    from htmlparsersharp_ray.stages.multimodal import phash_dups
+
+    ds = ray.data.from_arrow(_synth_phash_corpus(200))
+    edges = phash_dups(ds, max_hamming=6).rename(
+        columns={"media_a": "doc_a", "media_b": "doc_b"})
+    nodes = ds.map_batches(
+        lambda b: pa.table({"media_id": b.column("media_id")}),
+        batch_format="pyarrow")
+    labels = dup_clusters(nodes, edges[["doc_a", "doc_b"]],
+                          id_col="media_id", as_dataset=True)
+    meta = ds.map_batches(
+        lambda b: pa.table({
+            "media_id": b.column("media_id"),
+            "n_bytes": pc.binary_length(
+                b.column("payload")).cast(pa.int64()),
+        }), batch_format="pyarrow")
+    out = cluster_survivors(labels, meta, id_col="media_id",
+                            size_col="n_bytes")
+    return out.sort_values("cluster_rep").reset_index(drop=True)
 
 
 def _synth_audio_corpus(n: int = 200):
@@ -1744,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_meta": _q_media_meta,
         "media_phash_dups": _q_media_phash_dups,
+        "media_canonical": _q_media_canonical,
         "media_audio_dups": _q_media_audio_dups,
         "media_frames": _q_media_frames,
         # flagship extraction

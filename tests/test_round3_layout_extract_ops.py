@@ -514,3 +514,21 @@ class TestAuditReferential:
         clean = out.drop("lineitem.l_orderkey->orders.o_orderkey")
         assert (clean["n_orphans"] == 0).all()
         assert (clean["n_orphan_keys"] == 0).all()
+
+
+class TestMediaCanonical:
+    def test_planted_clusters_and_survivors(self, ray_session):
+        """The planted corpus has 40 noisy-copy pairs (every 5th image
+        copies its predecessor): exactly 160 survivors, every 2-image
+        cluster's survivor is the clean ORIGINAL (equal payload bytes
+        -> smallest-id tie rule)."""
+        from __ray_entry__ import queries
+
+        out = queries()["media_canonical"]("/root/testdata/sf0.001")
+        assert len(out) == 160
+        multi = out[out["n_docs"] > 1]
+        assert len(multi) == 40
+        assert (multi["n_docs"] == 2).all()
+        # survivor == cluster_rep == the original (i-1, i%5==1 copies)
+        assert (multi["media_id"] == multi["cluster_rep"]).all()
+        assert (multi["media_id"].to_numpy() % 5 == 0).all()
