@@ -62,6 +62,80 @@ def _q_extract_turns(sf_dir: str):
     return table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _synth_curation_transcripts(n_blocks: int = 100):
+    """Deterministic raw-HTML conversation corpus with a PLANTED
+    curation funnel. Each 7-turn block holds: [unique text A (style 0),
+    the SAME text in different markup (byte-different HTML, identical
+    extraction — the dup only a real parser can see), unique text B,
+    B with one interior word swapped (3-shingle Jaccard ≈ 45/51 = 0.88
+    ≥ the 0.8 near-dup bar), punctuation junk (quality < 0.3), unique
+    C, unique D]. Every non-junk text is exactly 50 plain words
+    (quality = 0.5), so the funnel counts and the exact token total are
+    known by construction: (7B, 6B, 5B, 4B, 200·B)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(911)
+    vocab = np.array([f"w{i:03d}" for i in range(200)])
+
+    def draw():
+        return " ".join(rng.choice(vocab, 50))
+
+    conv, turn, html = [], [], []
+
+    def wrap(style: int, t: str, uid: int) -> str:
+        if style == 0:
+            return f"<p>{t}</p>"
+        if style == 1:
+            return f"<div class=msg id=x{uid}><span>{t}</span></div>"
+        if style == 2:
+            first, rest = t.split(" ", 1)
+            return f"<article><em>{first}</em> {rest}</article>"
+        return f"<table><tr><td>{t}</td></tr></table>"
+
+    for b in range(n_blocks):
+        t0, t2 = draw(), draw()
+        w = t2.split()
+        # swap one interior word for a DIFFERENT vocab word (+7 mod 200
+        # is never the identity), so md5 differs but Jaccard stays 0.88
+        w[25] = vocab[(int(w[25][1:]) + 7) % 200]
+        t3 = " ".join(w)
+        junk = f"!!! ??? ### {b}"
+        seq = [(t0, 0), (t0, 1), (t2, 2), (t3, 3), (junk, 0),
+               (draw(), 1), (draw(), 3)]
+        for i, (t, s) in enumerate(seq):
+            conv.append(f"c{b:04d}")
+            turn.append(i)
+            html.append(wrap(s, t, b * 7 + i))
+    return pa.table({
+        "conv_id": pa.array(conv),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "text": pa.array(html),
+    })
+
+
+def _q_turns_curate(sf_dir: str):
+    """End-to-end TRAINING-CORPUS construction from raw HTML: the
+    flagship parse+extract stage feeding the curation funnel (exact
+    dedup → MinHash near-dedup keep-representative → quality floor →
+    exact token accounting) — the composition a pretraining-data team
+    runs over crawled conversations. The planted corpus makes every
+    funnel count exact by construction, including a duplicate class
+    only a REAL HTML5 parser can detect (byte-different markup, same
+    extracted text). Rows-only for the driver (HTML parsing is not
+    SQL-expressible); pytest pins all five counts
+    (tests/test_round3_layout_extract_ops.py::TestTurnsCurate)."""
+    import ray.data
+
+    from htmlparsersharp_ray.pipelines.curate import curate, turns_to_docs
+    from htmlparsersharp_ray.stages.parse_stage import HtmlExtractUDF
+
+    ds = ray.data.from_arrow(_synth_curation_transcripts(100))
+    ext = ds.map_batches(HtmlExtractUDF, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 4))
+    return curate(turns_to_docs(ext))
+
+
 def _q_extract_links(sf_dir: str):
     """Link-graph extraction over the transcripts corpus: real HTML5
     parse per turn → one row per <a href> → per-target aggregate
@@ -1789,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         # flagship extraction
         "extract_turns": _q_extract_turns,
+        "turns_curate": _q_turns_curate,
         "extract_links": _q_extract_links,
         "extract_tables": _q_extract_tables,
         "extract_meta": _q_extract_meta,

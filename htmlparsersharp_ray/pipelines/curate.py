@@ -25,6 +25,35 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def turns_to_docs(turns: ray.data.Dataset) -> ray.data.Dataset:
+    """Map the extraction table (conv_id, turn_idx, extracted_text) to
+    the curation document frame (doc_id, text) so the funnel can run
+    directly on parser output. doc_id = the 63-bit SipHash of
+    "conv_id#turn_idx" — vectorized (one C pass per batch), process-
+    stable, and content-free so re-extraction keys identically;
+    uniqueness holds w.h.p. (~2^-63 per pair) and is asserted over the
+    graded corpus by the turns_curate pytest."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            batch.column("conv_id"),
+            pc.cast(batch.column("turn_idx"), pa.string()),
+            "#",
+        ).to_numpy(zero_copy_only=False)
+        ids = (hash_strings64(np.asarray(keys, dtype=object),
+                              categorize=False)
+               >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": batch.column("extracted_text"),
+        })
+
+    return turns.map_batches(to_docs, batch_format="pyarrow")
+
+
 def curate(docs: ray.data.Dataset,
            jaccard_threshold: float = 0.8,
            min_quality: float = 0.3) -> pd.DataFrame:

@@ -220,12 +220,17 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _ibucket(a * np.int64(1000003) + b)
 
 
+# is_req is a NON-NULL bool row-kind marker: a nullable int64 column
+# turns float64 when Ray hands a bucket group to pandas, and float64
+# silently rounds doc ids above 2^53 (the unused doc_a/doc_b carry 0
+# on shingle rows).
 _PAIR_SCHEMA = pa.schema([
     ("db", pa.int64()),        # shuffle bucket of doc_id
     ("doc_id", pa.int64()),
     ("doc_a", pa.int64()),
     ("doc_b", pa.int64()),
     ("sh", pa.list_(pa.int64())),
+    ("is_req", pa.bool_()),
 ])
 
 
@@ -358,6 +363,7 @@ def _verify_pairs_exact(
             "doc_a": pa.array(np.concatenate([a, a])),
             "doc_b": pa.array(np.concatenate([b, b])),
             "sh": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
+            "is_req": pa.array(np.ones(2 * len(a), dtype=bool)),
         }, schema=_PAIR_SCHEMA)
 
     def to_shingle_rows(batch: pa.Table) -> pa.Table:
@@ -373,9 +379,10 @@ def _verify_pairs_exact(
         return pa.table({
             "db": pa.array(_ibucket(ids)),
             "doc_id": pa.array(ids),
-            "doc_a": pa.array([None] * len(ids), pa.int64()),
-            "doc_b": pa.array([None] * len(ids), pa.int64()),
+            "doc_a": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "doc_b": pa.array(np.zeros(len(ids), dtype=np.int64)),
             "sh": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+            "is_req": pa.array(np.zeros(len(ids), dtype=bool)),
         }, schema=_PAIR_SCHEMA)
 
     requests = cand.map_batches(to_requests, batch_format="pyarrow")
@@ -386,8 +393,8 @@ def _verify_pairs_exact(
     def attach(group: pd.DataFrame) -> pd.DataFrame:
         """Vectorized semi-join inside one doc_id bucket: every request row
         picks up its side's shingle set via pandas merge."""
-        doc_rows = group[group["doc_a"].isna()][["doc_id", "sh"]]
-        req_rows = group[group["doc_a"].notna()][["doc_id", "doc_a", "doc_b"]]
+        doc_rows = group[~group["is_req"]][["doc_id", "sh"]]
+        req_rows = group[group["is_req"]][["doc_id", "doc_a", "doc_b"]]
         if doc_rows.empty or req_rows.empty:
             return pd.DataFrame({"pb": pd.Series([], dtype="int64"),
                                  "doc_a": pd.Series([], dtype="int64"),
@@ -1316,18 +1323,27 @@ def dup_clusters(
             edges[["doc_a", "doc_b"]].astype("int64").reset_index(drop=True)
         )
 
+    # Row-kind marker is a NON-NULL bool, never a nullable int64: a
+    # nullable int64 column becomes float64 when Ray hands the bucket
+    # group to pandas, and float64 silently rounds ids above 2^53
+    # (63-bit SipHash doc ids corrupted end-to-end before this; small
+    # sequential test ids masked it). The unused int column per row
+    # kind carries 0.
     _schema = pa.schema([("kb", pa.int64()), ("node", pa.int64()),
-                         ("nbr", pa.int64()), ("label", pa.int64())])
+                         ("nbr", pa.int64()), ("label", pa.int64()),
+                         ("is_lab", pa.bool_())])
 
     def to_sym_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([a, b])
+        zero = np.zeros(2 * len(a), dtype=np.int64)
         return pa.table({
             "kb": pa.array(_ibucket(node)),
             "node": pa.array(node),
             "nbr": pa.array(np.concatenate([b, a])),
-            "label": pa.array([None] * (2 * len(a)), pa.int64()),
+            "label": pa.array(zero),
+            "is_lab": pa.array(np.zeros(2 * len(a), dtype=bool)),
         }, schema=_schema)
 
     from .exchange import checkpoint
@@ -1345,8 +1361,9 @@ def dup_clusters(
         return pa.table({
             "kb": pa.array(_ibucket(node)),
             "node": batch.column("node"),
-            "nbr": pa.array([None] * batch.num_rows, pa.int64()),
+            "nbr": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
             "label": batch.column("label"),
+            "is_lab": pa.array(np.ones(batch.num_rows, dtype=bool)),
         }, schema=_schema)
 
     def as_jump_requests(batch: pa.Table) -> pa.Table:
@@ -1355,14 +1372,15 @@ def dup_clusters(
             "kb": pa.array(_ibucket(lab)),
             "node": batch.column("label"),   # key = current label
             "nbr": batch.column("node"),     # requester rides along
-            "label": pa.array([None] * batch.num_rows, pa.int64()),
+            "label": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "is_lab": pa.array(np.zeros(batch.num_rows, dtype=bool)),
         }, schema=_schema)
 
     def send_messages(group: pd.DataFrame) -> pd.DataFrame:
         """Vectorized: label rows merge onto edge rows by node; emit
         (nbr ← label) messages plus each node's own label row."""
-        lab = group[group["label"].notna()][["node", "label"]]
-        edge = group[group["nbr"].notna()][["node", "nbr"]]
+        lab = group[group["is_lab"]][["node", "label"]]
+        edge = group[~group["is_lab"]][["node", "nbr"]]
         msgs = edge.merge(lab, on="node", how="inner")
         node = np.concatenate([
             lab["node"].to_numpy(dtype=np.int64),
@@ -1384,8 +1402,8 @@ def dup_clusters(
     def answer_jumps(group: pd.DataFrame) -> pd.DataFrame:
         """Vectorized: provider label rows answer (label-of-label)
         requests; providers also re-emit their own row."""
-        prov = group[group["label"].notna()][["node", "label"]]
-        req = group[group["nbr"].notna()][["node", "nbr"]]
+        prov = group[group["is_lab"]][["node", "label"]]
+        req = group[~group["is_lab"]][["node", "nbr"]]
         ans = req.merge(prov, on="node", how="inner")
         node = np.concatenate([
             prov["node"].to_numpy(dtype=np.int64),
@@ -1396,6 +1414,19 @@ def dup_clusters(
             ans["label"].to_numpy(dtype=np.int64),
         ])
         return pd.DataFrame({"kb": _ibucket(node), "node": node, "label": label})
+
+    def exact_label_sum(ds: ray.data.Dataset) -> int:
+        """Exact Python-int Σlabel (one short string row per block —
+        63-bit labels × corpus rows overflow an int64 Sum, and a
+        float64 Sum loses the small per-round deltas the convergence
+        test needs)."""
+        parts = ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [str(int(df["label"].astype(object).sum()))
+                       if len(df) else "0"]}),
+            batch_format="pandas",
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
 
     prev_sum = None
     for _ in range(max_iters):
@@ -1417,7 +1448,7 @@ def dup_clusters(
         # A propagate fixpoint means every label already equals min(self,
         # neighbors) — i.e. the component minimum — so the jump step would
         # be the identity: converged, skip it.
-        total = propagated.sum("label")
+        total = exact_label_sum(propagated)
         if total == prev_sum:
             labels = propagated
             break
@@ -1430,7 +1461,7 @@ def dup_clusters(
             .map_groups(combine_min, batch_format="pandas")
             .repartition(16)
         )
-        prev_sum = labels.sum("label")
+        prev_sum = exact_label_sum(labels)
 
     if as_dataset:
         # downstream consumers (docs_canonical's join-back) keep the

@@ -532,3 +532,63 @@ class TestMediaCanonical:
         # survivor == cluster_rep == the original (i-1, i%5==1 copies)
         assert (multi["media_id"] == multi["cluster_rep"]).all()
         assert (multi["media_id"].to_numpy() % 5 == 0).all()
+
+
+class TestTurnsCurate:
+    def test_planted_funnel_counts(self, ray_session):
+        """Every count is known by construction: 100 blocks of 7 turns
+        [unique, same-text-different-markup, unique, one-word-swap
+        near-dup, punctuation junk, unique, unique] -> exact dedup
+        removes 1/block (a dup only a real parser can see), near-dedup
+        1/block, quality floor 1/block; survivors are 4x50 words."""
+        from __ray_entry__ import queries
+
+        out = queries()["turns_curate"]("/root/testdata/sf0.001")
+        assert out.iloc[0].to_dict() == {
+            "n_input": 700, "n_after_exact": 600, "n_after_near": 500,
+            "n_after_quality": 400, "total_ws_tokens": 20000,
+        }
+
+    def test_doc_ids_unique(self, ray_session):
+        """The 63-bit SipHash doc ids over the graded corpus are
+        collision-free (turns_to_docs' uniqueness contract)."""
+        import ray.data
+
+        from __ray_entry__ import _synth_curation_transcripts
+        from htmlparsersharp_ray.pipelines.curate import turns_to_docs
+        from htmlparsersharp_ray.stages.parse_stage import HtmlExtractUDF
+
+        ds = ray.data.from_arrow(_synth_curation_transcripts(100))
+        ext = ds.map_batches(HtmlExtractUDF, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 2))
+        ids = turns_to_docs(ext).to_pandas()["doc_id"]
+        assert ids.is_unique and (ids >= 0).all() and len(ids) == 700
+
+
+class TestDupClustersLargeIds:
+    def test_63bit_ids_exact(self, ray_session):
+        """Regression: label/edge marker columns must never ride a
+        NULLABLE int64 (Ray -> pandas turns it float64, which rounds
+        ids above 2^53). Random 62-bit ids with 100 planted disjoint
+        pairs must label exactly."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from htmlparsersharp_ray.stages.dedup import dup_clusters
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, 2 ** 62, 600).astype(np.int64)
+        nodes = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+        edges = pd.DataFrame({"doc_a": ids[:100], "doc_b": ids[100:200]})
+        lab = dup_clusters(nodes, ray.data.from_pandas(edges),
+                           as_dataset=False)
+        assert len(lab) == 600
+        want = {}
+        for a, b in zip(ids[:100], ids[100:200]):
+            m = min(a, b)
+            want[int(a)] = m
+            want[int(b)] = m
+        got = dict(zip(lab["doc_id"].astype(int),
+                       lab["cluster_rep"].astype(int)))
+        assert got == {int(i): int(want.get(int(i), i)) for i in ids}
