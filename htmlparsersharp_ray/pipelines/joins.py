@@ -359,6 +359,24 @@ def hash_join(
             rt = rt or [pa.Table.from_pandas(empty_right, preserve_index=False)]
         ldf = pa.concat_tables(lt).to_pandas()
         rdf = pa.concat_tables(rt).to_pandas() if rt else empty_right
+        if how in ("left", "full"):
+            # Null-fill protection: pandas merge promotes int64 columns
+            # with missing matches to float64, silently ROUNDING values
+            # above 2^53 (the 63-bit-id corruption class, CLAUDE.md).
+            # Pre-cast integers on the null-fillable side(s) to pandas
+            # nullable Int64/UInt64 — unconditionally, so the dtype is
+            # also consistent across fully- and partially-matched
+            # buckets.
+            for c in rdf.columns:
+                if rdf[c].dtype.kind in "iu":
+                    rdf[c] = rdf[c].astype(
+                        "UInt64" if rdf[c].dtype.kind == "u" else "Int64")
+            if how == "full":
+                for c in ldf.columns:
+                    if ldf[c].dtype.kind in "iu":
+                        ldf[c] = ldf[c].astype(
+                            "UInt64" if ldf[c].dtype.kind == "u"
+                            else "Int64")
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on,
                         how=("outer" if how == "full" else how))
         if how == "inner":
@@ -367,8 +385,8 @@ def hash_join(
             # size estimator; empty object columns become null-typed and
             # Ray's schema unification promotes them against real blocks.
             return pa.Table.from_pandas(out, preserve_index=False)
-        # left joins stay pandas: missing matches promote right-side ints
-        # to float, which cross-block Arrow schema unification may reject.
+        # left/full joins stay pandas; null-fillable int columns are
+        # nullable Int64 (cast above), so no float64 promotion happens.
         return out
 
     return (

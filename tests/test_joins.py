@@ -281,7 +281,14 @@ def test_hash_join_full_matches_pandas(join_inputs, ray_session):
     left, right = join_inputs
     out = hash_join(_mk_ds(left), _mk_ds(right), "k", "k",
                     how="full", n_buckets=4).to_pandas()
-    expected = left.merge(right, on="k", how="outer")
+    # the engine emits nullable Int64 on null-fillable full-join columns
+    # (never float64 — values above 2^53 would round); mirror that in
+    # the pandas reference before comparing
+    expected = left.astype({c: "Int64" for c in left.columns
+                            if left[c].dtype.kind in "iu"}).merge(
+        right.astype({c: "Int64" for c in right.columns
+                      if right[c].dtype.kind in "iu"}),
+        on="k", how="outer")
     assert len(out) == len(expected)
     key = ["k", "lv", "rv"]
     got = out[key].sort_values(key).reset_index(drop=True)

@@ -592,3 +592,32 @@ class TestDupClustersLargeIds:
         got = dict(zip(lab["doc_id"].astype(int),
                        lab["cluster_rep"].astype(int)))
         assert got == {int(i): int(want.get(int(i), i)) for i in ids}
+
+
+class TestLeftJoinLargeIds:
+    def test_left_join_63bit_ids_exact(self, ray_session):
+        """Regression: left-join null-fill must not promote right-side
+        int64 payloads to float64 (rounds values above 2^53). Half the
+        left keys match; matched 62-bit payloads must come back
+        bit-exact, unmatched ones as nulls."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from htmlparsersharp_ray.pipelines.joins import hash_join
+
+        rng = np.random.default_rng(11)
+        keys = np.arange(1000, dtype=np.int64)
+        payload = rng.integers(2 ** 60, 2 ** 62, 500).astype(np.int64)
+        left = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+        right = ray.data.from_pandas(
+            pd.DataFrame({"k": keys[:500], "v": payload}))
+        out = hash_join(left, right, "k", "k", how="left").to_pandas()
+        assert len(out) == 1000
+        got = out.set_index("k")["v"].sort_index()
+        for k in (0, 257, 499):
+            assert int(got.loc[k]) == int(payload[k])
+        assert got.loc[500:].isna().all()
+        # every matched payload bit-exact (no float64 rounding anywhere)
+        matched = got.loc[:499].astype("int64").to_numpy()
+        assert (matched == payload).all()
