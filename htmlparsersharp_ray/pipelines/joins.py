@@ -414,6 +414,17 @@ def broadcast_join(
     class MergeRight:
         def __init__(self):
             self.right = _ray.get(right_ref)
+            if how == "left":
+                # null-fill protection (CLAUDE.md): merge would promote
+                # unmatched int64 right columns to float64, rounding
+                # values above 2^53 — pre-cast to nullable Int64 once
+                # per actor
+                self.right = self.right.astype({
+                    c: ("UInt64" if self.right[c].dtype.kind == "u"
+                        else "Int64")
+                    for c in self.right.columns
+                    if self.right[c].dtype.kind in "iu"
+                })
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(
