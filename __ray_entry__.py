@@ -1790,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search": r.q_docs_search,
         "embeddings_label_centroids": r.q_embeddings_label_centroids,
         "embeddings_nearest_centroid": r.q_embeddings_nearest_centroid,
+        "embeddings_nb": r.q_embeddings_nb,
         "events_late_arrivals": r.q_events_late_arrivals,
         "events_time_weighted": r.q_events_time_weighted,
         "docs_shuffle": r.q_docs_shuffle,
@@ -3807,6 +3808,51 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, label) AS rn
                 FROM d) WHERE rn = 1
+            ORDER BY vec_id
+        """,
+        "embeddings_nb": """
+            -- Bernoulli Naive Bayes with a POOLED smoothing
+            -- denominator: the per-label score is a PURE INTEGER
+            -- product n_l * PROD_d (b_d ? c_dl+1 : n_l-c_dl+1) —
+            -- HUGEINT-exact while n_l <~ 1.8e4 (every test scale);
+            -- ties to the smaller label. Sign features over the
+            -- first 8 dims; train = even vec_ids, test = odd.
+            WITH feat AS (
+                SELECT vec_id, label,
+                       CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS b1,
+                       CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS b2,
+                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS b3,
+                       CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS b4,
+                       CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END AS b5,
+                       CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END AS b6,
+                       CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END AS b7,
+                       CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END AS b8
+                FROM embeddings
+            ), counts AS (
+                SELECT label, count(*) AS n,
+                       sum(b1) AS c1, sum(b2) AS c2, sum(b3) AS c3,
+                       sum(b4) AS c4, sum(b5) AS c5, sum(b6) AS c6,
+                       sum(b7) AS c7, sum(b8) AS c8
+                FROM feat WHERE vec_id % 2 = 0 GROUP BY label
+            ), scored AS (
+                SELECT t.vec_id, c.label,
+                       CAST(c.n AS HUGEINT)
+                       * (CASE WHEN t.b1 = 1 THEN c.c1 + 1 ELSE c.n - c.c1 + 1 END)
+                       * (CASE WHEN t.b2 = 1 THEN c.c2 + 1 ELSE c.n - c.c2 + 1 END)
+                       * (CASE WHEN t.b3 = 1 THEN c.c3 + 1 ELSE c.n - c.c3 + 1 END)
+                       * (CASE WHEN t.b4 = 1 THEN c.c4 + 1 ELSE c.n - c.c4 + 1 END)
+                       * (CASE WHEN t.b5 = 1 THEN c.c5 + 1 ELSE c.n - c.c5 + 1 END)
+                       * (CASE WHEN t.b6 = 1 THEN c.c6 + 1 ELSE c.n - c.c6 + 1 END)
+                       * (CASE WHEN t.b7 = 1 THEN c.c7 + 1 ELSE c.n - c.c7 + 1 END)
+                       * (CASE WHEN t.b8 = 1 THEN c.c8 + 1 ELSE c.n - c.c8 + 1 END)
+                       AS score
+                FROM feat t CROSS JOIN counts c WHERE t.vec_id % 2 = 1
+            )
+            SELECT vec_id, label AS pred_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored) WHERE rn = 1
             ORDER BY vec_id
         """,
         "events_late_arrivals": """

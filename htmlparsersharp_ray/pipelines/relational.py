@@ -5526,6 +5526,109 @@ def q_embeddings_nearest_centroid(sf_dir: str):
             .sort_values("vec_id").reset_index(drop=True))
 
 
+def q_embeddings_nb(sf_dir: str):
+    """BERNOULLI NAIVE BAYES classification (the count-based generative
+    sibling of the nearest-centroid discriminator): train per-label bit
+    statistics on the EVEN vec_ids over 8 sign features (dim d fires
+    iff embedding[d] > 0), predict every ODD vec_id by the
+    maximum-score label.
+
+    The smoothing denominator is POOLED (Laplace +1 counts over a
+    common (n_l + 2)^d normalizer that cancels in the argmax), so the
+    per-label score collapses to a PURE INTEGER product
+
+        score(l) = n_l · Π_d (b_d ? c_dl + 1 : n_l − c_dl + 1)
+
+    — no float, no log, bitwise-deterministic at any parallelism, ties
+    to the smaller label. The oracle computes the identical product in
+    HUGEINT (exact while n_l ≲ 1.8e4, comfortably beyond every test
+    scale; the engine's Python-int scores are unbounded, so only the
+    ORACLE has a range note).
+
+    Scale shape: ZERO exchanges — training is per-batch (label, dim)
+    count partials driver-merged (labels × 8 rows per batch), and the
+    labels × 8 count table ships in the classify task's closure (the
+    kmeans lesson). Classification is one map-only pass whose products
+    run over object-dtype numpy (exact Python ints, 9 multiplies per
+    row-label)."""
+    import numpy as np
+
+    D = 8
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 0]
+        if not len(b):
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "dim": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+            })
+        mat = np.stack(b["embedding"].to_numpy())[:, :D]
+        bits = (mat > 0).astype(np.int64)
+        codes, uniq = pd.factorize(b["label"].to_numpy())
+        n_l = len(uniq)
+        sums = np.zeros((n_l, D), dtype=np.int64)
+        np.add.at(sums, codes, bits)
+        counts = np.bincount(codes, minlength=n_l).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), D),
+            "dim": np.tile(np.arange(D, dtype=np.int64), n_l),
+            "n": np.repeat(counts, D),
+            "c": sums.ravel(),
+        })
+
+    parts = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), c=("c", "sum"))
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    n_vec = np.zeros(len(labels), dtype=np.int64)
+    c_mat = np.zeros((len(labels), D), dtype=np.int64)
+    rows = [lpos[int(l)] for l in agg["label"]]
+    c_mat[rows, agg["dim"].to_numpy()] = agg["c"].to_numpy()
+    n_vec[rows] = agg["n"].to_numpy()
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 1]
+        if not len(b):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "pred_label": pd.Series([], dtype="int64"),
+            })
+        mat = np.stack(b["embedding"].to_numpy())[:, :D]
+        bits = mat > 0
+        best = None
+        pred = None
+        # ascending label order + strict > keeps the SMALLER label on
+        # ties (mirrors ORDER BY score DESC, label in the oracle)
+        for i, lab in enumerate(labels):
+            pos = (c_mat[i] + 1).astype(object)
+            neg = (n_vec[i] - c_mat[i] + 1).astype(object)
+            f = np.where(bits, pos[None, :], neg[None, :])
+            score = f.prod(axis=1) * int(n_vec[i])
+            if best is None:
+                best, pred = score, np.full(len(score), int(lab),
+                                            dtype=np.int64)
+            else:
+                m = score > best
+                best = np.where(m, score, best)
+                pred = np.where(m, int(lab), pred)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+            "pred_label": pred.astype(np.int64),
+        })
+
+    out = ds.map_batches(classify, batch_format="pandas").to_pandas()
+    return (out.astype({"vec_id": "int64", "pred_label": "int64"})
+            .sort_values("vec_id").reset_index(drop=True))
+
+
 def q_events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000):
     """STREAMING WATERMARK ACCOUNTING: how many events arrive LATE —
     event-time older than the watermark (running max event-time over

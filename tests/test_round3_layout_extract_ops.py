@@ -621,3 +621,84 @@ class TestLeftJoinLargeIds:
         # every matched payload bit-exact (no float64 rounding anywhere)
         matched = got.loc[:499].astype("int64").to_numpy()
         assert (matched == payload).all()
+
+
+class TestEmbeddingsNB:
+    @staticmethod
+    def _write(tmpdir, n_files=1):
+        """Planted two-label corpus: label 0 vectors positive on dims
+        0-3 / negative on 4-7, label 1 mirrored; noise never crosses
+        zero. Even vec_ids train, odd ones classify."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(5)
+        n, d = 200, 16
+        lab = (np.arange(n) // 2) % 2   # even/odd pairs share a label
+        mat = rng.uniform(0.2, 1.0, (n, d)).astype(np.float32)
+        sign = np.ones((n, d), dtype=np.float32)
+        sign[lab == 0, 4:8] = -1
+        sign[lab == 1, 0:4] = -1
+        mat *= sign
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "label": pa.array(lab.astype(np.int64)),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        })
+        sub = os.path.join(tmpdir, "embeddings.parquet")
+        os.makedirs(sub, exist_ok=True)
+        rows = len(t)
+        step = rows // n_files
+        for i in range(n_files):
+            pq.write_table(
+                t.slice(i * step, step if i < n_files - 1 else rows),
+                os.path.join(sub, f"part-{i}.parquet"))
+
+    def test_planted_accuracy_and_layout_invariance(self, ray_session,
+                                                    tmp_path):
+        from htmlparsersharp_ray.pipelines.relational import q_embeddings_nb
+
+        d1 = str(tmp_path / "one")
+        d4 = str(tmp_path / "four")
+        for d, nf in ((d1, 1), (d4, 4)):
+            self._write(d, nf)
+        out1 = q_embeddings_nb(d1)
+        out4 = q_embeddings_nb(d4)
+        assert out1.equals(out4)          # block-layout invariant
+        # perfectly separable by the sign features -> 100% accuracy
+        want = (out1["vec_id"].to_numpy() // 2) % 2
+        assert (out1["pred_label"].to_numpy() == want).all()
+        assert len(out1) == 100
+
+    def test_tie_breaks_to_smaller_label(self, ray_session, tmp_path):
+        """One all-positive label-0 trainer, one all-negative label-1
+        trainer, and a test vector with exactly 4 positive dims: the
+        integer scores tie, so the smaller label must win (the
+        ORDER BY score DESC, label contract)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from htmlparsersharp_ray.pipelines.relational import q_embeddings_nb
+
+        vecs = np.array([
+            [1.0] * 8,                       # vec 0 (train, label 0)
+            [1, 1, 1, 1, -1, -1, -1, -1],    # vec 1 (test): 4 ones
+            [-1.0] * 8,                      # vec 2 (train, label 1)
+        ], dtype=np.float32)
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "label": pa.array([0, 9, 1], pa.int64()),  # test label unused
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        })
+        d = str(tmp_path / "tie")
+        import os
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = q_embeddings_nb(d)
+        assert out["vec_id"].tolist() == [1]
+        # score(0) = 1 * 2^4 * 1^4 == score(1) = 1 * 1^4 * 2^4 -> label 0
+        assert out["pred_label"].tolist() == [0]
