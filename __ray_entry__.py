@@ -1791,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_centroids": r.q_embeddings_label_centroids,
         "embeddings_nearest_centroid": r.q_embeddings_nearest_centroid,
         "embeddings_nb": r.q_embeddings_nb,
+        "embeddings_stump": r.q_embeddings_stump,
         "events_late_arrivals": r.q_events_late_arrivals,
         "events_time_weighted": r.q_events_time_weighted,
         "docs_shuffle": r.q_docs_shuffle,
@@ -3854,6 +3855,72 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY score DESC, label) AS rn
                 FROM scored) WHERE rn = 1
             ORDER BY vec_id
+        """,
+        "embeddings_stump": """
+            -- histogram-based decision-stump training: bins =
+            -- floor(v*16) clipped to [-8,7]; candidate (dim, thr)
+            -- sends bin <= thr left; each side predicts its majority
+            -- label (ties to the smaller label); chosen stump
+            -- minimizes the INTEGER training-misclassification count
+            -- (ties to smallest (dim, thr)); empty-side splits
+            -- excluded. Train = even vec_ids, test = odd.
+            WITH u AS (
+                SELECT vec_id, label,
+                       LEAST(GREATEST(CAST(floor(
+                           CAST(unnest(embedding) AS DOUBLE) * 16)
+                           AS BIGINT), -8), 7) AS bin,
+                       unnest(generate_series(1, len(embedding))) - 1
+                           AS dim
+                FROM embeddings
+            ), hist AS (
+                SELECT dim, bin, label, count(*) AS n
+                FROM u WHERE vec_id % 2 = 0 GROUP BY dim, bin, label
+            ), thr AS (
+                SELECT unnest(generate_series(-8, 6)) AS thr
+            ), cand AS (
+                SELECT h.dim, t.thr, h.label,
+                       sum(CASE WHEN h.bin <= t.thr THEN h.n ELSE 0 END)
+                           AS nl,
+                       sum(CASE WHEN h.bin > t.thr THEN h.n ELSE 0 END)
+                           AS nr
+                FROM hist h CROSS JOIN thr t
+                GROUP BY h.dim, t.thr, h.label
+            ), side AS (
+                SELECT dim, thr, sum(nl) AS n_left, sum(nr) AS n_right,
+                       max(nl) AS mxl, max(nr) AS mxr
+                FROM cand GROUP BY dim, thr
+            ), lab AS (
+                SELECT c.dim, c.thr,
+                       min(CASE WHEN c.nl = s.mxl THEN c.label END)
+                           AS left_label,
+                       min(CASE WHEN c.nr = s.mxr THEN c.label END)
+                           AS right_label
+                FROM cand c JOIN side s USING (dim, thr)
+                GROUP BY c.dim, c.thr
+            ), best AS (
+                SELECT s.dim, s.thr, l.left_label, l.right_label,
+                       (s.n_left - s.mxl) + (s.n_right - s.mxr)
+                           AS n_miss_train
+                FROM side s JOIN lab l USING (dim, thr)
+                WHERE s.n_left > 0 AND s.n_right > 0
+                ORDER BY n_miss_train, s.dim, s.thr LIMIT 1
+            ), test AS (
+                SELECT count(*) AS n_test,
+                       sum(CASE WHEN (CASE WHEN u.bin <= b.thr
+                                      THEN b.left_label
+                                      ELSE b.right_label END) = u.label
+                           THEN 1 ELSE 0 END) AS n_test_correct
+                FROM u JOIN best b ON u.dim = b.dim
+                WHERE u.vec_id % 2 = 1
+            )
+            SELECT CAST(b.dim AS BIGINT) AS dim,
+                   CAST(b.thr AS BIGINT) AS thr,
+                   CAST(b.left_label AS BIGINT) AS left_label,
+                   CAST(b.right_label AS BIGINT) AS right_label,
+                   CAST(b.n_miss_train AS BIGINT) AS n_miss_train,
+                   CAST(t.n_test AS BIGINT) AS n_test,
+                   CAST(t.n_test_correct AS BIGINT) AS n_test_correct
+            FROM best b CROSS JOIN test t
         """,
         "events_late_arrivals": """
             -- watermark lateness accounting under simulated

@@ -5629,6 +5629,110 @@ def q_embeddings_nb(sf_dir: str):
             .sort_values("vec_id").reset_index(drop=True))
 
 
+def q_embeddings_stump(sf_dir: str):
+    """HISTOGRAM-BASED SPLIT FINDING (the GBDT/decision-tree building
+    block, LightGBM-style): train a depth-1 decision stump over the
+    embedding dims on the EVEN vec_ids, score it on the ODD ones.
+    Feature bins are floor(v·16) clipped to [-8, 7]; a candidate split
+    (dim, thr) sends bin ≤ thr left; each side predicts its majority
+    label (ties to the smaller label); the chosen stump minimizes the
+    TRAINING MISCLASSIFICATION COUNT — a pure integer objective, so
+    the argmin is exactly SQL-orderable (Gini/entropy would need
+    fraction comparisons), ties to the smallest (dim, thr). Splits
+    with an empty side are excluded.
+
+    Scale shape: training is ONE map-only pass emitting per-batch
+    (dim, bin, label) integer count partials (bounded: dims × bins ×
+    labels rows per batch) merged on the driver — the classic
+    histogram trick that turns split finding over any corpus size into
+    a fixed-size cumsum scan (64 × 16 × 10 ints here). Scoring ships
+    the 4-int model in the task's closure; one more map-only pass,
+    per-batch correct-count partials."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+
+    def bins_of(mat: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(mat.astype(np.float64) * 16.0),
+                       -8, 7).astype(np.int64)
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 0]
+        if not len(b):
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype="int64"),
+                "bin": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        q = bins_of(np.stack(b["embedding"].to_numpy()))
+        n_rows, d = q.shape
+        lab = b["label"].to_numpy().astype(np.int64)
+        dim = np.repeat(np.arange(d, dtype=np.int64), n_rows)
+        flat = pd.DataFrame({
+            "dim": dim,
+            "bin": q.T.ravel(),
+            "label": np.tile(lab, d),
+        })
+        out = flat.groupby(["dim", "bin", "label"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype("int64")
+
+    parts = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["dim", "bin", "label"], as_index=False)["n"].sum()
+    d = int(hist["dim"].max()) + 1
+    labels = np.sort(hist["label"].unique()).astype(np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    # (dim, bin+8, label) count cube, then cumsum over bins = every
+    # threshold's left-side counts exactly
+    cube = np.zeros((d, 16, len(labels)), dtype=np.int64)
+    cube[hist["dim"].to_numpy(),
+         hist["bin"].to_numpy() + 8,
+         [lpos[int(l)] for l in hist["label"]]] = hist["n"].to_numpy()
+    left = np.cumsum(cube, axis=1)          # (d, 16, L): bins <= thr
+    total = left[:, -1:, :]                 # (d, 1, L)
+    right = total - left
+    cand = slice(0, 15)                     # thr in [-8, 6]
+    n_left = left[:, cand, :].sum(axis=2)
+    n_right = right[:, cand, :].sum(axis=2)
+    # majority label per side; np.argmax takes the FIRST max — labels
+    # ascending ⇒ ties to the smaller label (the oracle's row_number)
+    max_l = left[:, cand, :].max(axis=2)
+    max_r = right[:, cand, :].max(axis=2)
+    miss = (n_left - max_l) + (n_right - max_r)
+    valid = (n_left > 0) & (n_right > 0)
+    miss_m = np.where(valid, miss, np.iinfo(np.int64).max)
+    flat_idx = int(np.argmin(miss_m))       # row-major ⇒ (dim, thr) lex
+    best_dim, best_thr_i = divmod(flat_idx, 15)
+    best_thr = best_thr_i - 8
+    left_label = int(labels[np.argmax(left[best_dim, best_thr_i, :])])
+    right_label = int(labels[np.argmax(right[best_dim, best_thr_i, :])])
+    n_miss = int(miss[best_dim, best_thr_i])
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vid = b["vec_id"].to_numpy()
+        b = b[vid % 2 == 1]
+        if not len(b):
+            return pd.DataFrame({"n_test": pd.Series([], dtype="int64"),
+                                 "n_correct": pd.Series([], dtype="int64")})
+        q = bins_of(np.stack(b["embedding"].to_numpy()))[:, best_dim]
+        pred = np.where(q <= best_thr, left_label, right_label)
+        ok = int((pred == b["label"].to_numpy()).sum())
+        return pd.DataFrame({"n_test": [len(b)], "n_correct": [ok]})
+
+    sc = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "dim": [int(best_dim)],
+        "thr": [int(best_thr)],
+        "left_label": [left_label],
+        "right_label": [right_label],
+        "n_miss_train": [n_miss],
+        "n_test": [int(sc["n_test"].sum())],
+        "n_test_correct": [int(sc["n_correct"].sum())],
+    })
+
+
 def q_events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000):
     """STREAMING WATERMARK ACCOUNTING: how many events arrive LATE —
     event-time older than the watermark (running max event-time over

@@ -702,3 +702,23 @@ class TestEmbeddingsNB:
         assert out["vec_id"].tolist() == [1]
         # score(0) = 1 * 2^4 * 1^4 == score(1) = 1 * 1^4 * 2^4 -> label 0
         assert out["pred_label"].tolist() == [0]
+
+
+class TestEmbeddingsStump:
+    def test_planted_split_and_tie_rule(self, ray_session, tmp_path):
+        """On the NB planted corpus (label 0 positive on dims 0-3,
+        label 1 mirrored; |v| in [0.2, 1.0]) every dim 0-7 separates
+        perfectly, so the n_miss=0 tie must resolve to the smallest
+        (dim, thr): dim 0, thr -4 (negative bins clip to [-8,-4],
+        positive to [3,7]). Left side = label 1, 100% test accuracy."""
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_embeddings_stump)
+
+        d = str(tmp_path / "stump")
+        TestEmbeddingsNB._write(d, 2)
+        out = q_embeddings_stump(d)
+        row = out.iloc[0].to_dict()
+        assert row == {
+            "dim": 0, "thr": -4, "left_label": 1, "right_label": 0,
+            "n_miss_train": 0, "n_test": 100, "n_test_correct": 100,
+        }
