@@ -627,6 +627,100 @@ def main() -> int:
 
     run("item_sim_8m", item_sim_8m)
 
+    def synth_embeddings_1m(n=1_000_000, dim=64, n_labels=10,
+                            d="/tmp/graft_sweep_emb1m"):
+        # 1M×64 float32 (256 MB), 10 sign-pattern label clusters with
+        # noise — NB and the stump must stay map-only + driver-merged
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(41)
+            sub = os.path.join(d, "embeddings.parquet")
+            os.makedirs(sub, exist_ok=True)
+            chunk = 125_000
+            for ci in range(n // chunk):
+                lab = rng.integers(0, n_labels, chunk).astype(np.int64)
+                mat = rng.uniform(0.05, 0.45, (chunk, dim)).astype(
+                    np.float32)
+                # label-specific sign pattern on 16 dims + noise flips
+                for li in range(n_labels):
+                    m = lab == li
+                    pat = (np.arange(dim) % n_labels) < li
+                    mat[np.ix_(m, np.where(pat)[0])] *= -1
+                flip = rng.random((chunk, dim)) < 0.1
+                mat = np.where(flip, -mat, mat)
+                pq.write_table(pa.table({
+                    "vec_id": pa.array(
+                        np.arange(ci * chunk, (ci + 1) * chunk,
+                                  dtype=np.int64)),
+                    "label": pa.array(lab),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32())),
+                }), os.path.join(sub, f"part-{ci}.parquet"),
+                    row_group_size=1 << 16)
+            open(marker, "w").write("ok")
+        return d
+
+    def nb_1m():
+        from htmlparsersharp_ray.pipelines.relational import q_embeddings_nb
+
+        return q_embeddings_nb(synth_embeddings_1m())
+
+    run("nb_1m", nb_1m)
+
+    def stump_1m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_embeddings_stump)
+
+        return q_embeddings_stump(synth_embeddings_1m())
+
+    run("stump_1m", stump_1m)
+
+    _TC_BLOCKS = 14_286
+
+    def synth_curation_100k(d="/tmp/graft_sweep_turns100k"):
+        # 14286 blocks × 7 turns = 100,002 raw-HTML turns, cached to
+        # parquet OUTSIDE the timed pass (synthesis is a Python loop)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__", os.path.join(os.path.dirname(__file__),
+                                              "..", "__ray_entry__.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            pq.write_table(mod._synth_curation_transcripts(_TC_BLOCKS),
+                           os.path.join(d, "transcripts.parquet"),
+                           row_group_size=1 << 16)
+            open(marker, "w").write("ok")
+        return os.path.join(d, "transcripts.parquet")
+
+    tc_path = synth_curation_100k()
+
+    def turns_curate_100k():
+        # the full parse→extract→curation-funnel composition; the
+        # funnel counts are known by construction and ASSERTED, so the
+        # probe is also a 100k-scale correctness gate
+        from htmlparsersharp_ray.pipelines.curate import (
+            curate, turns_to_docs)
+        from htmlparsersharp_ray.stages.parse_stage import HtmlExtractUDF
+
+        nb = _TC_BLOCKS
+        ds = ray.data.read_parquet(tc_path)
+        ext = ds.map_batches(HtmlExtractUDF, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 8))
+        out = curate(turns_to_docs(ext))
+        row = out.iloc[0]
+        assert (int(row.n_input), int(row.n_after_exact),
+                int(row.n_after_near), int(row.n_after_quality),
+                int(row.total_ws_tokens)) == (
+            7 * nb, 6 * nb, 5 * nb, 4 * nb, 200 * nb), row.to_dict()
+        return out
+
+    run("turns_curate_100k", turns_curate_100k)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
