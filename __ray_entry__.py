@@ -1897,6 +1897,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hybrid_search": _q_docs_hybrid_search,
         "part_hits": r.q_part_hits,
         "audit_referential": r.q_audit_referential,
+        "events_drawdown": r.q_events_drawdown,
+        "embeddings_auc": r.q_embeddings_auc,
+        "part_brand_itemsets": r.q_part_brand_itemsets,
+        "docs_char_entropy": r.q_docs_char_entropy,
     }
 
 
@@ -5861,4 +5865,90 @@ def oracle_sql() -> dict[str, str]:
                ) AS n_orphan_keys"""
         for c, ck, p, pk in _fk_edges]
     sql["audit_referential"] = "\nUNION ALL\n".join(_audit_parts)
+    sql["events_drawdown"] = """
+        -- MAX DRAWDOWN per user: running-max window minus current value,
+        -- DECIMAL cents == the engine's exact int64 cummax/subtract
+        WITH w AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(14,2)) AS v,
+                   max(CAST(value AS DECIMAL(14,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS peak
+            FROM events)
+        SELECT user_id,
+               CAST(max(peak - v) AS DOUBLE) AS max_drawdown,
+               CAST(max(peak) AS DOUBLE) AS peak_value
+        FROM w GROUP BY user_id ORDER BY user_id
+    """
+    sql["embeddings_auc"] = """
+        -- ROC AUC via integer rank statistics (Mann-Whitney 2U over
+        -- distinct scores, half credit for ties); the single float op
+        -- is the final CAST-to-DOUBLE division, mirroring the engine
+        WITH s AS (
+            SELECT embedding[1] AS score,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings),
+        g AS (
+            SELECT score,
+                   CAST(sum(pos) AS HUGEINT) AS p,
+                   CAST(sum(1 - pos) AS HUGEINT) AS n
+            FROM s GROUP BY score),
+        o AS (
+            SELECT p, n,
+                   CAST(COALESCE(sum(n) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS HUGEINT) AS nb
+            FROM g)
+        SELECT CAST((SELECT sum(p) FROM g) AS BIGINT) AS n_pos,
+               CAST((SELECT sum(n) FROM g) AS BIGINT) AS n_neg,
+               CAST(sum(2 * p * nb + p * n) AS DOUBLE)
+                 / CAST(2 * (SELECT sum(p) FROM g)
+                          * (SELECT sum(n) FROM g) AS DOUBLE) AS auc
+        FROM o
+    """
+    sql["part_brand_itemsets"] = """
+        -- frequent brand TRIPLES (Apriori k=3) over globally-distinct
+        -- (order, brand) baskets; the inequality chain matches the
+        -- engine's sorted in-order combination enumeration
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        t AS (
+            SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+                   count(*) AS support
+            FROM ob a
+            JOIN ob b ON a.l_orderkey = b.l_orderkey
+                     AND a.p_brand < b.p_brand
+            JOIN ob c ON b.l_orderkey = c.l_orderkey
+                     AND b.p_brand < c.p_brand
+            GROUP BY 1, 2, 3)
+        SELECT b1, b2, b3, support FROM t
+        WHERE support >= 60
+        ORDER BY support DESC, b1, b2, b3
+    """
+    sql["docs_char_entropy"] = """
+        -- character-class Shannon entropy per source; integer class
+        -- counts + the FIXED-ORDER ln expression the engine evaluates
+        -- in Python libm (glibc log on both sides: bitwise-verified)
+        WITH c AS (
+            SELECT source,
+                   CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS c_alpha,
+                   CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS c_digit,
+                   CAST(sum(length(text) - length(regexp_replace(text, '[ \t\n\r\f\x0b]', '', 'g'))) AS BIGINT) AS c_ws,
+                   CAST(sum(length(text)) AS BIGINT) AS n_total
+            FROM documents GROUP BY source)
+        SELECT source, c_alpha, c_digit, c_ws,
+               n_total - c_alpha - c_digit - c_ws AS c_other,
+               ln(CAST(n_total AS DOUBLE)) - (
+                   (CASE WHEN c_alpha > 0 THEN CAST(c_alpha AS DOUBLE) * ln(CAST(c_alpha AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c_digit > 0 THEN CAST(c_digit AS DOUBLE) * ln(CAST(c_digit AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN c_ws > 0 THEN CAST(c_ws AS DOUBLE) * ln(CAST(c_ws AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN (n_total - c_alpha - c_digit - c_ws) > 0
+                         THEN CAST(n_total - c_alpha - c_digit - c_ws AS DOUBLE)
+                              * ln(CAST(n_total - c_alpha - c_digit - c_ws AS DOUBLE))
+                         ELSE 0.0 END)
+                 / CAST(n_total AS DOUBLE)) AS entropy
+        FROM c ORDER BY source
+    """
     return sql

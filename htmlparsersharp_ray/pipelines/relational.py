@@ -8681,3 +8681,277 @@ def q_audit_referential(sf_dir: str):
                      int(n_child), n_orphan, distinct))
     return pd.DataFrame(rows, columns=[
         "edge", "n_child", "n_orphans", "n_orphan_keys"])
+
+
+def q_events_drawdown(sf_dir: str):
+    """MAX DRAWDOWN per user: the largest peak-to-current drop of the
+    event ``value`` series in (ts, event_id) order — the running-max
+    window composed with a grouped max, the risk-metric shape
+    (peak - trough after the peak). Reference n/a — engine-level
+    relational op.
+
+    Exactness: values become int64 cents; cummax/subtraction/max are
+    integer; the two output doubles are single exact /100.0 conversions,
+    so the result bit-matches the DECIMAL-window oracle.
+
+    Scale shape: ONE user-hash bucket exchange (auto-sized), then one
+    vectorized pandas sort + per-user cummax inside each bounded
+    bucket; driver holds only the per-user result rows."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+
+    def drawdown(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100).astype("int64")
+        peak = pd.Series(cents, index=g.index).groupby(g["user_id"]).cummax()
+        dd = peak.to_numpy() - cents
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "dd": dd, "peak": peak.to_numpy(),
+        }).groupby("user_id", as_index=False).max()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "max_drawdown": out["dd"].to_numpy(np.int64) / 100.0,
+            "peak_value": out["peak"].to_numpy(np.int64) / 100.0,
+        })
+
+    out = (bucketed.groupby("ub")
+           .map_groups(drawdown, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_embeddings_auc(sf_dir: str, pos_label: int = 0):
+    """ROC AUC of a scalar score (first embedding dimension) against
+    the binary target ``label == pos_label`` — the Mann-Whitney U
+    evaluation metric every trained classifier in stages/train.py
+    needs, computed exactly from integer rank statistics (ties get the
+    standard half credit). Reference n/a — engine-level op.
+
+    Exactness: 2·U = Σ_s (2·pos(s)·neg_below(s) + pos(s)·neg(s)) over
+    DISTINCT scores s is pure integer; AUC is ONE mirrored division
+    float(2U) / float(2·n_pos·n_neg) — bitwise vs DuckDB's
+    CAST-to-DOUBLE division.
+
+    Scale shape: per-batch (score → pos/neg count) partials, ONE
+    bounded exchange keyed by an order-preserving fixed-grid score
+    bucket (ties share a bucket by construction), per-bucket local
+    prefix sums; the driver cumsums only the ≤4096 bucket totals in
+    Python ints (per-bucket 2U fits int64 up to ~2^31 rows per score
+    bucket; the driver merge is arbitrary-precision)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        score = pc.list_element(b.column("embedding"), 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        pos = (b.column("label").to_numpy(zero_copy_only=False)
+               == pos_label)
+        sb = np.clip(np.floor(score * 64.0), -2048, 2047).astype(np.int64)
+        df = pd.DataFrame({"sb": sb, "score": score,
+                           "p": pos.astype(np.int64),
+                           "n": (~pos).astype(np.int64)})
+        out = df.groupby(["sb", "score"], as_index=False).sum()
+        return pd.DataFrame({
+            "sb": out["sb"].astype("int64"),
+            "score": out["score"].astype("float64"),
+            "p": out["p"].astype("int64"),
+            "n": out["n"].astype("int64"),
+        })
+
+    def bucket_term_keyed(g: pd.DataFrame) -> pd.DataFrame:
+        sb = int(g["sb"].iloc[0])
+        g = (g.groupby("score", as_index=False)[["p", "n"]].sum()
+             .sort_values("score"))
+        p = g["p"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        nb = np.cumsum(n) - n  # negatives strictly below, within bucket
+        u2 = int((2 * p * nb + p * n).sum())
+        return pd.DataFrame({
+            "sb": [sb], "u2_local": [u2],
+            "p": [int(p.sum())], "n": [int(n.sum())],
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("sb")
+             .map_groups(bucket_term_keyed, batch_format="pandas")
+             .to_pandas())
+    parts = parts.sort_values("sb").reset_index(drop=True)
+    # driver: arbitrary-precision cross-bucket combine (≤4096 rows)
+    u2 = 0
+    neg_below = 0
+    n_pos = 0
+    n_neg = 0
+    for _, row in parts.iterrows():
+        u2 += int(row["u2_local"]) + 2 * int(row["p"]) * neg_below
+        neg_below += int(row["n"])
+        n_pos += int(row["p"])
+        n_neg += int(row["n"])
+    auc = float(u2) / float(2 * n_pos * n_neg)
+    return pd.DataFrame({"n_pos": [n_pos], "n_neg": [n_neg],
+                         "auc": [auc]})
+
+
+def q_part_brand_itemsets(sf_dir: str, min_support: int = 60):
+    """FREQUENT 3-ITEMSETS (Apriori census at k=3): brand triples that
+    co-occur in at least ``min_support`` orders — the market-basket
+    step above the pairwise co-occurrence/association ops
+    (events_assoc_rules, part_item_sim). Reference n/a — engine-level
+    relational op.
+
+    Exactness: pure integer counting over globally-DISTINCT
+    (order, brand) rows; triple expansion enumerates sorted in-order
+    combinations so (b1 < b2 < b3) matches the oracle's self-join
+    inequality chain.
+
+    Scale shape: the brand dimension broadcasts once (ray.put); ONE
+    order-hash exchange makes (order, brand) globally distinct; triple
+    generation is per-BASKET-SIZE-group fancy indexing (no per-order
+    Python loop — the FastSS trick); each bucket emits ≤|brands|³
+    packed-code partial counts and the driver merges the bounded
+    census in Python ints."""
+    import numpy as np
+    from itertools import combinations
+
+    from .joins import auto_buckets
+
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"]).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    code_of = {b: i for i, b in enumerate(brands)}
+    nb_brands = len(brands)
+    lut = np.zeros(int(part["p_partkey"].max()) + 1, dtype=np.int32)
+    lut[part["p_partkey"].to_numpy(np.int64)] = (
+        part["p_brand"].map(code_of).to_numpy(np.int32))
+    lut_ref = ray.put(lut)
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    n_buckets = auto_buckets(li)
+
+    class ToOrderBrand:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            o = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({
+                "ob": (o % np.int64(n_buckets)).astype(np.int64),
+                "o": o.astype(np.int64),
+                "c": self.lut[pk],
+            }).drop_duplicates(["o", "c"])
+            return df
+
+    def count_triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "c"]).sort_values(["o", "c"])
+        o = g["o"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        # run-length: basket sizes per order
+        starts = np.r_[0, np.flatnonzero(o[1:] != o[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(o)])
+        census = np.zeros(nb_brands ** 3, dtype=np.int64)
+        for k in np.unique(sizes):
+            if k < 3:
+                continue
+            rows = starts[sizes == k]
+            # (n_orders_k, k) brand matrix, rows already sorted by c
+            mat = c[rows[:, None] + np.arange(k)]
+            combo = np.array(list(combinations(range(k), 3)),
+                             dtype=np.int64)  # (C(k,3), 3)
+            t = mat[:, combo]  # (n, C(k,3), 3) sorted within triple
+            codes = (t[..., 0] * nb_brands * nb_brands
+                     + t[..., 1] * nb_brands + t[..., 2]).ravel()
+            census += np.bincount(codes, minlength=nb_brands ** 3)
+        nz = np.flatnonzero(census)
+        return pd.DataFrame({"code": nz.astype(np.int64),
+                             "cnt": census[nz]})
+
+    parts = (li.map_batches(ToOrderBrand, batch_format="pyarrow",
+                            concurrency=(1, 4))
+             .groupby("ob")
+             .map_groups(count_triples, batch_format="pandas")
+             .to_pandas())
+    total = parts.groupby("code", as_index=False)["cnt"].sum()
+    total = total[total["cnt"] >= min_support]
+    code = total["code"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "b1": brands[code // (nb_brands * nb_brands)],
+        "b2": brands[(code // nb_brands) % nb_brands],
+        "b3": brands[code % nb_brands],
+        "support": total["cnt"].to_numpy(np.int64),
+    })
+    return (out.sort_values(["support", "b1", "b2", "b3"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def q_docs_char_entropy(sf_dir: str):
+    """CHARACTER-CLASS ENTROPY per source: Shannon entropy (nats) of
+    the {letter, digit, ascii-whitespace, other} distribution over each
+    source's corpus — the distribution-shape quality signal beside the
+    ratio-based docs_quality scores (gibberish/binary-ish sources show
+    as entropy outliers). Reference n/a — engine-level text-analysis op.
+
+    Exactness: the four class counts are exact integers (vectorized
+    ascii-class regex counts, additive per-batch partials); entropy is
+    the FIXED-ORDER expression ln(N) − (t_a + t_d + t_w + t_o)/N with
+    t_c = c·ln(c) (0 if c = 0), evaluated in Python libm — bitwise
+    equal to DuckDB's ln/double arithmetic on the same integers
+    (verified: glibc log on both sides).
+
+    Scale shape: per-batch count partials only (no exchange at all —
+    sources are a bounded dimension); the driver sums a ≤|sources|×4
+    table in Python ints and pays four ln calls per source."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "text"])
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        alpha = t.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        digit = t.str.count(r"[0-9]").to_numpy(np.int64)
+        ws = t.str.count(r"[ \t\n\r\f\v]").to_numpy(np.int64)
+        n = t.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "c_alpha": alpha, "c_digit": digit, "c_ws": ws,
+            "c_other": n - alpha - digit - ws,
+        })
+        return df.groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    agg = parts.groupby("source", as_index=False).sum()
+    agg = _pysum_cols(agg, ["c_alpha", "c_digit", "c_ws", "c_other"])
+
+    def entropy(row) -> float:
+        cs = [int(row["c_alpha"]), int(row["c_digit"]),
+              int(row["c_ws"]), int(row["c_other"])]
+        n = sum(cs)
+        if n == 0:
+            return 0.0
+        acc = 0.0
+        for c in cs:  # FIXED order: alpha, digit, ws, other
+            acc = acc + (float(c) * math.log(float(c)) if c > 0 else 0.0)
+        return math.log(float(n)) - acc / float(n)
+
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "c_alpha": [int(v) for v in agg["c_alpha"]],
+        "c_digit": [int(v) for v in agg["c_digit"]],
+        "c_ws": [int(v) for v in agg["c_ws"]],
+        "c_other": [int(v) for v in agg["c_other"]],
+        "entropy": [entropy(r) for _, r in agg.iterrows()],
+    })
+    return out.sort_values("source").reset_index(drop=True)

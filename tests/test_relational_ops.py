@@ -2587,3 +2587,122 @@ def test_embeddings_nearest_centroid_planted_and_ties(ray_session, tmp_path):
         out = r.q_embeddings_nearest_centroid(sf)
         got = dict(zip(out["vec_id"], out["pred_label"]))
         assert got == {1: 1, 3: 2, 5: 1}, got  # tie at id 5 -> label 1
+
+
+def test_events_drawdown_peak_trough(ray_session, tmp_path):
+    """Drawdown is peak-to-CURRENT, not global max-min: a new high
+    resets the peak; drops before a peak don't count against it."""
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+        "2024-01-05",
+        "2024-01-01", "2024-01-02",
+    ])
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        # u1: 10 -> 4 (dd 6) -> 12 (new peak) -> 11 (dd 1) -> 3 (dd 9)
+        # u2: monotone rise -> drawdown 0
+        "value": pa.array([10.0, 4.0, 12.0, 11.0, 3.0, 1.0, 2.0]),
+    }))
+    out = r.q_events_drawdown(str(tmp_path))
+    got = {int(u): (dd, pk) for u, dd, pk in zip(
+        out["user_id"], out["max_drawdown"], out["peak_value"])}
+    assert got == {1: (9.0, 12.0), 2: (0.0, 2.0)}
+
+
+def test_embeddings_auc_ties_and_parallelism(ray_session, tmp_path):
+    """AUC: perfect separation -> 1.0; ties get half credit; the
+    bucketed rank statistics are invariant to block layout."""
+    import pyarrow.parquet as _pq
+
+    # scores: pos {0.9, 0.8}, neg {0.1, 0.2} -> AUC 1.0
+    t = pa.table({
+        "embedding": pa.array([[0.9], [0.8], [0.1], [0.2]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 2], pa.int64()),
+    })
+    _write(tmp_path, "embeddings", t)
+    out = r.q_embeddings_auc(str(tmp_path))
+    assert float(out["auc"].iloc[0]) == 1.0
+    assert (int(out["n_pos"].iloc[0]), int(out["n_neg"].iloc[0])) == (2, 2)
+
+    # all-tied scores -> AUC exactly 0.5 regardless of labels
+    t2 = pa.table({
+        "embedding": pa.array([[0.5]] * 6, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 2, 3, 4], pa.int64()),
+    })
+    _write(tmp_path, "embeddings", t2)
+    assert float(r.q_embeddings_auc(str(tmp_path))["auc"].iloc[0]) == 0.5
+
+    # layout invariance: one row group vs many must agree bitwise
+    rng = np.random.default_rng(7)
+    scores = rng.normal(size=400).astype(np.float32)
+    labels = rng.integers(0, 4, size=400)
+    big = pa.table({
+        "embedding": pa.array([[float(s)] for s in scores],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int64()),
+    })
+    _write(tmp_path, "embeddings", big)
+    a = r.q_embeddings_auc(str(tmp_path))
+    _pq.write_table(big, str(tmp_path / "embeddings.parquet"),
+                    row_group_size=13)
+    b = r.q_embeddings_auc(str(tmp_path))
+    assert float(a["auc"].iloc[0]) == float(b["auc"].iloc[0])
+
+
+def test_part_brand_itemsets_distinct_and_order(ray_session, tmp_path):
+    """Triples count DISTINCT (order, brand) baskets: duplicate
+    lineitems of one brand in an order count once; orders with <3
+    distinct brands contribute nothing; triples come out sorted."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["B#1", "B#2", "B#3", "B#4"]),
+    }))
+    # order 10: brands 1,2,3 (brand 1 twice) -> one triple
+    # order 11: brands 1,2,3,4 -> C(4,3)=4 triples
+    # order 12: brands 1,2 -> nothing
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 10, 11, 11, 11, 11, 12, 12],
+                               pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 3, 1, 2, 3, 4, 1, 2],
+                              pa.int64()),
+    }))
+    out = r.q_part_brand_itemsets(str(tmp_path), min_support=1)
+    got = {(b1, b2, b3): int(s) for b1, b2, b3, s in zip(
+        out["b1"], out["b2"], out["b3"], out["support"])}
+    assert got == {
+        ("B#1", "B#2", "B#3"): 2,
+        ("B#1", "B#2", "B#4"): 1,
+        ("B#1", "B#3", "B#4"): 1,
+        ("B#2", "B#3", "B#4"): 1,
+    }
+    # support-desc, then lexicographic
+    assert list(out["support"]) == sorted(out["support"], reverse=True)
+    # threshold prunes
+    out2 = r.q_part_brand_itemsets(str(tmp_path), min_support=2)
+    assert len(out2) == 1
+
+
+def test_docs_char_entropy_classes_and_uniform(ray_session, tmp_path):
+    """Class counts are exact; a source with all four classes equally
+    represented scores ln(4); a one-class source scores 0."""
+    import math
+
+    _write(tmp_path, "documents", pa.table({
+        "source": pa.array(["u", "u", "z"]),
+        # source u: "ab12", " \t@#" -> alpha 2, digit 2, ws 2, other 2
+        "text": pa.array(["ab12", " \t@#", "aaaa"]),
+    }))
+    out = r.q_docs_char_entropy(str(tmp_path))
+    u = out[out["source"] == "u"].iloc[0]
+    assert (int(u["c_alpha"]), int(u["c_digit"]),
+            int(u["c_ws"]), int(u["c_other"])) == (2, 2, 2, 2)
+    # the FIXED-ORDER expression (what the oracle mirrors); it sits
+    # within 1 ulp of the analytic ln(4)
+    expect = math.log(8.0) - (4 * (2.0 * math.log(2.0))) / 8.0
+    assert float(u["entropy"]) == expect
+    assert abs(float(u["entropy"]) - math.log(4.0)) < 1e-12
+    z = out[out["source"] == "z"].iloc[0]
+    assert float(z["entropy"]) == 0.0
