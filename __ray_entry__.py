@@ -1901,6 +1901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_auc": r.q_embeddings_auc,
         "part_brand_itemsets": r.q_part_brand_itemsets,
         "docs_char_entropy": r.q_docs_char_entropy,
+        "events_cusum": r.q_events_cusum,
+        "events_seasonal_naive": r.q_events_seasonal_naive,
     }
 
 
@@ -5950,5 +5952,43 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END)
                  / CAST(n_total AS DOUBLE)) AS entropy
         FROM c ORDER BY source
+    """
+    sql["events_cusum"] = """
+        -- one-sided CUSUM drift chart per user via the closed form
+        -- S_t = P_t - min(0, running_min(P)), P = cumsum(x - k);
+        -- exact integer cents, k = 5500, h = 30000
+        WITH x AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) - 5500 AS d
+            FROM events),
+        p AS (
+            SELECT user_id, ts, event_id,
+                   sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cp
+            FROM x),
+        s AS (
+            SELECT user_id, event_id,
+                   cp - least(CAST(0 AS BIGINT),
+                              min(cp) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)) AS sv
+            FROM p)
+        SELECT user_id, event_id, sv FROM s
+        WHERE sv > 30000 ORDER BY user_id, event_id
+    """
+    sql["events_seasonal_naive"] = """
+        -- seasonal-naive forecast backtest: day total predicted by the
+        -- total 7 days earlier; DECIMAL cents == the engine's exact
+        -- int64 day partials
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   sum(CAST(value AS DECIMAL(14,2))) AS total
+            FROM events GROUP BY 1)
+        SELECT a.day,
+               CAST(a.total AS DOUBLE) AS actual,
+               CAST(b.total AS DOUBLE) AS forecast,
+               CAST(abs(a.total - b.total) AS DOUBLE) AS abs_err
+        FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY
+        ORDER BY a.day
     """
     return sql

@@ -8955,3 +8955,98 @@ def q_docs_char_entropy(sf_dir: str):
         "entropy": [entropy(r) for _, r in agg.iterrows()],
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_events_cusum(sf_dir: str, k_cents: int = 5500, h_cents: int = 30000):
+    """CUSUM change detection per user: one-sided cumulative-sum
+    control chart S_t = max(0, S_{t-1} + (x_t − k)) over each user's
+    event values in (ts, event_id) order; rows where S_t > h flag a
+    sustained upward drift — the sequential drift detector a
+    data-quality pipeline runs over ingest streams. Reference n/a —
+    engine-level relational op.
+
+    Exactness: the recursive max(0, ·) has the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) with P = cumsum(x − k), so the
+    whole chart is two integer prefix passes (cumsum + cummin) in
+    exact cents — bit-identical to the oracle's window expression.
+
+    Scale shape: ONE auto-sized user-hash bucket exchange; inside each
+    bucket one vectorized sort + per-user cumsum/cummin; only flagged
+    rows leave the bucket."""
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    bucketed = _add_user_bucket(ds, auto_buckets(ds))
+    k = np.int64(k_cents)
+    h = np.int64(h_cents)
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        d = np.round(g["value"].to_numpy() * 100).astype("int64") - k
+        by_user = pd.Series(d, index=g.index).groupby(g["user_id"])
+        p = by_user.cumsum().to_numpy()
+        run_min = (pd.Series(p, index=g.index).groupby(g["user_id"])
+                   .cummin().to_numpy())
+        sv = p - np.minimum(np.int64(0), run_min)
+        keep = sv > h
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64)[keep],
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "sv": sv[keep],
+        })
+
+    out = (bucketed.groupby("ub")
+           .map_groups(cusum, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+def q_events_seasonal_naive(sf_dir: str, season_days: int = 7):
+    """FORECAST BACKTEST (seasonal naive): predict each day's total
+    event value by the total ``season_days`` earlier and report the
+    exact absolute error per evaluable day — the baseline every
+    forecasting pipeline is judged against. Reference n/a —
+    engine-level relational op.
+
+    Exactness: day totals are exact int64-cents partial sums (merged
+    in Python ints on the bounded day axis); actual/forecast/abs_err
+    are single /100.0 conversions, bit-matching the DECIMAL oracle.
+
+    Scale shape: per-batch (day → cents) partials only — no exchange;
+    the driver merges ≤|days| rows and joins day−7 by dict lookup."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["ts", "value"])
+    us_per_day = np.int64(86_400_000_000)
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        out = (pd.DataFrame({"day": day, "cents": cents})
+               .groupby("day", as_index=False).sum())
+        return out
+
+    parts = ds.map_batches(day_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("day", as_index=False)["cents"].sum()
+    totals = {int(d): int(c) for d, c in zip(agg["day"], agg["cents"])}
+    rows = []
+    for d in sorted(totals):
+        ref = d - season_days
+        if ref in totals:
+            a, f = totals[d], totals[ref]
+            rows.append((d, a, f, abs(a - f)))
+    return pd.DataFrame({
+        "day": pd.to_datetime(
+            np.array([r[0] for r in rows], dtype=np.int64) * us_per_day,
+            unit="us"),
+        "actual": np.array([r[1] for r in rows], dtype=np.int64) / 100.0,
+        "forecast": np.array([r[2] for r in rows], dtype=np.int64) / 100.0,
+        "abs_err": np.array([r[3] for r in rows], dtype=np.int64) / 100.0,
+    })

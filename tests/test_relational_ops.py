@@ -2706,3 +2706,43 @@ def test_docs_char_entropy_classes_and_uniform(ray_session, tmp_path):
     assert abs(float(u["entropy"]) - math.log(4.0)) < 1e-12
     z = out[out["source"] == "z"].iloc[0]
     assert float(z["entropy"]) == 0.0
+
+
+def test_events_cusum_reset_semantics(ray_session, tmp_path):
+    """CUSUM resets at zero: a deep dip before the drift must not
+    offset later accumulation (max(0,·) recursion == the closed
+    form); flags fire only while S exceeds h."""
+    ts = pd.to_datetime([f"2024-01-{d:02d}" for d in range(1, 7)])
+    # k=100 cents, h=150: d = x-100 in cents
+    # x: 0.50 (d=-50, S=0), 2.00 (d=100, S=100), 2.00 (S=200 FLAG),
+    #    0.10 (d=-90, S=110), 2.00 (S=210 FLAG), 0.01 (S=111)
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_id": pa.array(list(range(1, 7)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([0.50, 2.00, 2.00, 0.10, 2.00, 0.01]),
+    }))
+    out = r.q_events_cusum(str(tmp_path), k_cents=100, h_cents=150)
+    assert list(out["event_id"]) == [3, 5]
+    assert list(out["sv"]) == [200, 210]
+    # without the reset (plain cumsum - k), event 4's dip at S=110
+    # would have been 60 under a no-floor chart; the flags prove the
+    # floor: S after the dip restarts from 110, not from 60
+
+
+def test_events_seasonal_naive_date_join(ray_session, tmp_path):
+    """Forecast joins by DATE-7, not by row position: missing days
+    leave gaps (no forecast row), and errors are exact cents."""
+    days = ["2024-01-01", "2024-01-08", "2024-01-09", "2024-01-15"]
+    _write(tmp_path, "events", pa.table({
+        "ts": pa.array(pd.to_datetime(days), pa.timestamp("us")),
+        "value": pa.array([10.00, 12.50, 3.00, 9.25]),
+    }))
+    out = r.q_events_seasonal_naive(str(tmp_path))
+    got = {str(d.date()): (a, f, e) for d, a, f, e in zip(
+        out["day"], out["actual"], out["forecast"], out["abs_err"])}
+    # 01-08 <- 01-01: |12.50-10.00| = 2.50
+    # 01-15 <- 01-08: |9.25-12.50| = 3.25
+    # 01-09 has no 01-02 reference -> no row
+    assert got == {"2024-01-08": (12.5, 10.0, 2.5),
+                   "2024-01-15": (9.25, 12.5, 3.25)}
