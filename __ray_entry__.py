@@ -932,6 +932,21 @@ def _q_docs_sentences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_textrank(sf_dir: str):
+    """EXTRACTIVE SUMMARIZATION: the TextRank-central sentence per
+    document — integer fixed-point pagerank over the sentence
+    word-overlap graph (part_pagerank idiom), so scores are
+    bitwise-deterministic at any parallelism. No SQL oracle (per-doc
+    iterative graph); gated by the sequential differential +
+    planted-centrality pytests (tests/test_stages.py::test_textrank_*)
+    and the shared SENTENCE_SPLIT_PATTERN already oracle-verified by
+    docs_sentences."""
+    from htmlparsersharp_ray.stages.text_analysis import textrank_summaries
+
+    out = textrank_summaries(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_pdf_extract(sf_dir: str):
     """PDF layout parse round trip (north-rule "PDF/layout parse"):
     documents render to real PDF 1.4 bytes (greedy wrap, pagination,
@@ -1329,6 +1344,18 @@ def _q_embeddings_topk(sf_dir: str):
     from htmlparsersharp_ray.stages.similarity import brute_force_topk
 
     df = brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return df[["query_id", "rank", "vec_id"]]
+
+
+def _q_embeddings_mmr(sf_dir: str):
+    """MMR-diversified retrieval: exact top-50 candidate pool, greedy
+    λ=0.7 rerank to 10. No SQL oracle (greedy argmax over a growing
+    selected set is not relational); gated instead by a sequential-
+    reference differential + planted-redundancy pytest
+    (tests/test_stages.py::test_mmr_*) and block-layout invariance."""
+    from htmlparsersharp_ray.stages.similarity import mmr_topk
+
+    df = mmr_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10, pool=50)
     return df[["query_id", "rank", "vec_id"]]
 
 
@@ -1845,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq": _q_embeddings_pq,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_sentences": _q_docs_sentences,
+        "docs_textrank": _q_docs_textrank,
         "docs_pdf_extract": _q_docs_pdf_extract,
         "docs_pdf_layout": _q_docs_pdf_layout,
         "docs_curate": _q_docs_curate,
@@ -1854,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_graph": _q_embeddings_knn_graph,
         "embeddings_knn_lsh": _q_embeddings_knn_lsh,
         "embeddings_filtered_topk": _q_embeddings_filtered_topk,
+        "embeddings_mmr": _q_embeddings_mmr,
         "embeddings_lsh_topk": _q_embeddings_lsh_topk,
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing

@@ -554,3 +554,86 @@ def knn_graph_lsh(ds: ray.data.Dataset, k: int = 3, n_planes: int = 4,
     return (out.astype({"vec_id": "int64", "rank": "int64",
                         "nbr_id": "int64"})
             .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+
+
+def mmr_topk(
+    emb_ds: ray.data.Dataset,
+    queries: dict[int, "np.ndarray"],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> pd.DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE: diversified top-k retrieval — greedy
+    argmax of λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s) over a
+    ``pool``-sized exact-cosine candidate set. The reranking step every
+    retrieval stack puts between ANN and the consumer. Reference n/a —
+    engine-level similarity op.
+
+    Determinism: the candidate pool is the exact brute-force top-``pool``
+    (deterministic tie-break on vec_id); the greedy loop breaks score
+    ties on vec_id ascending; all floats are float64 with a fixed
+    evaluation order, so the result is block-layout invariant
+    (pytest-gated differential vs a sequential reference).
+
+    Scale shape: candidate generation is the distributed partials-then-
+    tiny-merge top-k; candidate VECTORS come back via one broadcast
+    id-set semi-join (≤ pool·|queries| rows ship); the greedy loop runs
+    on the driver over a (pool × dim) matrix per query — O(k·pool)
+    driver work, never corpus-sized."""
+    cand = brute_force_topk(emb_ds, queries, k=pool)
+    ids = np.unique(cand["vec_id"].to_numpy(np.int64))
+    ids_ref = ray.put(np.sort(ids))
+
+    class FetchVecs:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = np.isin(vid, self.ids)
+            if not keep.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "embedding": pd.Series([], dtype=object)})
+            t = b.filter(pa.array(keep))
+            return pd.DataFrame({
+                "vec_id": t.column("vec_id").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "embedding": t.column("embedding").to_pylist(),
+            })
+
+    vec_df = (emb_ds.map_batches(FetchVecs, batch_format="pyarrow",
+                                 concurrency=(1, 2))
+              .to_pandas())
+    vec_of = {int(i): np.asarray(e, dtype=np.float64)
+              for i, e in zip(vec_df["vec_id"], vec_df["embedding"])}
+
+    rows = []
+    for qid in sorted(queries):
+        qv = np.asarray(queries[qid], dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        c = (cand[cand["query_id"] == qid]
+             .sort_values("rank").reset_index(drop=True))
+        cids = c["vec_id"].to_numpy(np.int64)
+        V = np.stack([vec_of[int(i)] for i in cids])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = V @ qn
+        pair = V @ V.T
+        chosen: list[int] = []
+        avail = np.ones(len(cids), dtype=bool)
+        for rank in range(1, min(k, len(cids)) + 1):
+            if chosen:
+                red = pair[:, chosen].max(axis=1)
+                score = lam * rel - (1.0 - lam) * red
+            else:
+                score = lam * rel
+            score = np.where(avail, score, -np.inf)
+            # argmax with vec_id-ascending tie-break
+            best = score.max()
+            tied = np.flatnonzero(score == best)
+            pick = tied[np.argmin(cids[tied])]
+            chosen.append(int(pick))
+            avail[pick] = False
+            rows.append((qid, rank, int(cids[pick]),
+                         float(rel[pick]), float(score[pick])))
+    return pd.DataFrame(rows, columns=[
+        "query_id", "rank", "vec_id", "relevance", "mmr_score"])

@@ -922,3 +922,95 @@ def readability_stats(batch: pd.DataFrame) -> pd.DataFrame:
 def readability(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(readability_stats, batch_format="pandas",
                             batch_size=4096)
+
+
+# --- TextRank extractive summarization --------------------------------------
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_WORD_RE = r"[a-z0-9]+"
+
+
+def textrank_pick(sentences: list[str], iters: int = 20,
+                  max_sentences: int = 64) -> tuple[int, int]:
+    """Pick the central sentence of ONE document by integer fixed-point
+    TextRank: edge weight = distinct-word overlap count (integer),
+    rank update r' = 0.15·SCALE + (85·Σ_j w_ij·r_j // s_j) // 100 with
+    per-edge floor division — the part_pagerank idiom, so the result is
+    bitwise-deterministic at any parallelism. Ties break to the
+    SMALLER sentence index. Returns (best_idx, best_score).
+
+    Kept separate from the UDF so the sequential differential test can
+    drive it directly; the per-sentence membership matrix comes from
+    ONE np.unique(return_inverse) — no per-token Python loop."""
+    sents = sentences[:max_sentences]
+    n = len(sents)
+    if n == 0:
+        return -1, 0
+    if n == 1:
+        return 0, TEXTRANK_SCALE
+    rx = re.compile(TEXTRANK_WORD_RE)
+    toks = [sorted(set(rx.findall(s.lower()))) for s in sents]
+    flat = [w for t in toks for w in t]
+    if not flat:
+        return 0, TEXTRANK_SCALE
+    counts = np.array([len(t) for t in toks], dtype=np.int64)
+    _, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    # membership matrix (n, vocab): toks are per-sentence DISTINCT
+    m = np.zeros((n, inv.max() + 1), dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    m[rows, inv] = 1
+    w = m @ m.T
+    np.fill_diagonal(w, 0)
+    s = w.sum(axis=1)  # symmetric: out-strength == in-strength
+    r = np.full(n, TEXTRANK_SCALE, dtype=np.int64)
+    safe_s = np.where(s > 0, s, 1)
+    for _ in range(iters):
+        # per-edge floor division, damping applied after the full sum
+        contrib = (w * (r // safe_s)[None, :]).sum(axis=1)
+        r = 150_000 + (85 * contrib) // 100
+    best = int(np.argmax(r))  # argmax takes the FIRST max: smaller idx
+    return best, int(r[best])
+
+
+class TextRankUDF:
+    """Actor-pool map: sentence-split each doc (the shared
+    SENTENCE_SPLIT_PATTERN boundary), run integer TextRank, emit the
+    chosen summary sentence. Regex compiled once per actor; the
+    per-doc loop wraps pure numpy matrix work (per-doc graphs are
+    independent, so the op is embarrassingly parallel)."""
+
+    def __init__(self, iters: int = 20, max_sentences: int = 64):
+        self.split = re.compile(SENTENCE_SPLIT_PATTERN)
+        self.iters = iters
+        self.max_sentences = max_sentences
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_idx = np.empty(len(texts), dtype=np.int64)
+        out_score = np.empty(len(texts), dtype=np.int64)
+        out_n = np.empty(len(texts), dtype=np.int64)
+        excerpts: list[str] = []
+        for i, t in enumerate(texts):
+            sents = [s for s in self.split.split(t or "") if s.strip()]
+            idx, score = textrank_pick(sents, self.iters,
+                                       self.max_sentences)
+            out_idx[i] = idx
+            out_score[i] = score
+            out_n[i] = len(sents)
+            excerpts.append(sents[idx][:80] if idx >= 0 else "")
+        return pd.DataFrame({
+            "doc_id": doc_ids.astype(np.int64),
+            "n_sentences": out_n,
+            "sent_idx": out_idx,
+            "score_fp": out_score,
+            "summary": excerpts,
+        })
+
+
+def textrank_summaries(docs: ray.data.Dataset, iters: int = 20,
+                       max_sentences: int = 64) -> ray.data.Dataset:
+    return docs.map_batches(
+        TextRankUDF,
+        fn_constructor_kwargs={"iters": iters,
+                               "max_sentences": max_sentences},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4))

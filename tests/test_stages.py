@@ -2751,3 +2751,154 @@ def test_dup_coverage_overlapping_union(ray_session):
     assert out.loc[0, "n_dup_grams"] == 2      # both windows shared
     assert out.loc[0, "covered_words"] == 9    # union of [0,7] and [1,8]
     assert out.loc[1, "covered_words"] == 9
+
+
+def _mmr_sequential_reference(emb, ids, queries, k, pool, lam):
+    """Independent sequential MMR: full-corpus numpy, no Ray."""
+    out = []
+    norms = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qid in sorted(queries):
+        qn = np.asarray(queries[qid], np.float64)
+        qn = qn / np.linalg.norm(qn)
+        rel_all = norms @ qn
+        # exact top-pool with vec_id tie-break
+        order = np.lexsort((ids, -rel_all))[:pool]
+        cids, V, rel = ids[order], norms[order], rel_all[order]
+        pair = V @ V.T
+        chosen, avail = [], np.ones(len(cids), bool)
+        for rank in range(1, min(k, len(cids)) + 1):
+            score = (lam * rel - (1 - lam) * pair[:, chosen].max(axis=1)
+                     if chosen else lam * rel)
+            score = np.where(avail, score, -np.inf)
+            tied = np.flatnonzero(score == score.max())
+            pick = tied[np.argmin(cids[tied])]
+            chosen.append(int(pick))
+            avail[pick] = False
+            out.append((qid, rank, int(cids[pick])))
+    return out
+
+
+def test_mmr_matches_sequential_reference(ray_session):
+    """Pipeline MMR == full-corpus sequential reference, across block
+    layouts (parallelism invariance)."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import mmr_topk
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((400, 12)).astype(np.float32)
+    ids = np.arange(1000, 1400, dtype=np.int64)
+    queries = {0: emb[7].astype(np.float64), 3: emb[200].astype(np.float64)}
+    expect = _mmr_sequential_reference(
+        emb.astype(np.float64), ids, queries, k=10, pool=50, lam=0.7)
+    for blocks in (1, 7):
+        t = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = mmr_topk(ds, queries, k=10, pool=50, lam=0.7)
+        assert [tuple(r) for r in
+                got[["query_id", "rank", "vec_id"]].to_numpy()] == expect
+
+
+def test_mmr_diversifies_planted_redundancy(ray_session):
+    """A clump of near-duplicates of the query must NOT fill the top-k:
+    after the first clump member, MMR prefers the orthogonal cluster
+    that plain top-k ranks below every clump member."""
+    import ray.data
+    from htmlparsersharp_ray.stages.similarity import brute_force_topk, mmr_topk
+
+    rng = np.random.default_rng(3)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    clump = q + rng.normal(0, 0.01, size=(6, 4))      # ids 0..5: dups of q
+    other = np.array([0.7, 0.7, 0.0, 0.0]) + rng.normal(0, 0.01, size=(6, 4))
+    emb = np.vstack([clump, other]).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    }))
+    plain = brute_force_topk(ds, {0: q}, k=4)
+    mmr = mmr_topk(ds, {0: q}, k=4, pool=12, lam=0.5)
+    # plain top-4 = all clump members; MMR mixes in the other cluster
+    assert all(v < 6 for v in plain["vec_id"])
+    mmr_ids = list(mmr["vec_id"])
+    assert mmr_ids[0] < 6                  # best match still first
+    assert any(v >= 6 for v in mmr_ids)    # diversity kicked in
+
+
+def _textrank_sequential_reference(sents, iters=20):
+    """Independent per-doc reference: dict-based overlap counting and a
+    scalar Python loop (no membership matrix), same fixed-point rules."""
+    n = len(sents)
+    if n == 0:
+        return -1, 0
+    if n == 1:
+        return 0, 1_000_000
+    import re as _re
+    toks = [set(_re.findall(r"[a-z0-9]+", s.lower())) for s in sents]
+    if not any(toks):
+        return 0, 1_000_000
+    w = [[len(toks[i] & toks[j]) if i != j else 0 for j in range(n)]
+         for i in range(n)]
+    s = [sum(row) for row in w]
+    r = [1_000_000] * n
+    for _ in range(iters):
+        q = [r[j] // s[j] if s[j] > 0 else r[j] for j in range(n)]
+        r = [150_000 + (85 * sum(w[i][j] * q[j] for j in range(n)
+                                 if s[j] > 0)) // 100
+             for i in range(n)]
+    best = max(range(n), key=lambda i: (r[i], -i))
+    return best, r[best]
+
+
+def test_textrank_matches_sequential_reference(ray_session):
+    """Pipeline TextRank == an independent dict/loop reference, across
+    block layouts; the central planted sentence wins."""
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import (
+        SENTENCE_SPLIT_PATTERN, textrank_summaries)
+    import re as _re
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        n_s = int(rng.integers(2, 9))
+        sents = [" ".join(rng.choice(words, size=6)) for _ in range(n_s)]
+        docs.append(". ".join(sents) + ".")
+    # one planted doc where sentence 1 overlaps everything
+    docs.append("alpha beta gamma. alpha beta gamma delta zeta. delta zeta eta.")
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    split = _re.compile(SENTENCE_SPLIT_PATTERN)
+    expect = {}
+    for i, txt in enumerate(docs):
+        sents = [s for s in split.split(txt) if s.strip()]
+        expect[i] = _textrank_sequential_reference(sents)
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = textrank_summaries(ds).to_pandas()
+        got = {int(d): (int(i), int(s)) for d, i, s in zip(
+            out["doc_id"], out["sent_idx"], out["score_fp"])}
+        assert got == expect
+    assert expect[30][0] == 1  # the planted central sentence
+
+
+def test_textrank_edge_shapes(ray_session):
+    """Empty docs, one-sentence docs, and no-word docs stay in-row
+    (no dropped doc_ids) with sentinel outputs."""
+    import ray.data
+    from htmlparsersharp_ray.stages.text_analysis import textrank_summaries
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "Only one sentence here", "?!. .. !",
+                          "a b. a c. x y."]),
+    })
+    out = (textrank_summaries(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert int(out.loc[0, "sent_idx"]) == -1      # empty
+    assert int(out.loc[1, "sent_idx"]) == 0       # single sentence
+    assert out.loc[1, "summary"].startswith("Only one")
+    assert int(out.loc[3, "n_sentences"]) == 3
