@@ -434,6 +434,29 @@ def _q_extract_jsonld(sf_dir: str):
                .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_embeddings_gbdt(sf_dir: str):
+    """GRADIENT-BOOSTED STUMPS (LS-Boost, 5 rounds, ν=1/2) over the
+    embeddings table — the iterative ensemble trainer one level above
+    embeddings_stump's single histogram pass. Every round is ONE
+    map-only (dim, bin) → (count, residual-sum) partial pass; leaves,
+    predictions and the gain argmax are all integer-exact on the 2^20
+    grid (gain compares by Python-int cross-multiplication), so the
+    model is bitwise-deterministic at any parallelism. Output: one row
+    per boosting round (dim, thr, leaf values) with final training
+    accuracy counts. Non-SQL-expressible (iterative training):
+    rows-only driver check; gated by the Fraction-based sequential
+    differential and the boosting-improves-on-one-stump pytest
+    (tests/test_train.py::test_gbdt_*)."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.train import gbdt_train
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+    return gbdt_train(emb, pos_label=0, rounds=5)
+
+
 def _q_embeddings_train_probe(sf_dir: str):
     """Distributed linear-probe TRAINING on the embedding table
     (stages/train.py): one-vs-rest logistic regression for label 0,
@@ -1921,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_forms": _q_extract_forms,
         "part_assortativity": r.q_part_assortativity,
         "embeddings_train_probe": _q_embeddings_train_probe,
+        "embeddings_gbdt": _q_embeddings_gbdt,
         "part_item_sim": r.q_part_item_sim,
         "part_als": _q_part_als,
         "docs_hybrid_search": _q_docs_hybrid_search,

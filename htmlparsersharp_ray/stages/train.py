@@ -332,3 +332,157 @@ def _als_sse(inter, users, items, k, n_buckets):
 
     parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     return float(sum(int(v) for v in parts["sse_q"])) / _GRID
+
+
+# --- gradient-boosted stumps (LS-Boost, integer-exact) -----------------------
+GBDT_SCALE = 1 << 20
+
+
+def _gbdt_bins(mat: np.ndarray) -> np.ndarray:
+    """The embeddings_stump binning: floor(v·16) clipped to [-8, 7]."""
+    return np.clip(np.floor(mat.astype(np.float64) * 16.0),
+                   -8, 7).astype(np.int64)
+
+
+def _gbdt_apply(q: np.ndarray, f0: int, models: list) -> np.ndarray:
+    """Vectorized prediction on the fixed-point grid: F = F0 + Σ leaf."""
+    f = np.full(len(q), f0, dtype=np.int64)
+    for (dim, thr, lfp, rfp) in models:
+        f += np.where(q[:, dim] <= thr, np.int64(lfp), np.int64(rfp))
+    return f
+
+
+def _gbdt_best_split(cnt: np.ndarray, rsum: np.ndarray):
+    """Exact argmax of the LS gain S_L²/n_L + S_R²/n_R over the
+    (dim, thr) candidate grid using Fraction-free Python-int
+    cross-multiplication; ties to the smallest (dim, thr); splits with
+    an empty side are excluded. Returns (dim, thr_index) or None."""
+    d, nb = cnt.shape
+    left_n = np.cumsum(cnt, axis=1)[:, :-1]
+    left_s = np.cumsum(rsum, axis=1)[:, :-1]
+    tot_n = cnt.sum(axis=1, keepdims=True)
+    tot_s = rsum.sum(axis=1, keepdims=True)
+    right_n = tot_n - left_n
+    right_s = tot_s - left_s
+    best = None  # (num, den, dim, thr) — gain = num/den exact
+    for dim in range(d):
+        for t in range(nb - 1):
+            nl, nr = int(left_n[dim, t]), int(right_n[dim, t])
+            if nl == 0 or nr == 0:
+                continue
+            sl, sr = int(left_s[dim, t]), int(right_s[dim, t])
+            num = sl * sl * nr + sr * sr * nl
+            den = nl * nr
+            if best is None or num * best[1] > best[0] * den:
+                best = (num, den, dim, t)
+    if best is None:
+        return None
+    return best[2], best[3]
+
+
+def gbdt_train(ds: ray.data.Dataset, pos_label: int = 0,
+               rounds: int = 5) -> pd.DataFrame:
+    """GRADIENT-BOOSTED STUMPS (LS-Boost on ±1 labels): the iterative
+    ensemble trainer built from the embeddings_stump histogram pass —
+    round m fits a depth-1 regression stump to the residuals
+    r_i = y_i − F_{m−1}(x_i) and adds it with shrinkage ν = 1/2.
+
+    Integer-exactness: y is ±GBDT_SCALE; every F, residual and leaf
+    value lives on the 2^20 fixed-point grid (leaf = S_L // (2·n_L),
+    floor division); gains compare EXACTLY by Python-int
+    cross-multiplication (S²/n fractions, no float); so models,
+    predictions and the final accuracy are bitwise identical at any
+    parallelism (pytest-gated vs a sequential reference).
+
+    Scale shape: each round is ONE map-only pass emitting bounded
+    (dim, bin) → (count, residual-sum) integer partials (64×16 cube)
+    merged on the driver in Python ints — no exchange, no per-row
+    state: F recomputes per batch from the ≤rounds·4-int model list
+    shipped in the task closure. One final pass counts sign matches."""
+    ds = checkpoint(ds)
+
+    def hist_partial_fn(f0: int, models: tuple):
+        def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({
+                    "dim": pd.Series([], dtype="int64"),
+                    "bin": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "rs": pd.Series([], dtype="int64")})
+            q = _gbdt_bins(np.stack(b["embedding"].to_numpy()))
+            y = np.where(b["label"].to_numpy() == pos_label,
+                         np.int64(GBDT_SCALE), np.int64(-GBDT_SCALE))
+            resid = y - _gbdt_apply(q, f0, list(models))
+            n_rows, d = q.shape
+            flat = pd.DataFrame({
+                "dim": np.repeat(np.arange(d, dtype=np.int64), n_rows),
+                "bin": q.T.ravel() + 8,
+                "rs": np.tile(resid, d),
+            })
+            out = flat.groupby(["dim", "bin"], as_index=False).agg(
+                n=("rs", "size"), rs=("rs", "sum"))
+            return out.astype("int64")
+        return hist_partial
+
+    # F0 = floor(mean(y)) on the grid — one count pass
+    def y_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = int((b["label"].to_numpy() == pos_label).sum())
+        return pd.DataFrame({"pos": [pos], "n": [len(b)]})
+
+    yp = ds.map_batches(y_partial, batch_format="pandas").to_pandas()
+    n_total = int(sum(int(v) for v in yp["n"]))
+    n_pos = int(sum(int(v) for v in yp["pos"]))
+    if n_total == 0:
+        return pd.DataFrame({"round": [], "dim": [], "thr": [],
+                             "left_fp": [], "right_fp": [],
+                             "n_train": [], "n_correct": []})
+    f0 = (n_pos * GBDT_SCALE - (n_total - n_pos) * GBDT_SCALE) // n_total
+
+    models: list[tuple[int, int, int, int]] = []
+    for _ in range(rounds):
+        parts = ds.map_batches(
+            hist_partial_fn(f0, tuple(models)),
+            batch_format="pandas").to_pandas()
+        agg = parts.groupby(["dim", "bin"], as_index=False).sum()
+        d = int(agg["dim"].max()) + 1
+        cnt = np.zeros((d, 16), dtype=object)
+        rsum = np.zeros((d, 16), dtype=object)
+        # object dtype: Python-int exact merge (63-bit-sum rule)
+        for dim_v, bin_v, n_v, rs_v in zip(
+                agg["dim"], agg["bin"], agg["n"], agg["rs"]):
+            cnt[int(dim_v), int(bin_v)] += int(n_v)
+            rsum[int(dim_v), int(bin_v)] += int(rs_v)
+        pick = _gbdt_best_split(cnt.astype(np.int64),
+                                rsum.astype(object))
+        if pick is None:
+            break
+        dim, t = pick
+        nl = int(cnt[dim, : t + 1].sum())
+        nr = int(cnt[dim, t + 1:].sum())
+        sl = int(sum(int(v) for v in rsum[dim, : t + 1]))
+        sr = int(sum(int(v) for v in rsum[dim, t + 1:]))
+        lfp = sl // (2 * nl)   # shrinkage nu = 1/2, floor division
+        rfp = sr // (2 * nr)
+        models.append((int(dim), int(t - 8), lfp, rfp))
+
+    def acc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"ok": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        q = _gbdt_bins(np.stack(b["embedding"].to_numpy()))
+        y_pos = b["label"].to_numpy() == pos_label
+        f = _gbdt_apply(q, f0, models)
+        return pd.DataFrame({"ok": [int(((f > 0) == y_pos).sum())],
+                             "n": [len(b)]})
+
+    ap = ds.map_batches(acc_partial, batch_format="pandas").to_pandas()
+    n_ok = int(sum(int(v) for v in ap["ok"]))
+    return pd.DataFrame({
+        "round": np.arange(1, len(models) + 1, dtype=np.int64),
+        "dim": np.array([m[0] for m in models], dtype=np.int64),
+        "thr": np.array([m[1] for m in models], dtype=np.int64),
+        "left_fp": np.array([m[2] for m in models], dtype=np.int64),
+        "right_fp": np.array([m[3] for m in models], dtype=np.int64),
+        "n_train": np.full(len(models), n_total, dtype=np.int64),
+        "n_correct": np.full(len(models), n_ok, dtype=np.int64),
+    })

@@ -184,3 +184,91 @@ class TestALS:
                                 track_sse="final")
         assert len(h_fin) == 1
         assert h_fin[0] == h_all[-1]
+
+
+def _gbdt_sequential_reference(emb, labels, pos_label=0, rounds=5):
+    """Independent in-memory LS-Boost: same integer rules, scalar
+    Python loops and Fractions instead of the histogram partials."""
+    from fractions import Fraction
+
+    S = 1 << 20
+    q = np.clip(np.floor(emb.astype(np.float64) * 16.0), -8, 7).astype(int)
+    y = np.where(labels == pos_label, S, -S).astype(object)
+    n = len(y)
+    f0 = (int(y.sum())) // n
+    f = np.full(n, f0, dtype=object)
+    models = []
+    d = q.shape[1]
+    for _ in range(rounds):
+        r = y - f
+        best = None  # (gain Fraction, dim, thr)
+        for dim in range(d):
+            for thr in range(-8, 7):
+                lm = q[:, dim] <= thr
+                nl, nr = int(lm.sum()), int((~lm).sum())
+                if nl == 0 or nr == 0:
+                    continue
+                sl = int(r[lm].sum())
+                sr = int(r[~lm].sum())
+                g = Fraction(sl * sl, nl) + Fraction(sr * sr, nr)
+                if best is None or g > best[0]:
+                    best = (g, dim, thr, sl, sr, nl, nr)
+        if best is None:
+            break
+        _, dim, thr, sl, sr, nl, nr = best
+        lfp, rfp = sl // (2 * nl), sr // (2 * nr)
+        models.append((dim, thr, lfp, rfp))
+        f = f + np.where(q[:, dim] <= thr, lfp, rfp).astype(object)
+    ok = int(((np.array([int(v) for v in f]) > 0)
+              == (labels == pos_label)).sum())
+    return models, f0, ok
+
+
+def test_gbdt_matches_sequential_reference(ray_session):
+    """Distributed LS-Boost == the Fraction-based sequential reference,
+    bitwise, across block layouts."""
+    import ray.data
+    from htmlparsersharp_ray.stages.train import gbdt_train
+
+    rng = np.random.default_rng(31)
+    emb = rng.uniform(-0.5, 0.5, (300, 6)).astype(np.float32)
+    labels = rng.integers(0, 4, 300)
+    exp_models, _, exp_ok = _gbdt_sequential_reference(
+        emb.astype(np.float64), labels, rounds=4)
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    })
+    for blocks in (1, 9):
+        out = gbdt_train(ray.data.from_arrow(t).repartition(blocks),
+                         rounds=4)
+        got = [(int(a), int(b), int(c), int(dd)) for a, b, c, dd in zip(
+            out["dim"], out["thr"], out["left_fp"], out["right_fp"])]
+        assert got == exp_models
+        assert int(out["n_correct"].iloc[0]) == exp_ok
+
+
+def test_gbdt_boosting_improves_on_one_stump(ray_session):
+    """A target needing TWO thresholds (x0 > 0.25 OR x1 > 0.25) is not
+    separable by one stump; later rounds must strictly improve
+    training accuracy."""
+    import ray.data
+    from htmlparsersharp_ray.stages.train import gbdt_train
+
+    rng = np.random.default_rng(5)
+    emb = rng.uniform(-0.5, 0.5, (600, 4)).astype(np.float32)
+    pos = (emb[:, 0] > 0.25) | (emb[:, 1] > 0.25)
+    labels = np.where(pos, 0, 7)
+    t = pa.table({
+        "vec_id": pa.array(range(600), pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    one = gbdt_train(ds, rounds=1)
+    six = gbdt_train(ds, rounds=6)
+    acc1 = int(one["n_correct"].iloc[0])
+    acc6 = int(six["n_correct"].iloc[0])
+    assert acc6 > acc1
+    assert acc6 >= 570  # the OR-of-two-thresholds concept is learnable

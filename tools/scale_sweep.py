@@ -721,6 +721,87 @@ def main() -> int:
 
     run("turns_curate_100k", turns_curate_100k)
 
+    # --- this-session probes (cusum/drawdown/naive, itemsets, textrank,
+    #     AUC, MMR) ----------------------------------------------------
+    def synth_events_val(n=10_000_000, d="/tmp/graft_sweep_evval"):
+        # like synth_events but with nonzero pareto-ish cent values so
+        # the cusum/drawdown charts do real flagging work
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(17)
+            base = np.int64(1_700_000_000_000_000)
+            ts = (base + rng.integers(0, 90 * 86_400_000_000, n)
+                  ).astype("datetime64[us]")
+            cents = np.minimum(
+                (rng.pareto(1.3, n) * 3000).astype(np.int64) + 1, 49_000)
+            pq.write_table(pa.table({
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": rng.integers(0, 100_000, n).astype(np.int64),
+                "value": cents / 100.0,
+            }), os.path.join(d, "events.parquet"),
+                row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_embeddings_auc,
+        q_events_cusum,
+        q_events_drawdown,
+        q_events_seasonal_naive,
+        q_part_brand_itemsets,
+    )
+
+    run("cusum_10m", lambda: q_events_cusum(synth_events_val()))
+    run("drawdown_10m", lambda: q_events_drawdown(synth_events_val()))
+    run("seasonal_naive_10m",
+        lambda: q_events_seasonal_naive(synth_events_val()))
+
+    def synth_basket_parts(d="/tmp/graft_sweep_baskets",
+                           n_parts=50_000, n_brands=25):
+        synth_baskets()  # ensure lineitem.parquet exists in d
+        marker = os.path.join(d, "_COMPLETE_parts_v1")
+        if not os.path.exists(marker):
+            keys = np.arange(n_parts, dtype=np.int64)
+            pq.write_table(pa.table({
+                "p_partkey": keys,
+                "p_brand": pa.array([f"Brand#{int(k) % n_brands:02d}"
+                                     for k in keys]),
+            }), os.path.join(d, "part.parquet"))
+            open(marker, "w").write("ok")
+        return d
+
+    run("brand_itemsets_8m",
+        lambda: q_part_brand_itemsets(synth_basket_parts()))
+
+    def textrank_100k():
+        from htmlparsersharp_ray.stages.text_analysis import (
+            textrank_summaries)
+
+        return textrank_summaries(docs(pair_files)).count()
+
+    run("textrank_100k", textrank_100k)
+
+    run("auc_1m", lambda: q_embeddings_auc(synth_embeddings_1m()))
+
+    def mmr_1m():
+        from htmlparsersharp_ray.stages.similarity import mmr_topk
+
+        emb_dir = os.path.join(synth_embeddings_1m(),
+                               "embeddings.parquet")
+        first = pq.read_table(
+            os.path.join(emb_dir, "part-0.parquet"),
+            columns=["vec_id", "embedding"]).slice(0, 5)
+        queries = {
+            int(i): np.asarray(e, np.float64)
+            for i, e in zip(first.column("vec_id").to_pylist(),
+                            first.column("embedding").to_pylist())}
+        return mmr_topk(ray.data.read_parquet(emb_dir), queries,
+                        k=10, pool=50)
+
+    run("mmr_1m", mmr_1m)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
