@@ -1956,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_char_entropy": r.q_docs_char_entropy,
         "events_cusum": r.q_events_cusum,
         "events_seasonal_naive": r.q_events_seasonal_naive,
+        "orders_grouping_sets": r.q_orders_grouping_sets,
     }
 
 
@@ -6043,5 +6044,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(abs(a.total - b.total) AS DOUBLE) AS abs_err
         FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY
         ORDER BY a.day
+    """
+    sql["orders_grouping_sets"] = """
+        -- GROUPING SETS ((status), (priority), ()) in one scan;
+        -- tagged-union kind/key mirrors the engine's partial rows
+        SELECT 'status' AS kind, o_orderstatus AS key,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'priority' AS kind, o_orderpriority AS key,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+               count(*)
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'all' AS kind, '' AS key,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+               count(*)
+        FROM orders
+        ORDER BY kind, key
     """
     return sql

@@ -9050,3 +9050,49 @@ def q_events_seasonal_naive(sf_dir: str, season_days: int = 7):
         "forecast": np.array([r[2] for r in rows], dtype=np.int64) / 100.0,
         "abs_err": np.array([r[3] for r in rows], dtype=np.int64) / 100.0,
     })
+
+
+def q_orders_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((status), (priority), ()): three aggregation
+    grains from ONE scan — the OLAP multi-grain shape beside CUBE
+    (customer_cube) and ROLLUP (lineitem_rollup). Reference n/a —
+    engine-level relational op.
+
+    Exactness: exact int64-cents per-batch partials for all three
+    grains at once (tagged-union rows), Python-int driver merge
+    (_pysum_cols), one /100.0 per output row.
+
+    Scale shape: no exchange — both grouping columns are bounded
+    dimensions, so every batch emits ≤|status|+|priority|+1 partial
+    rows and the driver merges a dimension-bounded table."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        frames = []
+        for kind, col in (("status", "o_orderstatus"),
+                          ("priority", "o_orderpriority")):
+            g = (pd.DataFrame({"key": b[col].to_numpy(), "c": cents})
+                 .groupby("key", as_index=False)
+                 .agg(c=("c", "sum"), n=("c", "size")))
+            g.insert(0, "kind", kind)
+            frames.append(g)
+        frames.append(pd.DataFrame({
+            "kind": ["all"], "key": [""],
+            "c": [int(cents.sum())], "n": [len(b)]}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (parts.groupby(["kind", "key"], as_index=False)
+           .agg(c=("c", "sum"), n=("n", "sum")))
+    agg = _pysum_cols(agg, ["c"])
+    return pd.DataFrame({
+        "kind": agg["kind"],
+        "key": agg["key"],
+        "total_price": [int(v) / 100.0 for v in agg["c"]],
+        "n_orders": agg["n"].astype("int64"),
+    }).sort_values(["kind", "key"]).reset_index(drop=True)
