@@ -1822,6 +1822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": r.q_region_revenue,
         "events_ntile": r.q_events_ntile,
         "lineitem_corr": r.q_lineitem_corr,
+        "part_skew_kurt": r.q_part_skew_kurt,
+        "events_trending": r.q_events_trending,
+        "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
         "topk_per_group": r.q_topk_per_group,
         "order_revenue_top10": r.q_order_revenue_top10,
@@ -3484,6 +3487,119 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY user_id, tile
             ORDER BY user_id, tile
+        """,
+        "part_skew_kurt": """
+            -- higher central moments from EXACT integer power sums.
+            -- Central moments are SHIFT-INVARIANT, so the oracle
+            -- min-shifts per group (keeping hugeint magnitudes
+            -- bounded: d < 10^4 here, so S1^4 stays well under the
+            -- hugeint ceiling at any tested scale) and forms the SAME
+            -- integers M_k = n^k * m_k the engine builds from raw
+            -- sums; the float expressions are mirrored term-for-term
+            -- (sqrt only — no pow(x, 1.5), which is not guaranteed
+            -- correctly rounded), so the doubles match bitwise
+            WITH c AS (
+                SELECT p_brand,
+                       CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                            AS HUGEINT) AS v
+                FROM part
+            ), s AS (
+                SELECT p_brand,
+                       v - MIN(v) OVER (PARTITION BY p_brand) AS d
+                FROM c
+            ), m AS (
+                SELECT p_brand, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(d) AS s1, SUM(d*d) AS s2,
+                       SUM(d*d*d) AS s3, SUM(d*d*d*d) AS s4
+                FROM s GROUP BY p_brand
+            ), k AS (
+                SELECT p_brand, n,
+                       n*s2 - s1*s1 AS m2,
+                       n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS m3,
+                       n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                           - 3*s1*s1*s1*s1 AS m4
+                FROM m
+            ), f AS (
+                -- hugeint->double via the mirrored 2^62 split (see
+                -- relational._h2d: DuckDB's direct hugeint cast is
+                -- not correctly rounded for negatives)
+                SELECT p_brand, n,
+                       (CASE WHEN m2 < 0 THEN -1.0 ELSE 1.0 END)
+                       * (CAST(ABS(m2) // 4611686018427387904 AS DOUBLE)
+                          * CAST(4611686018427387904 AS DOUBLE)
+                          + CAST(ABS(m2) % 4611686018427387904
+                                 AS DOUBLE)) AS m2d,
+                       (CASE WHEN m3 < 0 THEN -1.0 ELSE 1.0 END)
+                       * (CAST(ABS(m3) // 4611686018427387904 AS DOUBLE)
+                          * CAST(4611686018427387904 AS DOUBLE)
+                          + CAST(ABS(m3) % 4611686018427387904
+                                 AS DOUBLE)) AS m3d,
+                       (CASE WHEN m4 < 0 THEN -1.0 ELSE 1.0 END)
+                       * (CAST(ABS(m4) // 4611686018427387904 AS DOUBLE)
+                          * CAST(4611686018427387904 AS DOUBLE)
+                          + CAST(ABS(m4) % 4611686018427387904
+                                 AS DOUBLE)) AS m4d
+                FROM k
+            )
+            SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+                   SQRT(m2d / CAST(n*(n-1) AS DOUBLE)) AS stddev_cents,
+                   (m3d / (m2d * SQRT(m2d)))
+                       * SQRT(CAST(n*(n-1) AS DOUBLE))
+                       / CAST(n-2 AS DOUBLE) AS skew_price,
+                   (CAST(n+1 AS DOUBLE)
+                    * (m4d / (m2d * m2d) - 3.0) + 6.0)
+                       * CAST(n-1 AS DOUBLE)
+                       / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
+            FROM f ORDER BY p_brand
+        """,
+        "events_trending": """
+            -- trailing-7-day top-3 event types per observed day; the
+            -- dense (day x type) spine makes the window see types with
+            -- zero same-day events but recent history
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), spine AS (
+                SELECT d.day, t.event_type
+                FROM (SELECT DISTINCT day FROM c) d
+                CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+            ), w AS (
+                SELECT s.day, s.event_type,
+                       (SELECT COALESCE(SUM(c2.n), 0) FROM c c2
+                        WHERE c2.event_type = s.event_type
+                          AND c2.day BETWEEN s.day - INTERVAL 6 DAY
+                                         AND s.day) AS cnt7
+                FROM spine s
+            ), rk AS (
+                SELECT day, event_type, cnt7,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY cnt7 DESC, event_type) AS rnk
+                FROM w
+            )
+            SELECT day, rnk, event_type, CAST(cnt7 AS BIGINT) AS cnt7
+            FROM rk WHERE rnk <= 3 AND cnt7 > 0
+            ORDER BY day, rnk
+        """,
+        "orders_checksum": """
+            -- order-independent per-month content signature: XOR of a
+            -- 60-bit md5 prefix over the canonical key#status#cents
+            -- row string, plus exact counts and cent totals
+            WITH u AS (
+                SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT)
+                           AS month,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc,
+                       CAST('0x' || substr(md5(
+                           CAST(o_orderkey AS VARCHAR) || '#' ||
+                           o_orderstatus || '#' ||
+                           CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR)), 1, 15) AS BIGINT) AS sig
+                FROM orders
+            )
+            SELECT month, COUNT(*) AS n_rows,
+                   SUM(vc) AS total_cents,
+                   bit_xor(sig) AS xor_sig
+            FROM u GROUP BY month ORDER BY month
         """,
         "lineitem_corr": """
             -- correlation from EXACT integer sufficient statistics: the

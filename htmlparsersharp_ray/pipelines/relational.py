@@ -41,6 +41,26 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _h2d(v: int) -> float:
+    """Exact-integer → double conversion MIRRORED with the oracle.
+
+    DuckDB's ``CAST(hugeint AS DOUBLE)`` is NOT correctly rounded: it
+    recombines ``(double)upper * 2^64 + (double)lower``, which double-
+    rounds for negatives and for magnitudes straddling 2^64 (measured:
+    ``-386318719748028000`` casts 1 ULP off Python's correctly-rounded
+    ``float(int)``). Both sides therefore split ``|v| = hi*2^62 + lo``
+    — each piece casts correctly (nonneg < 2^64 takes the exact
+    upper==0 path in DuckDB; Python float() is always correct) — and
+    recombine with the same two IEEE ops, so results are bitwise-equal
+    for any |v| < 2^126. SQL mirror:
+    ``sign * (CAST(ABS(m)//2^62 AS DOUBLE) * CAST(2^62 AS DOUBLE)
+    + CAST(ABS(m)%2^62 AS DOUBLE))``."""
+    s = -1.0 if v < 0 else 1.0
+    a = abs(int(v))
+    return s * (float(a >> 62) * 4611686018427387904.0
+                + float(a & ((1 << 62) - 1)))
+
+
 def _add_user_bucket(ds, n_buckets: int, col: str = "user_id"):
     """Append an ``ub`` int64 key-hash bucket column — the shared
     front half of every bucketed ``groupby().map_groups`` window op
@@ -9096,3 +9116,181 @@ def q_orders_grouping_sets(sf_dir: str):
         "total_price": [int(v) / 100.0 for v in agg["c"]],
         "n_orders": agg["n"].astype("int64"),
     }).sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+def q_part_skew_kurt(sf_dir: str):
+    """Grouped SKEWNESS / KURTOSIS / sample stddev per brand from EXACT
+    integer power sums — the higher-moment family beyond
+    :func:`q_lineitem_corr`. Cents values c < 2^17, so c^4 < 2^68
+    overflows int64 per element; the per-batch partials split
+    c^2 = a*2^17 + b (a, b < 2^17) and ship only int64-safe columns
+    (s3h=Σac, s3l=Σbc, s4h=Σa², s4m=Σab, s4l=Σb² — every term < 2^34,
+    so sums are safe to 2^29 rows/batch). The driver recombines in
+    Python ints (S3 = (s3h<<17)+s3l; S4 = (s4h<<34)+(s4m<<18)+s4l) and
+    forms the scaled central moments
+    M2 = n·S2 − S1², M3 = n²S3 − 3nS1S2 + 2S1³,
+    M4 = n³S4 − 4n²S1S3 + 6nS1²S2 − 3S1⁴ (= n^k·m_k, exact integers).
+    Central moments are SHIFT-INVARIANT, so the oracle computes the
+    SAME integers from per-group min-shifted values (keeping hugeint
+    magnitudes bounded) and evaluates the SAME mirrored float
+    expressions — sample stddev in cents, adjusted Fisher-Pearson
+    skewness G1 = m3/m2^1.5 · sqrt(n(n−1))/(n−2), and sample excess
+    kurtosis G2 = ((n+1)(m4/m2²−3) + 6)(n−1)/((n−2)(n−3)) — making the
+    doubles bitwise-equal (sqrt is IEEE-exact; no float accumulation)."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["p_retailprice"].to_numpy() * 100).astype("int64")
+        c2 = c * c
+        a, lo = c2 >> 17, c2 & ((1 << 17) - 1)
+        d = pd.DataFrame({
+            "p_brand": b["p_brand"],
+            "s1": c, "s2": c2,
+            "s3h": a * c, "s3l": lo * c,
+            "s4h": a * a, "s4m": a * lo, "s4l": lo * lo,
+        })
+        out = d.groupby("p_brand", as_index=False).sum()
+        out["n_rows"] = (
+            d.groupby("p_brand", as_index=False)
+            .size()["size"].to_numpy().astype("int64"))
+        return out
+
+    cols = ["s1", "s2", "s3h", "s3l", "s4h", "s4m", "s4l", "n_rows"]
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, cols)
+    rows = []
+    for brand, g in parts.groupby("p_brand"):
+        n = sum(g["n_rows"])
+        s1, s2 = sum(g["s1"]), sum(g["s2"])
+        s3 = (sum(g["s3h"]) << 17) + sum(g["s3l"])
+        s4 = (sum(g["s4h"]) << 34) + (sum(g["s4m"]) << 18) + sum(g["s4l"])
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        m2d, m3d, m4d = _h2d(m2), _h2d(m3), _h2d(m4)
+        stddev = math.sqrt(m2d / float(n * (n - 1)))
+        g1 = m3d / (m2d * math.sqrt(m2d))
+        skew = g1 * math.sqrt(float(n * (n - 1))) / float(n - 2)
+        g2 = m4d / (m2d * m2d) - 3.0
+        kurt = (float(n + 1) * g2 + 6.0) * float(n - 1) / float(
+            (n - 2) * (n - 3))
+        rows.append((brand, int(n), stddev, skew, kurt))
+    return (
+        pd.DataFrame(rows, columns=[
+            "p_brand", "n_rows", "stddev_cents", "skew_price",
+            "kurt_price"])
+        .sort_values("p_brand").reset_index(drop=True)
+    )
+
+
+def q_events_trending(sf_dir: str):
+    """Trailing-window TRENDING TOP-K: for every observed day, the
+    top-3 event types by trailing-7-day event count (count desc, type
+    asc tiebreak). The count-over-sliding-window is decomposable —
+    per-batch (day, type) count partials collapse each block to a few
+    dozen rows, the driver merges the BOUNDED (days × types) axis in
+    Python ints and evaluates the window with one cumsum-difference
+    per type over the observed-day spine. No shuffle; nothing
+    row-scale ever reaches the driver (same bounded-axis argument as
+    q_events_rolling_dau)."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        return (pd.DataFrame({"day": day, "event_type": b["event_type"]})
+                .groupby(["day", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(["day", "event_type"], as_index=False).agg(
+        n=("n", "sum"))
+    m = _pysum_cols(m, ["n"])
+    days = np.sort(m["day"].unique())          # observed-day spine
+    types = np.sort(m["event_type"].unique())
+    # dense counts matrix (days × types), trailing sum over day VALUES
+    cnt = np.zeros((len(days), len(types)), dtype=np.int64)
+    di = np.searchsorted(days, m["day"].to_numpy())
+    ti = np.searchsorted(types, m["event_type"].to_numpy())
+    cnt[di, ti] = [int(v) for v in m["n"]]
+    csum = np.vstack([np.zeros((1, len(types)), dtype=np.int64),
+                      np.cumsum(cnt, axis=0)])
+    # for day d: sum over rows with day value in [d-6, d]
+    lo = np.searchsorted(days, days - 6, side="left")
+    hi = np.arange(1, len(days) + 1)
+    cnt7 = csum[hi] - csum[lo]
+    rows = []
+    for i, d in enumerate(days):
+        order = np.lexsort((types, -cnt7[i]))[:3]
+        for r, j in enumerate(order, start=1):
+            if cnt7[i, j] > 0:
+                rows.append((d, r, types[j], int(cnt7[i, j])))
+    out = pd.DataFrame(rows, columns=["day", "rnk", "event_type", "cnt7"])
+    out["day"] = pd.to_datetime(out["day"].to_numpy(dtype=np.int64)
+                                * us_per_day, unit="us")
+    out["rnk"] = out["rnk"].astype("int64")
+    out["cnt7"] = out["cnt7"].astype("int64")
+    return out.sort_values(["day", "rnk"]).reset_index(drop=True)
+
+
+def q_orders_checksum(sf_dir: str):
+    """Partition CHECKSUM for replication / migration verification:
+    per order-month, row count + exact total cents + an ORDER-
+    INDEPENDENT content signature (XOR of a 60-bit md5 prefix of each
+    row's canonical key#status#cents string). XOR partials commute and
+    associate, so per-batch int64 XOR partials merge in any order with
+    no exchange; a single flipped row anywhere flips the signature.
+    The oracle rebuilds the identical signature with DuckDB's md5 and
+    bit_xor over the same canonical string."""
+    import hashlib
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dt = b["o_orderdate"].to_numpy(dtype="datetime64[M]")
+        month = (dt.astype(np.int64) // 12 + 1970) * 100 + (
+            dt.astype(np.int64) % 12 + 1)
+        vc = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        keys = b["o_orderkey"].to_numpy(dtype=np.int64)
+        st = b["o_orderstatus"].to_numpy()
+        sig = np.fromiter(
+            (int(hashlib.md5(f"{k}#{s}#{v}".encode()).hexdigest()[:15], 16)
+             for k, s, v in zip(keys, st, vc)),
+            dtype=np.int64, count=len(keys))
+        d = pd.DataFrame({"month": month, "vc": vc, "sig": sig})
+        out = d.groupby("month", as_index=False).agg(
+            total_cents=("vc", "sum"),
+            xor_sig=("sig", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.int64))),
+            n_rows=("vc", "size"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["total_cents"])
+    rows = []
+    for month, g in parts.groupby("month"):
+        xs = np.bitwise_xor.reduce(g["xor_sig"].to_numpy(dtype=np.int64))
+        rows.append((int(month), int(g["n_rows"].sum()),
+                     int(sum(g["total_cents"])), int(xs)))
+    return (
+        pd.DataFrame(rows, columns=["month", "n_rows", "total_cents",
+                                    "xor_sig"])
+        .astype({"month": "int64", "n_rows": "int64",
+                 "total_cents": "int64", "xor_sig": "int64"})
+        .sort_values("month").reset_index(drop=True)
+    )

@@ -1,0 +1,175 @@
+"""Semantics tests for the higher-moment / trending / checksum batch:
+grouped skewness+kurtosis from exact integer power sums, trailing-
+window trending top-k, and order-independent partition checksums.
+
+Tiny hand-crafted inputs pin the math against scipy-free closed forms;
+DuckDB equivalence at sf scale is tools/check_oracle.py's job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from htmlparsersharp_ray.pipelines import relational as r
+from htmlparsersharp_ray.pipelines.relational import _h2d
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _ref_moments(vals):
+    """Reference G1/G2 from textbook definitions over floats (values
+    here are tiny ints, so float arithmetic is exact enough to match
+    the engine's mirrored expressions to ~1e-12)."""
+    x = np.asarray(vals, dtype=np.float64)
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    g1 = m3 / m2 ** 1.5
+    skew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / m2 ** 2 - 3.0
+    kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    std = math.sqrt(((x - m) ** 2).sum() / (n - 1))
+    return std, skew, kurt
+
+
+class TestH2D:
+    def test_matches_python_float_everywhere(self):
+        """_h2d must equal correctly-rounded float(int) — the split
+        only exists so the SQL side can reproduce it."""
+        vals = [0, 1, -1, 2**53 + 1, -(2**53 + 3), 386318719748028000,
+                -386318719748028000, 2**80 + 12345, -(2**90 + 7)]
+        for v in vals:
+            assert _h2d(v) == float(v), v
+
+
+class TestPartSkewKurt:
+    def test_matches_reference_formulas(self, ray_session, tmp_path):
+        # skewed sample: long right tail in brand A, symmetric in B
+        a = [900.00, 900.10, 900.20, 900.30, 999.90, 999.80]
+        b = [910.00, 920.00, 930.00, 940.00, 950.00, 960.00]
+        t = pa.table({
+            "p_brand": pa.array(["A"] * 6 + ["B"] * 6),
+            "p_retailprice": pa.array(a + b, pa.float64()),
+        })
+        d = _write(tmp_path, "part", t)
+        out = r.q_part_skew_kurt(d)
+        assert out["p_brand"].tolist() == ["A", "B"]
+        for brand, vals in (("A", a), ("B", b)):
+            row = out[out["p_brand"] == brand].iloc[0]
+            cents = [round(v * 100) for v in vals]
+            std, skew, kurt = _ref_moments(cents)
+            assert row["n_rows"] == 6
+            assert abs(row["stddev_cents"] - std) < 1e-9 * std
+            assert abs(row["skew_price"] - skew) < 1e-9
+            assert abs(row["kurt_price"] - kurt) < 1e-9
+        # symmetric evenly-spaced sample: skew exactly ~0
+        assert abs(out[out["p_brand"] == "B"]["skew_price"].iloc[0]) < 1e-12
+
+    def test_partial_split_recombination(self, ray_session, tmp_path):
+        """Large cents values exercise the c^2 = a*2^17 + b split; the
+        4th-moment sum must survive int64-partial recombination."""
+        vals = [999.90, 900.00, 955.55, 901.23, 998.76, 933.33, 977.77]
+        t = pa.table({
+            "p_brand": pa.array(["X"] * 7),
+            "p_retailprice": pa.array(vals, pa.float64()),
+        })
+        out = r.q_part_skew_kurt(_write(tmp_path, "part", t))
+        cents = [round(v * 100) for v in vals]
+        std, skew, kurt = _ref_moments(cents)
+        row = out.iloc[0]
+        assert abs(row["stddev_cents"] - std) < 1e-9 * std
+        assert abs(row["skew_price"] - skew) < 1e-9
+        assert abs(row["kurt_price"] - kurt) < 1e-9
+
+
+class TestEventsTrending:
+    def _events(self, days, types):
+        ts = pd.to_datetime([f"2024-01-{d:02d} 12:00:00" for d in days])
+        n = len(days)
+        return pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+
+    def test_window_sees_types_absent_today(self, ray_session, tmp_path):
+        """A type with zero events on day d but history inside [d-6, d]
+        must still rank — the dense spine contract."""
+        # 'a' fires day 1 only; 'b' fires days 1 and 5
+        t = self._events([1, 1, 1, 5], ["a", "a", "b", "b"])
+        out = r.q_events_trending(_write(tmp_path, "events", t))
+        d5 = out[out["day"] == pd.Timestamp("2024-01-05")]
+        # trailing 7d at day 5 covers day 1: a=2, b=2 -> tie broken by type
+        assert d5["event_type"].tolist() == ["a", "b"]
+        assert d5["cnt7"].tolist() == [2, 2]
+        assert d5["rnk"].tolist() == [1, 2]
+
+    def test_window_expires_after_seven_days(self, ray_session, tmp_path):
+        # 'a' on day 1; 'b' on day 9: at day 9 the window [3..9] has no a
+        t = self._events([1, 9], ["a", "b"])
+        out = r.q_events_trending(_write(tmp_path, "events", t))
+        d9 = out[out["day"] == pd.Timestamp("2024-01-09")]
+        assert d9["event_type"].tolist() == ["b"]
+        assert d9["cnt7"].tolist() == [1]
+
+    def test_top3_cut_and_ordering(self, ray_session, tmp_path):
+        days = [1] * 10
+        types = ["a"] * 4 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1
+        t = self._events(days, types)
+        out = r.q_events_trending(_write(tmp_path, "events", t))
+        assert out["event_type"].tolist() == ["a", "b", "c"]
+        assert out["cnt7"].tolist() == [4, 3, 2]
+
+
+class TestOrdersChecksum:
+    def _orders(self, keys, statuses, prices, dates):
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array([1] * len(keys), pa.int64()),
+            "o_orderstatus": pa.array(statuses, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(pd.to_datetime(dates),
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * len(keys), pa.string()),
+        })
+
+    def test_signature_is_order_independent(self, ray_session, tmp_path):
+        rows = ([1, 2, 3], ["F", "O", "P"], [10.00, 20.00, 30.00],
+                ["2024-01-05", "2024-01-20", "2024-02-01"])
+        d1 = _write(tmp_path / "a", "orders", self._orders(*rows))
+        perm = ([3, 1, 2], ["P", "F", "O"], [30.00, 10.00, 20.00],
+                ["2024-02-01", "2024-01-05", "2024-01-20"])
+        d2 = _write(tmp_path / "b", "orders", self._orders(*perm))
+        out1 = r.q_orders_checksum(d1)
+        out2 = r.q_orders_checksum(d2)
+        pd.testing.assert_frame_equal(out1, out2)
+        assert out1["month"].tolist() == [202401, 202402]
+        assert out1["n_rows"].tolist() == [2, 1]
+        assert out1["total_cents"].tolist() == [3000, 3000]
+
+    def test_single_row_flip_changes_signature(self, ray_session,
+                                               tmp_path):
+        base = ([1, 2], ["F", "F"], [10.00, 20.00],
+                ["2024-01-05", "2024-01-06"])
+        flip = ([1, 2], ["F", "O"], [10.00, 20.00],
+                ["2024-01-05", "2024-01-06"])
+        s1 = r.q_orders_checksum(
+            _write(tmp_path / "a", "orders", self._orders(*base)))
+        s2 = r.q_orders_checksum(
+            _write(tmp_path / "b", "orders", self._orders(*flip)))
+        assert s1["xor_sig"].iloc[0] != s2["xor_sig"].iloc[0]
+        assert s1["n_rows"].iloc[0] == s2["n_rows"].iloc[0]
