@@ -1823,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": r.q_events_ntile,
         "lineitem_corr": r.q_lineitem_corr,
         "part_skew_kurt": r.q_part_skew_kurt,
+        "part_mst": r.q_part_mst,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,

@@ -9294,3 +9294,44 @@ def q_orders_checksum(sf_dir: str):
                  "total_cents": "int64", "xor_sig": "int64"})
         .sort_values("month").reset_index(drop=True)
     )
+
+
+def q_part_mst(sf_dir: str):
+    """MAXIMUM SPANNING BACKBONE of the part co-purchase graph via
+    distributed Borůvka (:func:`..stages.graph.minimum_spanning_forest`
+    with negated weights): the strongest-ties skeleton that keeps every
+    part connected to its cluster — the classic graph-sparsification /
+    taxonomy-backbone op (and the third distributed iterative graph
+    family in the repo, after label propagation and power iteration).
+
+    Determinism: edge order is the total order (−cnt, u, v), so the
+    forest is unique; pytest holds a Kruskal differential on random
+    graphs and the planted-structure cases. Not SQL-expressible
+    (driver records rows-only) — MST needs a cut/cycle fixpoint that
+    ANSI SQL recursion cannot express over arbitrary weights without
+    materializing exponentially many paths."""
+    import numpy as np
+
+    from ..stages.graph import (group_cooccurrence_weighted_edges,
+                                minimum_spanning_forest)
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_weighted_edges(li, "l_orderkey",
+                                              "l_partkey")
+
+    def negate(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": batch.column("src"), "dst": batch.column("dst"),
+            "w": pa.array(-cnt.astype(np.int64)),
+        })
+
+    forest = minimum_spanning_forest(
+        edges.map_batches(negate, batch_format="pyarrow"))
+    out = forest.to_pandas().astype(
+        {"ua": "int64", "ub": "int64", "w": "int64"})
+    out["cnt"] = -out["w"]
+    return (out[["ua", "ub", "cnt"]]
+            .rename(columns={"ua": "u", "ub": "v"})
+            .sort_values(["u", "v"]).reset_index(drop=True))

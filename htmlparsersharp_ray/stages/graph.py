@@ -1369,3 +1369,304 @@ def common_neighbor_pairs(
     markers = und.map_batches(edge_markers, batch_format="pyarrow")
     return wedges.union(markers).groupby("pb").map_groups(
         finalize, batch_format="pandas")
+
+
+def minimum_spanning_forest(
+    edges: ray.data.Dataset, max_rounds: int = 32,
+    max_jumps: int = 40,
+) -> ray.data.Dataset:
+    """Distributed Borůvka minimum spanning forest over a weighted
+    edge Dataset ``(src, dst, w)`` (int64; undirected interpretation,
+    parallel/duplicate edges reduced to the lightest).
+
+    Edge weights are totally ordered by ``(w, ua, ub)`` over canonical
+    endpoints, so every edge is distinct and the MSF is UNIQUE —
+    making the op deterministic at any parallelism and differential-
+    testable against sequential Kruskal.
+
+    Each Borůvka round runs entirely as bounded-bucket exchanges
+    (driver sees only scalar counts):
+
+    1. CHOOSE — symmetric (component → incident edge) messages meet in
+       a component-hash groupby; one vectorized lexsort picks each
+       component's minimum edge. With distinct weights the chosen
+       functional graph parent(c) = neighbor-component has only
+       2-cycles, broken toward the smaller id (the classic Borůvka
+       argument).
+    2. CONTRACT — pointer jumping (label ← label(label), the
+       dup_clusters trick) flattens chosen chains to their roots in
+       O(log depth) exchanges, with an exact changed-row count as the
+       fixpoint test.
+    3. RELABEL — edges rejoin the new component labels (two bucketed
+       merges), self-loops drop, and parallel edges between merged
+       components reduce to their minimum — the edge set at least
+       halves every round, so rounds ≤ log2(n).
+
+    Chosen edges accumulate as a Dataset (checkpointed per round —
+    the iterative-lineage rule) and are never driver-resident.
+    Raises on non-convergence instead of returning a partial forest.
+    """
+    from .exchange import checkpoint
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        ua, ub = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({
+            "ua": pa.array(ua), "ub": pa.array(ub), "w": pa.array(w),
+            "ca": pa.array(ua), "cb": pa.array(ub),
+        })
+
+    raw = checkpoint(edges.map_batches(canon, batch_format="pyarrow"))
+    # exchange width tracks input size: every superstep pays per-group
+    # Ray task overhead × n_buckets, so tiny graphs must not pay the
+    # full 64-way fan-out (measured 33 s → ~10 s at sf0.01)
+    nb = int(min(64, max(4, raw.count() // 20_000)))
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        return batch.append_column("pb", pa.array(_ibucket(
+            ua * np.int64(1000003) + ub, nb)))
+
+    def reduce_parallel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ca", "cb", "w", "ua", "ub"])
+        return g.drop_duplicates(["ca", "cb"])[
+            ["ua", "ub", "w", "ca", "cb"]]
+
+    live = (raw.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("pb").map_groups(reduce_parallel,
+                                      batch_format="pandas"))
+    live = checkpoint(live)
+
+    forest = None
+    for _ in range(max_rounds):
+        n_edges = live.count()
+        if n_edges == 0:
+            break
+
+        # -- 1. CHOOSE: min incident edge per component ---------------
+        def sym_msgs(batch: pa.Table) -> pa.Table:
+            ua = batch.column("ua").to_numpy(zero_copy_only=False)
+            ub = batch.column("ub").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            ca = batch.column("ca").to_numpy(zero_copy_only=False)
+            cb = batch.column("cb").to_numpy(zero_copy_only=False)
+            comp = np.concatenate([ca, cb])
+            other = np.concatenate([cb, ca])
+            return pa.table({
+                "kb": pa.array(_ibucket(comp.astype(np.int64), nb)),
+                "comp": pa.array(comp), "other": pa.array(other),
+                "w": pa.array(np.concatenate([w, w])),
+                "ua": pa.array(np.concatenate([ua, ua])),
+                "ub": pa.array(np.concatenate([ub, ub])),
+            })
+
+        def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["comp", "w", "ua", "ub"])
+            return g.drop_duplicates("comp")[
+                ["comp", "other", "w", "ua", "ub"]]
+
+        chosen = (live.map_batches(sym_msgs, batch_format="pyarrow")
+                  .groupby("kb").map_groups(pick_min,
+                                            batch_format="pandas"))
+        chosen = checkpoint(chosen)
+
+        # accumulate this round's tree edges (both endpoints may pick
+        # the same edge — dedup on the canonical pair)
+        def pair_rows(batch: pa.Table) -> pa.Table:
+            ua = batch.column("ua").to_numpy(zero_copy_only=False)
+            ub = batch.column("ub").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "pb": pa.array(_ibucket(ua.astype(np.int64) * np.int64(1000003)
+                                          + ub.astype(np.int64), nb)),
+                "ua": pa.array(ua), "ub": pa.array(ub),
+                "w": batch.column("w"),
+            })
+
+        def pair_dedup(g: pd.DataFrame) -> pa.Table:
+            # arrow out: the result unions with the CHECKPOINTED forest
+            # (arrow blocks) — mixed block types break the repartition
+            return pa.Table.from_pandas(
+                g.drop_duplicates(["ua", "ub"])[["ua", "ub", "w"]],
+                preserve_index=False)
+
+        new_tree = (chosen.map_batches(pair_rows, batch_format="pyarrow")
+                    .groupby("pb").map_groups(pair_dedup,
+                                              batch_format="pandas"))
+        forest = (new_tree if forest is None
+                  else forest.union(new_tree).repartition(8))
+        forest = checkpoint(forest)
+
+        # -- 2a. parent assignment with 2-cycle break ------------------
+        # provider rows answer "what did component X choose?"; request
+        # rows ask for parent(other). Row kinds are NON-NULL bools
+        # (the 2^53 nullable-int64 rule).
+        def parent_msgs(batch: pa.Table) -> pa.Table:
+            comp = batch.column("comp").to_numpy(zero_copy_only=False)
+            other = batch.column("other").to_numpy(zero_copy_only=False)
+            prov = pa.table({
+                "kb": pa.array(_ibucket(comp.astype(np.int64), nb)),
+                "key": pa.array(comp), "comp": pa.array(comp),
+                "other": pa.array(other),
+                "is_prov": pa.array(np.ones(len(comp), dtype=bool)),
+            })
+            req = pa.table({
+                "kb": pa.array(_ibucket(other.astype(np.int64), nb)),
+                "key": pa.array(other), "comp": pa.array(comp),
+                "other": pa.array(other),
+                "is_prov": pa.array(np.zeros(len(comp), dtype=bool)),
+            })
+            return pa.concat_tables([prov, req])
+
+        def assign_parent(g: pd.DataFrame) -> pd.DataFrame:
+            prov = g[g["is_prov"]][["key", "other"]].rename(
+                columns={"other": "others_choice"})
+            req = g[~g["is_prov"]][["key", "comp", "other"]]
+            # inner merge: `other` is a component with an incident
+            # edge, so its chosen row (the provider) always exists —
+            # and inner keeps the int64 dtype (a left merge would
+            # null-fill to float64, the 2^53 id-rounding trap)
+            m = req.merge(prov, on="key", how="inner")
+            oc = m["others_choice"].to_numpy(dtype=np.int64)
+            comp = m["comp"].to_numpy(dtype=np.int64)
+            other = m["other"].to_numpy(dtype=np.int64)
+            mutual = oc == comp
+            parent = np.where(mutual & (comp < other), comp, other)
+            return pd.DataFrame({"c": comp, "l": parent})
+
+        labels = (chosen.map_batches(parent_msgs, batch_format="pyarrow")
+                  .groupby("kb").map_groups(assign_parent,
+                                            batch_format="pandas"))
+        labels = checkpoint(labels)
+
+        # -- 2b. pointer jumping to roots ------------------------------
+        for _j in range(max_jumps):
+            def jump_msgs(batch: pa.Table) -> pa.Table:
+                c = batch.column("c").to_numpy(zero_copy_only=False)
+                lab = batch.column("l").to_numpy(zero_copy_only=False)
+                prov = pa.table({
+                    "kb": pa.array(_ibucket(c.astype(np.int64), nb)),
+                    "key": pa.array(c), "c": pa.array(c),
+                    "l": pa.array(lab),
+                    "is_prov": pa.array(np.ones(len(c), dtype=bool)),
+                })
+                req = pa.table({
+                    "kb": pa.array(_ibucket(lab.astype(np.int64), nb)),
+                    "key": pa.array(lab), "c": pa.array(c),
+                    "l": pa.array(lab),
+                    "is_prov": pa.array(np.zeros(len(c), dtype=bool)),
+                })
+                return pa.concat_tables([prov, req])
+
+            def jump(g: pd.DataFrame) -> pd.DataFrame:
+                prov = g[g["is_prov"]][["key", "l"]].rename(
+                    columns={"l": "ll"})
+                prov = prov.drop_duplicates("key")
+                req = g[~g["is_prov"]][["key", "c", "l"]]
+                # inner: every label value is itself a labelled
+                # component (parents come from chosen components),
+                # and inner preserves int64 (2^53 rule)
+                m = req.merge(prov, on="key", how="inner")
+                newl = m["ll"].to_numpy(dtype=np.int64)
+                out = pd.DataFrame({"c": m["c"].to_numpy(dtype=np.int64),
+                                    "l": newl})
+                out["chg"] = (newl != m["l"].to_numpy(dtype=np.int64)
+                              ).astype(np.int64)
+                return out
+
+            nxt = (labels.map_batches(jump_msgs, batch_format="pyarrow")
+                   .groupby("kb").map_groups(jump, batch_format="pandas"))
+            nxt = checkpoint(nxt)
+            changed = nxt.sum("chg")
+            labels = nxt.drop_columns(["chg"])
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                "minimum_spanning_forest: pointer jumping did not "
+                f"converge in {max_jumps} jumps")
+
+        # -- 3. RELABEL edges, drop self-loops, reduce parallels -------
+        def relabel_pass(side: str):
+            def msgs(batch: pa.Table) -> pa.Table:
+                cols = {n: batch.column(n) for n in
+                        ("ua", "ub", "w", "ca", "cb")}
+                key = cols[side].to_numpy(zero_copy_only=False)
+                t = pa.table({
+                    "kb": pa.array(_ibucket(key.astype(np.int64), nb)),
+                    "key": pa.array(key), **cols,
+                    "l": pa.array(np.zeros(len(key), dtype=np.int64)),
+                    "is_prov": pa.array(np.zeros(len(key), dtype=bool)),
+                })
+                return t
+
+            def lab_rows(batch: pa.Table) -> pa.Table:
+                c = batch.column("c").to_numpy(zero_copy_only=False)
+                z = np.zeros(len(c), dtype=np.int64)
+                return pa.table({
+                    "kb": pa.array(_ibucket(c.astype(np.int64), nb)),
+                    "key": pa.array(c),
+                    "ua": pa.array(z), "ub": pa.array(z),
+                    "w": pa.array(z), "ca": pa.array(z),
+                    "cb": pa.array(z),
+                    "l": batch.column("l"),
+                    "is_prov": pa.array(np.ones(len(c), dtype=bool)),
+                })
+
+            def apply_lab(g: pd.DataFrame) -> pd.DataFrame:
+                prov = g[g["is_prov"]][["key", "l"]].drop_duplicates("key")
+                req = g[~g["is_prov"]][["key", "ua", "ub", "w",
+                                        "ca", "cb"]]
+                # inner merge: every live edge endpoint had an incident
+                # edge this round, hence a chosen row, hence a label
+                m = req.merge(prov, on="key", how="inner")
+                out = m[["ua", "ub", "w", "ca", "cb"]].copy()
+                out[side] = m["l"].to_numpy(dtype=np.int64)
+                return out
+
+            return msgs, lab_rows, apply_lab
+
+        for side in ("ca", "cb"):
+            msgs, lab_rows, apply_lab = relabel_pass(side)
+            live = (live.map_batches(msgs, batch_format="pyarrow")
+                    .union(labels.map_batches(lab_rows,
+                                              batch_format="pyarrow"))
+                    .groupby("kb")
+                    .map_groups(apply_lab, batch_format="pandas"))
+
+        def post_contract(batch: pa.Table) -> pa.Table:
+            ua = batch.column("ua").to_numpy(zero_copy_only=False)
+            ub = batch.column("ub").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            ca = batch.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+            cb = batch.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ca != cb
+            ua, ub, w = ua[keep], ub[keep], w[keep]
+            ca, cb = ca[keep], cb[keep]
+            cx, cy = np.minimum(ca, cb), np.maximum(ca, cb)
+            return pa.table({
+                "pb": pa.array(_ibucket(cx * np.int64(1000003) + cy, nb)),
+                "ua": pa.array(ua), "ub": pa.array(ub),
+                "w": pa.array(w), "ca": pa.array(cx),
+                "cb": pa.array(cy),
+            })
+
+        live = (live.map_batches(post_contract, batch_format="pyarrow")
+                .groupby("pb").map_groups(reduce_parallel,
+                                          batch_format="pandas")
+                .repartition(16))
+        live = checkpoint(live)
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} "
+            "rounds")
+
+    if forest is None:
+        return ray.data.from_arrow(pa.table({
+            "ua": pa.array([], pa.int64()), "ub": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+    return forest
