@@ -1824,6 +1824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": r.q_lineitem_corr,
         "part_skew_kurt": r.q_part_skew_kurt,
         "part_mst": r.q_part_mst,
+        "customer_pareto": r.q_customer_pareto,
+        "events_chisq": r.q_events_chisq,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3552,6 +3554,76 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f ORDER BY p_brand
+        """,
+        "customer_pareto": """
+            -- smallest revenue-desc prefix of customers reaching 80%
+            -- of total revenue; the cut is the integer cross-multiply
+            -- 5*cum_before < 4*total (no float at the boundary). The
+            -- engine computes the global ranked prefix without a
+            -- global sort (ordered bit-length bands + 64 merged
+            -- scalars)
+            WITH rv AS (
+                SELECT o_custkey AS c_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS rev_c
+                FROM orders GROUP BY 1
+            ), t AS (SELECT SUM(rev_c) AS tot FROM rv),
+            o AS (
+                SELECT c_custkey, rev_c,
+                       ROW_NUMBER() OVER (ORDER BY rev_c DESC,
+                                          c_custkey) AS rnk,
+                       SUM(rev_c) OVER (ORDER BY rev_c DESC, c_custkey
+                           ROWS UNBOUNDED PRECEDING) AS cum_c
+                FROM rv
+            )
+            SELECT c_custkey, CAST(rev_c AS BIGINT) AS rev_c,
+                   CAST(rnk AS BIGINT) AS rnk,
+                   CAST(cum_c AS BIGINT) AS cum_c
+            FROM o, t
+            WHERE 5 * (cum_c - rev_c) < 4 * tot
+            ORDER BY rnk
+        """,
+        "events_chisq": """
+            -- chi-square independence (event_type x day-of-week) as a
+            -- FIXED-POINT sum: per-cell term floored at 2^20 before
+            -- summation so the statistic is order-independent; dow is
+            -- (epoch_days + 4) % 7 verbatim on both sides; hugeint ->
+            -- double goes through the mirrored 2^62 split (_h2d)
+            WITH e AS (
+                SELECT event_type,
+                       (datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) + 4) % 7 AS dow
+                FROM events
+            ), o AS (
+                SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                       CAST(COUNT(*) AS HUGEINT) AS o
+                FROM e GROUP BY 1, 2
+            ), r AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+            c AS (SELECT dow, SUM(o) AS c FROM o GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM o),
+            cell AS (
+                SELECT (o.o*t.n - r.r*c.c)*(o.o*t.n - r.r*c.c) AS num,
+                       t.n*r.r*c.c AS den
+                FROM o JOIN r USING (event_type)
+                       JOIN c USING (dow) CROSS JOIN t
+            ), f AS (
+                SELECT (CAST(num // 4611686018427387904 AS DOUBLE)
+                        * CAST(4611686018427387904 AS DOUBLE)
+                        + CAST(num % 4611686018427387904 AS DOUBLE))
+                           AS numd,
+                       (CAST(den // 4611686018427387904 AS DOUBLE)
+                        * CAST(4611686018427387904 AS DOUBLE)
+                        + CAST(den % 4611686018427387904 AS DOUBLE))
+                           AS dend
+                FROM cell
+            )
+            SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_rows,
+                   (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                                * (COUNT(DISTINCT dow) - 1) AS BIGINT)
+                    FROM o) AS df,
+                   CAST(SUM(CAST(FLOOR(numd / dend * 1048576.0)
+                                 AS BIGINT)) AS BIGINT) AS chisq_scaled
+            FROM f
         """,
         "events_trending": """
             -- trailing-7-day top-3 event types per observed day; the

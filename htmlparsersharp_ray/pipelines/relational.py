@@ -61,6 +61,22 @@ def _h2d(v: int) -> float:
                 + float(a & ((1 << 62) - 1)))
 
 
+def _bitlen64(a):
+    """Vectorized int bit_length over a nonneg int64 array (binary-
+    search shifts; no Python loop over rows)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    out = np.zeros(len(a), dtype=np.int64)
+    v = a.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.int64(1) << np.int64(shift))
+        out[m] += shift
+        v[m] >>= shift
+    out += (v > 0).astype(np.int64)
+    return out
+
+
 def _add_user_bucket(ds, n_buckets: int, col: str = "user_id"):
     """Append an ``ub`` int64 key-hash bucket column — the shared
     front half of every bucketed ``groupby().map_groups`` window op
@@ -9335,3 +9351,143 @@ def q_part_mst(sf_dir: str):
     return (out[["ua", "ub", "cnt"]]
             .rename(columns={"ua": "u", "ub": "v"})
             .sort_values(["u", "v"]).reset_index(drop=True))
+
+
+def q_customer_pareto(sf_dir: str):
+    """PARETO / ABC ANALYSIS: the smallest prefix of customers (by
+    revenue desc, custkey asc) whose cumulative revenue reaches 80% of
+    the total — the concentration question behind every "20% of X
+    drives 80% of Y" report. The global ranked prefix is computed
+    WITHOUT a global sort: per-customer exact-cents revenues hash-
+    bucket once, then partition into ORDERED bit-length bands of the
+    revenue value (equal revenues can never straddle a band), each
+    band sorts locally and the driver merges only 64 (band, count,
+    sum) scalars into per-band rank/cumsum offsets. The 80% cut is the
+    integer cross-multiply 5·cum_before < 4·total — no float division
+    at the boundary."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    nb = auto_buckets(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy(
+            dtype=np.int64), "rev_c": cents})
+            .groupby("c_custkey", as_index=False)["rev_c"].sum())
+        g["ub"] = (hashing.mix64(g["c_custkey"].to_numpy().astype(
+            np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c_custkey", as_index=False)["rev_c"].sum()
+
+    from ..stages.exchange import checkpoint
+    cust = checkpoint(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ub").map_groups(per_cust, batch_format="pandas"))
+
+    # band scalars: band = bit_length(rev_c); higher band ⇒ strictly
+    # larger revenue, so bands are globally ordered
+    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["rev_c"].to_numpy(dtype=np.int64)
+        return (pd.DataFrame({"band": _bitlen64(rev), "rev_c": rev})
+                .groupby("band", as_index=False)
+                .agg(cnt=("rev_c", "size"), s=("rev_c", "sum")))
+
+    bands = cust.map_batches(band_partial,
+                             batch_format="pandas").to_pandas()
+    bands = _pysum_cols(bands, ["s"])
+    bmerged = (bands.groupby("band", as_index=False)
+               .agg(cnt=("cnt", "sum"), s=("s", "sum")))
+    total = int(sum(int(v) for v in bmerged["s"]))
+    # offsets from strictly heavier bands (descending band order)
+    bm = bmerged.sort_values("band", ascending=False)
+    rank_off, cum_off = {}, {}
+    racc, cacc = 0, 0
+    for _, row in bm.iterrows():
+        rank_off[int(row["band"])] = racc
+        cum_off[int(row["band"])] = cacc
+        racc += int(row["cnt"])
+        cacc += int(row["s"])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev_c", "c_custkey"],
+                          ascending=[False, True])
+        rev = g["rev_c"].to_numpy(dtype=np.int64)
+        band = int(rev[0]).bit_length()
+        cum = np.cumsum(rev) + np.int64(cum_off[band])
+        rnk = (np.arange(1, len(g) + 1, dtype=np.int64)
+               + np.int64(rank_off[band]))
+        keep = 5 * (cum - rev) < 4 * total
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(dtype=np.int64)[keep],
+            "rev_c": rev[keep], "rnk": rnk[keep],
+            "cum_c": cum[keep],
+        })
+
+    def add_band(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["band"] = _bitlen64(b["rev_c"].to_numpy(dtype=np.int64))
+        return b
+
+    out = (cust.map_batches(add_band, batch_format="pandas")
+           .groupby("band").map_groups(finalize, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"c_custkey": "int64", "rev_c": "int64",
+                        "rnk": "int64", "cum_c": "int64"})
+            .sort_values("rnk").reset_index(drop=True))
+
+
+def q_events_chisq(sf_dir: str):
+    """CHI-SQUARE INDEPENDENCE TEST (event_type × day-of-week) with a
+    FIXED-POINT sum: each cell's term (O·N − r·c)²/(N·r·c) is one
+    mirrored float expression over exact hugeint counts, floored at
+    2^20 fixed-point BEFORE summation — integer partials commute, so
+    the statistic is order-independent (a raw float Σ over cells would
+    depend on DuckDB's/numpy's visit order). Day-of-week is defined as
+    (epoch_days + 4) % 7 verbatim on both sides (epoch 1970-01-01 was
+    a Thursday; Sunday = 0 matching DuckDB's dayofweek). Hugeint →
+    double casts go through the mirrored 2^62 split (see _h2d)."""
+    import math
+
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+                // us_per_day)
+        dow = (days + 4) % 7
+        return (pd.DataFrame({"event_type": b["event_type"], "dow": dow})
+                .groupby(["event_type", "dow"], as_index=False)
+                .size().rename(columns={"size": "o"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = (parts.groupby(["event_type", "dow"], as_index=False)
+             .agg(o=("o", "sum")))
+    cells = _pysum_cols(cells, ["o"])
+    n = sum(int(v) for v in cells["o"])
+    r = {k: sum(int(v) for v in g["o"])
+         for k, g in cells.groupby("event_type")}
+    c = {int(k): sum(int(v) for v in g["o"])
+         for k, g in cells.groupby("dow")}
+    scaled = 0
+    for _, row in cells.iterrows():
+        o, ri, cj = int(row["o"]), r[row["event_type"]], c[int(row["dow"])]
+        num = (o * n - ri * cj) ** 2
+        den = n * ri * cj
+        term = _h2d(num) / _h2d(den)
+        scaled += math.floor(term * 1048576.0)
+    k_types, m_dows = len(r), len(c)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "df": pd.Series([(k_types - 1) * (m_dows - 1)], dtype="int64"),
+        "chisq_scaled": pd.Series([scaled], dtype="int64"),
+    })

@@ -173,3 +173,82 @@ class TestOrdersChecksum:
             _write(tmp_path / "b", "orders", self._orders(*flip)))
         assert s1["xor_sig"].iloc[0] != s2["xor_sig"].iloc[0]
         assert s1["n_rows"].iloc[0] == s2["n_rows"].iloc[0]
+
+
+class TestCustomerPareto:
+    def _orders(self, custs, prices):
+        n = len(custs)
+        return pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(custs, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * n),
+        })
+
+    def test_exact_boundary_inclusion(self, ray_session, tmp_path):
+        """total=100: ranks cut at the first row whose cum reaches 80.
+        cum_before of the 80-crossing row must be < 80 (include), the
+        next row lands at cum_before >= 80 (exclude)."""
+        # revenues 50, 30, 15, 5 -> cum 50, 80, 95, 100; keep while
+        # 5*cum_before < 4*100: rows 1 (0<80), 2 (50<80), NOT 3 (80==80)
+        t = self._orders([1, 2, 3, 4], [50.0, 30.0, 15.0, 5.0])
+        out = r.q_customer_pareto(_write(tmp_path, "orders", t))
+        assert out["c_custkey"].tolist() == [1, 2]
+        assert out["rnk"].tolist() == [1, 2]
+        assert out["cum_c"].tolist() == [5000, 8000]
+
+    def test_band_straddle_and_ties(self, ray_session, tmp_path):
+        """Equal revenues tie-break by custkey; revenues in different
+        bit-length bands get globally consistent ranks."""
+        # rev cents: 819200 (band 20), 4096*100=409600 (band 19),
+        # 409600 again (tie), 100 (band 7)
+        t = self._orders([9, 3, 7, 1],
+                         [8192.0, 4096.0, 4096.0, 1.0])
+        out = r.q_customer_pareto(_write(tmp_path, "orders", t))
+        # keep until cum_before >= 0.8*total
+        assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+        assert out["c_custkey"].tolist()[:3] == [9, 3, 7]
+
+    def test_multi_order_customers_aggregate_first(self, ray_session,
+                                                   tmp_path):
+        t = self._orders([1, 1, 2], [10.0, 10.0, 5.0])
+        out = r.q_customer_pareto(_write(tmp_path, "orders", t))
+        assert out.iloc[0]["c_custkey"] == 1
+        assert out.iloc[0]["rev_c"] == 2000
+
+
+class TestEventsChisq:
+    def _events(self, types, dates):
+        n = len(types)
+        return pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(pd.to_datetime(dates), pa.timestamp("us")),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+
+    def test_independent_table_is_zero(self, ray_session, tmp_path):
+        """Perfectly proportional 2x2 table -> chisq exactly 0."""
+        # Mon 2024-01-01, Tue 2024-01-02; a:b = 2:1 on both days
+        types = ["a", "a", "b", "a", "a", "b"]
+        dates = ["2024-01-01"] * 3 + ["2024-01-02"] * 3
+        out = r.q_events_chisq(_write(tmp_path, "events",
+                                      self._events(types, dates)))
+        assert out["chisq_scaled"].iloc[0] == 0
+        assert out["df"].iloc[0] == 1
+        assert out["n_rows"].iloc[0] == 6
+
+    def test_known_value(self, ray_session, tmp_path):
+        """Hand-checkable 2x2: O = [[3,1],[1,3]] -> chisq = 2.0
+        (n=8, all margins 4: term = (O*8-16)^2/(8*16) per cell =
+        (24-16)^2/128 = 0.5 each)."""
+        types = (["a"] * 3 + ["b"]) + (["a"] + ["b"] * 3)
+        dates = ["2024-01-01"] * 4 + ["2024-01-02"] * 4
+        out = r.q_events_chisq(_write(tmp_path, "events",
+                                      self._events(types, dates)))
+        assert out["chisq_scaled"].iloc[0] == 2 * 1048576
