@@ -1260,6 +1260,18 @@ def _q_docs_token_counts(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_compressibility(sf_dir: str):
+    """zlib-ratio entropy quality signal (Gopher-family filter):
+    fixed-level DEFLATE is deterministic, output is ppm fixed-point.
+    Rows-only at the driver (no SQL compression function); pytest
+    holds a direct-zlib differential + planted high/low-entropy
+    corpora."""
+    from htmlparsersharp_ray.stages.text_analysis import compressibility
+
+    df = compressibility(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_docs_redact(sf_dir: str):
     """PII-shaped regex scrub (stages/text_analysis.py::redact):
     sequential pattern list → placeholder + per-doc redaction count."""
@@ -1879,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_clean_corpus": _q_docs_clean_corpus,
         "docs_token_counts": _q_docs_token_counts,
+        "docs_compressibility": _q_docs_compressibility,
         "docs_redact": _q_docs_redact,
         "docs_quality": _q_docs_quality,
         "docs_quality_score": _q_docs_quality_score,

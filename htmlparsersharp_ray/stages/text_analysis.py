@@ -1014,3 +1014,44 @@ def textrank_summaries(docs: ray.data.Dataset, iters: int = 20,
         fn_constructor_kwargs={"iters": iters,
                                "max_sentences": max_sentences},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+class CompressibilityUDF:
+    """Per-doc zlib compression ratio — the Gopher-family entropy
+    quality signal (template/spam pages compress far below prose;
+    random noise barely compresses). DEFLATE at a FIXED level (6) with
+    a fixed zlib version is deterministic, so the ratio is stable
+    across workers and runs; output is ppm fixed-point (no floats).
+    One C call per document (same cost class as the md5 sampling op) —
+    the bytes dominate, not the Python loop. Not SQL-expressible
+    (driver records rows-only); pytest holds a direct-zlib
+    differential plus planted high/low-entropy corpora."""
+
+    LEVEL = 6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, self.LEVEL))
+        ratio = np.where(raw > 0, comp * np.int64(1_000_000)
+                         // np.maximum(raw, 1), np.int64(1_000_000))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "raw_len": pa.array(raw),
+            "comp_len": pa.array(comp),
+            "ratio_ppm": pa.array(ratio),
+        })
+
+
+def compressibility(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Compression-ratio table for every document (see
+    :class:`CompressibilityUDF`)."""
+    return docs.map_batches(CompressibilityUDF, batch_format="pyarrow",
+                            batch_size=2048, concurrency=(1, 2))

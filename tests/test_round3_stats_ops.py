@@ -252,3 +252,59 @@ class TestEventsChisq:
         out = r.q_events_chisq(_write(tmp_path, "events",
                                       self._events(types, dates)))
         assert out["chisq_scaled"].iloc[0] == 2 * 1048576
+
+
+class TestDocsCompressibility:
+    def _docs(self, tmp_path, texts):
+        n = len(texts)
+        t = pa.table({
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        return _write(tmp_path, "documents", t)
+
+    def test_direct_zlib_differential(self, ray_session, tmp_path):
+        import zlib
+
+        from htmlparsersharp_ray.stages.text_analysis import (
+            CompressibilityUDF, compressibility)
+        import ray as _ray
+
+        texts = ["hello world " * 50, "abc", "", "x" * 1000,
+                 "The quick brown fox jumps over the lazy dog. " * 7]
+        d = self._docs(tmp_path, texts)
+        out = (compressibility(_ray.data.read_parquet(
+            d + "/documents.parquet")).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+        for i, t in enumerate(texts):
+            b = t.encode()
+            comp = len(zlib.compress(b, CompressibilityUDF.LEVEL))
+            assert out.loc[i, "raw_len"] == len(b)
+            assert out.loc[i, "comp_len"] == comp
+            expect = (comp * 1_000_000 // len(b)) if b else 1_000_000
+            assert out.loc[i, "ratio_ppm"] == expect
+
+    def test_entropy_ordering(self, ray_session, tmp_path):
+        """Planted corpora: repeated template << prose << random-ish
+        hex noise in compression ratio."""
+        import hashlib
+
+        template = "click here to subscribe now! " * 200
+        prose = ("It was the best of times, it was the worst of times, "
+                 "it was the age of wisdom, it was the age of "
+                 "foolishness, it was the epoch of belief. ") * 20
+        noise = "".join(hashlib.sha256(str(i).encode()).hexdigest()
+                        for i in range(120))
+        d = self._docs(tmp_path, [template, prose, noise])
+        from htmlparsersharp_ray.stages.text_analysis import (
+            compressibility)
+        import ray as _ray
+
+        out = (compressibility(_ray.data.read_parquet(
+            d + "/documents.parquet")).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+        r_t, r_p, r_n = out["ratio_ppm"].tolist()
+        assert r_t < r_p < r_n
