@@ -1838,6 +1838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_mst": r.q_part_mst,
         "customer_pareto": r.q_customer_pareto,
         "events_chisq": r.q_events_chisq,
+        "orders_benford": r.q_orders_benford,
+        "nation_customer_hhi": r.q_nation_customer_hhi,
+        "events_ses": r.q_events_ses,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3567,6 +3570,76 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f ORDER BY p_brand
+        """,
+        "orders_benford": """
+            -- first-significant-digit audit: integer ppm shares, the
+            -- Benford expectation floor(log10(1+1/d)*1e6) mirrored
+            -- (libm log10 on identical doubles both sides)
+            WITH u AS (
+                SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+            ), m AS (
+                SELECT digit, CAST(COUNT(*) AS HUGEINT) AS n
+                FROM u GROUP BY digit
+            ), t AS (SELECT SUM(n) AS total FROM m)
+            SELECT digit, CAST(n AS BIGINT) AS n_rows,
+                   CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+                   CAST(FLOOR(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS exp_ppm
+            FROM m, t ORDER BY digit
+        """,
+        "nation_customer_hhi": """
+            -- Herfindahl-Hirschman concentration of customer revenue
+            -- shares per nation: HHI = sum(s_i^2) / (sum(s_i))^2; the
+            -- single division runs over _h2d-split integers so the
+            -- double matches bitwise
+            WITH rv AS (
+                SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100)
+                           AS BIGINT)) AS s
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT c.c_nationkey,
+                       CAST(rv.s AS HUGEINT) AS s
+                FROM rv JOIN customer c ON c.c_custkey = rv.o_custkey
+            ), m AS (
+                SELECT c_nationkey, COUNT(*) AS n_customers,
+                       SUM(s * s) AS ss2, SUM(s) * SUM(s) AS den
+                FROM j GROUP BY c_nationkey
+            )
+            SELECT c_nationkey, CAST(n_customers AS BIGINT)
+                       AS n_customers,
+                   (CAST(ss2 // 4611686018427387904 AS DOUBLE)
+                    * CAST(4611686018427387904 AS DOUBLE)
+                    + CAST(ss2 % 4611686018427387904 AS DOUBLE))
+                   / (CAST(den // 4611686018427387904 AS DOUBLE)
+                      * CAST(4611686018427387904 AS DOUBLE)
+                      + CAST(den % 4611686018427387904 AS DOUBLE))
+                       AS hhi
+            FROM m ORDER BY c_nationkey
+        """,
+        "events_ses": """
+            -- integer exponential smoothing (alpha = 1/2): the
+            -- recursive CTE applies the identical floor-div
+            -- recurrence over the day axis
+            WITH RECURSIVE d AS (
+                SELECT date_trunc('day', ts) AS day,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT day, CAST(xc AS HUGEINT) AS xc,
+                       ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM d
+            ), s AS (
+                SELECT rn, day, xc, xc AS ses FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.day, o.xc, (s.ses + o.xc) // 2
+                FROM s JOIN o ON o.rn = s.rn + 1
+            )
+            SELECT day, CAST(xc AS BIGINT) AS day_cents,
+                   CAST(ses AS BIGINT) AS ses_cents
+            FROM s ORDER BY day
         """,
         "customer_pareto": """
             -- smallest revenue-desc prefix of customers reaching 80%

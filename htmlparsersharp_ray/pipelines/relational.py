@@ -9491,3 +9491,149 @@ def q_events_chisq(sf_dir: str):
         "df": pd.Series([(k_types - 1) * (m_dows - 1)], dtype="int64"),
         "chisq_scaled": pd.Series([scaled], dtype="int64"),
     })
+
+
+def q_orders_benford(sf_dir: str):
+    """BENFORD'S-LAW AUDIT of order totals — the classic fraud /
+    data-fabrication screen: observed first-significant-digit counts
+    vs the Benford expectation log10(1+1/d). First digits come from a
+    fully vectorized numpy int→'U1' cast (no float log10 near
+    power-of-ten boundaries where rounding could flip the digit);
+    observed shares are integer ppm; the expected share is the ONE
+    mirrored float expression floor(log10(1+1/d)·1e6) — libm log10 on
+    identical doubles both sides."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(_t(sf_dir, "orders"),
+                               columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        first = vc.astype("U20").astype("U1").astype(np.int64)
+        return (pd.DataFrame({"digit": first})
+                .groupby("digit", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("digit", as_index=False).agg(n=("n", "sum"))
+    m = _pysum_cols(m, ["n"])
+    total = sum(int(v) for v in m["n"])
+    rows = []
+    for _, row in m.iterrows():
+        d, n = int(row["digit"]), int(row["n"])
+        obs_ppm = n * 1_000_000 // total
+        exp_ppm = math.floor(math.log10(1.0 + 1.0 / float(d))
+                             * 1000000.0)
+        rows.append((d, n, obs_ppm, exp_ppm))
+    return (pd.DataFrame(rows, columns=["digit", "n_rows", "obs_ppm",
+                                        "exp_ppm"])
+            .astype("int64").sort_values("digit").reset_index(drop=True))
+
+
+def q_nation_customer_hhi(sf_dir: str):
+    """MARKET-CONCENTRATION (Herfindahl–Hirschman) index of customer
+    revenue shares per nation: HHI = Σ sᵢ² / (Σ sᵢ)² over each
+    nation's customers. ONE custkey-hash exchange carries both the
+    order partials and the customer→nation rows (side-tagged union,
+    the Q18 trick); per-nation Σs and Σs² merge as exact Python ints;
+    the index is ONE mirrored division of `_h2d`-split integers, so
+    the float matches DuckDB bitwise."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nb = auto_buckets(orders)
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(
+            "int64")
+        g = (pd.DataFrame({"k": b["o_custkey"].to_numpy(dtype=np.int64),
+                           "cents": cents})
+             .groupby("k", as_index=False)["cents"].sum())
+        g["nk"] = np.int64(0)
+        g["is_cust"] = False
+        g["ub"] = (hashing.mix64(g["k"].to_numpy().astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g[["ub", "k", "cents", "nk", "is_cust"]]
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "ub": (hashing.mix64(k.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64),
+            "k": k,
+            "cents": np.zeros(len(k), dtype=np.int64),
+            "nk": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "is_cust": np.ones(len(k), dtype=bool),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = g[g["is_cust"]][["k", "nk"]]
+        rev = (g[~g["is_cust"]]
+               .groupby("k", as_index=False)["cents"].sum())
+        m = rev.merge(cmap, on="k", how="inner")
+        s = m["cents"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({"nk": m["nk"].to_numpy(dtype=np.int64),
+                          "s": s, "s2": s * s})
+        out = d.groupby("nk", as_index=False).agg(
+            s=("s", "sum"), s2=("s2", "sum"), n_customers=("s", "size"))
+        return out
+
+    parts = (orders.map_batches(order_partial, batch_format="pandas")
+             .union(cust.map_batches(cust_rows, batch_format="pandas"))
+             .groupby("ub").map_groups(per_bucket,
+                                       batch_format="pandas")
+             .to_pandas())
+    parts = _pysum_cols(parts, ["s", "s2"])
+    rows = []
+    for nk, g in parts.groupby("nk"):
+        t = sum(g["s"])
+        ss2 = sum(g["s2"])
+        hhi = _h2d(ss2) / _h2d(t * t)
+        rows.append((int(nk), int(g["n_customers"].sum()), hhi))
+    return (pd.DataFrame(rows, columns=["c_nationkey", "n_customers",
+                                        "hhi"])
+            .astype({"c_nationkey": "int64", "n_customers": "int64"})
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+def q_events_ses(sf_dir: str):
+    """SIMPLE EXPONENTIAL SMOOTHING forecast over daily event spend
+    (α = 1/2) in EXACT integer cents: S₁ = x₁, Sₜ = ⌊(Sₜ₋₁ + xₜ)/2⌋ —
+    halving keeps the recurrence integer so the sequential smoother is
+    bitwise-reproducible (a float EWMA is order-fragile). Day totals
+    are decomposable partials; the recurrence runs once over the
+    BOUNDED day axis on the driver (the rolling_dau argument). The
+    oracle is a recursive CTE with the identical floor-div."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"day": day, "xc": cents})
+                .groupby("day", as_index=False)["xc"].sum())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("day", as_index=False).agg(xc=("xc", "sum"))
+    m = _pysum_cols(m, ["xc"]).sort_values("day")
+    ses, out = None, []
+    for _, row in m.iterrows():
+        x = int(row["xc"])
+        ses = x if ses is None else (ses + x) // 2
+        out.append((int(row["day"]), x, ses))
+    df = pd.DataFrame(out, columns=["day", "day_cents", "ses_cents"])
+    df["day"] = pd.to_datetime(df["day"].to_numpy(dtype=np.int64)
+                               * us_per_day, unit="us")
+    return df.astype({"day_cents": "int64", "ses_cents": "int64"})

@@ -308,3 +308,79 @@ class TestDocsCompressibility:
             .sort_values("doc_id").reset_index(drop=True))
         r_t, r_p, r_n = out["ratio_ppm"].tolist()
         assert r_t < r_p < r_n
+
+
+class TestOrdersBenford:
+    def test_digit_extraction_and_shares(self, ray_session, tmp_path):
+        # cents: 999 (digit 9), 1000 (1), 100000 (1), 55555 (5)
+        t = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1] * 4, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4),
+            "o_totalprice": pa.array([9.99, 10.00, 1000.00, 555.55],
+                                     pa.float64()),
+            "o_orderdate": pa.array(pd.to_datetime(["2024-01-01"] * 4),
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 4),
+        })
+        out = r.q_orders_benford(_write(tmp_path, "orders", t))
+        by = dict(zip(out["digit"], out["n_rows"]))
+        assert by == {1: 2, 5: 1, 9: 1}
+        row1 = out[out["digit"] == 1].iloc[0]
+        assert row1["obs_ppm"] == 500000
+        assert row1["exp_ppm"] == math.floor(math.log10(2.0) * 1e6)
+
+
+class TestNationCustomerHhi:
+    def _tables(self, tmp_path, custs, nations, orders):
+        _write(tmp_path, "customer", pa.table({
+            "c_custkey": pa.array(custs, pa.int64()),
+            "c_nationkey": pa.array(nations, pa.int64()),
+        }))
+        ok, prices = zip(*orders)
+        return _write(tmp_path, "orders", pa.table({
+            "o_custkey": pa.array(ok, pa.int64()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }))
+
+    def test_monopoly_is_one_equal_split_is_inverse_n(self, ray_session,
+                                                      tmp_path):
+        # nation 0: one customer -> HHI = 1; nation 1: four equal
+        # customers -> HHI = 1/4
+        d = self._tables(
+            tmp_path,
+            custs=[1, 2, 3, 4, 5],
+            nations=[0, 1, 1, 1, 1],
+            orders=[(1, 50.0), (2, 10.0), (3, 10.0), (4, 10.0),
+                    (5, 10.0)])
+        out = r.q_nation_customer_hhi(d)
+        assert out[out["c_nationkey"] == 0]["hhi"].iloc[0] == 1.0
+        assert out[out["c_nationkey"] == 1]["hhi"].iloc[0] == 0.25
+        assert out[out["c_nationkey"] == 1]["n_customers"].iloc[0] == 4
+
+    def test_customers_without_orders_excluded(self, ray_session,
+                                               tmp_path):
+        d = self._tables(tmp_path, custs=[1, 2], nations=[0, 0],
+                         orders=[(1, 5.0)])
+        out = r.q_nation_customer_hhi(d)
+        assert out["n_customers"].tolist() == [1]
+        assert out["hhi"].tolist() == [1.0]
+
+
+class TestEventsSes:
+    def test_floor_recurrence(self, ray_session, tmp_path):
+        # day totals cents: 100, 51, 10 ->
+        # S1=100, S2=floor(151/2)=75, S3=floor(85/2)=42
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1] * 3, pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "ts": pa.array(pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03"]),
+                pa.timestamp("us")),
+            "value": pa.array([1.00, 0.51, 0.10], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        })
+        out = r.q_events_ses(_write(tmp_path, "events", t))
+        assert out["day_cents"].tolist() == [100, 51, 10]
+        assert out["ses_cents"].tolist() == [100, 75, 42]
