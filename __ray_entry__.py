@@ -1841,6 +1841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": r.q_orders_benford,
         "nation_customer_hhi": r.q_nation_customer_hhi,
         "events_ses": r.q_events_ses,
+        "events_autocorr": r.q_events_autocorr,
+        "orders_key_gaps": r.q_orders_key_gaps,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3570,6 +3572,63 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f ORDER BY p_brand
+        """,
+        "events_autocorr": """
+            -- lag-1 / lag-7 autocorrelation of daily spend: Pearson r
+            -- over (day, day-lag) pairs from exact integer sufficient
+            -- statistics; the float expression mirrors the engine
+            -- (sqrt form, _h2d 2^62 splits)
+            WITH d AS (
+                SELECT datediff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS dd,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS HUGEINT) AS xc
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT v.lag, l.xc AS x, r.xc AS y
+                FROM (VALUES (1), (7)) v(lag)
+                JOIN d l ON TRUE
+                JOIN d r ON r.dd = l.dd - v.lag
+            ), s AS (
+                SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy
+                FROM p GROUP BY lag
+            ), k AS (
+                SELECT lag, n, n*sxy - sx*sy AS num,
+                       n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+                FROM s
+            )
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   ((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                    * (CAST(ABS(num) // 4611686018427387904 AS DOUBLE)
+                       * CAST(4611686018427387904 AS DOUBLE)
+                       + CAST(ABS(num) % 4611686018427387904
+                              AS DOUBLE)))
+                   / (SQRT(CAST(dx // 4611686018427387904 AS DOUBLE)
+                           * CAST(4611686018427387904 AS DOUBLE)
+                           + CAST(dx % 4611686018427387904 AS DOUBLE))
+                      * SQRT(CAST(dy // 4611686018427387904 AS DOUBLE)
+                             * CAST(4611686018427387904 AS DOUBLE)
+                             + CAST(dy % 4611686018427387904
+                                    AS DOUBLE))) AS autocorr
+            FROM k WHERE dx > 0 AND dy > 0 ORDER BY lag
+        """,
+        "orders_key_gaps": """
+            -- missing-id audit: contiguous absent o_orderkey runs in
+            -- the F-status sequence (lead-over-sorted-keys); the
+            -- engine computes it with ordered range buckets + a
+            -- bounded straddle merge instead of a global sort
+            WITH k AS (
+                SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_orderstatus = 'F'
+            ), l AS (
+                SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k
+            )
+            SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+                   nk - k - 1 AS gap_len
+            FROM l WHERE nk > k + 1 ORDER BY gap_start
         """,
         "orders_benford": """
             -- first-significant-digit audit: integer ppm shares, the

@@ -9637,3 +9637,117 @@ def q_events_ses(sf_dir: str):
     df["day"] = pd.to_datetime(df["day"].to_numpy(dtype=np.int64)
                                * us_per_day, unit="us")
     return df.astype({"day_cents": "int64", "ses_cents": "int64"})
+
+
+def q_events_autocorr(sf_dir: str):
+    """LAG-k AUTOCORRELATION of daily spend (lags 1 and 7) — the
+    time-series diagnostics op behind seasonality detection. Day
+    totals are decomposable exact-cents partials; the (x_t, x_{t−k})
+    pairing and Pearson r run over the BOUNDED day axis with exact
+    Python-int sufficient statistics and ONE mirrored float expression
+    per lag (the q_lineitem_corr construction, sqrt form; `_h2d`
+    splits the big integers)."""
+    import math
+
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"day": day, "xc": cents})
+                .groupby("day", as_index=False)["xc"].sum())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = (parts.groupby("day", as_index=False).agg(xc=("xc", "sum")))
+    m = _pysum_cols(m, ["xc"]).sort_values("day")
+    days = m["day"].to_numpy(dtype=np.int64)
+    vals = [int(v) for v in m["xc"]]
+    by_day = dict(zip(days.tolist(), vals))
+    rows = []
+    for lag in (1, 7):
+        xs, ys = [], []
+        for d, x in zip(days.tolist(), vals):
+            if d - lag in by_day:
+                xs.append(x)
+                ys.append(by_day[d - lag])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if n < 2 or dx <= 0 or dy <= 0:
+            continue        # degenerate lag: mirrored by WHERE dx>0
+        corr = _h2d(num) / (math.sqrt(_h2d(dx)) * math.sqrt(_h2d(dy)))
+        rows.append((lag, n, corr))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "autocorr"]) \
+        .astype({"lag": "int64", "n_pairs": "int64"})
+
+
+def q_orders_key_gaps(sf_dir: str):
+    """KEY-GAP DETECTION (missing-id audit): contiguous runs of absent
+    o_orderkey values within the F-status order sequence — the
+    sequence-completeness check run before trusting an id column. The
+    global lead-over-sorted-keys is computed WITHOUT a global sort:
+    keys range-bucket by high bits (shift chosen from the max key's
+    bit length, ≤4096 ordered buckets), each bucket sorts locally and
+    emits its internal gaps; the ≤4096 per-bucket (min, max) scalars
+    merge on the driver to close the straddle gaps between adjacent
+    occupied buckets."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderstatus"), "F")
+        k = batch.filter(mask).column("o_orderkey")
+        return pa.table({"k": k.cast(pa.int64())})
+
+    filtered = ds.map_batches(keys_only, batch_format="pyarrow")
+    max_key = filtered.max("k")
+    shift = max(0, int(max_key).bit_length() - 12)
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rb", pa.array((k >> np.int64(shift)).astype(np.int64)))
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(dtype=np.int64))
+        d = np.diff(k)
+        i = np.nonzero(d > 1)[0]
+        out = pd.DataFrame({
+            "gap_start": k[i] + 1, "gap_end": k[i + 1] - 1,
+            "is_edge": np.zeros(len(i), dtype=bool),
+        })
+        edge = pd.DataFrame({
+            "gap_start": [int(k[0])], "gap_end": [int(k[-1])],
+            "is_edge": [True],
+        })
+        return pd.concat([out, edge], ignore_index=True)
+
+    parts = (filtered.map_batches(add_rb, batch_format="pyarrow")
+             .groupby("rb").map_groups(bucket_gaps,
+                                       batch_format="pandas")
+             .to_pandas())
+    inner = parts[~parts["is_edge"]]
+    edges = parts[parts["is_edge"]].sort_values("gap_start")
+    lo = edges["gap_start"].to_numpy(dtype=np.int64)  # bucket min key
+    hi = edges["gap_end"].to_numpy(dtype=np.int64)    # bucket max key
+    straddle = pd.DataFrame({
+        "gap_start": hi[:-1] + 1, "gap_end": lo[1:] - 1,
+    })
+    straddle = straddle[straddle["gap_end"] >= straddle["gap_start"]]
+    out = pd.concat([inner[["gap_start", "gap_end"]], straddle],
+                    ignore_index=True)
+    out["gap_len"] = out["gap_end"] - out["gap_start"] + 1
+    return (out.astype("int64").sort_values("gap_start")
+            .reset_index(drop=True))

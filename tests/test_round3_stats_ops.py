@@ -384,3 +384,77 @@ class TestEventsSes:
         out = r.q_events_ses(_write(tmp_path, "events", t))
         assert out["day_cents"].tolist() == [100, 51, 10]
         assert out["ses_cents"].tolist() == [100, 75, 42]
+
+
+class TestEventsAutocorr:
+    def test_linear_series_is_perfectly_correlated(self, ray_session,
+                                                   tmp_path):
+        """Strictly linear day totals: lag-1 pairs are collinear ->
+        autocorr exactly 1.0 (integer stats make it bitwise 1.0)."""
+        days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+        vals = [float(d) for d in range(1, 11)]
+        t = pa.table({
+            "event_id": pa.array(range(10), pa.int64()),
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "event_type": pa.array(["a"] * 10),
+            "ts": pa.array(pd.to_datetime(days), pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 10),
+        })
+        out = r.q_events_autocorr(_write(tmp_path, "events", t))
+        l1 = out[out["lag"] == 1].iloc[0]
+        assert l1["n_pairs"] == 9
+        # collinear pairs: r = 1 up to the final sqrt/division ULPs
+        assert abs(l1["autocorr"] - 1.0) < 1e-12
+        l7 = out[out["lag"] == 7].iloc[0]
+        assert l7["n_pairs"] == 3
+
+    def test_gap_days_drop_pairs(self, ray_session, tmp_path):
+        """Missing days produce no (t, t-1) pair — pairing is by day
+        VALUE, not row position."""
+        days = ["2024-01-01", "2024-01-02", "2024-01-05", "2024-01-06"]
+        t = pa.table({
+            "event_id": pa.array(range(4), pa.int64()),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "ts": pa.array(pd.to_datetime(days), pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        })
+        out = r.q_events_autocorr(_write(tmp_path, "events", t))
+        assert out[out["lag"] == 1].iloc[0]["n_pairs"] == 2  # 02, 06
+
+
+class TestOrdersKeyGaps:
+    def _orders(self, tmp_path, keys, statuses=None):
+        n = len(keys)
+        statuses = statuses or ["F"] * n
+        t = pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_orderstatus": pa.array(statuses),
+        })
+        return _write(tmp_path, "orders", t)
+
+    def test_known_gaps(self, ray_session, tmp_path):
+        d = self._orders(tmp_path, [1, 2, 5, 6, 10])
+        out = r.q_orders_key_gaps(d)
+        assert list(zip(out["gap_start"], out["gap_end"],
+                        out["gap_len"])) == [(3, 4, 2), (7, 9, 3)]
+
+    def test_bucket_straddle_gap(self, ray_session, tmp_path):
+        """Keys far enough apart to land in different range buckets:
+        the straddle merge must still report the cross-bucket gap."""
+        # max key 2^20 -> shift 9; keys 100 and 2^20 are in different
+        # buckets with everything between missing
+        d = self._orders(tmp_path, [100, 1 << 20])
+        out = r.q_orders_key_gaps(d)
+        assert list(zip(out["gap_start"], out["gap_end"])) == [
+            (101, (1 << 20) - 1)]
+
+    def test_status_filter(self, ray_session, tmp_path):
+        """Non-F keys are invisible: key 3 exists with status O, so
+        the F-sequence still has the 3-gap."""
+        d = self._orders(tmp_path, [1, 2, 3, 4],
+                         ["F", "F", "O", "F"])
+        out = r.q_orders_key_gaps(d)
+        assert list(zip(out["gap_start"], out["gap_end"])) == [(3, 3)]

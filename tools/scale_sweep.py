@@ -727,7 +727,7 @@ def main() -> int:
         # like synth_events but with nonzero pareto-ish cent values so
         # the cusum/drawdown charts do real flagging work
         os.makedirs(d, exist_ok=True)
-        marker = os.path.join(d, "_COMPLETE_v1")
+        marker = os.path.join(d, "_COMPLETE_v2")   # v2: + event_type
         if not os.path.exists(marker):
             rng = np.random.default_rng(17)
             base = np.int64(1_700_000_000_000_000)
@@ -735,10 +735,14 @@ def main() -> int:
                   ).astype("datetime64[us]")
             cents = np.minimum(
                 (rng.pareto(1.3, n) * 3000).astype(np.int64) + 1, 49_000)
+            types = np.array(["view", "click", "purchase", "error",
+                              "login"])
             pq.write_table(pa.table({
                 "event_id": np.arange(n, dtype=np.int64),
                 "ts": pa.array(ts, pa.timestamp("us")),
                 "user_id": rng.integers(0, 100_000, n).astype(np.int64),
+                "event_type": pa.array(
+                    types[rng.integers(0, 5, n)]),
                 "value": cents / 100.0,
             }), os.path.join(d, "events.parquet"),
                 row_group_size=1 << 19)
@@ -801,6 +805,64 @@ def main() -> int:
                         k=10, pool=50)
 
     run("mmr_1m", mmr_1m)
+
+    def mst_10m():
+        # Borůvka MSF over the 10M-edge graph with deterministic
+        # id-derived weights (the sssp weighting)
+        from htmlparsersharp_ray.stages.graph import (
+            minimum_spanning_forest)
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+
+        def with_w(b):
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            d2 = b.column("dst").to_numpy(zero_copy_only=False)
+            w = (s + d2) % 9 + 1
+            return b.append_column("w", pa.array(w.astype("int64")))
+
+        return minimum_spanning_forest(
+            e.map_batches(with_w, batch_format="pyarrow")).count()
+
+    run("mst_10m", mst_10m)
+
+    def synth_orders_pareto(d="/tmp/graft_sweep_orders10m",
+                            n=10_000_000, n_cust=1_000_000):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(17)
+            # zipf-ish revenue skew so the 80% prefix is a real cut
+            cents = (rng.pareto(1.5, n) * 10_000).astype(np.int64) + 100
+            pq.write_table(pa.table({
+                "o_custkey": rng.integers(0, n_cust, n).astype(np.int64),
+                "o_totalprice": cents / 100.0,
+            }), os.path.join(d, "orders.parquet"),
+                row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    if not only or "pareto_10m" in only:
+        synth_orders_pareto()
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_customer_pareto,
+        q_events_chisq,
+        q_events_trending,
+        q_orders_benford,
+    )
+
+    run("pareto_10m", lambda: q_customer_pareto(synth_orders_pareto()))
+    run("benford_10m", lambda: q_orders_benford(synth_orders_pareto()))
+    run("trending_10m", lambda: q_events_trending(synth_events_val()))
+    run("chisq_10m", lambda: q_events_chisq(synth_events_val()))
+
+    def compressibility_100k():
+        from htmlparsersharp_ray.stages.text_analysis import (
+            compressibility)
+
+        return compressibility(docs(pair_files)).count()
+
+    run("compressibility_100k", compressibility_100k)
 
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
