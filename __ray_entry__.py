@@ -1843,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ses": r.q_events_ses,
         "events_autocorr": r.q_events_autocorr,
         "orders_key_gaps": r.q_orders_key_gaps,
+        "docs_source_kl": r.q_docs_source_kl,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3572,6 +3573,58 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f ORDER BY p_brand
+        """,
+        "docs_source_kl": """
+            -- per-source KL divergence from the corpus distribution
+            -- over the global top-64 terms; fixed-point per-cell
+            -- floor at 2^30 before summation (order-independent);
+            -- zero cells drop on both sides (0*ln0 = 0); HUGEINT
+            -- products cast through the mirrored 2^62 split
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), t64 AS (
+                SELECT term, count(*) AS ct FROM w
+                GROUP BY term ORDER BY count(*) DESC, term LIMIT 64
+            ), n64 AS (SELECT SUM(CAST(ct AS HUGEINT)) AS n FROM t64),
+            cs AS (
+                SELECT w.source, w.term, count(*) AS c
+                FROM w JOIN t64 ON t64.term = w.term
+                GROUP BY 1, 2
+            ), nsrc AS (
+                SELECT source, SUM(c) AS ns FROM cs GROUP BY source
+            ), cell AS (
+                SELECT cs.source, CAST(cs.c AS BIGINT) AS c,
+                       CAST(nsrc.ns AS BIGINT) AS ns,
+                       CAST(cs.c AS HUGEINT) * n64.n AS num,
+                       CAST(nsrc.ns AS HUGEINT)
+                           * CAST(t64.ct AS HUGEINT) AS den
+                FROM cs JOIN nsrc USING (source)
+                        JOIN t64 ON t64.term = cs.term
+                        CROSS JOIN n64
+            ), f AS (
+                SELECT source, ns,
+                       FLOOR((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                             * LN((CAST(num // 4611686018427387904
+                                        AS DOUBLE)
+                                   * CAST(4611686018427387904 AS DOUBLE)
+                                   + CAST(num % 4611686018427387904
+                                          AS DOUBLE))
+                                  / (CAST(den // 4611686018427387904
+                                          AS DOUBLE)
+                                     * CAST(4611686018427387904
+                                            AS DOUBLE)
+                                     + CAST(den % 4611686018427387904
+                                            AS DOUBLE)))
+                             * 1073741824.0) AS termv
+                FROM cell
+            )
+            SELECT source, CAST(MIN(ns) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(termv AS BIGINT)) AS BIGINT)
+                       AS kl_scaled
+            FROM f GROUP BY source ORDER BY source
         """,
         "events_autocorr": """
             -- lag-1 / lag-7 autocorrelation of daily spend: Pearson r

@@ -9751,3 +9751,63 @@ def q_orders_key_gaps(sf_dir: str):
     out["gap_len"] = out["gap_end"] - out["gap_start"] + 1
     return (out.astype("int64").sort_values("gap_start")
             .reset_index(drop=True))
+
+
+def q_docs_source_kl(sf_dir: str):
+    """VOCABULARY-DRIFT REPORT: KL divergence of each source's term
+    distribution from the corpus distribution, over the GLOBAL top-64
+    terms — the distribution-shift monitor a training-data pipeline
+    runs per ingestion source. Two passes: (1) the existing exact
+    top-terms pass fixes the 64-term universe; (2) one map pass counts
+    those terms per source (64-term set in the task closure — the
+    kmeans tiny-broadcast rule), partials merge on the bounded
+    (sources × 64) axis in Python ints. KL is a FIXED-POINT sum: each
+    (source, term) cell contributes floor((c/ns)·ln(c·N/(ns·Ct))·2^30)
+    — integer partials commute, zero cells drop identically both
+    sides, products ≥2^53 go through the `_h2d` split, and ln/division
+    are ONE mirrored expression (shared libm)."""
+    import math
+
+    import numpy as np
+
+    from ..stages.text_analysis import top_terms
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["source", "text"])
+    t64 = top_terms(
+        ray.data.read_parquet(_t(sf_dir, "documents"),
+                              columns=["text"]), k=64)
+    terms = t64["term"].tolist()
+    ct = {t: int(n) for t, n in zip(t64["term"], t64["n"])}
+    n64 = sum(ct.values())
+    term_set = set(terms)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"source": b["source"], "toks": text.str.split()})
+        d = d[text != ""]
+        e = d.explode("toks")
+        e = e[e["toks"].isin(term_set)]
+        out = (e.groupby(["source", "toks"], as_index=False)
+               .size().rename(columns={"size": "c", "toks": "term"}))
+        return out
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = (parts.groupby(["source", "term"], as_index=False)
+             .agg(c=("c", "sum")))
+    cells = _pysum_cols(cells, ["c"])
+    rows = []
+    for source, g in cells.groupby("source"):
+        ns = sum(g["c"])
+        scaled = 0
+        for _, row in g.iterrows():
+            c = int(row["c"])
+            t = row["term"]
+            ratio = _h2d(c * n64) / _h2d(ns * ct[t])
+            termv = (float(c) / float(ns)) * math.log(ratio)
+            scaled += math.floor(termv * 1073741824.0)
+        rows.append((source, ns, scaled))
+    return (pd.DataFrame(rows, columns=["source", "n_tokens",
+                                        "kl_scaled"])
+            .astype({"n_tokens": "int64", "kl_scaled": "int64"})
+            .sort_values("source").reset_index(drop=True))

@@ -458,3 +458,48 @@ class TestOrdersKeyGaps:
                          ["F", "F", "O", "F"])
         out = r.q_orders_key_gaps(d)
         assert list(zip(out["gap_start"], out["gap_end"])) == [(3, 3)]
+
+
+class TestDocsSourceKl:
+    def _docs(self, tmp_path, sources, texts):
+        n = len(texts)
+        t = pa.table({
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        return _write(tmp_path, "documents", t)
+
+    def test_matching_source_has_zero_kl(self, ray_session, tmp_path):
+        """A source whose term distribution EQUALS the corpus
+        distribution has KL = 0 exactly (every ratio is 1, ln 1 = 0,
+        floor(0) = 0)."""
+        # two sources with identical distributions -> corpus == each
+        d = self._docs(tmp_path, ["a", "b"],
+                       ["x x y", "x x y"])
+        out = r.q_docs_source_kl(d)
+        assert out["kl_scaled"].tolist() == [0, 0]
+        assert out["n_tokens"].tolist() == [3, 3]
+
+    def test_skewed_source_positive_kl(self, ray_session, tmp_path):
+        """A source concentrated on one term diverges; KL >= 0 up to
+        the floor (each cell loses < 1/2^30)."""
+        d = self._docs(tmp_path, ["a", "a", "b", "b"],
+                       ["x x x x", "x x y", "y y y x", "y y"])
+        out = r.q_docs_source_kl(d)
+        # both sources differ from the pooled corpus distribution
+        assert (out["kl_scaled"] > 0).all()
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import math
+
+        d = self._docs(tmp_path, ["a", "b"], ["x x x y", "x y y y"])
+        out = r.q_docs_source_kl(d)
+        # corpus: x=4, y=4, N=8; source a: x=3, y=1, ns=4
+        expect_a = (math.floor((3 / 4) * math.log((3 * 8) / (4 * 4))
+                               * 2**30)
+                    + math.floor((1 / 4) * math.log((1 * 8) / (4 * 4))
+                                 * 2**30))
+        assert out[out["source"] == "a"]["kl_scaled"].iloc[0] == expect_a
