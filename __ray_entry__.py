@@ -457,6 +457,31 @@ def _q_embeddings_gbdt(sf_dir: str):
     return gbdt_train(emb, pos_label=0, rounds=5)
 
 
+def _q_embeddings_ridge(sf_dir: str):
+    """Closed-form RIDGE REGRESSION on the embedding table
+    (stages/train.py::ridge_regression): (XᵀX + λI)w = Xᵀy from exact
+    integer sufficient statistics (the PCA split-matmul partial +
+    Σxᵀy), one driver-side LAPACK solve with an intercept — the
+    normal-equations trainer beside the iterative probe. y = the
+    integer label column treated as a regression target. Output: one
+    row per coefficient (w0..w{d-1}, _bias) plus _mse/_n_train metric
+    rows. Non-SQL-expressible (linear solve): rows-only driver check;
+    the quantized-numpy bitwise differential, layout invariance and
+    planted-linear recovery gates live in tests."""
+    import pandas as pd
+    import ray.data
+
+    from htmlparsersharp_ray.stages.train import ridge_regression
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir,
+                                             "embeddings.parquet"))
+    w, b, mse, n = ridge_regression(emb, l2=1.0)
+    names = [f"w{i}" for i in range(len(w))] + ["_bias", "_mse",
+                                                "_n_train"]
+    vals = list(map(float, w)) + [b, mse, float(n)]
+    return pd.DataFrame({"coef": names, "value": vals})
+
+
 def _q_embeddings_train_probe(sf_dir: str):
     """Distributed linear-probe TRAINING on the embedding table
     (stages/train.py): one-vs-rest logistic regression for label 0,
@@ -1969,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_forms": _q_extract_forms,
         "part_assortativity": r.q_part_assortativity,
         "embeddings_train_probe": _q_embeddings_train_probe,
+        "embeddings_ridge": _q_embeddings_ridge,
         "embeddings_gbdt": _q_embeddings_gbdt,
         "part_item_sim": r.q_part_item_sim,
         "part_als": _q_part_als,

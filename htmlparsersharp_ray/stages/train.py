@@ -486,3 +486,92 @@ def gbdt_train(ds: ray.data.Dataset, pos_label: int = 0,
         "n_train": np.full(len(models), n_total, dtype=np.int64),
         "n_correct": np.full(len(models), n_ok, dtype=np.int64),
     })
+
+
+def ridge_regression(ds: ray.data.Dataset, l2: float = 1.0,
+                     target_col: str = "label"):
+    """Closed-form RIDGE REGRESSION over an embedding column: solve
+    (XᵀX + λI)w = Xᵀy from EXACT integer sufficient statistics — the
+    distributed normal-equations trainer beside the iterative probe.
+
+    One streaming pass: each batch quantizes vectors to the fixed
+    grid, emits the exact d×d second-moment partial (the PCA hi/lo
+    split-matmul trick — BLAS speed, bitwise-exact), plus Σxᵀy, Σx,
+    Σy, Σy², n (y = the integer target, exact as-is). The driver
+    merges partials in Python ints, augments with a BIAS row/column
+    (intercept), converts ONCE to float64 and runs one (d+1)×(d+1)
+    LAPACK solve — bitwise-deterministic at any parallelism because
+    every input integer is. λ applies to the weight dims only (not
+    the intercept), the standard convention.
+
+    Returns (w: np.ndarray [d], b: float, mse: float, n: int) with
+    mse computed from the same sufficient statistics
+    (||Xw+b−y||²/n = wᵀAw + 2bwᵀs − 2wᵀc + nb² − 2bt + q, all exact
+    integers contracted in float64 in one deterministic order)."""
+    scale = float(1 << _SHIFT)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _batch_matrix(batch, "embedding")
+        y = batch.column(target_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = np.rint(emb * scale).astype(np.int64)
+        if len(q) > (1 << 14):
+            raise ValueError("ridge partial: batch too large for the "
+                             "exact split-matmul bound (2^14 rows)")
+        hi = (q >> 11).astype(np.float64)
+        lo = (q - ((q >> 11) << 11)).astype(np.float64)
+        hh = (hi.T @ hi).astype(np.int64)
+        hl = (hi.T @ lo).astype(np.int64)
+        lh = (lo.T @ hi).astype(np.int64)
+        ll = (lo.T @ lo).astype(np.int64)
+        outer = (hh << 22) + ((hl + lh) << 11) + ll
+        xty = (q * y[:, None]).sum(axis=0)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()],
+                          pa.list_(pa.int64())),
+            "outer": pa.array([outer.ravel().tolist()],
+                              pa.list_(pa.int64())),
+            "xty": pa.array([xty.tolist()], pa.list_(pa.int64())),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    if n == 0:
+        raise ValueError("ridge_regression: empty input")
+    d = len(parts["s"].iloc[0])
+    s_tot = np.zeros(d, dtype=object)
+    o_tot = np.zeros(d * d, dtype=object)
+    c_tot = np.zeros(d, dtype=object)
+    sy = syy = 0
+    for _, row in parts.iterrows():
+        s_tot = s_tot + np.asarray(row["s"], dtype=object)
+        o_tot = o_tot + np.asarray(row["outer"], dtype=object)
+        c_tot = c_tot + np.asarray(row["xty"], dtype=object)
+        sy += int(row["sy"])
+        syy += int(row["syy"])
+    # augmented system in ORIGINAL units (x = q / scale):
+    #   [ XtX   Xt1 ] [w]   [Xty]
+    #   [ 1tX    n  ] [b] = [1ty]
+    a = np.zeros((d + 1, d + 1), dtype=np.float64)
+    a[:d, :d] = np.asarray(o_tot.reshape(d, d), dtype=np.float64) \
+        / (scale * scale)
+    a[:d, d] = a[d, :d] = np.asarray(s_tot, dtype=np.float64) / scale
+    a[d, d] = float(n)
+    a[:d, :d] += np.eye(d) * float(l2)
+    rhs = np.zeros(d + 1, dtype=np.float64)
+    rhs[:d] = np.asarray(c_tot, dtype=np.float64) / scale
+    rhs[d] = float(sy)
+    sol = np.linalg.solve(a, rhs)
+    w, b = sol[:d], float(sol[d])
+    # training MSE from the same moments (one deterministic order)
+    xtx = np.asarray(o_tot.reshape(d, d), dtype=np.float64) \
+        / (scale * scale)
+    s_f = np.asarray(s_tot, dtype=np.float64) / scale
+    c_f = np.asarray(c_tot, dtype=np.float64) / scale
+    sse = (w @ xtx @ w + 2.0 * b * (w @ s_f) - 2.0 * (w @ c_f)
+           + float(n) * b * b - 2.0 * b * float(sy) + float(syy))
+    return w, b, sse / float(n), n

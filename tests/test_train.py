@@ -272,3 +272,82 @@ def test_gbdt_boosting_improves_on_one_stump(ray_session):
     acc6 = int(six["n_correct"].iloc[0])
     assert acc6 > acc1
     assert acc6 >= 570  # the OR-of-two-thresholds concept is learnable
+
+
+class TestRidgeRegression:
+    def _emb_table(self, X, y):
+        import pyarrow as pa
+
+        return pa.table({
+            "vec_id": pa.array(range(len(y)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(y, pa.int32()),
+        })
+
+    def _reference(self, X, y, l2=1.0, shift=20):
+        """Quantized-numpy closed form replicating the engine's exact
+        pipeline (same grid, same augmented system, same solve)."""
+        import numpy as np
+
+        scale = float(1 << shift)
+        q = np.rint(np.asarray(X, np.float64).astype(np.float32)
+                    .astype(np.float64) * scale).astype(np.int64)
+        yv = np.asarray(y, np.int64)
+        d = q.shape[1]
+        a = np.zeros((d + 1, d + 1))
+        a[:d, :d] = (q.T @ q).astype(np.float64) / (scale * scale) \
+            + np.eye(d) * l2
+        a[:d, d] = a[d, :d] = q.sum(axis=0).astype(np.float64) / scale
+        a[d, d] = float(len(yv))
+        rhs = np.zeros(d + 1)
+        rhs[:d] = (q * yv[:, None]).sum(axis=0).astype(np.float64) / scale
+        rhs[d] = float(yv.sum())
+        sol = np.linalg.solve(a, rhs)
+        return sol[:d], float(sol[d])
+
+    def test_bitwise_vs_quantized_numpy(self, ray_session):
+        import numpy as np
+        import ray as _ray
+
+        from htmlparsersharp_ray.stages.train import ridge_regression
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(500, 8))
+        y = rng.integers(0, 10, 500)
+        ds = _ray.data.from_arrow(self._emb_table(X, y))
+        w, b, mse, n = ridge_regression(ds, l2=1.0)
+        wr, br = self._reference(X, y)
+        assert n == 500
+        assert list(w) == list(wr) and b == br  # bitwise
+
+    def test_layout_invariance(self, ray_session):
+        import numpy as np
+        import ray as _ray
+
+        from htmlparsersharp_ray.stages.train import ridge_regression
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(400, 6))
+        y = rng.integers(0, 5, 400)
+        t = self._emb_table(X, y)
+        one = ridge_regression(_ray.data.from_arrow(t))
+        many = ridge_regression(_ray.data.from_arrow(t).repartition(17))
+        assert list(one[0]) == list(many[0]) and one[1] == many[1]
+        assert one[2] == many[2]
+
+    def test_planted_linear_recovery(self, ray_session):
+        import numpy as np
+        import ray as _ray
+
+        from htmlparsersharp_ray.stages.train import ridge_regression
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(2000, 4))
+        w_true = np.array([3.0, -2.0, 0.0, 1.0])
+        y = np.rint(X @ w_true + 5.0).astype(int)
+        ds = _ray.data.from_arrow(self._emb_table(X, y))
+        w, b, mse, _ = ridge_regression(ds, l2=1e-6)
+        assert np.allclose(w, w_true, atol=0.05)
+        assert abs(b - 5.0) < 0.05
+        assert mse < 0.2  # rounding noise of rint only
