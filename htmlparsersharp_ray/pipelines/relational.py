@@ -42,17 +42,21 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _h2d(v: int) -> float:
-    """Exact-integer → double conversion MIRRORED with the oracle.
+    """Big-integer → double conversion MIRRORED with the oracle.
 
     DuckDB's ``CAST(hugeint AS DOUBLE)`` is NOT correctly rounded: it
     recombines ``(double)upper * 2^64 + (double)lower``, which double-
     rounds for negatives and for magnitudes straddling 2^64 (measured:
     ``-386318719748028000`` casts 1 ULP off Python's correctly-rounded
     ``float(int)``). Both sides therefore split ``|v| = hi*2^62 + lo``
-    — each piece casts correctly (nonneg < 2^64 takes the exact
-    upper==0 path in DuckDB; Python float() is always correct) — and
-    recombine with the same two IEEE ops, so results are bitwise-equal
-    for any |v| < 2^126. SQL mirror:
+    — each piece casts correctly-rounded (nonneg < 2^64 takes the
+    exact upper==0 path in DuckDB; Python float() is always correct)
+    — and recombine with the same two IEEE ops, so the two sides are
+    BITWISE-EQUAL for any |v| < 2^126. The contract is the mirror,
+    not correct rounding: the result equals float(v) exactly for
+    |v| < 2^62 and can double-round 1 ULP off above the seam
+    (hypothesis-pinned counterexample: 9074390995551966465). SQL
+    mirror:
     ``sign * (CAST(ABS(m)//2^62 AS DOUBLE) * CAST(2^62 AS DOUBLE)
     + CAST(ABS(m)%2^62 AS DOUBLE))``."""
     s = -1.0 if v < 0 else 1.0

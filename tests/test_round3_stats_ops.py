@@ -44,9 +44,10 @@ def _ref_moments(vals):
 
 
 class TestH2D:
-    def test_matches_python_float_everywhere(self):
-        """_h2d must equal correctly-rounded float(int) — the split
-        only exists so the SQL side can reproduce it."""
+    def test_matches_python_float_on_these(self):
+        """Fixed values where the split recombination coincides with
+        correctly-rounded float(int) (always true below 2^62; above,
+        only up to double rounding — see the property test)."""
         vals = [0, 1, -1, 2**53 + 1, -(2**53 + 3), 386318719748028000,
                 -386318719748028000, 2**80 + 12345, -(2**90 + 7)]
         for v in vals:
@@ -503,3 +504,52 @@ class TestDocsSourceKl:
                     + math.floor((1 / 4) * math.log((1 * 8) / (4 * 4))
                                  * 2**30))
         assert out[out["source"] == "a"]["kl_scaled"].iloc[0] == expect_a
+
+
+class TestNumericHelpersProperties:
+    def test_h2d_contract_property(self):
+        """_h2d's contract is the SQL mirror (same split, same IEEE
+        ops), NOT correct rounding: below the 2^62 seam it equals
+        float(v) exactly; above, the recombination may double-round
+        one ULP off float(v) (hypothesis found 9074390995551966465),
+        which is fine because the oracle computes the identical
+        recombination."""
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from htmlparsersharp_ray.pipelines.relational import _h2d
+
+        @given(st.integers(min_value=-(2**125), max_value=2**125))
+        @settings(max_examples=300, deadline=None)
+        def check(v):
+            got = _h2d(v)
+            s = -1.0 if v < 0 else 1.0
+            a = abs(v)
+            # the exact mirrored recombination
+            assert got == s * (float(a >> 62) * 4611686018427387904.0
+                               + float(a & ((1 << 62) - 1)))
+            if abs(v) < 2**62:
+                assert got == float(v)
+            elif float(v) != 0 and math.isfinite(float(v)):
+                # within one ULP of the correctly-rounded value
+                assert abs(got - float(v)) <= math.ulp(float(v))
+
+        check()
+
+    def test_bitlen64_property(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from htmlparsersharp_ray.pipelines.relational import _bitlen64
+
+        @given(st.lists(st.integers(min_value=0, max_value=2**62),
+                        min_size=1, max_size=50))
+        @settings(max_examples=100, deadline=None)
+        def check(vals):
+            got = _bitlen64(np.asarray(vals, dtype=np.int64))
+            assert got.tolist() == [int(v).bit_length() for v in vals]
+
+        check()
