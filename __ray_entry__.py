@@ -1869,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": r.q_events_autocorr,
         "orders_key_gaps": r.q_orders_key_gaps,
         "docs_source_kl": r.q_docs_source_kl,
+        "events_type_overlap": r.q_events_type_overlap,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3599,6 +3600,33 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f ORDER BY p_brand
+        """,
+        "events_type_overlap": """
+            -- audience overlap between every event-type pair: exact
+            -- distinct-user intersection/union + integer-ppm Jaccard
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ), t AS (SELECT DISTINCT event_type FROM events),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b
+                FROM t a JOIN t b ON a.event_type < b.event_type
+            ), x AS (
+                SELECT p.type_a, p.type_b,
+                       (SELECT COUNT(*) FROM ut u1 JOIN ut u2
+                        ON u1.user_id = u2.user_id
+                        WHERE u1.event_type = p.type_a
+                          AND u2.event_type = p.type_b) AS n_both,
+                       (SELECT COUNT(DISTINCT user_id) FROM ut
+                        WHERE event_type IN (p.type_a, p.type_b))
+                           AS n_either
+                FROM pairs p
+            )
+            SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+                   CAST(n_either AS BIGINT) AS n_either,
+                   CAST(CASE WHEN n_either = 0 THEN 0
+                        ELSE n_both * 1000000 // n_either END
+                        AS BIGINT) AS jaccard_ppm
+            FROM x ORDER BY type_a, type_b
         """,
         "docs_source_kl": """
             -- per-source KL divergence from the corpus distribution

@@ -9815,3 +9815,78 @@ def q_docs_source_kl(sf_dir: str):
                                         "kl_scaled"])
             .astype({"n_tokens": "int64", "kl_scaled": "int64"})
             .sort_values("source").reset_index(drop=True))
+
+
+def q_events_type_overlap(sf_dir: str):
+    """SET-OVERLAP CARDINALITIES between behavior cohorts: for every
+    PAIR of event types, |users(a) ∩ users(b)|, |union|, and the
+    integer-ppm Jaccard — the audience-overlap report behind
+    cross-sell and funnel design. One user-hash exchange: per-user
+    type BITMASKS (OR of per-batch partial masks), then each bucket
+    emits bounded per-pair partial counts from ONE vectorized
+    bit-test matrix; the driver merges (pairs × buckets) scalars.
+    COUNT(DISTINCT ...) never ships user sets — the bitmask collapses
+    each user to one int64 row."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id", "event_type"])
+    nb = auto_buckets(ds)
+
+    # fixed global type order = sorted distinct types (tiny pre-pass)
+    types = sorted(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"event_type": pc.unique(b.column("event_type"))}),
+            batch_format="pyarrow")
+        .to_pandas()["event_type"].unique().tolist())
+    bit = {t: i for i, t in enumerate(types)}
+    k = len(types)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mask = b["event_type"].map(bit).to_numpy(dtype=np.int64)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "m": np.int64(1) << mask,
+        })
+        g = d.groupby("user_id", as_index=False)["m"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        g["ub"] = (hashing.mix64(g["user_id"].to_numpy().astype(
+            np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id")["m"]
+             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+             .to_numpy(dtype=np.int64))
+        rows = []
+        for i in range(k):
+            hi = (m >> np.int64(i)) & 1
+            for j in range(i + 1, k):
+                hj = (m >> np.int64(j)) & 1
+                rows.append((i, j, int((hi & hj).sum()),
+                             int((hi | hj).sum())))
+        return pd.DataFrame(rows, columns=["i", "j", "n_both",
+                                           "n_either"])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("ub").map_groups(per_bucket,
+                                       batch_format="pandas")
+             .to_pandas())
+    m = (parts.groupby(["i", "j"], as_index=False)
+         .agg(n_both=("n_both", "sum"), n_either=("n_either", "sum")))
+    m = _pysum_cols(m, ["n_both", "n_either"])
+    rows = []
+    for _, row in m.iterrows():
+        i, j = int(row["i"]), int(row["j"])
+        both, either = int(row["n_both"]), int(row["n_either"])
+        jac = both * 1_000_000 // either if either else 0
+        rows.append((types[i], types[j], both, either, jac))
+    return (pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
+                                        "n_either", "jaccard_ppm"])
+            .astype({"n_both": "int64", "n_either": "int64",
+                     "jaccard_ppm": "int64"})
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))

@@ -553,3 +553,36 @@ class TestNumericHelpersProperties:
             assert got.tolist() == [int(v).bit_length() for v in vals]
 
         check()
+
+
+class TestEventsTypeOverlap:
+    def _events(self, tmp_path, users, types):
+        n = len(users)
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01"] * n),
+                           pa.timestamp("us")),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        })
+        return _write(tmp_path, "events", t)
+
+    def test_hand_counted_overlap(self, ray_session, tmp_path):
+        # users: 1 does a+b, 2 does a, 3 does b, 4 does a (twice)
+        d = self._events(tmp_path,
+                         [1, 1, 2, 3, 4, 4],
+                         ["a", "b", "a", "b", "a", "a"])
+        out = r.q_events_type_overlap(d)
+        row = out.iloc[0]
+        assert (row["type_a"], row["type_b"]) == ("a", "b")
+        assert row["n_both"] == 1      # only user 1
+        assert row["n_either"] == 4
+        assert row["jaccard_ppm"] == 250000
+
+    def test_disjoint_cohorts(self, ray_session, tmp_path):
+        d = self._events(tmp_path, [1, 2], ["a", "b"])
+        out = r.q_events_type_overlap(d)
+        assert out.iloc[0]["n_both"] == 0
+        assert out.iloc[0]["jaccard_ppm"] == 0
