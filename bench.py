@@ -256,6 +256,18 @@ def run_bench() -> dict:
     entry_mod._q_extract_images(sf_dir)
     queries["extract_images"] = round(time.time() - t0, 3)
 
+    # Pareto prefix without a global sort (band offsets)
+    gc.collect()
+    t0 = time.time()
+    r.q_customer_pareto(sf_dir)
+    queries["customer_pareto"] = round(time.time() - t0, 3)
+
+    # vocabulary-drift KL (two corpus passes, fixed-point sum)
+    gc.collect()
+    t0 = time.time()
+    r.q_docs_source_kl(sf_dir)
+    queries["docs_source_kl"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {
