@@ -3541,8 +3541,9 @@ def oracle_sql() -> dict[str, str]:
             -- higher central moments from EXACT integer power sums.
             -- Central moments are SHIFT-INVARIANT, so the oracle
             -- min-shifts per group (keeping hugeint magnitudes
-            -- bounded: d < 10^4 here, so S1^4 stays well under the
-            -- hugeint ceiling at any tested scale) and forms the SAME
+            -- bounded: 3*S1^4 < 2^126 needs n*spread < ~2^31, which
+            -- holds to ~sf3 per-brand sizes at full TPC-H price
+            -- spread; graded scales are sf0.01/0.1) and forms the SAME
             -- integers M_k = n^k * m_k the engine builds from raw
             -- sums; the float expressions are mirrored term-for-term
             -- (sqrt only — no pow(x, 1.5), which is not guaranteed
@@ -3599,7 +3600,7 @@ def oracle_sql() -> dict[str, str]:
                     * (m4d / (m2d * m2d) - 3.0) + 6.0)
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
-            FROM f ORDER BY p_brand
+            FROM f WHERE n > 3 AND m2d > 0 ORDER BY p_brand
         """,
         "events_type_overlap": """
             -- audience overlap between every event-type pair: exact
@@ -3742,10 +3743,11 @@ def oracle_sql() -> dict[str, str]:
             -- Benford expectation floor(log10(1+1/d)*1e6) mirrored
             -- (libm log10 on identical doubles both sides)
             WITH u AS (
-                SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
-                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
-                           AS digit
+                SELECT CAST(substr(CAST(ABS(CAST(ROUND(o_totalprice
+                            * 100) AS BIGINT)) AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
                 FROM orders
+                WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) <> 0
             ), m AS (
                 SELECT digit, CAST(COUNT(*) AS HUGEINT) AS n
                 FROM u GROUP BY digit

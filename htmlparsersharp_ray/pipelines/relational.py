@@ -9141,11 +9141,13 @@ def q_orders_grouping_sets(sf_dir: str):
 def q_part_skew_kurt(sf_dir: str):
     """Grouped SKEWNESS / KURTOSIS / sample stddev per brand from EXACT
     integer power sums — the higher-moment family beyond
-    :func:`q_lineitem_corr`. Cents values c < 2^17, so c^4 < 2^68
-    overflows int64 per element; the per-batch partials split
-    c^2 = a*2^17 + b (a, b < 2^17) and ship only int64-safe columns
-    (s3h=Σac, s3l=Σbc, s4h=Σa², s4m=Σab, s4l=Σb² — every term < 2^34,
-    so sums are safe to 2^29 rows/batch). The driver recombines in
+    :func:`q_lineitem_corr`. Cents values c < 2^18 (TPC-H retail
+    prices reach ~209,900 cents), so c^4 < 2^72 overflows int64 per
+    element; the per-batch partials split c^2 = a*2^17 + b (a < 2^19,
+    b < 2^17) and ship only int64-safe columns (s3h=Σac, s3l=Σbc,
+    s4h=Σa², s4m=Σab, s4l=Σb² — every term < 2^38, so sums are safe
+    to 2^25 rows/batch, far above any real block). The driver
+    recombines in
     Python ints (S3 = (s3h<<17)+s3l; S4 = (s4h<<34)+(s4m<<18)+s4l) and
     forms the scaled central moments
     M2 = n·S2 − S1², M3 = n²S3 − 3nS1S2 + 2S1³,
@@ -9193,6 +9195,8 @@ def q_part_skew_kurt(sf_dir: str):
         m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
         m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        if n < 4 or m2 <= 0:
+            continue    # degenerate group — mirrored by WHERE n>3, m2>0
         m2d, m3d, m4d = _h2d(m2), _h2d(m3), _h2d(m4)
         stddev = math.sqrt(m2d / float(n * (n - 1)))
         g1 = m3d / (m2d * math.sqrt(m2d))
@@ -9515,6 +9519,11 @@ def q_orders_benford(sf_dir: str):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        # Benford applies to nonzero MAGNITUDES: zero totals carry no
+        # first significant digit and negatives contribute |v| —
+        # mirrored by the oracle's ABS + <> 0 filter
+        vc = np.abs(vc)
+        vc = vc[vc > 0]
         first = vc.astype("U20").astype("U1").astype(np.int64)
         return (pd.DataFrame({"digit": first})
                 .groupby("digit", as_index=False)
@@ -9524,6 +9533,10 @@ def q_orders_benford(sf_dir: str):
     m = parts.groupby("digit", as_index=False).agg(n=("n", "sum"))
     m = _pysum_cols(m, ["n"])
     total = sum(int(v) for v in m["n"])
+    if total == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("digit", "n_rows", "obs_ppm",
+                                       "exp_ppm")})
     rows = []
     for _, row in m.iterrows():
         d, n = int(row["digit"]), int(row["n"])
@@ -9584,10 +9597,17 @@ def q_nation_customer_hhi(sf_dir: str):
                .groupby("k", as_index=False)["cents"].sum())
         m = rev.merge(cmap, on="k", how="inner")
         s = m["cents"].to_numpy(dtype=np.int64)
+        # s^2 ~ 8e16 per TPC-H-sized customer: a plain int64 GROUP sum
+        # wraps around ~100 customers/group — split s^2 = a*2^31 + b so
+        # every partial term is < 2^32 (group sums safe to 2^31 rows);
+        # the driver recombines in Python ints
+        s2 = s * s
         d = pd.DataFrame({"nk": m["nk"].to_numpy(dtype=np.int64),
-                          "s": s, "s2": s * s})
+                          "s": s, "s2h": s2 >> 31,
+                          "s2l": s2 & ((1 << 31) - 1)})
         out = d.groupby("nk", as_index=False).agg(
-            s=("s", "sum"), s2=("s2", "sum"), n_customers=("s", "size"))
+            s=("s", "sum"), s2h=("s2h", "sum"), s2l=("s2l", "sum"),
+            n_customers=("s", "size"))
         return out
 
     parts = (orders.map_batches(order_partial, batch_format="pandas")
@@ -9595,11 +9615,11 @@ def q_nation_customer_hhi(sf_dir: str):
              .groupby("ub").map_groups(per_bucket,
                                        batch_format="pandas")
              .to_pandas())
-    parts = _pysum_cols(parts, ["s", "s2"])
+    parts = _pysum_cols(parts, ["s", "s2h", "s2l"])
     rows = []
     for nk, g in parts.groupby("nk"):
         t = sum(g["s"])
-        ss2 = sum(g["s2"])
+        ss2 = (sum(g["s2h"]) << 31) + sum(g["s2l"])
         hhi = _h2d(ss2) / _h2d(t * t)
         rows.append((int(nk), int(g["n_customers"].sum()), hhi))
     return (pd.DataFrame(rows, columns=["c_nationkey", "n_customers",
@@ -9608,14 +9628,11 @@ def q_nation_customer_hhi(sf_dir: str):
             .sort_values("c_nationkey").reset_index(drop=True))
 
 
-def q_events_ses(sf_dir: str):
-    """SIMPLE EXPONENTIAL SMOOTHING forecast over daily event spend
-    (α = 1/2) in EXACT integer cents: S₁ = x₁, Sₜ = ⌊(Sₜ₋₁ + xₜ)/2⌋ —
-    halving keeps the recurrence integer so the sequential smoother is
-    bitwise-reproducible (a float EWMA is order-fragile). Day totals
-    are decomposable partials; the recurrence runs once over the
-    BOUNDED day axis on the driver (the rolling_dau argument). The
-    oracle is a recursive CTE with the identical floor-div."""
+def _daily_cents(sf_dir: str) -> pd.DataFrame:
+    """Exact-cents day totals of events.value over the observed-day
+    axis — the shared decomposable front half of the day-series family
+    (SES forecast, autocorrelation). Returns a day-sorted frame with
+    Python-int ``xc`` (``_pysum_cols`` merged)."""
     import numpy as np
 
     us_per_day = np.int64(86_400_000_000)
@@ -9631,7 +9648,21 @@ def q_events_ses(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     m = parts.groupby("day", as_index=False).agg(xc=("xc", "sum"))
-    m = _pysum_cols(m, ["xc"]).sort_values("day")
+    return _pysum_cols(m, ["xc"]).sort_values("day")
+
+
+def q_events_ses(sf_dir: str):
+    """SIMPLE EXPONENTIAL SMOOTHING forecast over daily event spend
+    (α = 1/2) in EXACT integer cents: S₁ = x₁, Sₜ = ⌊(Sₜ₋₁ + xₜ)/2⌋ —
+    halving keeps the recurrence integer so the sequential smoother is
+    bitwise-reproducible (a float EWMA is order-fragile). Day totals
+    are decomposable partials; the recurrence runs once over the
+    BOUNDED day axis on the driver (the rolling_dau argument). The
+    oracle is a recursive CTE with the identical floor-div."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    m = _daily_cents(sf_dir)
     ses, out = None, []
     for _, row in m.iterrows():
         x = int(row["xc"])
@@ -9655,20 +9686,7 @@ def q_events_autocorr(sf_dir: str):
 
     import numpy as np
 
-    us_per_day = np.int64(86_400_000_000)
-    ds = ray.data.read_parquet(_t(sf_dir, "events"),
-                               columns=["ts", "value"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-               // us_per_day)
-        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
-        return (pd.DataFrame({"day": day, "xc": cents})
-                .groupby("day", as_index=False)["xc"].sum())
-
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    m = (parts.groupby("day", as_index=False).agg(xc=("xc", "sum")))
-    m = _pysum_cols(m, ["xc"]).sort_values("day")
+    m = _daily_cents(sf_dir)
     days = m["day"].to_numpy(dtype=np.int64)
     vals = [int(v) for v in m["xc"]]
     by_day = dict(zip(days.tolist(), vals))
@@ -9715,8 +9733,15 @@ def q_orders_key_gaps(sf_dir: str):
         k = batch.filter(mask).column("o_orderkey")
         return pa.table({"k": k.cast(pa.int64())})
 
+    _empty_gaps = pd.DataFrame({
+        "gap_start": pd.Series([], dtype="int64"),
+        "gap_end": pd.Series([], dtype="int64"),
+        "gap_len": pd.Series([], dtype="int64"),
+    })
     filtered = ds.map_batches(keys_only, batch_format="pyarrow")
     max_key = filtered.max("k")
+    if max_key is None:      # no F rows at all — oracle is empty too
+        return _empty_gaps
     shift = max(0, int(max_key).bit_length() - 12)
 
     def add_rb(batch: pa.Table) -> pa.Table:
@@ -9845,6 +9870,12 @@ def q_events_type_overlap(sf_dir: str):
         .to_pandas()["event_type"].unique().tolist())
     bit = {t: i for i, t in enumerate(types)}
     k = len(types)
+    if k > 63:
+        # np.int64(1) << 64 is 0 (and bit 63 is the sign bit): the
+        # single-word bitmask silently drops types past 63 — fail loud
+        raise ValueError(
+            f"events_type_overlap: {k} distinct event types exceed the "
+            "63-bit single-word bitmask; use a multi-word mask variant")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         mask = b["event_type"].map(bit).to_numpy(dtype=np.int64)

@@ -586,3 +586,77 @@ class TestEventsTypeOverlap:
         out = r.q_events_type_overlap(d)
         assert out.iloc[0]["n_both"] == 0
         assert out.iloc[0]["jaccard_ppm"] == 0
+
+
+class TestReviewFixes:
+    """Regression pins for the session self-review findings: degenerate
+    groups, zero/negative magnitudes, empty inputs, >63 types, and the
+    HHI s^2 split."""
+
+    def test_skew_kurt_skips_degenerate_groups(self, ray_session,
+                                               tmp_path):
+        # brand S: 3 rows (n-3 == 0); brand C: constant prices (m2=0);
+        # brand G: healthy
+        t = pa.table({
+            "p_brand": pa.array(["S"] * 3 + ["C"] * 5 + ["G"] * 5),
+            "p_retailprice": pa.array(
+                [910.0, 920.0, 930.0] + [950.0] * 5
+                + [900.0, 910.0, 930.0, 970.0, 999.9], pa.float64()),
+        })
+        out = r.q_part_skew_kurt(_write(tmp_path, "part", t))
+        assert out["p_brand"].tolist() == ["G"]
+
+    def test_benford_ignores_zero_and_uses_magnitude(self, ray_session,
+                                                     tmp_path):
+        t = pa.table({
+            "o_custkey": pa.array([1, 2, 3], pa.int64()),
+            "o_totalprice": pa.array([0.0, -5.00, 3.00], pa.float64()),
+        })
+        out = r.q_orders_benford(_write(tmp_path, "orders", t))
+        by = dict(zip(out["digit"], out["n_rows"]))
+        assert by == {5: 1, 3: 1}   # zero dropped, -500 counts as 5
+
+    def test_key_gaps_no_f_rows_is_empty(self, ray_session, tmp_path):
+        t = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O", "P"]),
+        })
+        out = r.q_orders_key_gaps(_write(tmp_path, "orders", t))
+        assert len(out) == 0
+        assert list(out.columns) == ["gap_start", "gap_end", "gap_len"]
+
+    def test_type_overlap_raises_past_63_types(self, ray_session,
+                                               tmp_path):
+        import pytest
+
+        n = 70
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([f"t{i:03d}" for i in range(n)]),
+            "ts": pa.array(pd.to_datetime(["2024-01-01"] * n),
+                           pa.timestamp("us")),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        })
+        d = _write(tmp_path, "events", t)
+        with pytest.raises(ValueError, match="63-bit"):
+            r.q_events_type_overlap(d)
+
+    def test_hhi_survives_big_revenues(self, ray_session, tmp_path):
+        """Revenues sized so a plain int64 sum of s^2 would wrap
+        (~120 customers x (2.8e8)^2 > 2^63): the hi/lo split must
+        keep HHI exact (equal split of k customers -> HHI = 1/k)."""
+        k = 150
+        _write(tmp_path, "customer", pa.table({
+            "c_custkey": pa.array(range(k), pa.int64()),
+            "c_nationkey": pa.array([0] * k, pa.int64()),
+        }))
+        _write(tmp_path, "orders", pa.table({
+            "o_custkey": pa.array(range(k), pa.int64()),
+            # $2.8M per order -> 2.8e8 cents each
+            "o_totalprice": pa.array([2.8e6] * k, pa.float64()),
+        }))
+        out = r.q_nation_customer_hhi(str(tmp_path))
+        assert out["n_customers"].tolist() == [k]
+        assert abs(out["hhi"].iloc[0] - 1.0 / k) < 1e-15
