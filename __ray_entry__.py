@@ -1870,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_key_gaps": r.q_orders_key_gaps,
         "docs_source_kl": r.q_docs_source_kl,
         "events_type_overlap": r.q_events_type_overlap,
+        "part_trimmed_mean": r.q_part_trimmed_mean,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3601,6 +3602,38 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f WHERE n > 3 AND m2d > 0 ORDER BY p_brand
+        """,
+        "part_trimmed_mean": """
+            -- 10/90 trimmed mean per brand: discrete quantile
+            -- boundaries sorted[ceil(q*n)-1] over exact cents, keep
+            -- [lo, hi], exact integer sum, ONE mirrored division
+            WITH c AS (
+                SELECT p_brand,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                           AS cents
+                FROM part
+            ), b AS (
+                SELECT p_brand, COUNT(*) AS n,
+                       quantile_disc(cents, 0.1) AS lo_v,
+                       quantile_disc(cents, 0.9) AS hi_v
+                FROM c GROUP BY p_brand
+            ), k AS (
+                SELECT c.p_brand,
+                       CAST(SUM(CAST(c.cents AS HUGEINT)) AS BIGINT)
+                           AS kept_sum,
+                       COUNT(*) AS kept_n
+                FROM c JOIN b USING (p_brand)
+                WHERE c.cents BETWEEN b.lo_v AND b.hi_v
+                GROUP BY c.p_brand
+            )
+            SELECT b.p_brand, CAST(b.n AS BIGINT) AS n_rows,
+                   CAST(k.kept_n AS BIGINT) AS n_kept,
+                   CAST(b.lo_v AS BIGINT) AS lo_cents,
+                   CAST(b.hi_v AS BIGINT) AS hi_cents,
+                   CAST(k.kept_sum AS DOUBLE)
+                       / CAST(k.kept_n AS DOUBLE)
+                       AS trimmed_mean_cents
+            FROM b JOIN k USING (p_brand) ORDER BY b.p_brand
         """,
         "events_type_overlap": """
             -- audience overlap between every event-type pair: exact

@@ -9921,3 +9921,59 @@ def q_events_type_overlap(sf_dir: str):
             .astype({"n_both": "int64", "n_either": "int64",
                      "jaccard_ppm": "int64"})
             .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+def q_part_trimmed_mean(sf_dir: str):
+    """TRIMMED MEAN per brand (drop below-p10 / above-p90 values, then
+    exact mean of the kept middle) — the robust-average op, computed
+    from ONE pass of (brand, cents, count) VALUE-HISTOGRAM partials:
+    retail prices live in a bounded cent domain, so the histogram is
+    bounded regardless of row count (the scale story for bounded-
+    domain columns; unbounded domains take the two-pass selection
+    path instead — see `_selection_quantiles`). The driver cumsums
+    each brand's histogram to locate the discrete p10/p90 boundaries
+    (sorted[ceil(q·n)−1], the lineitem_price_quantiles convention),
+    sums kept cents exactly in Python ints, and emits ONE mirrored
+    division per brand."""
+    import math
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["p_retailprice"].to_numpy() * 100).astype(
+            "int64")
+        return (pd.DataFrame({"p_brand": b["p_brand"], "cents": cents})
+                .groupby(["p_brand", "cents"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = (parts.groupby(["p_brand", "cents"], as_index=False)
+            .agg(n=("n", "sum")))
+    hist = _pysum_cols(hist, ["n"])
+    rows = []
+    for brand, g in hist.groupby("p_brand"):
+        g = g.sort_values("cents")
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        cnt = np.array([int(v) for v in g["n"]], dtype=np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        # discrete quantile: sorted[ceil(q*n) - 1]
+        lo_rank = math.ceil(0.1 * n)
+        hi_rank = math.ceil(0.9 * n)
+        lo_v = int(cents[np.searchsorted(cum, lo_rank)])
+        hi_v = int(cents[np.searchsorted(cum, hi_rank)])
+        keep = (cents >= lo_v) & (cents <= hi_v)
+        kept_n = int(cnt[keep].sum())
+        kept_sum = sum(int(c) * int(k)
+                       for c, k in zip(cents[keep], cnt[keep]))
+        tmean = float(kept_sum) / float(kept_n)
+        rows.append((brand, n, kept_n, lo_v, hi_v, tmean))
+    return (pd.DataFrame(rows, columns=[
+        "p_brand", "n_rows", "n_kept", "lo_cents", "hi_cents",
+        "trimmed_mean_cents"])
+        .astype({"n_rows": "int64", "n_kept": "int64",
+                 "lo_cents": "int64", "hi_cents": "int64"})
+        .sort_values("p_brand").reset_index(drop=True))

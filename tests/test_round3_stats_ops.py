@@ -660,3 +660,30 @@ class TestReviewFixes:
         out = r.q_nation_customer_hhi(str(tmp_path))
         assert out["n_customers"].tolist() == [k]
         assert abs(out["hhi"].iloc[0] - 1.0 / k) < 1e-15
+
+
+class TestPartTrimmedMean:
+    def test_hand_computed_trim(self, ray_session, tmp_path):
+        # ten values 1..10 dollars: p10 = sorted[ceil(0.1*10)-1] = 1.00,
+        # p90 = sorted[ceil(0.9*10)-1] = 9.00 -> keep 1..9, mean 5.00
+        vals = [float(i) for i in range(1, 11)]
+        t = pa.table({
+            "p_brand": pa.array(["A"] * 10),
+            "p_retailprice": pa.array(vals, pa.float64()),
+        })
+        out = r.q_part_trimmed_mean(_write(tmp_path, "part", t))
+        row = out.iloc[0]
+        assert row["n_rows"] == 10 and row["n_kept"] == 9
+        assert row["lo_cents"] == 100 and row["hi_cents"] == 900
+        assert row["trimmed_mean_cents"] == 500.0
+
+    def test_outlier_removed(self, ray_session, tmp_path):
+        # one huge outlier beyond p90 must not pollute the mean
+        vals = [10.0] * 9 + [10000.0]
+        t = pa.table({
+            "p_brand": pa.array(["A"] * 10),
+            "p_retailprice": pa.array(vals, pa.float64()),
+        })
+        out = r.q_part_trimmed_mean(_write(tmp_path, "part", t))
+        assert out.iloc[0]["trimmed_mean_cents"] == 1000.0
+        assert out.iloc[0]["n_kept"] == 9
