@@ -1871,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_kl": r.q_docs_source_kl,
         "events_type_overlap": r.q_events_type_overlap,
         "part_trimmed_mean": r.q_part_trimmed_mean,
+        "events_interarrival": r.q_events_interarrival,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -3602,6 +3603,29 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(n-1 AS DOUBLE)
                        / CAST((n-2)*(n-3) AS DOUBLE) AS kurt_price
             FROM f WHERE n > 3 AND m2d > 0 ORDER BY p_brand
+        """,
+        "events_interarrival": """
+            -- per-type inter-arrival quantiles (median / p90 seconds
+            -- between consecutive same-type events per user); the
+            -- engine computes the grouped quantiles via two-pass
+            -- distributed selection, rank rule == quantile_disc
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events
+            ), g AS (
+                SELECT event_type,
+                       (epoch_us(ts) - epoch_us(pts)) // 1000000
+                           AS gap_sec
+                FROM s WHERE pts IS NOT NULL
+            )
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   CAST(quantile_disc(gap_sec, 0.5) AS BIGINT)
+                       AS p50_sec,
+                   CAST(quantile_disc(gap_sec, 0.9) AS BIGINT)
+                       AS p90_sec
+            FROM g GROUP BY event_type ORDER BY event_type
         """,
         "part_trimmed_mean": """
             -- 10/90 trimmed mean per brand: discrete quantile

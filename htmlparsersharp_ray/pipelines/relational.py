@@ -9977,3 +9977,79 @@ def q_part_trimmed_mean(sf_dir: str):
         .astype({"n_rows": "int64", "n_kept": "int64",
                  "lo_cents": "int64", "hi_cents": "int64"})
         .sort_values("p_brand").reset_index(drop=True))
+
+
+def q_events_interarrival(sf_dir: str):
+    """GROUPED QUANTILES OVER AN UNBOUNDED DOMAIN: median and p90
+    inter-arrival seconds per event type (gaps between consecutive
+    same-type events within each user's timeline) — the latency/
+    engagement-cadence profile. Gap extraction is one user-hash
+    exchange (vectorized lag inside buckets, ties broken by event_id
+    exactly like the oracle's window ORDER BY); the per-type quantiles
+    run through the fused two-pass distributed selection
+    (`_selection_quantiles_multi` — coarse value-histogram pass, then
+    exact counts only inside the target 256-value buckets), so
+    NOTHING row-scale reaches the driver even though gap values have
+    no bounded domain. Seconds (not µs) keep the coarse histogram at
+    ~10k buckets per month of range."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.exchange import checkpoint
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    nb = auto_buckets(ds)
+    ds = _add_user_bucket(ds, nb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]
+        gap_sec = np.r_[np.int64(0), (us[1:] - us[:-1])] // 1_000_000
+        return pd.DataFrame({
+            "event_type": et[same], "gap_sec": gap_sec[same],
+        })
+
+    gaps = checkpoint(ds.groupby("ub").map_groups(
+        per_bucket, batch_format="pandas"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("event_type", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    counts = (gaps.map_batches(count_partial, batch_format="pandas")
+              .to_pandas().groupby("event_type", as_index=False)
+              .agg(n=("n", "sum")))
+    counts = _pysum_cols(counts, ["n"])
+    n_by_type = {t: int(v) for t, v in zip(counts["event_type"],
+                                           counts["n"])}
+    types = sorted(t for t, n in n_by_type.items() if n > 0)
+    if not types:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_gaps": pd.Series([], dtype="int64"),
+            "p50_sec": pd.Series([], dtype="int64"),
+            "p90_sec": pd.Series([], dtype="int64"),
+        })
+
+    def extractor(t):
+        def to_int(b: pd.DataFrame) -> np.ndarray:
+            return b[b["event_type"] == t]["gap_sec"].to_numpy(
+                dtype=np.int64)
+        return to_int
+
+    qres, _ = _selection_quantiles_multi(
+        gaps, {t: extractor(t) for t in types},
+        {"p50": 0.5, "p90": 0.9})
+    rows = [(t, n_by_type[t], qres[t]["p50"], qres[t]["p90"])
+            for t in types]
+    return (pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                        "p50_sec", "p90_sec"])
+            .astype({"n_gaps": "int64", "p50_sec": "int64",
+                     "p90_sec": "int64"})
+            .sort_values("event_type").reset_index(drop=True))

@@ -687,3 +687,47 @@ class TestPartTrimmedMean:
         out = r.q_part_trimmed_mean(_write(tmp_path, "part", t))
         assert out.iloc[0]["trimmed_mean_cents"] == 1000.0
         assert out.iloc[0]["n_kept"] == 9
+
+
+class TestEventsInterarrival:
+    def test_hand_computed_gaps(self, ray_session, tmp_path):
+        # user 1 type a at t=0s,10s,30s -> gaps 10, 20
+        # user 2 type a at t=0s,100s   -> gap 100
+        # type b: single event, no gaps -> excluded entirely
+        ts = pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:00:30", "2024-01-01 00:00:00",
+            "2024-01-01 00:01:40", "2024-01-01 00:00:05"])
+        t = pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "a", "b"]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([1.0] * 6, pa.float64()),
+            "props": pa.array(["{}"] * 6),
+        })
+        out = r.q_events_interarrival(_write(tmp_path, "events", t))
+        assert out["event_type"].tolist() == ["a"]
+        row = out.iloc[0]
+        # gaps sorted: [10, 20, 100]; p50 = ceil(.5*3)=2nd = 20,
+        # p90 = ceil(.9*3)=3rd = 100
+        assert row["n_gaps"] == 3
+        assert row["p50_sec"] == 20
+        assert row["p90_sec"] == 100
+
+    def test_cross_user_gaps_never_mix(self, ray_session, tmp_path):
+        # two users interleaved in time: gaps are within-user only
+        ts = pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+            "2024-01-01 00:10:00", "2024-01-01 00:10:01"])
+        t = pa.table({
+            "event_id": pa.array(range(4), pa.int64()),
+            "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        })
+        out = r.q_events_interarrival(_write(tmp_path, "events", t))
+        assert out.iloc[0]["n_gaps"] == 2
+        assert out.iloc[0]["p50_sec"] == 600  # both gaps exactly 10 min
