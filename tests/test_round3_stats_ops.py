@@ -731,3 +731,41 @@ class TestEventsInterarrival:
         out = r.q_events_interarrival(_write(tmp_path, "events", t))
         assert out.iloc[0]["n_gaps"] == 2
         assert out.iloc[0]["p50_sec"] == 600  # both gaps exactly 10 min
+
+
+class TestParetoPropertyDifferential:
+    def test_random_revenues_vs_pandas_reference(self, ray_session,
+                                                 tmp_path):
+        """Randomized differential: band-offset global ranking must
+        equal the straightforward sort-then-cumsum reference on
+        revenue multisets WITH ties across band boundaries."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        for trial in range(4):
+            n = int(rng.integers(5, 60))
+            # mix of magnitudes so several bit-length bands occupy,
+            # plus forced ties
+            cents = rng.choice(
+                [1, 2, 3, 127, 128, 129, 255, 256, 1000, 65536,
+                 100000], size=n).astype(np.int64)
+            custs = np.arange(1, n + 1, dtype=np.int64)
+            t = pa.table({
+                "o_custkey": pa.array(custs),
+                "o_totalprice": pa.array(cents / 100.0, pa.float64()),
+            })
+            d = _write(tmp_path / f"t{trial}", "orders", t)
+            out = r.q_customer_pareto(d)
+            # reference: sort by (rev desc, custkey), integer cumsum
+            ref = pd.DataFrame({"c": custs, "r": cents}).sort_values(
+                ["r", "c"], ascending=[False, True])
+            total = int(cents.sum())
+            cum, keep = 0, []
+            for rank, (_, row) in enumerate(ref.iterrows(), start=1):
+                if 5 * cum < 4 * total:
+                    keep.append((int(row["c"]), int(row["r"]), rank,
+                                 cum + int(row["r"])))
+                cum += int(row["r"])
+            got = list(zip(out["c_custkey"], out["rev_c"], out["rnk"],
+                           out["cum_c"]))
+            assert got == keep, f"trial {trial}"
