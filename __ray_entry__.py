@@ -1872,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": r.q_events_type_overlap,
         "part_trimmed_mean": r.q_part_trimmed_mean,
         "events_interarrival": r.q_events_interarrival,
+        "part_betweenness": r.q_part_betweenness,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,

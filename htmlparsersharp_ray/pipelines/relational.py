@@ -10053,3 +10053,43 @@ def q_events_interarrival(sf_dir: str):
             .astype({"n_gaps": "int64", "p50_sec": "int64",
                      "p90_sec": "int64"})
             .sort_values("event_type").reset_index(drop=True))
+
+
+def q_part_betweenness(sf_dir: str):
+    """K-SOURCE BETWEENNESS CENTRALITY on the part co-purchase graph
+    (:func:`..stages.graph.betweenness`) — which parts sit on the most
+    shortest paths between others (broker/bottleneck detection), the
+    ninth distributed-graph family member. Sources = the 8 smallest
+    part keys incident to an edge (deterministic); δ accumulates in
+    2^20 fixed point with per-edge flooring so the result is bitwise
+    at any parallelism. Rows-only at the driver (iterative BFS +
+    dependency accumulation, non-SQL); pytest holds the sequential-
+    Brandes differential under the identical flooring rule. Returns
+    the top-20 parts by accumulated dependency."""
+    import numpy as np
+
+    from ..stages.graph import (betweenness, group_cooccurrence_edges,
+                                node_degrees)
+
+    from ..stages.exchange import checkpoint
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    # checkpoint: the edge list feeds BOTH the source-selection pass
+    # and the betweenness supersteps — don't rebuild it twice
+    edges = checkpoint(group_cooccurrence_edges(li, "l_orderkey",
+                                                "l_partkey"))
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(8, "node")[["node"]]
+
+    smallest = (node_degrees(edges)
+                .map_batches(min_partial, batch_format="pandas")
+                .to_pandas().nsmallest(8, "node"))
+    sources = [int(v) for v in smallest["node"]]
+
+    out = betweenness(edges, sources).to_pandas()
+    out = out.astype({"node": "int64", "bc_scaled": "int64"})
+    return (out.sort_values(["bc_scaled", "node"],
+                            ascending=[False, True])
+            .head(20).reset_index(drop=True))

@@ -1670,3 +1670,206 @@ def minimum_spanning_forest(
             "ua": pa.array([], pa.int64()), "ub": pa.array([], pa.int64()),
             "w": pa.array([], pa.int64())}))
     return forest
+
+
+_BC_SCALE = np.int64(1 << 20)
+
+
+def betweenness(edges: ray.data.Dataset, sources: list[int],
+                max_levels: int = 32) -> ray.data.Dataset:
+    """K-SOURCE BETWEENNESS CENTRALITY (Brandes) over the undirected
+    graph — forward BFS levels computing shortest-path counts σ, then
+    a level-by-level backward dependency accumulation
+    δ(v) = Σ_{w: succ(v)} σ(v)/σ(w) · (1 + δ(w)), bc(v) = Σ_s δ_s(v).
+
+    All ``len(sources)`` BFS trees advance TOGETHER: state rows are
+    (node, src, dist, σ) so each superstep is one pair of bounded
+    bucket exchanges regardless of k. The backward pass stores δ in
+    2^20 FIXED POINT and floors each edge contribution
+    ⌊σ_v·(S + δ_w)/σ_w⌋ BEFORE the integer sum — order-independent,
+    so the result is bitwise-deterministic at any parallelism (a
+    float δ would depend on neighbor visit order). The BFS DAG
+    guarantees every successor of a level-(ℓ−1) node sits at level ℓ,
+    so each node's δ finalizes in exactly one backward superstep.
+    σ values are exact int64 with an explicit overflow guard (path
+    counts can grow combinatorially on dense graphs).
+
+    Returns a Dataset (node, bc_scaled) — δ sums over sources,
+    excluding each tree's own root, in 2^20 fixed point. Rows-only at
+    the driver (iterative, non-SQL); pytest holds a sequential-Brandes
+    differential under the same flooring rule."""
+    from .exchange import checkpoint
+
+    und = checkpoint(_undirected_distinct(edges))
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        a = np.concatenate([u, v]).astype(np.int64)
+        b = np.concatenate([v, u]).astype(np.int64)
+        z = np.zeros(len(a), dtype=np.int64)
+        return pa.table({
+            "kb": pa.array(_ibucket(a)),
+            "node": pa.array(a), "other": pa.array(b),
+            "src": pa.array(z), "dist": pa.array(z),
+            "sigma": pa.array(z), "delta": pa.array(z),
+            "kind": pa.array(np.zeros(len(a), dtype=np.int8)),
+        })
+
+    _SCHEMA_COLS = ["kb", "node", "other", "src", "dist", "sigma",
+                    "delta", "kind"]
+    # kind: 0 = adjacency, 1 = state/frontier, 2 = message
+    adj = checkpoint(und.map_batches(adj_rows, batch_format="pyarrow"))
+
+    def rows(node, other, src, dist, sigma, delta, kind, key=None):
+        # Arrow out everywhere: checkpointed datasets are arrow-block,
+        # and a union of mixed pandas/arrow blocks breaks the shuffle
+        # (the MSF lesson)
+        node = np.asarray(node, dtype=np.int64)
+        return pa.table({
+            "kb": pa.array(_ibucket(np.asarray(
+                key if key is not None else node, dtype=np.int64))),
+            "node": pa.array(node),
+            "other": pa.array(np.asarray(other, dtype=np.int64)),
+            "src": pa.array(np.asarray(src, dtype=np.int64)),
+            "dist": pa.array(np.asarray(dist, dtype=np.int64)),
+            "sigma": pa.array(np.asarray(sigma, dtype=np.int64)),
+            "delta": pa.array(np.asarray(delta, dtype=np.int64)),
+            "kind": pa.array(np.full(len(node), kind, dtype=np.int8)),
+        })
+
+    srcs = np.asarray(sorted(set(int(s) for s in sources)),
+                      dtype=np.int64)
+    state = ray.data.from_arrow(rows(
+        srcs, np.zeros(len(srcs)), srcs, np.zeros(len(srcs)),
+        np.ones(len(srcs)), np.zeros(len(srcs)), 1))
+    frontier = state
+    levels = 0
+
+    # ---- forward BFS (σ) -------------------------------------------
+    for lvl in range(max_levels):
+        def fan_out(g: pd.DataFrame, _lvl=lvl) -> pd.DataFrame:
+            a = g[g["kind"] == 0]
+            f = g[(g["kind"] == 1) & (g["dist"] == _lvl)]
+            if a.empty or f.empty:
+                return pa.Table.from_pandas(g.iloc[0:0],
+                                            preserve_index=False)
+            nbrs = a[["node", "other"]].rename(
+                columns={"other": "nbr"})
+            m = f.merge(nbrs, on="node", how="inner")
+            return rows(m["nbr"], np.zeros(len(m)), m["src"],
+                        np.full(len(m), _lvl), m["sigma"],
+                        np.zeros(len(m)), 2)
+
+        def absorb(g: pd.DataFrame, _lvl=lvl) -> pd.DataFrame:
+            msgs = g[g["kind"] == 2]
+            if msgs.empty:
+                return pa.Table.from_pandas(g.iloc[0:0],
+                                            preserve_index=False)
+            st = g[g["kind"] == 1][["node", "src"]]
+            agg = (msgs.groupby(["node", "src"], as_index=False)
+                   ["sigma"].sum())
+            if len(st):
+                seen = st.assign(_seen=True)
+                agg = agg.merge(seen, on=["node", "src"], how="left")
+                agg = agg[agg["_seen"].isna()]
+            if (agg["sigma"] > (1 << 61)).any():
+                raise OverflowError(
+                    "betweenness: sigma exceeded 2^61")
+            return rows(agg["node"], np.zeros(len(agg)), agg["src"],
+                        np.full(len(agg), _lvl + 1), agg["sigma"],
+                        np.zeros(len(agg)), 1)
+
+        msgs = (adj.union(frontier).groupby("kb")
+                .map_groups(fan_out, batch_format="pandas"))
+        new = (msgs.union(state).groupby("kb")
+               .map_groups(absorb, batch_format="pandas"))
+        new = checkpoint(new)
+        if new.count() == 0:
+            levels = lvl
+            break
+        state = checkpoint(state.union(new).repartition(16))
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"betweenness: BFS did not converge in {max_levels} levels")
+
+    # ---- backward dependency accumulation (δ, fixed point) ----------
+    deltas = None      # rows kind=1 with delta set, keyed by node
+    for lvl in range(levels, 0, -1):
+        def send(g: pd.DataFrame, _lvl=lvl) -> pd.DataFrame:
+            a = g[g["kind"] == 0]
+            w = g[(g["kind"] == 1) & (g["dist"] == _lvl)]
+            if a.empty or w.empty:
+                return pa.Table.from_pandas(g.iloc[0:0],
+                                            preserve_index=False)
+            d = g[g["kind"] == 3][["node", "src", "delta"]]
+            if len(d):
+                # nullable Int64 (not float64) through the left merge:
+                # missing deltas are 0, and float64 would round scaled
+                # deltas above 2^53 (the repo-wide id-rounding rule)
+                d = d.astype({"delta": "Int64"})
+                w = w.drop(columns=["delta"]).merge(
+                    d, on=["node", "src"], how="left")
+                w["delta"] = w["delta"].fillna(0).astype(np.int64)
+            nbrs = a[["node", "other"]].rename(
+                columns={"other": "nbr"})
+            m = w.merge(nbrs, on="node", how="inner")
+            # message carries (σ_w, δ_w) to neighbor v; keyed by v
+            return rows(m["nbr"], np.zeros(len(m)), m["src"],
+                        np.full(len(m), _lvl), m["sigma"], m["delta"],
+                        2, key=m["nbr"])
+
+        def receive(g: pd.DataFrame, _lvl=lvl) -> pd.DataFrame:
+            msgs = g[g["kind"] == 2]
+            v = g[(g["kind"] == 1) & (g["dist"] == _lvl - 1)]
+            if msgs.empty or v.empty:
+                return pa.Table.from_pandas(g.iloc[0:0],
+                                            preserve_index=False)
+            m = msgs.merge(
+                v[["node", "src", "sigma"]].rename(
+                    columns={"sigma": "sigma_v"}),
+                on=["node", "src"], how="inner")
+            if m.empty:
+                return pa.Table.from_pandas(g.iloc[0:0],
+                                            preserve_index=False)
+            sv = m["sigma_v"].to_numpy(dtype=np.int64)
+            sw = m["sigma"].to_numpy(dtype=np.int64)
+            dw = m["delta"].to_numpy(dtype=np.int64)
+            contrib = sv * (_BC_SCALE + dw) // sw
+            d = pd.DataFrame({
+                "node": m["node"].to_numpy(dtype=np.int64),
+                "src": m["src"].to_numpy(dtype=np.int64),
+                "c": contrib,
+            }).groupby(["node", "src"], as_index=False)["c"].sum()
+            return rows(d["node"], np.zeros(len(d)), d["src"],
+                        np.full(len(d), _lvl - 1),
+                        np.zeros(len(d)), d["c"], 3)
+
+        senders_in = adj.union(state)
+        if deltas is not None:
+            senders_in = senders_in.union(deltas)
+        msgs = (senders_in.groupby("kb")
+                .map_groups(send, batch_format="pandas"))
+        new_d = (msgs.union(state).groupby("kb")
+                 .map_groups(receive, batch_format="pandas"))
+        new_d = checkpoint(new_d)
+        deltas = (new_d if deltas is None
+                  else checkpoint(deltas.union(new_d).repartition(8)))
+
+    if deltas is None:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "bc_scaled": pd.Series([], dtype="int64"),
+        }))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[(g["kind"] == 3) & (g["node"] != g["src"])]
+        out = g.groupby("node", as_index=False)["delta"].sum()
+        return pd.DataFrame({
+            "node": out["node"].astype("int64"),
+            "bc_scaled": out["delta"].astype("int64"),
+        })
+
+    return deltas.groupby("kb").map_groups(finalize,
+                                           batch_format="pandas")
