@@ -826,6 +826,17 @@ def main() -> int:
 
     run("mst_10m", mst_10m)
 
+    def betweenness_10m():
+        # k=4 source Brandes over the 10M-edge graph; superstep count
+        # = 2 x (BFS levels + backward levels), state = nodes x k rows
+        from htmlparsersharp_ray.stages.graph import betweenness
+
+        e = ray.data.read_parquet(
+            os.path.join(synth_graph(), "edges.parquet"))
+        return betweenness(e, [0, 1, 2, 3]).count()
+
+    run("betweenness_10m", betweenness_10m)
+
     def synth_orders_pareto(d="/tmp/graft_sweep_orders10m",
                             n=10_000_000, n_cust=1_000_000):
         os.makedirs(d, exist_ok=True)
