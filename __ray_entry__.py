@@ -883,6 +883,27 @@ def _q_docs_dup_coverage(sf_dir: str):
     return dup_coverage(_docs(sf_dir), n=8)
 
 
+def _q_docs_dedup_trim(sf_dir: str):
+    """Exact-substring TRIMMING (the removal step dup_coverage
+    measures): drop every word position covered by a cross-doc
+    duplicate 8-gram span and rebuild each doc from the survivors —
+    see stages/dedup.py::dedup_trim. Pure integer/string output."""
+    from htmlparsersharp_ray.stages.dedup import dedup_trim
+
+    return dedup_trim(_docs(sf_dir), n=8)
+
+
+def _q_docs_longest_dup_span(sf_dir: str):
+    """Longest cross-doc duplicated word span: binary search over span
+    length (monotone existence) with one bounded gram-hash exchange
+    per probe — see stages/dedup.py::longest_dup_span. Reports the max
+    length, the number of distinct spans tied there, and the
+    lexicographically smallest one."""
+    from htmlparsersharp_ray.stages.dedup import longest_dup_span
+
+    return longest_dup_span(_docs(sf_dir), min_len=8)
+
+
 def _q_docs_fingerprint_dups(sf_dir: str):
     """MOSS-style winnowing pair mining: distinct k=4-window minima over
     5-word md5 hashes per doc; pairs sharing >= 2 fingerprints, with
@@ -1873,6 +1894,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_trimmed_mean": r.q_part_trimmed_mean,
         "events_interarrival": r.q_events_interarrival,
         "part_betweenness": r.q_part_betweenness,
+        "events_ks_test": r.q_events_ks_test,
+        "events_mannwhitney": r.q_events_mannwhitney,
+        "events_spearman": r.q_events_spearman,
+        "events_kendall": r.q_events_kendall,
+        "events_hodges_lehmann": r.q_events_hodges_lehmann,
+        "audit_k_anonymity": r.q_audit_k_anonymity,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -1940,6 +1967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": _q_docs_normalize,
         "docs_gram_dups": _q_docs_gram_dups,
         "docs_dup_coverage": _q_docs_dup_coverage,
+        "docs_dedup_trim": _q_docs_dedup_trim,
+        "docs_longest_dup_span": _q_docs_longest_dup_span,
         "docs_fingerprint_dups": _q_docs_fingerprint_dups,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
@@ -3816,6 +3845,247 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0) AS BIGINT) AS exp_ppm
             FROM m, t ORDER BY digit
         """,
+        "events_ks_test": """
+            -- two-sample Kolmogorov-Smirnov ('view' vs 'purchase'
+            -- value distributions) as a PURE-INTEGER statistic:
+            -- d_num = max over distinct cent values of
+            -- |c1(v)*n2 - c2(v)*n1| (D = d_num/(n1*n2)); at_v is the
+            -- smallest value attaining the max. The engine computes
+            -- the global ECDF scan with ordered range buckets +
+            -- Python-int offsets instead of a global sort.
+            WITH s AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS is1
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ), c AS (
+                SELECT v, SUM(is1) AS d1, COUNT(*) - SUM(is1) AS d2
+                FROM s GROUP BY v
+            ), n AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM c),
+            cum AS (
+                SELECT v,
+                       SUM(d1) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS c1,
+                       SUM(d2) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS c2
+                FROM c
+            ), d AS (
+                SELECT v, ABS(c1 * n.n2 - c2 * n.n1) AS dn
+                FROM cum CROSS JOIN n
+            ), mx AS (SELECT MAX(dn) AS d_num FROM d)
+            SELECT CAST(n.n1 AS BIGINT) AS n1,
+                   CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(mx.d_num AS BIGINT) AS d_num,
+                   CAST(MIN(d.v) AS BIGINT) AS at_v
+            FROM d CROSS JOIN n CROSS JOIN mx
+            WHERE d.dn = mx.d_num
+            GROUP BY n.n1, n.n2, mx.d_num
+        """,
+        "events_mannwhitney": """
+            -- Mann-Whitney U ('view' vs 'purchase' values), exact
+            -- with midranks: doubled rank sums stay integral —
+            -- 2*R1 = sum d1*(2*cum_before + cnt + 1),
+            -- 2*U1 = 2*R1 - n1*(n1+1); tie_sum = sum(cnt^3 - cnt) is
+            -- the exact tie-correction term. Engine: same sort-free
+            -- range-bucket scan as events_ks_test.
+            WITH s AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS is1
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ), c AS (
+                SELECT v, SUM(is1) AS d1, COUNT(*) - SUM(is1) AS d2
+                FROM s GROUP BY v
+            ), w AS (
+                SELECT v, d1, d2, d1 + d2 AS cnt,
+                       COALESCE(SUM(d1 + d2) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cumb
+                FROM c
+            ), n AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM c)
+            SELECT CAST(n.n1 AS BIGINT) AS n1,
+                   CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(SUM(w.d1 * (2 * w.cumb + w.cnt + 1))
+                        AS BIGINT) AS r1_x2,
+                   CAST(SUM(w.d1 * (2 * w.cumb + w.cnt + 1))
+                        - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_x2,
+                   CAST(SUM(w.cnt * w.cnt * w.cnt - w.cnt)
+                        AS BIGINT) AS tie_sum
+            FROM w CROSS JOIN n
+            GROUP BY n.n1, n.n2
+        """,
+        "events_spearman": """
+            -- Spearman rank correlation (hour-of-day vs event value),
+            -- exact with DOUBLED midranks so every moment is integral:
+            -- rho^2 = sxy^2/(sxx*syy) with
+            -- s** = SUM(r2*_i * r2*_i') - n*(n+1)^2 (doubled-rank sums
+            -- are n(n+1) exactly, ties included). Engine: per-(h,v)
+            -- cells range-bucketed by value high bits; r2x from the 24
+            -- per-hour totals, r2y from per-bucket cumsums + offsets.
+            WITH s AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v
+                FROM events
+            ), cells AS (
+                SELECT h, v, COUNT(*) AS c FROM s GROUP BY h, v
+            ), hx AS (
+                SELECT h, SUM(c) AS nh FROM cells GROUP BY h
+            ), hx2 AS (
+                SELECT h, 2 * COALESCE(SUM(nh) OVER (ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + nh + 1 AS r2x
+                FROM hx
+            ), vy AS (
+                SELECT v, SUM(c) AS nv FROM cells GROUP BY v
+            ), vy2 AS (
+                SELECT v, 2 * COALESCE(SUM(nv) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + nv + 1 AS r2y
+                FROM vy
+            ), nn AS (SELECT SUM(c) AS n FROM cells),
+            agg AS (
+                SELECT SUM(cells.c * hx2.r2x * vy2.r2y) AS sxy_raw,
+                       SUM(cells.c * hx2.r2x * hx2.r2x) AS sxx_raw,
+                       SUM(cells.c * vy2.r2y * vy2.r2y) AS syy_raw
+                FROM cells
+                JOIN hx2 USING (h) JOIN vy2 USING (v)
+            )
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST(agg.sxy_raw
+                        - nn.n * (nn.n + 1) * (nn.n + 1)
+                        AS BIGINT) AS sxy,
+                   CAST(agg.sxx_raw
+                        - nn.n * (nn.n + 1) * (nn.n + 1)
+                        AS BIGINT) AS sxx,
+                   CAST(agg.syy_raw
+                        - nn.n * (nn.n + 1) * (nn.n + 1)
+                        AS BIGINT) AS syy
+            FROM agg CROSS JOIN nn
+        """,
+        "events_kendall": """
+            -- Kendall tau-b pair counts (hour-of-day vs event value):
+            -- nc = SUM over cells of c * A(h,v) with A = events at
+            -- (h'<h, v'<v) via two exclusive window cumsums over the
+            -- dense hour x value grid; nd from the pair identity
+            -- nd = P - nc - tx - ty + txy (the engine mirrors the same
+            -- identity; pytest brute-forces nd independently).
+            WITH s AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v
+                FROM events
+            ), cells AS (
+                SELECT h, v, COUNT(*) AS c FROM s GROUP BY h, v
+            ), spine AS (
+                SELECT hrs.h, vals.v
+                FROM (SELECT DISTINCT h FROM cells) hrs
+                CROSS JOIN (SELECT DISTINCT v FROM cells) vals
+            ), grid AS (
+                SELECT spine.h, spine.v, COALESCE(cells.c, 0) AS c
+                FROM spine LEFT JOIN cells USING (h, v)
+            ), cumv AS (
+                SELECT h, v, c,
+                       COALESCE(SUM(c) OVER (PARTITION BY h ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS below
+                FROM grid
+            ), a AS (
+                SELECT h, v, c,
+                       COALESCE(SUM(below) OVER (PARTITION BY v
+                           ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS acc
+                FROM cumv
+            ), nn AS (SELECT SUM(c) AS n FROM cells),
+            ncagg AS (SELECT SUM(c * acc) AS nc FROM a),
+            txa AS (
+                SELECT SUM(nh * (nh - 1) // 2) AS tx
+                FROM (SELECT SUM(c) AS nh FROM cells GROUP BY h)
+            ), tya AS (
+                SELECT SUM(nv * (nv - 1) // 2) AS ty
+                FROM (SELECT SUM(c) AS nv FROM cells GROUP BY v)
+            ), txya AS (
+                SELECT SUM(c * (c - 1) // 2) AS txy FROM cells
+            )
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST(ncagg.nc AS BIGINT) AS nc,
+                   CAST(nn.n * (nn.n - 1) // 2 - ncagg.nc
+                        - txa.tx - tya.ty + txya.txy AS BIGINT) AS nd,
+                   CAST(txa.tx AS BIGINT) AS tx,
+                   CAST(tya.ty AS BIGINT) AS ty,
+                   CAST(txya.txy AS BIGINT) AS txy
+            FROM nn, ncagg, txa, tya, txya
+        """,
+        "events_hodges_lehmann": """
+            -- Hodges-Lehmann shift estimator ('view' minus 'purchase'
+            -- values, exact cents): the DOUBLED median of all n1*n2
+            -- pairwise differences, selected from the aggregated
+            -- c1 x c2 count join (never materializing raw pairs) via
+            -- a window cumsum; rank_lo = (m+1)//2, rank_hi = m//2+1
+            -- coincide when m is odd. Engine: bounded-domain value
+            -- histograms + driver binary search with prefix-sum probe
+            -- counts (no pair table anywhere).
+            WITH s AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS is1
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ), c1 AS (
+                SELECT v, COUNT(*) AS c FROM s WHERE is1 = 1 GROUP BY v
+            ), c2 AS (
+                SELECT v, COUNT(*) AS c FROM s WHERE is1 = 0 GROUP BY v
+            ), d AS (
+                SELECT c1.v - c2.v AS d, SUM(c1.c * c2.c) AS cnt
+                FROM c1 CROSS JOIN c2 GROUP BY 1
+            ), w AS (
+                SELECT d, SUM(cnt) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d
+            ), n AS (
+                SELECT (SELECT SUM(c) FROM c1) AS n1,
+                       (SELECT SUM(c) FROM c2) AS n2,
+                       (SELECT SUM(cnt) FROM d) AS m
+            ), sel AS (
+                SELECT
+                    (SELECT MIN(d) FROM w, n
+                     WHERE cum >= (n.m + 1) // 2) AS dlo,
+                    (SELECT MIN(d) FROM w, n
+                     WHERE cum >= n.m // 2 + 1) AS dhi
+            )
+            SELECT CAST(n.n1 AS BIGINT) AS n1,
+                   CAST(n.n2 AS BIGINT) AS n2,
+                   CAST(sel.dlo + sel.dhi AS BIGINT) AS hl_x2
+            FROM n CROSS JOIN sel
+        """,
+        "audit_k_anonymity": """
+            -- k-anonymity (k=5) audit over the customer
+            -- quasi-identifier (nation, segment) with a generalization
+            -- ladder: level 0 = full QI, 1 = nation only, 2 = fully
+            -- generalized. Per level: equivalence classes, sub-k
+            -- classes, rows at risk. Engine: one finest-grain cell
+            -- pass, coarser levels roll up from cells.
+            WITH l0 AS (
+                SELECT COUNT(*) AS n FROM customer
+                GROUP BY c_nationkey, c_mktsegment
+            ), l1 AS (
+                SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey
+            ), l2 AS (
+                SELECT COUNT(*) AS n FROM customer
+            ), u AS (
+                SELECT 0 AS level, n FROM l0
+                UNION ALL SELECT 1, n FROM l1
+                UNION ALL SELECT 2, n FROM l2
+            )
+            SELECT CAST(level AS BIGINT) AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk
+            FROM u GROUP BY level ORDER BY level
+        """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue
             -- shares per nation: HHI = sum(s_i^2) / (sum(s_i))^2; the
@@ -5159,6 +5429,91 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ndup USING (doc_id)
             LEFT JOIN cov USING (doc_id)
             ORDER BY nw.doc_id
+        """,
+        "docs_dedup_trim": """
+            -- exact-substring TRIM (Lee et al. removal): drop word
+            -- positions covered by the union of cross-doc duplicate
+            -- 8-gram spans [pos, pos+7], rebuild docs from survivors
+            -- (single-space joined). Engine: 64-bit token-window
+            -- hashes + a diff-array cumsum mask per doc; string grams
+            -- here. Every doc reports; fully-covered docs emit ''.
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws) - 7)) AS pos,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 7),
+                         i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM base WHERE len(ws) >= 8
+            ), dup AS (
+              SELECT gram FROM g
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), occ AS (
+              SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+            ), covpos AS (
+              SELECT DISTINCT doc_id, pos + o.o AS p
+              FROM occ, (SELECT unnest(generate_series(0, 7)) AS o) o
+            ), words AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws))) AS p,
+                     unnest(ws) AS w
+              FROM base WHERE len(ws) >= 1
+            ), kept AS (
+              SELECT words.doc_id,
+                     count(*) AS n_kept,
+                     string_agg(words.w, ' ' ORDER BY words.p) AS t
+              FROM words
+              LEFT JOIN covpos
+                ON words.doc_id = covpos.doc_id AND words.p = covpos.p
+              WHERE covpos.doc_id IS NULL
+              GROUP BY words.doc_id
+            )
+            SELECT base.doc_id,
+                   CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(kept.t, '') AS text_trimmed
+            FROM base LEFT JOIN kept USING (doc_id)
+            ORDER BY base.doc_id
+        """,
+        "docs_longest_dup_span": """
+            -- longest cross-doc duplicated word span: max L with an
+            -- L-word gram in >= 2 distinct docs, the count of distinct
+            -- spans tied at that L, and the lexicographically smallest
+            -- one. SQL enumerates every gram length; the engine binary
+            -- searches L (existence is monotone: a length-L dup
+            -- contains a length-(L-1) dup) over 64-bit token-window
+            -- hashes and re-verifies candidates on gram text.
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+')
+                     END AS ws
+              FROM documents
+            ), lens AS (
+              SELECT unnest(generate_series(
+                  8, (SELECT COALESCE(MAX(len(ws)), 8) FROM base)))
+                  AS L
+            ), g AS (
+              SELECT b.doc_id, lens.L,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - L + 1),
+                         i -> array_to_string(ws[i:i+L-1], ' ')))
+                         AS gram
+              FROM base b CROSS JOIN lens
+              WHERE len(ws) >= L
+            ), dup AS (
+              SELECT L, gram FROM g
+              GROUP BY L, gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), mx AS (SELECT MAX(L) AS max_len FROM dup)
+            SELECT CAST(mx.max_len AS BIGINT) AS max_len,
+                   CAST(COUNT(DISTINCT dup.gram) AS BIGINT) AS n_spans,
+                   MIN(dup.gram) AS span_text
+            FROM dup JOIN mx ON dup.L = mx.max_len
+            GROUP BY mx.max_len
         """,
         "docs_gram_dups": """
             -- distinct word-8-grams each doc shares with >=1 OTHER doc;

@@ -10093,3 +10093,516 @@ def q_part_betweenness(sf_dir: str):
     return (out.sort_values(["bc_scaled", "node"],
                             ascending=[False, True])
             .head(20).reset_index(drop=True))
+
+
+def _two_sample_rank_buckets(sf_dir: str, type_a: str, type_b: str):
+    """Shared machinery for the two-sample rank statistics
+    (``q_events_ks_test`` / ``q_events_mannwhitney``): exact-cents
+    per-value counts of two event-type samples, range-bucketed by the
+    value's high bits so buckets are GLOBALLY ORDERED (arithmetic
+    shift preserves order for negatives too) and global cumulative
+    ranks need only per-bucket offsets — no global sort, no driver
+    materialization of per-value rows.
+
+    Returns ``(bucketed, shift, off1, off2, offc, n1, n2)``:
+    ``bucketed`` is a Dataset of merged per-value rows
+    ``(rb, v, d1, d2)``; the ``off*`` dicts map each occupied bucket
+    to the Python-int count of sample-1 / sample-2 / combined values
+    in strictly LOWER buckets (≤4096 scalars on the driver — the same
+    budget as q_orders_key_gaps); ``n1``/``n2`` are the sample sizes.
+    Returns ``None`` when both samples are empty.
+    """
+    import numpy as np
+
+    from ..stages.exchange import checkpoint
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        m = (t == type_a) | (t == type_b)
+        v = np.round(b["value"].to_numpy()[m] * 100).astype(np.int64)
+        is1 = (t[m] == type_a).astype(np.int64)
+        return (pd.DataFrame({"v": v, "d1": is1, "d2": 1 - is1})
+                .groupby("v", as_index=False)
+                .agg(d1=("d1", "sum"), d2=("d2", "sum")))
+
+    parts = checkpoint(ds.map_batches(partial, batch_format="pandas"))
+    max_v = parts.max("v")
+    if max_v is None:
+        return None
+    shift = max(0, int(max_v).bit_length() - 12)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("v", as_index=False)
+             .agg(d1=("d1", "sum"), d2=("d2", "sum")))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "v", "d1", "d2"]]
+
+    bucketed = checkpoint(
+        parts.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket, batch_format="pandas"))
+
+    def totals_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("rb", as_index=False)
+                .agg(t1=("d1", "sum"), t2=("d2", "sum")))
+
+    tot = (bucketed.map_batches(totals_partial, batch_format="pandas")
+           .to_pandas())
+    tot = _pysum_cols(tot, ["t1", "t2"])
+    tot = (tot.groupby("rb", as_index=False)
+           .agg(t1=("t1", "sum"), t2=("t2", "sum"))
+           .sort_values("rb"))
+    off1, off2, offc = {}, {}, {}
+    a1 = a2 = 0
+    for _, row in tot.iterrows():
+        rb, t1, t2 = int(row["rb"]), int(row["t1"]), int(row["t2"])
+        off1[rb], off2[rb], offc[rb] = a1, a2, a1 + a2
+        a1 += t1
+        a2 += t2
+    return bucketed, shift, off1, off2, offc, a1, a2
+
+
+def q_events_ks_test(sf_dir: str):
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV test (distribution drift between
+    'view' and 'purchase' event values) as a PURE-INTEGER statistic:
+    D = max over distinct values v of |F1(v) − F2(v)| is reported as
+    the exact numerator d_num = max |c1(v)·n2 − c2(v)·n1| (so
+    D = d_num/(n1·n2) with no float anywhere), plus the smallest value
+    at_v attaining the max. The global ECDF scan runs WITHOUT a global
+    sort: per-value counts range-bucket by high bits, each bucket
+    cumsums locally against Python-int offsets from lower buckets, and
+    the driver merges ≤4096 per-bucket maxima. int64 bound: the
+    cross-multiply c·n caps at n1·n2 < 2^63 ⇒ exact for samples up to
+    ~3·10^9 rows EACH (beyond that, switch the per-bucket dn to object
+    dtype — the bucket structure already confines the cost)."""
+    import numpy as np
+
+    res = _two_sample_rank_buckets(sf_dir, "view", "purchase")
+    cols = ("n1", "n2", "d_num", "at_v")
+    if res is None:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    bucketed, _shift, off1, off2, _offc, n1, n2 = res
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        rb = int(g["rb"].iloc[0])
+        c1 = (np.cumsum(g["d1"].to_numpy(dtype=np.int64))
+              + np.int64(off1[rb]))
+        c2 = (np.cumsum(g["d2"].to_numpy(dtype=np.int64))
+              + np.int64(off2[rb]))
+        dn = np.abs(c1 * np.int64(n2) - c2 * np.int64(n1))
+        i = int(np.argmax(dn))  # sorted asc ⇒ first max = smallest v
+        return pd.DataFrame({
+            "dn": [int(dn[i])],
+            "at_v": [int(g["v"].to_numpy(dtype=np.int64)[i])],
+        })
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    d_num = int(m["dn"].max())
+    at_v = int(m.loc[m["dn"] == d_num, "at_v"].min())
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64"),
+        "d_num": pd.Series([d_num], dtype="int64"),
+        "at_v": pd.Series([at_v], dtype="int64"),
+    })
+
+
+def q_events_mannwhitney(sf_dir: str):
+    """MANN–WHITNEY U (Wilcoxon rank-sum) test between 'view' and
+    'purchase' event values, EXACT with midranks: ties get the average
+    rank, so doubled rank sums stay integral — 2·R1 = Σ_v d1(v)·
+    (2·cum_before(v) + cnt(v) + 1), 2·U1 = 2·R1 − n1(n1+1). Also
+    reports tie_sum = Σ (cnt³ − cnt), the exact tie-correction term of
+    the normal-approximation variance. Same sort-free range-bucket
+    scan as q_events_ks_test; per-bucket partials convert to Python
+    ints before the driver merge (the _pysum_cols discipline). int64
+    bound: per-value terms cap at ~2·(n1+n2)², exact for combined
+    samples to ~2·10^9 rows (then: object-dtype per-bucket terms)."""
+    import numpy as np
+
+    res = _two_sample_rank_buckets(sf_dir, "view", "purchase")
+    cols = ("n1", "n2", "r1_x2", "u1_x2", "tie_sum")
+    if res is None:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    bucketed, _shift, _off1, _off2, offc, n1, n2 = res
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        rb = int(g["rb"].iloc[0])
+        d1 = g["d1"].to_numpy(dtype=np.int64)
+        cnt = d1 + g["d2"].to_numpy(dtype=np.int64)
+        cumb = (np.concatenate(([np.int64(0)], np.cumsum(cnt)[:-1]))
+                + np.int64(offc[rb]))
+        terms = d1 * (2 * cumb + cnt + 1)
+        ties = cnt * cnt * cnt - cnt
+        return pd.DataFrame({"r1p": [int(terms.sum())],
+                             "tiep": [int(ties.sum())]})
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = _pysum_cols(m, ["r1p", "tiep"])
+    r1_x2 = sum(int(v) for v in m["r1p"])
+    tie_sum = sum(int(v) for v in m["tiep"])
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64"),
+        "r1_x2": pd.Series([r1_x2], dtype="int64"),
+        "u1_x2": pd.Series([u1_x2], dtype="int64"),
+        "tie_sum": pd.Series([tie_sum], dtype="int64"),
+    })
+
+
+def _hour_value_cell_buckets(sf_dir: str):
+    """Shared machinery for the bivariate rank statistics
+    (``q_events_spearman`` / ``q_events_kendall``): per-(hour-of-day,
+    exact-cents-value) occurrence counts ("cells") of the full events
+    table, range-bucketed by the value's high bits so buckets are
+    GLOBALLY ORDERED in ``v`` and every global cumulative the
+    statistics need reduces to per-bucket work plus tiny driver-held
+    offsets. Because bucket = ``v >> shift``, each distinct value
+    lives in exactly ONE bucket — per-value tie counts are
+    bucket-local.
+
+    Returns ``(bucketed, offh, nh, n)``: ``bucketed`` is a Dataset of
+    merged cells ``(rb, h, v, c)``; ``offh`` maps each occupied bucket
+    to a 24-long Python-int list counting, per hour, the events in
+    strictly LOWER buckets (≤4096×24 driver scalars); ``nh`` is the
+    24-long global per-hour totals list; ``n`` the row count. Returns
+    ``None`` on an empty table.
+    """
+    import numpy as np
+
+    from ..stages.exchange import checkpoint
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].dt.hour.to_numpy(dtype=np.int64)
+        v = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"h": h, "v": v})
+                .groupby(["h", "v"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    parts = checkpoint(ds.map_batches(partial, batch_format="pandas"))
+    max_v = parts.max("v")
+    if max_v is None:
+        return None
+    shift = max(0, int(max_v).bit_length() - 12)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["h", "v"], as_index=False)
+             .agg(c=("c", "sum")))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "h", "v", "c"]]
+
+    bucketed = checkpoint(
+        parts.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket, batch_format="pandas"))
+
+    def totals_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["rb", "h"], as_index=False)
+                .agg(t=("c", "sum")))
+
+    tot = (bucketed.map_batches(totals_partial, batch_format="pandas")
+           .to_pandas())
+    tot = _pysum_cols(tot, ["t"])
+    tot = (tot.groupby(["rb", "h"], as_index=False)
+           .agg(t=("t", "sum")))
+    per_rb = {}
+    for _, row in tot.iterrows():
+        per_rb.setdefault(int(row["rb"]), [0] * 24)[int(row["h"])] = \
+            int(row["t"])
+    offh, acc = {}, [0] * 24
+    for rb in sorted(per_rb):
+        offh[rb] = list(acc)
+        acc = [a + t for a, t in zip(acc, per_rb[rb])]
+    nh = acc
+    return bucketed, offh, nh, sum(nh)
+
+
+def q_events_spearman(sf_dir: str):
+    """SPEARMAN RANK CORRELATION between hour-of-day and event value
+    (is spend rank-associated with time of day?), EXACT with midranks:
+    with doubled midranks r2x (per hour) and r2y (per cents value),
+    every moment is an integer and rho² = sxy²/(sxx·syy) where
+    sxy = Σ r2x·r2y − n(n+1)², sxx = Σ r2x² − n(n+1)²,
+    syy = Σ r2y² − n(n+1)² (doubled-rank sums are n(n+1) exactly, ties
+    included, so the centering term is closed-form). No global sort:
+    per-(hour, value) cells range-bucket by value high bits
+    (:func:`_hour_value_cell_buckets`); r2x needs only the 24 global
+    per-hour totals; r2y cumulates per bucket against driver-held
+    offsets; partials combine as Python ints. int64 OUTPUT bound:
+    sxy/syy ≈ 4n³ caps at n ≈ 1.3×10⁶ rows — beyond that emit the
+    (already exact) Python ints as decimal strings."""
+    import numpy as np
+
+    res = _hour_value_cell_buckets(sf_dir)
+    cols = ("n", "sxy", "sxx", "syy")
+    if res is None:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    bucketed, offh, nh, n = res
+    # doubled midrank per hour from the 24 global totals
+    r2x, cum = [0] * 24, 0
+    for h in range(24):
+        r2x[h] = 2 * cum + nh[h] + 1
+        cum += nh[h]
+    offall = {rb: sum(o) for rb, o in offh.items()}
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rb"].iloc[0])
+        gv = (g.groupby("v", as_index=False).agg(cv=("c", "sum"))
+              .sort_values("v"))
+        cv = gv["cv"].to_numpy(dtype=np.int64)
+        cum_excl = (np.concatenate(([np.int64(0)],
+                                    np.cumsum(cv)[:-1]))
+                    + np.int64(offall[rb]))
+        r2y = 2 * cum_excl + cv + 1
+        uniq_v = gv["v"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        ry = r2y[np.searchsorted(uniq_v,
+                                 g["v"].to_numpy(dtype=np.int64))]
+        rx = np.asarray(r2x, dtype=np.int64)[
+            g["h"].to_numpy(dtype=np.int64)]
+        return pd.DataFrame({
+            "sxyp": [int((c * rx * ry).sum())],
+            "syyp": [int((c * ry * ry).sum())],
+        })
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = _pysum_cols(m, ["sxyp", "syyp"])
+    cen = n * (n + 1) * (n + 1)
+    sxy = sum(int(v) for v in m["sxyp"]) - cen
+    syy = sum(int(v) for v in m["syyp"]) - cen
+    sxx = sum(nh[h] * r2x[h] * r2x[h] for h in range(24)) - cen
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "sxy": pd.Series([sxy], dtype="int64"),
+        "sxx": pd.Series([sxx], dtype="int64"),
+        "syy": pd.Series([syy], dtype="int64"),
+    })
+
+
+def q_events_kendall(sf_dir: str):
+    """KENDALL TAU-B concordance between hour-of-day and event value,
+    EXACT: reports the pair counts the statistic is built from —
+    nc (concordant), nd (discordant), tx (pairs tied in hour),
+    ty (pairs tied in value), txy (tied in both) — so
+    tau_b = (nc−nd)/√((P−tx)(P−ty)) with P = n(n−1)/2 and every count
+    integral. The naive statistic is O(n²); here nc = Σ_cells c·A with
+    A(h,v) = #events at (h'<h, v'<v) computed WITHOUT a global sort:
+    per-bucket dense (values×24) count matrices take an exclusive
+    cumsum along each axis (value axis seeded by the driver-held
+    per-hour lower-bucket offsets), nd follows from the pair identity
+    nd = P − nc − tx − ty + txy (mirrored in the oracle; the pytest
+    brute force checks nd independently). Tie counts: tx from the 24
+    global totals, ty/txy bucket-local since each value owns one
+    bucket. int64 bound: nc ≤ P ≈ n²/2 caps at n ≈ 4×10⁹ rows."""
+    import numpy as np
+
+    res = _hour_value_cell_buckets(sf_dir)
+    cols = ("n", "nc", "nd", "tx", "ty", "txy")
+    if res is None:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    bucketed, offh, nh, n = res
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rb"].iloc[0])
+        v = g["v"].to_numpy(dtype=np.int64)
+        h = g["h"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        uniq = np.unique(v)
+        vi = np.searchsorted(uniq, v)
+        M = np.zeros((len(uniq), 24), dtype=np.int64)
+        np.add.at(M, (vi, h), c)
+        # events per hour with value strictly below each local v
+        below = (np.cumsum(M, axis=0) - M
+                 + np.asarray(offh[rb], dtype=np.int64)[None, :])
+        # A(h, v) = sum over h' < h of below[v, h']
+        A = np.cumsum(below, axis=1) - below
+        nv = M.sum(axis=1)
+        return pd.DataFrame({
+            "ncp": [int((M * A).sum())],
+            "typ": [int((nv * (nv - 1) // 2).sum())],
+            "txyp": [int((c * (c - 1) // 2).sum())],
+        })
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = _pysum_cols(m, ["ncp", "typ", "txyp"])
+    nc = sum(int(x) for x in m["ncp"])
+    ty = sum(int(x) for x in m["typ"])
+    txy = sum(int(x) for x in m["txyp"])
+    tx = sum(t * (t - 1) // 2 for t in nh)
+    p_all = n * (n - 1) // 2
+    nd = p_all - nc - tx - ty + txy
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "nc": pd.Series([nc], dtype="int64"),
+        "nd": pd.Series([nd], dtype="int64"),
+        "tx": pd.Series([tx], dtype="int64"),
+        "ty": pd.Series([ty], dtype="int64"),
+        "txy": pd.Series([txy], dtype="int64"),
+    })
+
+
+def q_events_hodges_lehmann(sf_dir: str):
+    """HODGES–LEHMANN SHIFT ESTIMATOR between 'view' and 'purchase'
+    event values: the median of ALL n1·n2 pairwise differences
+    v_view − v_purchase (in exact cents), the robust companion to the
+    Mann–Whitney test — reported DOUBLED (hl_x2 = d_⌈(m+1)/2⌉ +
+    d_⌊m/2⌋₊₁, identical halves when m is odd) so ties and even counts
+    stay integral. The naive statistic materializes m ≈ n²  pairwise
+    diffs; here neither the engine nor the driver ever builds them:
+    event values live in a BOUNDED cent domain (the
+    part_trimmed_mean scale story), so one distributed pass builds the
+    two per-value count histograms, and the driver selects the middle
+    ranks by BINARY SEARCH over candidate diffs — each probe is one
+    vectorized count of pairs {v1 − v2 ≤ d} via prefix sums
+    (O(|domain| log range) total, zero pair materialization). The
+    oracle mirrors the counting form with an aggregated c1 × c2 join.
+    int64 bound: probe counts cap at n1·n2 < 2^63 ⇒ exact to ~3×10⁹
+    rows per side (beyond: object-dtype probe sums)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        m = (t == "view") | (t == "purchase")
+        v = np.round(b["value"].to_numpy()[m] * 100).astype(np.int64)
+        is1 = (t[m] == "view").astype(np.int64)
+        return (pd.DataFrame({"v": v, "d1": is1, "d2": 1 - is1})
+                .groupby("v", as_index=False)
+                .agg(d1=("d1", "sum"), d2=("d2", "sum")))
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas())
+    cols = ("n1", "n2", "hl_x2")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in cols})
+    if len(hist) == 0:
+        return empty
+    hist = _pysum_cols(hist, ["d1", "d2"])
+    hist = (hist.groupby("v", as_index=False)
+            .agg(d1=("d1", "sum"), d2=("d2", "sum"))
+            .sort_values("v"))
+    v = hist["v"].to_numpy(dtype=np.int64)
+    c1 = np.array([int(x) for x in hist["d1"]], dtype=np.int64)
+    c2 = np.array([int(x) for x in hist["d2"]], dtype=np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    v1, c1 = v[c1 > 0], c1[c1 > 0]
+    v2, c2 = v[c2 > 0], c2[c2 > 0]
+    cum2 = np.concatenate(([0], np.cumsum(c2)))  # below-count prefix
+
+    def count_le(d: int) -> int:
+        # pairs with v1 - v2 <= d  <=>  v2 >= v1 - d
+        below = cum2[np.searchsorted(v2, v1 - d, side="left")]
+        return int((c1 * (n2 - below)).sum())
+
+    def kth(k: int) -> int:
+        lo = int(v1[0] - v2[-1])
+        hi = int(v1[-1] - v2[0])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    m = n1 * n2
+    hl_x2 = kth((m + 1) // 2) + kth(m // 2 + 1)
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64"),
+        "hl_x2": pd.Series([hl_x2], dtype="int64"),
+    })
+
+
+def q_audit_k_anonymity(sf_dir: str):
+    """K-ANONYMITY AUDIT WITH A GENERALIZATION LADDER (k = 5): how
+    identifiable are customers by the quasi-identifier
+    (c_nationkey, c_mktsegment), and does coarsening fix it? Level 0
+    keys on the full QI, level 1 generalizes away the segment
+    (nation only), level 2 the nation too (single equivalence class) —
+    the minimal lattice walk of Samarati-style k-anonymization. Per
+    level: equivalence classes, classes below k, and rows at risk
+    (rows in sub-k classes — the re-identifiable population). The
+    privacy-audit companion to q_audit_referential. Reference n/a —
+    engine-level op.
+
+    Scale shape: ONE pass of finest-grain (nation, segment) count
+    partials (the grouping-sets discipline — coarser levels roll up
+    from finest cells, never rescanning); the cell table is bounded by
+    the QI domain (|nations| × |segments|), so the rollup is a
+    driver-side Python-int fold over ≤ a few hundred scalars."""
+    import numpy as np
+
+    k = 5
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["c_nationkey", "c_mktsegment"],
+                          as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    cells = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    out_rows = []
+    if len(cells) == 0:
+        # the oracle's level-2 COUNT(*) over an empty table still
+        # yields one (empty, sub-k) equivalence class — mirror it
+        out_rows.append((2, 1, 1, 0))
+    else:
+        cells = _pysum_cols(cells, ["n"])
+        cells = (cells.groupby(["c_nationkey", "c_mktsegment"],
+                               as_index=False).agg(n=("n", "sum")))
+        levels = [
+            (0, ["c_nationkey", "c_mktsegment"]),
+            (1, ["c_nationkey"]),
+            (2, []),
+        ]
+        for lvl, keys in levels:
+            if keys:
+                g = cells.groupby(keys)["n"].sum()
+                counts = [int(v) for v in g]
+            else:
+                counts = [sum(int(v) for v in cells["n"])]
+            viol = [c for c in counts if c < k]
+            out_rows.append((lvl, len(counts), len(viol), sum(viol)))
+    return pd.DataFrame(
+        out_rows, columns=["level", "n_classes", "n_violating",
+                           "rows_at_risk"]
+    ).astype({"level": "int64", "n_classes": "int64",
+              "n_violating": "int64", "rows_at_risk": "int64"})

@@ -1885,3 +1885,274 @@ def fingerprint_dups(
     out = out.astype({"doc_a": "int64", "doc_b": "int64",
                       "n_shared_fps": "int64"})
     return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def dedup_trim(
+    docs: ray.data.Dataset, n: int = 8, n_buckets: int = 64
+) -> pd.DataFrame:
+    """EXACT-SUBSTRING TRIMMING (Lee et al.'s dedup REMOVAL step at
+    word-gram granularity — the action :func:`dup_coverage` measures):
+    drop every word position covered by at least one word-``n``-gram
+    that also occurs in a DIFFERENT document, and rebuild each doc from
+    the surviving words in order. Complements :func:`chunk_dedup`
+    (which removes non-overlapping fixed chunks, keep-first): here the
+    spans are OVERLAPPING gram intervals and BOTH copies lose the
+    shared span — the conservative decontamination-style trim.
+    Reference n/a — engine-level op (the reference is a parse library,
+    SURVEY.md §2.6). Gram identity = the 64-bit token-window polynomial
+    (dup_coverage / decontaminate precedent) vs the oracle's string
+    grams (collision odds ~G²/2⁶⁴).
+
+    Scale shape: two bounded exchanges, no driver state. (1) gram-hash
+    buckets decide "≥ 2 distinct docs" locally and forward only the dup
+    occurrences' (doc, pos) rows; (2) doc-hash buckets carry each doc's
+    TEXT once (not per-word rows) plus its dup positions, and the
+    per-doc covered mask is one vectorized diff-array cumsum — O(words)
+    per doc, no per-position rows anywhere. Every doc reports; fully
+    covered docs emit n_kept = 0 with empty text. Output joins kept
+    words with single spaces (the oracle's array_to_string mirror)."""
+    from ..pipelines.joins import auto_buckets as _ab  # noqa: F401
+    from . import hashing
+
+    def emit_occurrences(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [(t or "").split()
+                for t in batch.column("text").to_pylist()]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        th = _hash_tokens64(flat)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        gs, ds, ps = [], [], []
+        for i, c in enumerate(counts):
+            if c < n:
+                continue
+            wh = _window_hashes(th[offsets[i]:offsets[i + 1]], n)
+            gs.append(wh.view(np.int64))
+            ds.append(np.full(len(wh), ids[i], dtype=np.int64))
+            ps.append(np.arange(len(wh), dtype=np.int64))
+        g = np.concatenate(gs) if gs else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "gb": (hashing.mix64(g.view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "g": g,
+            "doc_id": (np.concatenate(ds) if ds
+                       else np.empty(0, dtype=np.int64)),
+            "pos": (np.concatenate(ps) if ps
+                    else np.empty(0, dtype=np.int64)),
+        })
+
+    def forward_dups(grp: pd.DataFrame) -> pd.DataFrame:
+        ndocs = grp.groupby("g")["doc_id"].transform("nunique")
+        occ = grp[ndocs >= 2]
+        return pd.DataFrame({
+            "db": (hashing.mix64(occ["doc_id"].to_numpy()
+                                 .astype(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "doc_id": occ["doc_id"].to_numpy(dtype=np.int64),
+            "pos": occ["pos"].to_numpy(dtype=np.int64),
+            "is_txt": np.zeros(len(occ), dtype=bool),
+            "text": np.full(len(occ), "", dtype=object),
+        })
+
+    def emit_texts(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        txt = batch.column("text").to_pylist()
+        return pd.DataFrame({
+            "db": (hashing.mix64(ids.view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "doc_id": ids,
+            "pos": np.full(len(ids), -1, dtype=np.int64),
+            "is_txt": np.ones(len(ids), dtype=bool),
+            "text": np.asarray([t or "" for t in txt], dtype=object),
+        })
+
+    def finalize(grp: pd.DataFrame) -> pd.DataFrame:
+        txt = grp[grp["is_txt"]]
+        occ = (grp[~grp["is_txt"]]
+               .sort_values(["doc_id", "pos"]))
+        pos_by_doc = {
+            int(d): g["pos"].to_numpy(dtype=np.int64)
+            for d, g in occ.groupby("doc_id")
+        }
+        out_id, out_kept, out_text = [], [], []
+        for did, t in zip(txt["doc_id"].to_numpy(dtype=np.int64),
+                          txt["text"]):
+            words = (t or "").split()
+            nw = len(words)
+            p = pos_by_doc.get(int(did))
+            if p is None or nw == 0:
+                out_id.append(int(did))
+                out_kept.append(nw)
+                out_text.append(" ".join(words))
+                continue
+            # diff-array interval union: +1 at each span start, -1 at
+            # each clipped end; covered = positions with positive sum
+            d = np.zeros(nw + 1, dtype=np.int64)
+            np.add.at(d, p, 1)
+            np.add.at(d, np.minimum(p + n, nw), -1)
+            covered = np.cumsum(d[:-1]) > 0
+            kept = [w for w, c in zip(words, covered) if not c]
+            out_id.append(int(did))
+            out_kept.append(len(kept))
+            out_text.append(" ".join(kept))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "n_kept": pd.Series(out_kept, dtype="int64"),
+            "text_trimmed": pd.Series(out_text, dtype="object"),
+        })
+
+    from .exchange import checkpoint
+
+    occ = (docs.map_batches(emit_occurrences, batch_format="pyarrow")
+           .groupby("gb").map_groups(forward_dups,
+                                     batch_format="pandas"))
+    texts = docs.map_batches(emit_texts, batch_format="pyarrow")
+    merged = checkpoint(texts.union(occ))
+    out = (merged.groupby("db")
+           .map_groups(finalize, batch_format="pandas").to_pandas())
+    return (out.astype({"doc_id": "int64", "n_kept": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def longest_dup_span(
+    docs: ray.data.Dataset, min_len: int = 8, n_buckets: int = 64
+) -> pd.DataFrame:
+    """LONGEST CROSS-DOC DUPLICATED WORD SPAN: the maximum L such that
+    some L-word gram occurs in >= 2 DISTINCT documents, plus how many
+    distinct spans are tied at that length and the lexicographically
+    smallest one — the "how bad is the worst duplication" report that
+    decides exact-substring dedup thresholds (:func:`dedup_trim` /
+    :func:`dup_coverage` run at the chosen n). Reference n/a —
+    engine-level op (the reference is a parse library, SURVEY.md §2.6).
+
+    Scale shape: span-existence is MONOTONE in L (any length-L dup
+    contains a length-(L-1) dup), so a BINARY SEARCH over L needs only
+    O(log maxwords) probe passes; each probe is one bounded gram-hash
+    bucket exchange answering "does any L-window hash live in >= 2
+    docs" (64-bit token-window polynomial — the dup_coverage hash-
+    identity convention, collision odds ~G²/2⁶⁴; the final pass
+    re-verifies candidates on gram TEXT). Tokenized hashes are
+    materialized ONCE and reused by every probe. The only driver state
+    is the duplicated hash set AT the maximum length (usually a
+    handful of spans) broadcast into the text-extraction pass. Empty
+    result (0 rows) when no ``min_len``-gram repeats across docs."""
+    from . import hashing
+    from .exchange import checkpoint
+
+    def tok(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [(t or "").split()
+                for t in batch.column("text").to_pylist()]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        th = _hash_tokens64(flat).view(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "nw": pa.array(counts, pa.int64()),
+            "th": pa.array([th[offsets[i]:offsets[i + 1]].tolist()
+                            for i in range(len(counts))],
+                           pa.list_(pa.int64())),
+        })
+
+    hashed = checkpoint(docs.map_batches(tok, batch_format="pyarrow"))
+    max_nw = hashed.max("nw")
+    if max_nw is None or int(max_nw) < min_len:
+        return pd.DataFrame({
+            "max_len": pd.Series([], dtype="int64"),
+            "n_spans": pd.Series([], dtype="int64"),
+            "span_text": pd.Series([], dtype="object"),
+        })
+
+    def window_rows(batch: pa.Table, L: int) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ths = batch.column("th").to_pylist()
+        gs, ds = [], []
+        for did, th in zip(ids, ths):
+            a = np.asarray(th, dtype=np.int64)
+            if len(a) < L:
+                continue
+            wh = np.unique(
+                _window_hashes(a.view(np.uint64), L).view(np.int64))
+            gs.append(wh)
+            ds.append(np.full(len(wh), did, dtype=np.int64))
+        g = np.concatenate(gs) if gs else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "gb": (hashing.mix64(g.view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64),
+            "g": g,
+            "doc_id": (np.concatenate(ds) if ds
+                       else np.empty(0, dtype=np.int64)),
+        })
+
+    def dup_hashes_at(L: int) -> pd.DataFrame:
+        """Per-bucket (hash, n_docs) rows for hashes in >= 2 docs."""
+        def find(grp: pd.DataFrame) -> pd.DataFrame:
+            nd = grp.groupby("g")["doc_id"].nunique()
+            nd = nd[nd >= 2]
+            return pd.DataFrame({
+                "g": nd.index.to_numpy(dtype=np.int64),
+                "n_docs": nd.to_numpy(dtype=np.int64),
+            })
+
+        return (hashed
+                .map_batches(lambda b, L=L: window_rows(b, L),
+                             batch_format="pyarrow")
+                .groupby("gb").map_groups(find, batch_format="pandas")
+                .to_pandas())
+
+    def probe(L: int) -> bool:
+        return len(dup_hashes_at(L)) > 0
+
+    lo, hi = min_len, int(max_nw)
+    if not probe(lo):
+        return pd.DataFrame({
+            "max_len": pd.Series([], dtype="int64"),
+            "n_spans": pd.Series([], dtype="int64"),
+            "span_text": pd.Series([], dtype="object"),
+        })
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if probe(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    best = lo
+    dup_arr = np.sort(dup_hashes_at(best)["g"].to_numpy(
+        dtype=np.int64))
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [(t or "").split()
+                for t in batch.column("text").to_pylist()]
+        out_d, out_t = [], []
+        for did, ws in zip(ids, toks):
+            if len(ws) < best:
+                continue
+            a = _hash_tokens64(
+                np.asarray(ws, dtype=object)).view(np.uint64)
+            wh = _window_hashes(a, best).view(np.int64)
+            for i in np.nonzero(np.isin(wh, dup_arr))[0]:
+                out_d.append(int(did))
+                out_t.append(" ".join(ws[i:i + best]))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "gram": pd.Series(out_t, dtype="object"),
+        })
+
+    occ = (docs.map_batches(extract, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())
+    nd = occ.groupby("gram")["doc_id"].nunique()
+    spans = sorted(nd[nd >= 2].index)
+    if not spans:
+        return pd.DataFrame({
+            "max_len": pd.Series([], dtype="int64"),
+            "n_spans": pd.Series([], dtype="int64"),
+            "span_text": pd.Series([], dtype="object"),
+        })
+    return pd.DataFrame({
+        "max_len": pd.Series([best], dtype="int64"),
+        "n_spans": pd.Series([len(spans)], dtype="int64"),
+        "span_text": pd.Series([spans[0]], dtype="object"),
+    })
