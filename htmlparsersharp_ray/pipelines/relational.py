@@ -10400,6 +10400,13 @@ def q_events_spearman(sf_dir: str):
     sxy = sum(int(v) for v in m["sxyp"]) - cen
     syy = sum(int(v) for v in m["syyp"]) - cen
     sxx = sum(nh[h] * r2x[h] * r2x[h] for h in range(24)) - cen
+    if max(abs(sxy), sxx, syy) >= 2 ** 63:
+        # the moments are already exact Python ints; only the int64
+        # OUTPUT columns cap the scale (~1.3e6 rows). Fail loud rather
+        # than let pandas overflow-cast.
+        raise ValueError(
+            f"events_spearman moments exceed int64 at n={n}; emit "
+            "decimal strings (or rescale ranks) beyond ~1.3e6 rows")
     return pd.DataFrame({
         "n": pd.Series([n], dtype="int64"),
         "sxy": pd.Series([sxy], dtype="int64"),

@@ -101,7 +101,12 @@ def main() -> int:
 
         gc.collect()  # earlier passes' ObjectRef cycles pin blocks
         t0 = time.time()
-        r = fn()
+        try:
+            r = fn()
+        except Exception as e:  # record, don't kill the sweep
+            results[name] = {"sec": round(time.time() - t0, 1),
+                             "error": repr(e)[:200]}
+            return
         results[name] = {
             "sec": round(time.time() - t0, 1),
             "rows": int(len(r)) if hasattr(r, "__len__") else int(r),
@@ -874,6 +879,40 @@ def main() -> int:
         return compressibility(docs(pair_files)).count()
 
     run("compressibility_100k", compressibility_100k)
+
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_events_hodges_lehmann,
+        q_events_kendall,
+        q_events_ks_test,
+        q_events_mannwhitney,
+        q_events_spearman,
+    )
+
+    run("ks_10m", lambda: q_events_ks_test(synth_events_val()))
+    run("mannwhitney_10m",
+        lambda: q_events_mannwhitney(synth_events_val()))
+    # spearman's int64 OUTPUT bound is ~1.3e6 rows (moments ~4n^3);
+    # probe at the designed scale — beyond it the op raises loud
+    run("spearman_1m",
+        lambda: q_events_spearman(
+            synth_events_val(n=1_000_000, d="/tmp/graft_sweep_ev1m")))
+    run("kendall_10m", lambda: q_events_kendall(synth_events_val()))
+    run("hodges_lehmann_10m",
+        lambda: q_events_hodges_lehmann(synth_events_val()))
+
+    def dedup_trim_slice():
+        from htmlparsersharp_ray.stages.dedup import dedup_trim
+
+        return dedup_trim(docs(pair_files), n=8)
+
+    run("dedup_trim_slice", dedup_trim_slice)
+
+    def longest_dup_span_slice():
+        from htmlparsersharp_ray.stages.dedup import longest_dup_span
+
+        return longest_dup_span(docs(pair_files), min_len=8)
+
+    run("longest_dup_span_slice", longest_dup_span_slice)
 
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
