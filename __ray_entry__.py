@@ -1900,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kendall": r.q_events_kendall,
         "events_hodges_lehmann": r.q_events_hodges_lehmann,
         "audit_k_anonymity": r.q_audit_k_anonymity,
+        "events_quantile_map": r.q_events_quantile_map,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -4085,6 +4086,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
                         AS BIGINT) AS rows_at_risk
             FROM u GROUP BY level ORDER BY level
+        """,
+        "events_quantile_map": """
+            -- quantile normalization: map each distinct 'purchase'
+            -- value onto the 'view' distribution at the same quantile.
+            -- r = #purchase <= v (max rank of ties), target rank
+            -- t = ceil(r*n1/n2) via (r*n1 + n2 - 1)//n2, mapped = the
+            -- smallest view value whose cumulative count reaches t.
+            -- Engine: bounded-domain histograms, two cumsums + one
+            -- searchsorted — never a per-row pass on the driver.
+            WITH s AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS is1
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ), c1 AS (
+                SELECT v, COUNT(*) AS c FROM s WHERE is1 = 1 GROUP BY v
+            ), c2 AS (
+                SELECT v, COUNT(*) AS c FROM s WHERE is1 = 0 GROUP BY v
+            ), w1 AS (
+                SELECT v, SUM(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c1
+            ), n AS (
+                SELECT (SELECT SUM(c) FROM c1) AS n1,
+                       (SELECT SUM(c) FROM c2) AS n2
+            ), t AS (
+                SELECT v, c, SUM(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS r
+                FROM c2
+            ), tt AS (
+                SELECT t.v, t.c, t.r,
+                       (t.r * n.n1 + n.n2 - 1) // n.n2 AS tgt
+                FROM t CROSS JOIN n
+            )
+            SELECT CAST(tt.v AS BIGINT) AS v,
+                   CAST(tt.c AS BIGINT) AS n,
+                   CAST(tt.r AS BIGINT) AS r,
+                   CAST(MIN(w1.v) AS BIGINT) AS mapped
+            FROM tt JOIN w1 ON w1.cum >= tt.tgt
+            GROUP BY tt.v, tt.c, tt.r
+            ORDER BY tt.v
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -10613,3 +10613,63 @@ def q_audit_k_anonymity(sf_dir: str):
                            "rows_at_risk"]
     ).astype({"level": "int64", "n_classes": "int64",
               "n_violating": "int64", "rows_at_risk": "int64"})
+
+
+def q_events_quantile_map(sf_dir: str):
+    """QUANTILE NORMALIZATION (distribution alignment): map every
+    distinct 'purchase' value onto the 'view' distribution at the same
+    quantile — the covariate/score-alignment op a pipeline runs before
+    mixing sources (quantile matching). Discrete convention, exact in
+    integers: r = #purchase ≤ v (max rank of ties), target rank
+    t = ⌈r·n1/n2⌉ computed as (r·n1 + n2 − 1)//n2, mapped = the
+    SMALLEST view value whose cumulative count reaches t. One row per
+    distinct purchase value: (v, n, r, mapped).
+
+    Scale shape: event values live in a BOUNDED cent domain, so one
+    distributed histogram pass bounds the driver work regardless of
+    row count (the part_trimmed_mean / hodges_lehmann story); the map
+    itself is two cumsums + one searchsorted. int64 bound: r·n1 <
+    2^63 ⇒ exact to ~3×10⁹ rows per side."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        m = (t == "view") | (t == "purchase")
+        v = np.round(b["value"].to_numpy()[m] * 100).astype(np.int64)
+        is1 = (t[m] == "view").astype(np.int64)
+        return (pd.DataFrame({"v": v, "d1": is1, "d2": 1 - is1})
+                .groupby("v", as_index=False)
+                .agg(d1=("d1", "sum"), d2=("d2", "sum")))
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas())
+    cols = ("v", "n", "r", "mapped")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in cols})
+    if len(hist) == 0:
+        return empty
+    hist = _pysum_cols(hist, ["d1", "d2"])
+    hist = (hist.groupby("v", as_index=False)
+            .agg(d1=("d1", "sum"), d2=("d2", "sum"))
+            .sort_values("v"))
+    v = hist["v"].to_numpy(dtype=np.int64)
+    c1 = np.array([int(x) for x in hist["d1"]], dtype=np.int64)
+    c2 = np.array([int(x) for x in hist["d2"]], dtype=np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    v1, c1 = v[c1 > 0], c1[c1 > 0]
+    cum1 = np.cumsum(c1)
+    v2, c2 = v[c2 > 0], c2[c2 > 0]
+    r = np.cumsum(c2)
+    tgt = (r * np.int64(n1) + np.int64(n2) - 1) // np.int64(n2)
+    mapped = v1[np.searchsorted(cum1, tgt, side="left")]
+    return pd.DataFrame({
+        "v": pd.Series(v2, dtype="int64"),
+        "n": pd.Series(c2, dtype="int64"),
+        "r": pd.Series(r, dtype="int64"),
+        "mapped": pd.Series(mapped, dtype="int64"),
+    }).sort_values("v").reset_index(drop=True)
