@@ -1901,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hodges_lehmann": r.q_events_hodges_lehmann,
         "audit_k_anonymity": r.q_audit_k_anonymity,
         "events_quantile_map": r.q_events_quantile_map,
+        "events_mutual_info": r.q_events_mutual_info,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -4128,6 +4129,50 @@ def oracle_sql() -> dict[str, str]:
             FROM tt JOIN w1 ON w1.cum >= tt.tgt
             GROUP BY tt.v, tt.c, tt.r
             ORDER BY tt.v
+        """,
+        "events_mutual_info": """
+            -- mutual information between hour-of-day and event type:
+            -- fixed-point per-cell floor at 2^30 before summation
+            -- (order-independent, the docs_source_kl discipline);
+            -- HUGEINT products cross 2^53 via the mirrored 2^62 split
+            WITH cells AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       event_type AS t, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ), rh AS (SELECT h, SUM(c) AS rc FROM cells GROUP BY h),
+            ct AS (SELECT t, SUM(c) AS tc FROM cells GROUP BY t),
+            nn AS (SELECT SUM(c) AS n FROM cells),
+            cell AS (
+                SELECT CAST(cells.c AS BIGINT) AS c,
+                       CAST(nn.n AS BIGINT) AS n,
+                       CAST(cells.c AS HUGEINT)
+                           * CAST(nn.n AS HUGEINT) AS num,
+                       CAST(rh.rc AS HUGEINT)
+                           * CAST(ct.tc AS HUGEINT) AS den
+                FROM cells JOIN rh USING (h) JOIN ct USING (t)
+                CROSS JOIN nn
+            ), f AS (
+                SELECT n,
+                       FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                             * LN((CAST(num // 4611686018427387904
+                                        AS DOUBLE)
+                                   * CAST(4611686018427387904 AS DOUBLE)
+                                   + CAST(num % 4611686018427387904
+                                          AS DOUBLE))
+                                  / (CAST(den // 4611686018427387904
+                                          AS DOUBLE)
+                                     * CAST(4611686018427387904
+                                            AS DOUBLE)
+                                     + CAST(den % 4611686018427387904
+                                            AS DOUBLE)))
+                             * 1073741824.0) AS termv
+                FROM cell
+            )
+            SELECT CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(CAST(termv AS BIGINT)) AS BIGINT)
+                       AS mi_scaled
+            FROM f
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -10673,3 +10673,58 @@ def q_events_quantile_map(sf_dir: str):
         "r": pd.Series(r, dtype="int64"),
         "mapped": pd.Series(mapped, dtype="int64"),
     }).sort_values("v").reset_index(drop=True)
+
+
+def q_events_mutual_info(sf_dir: str):
+    """MUTUAL INFORMATION between hour-of-day and event type — "does
+    behavior depend on time of day" as an information quantity, the
+    feature-relevance companion to q_events_chisq's significance test.
+    MI = Σ_cells (c/n)·ln(c·n/(rh·ct)) reported as a FIXED-POINT sum:
+    each (hour, type) cell contributes floor(term · 2^30) — integer
+    partials commute (order-independent float-derived sum, the
+    docs_source_kl discipline), zero cells drop identically both
+    sides, products cross the 2^53 line through the mirrored `_h2d`
+    2^62 split, and division/ln are ONE mirrored libm expression.
+
+    Scale shape: one pass of (hour, type) count partials; the cell
+    table is bounded by 24 × |event types| regardless of row count, so
+    the fold is driver-side Python ints over ≤ a few hundred
+    scalars."""
+    import math
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"h": b["ts"].dt.hour,
+                              "t": b["event_type"]})
+                .groupby(["h", "t"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    cells = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    if len(cells) == 0:
+        return pd.DataFrame({
+            "n": pd.Series([], dtype="int64"),
+            "n_cells": pd.Series([], dtype="int64"),
+            "mi_scaled": pd.Series([], dtype="int64"),
+        })
+    cells = _pysum_cols(cells, ["c"])
+    cells = (cells.groupby(["h", "t"], as_index=False)
+             .agg(c=("c", "sum")))
+    rh = {h: sum(int(v) for v in g["c"])
+          for h, g in cells.groupby("h")}
+    ct = {t: sum(int(v) for v in g["c"])
+          for t, g in cells.groupby("t")}
+    n = sum(rh.values())
+    scaled = 0
+    for _, row in cells.iterrows():
+        c = int(row["c"])
+        ratio = _h2d(c * n) / _h2d(rh[int(row["h"])] * ct[row["t"]])
+        termv = (float(c) / float(n)) * math.log(ratio)
+        scaled += math.floor(termv * 1073741824.0)
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "n_cells": pd.Series([len(cells)], dtype="int64"),
+        "mi_scaled": pd.Series([scaled], dtype="int64"),
+    })
