@@ -1902,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audit_k_anonymity": r.q_audit_k_anonymity,
         "events_quantile_map": r.q_events_quantile_map,
         "events_mutual_info": r.q_events_mutual_info,
+        "orders_cohort": r.q_orders_cohort,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -4173,6 +4174,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(termv AS BIGINT)) AS BIGINT)
                        AS mi_scaled
             FROM f
+        """,
+        "orders_cohort": """
+            -- calendar-month cohort retention: customers keyed by the
+            -- month of their first order; each (cohort, offset) cell
+            -- counts distinct customers ordering offset months later.
+            -- Engine: one custkey-hash exchange, per-bucket anchor +
+            -- offset expansion, bounded months^2 driver merge.
+            WITH om AS (
+                SELECT o_custkey AS c,
+                       CAST(EXTRACT(year FROM o_orderdate) * 12
+                            + EXTRACT(month FROM o_orderdate) - 1
+                            AS BIGINT) AS m
+                FROM orders
+            ), fm AS (SELECT c, MIN(m) AS cm FROM om GROUP BY c),
+            d AS (
+                SELECT DISTINCT om.c, fm.cm, om.m - fm.cm AS off
+                FROM om JOIN fm USING (c)
+            )
+            SELECT CAST(cm AS BIGINT) AS cohort_month,
+                   CAST(off AS BIGINT) AS month_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM d GROUP BY cm, off ORDER BY cm, off
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -10728,3 +10728,71 @@ def q_events_mutual_info(sf_dir: str):
         "n_cells": pd.Series([len(cells)], dtype="int64"),
         "mi_scaled": pd.Series([scaled], dtype="int64"),
     })
+
+
+def q_orders_cohort(sf_dir: str):
+    """COHORT RETENTION MATRIX over orders: customers grouped by the
+    calendar month of their FIRST order; each cell (cohort_month,
+    month_offset) counts the distinct customers of that cohort who
+    ordered again ``offset`` months later — the acquisition-quality
+    view behind every retention dashboard (events_retention is the
+    user-day flavor; this is the calendar-month flavor with a
+    customer-anchor join). Month index = year·12 + month − 1 so
+    offsets subtract exactly across year boundaries.
+
+    Scale shape: ONE custkey-hash exchange of per-batch-deduped
+    (customer, month) pairs; each bucket anchors its customers (min
+    month), expands offsets, and emits per-(cohort, offset) partial
+    counts — distinct-customer semantics are exact because a customer
+    lives in exactly one bucket. The driver merges a cell table
+    bounded by months² (the calendar span), never customer-scale."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    n_buckets = 64
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"].dt.year.to_numpy(dtype=np.int64) * 12
+             + b["o_orderdate"].dt.month.to_numpy(dtype=np.int64) - 1)
+        df = pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(dtype=np.int64), "m": m,
+        }).drop_duplicates()
+        df["cb"] = (hashing.mix64(df["c"].to_numpy().astype(np.uint64))
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["c", "m"])
+        cm = g.groupby("c")["m"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_month": cm.to_numpy(dtype=np.int64),
+            "month_offset": (g["m"].to_numpy(dtype=np.int64)
+                             - cm.to_numpy(dtype=np.int64)),
+        })
+        # (c, m) distinct => one row per customer per cell
+        return (cells.groupby(["cohort_month", "month_offset"],
+                              as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("cb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "cohort_month": pd.Series([], dtype="int64"),
+            "month_offset": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["n"])
+    out = (parts.groupby(["cohort_month", "month_offset"],
+                         as_index=False)
+           .agg(n_customers=("n", "sum")))
+    out["n_customers"] = [int(v) for v in out["n_customers"]]
+    return (out.astype({"cohort_month": "int64",
+                        "month_offset": "int64",
+                        "n_customers": "int64"})
+            .sort_values(["cohort_month", "month_offset"])
+            .reset_index(drop=True))
