@@ -1903,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_map": r.q_events_quantile_map,
         "events_mutual_info": r.q_events_mutual_info,
         "orders_cohort": r.q_orders_cohort,
+        "docs_hapax": r.q_docs_hapax,
         "events_trending": r.q_events_trending,
         "orders_checksum": r.q_orders_checksum,
         "region_nations": r.q_region_nations,
@@ -4196,6 +4197,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off AS BIGINT) AS month_offset,
                    CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM d GROUP BY cm, off ORDER BY cm, off
+        """,
+        "docs_hapax": """
+            -- hapax-legomena census per source: vocabulary size,
+            -- terms occurring exactly once in that source, and token
+            -- count (corpus tokenization convention). Engine: one
+            -- term-hash exchange, per-bucket per-source scalar
+            -- partials — never a term-scale driver table.
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), tc AS (
+                SELECT source, term, COUNT(*) AS c
+                FROM w GROUP BY source, term
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY source ORDER BY source
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

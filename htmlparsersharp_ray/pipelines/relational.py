@@ -10796,3 +10796,69 @@ def q_orders_cohort(sf_dir: str):
                         "n_customers": "int64"})
             .sort_values(["cohort_month", "month_offset"])
             .reset_index(drop=True))
+
+
+def q_docs_hapax(sf_dir: str, n_buckets: int = 64):
+    """HAPAX-LEGOMENA CENSUS per source: vocabulary size, number of
+    terms occurring exactly ONCE in that source, and token count — the
+    lexical-richness triple (hapax share is the standard
+    synthetic-vs-natural text tell: templated corpora have almost no
+    hapaxes, natural text ~40-60% of vocabulary). Complements
+    q_docs_vocab_growth (global Heaps'-law deciles) with per-source
+    composition. Tokenization is the corpus convention
+    (lower(trim(text)) whitespace split, the docs_source_kl partial).
+
+    Scale shape: a term's hapax-ness is a property of its GLOBAL
+    per-source count, so per-batch (source, term, c) partials complete
+    in ONE term-hash bucket exchange; each bucket emits only
+    per-source scalar partials (vocab, hapax, tokens) — the driver
+    merges |sources| × n_buckets rows in Python ints, never a
+    term-scale table."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"source": b["source"],
+                          "toks": text.str.split()})
+        d = d[text != ""]
+        e = d.explode("toks")
+        out = (e.groupby(["source", "toks"], as_index=False)
+               .size().rename(columns={"size": "c", "toks": "term"}))
+        out["tb"] = (hash_strings64(
+            out["term"].to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return out[["tb", "source", "term", "c"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["source", "term"], as_index=False)
+             .agg(c=("c", "sum")))
+        out = m.groupby("source").agg(
+            vocab=("c", "size"),
+            hapax=("c", lambda s: int((s == 1).sum())),
+            n_tokens=("c", "sum"))
+        return out.reset_index()
+
+    parts = (docs.map_batches(partial, batch_format="pandas")
+             .groupby("tb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "vocab": pd.Series([], dtype="int64"),
+            "hapax": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["vocab", "hapax", "n_tokens"])
+    out = (parts.groupby("source", as_index=False)
+           .agg(vocab=("vocab", "sum"), hapax=("hapax", "sum"),
+                n_tokens=("n_tokens", "sum")))
+    for c in ("vocab", "hapax", "n_tokens"):
+        out[c] = [int(v) for v in out[c]]
+    return (out.astype({"vocab": "int64", "hapax": "int64",
+                        "n_tokens": "int64"})
+            .sort_values("source").reset_index(drop=True))
