@@ -3883,7 +3883,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mx.d_num AS BIGINT) AS d_num,
                    CAST(MIN(d.v) AS BIGINT) AS at_v
             FROM d CROSS JOIN n CROSS JOIN mx
-            WHERE d.dn = mx.d_num
+            WHERE d.dn = mx.d_num AND n.n1 > 0 AND n.n2 > 0
             GROUP BY n.n1, n.n2, mx.d_num
         """,
         "events_mannwhitney": """
@@ -3918,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w.cnt * w.cnt * w.cnt - w.cnt)
                         AS BIGINT) AS tie_sum
             FROM w CROSS JOIN n
+            WHERE n.n1 > 0 AND n.n2 > 0
             GROUP BY n.n1, n.n2
         """,
         "events_spearman": """
@@ -3967,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
                         - nn.n * (nn.n + 1) * (nn.n + 1)
                         AS BIGINT) AS syy
             FROM agg CROSS JOIN nn
+            WHERE nn.n > 0
         """,
         "events_kendall": """
             -- Kendall tau-b pair counts (hour-of-day vs event value):
@@ -4020,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tya.ty AS BIGINT) AS ty,
                    CAST(txya.txy AS BIGINT) AS txy
             FROM nn, ncagg, txa, tya, txya
+            WHERE nn.n > 0
         """,
         "events_hodges_lehmann": """
             -- Hodges-Lehmann shift estimator ('view' minus 'purchase'
@@ -4062,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n.n2 AS BIGINT) AS n2,
                    CAST(sel.dlo + sel.dhi AS BIGINT) AS hl_x2
             FROM n CROSS JOIN sel
+            WHERE n.n1 > 0 AND n.n2 > 0
         """,
         "audit_k_anonymity": """
             -- k-anonymity (k=5) audit over the customer
@@ -4175,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(termv AS BIGINT)) AS BIGINT)
                        AS mi_scaled
             FROM f
+            HAVING COUNT(*) > 0
         """,
         "orders_cohort": """
             -- calendar-month cohort retention: customers keyed by the

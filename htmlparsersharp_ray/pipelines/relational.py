@@ -10388,9 +10388,16 @@ def q_events_spearman(sf_dir: str):
                                  g["v"].to_numpy(dtype=np.int64))]
         rx = np.asarray(r2x, dtype=np.int64)[
             g["h"].to_numpy(dtype=np.int64)]
+        # Python-int arithmetic over the bounded cell axis: per-cell
+        # products reach c*(2n)^2 and would wrap int64 inside a bucket
+        # long before the driver-side 2^63 OUTPUT guard could see
+        # them. Partials travel as decimal strings so the exchange
+        # never squeezes them back into an int64 arrow column.
+        co, rxo, ryo = (c.astype(object), rx.astype(object),
+                        ry.astype(object))
         return pd.DataFrame({
-            "sxyp": [int((c * rx * ry).sum())],
-            "syyp": [int((c * ry * ry).sum())],
+            "sxyp": [str(int((co * rxo * ryo).sum()))],
+            "syyp": [str(int((co * ryo * ryo).sum()))],
         })
 
     m = (bucketed.groupby("rb")
@@ -10573,8 +10580,6 @@ def q_audit_k_anonymity(sf_dir: str):
     from finest cells, never rescanning); the cell table is bounded by
     the QI domain (|nations| × |segments|), so the rollup is a
     driver-side Python-int fold over ≤ a few hundred scalars."""
-    import numpy as np
-
     k = 5
     ds = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"])

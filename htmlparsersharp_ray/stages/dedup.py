@@ -1888,7 +1888,7 @@ def fingerprint_dups(
 
 
 def dedup_trim(
-    docs: ray.data.Dataset, n: int = 8, n_buckets: int = 64
+    docs: ray.data.Dataset, n: int = 8, n_buckets: int | None = None
 ) -> pd.DataFrame:
     """EXACT-SUBSTRING TRIMMING (Lee et al.'s dedup REMOVAL step at
     word-gram granularity — the action :func:`dup_coverage` measures):
@@ -1911,8 +1911,10 @@ def dedup_trim(
     per doc, no per-position rows anywhere. Every doc reports; fully
     covered docs emit n_kept = 0 with empty text. Output joins kept
     words with single spaces (the oracle's array_to_string mirror)."""
-    from ..pipelines.joins import auto_buckets as _ab  # noqa: F401
+    from ..pipelines.joins import auto_buckets
     from . import hashing
+
+    n_buckets = int(n_buckets or auto_buckets(docs))
 
     def emit_occurrences(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2016,7 +2018,8 @@ def dedup_trim(
 
 
 def longest_dup_span(
-    docs: ray.data.Dataset, min_len: int = 8, n_buckets: int = 64
+    docs: ray.data.Dataset, min_len: int = 8,
+    n_buckets: int | None = None
 ) -> pd.DataFrame:
     """LONGEST CROSS-DOC DUPLICATED WORD SPAN: the maximum L such that
     some L-word gram occurs in >= 2 DISTINCT documents, plus how many
@@ -2037,8 +2040,11 @@ def longest_dup_span(
     is the duplicated hash set AT the maximum length (usually a
     handful of spans) broadcast into the text-extraction pass. Empty
     result (0 rows) when no ``min_len``-gram repeats across docs."""
+    from ..pipelines.joins import auto_buckets
     from . import hashing
     from .exchange import checkpoint
+
+    n_buckets = int(n_buckets or auto_buckets(docs))
 
     def tok(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2087,7 +2093,9 @@ def longest_dup_span(
         })
 
     def dup_hashes_at(L: int) -> pd.DataFrame:
-        """Per-bucket (hash, n_docs) rows for hashes in >= 2 docs."""
+        """Per-bucket (hash, n_docs) rows for hashes in >= 2 docs —
+        pulled to the driver ONLY at the final length, where the
+        duplicated-span set is small."""
         def find(grp: pd.DataFrame) -> pd.DataFrame:
             nd = grp.groupby("g")["doc_id"].nunique()
             nd = nd[nd >= 2]
@@ -2103,7 +2111,20 @@ def longest_dup_span(
                 .to_pandas())
 
     def probe(L: int) -> bool:
-        return len(dup_hashes_at(L)) > 0
+        """Existence only: buckets emit one COUNT row each and the
+        driver sums a scalar — a probe never ships hash values (at
+        short L the duplicate table can be corpus-scale)."""
+        def count_dups(grp: pd.DataFrame) -> pd.DataFrame:
+            nd = grp.groupby("g")["doc_id"].nunique()
+            return pd.DataFrame({"c": [int((nd >= 2).sum())]})
+
+        total = (hashed
+                 .map_batches(lambda b, L=L: window_rows(b, L),
+                              batch_format="pyarrow")
+                 .groupby("gb")
+                 .map_groups(count_dups, batch_format="pandas")
+                 .sum("c"))
+        return bool(total)
 
     lo, hi = min_len, int(max_nw)
     if not probe(lo):
@@ -2118,41 +2139,52 @@ def longest_dup_span(
             lo = mid
         else:
             hi = mid - 1
-    best = lo
-    dup_arr = np.sort(dup_hashes_at(best)["g"].to_numpy(
-        dtype=np.int64))
+    def spans_at(L: int) -> list:
+        """Gram texts duplicated across >= 2 docs at length L, via the
+        dup-hash prefilter (hash collisions drop out at the text
+        groupby)."""
+        dup_arr = np.sort(dup_hashes_at(L)["g"].to_numpy(
+            dtype=np.int64))
 
-    def extract(batch: pa.Table) -> pd.DataFrame:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        toks = [(t or "").split()
-                for t in batch.column("text").to_pylist()]
-        out_d, out_t = [], []
-        for did, ws in zip(ids, toks):
-            if len(ws) < best:
-                continue
-            a = _hash_tokens64(
-                np.asarray(ws, dtype=object)).view(np.uint64)
-            wh = _window_hashes(a, best).view(np.int64)
-            for i in np.nonzero(np.isin(wh, dup_arr))[0]:
-                out_d.append(int(did))
-                out_t.append(" ".join(ws[i:i + best]))
-        return pd.DataFrame({
-            "doc_id": pd.Series(out_d, dtype="int64"),
-            "gram": pd.Series(out_t, dtype="object"),
-        })
+        def extract(batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False)
+            toks = [(t or "").split()
+                    for t in batch.column("text").to_pylist()]
+            out_d, out_t = [], []
+            for did, ws in zip(ids, toks):
+                if len(ws) < L:
+                    continue
+                a = _hash_tokens64(
+                    np.asarray(ws, dtype=object)).view(np.uint64)
+                wh = _window_hashes(a, L).view(np.int64)
+                for i in np.nonzero(np.isin(wh, dup_arr))[0]:
+                    out_d.append(int(did))
+                    out_t.append(" ".join(ws[i:i + L]))
+            return pd.DataFrame({
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "gram": pd.Series(out_t, dtype="object"),
+            })
 
-    occ = (docs.map_batches(extract, batch_format="pyarrow")
-           .to_pandas().drop_duplicates())
-    nd = occ.groupby("gram")["doc_id"].nunique()
-    spans = sorted(nd[nd >= 2].index)
-    if not spans:
-        return pd.DataFrame({
-            "max_len": pd.Series([], dtype="int64"),
-            "n_spans": pd.Series([], dtype="int64"),
-            "span_text": pd.Series([], dtype="object"),
-        })
+        occ = (docs.map_batches(extract, batch_format="pyarrow")
+               .to_pandas().drop_duplicates())
+        nd = occ.groupby("gram")["doc_id"].nunique()
+        return sorted(nd[nd >= 2].index)
+
+    # text verification walks DOWN on a hash-collision phantom (a
+    # probe can say "dup at L" for hash-equal but text-different
+    # windows; probability ~G²/2⁶⁴, but a wrong EMPTY answer would be
+    # worse than the extra pass that ~never runs)
+    for best in range(lo, min_len - 1, -1):
+        spans = spans_at(best)
+        if spans:
+            return pd.DataFrame({
+                "max_len": pd.Series([best], dtype="int64"),
+                "n_spans": pd.Series([len(spans)], dtype="int64"),
+                "span_text": pd.Series([spans[0]], dtype="object"),
+            })
     return pd.DataFrame({
-        "max_len": pd.Series([best], dtype="int64"),
-        "n_spans": pd.Series([len(spans)], dtype="int64"),
-        "span_text": pd.Series([spans[0]], dtype="object"),
+        "max_len": pd.Series([], dtype="int64"),
+        "n_spans": pd.Series([], dtype="int64"),
+        "span_text": pd.Series([], dtype="object"),
     })
