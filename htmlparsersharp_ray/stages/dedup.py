@@ -1914,7 +1914,9 @@ def dedup_trim(
     from ..pipelines.joins import auto_buckets
     from . import hashing
 
-    n_buckets = int(n_buckets or auto_buckets(docs))
+    # lo=64: these exchanges are groupby-parallelism bound well before
+    # they are memory bound (measured 2x on a 100k-doc slice at lo=8)
+    n_buckets = int(n_buckets or auto_buckets(docs, lo=64))
 
     def emit_occurrences(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2044,7 +2046,7 @@ def longest_dup_span(
     from . import hashing
     from .exchange import checkpoint
 
-    n_buckets = int(n_buckets or auto_buckets(docs))
+    n_buckets = int(n_buckets or auto_buckets(docs, lo=64))
 
     def tok(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
