@@ -1902,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audit_k_anonymity": r.q_audit_k_anonymity,
         "events_quantile_map": r.q_events_quantile_map,
         "events_mutual_info": r.q_events_mutual_info,
+        "events_wilcoxon": r.q_events_wilcoxon,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,
         "events_trending": r.q_events_trending,
@@ -4224,6 +4225,49 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS hapax,
                    CAST(SUM(c) AS BIGINT) AS n_tokens
             FROM tc GROUP BY source ORDER BY source
+        """,
+        "events_wilcoxon": """
+            -- Wilcoxon signed-rank (paired): each user with BOTH view
+            -- and purchase events contributes d = view - purchase
+            -- spend in exact cents; zeros drop, W+ is the doubled
+            -- midrank sum of |d| on the positive side, tie_sum the
+            -- variance-correction term. Engine: one user-hash
+            -- exchange for exact pairing, then the sort-free
+            -- range-bucket rank scan.
+            WITH per_user AS (
+                SELECT user_id,
+                       SUM(CASE WHEN event_type = 'view'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS sv,
+                       SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS sp,
+                       MAX(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS hv,
+                       MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS hp
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id
+            ), d AS (
+                SELECT sv - sp AS d FROM per_user
+                WHERE hv = 1 AND hp = 1 AND sv <> sp
+            ), c AS (
+                SELECT ABS(d) AS a, COUNT(*) AS ct,
+                       SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp
+                FROM d GROUP BY ABS(d)
+            ), w AS (
+                SELECT a, ct, cp,
+                       2 * COALESCE(SUM(ct) OVER (ORDER BY a
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + ct + 1 AS r2
+                FROM c
+            )
+            SELECT CAST(SUM(ct) AS BIGINT) AS n_users,
+                   CAST(SUM(cp * r2) AS BIGINT) AS w_plus_x2,
+                   CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_sum
+            FROM w
+            HAVING COUNT(*) > 0
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -10867,3 +10867,123 @@ def q_docs_hapax(sf_dir: str, n_buckets: int = 64):
     return (out.astype({"vocab": "int64", "hapax": "int64",
                         "n_tokens": "int64"})
             .sort_values("source").reset_index(drop=True))
+
+
+def q_events_wilcoxon(sf_dir: str):
+    """WILCOXON SIGNED-RANK test, the PAIRED companion to
+    q_events_mannwhitney: each user who has BOTH view and purchase
+    events is one pair, d_u = (view spend − purchase spend) in exact
+    cents; zeros drop (the standard convention) and W⁺ is the sum of
+    |d| midranks on the positive side — reported DOUBLED
+    (w_plus_x2 = Σ cp·(2·cum_before + ct + 1)) so ties stay integral,
+    with tie_sum = Σ(ct³ − ct) for the variance correction.
+
+    Scale shape: pass 1 is ONE user-hash exchange producing per-user
+    exact differences (a user owns one bucket, so the pairing is
+    exact); pass 2 ranks |d| WITHOUT a global sort — the
+    events_ks_test range-bucket scan: per-value (ct, cp) counts bucket
+    by |d| high bits, each bucket cumsums locally against Python-int
+    offsets, the driver merges ≤4096 bucket partials. int64 bound:
+    W⁺ ≈ 2n² caps at n ≈ 2×10⁹ paired users."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.exchange import checkpoint
+
+    n_buckets = 64
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        m = (t == "view") | (t == "purchase")
+        u = b["user_id"].to_numpy()[m].astype(np.int64)
+        cents = np.round(b["value"].to_numpy()[m] * 100).astype(
+            np.int64)
+        is_v = (t[m] == "view")
+        df = pd.DataFrame({
+            "u": u,
+            "sv": np.where(is_v, cents, 0),
+            "sp": np.where(is_v, 0, cents),
+            "hv": is_v.astype(np.int64),
+            "hp": (~is_v).astype(np.int64),
+        }).groupby("u", as_index=False).agg(
+            sv=("sv", "sum"), sp=("sp", "sum"),
+            hv=("hv", "max"), hp=("hp", "max"))
+        df["ub"] = (hashing.mix64(df["u"].to_numpy().astype(np.uint64))
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u", as_index=False).agg(
+            sv=("sv", "sum"), sp=("sp", "sum"),
+            hv=("hv", "max"), hp=("hp", "max"))
+        m = m[(m["hv"] == 1) & (m["hp"] == 1)]
+        d = (m["sv"] - m["sp"]).to_numpy(dtype=np.int64)
+        d = d[d != 0]
+        return (pd.DataFrame({"a": np.abs(d),
+                              "pos": (d > 0).astype(np.int64)})
+                .groupby("a", as_index=False)
+                .agg(ct=("pos", "size"), cp=("pos", "sum")))
+
+    parts = checkpoint(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ub").map_groups(fold, batch_format="pandas"))
+    cols = ("n_users", "w_plus_x2", "tie_sum")
+    max_a = parts.max("a")
+    if max_a is None:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    shift = max(0, int(max_a).bit_length() - 12)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["a"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("a", as_index=False)
+             .agg(ct=("ct", "sum"), cp=("cp", "sum")))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "a", "ct", "cp"]]
+
+    bucketed = checkpoint(
+        parts.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket,
+                                  batch_format="pandas"))
+    tot = (bucketed.map_batches(
+        lambda b: b.groupby("rb", as_index=False).agg(t=("ct", "sum")),
+        batch_format="pandas").to_pandas())
+    tot = _pysum_cols(tot, ["t"])
+    tot = (tot.groupby("rb", as_index=False).agg(t=("t", "sum"))
+           .sort_values("rb"))
+    off, acc = {}, 0
+    for _, row in tot.iterrows():
+        off[int(row["rb"])] = acc
+        acc += int(row["t"])
+    n_users = acc
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("a")
+        rb = int(g["rb"].iloc[0])
+        ct = g["ct"].to_numpy(dtype=np.int64)
+        cp = g["cp"].to_numpy(dtype=np.int64)
+        cumb = (np.concatenate(([np.int64(0)], np.cumsum(ct)[:-1]))
+                + np.int64(off[rb]))
+        r2 = 2 * cumb + ct + 1
+        return pd.DataFrame({
+            "wp": [int((cp * r2).sum())],
+            "tiep": [int((ct * ct * ct - ct).sum())],
+        })
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = _pysum_cols(m, ["wp", "tiep"])
+    return pd.DataFrame({
+        "n_users": pd.Series([n_users], dtype="int64"),
+        "w_plus_x2": pd.Series([sum(int(v) for v in m["wp"])],
+                               dtype="int64"),
+        "tie_sum": pd.Series([sum(int(v) for v in m["tiep"])],
+                             dtype="int64"),
+    })
