@@ -1903,6 +1903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_map": r.q_events_quantile_map,
         "events_mutual_info": r.q_events_mutual_info,
         "events_wilcoxon": r.q_events_wilcoxon,
+        "events_runs_test": r.q_events_runs_test,
+        "docs_zipf": r.q_docs_zipf,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,
         "events_trending": r.q_events_trending,
@@ -4268,6 +4270,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_sum
             FROM w
             HAVING COUNT(*) > 0
+        """,
+        "events_runs_test": """
+            -- Wald-Wolfowitz runs test on daily spend: days at the
+            -- discrete median (sorted[ceil(n/2)-1]) drop; n1/n2 count
+            -- above/below days, n_runs counts maximal same-sign
+            -- stretches in day order. Engine: shared daily-cents
+            -- partials + one linear walk over the bounded day axis.
+            WITH d AS (
+                SELECT datediff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS dd,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+                FROM events GROUP BY 1
+            ), nn AS (SELECT COUNT(*) AS n FROM d),
+            med AS (
+                SELECT xc AS m
+                FROM (SELECT xc, ROW_NUMBER() OVER (ORDER BY xc) AS rn
+                      FROM d) q, nn
+                WHERE rn = (nn.n + 1) // 2
+            ), s AS (
+                SELECT dd, CASE WHEN xc > med.m THEN 1 ELSE 0 END
+                           AS sgn
+                FROM d, med WHERE xc <> med.m
+            ), l AS (
+                SELECT sgn, LAG(sgn) OVER (ORDER BY dd) AS prev
+                FROM s
+            )
+            SELECT CAST(COALESCE((SELECT SUM(sgn) FROM s), 0)
+                        AS BIGINT) AS n1,
+                   CAST(COALESCE((SELECT COUNT(*) FROM s), 0)
+                        - COALESCE((SELECT SUM(sgn) FROM s), 0)
+                        AS BIGINT) AS n2,
+                   CAST(COALESCE((SELECT SUM(CASE WHEN prev IS NULL
+                                      OR sgn <> prev THEN 1 ELSE 0
+                                      END) FROM l), 0)
+                        AS BIGINT) AS n_runs,
+                   CAST(med.m AS BIGINT) AS median_cents
+            FROM med
+        """,
+        "docs_zipf": """
+            -- Zipf's-law fit: log-log slope of term frequency vs rank
+            -- over the global top-256 terms (rank order = count desc,
+            -- term asc, both sides). Fixed-point floor of ln(rank)/
+            -- ln(count) BEFORE the integer regression sums; the one
+            -- slope division crosses to double through the mirrored
+            -- 2^62 split with the autocorr sign convention.
+            WITH w AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), t AS (
+                SELECT term, COUNT(*) AS ct FROM w GROUP BY term
+                ORDER BY ct DESC, term LIMIT 256
+            ), rk AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY ct DESC, term)
+                           AS rank,
+                       ct
+                FROM t
+            ), f AS (
+                SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE))
+                                  * 1073741824.0) AS HUGEINT) AS x,
+                       CAST(FLOOR(LN(CAST(ct AS DOUBLE))
+                                  * 1073741824.0) AS HUGEINT) AS y
+                FROM rk
+            ), s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM f
+            ), k AS (
+                SELECT n, n * sxy - sx * sy AS num,
+                       n * sxx - sx * sx AS den
+                FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   ((CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                    * (CAST(ABS(num) // 4611686018427387904 AS DOUBLE)
+                       * CAST(4611686018427387904 AS DOUBLE)
+                       + CAST(ABS(num) % 4611686018427387904
+                              AS DOUBLE)))
+                   / (CAST(den // 4611686018427387904 AS DOUBLE)
+                      * CAST(4611686018427387904 AS DOUBLE)
+                      + CAST(den % 4611686018427387904 AS DOUBLE))
+                       AS slope
+            FROM k WHERE n >= 2
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

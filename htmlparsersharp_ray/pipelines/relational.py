@@ -10987,3 +10987,81 @@ def q_events_wilcoxon(sf_dir: str):
         "tie_sum": pd.Series([sum(int(v) for v in m["tiep"])],
                              dtype="int64"),
     })
+
+
+def q_docs_zipf(sf_dir: str, k: int = 256):
+    """ZIPF'S-LAW FIT: the log-log slope of term frequency against
+    frequency rank over the global top-``k`` terms — the corpus-health
+    power-law check (natural text ≈ −1; templated/synthetic corpora
+    flatten). Built on the exact :func:`top_terms` pass (rank order =
+    count desc, term asc, both sides). The regression is EXACT given
+    fixed-point inputs: x = ⌊ln(rank)·2^30⌋, y = ⌊ln(count)·2^30⌋
+    floor BEFORE the sums (the docs_source_kl discipline), the
+    sufficient statistics are Python-int exact, and the single
+    slope division crosses to float through the mirrored `_h2d`
+    split. Scale shape: everything after the distributed top-k pass
+    is O(k) driver work."""
+    import math
+
+    from ..stages.text_analysis import top_terms
+
+    t = top_terms(
+        ray.data.read_parquet(_t(sf_dir, "documents"),
+                              columns=["text"]), k=k)
+    n = len(t)
+    if n < 2:
+        return pd.DataFrame({
+            "n_terms": pd.Series([], dtype="int64"),
+            "slope": pd.Series([], dtype="float64"),
+        })
+    xs, ys = [], []
+    for i, cnt in enumerate(t["n"], start=1):
+        xs.append(math.floor(math.log(float(i)) * 1073741824.0))
+        ys.append(math.floor(math.log(float(int(cnt)))
+                             * 1073741824.0))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = _h2d(num) / _h2d(den)
+    return pd.DataFrame({
+        "n_terms": pd.Series([n], dtype="int64"),
+        "slope": pd.Series([slope], dtype="float64"),
+    })
+
+
+def q_events_runs_test(sf_dir: str):
+    """WALD–WOLFOWITZ RUNS TEST on daily spend: is the above/below-
+    median day sequence random, or does it trend/oscillate? Days at
+    the discrete median drop (the standard convention); n1/n2 count
+    above/below days and n_runs counts maximal same-sign stretches —
+    all integers, so the statistic is exact and the normal
+    approximation is the reader's one division. Day totals are the
+    shared :func:`_daily_cents` decomposable partials; the
+    classification + run count is one linear walk over the BOUNDED
+    day axis on the driver (the events_ses argument). Median
+    convention: sorted[⌈n/2⌉ − 1], mirrored via ROW_NUMBER in the
+    oracle."""
+    import numpy as np
+
+    m = _daily_cents(sf_dir)
+    cols = ("n1", "n2", "n_runs", "median_cents")
+    if len(m) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    vals = np.array([int(v) for v in m["xc"]], dtype=np.int64)
+    med = int(np.sort(vals)[(len(vals) + 1) // 2 - 1])
+    signs = vals[vals != med] > med  # day order preserved
+    n1 = int(signs.sum())
+    n2 = int(len(signs) - n1)
+    if len(signs) == 0:
+        n_runs = 0
+    else:
+        n_runs = int(1 + (signs[1:] != signs[:-1]).sum())
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64"),
+        "n_runs": pd.Series([n_runs], dtype="int64"),
+        "median_cents": pd.Series([med], dtype="int64"),
+    })

@@ -900,6 +900,14 @@ def main() -> int:
     run("hodges_lehmann_10m",
         lambda: q_events_hodges_lehmann(synth_events_val()))
 
+    def wilcoxon_10m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_events_wilcoxon)
+
+        return q_events_wilcoxon(synth_events_val())
+
+    run("wilcoxon_10m", wilcoxon_10m)
+
     def dedup_trim_slice():
         from htmlparsersharp_ray.stages.dedup import dedup_trim
 
