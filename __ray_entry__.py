@@ -1904,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mutual_info": r.q_events_mutual_info,
         "events_wilcoxon": r.q_events_wilcoxon,
         "events_runs_test": r.q_events_runs_test,
+        "events_kruskal": r.q_events_kruskal,
         "docs_zipf": r.q_docs_zipf,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,
@@ -4354,6 +4355,37 @@ def oracle_sql() -> dict[str, str]:
                       + CAST(den % 4611686018427387904 AS DOUBLE))
                        AS slope
             FROM k WHERE n >= 2
+        """,
+        "events_kruskal": """
+            -- Kruskal-Wallis: every event value ranked in the POOLED
+            -- sample with doubled midranks; per type the exact
+            -- integer rank sum, plus the global tie term (repeated
+            -- per row). Engine: (type, value) cells range-bucketed by
+            -- value high bits, pooled midranks from per-bucket
+            -- cumsums + offsets.
+            WITH s AS (
+                SELECT event_type AS t,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v
+                FROM events
+            ), c AS (
+                SELECT t, v, COUNT(*) AS c FROM s GROUP BY t, v
+            ), vv AS (
+                SELECT v, SUM(c) AS cnt FROM c GROUP BY v
+            ), w AS (
+                SELECT v, cnt,
+                       2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS r2
+                FROM vv
+            ), ties AS (
+                SELECT SUM(cnt * cnt * cnt - cnt) AS tie_sum FROM vv
+            )
+            SELECT c.t AS event_type,
+                   CAST(SUM(c.c) AS BIGINT) AS n,
+                   CAST(SUM(c.c * w.r2) AS BIGINT) AS r2_sum,
+                   CAST(ties.tie_sum AS BIGINT) AS tie_sum
+            FROM c JOIN w USING (v) CROSS JOIN ties
+            GROUP BY c.t, ties.tie_sum ORDER BY c.t
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

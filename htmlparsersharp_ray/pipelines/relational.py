@@ -11065,3 +11065,108 @@ def q_events_runs_test(sf_dir: str):
         "n_runs": pd.Series([n_runs], dtype="int64"),
         "median_cents": pd.Series([med], dtype="int64"),
     })
+
+
+def q_events_kruskal(sf_dir: str):
+    """KRUSKAL–WALLIS k-sample rank test across ALL event types (the
+    k-group generalization of q_events_mannwhitney): every event's
+    value is ranked in the POOLED sample with doubled midranks, and
+    each type reports its exact integer rank sum — H =
+    (12/(n(n+1))·Σ R_t²/n_t − 3(n+1)) / (1 − tie_sum/(n³−n)) is the
+    reader's one float away; every reported number is an integer
+    (r2_sum = doubled midrank sum per type, tie_sum = Σ(cnt³ − cnt)
+    over pooled distinct values, repeated per row for completeness).
+
+    Scale shape: (type, value) cells range-bucket by value high bits
+    (a value owns one bucket), pooled midranks come from per-bucket
+    cumsums against Python-int offsets, and each bucket emits
+    |types| + 1 scalar partials — the events_ks_test discipline at
+    k groups. int64 bound: r2_sum < 2n² ⇒ exact to ~2×10⁹ rows."""
+    import numpy as np
+
+    from ..stages.exchange import checkpoint
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"t": b["event_type"], "v": v})
+                .groupby(["t", "v"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    parts = checkpoint(ds.map_batches(partial, batch_format="pandas"))
+    cols = ("event_type", "n", "r2_sum", "tie_sum")
+    max_v = parts.max("v")
+    if max_v is None:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "r2_sum": pd.Series([], dtype="int64"),
+            "tie_sum": pd.Series([], dtype="int64"),
+        })
+    shift = max(0, int(max_v).bit_length() - 12)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["t", "v"], as_index=False)
+             .agg(c=("c", "sum")))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "t", "v", "c"]]
+
+    bucketed = checkpoint(
+        parts.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket,
+                                  batch_format="pandas"))
+    tot = (bucketed.map_batches(
+        lambda b: b.groupby("rb", as_index=False).agg(t=("c", "sum")),
+        batch_format="pandas").to_pandas())
+    tot = _pysum_cols(tot, ["t"])
+    tot = (tot.groupby("rb", as_index=False).agg(t=("t", "sum"))
+           .sort_values("rb"))
+    off, acc = {}, 0
+    for _, row in tot.iterrows():
+        off[int(row["rb"])] = acc
+        acc += int(row["t"])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rb"].iloc[0])
+        gv = (g.groupby("v", as_index=False).agg(cnt=("c", "sum"))
+              .sort_values("v"))
+        cnt = gv["cnt"].to_numpy(dtype=np.int64)
+        cumb = (np.concatenate(([np.int64(0)], np.cumsum(cnt)[:-1]))
+                + np.int64(off[rb]))
+        r2 = 2 * cumb + cnt + 1
+        rr = r2[np.searchsorted(gv["v"].to_numpy(dtype=np.int64),
+                                g["v"].to_numpy(dtype=np.int64))]
+        c = g["c"].to_numpy(dtype=np.int64)
+        out = (pd.DataFrame({"t": g["t"].to_numpy(), "p": c * rr,
+                             "n": c})
+               .groupby("t", as_index=False)
+               .agg(p=("p", "sum"), n=("n", "sum")))
+        out["tiep"] = 0
+        tie_row = pd.DataFrame({
+            "t": ["\x00tie"], "p": [0], "n": [0],
+            "tiep": [int((cnt * cnt * cnt - cnt).sum())],
+        })
+        return pd.concat([out, tie_row], ignore_index=True)
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = _pysum_cols(m, ["p", "n", "tiep"])
+    tie_sum = sum(int(v) for v in m["tiep"])
+    m = m[m["t"] != "\x00tie"]
+    out = (m.groupby("t", as_index=False)
+           .agg(n=("n", "sum"), r2_sum=("p", "sum")))
+    out["n"] = [int(v) for v in out["n"]]
+    out["r2_sum"] = [int(v) for v in out["r2_sum"]]
+    out["tie_sum"] = tie_sum
+    out = out.rename(columns={"t": "event_type"})
+    return (out.astype({"n": "int64", "r2_sum": "int64",
+                        "tie_sum": "int64"})
+            [list(cols)]
+            .sort_values("event_type").reset_index(drop=True))
