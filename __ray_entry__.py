@@ -1905,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilcoxon": r.q_events_wilcoxon,
         "events_runs_test": r.q_events_runs_test,
         "events_kruskal": r.q_events_kruskal,
+        "events_friedman": r.q_events_friedman,
         "docs_zipf": r.q_docs_zipf,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,
@@ -4386,6 +4387,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ties.tie_sum AS BIGINT) AS tie_sum
             FROM c JOIN w USING (v) CROSS JOIN ties
             GROUP BY c.t, ties.tie_sum ORDER BY c.t
+        """,
+        "events_friedman": """
+            -- Friedman (paired k-sample): blocks = users with ALL k
+            -- event types; response = exact cent spend per type,
+            -- ranked WITHIN the user (doubled midranks
+            -- = 2*RANK + tiecount - 1). Per type the exact rank sum;
+            -- tie term global. Engine: one user-hash exchange,
+            -- bucket-local blocks.
+            WITH pu AS (
+                SELECT user_id AS u, event_type AS t,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2
+            ), kk AS (
+                SELECT COUNT(DISTINCT event_type) AS k FROM events
+            ), cb AS (
+                SELECT u FROM pu GROUP BY u
+                HAVING COUNT(*) = (SELECT k FROM kk)
+            ), m AS (
+                SELECT pu.u, pu.t, pu.s FROM pu JOIN cb USING (u)
+            ), rk AS (
+                SELECT u, t, s,
+                       2 * RANK() OVER (PARTITION BY u ORDER BY s)
+                         + COUNT(*) OVER (PARTITION BY u, s) - 1
+                           AS r2
+                FROM m
+            ), ties AS (
+                SELECT COALESCE(SUM(c * c * c - c), 0) AS tie_sum
+                FROM (SELECT u, s, COUNT(*) AS c
+                      FROM m GROUP BY u, s)
+            )
+            SELECT rk.t AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(rk.r2) AS BIGINT) AS r2_sum,
+                   CAST(ties.tie_sum AS BIGINT) AS tie_sum
+            FROM rk CROSS JOIN ties
+            GROUP BY rk.t, ties.tie_sum ORDER BY rk.t
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -11170,3 +11170,109 @@ def q_events_kruskal(sf_dir: str):
                         "tie_sum": "int64"})
             [list(cols)]
             .sort_values("event_type").reset_index(drop=True))
+
+
+def q_events_friedman(sf_dir: str):
+    """FRIEDMAN TEST (paired k-sample — the within-blocks companion
+    that completes the nonparametric suite: MWU two-sample, Wilcoxon
+    paired, Kruskal–Wallis k-sample, Friedman paired-k): blocks are
+    users observed under ALL k event types (complete blocks only, the
+    standard design), the treatment response is the user's exact cent
+    spend per type, ranked WITHIN the user with doubled midranks.
+    Output per type: n_blocks, the exact integer doubled rank sum,
+    and the tie-correction term Σ_blocks Σ_ties (t³ − t) (global,
+    repeated per row); the χ²_F statistic is the reader's one float.
+
+    Scale shape: ONE user-hash exchange (a user owns one bucket, so
+    block completeness and within-block ranks are bucket-local); each
+    bucket emits |types| + 1 scalar partials. Within-block ranking is
+    pandas' C-level grouped average-rank ×2 (integral by
+    construction)."""
+    import numpy as np
+
+    from ..stages import hashing
+
+    n_buckets = 64
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "value"])
+    k_types = sorted(
+        ray.data.read_parquet(_t(sf_dir, "events"),
+                              columns=["event_type"])
+        .unique("event_type"))
+    k = len(k_types)
+    cols = ("event_type", "n_blocks", "r2_sum", "tie_sum")
+    if k == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_blocks": pd.Series([], dtype="int64"),
+            "r2_sum": pd.Series([], dtype="int64"),
+            "tie_sum": pd.Series([], dtype="int64"),
+        })
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        df = (pd.DataFrame({
+            "u": b["user_id"].to_numpy().astype(np.int64),
+            "t": b["event_type"], "s": cents,
+        }).groupby(["u", "t"], as_index=False).agg(s=("s", "sum")))
+        df["ub"] = (hashing.mix64(df["u"].to_numpy().astype(np.uint64))
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["u", "t"], as_index=False).agg(s=("s", "sum"))
+        complete = m.groupby("u")["t"].transform("size") == k
+        m = m[complete]
+        if len(m) == 0:
+            return pd.DataFrame({
+                "t": pd.Series([], dtype="object"),
+                "nb": pd.Series([], dtype="int64"),
+                "r2p": pd.Series([], dtype="int64"),
+                "tiep": pd.Series([], dtype="int64"),
+            })
+        # doubled within-block midranks: average rank x2 is integral
+        m = m.copy()
+        m["r2"] = np.rint(
+            m.groupby("u")["s"].rank(method="average").to_numpy()
+            * 2.0).astype(np.int64)
+        out = (m.groupby("t", as_index=False)
+               .agg(nb=("u", "size"), r2p=("r2", "sum")))
+        # tie term per block: sum over tied-value groups of t^3 - t
+        tc = (m.groupby(["u", "s"], as_index=False).size()
+              .rename(columns={"size": "c"}))
+        tie = int((tc["c"] ** 3 - tc["c"]).sum())
+        out["tiep"] = 0
+        tie_row = pd.DataFrame({"t": ["\x00tie"], "nb": [0],
+                                "r2p": [0], "tiep": [tie]})
+        return pd.concat([out, tie_row], ignore_index=True)
+
+    m = (ds.map_batches(partial, batch_format="pandas")
+         .groupby("ub").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    if len(m) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_blocks": pd.Series([], dtype="int64"),
+            "r2_sum": pd.Series([], dtype="int64"),
+            "tie_sum": pd.Series([], dtype="int64"),
+        })
+    m = _pysum_cols(m, ["nb", "r2p", "tiep"])
+    tie_sum = sum(int(v) for v in m["tiep"])
+    m = m[m["t"] != "\x00tie"]
+    out = (m.groupby("t", as_index=False)
+           .agg(n_blocks=("nb", "sum"), r2_sum=("r2p", "sum")))
+    if len(out) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_blocks": pd.Series([], dtype="int64"),
+            "r2_sum": pd.Series([], dtype="int64"),
+            "tie_sum": pd.Series([], dtype="int64"),
+        })
+    out["n_blocks"] = [int(v) for v in out["n_blocks"]]
+    out["r2_sum"] = [int(v) for v in out["r2_sum"]]
+    out["tie_sum"] = tie_sum
+    out = out.rename(columns={"t": "event_type"})
+    return (out.astype({"n_blocks": "int64", "r2_sum": "int64",
+                        "tie_sum": "int64"})[list(cols)]
+            .sort_values("event_type").reset_index(drop=True))
