@@ -908,6 +908,22 @@ def main() -> int:
 
     run("wilcoxon_10m", wilcoxon_10m)
 
+    def kruskal_10m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_events_kruskal)
+
+        return q_events_kruskal(synth_events_val())
+
+    run("kruskal_10m", kruskal_10m)
+
+    def friedman_10m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_events_friedman)
+
+        return q_events_friedman(synth_events_val())
+
+    run("friedman_10m", friedman_10m)
+
     def dedup_trim_slice():
         from htmlparsersharp_ray.stages.dedup import dedup_trim
 
