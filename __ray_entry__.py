@@ -1906,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": r.q_events_runs_test,
         "events_kruskal": r.q_events_kruskal,
         "events_friedman": r.q_events_friedman,
+        "lineitem_ship_latency": r.q_lineitem_ship_latency,
         "docs_zipf": r.q_docs_zipf,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,
@@ -4423,6 +4424,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ties.tie_sum AS BIGINT) AS tie_sum
             FROM rk CROSS JOIN ties
             GROUP BY rk.t, ties.tie_sum ORDER BY rk.t
+        """,
+        "lineitem_ship_latency": """
+            -- ship-latency SLA: median/p90 whole days from order
+            -- placement to line-item shipment per priority (both
+            -- timestamps midnight-aligned; floor day division).
+            -- Engine: bucketed orderkey shuffle join feeding the
+            -- fused two-pass distributed selection (quantile_disc
+            -- rank rule); only joined priorities report.
+            WITH j AS (
+                SELECT o.o_orderpriority AS pr,
+                       datediff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) AS d
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT pr AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
+                   CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days
+            FROM j GROUP BY pr ORDER BY pr
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

@@ -11276,3 +11276,81 @@ def q_events_friedman(sf_dir: str):
     return (out.astype({"n_blocks": "int64", "r2_sum": "int64",
                         "tie_sum": "int64"})[list(cols)]
             .sort_values("event_type").reset_index(drop=True))
+
+
+def q_lineitem_ship_latency(sf_dir: str):
+    """SHIP-LATENCY SLA REPORT: median and p90 days between order
+    placement and line-item shipment, per order priority — the
+    fact-to-fact JOIN composed with GROUPED UNBOUNDED-DOMAIN QUANTILES
+    (the two expensive shapes in one query: q_join_shuffle's bucketed
+    hash join feeding q_events_interarrival's fused two-pass
+    distributed selection). Latency = (l_shipdate − o_orderdate) in
+    whole days (both midnight-aligned; floor µs-division mirrors
+    datediff).
+
+    Scale shape: ONE orderkey-bucketed shuffle join (pruned to three
+    columns a side), checkpointed once and re-streamed by the fused
+    coarse+fine selection passes — per-priority quantiles are
+    per-metric filters inside the SAME two passes, so pass count does
+    not grow with group count and nothing row-scale reaches the
+    driver."""
+    import numpy as np
+
+    from ..stages.exchange import checkpoint
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = checkpoint(hash_join(li, orders, "l_orderkey",
+                                  "o_orderkey"))
+    cols = ("o_orderpriority", "n", "p50_days", "p90_days")
+    prios = sorted(orders.unique("o_orderpriority"))
+    if joined.count() == 0 or not prios:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "p50_days": pd.Series([], dtype="int64"),
+            "p90_days": pd.Series([], dtype="int64"),
+        })
+    day_us = np.int64(86_400_000_000)
+
+    def lat_for(prio):
+        def to_int(b: pd.DataFrame) -> np.ndarray:
+            m = (b["o_orderpriority"] == prio).to_numpy()
+            s = b["l_shipdate"].to_numpy(
+                dtype="datetime64[us]").astype(np.int64)[m]
+            o = b["o_orderdate"].to_numpy(
+                dtype="datetime64[us]").astype(np.int64)[m]
+            return (s - o) // day_us
+
+        return to_int
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_orderpriority", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    counts = (joined.map_batches(count_partial, batch_format="pandas")
+              .to_pandas())
+    counts = _pysum_cols(counts, ["n"])
+    counts = (counts.groupby("o_orderpriority")["n"].sum().to_dict())
+    prios = [p for p in prios if counts.get(p, 0)]  # joined rows only
+    if not prios:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "p50_days": pd.Series([], dtype="int64"),
+            "p90_days": pd.Series([], dtype="int64"),
+        })
+    qres, _total = _selection_quantiles_multi(
+        joined, {p: lat_for(p) for p in prios},
+        {"p50": 0.5, "p90": 0.9})
+    rows = [(p, int(counts[p]), int(qres[p]["p50"]),
+             int(qres[p]["p90"]))
+            for p in prios]
+    return (pd.DataFrame(rows, columns=list(cols))
+            .astype({"n": "int64", "p50_days": "int64",
+                     "p90_days": "int64"})
+            .sort_values("o_orderpriority").reset_index(drop=True))
