@@ -1907,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kruskal": r.q_events_kruskal,
         "events_friedman": r.q_events_friedman,
         "lineitem_ship_latency": r.q_lineitem_ship_latency,
+        "part_ktruss": r.q_part_ktruss,
         "docs_zipf": r.q_docs_zipf,
         "orders_cohort": r.q_orders_cohort,
         "docs_hapax": r.q_docs_hapax,

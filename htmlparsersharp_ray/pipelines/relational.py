@@ -11354,3 +11354,24 @@ def q_lineitem_ship_latency(sf_dir: str):
             .astype({"n": "int64", "p50_days": "int64",
                      "p90_days": "int64"})
             .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q_part_ktruss(sf_dir: str, k: int = 4):
+    """K-TRUSS (k = 4) of the part co-purchase graph: the maximal
+    subgraph where every surviving edge closes ≥ k − 2 triangles with
+    OTHER surviving edges — the cohesion cut between k-core's degree
+    peel (q_part_kcore) and full cliques, keeping only parts embedded
+    in genuinely clustered baskets (a co-purchase edge with support
+    from one stray basket peels away; a K4 basket core survives).
+    Fourth iterative-graph family (CC label propagation, Borůvka MSF,
+    fixpoint degree peel, and now iterative support peel). Returns the
+    surviving canonical edges. Rows-only contract: iterative peeling
+    is not ANSI-SQL-expressible — the pytest gate is a sequential
+    reference peeler (see tests/test_round3_ktruss.py)."""
+    from ..stages.graph import group_cooccurrence_edges, ktruss
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out, _rounds = ktruss(edges, k=k)
+    return out

@@ -1873,3 +1873,56 @@ def betweenness(edges: ray.data.Dataset, sources: list[int],
 
     return deltas.groupby("kb").map_groups(finalize,
                                            batch_format="pandas")
+
+
+def ktruss(edges: ray.data.Dataset, k: int,
+           max_rounds: int = 64) -> tuple:
+    """K-TRUSS DECOMPOSITION (iterative support peel): the maximal
+    subgraph in which every edge participates in at least ``k − 2``
+    triangles AMONG SURVIVING EDGES — the cohesion notion between
+    k-core (degree peel, :func:`kcore`) and cliques, standard for
+    mining tightly-knit product/community clusters. Each round runs
+    the :func:`edge_support` wedge pipeline on the surviving edge set,
+    drops under-supported edges, and repeats to fixpoint; the edge
+    count strictly decreases, so termination is structural
+    (``max_rounds`` is a backstop only). Returns
+    ``(edges_df, n_rounds)`` where ``edges_df`` holds the canonical
+    surviving ``(u, v)`` pairs, u < v, sorted.
+
+    Scale shape: per round the full wedge/closure cost of
+    edge_support (∝ Σ C(outdeg, 2) on the CURRENT subgraph — it
+    shrinks every round) plus one filter; survivors re-checkpoint so
+    round r+1's lineage does not nest round r's (the exchange.py
+    iterative-loop rule). Driver state is one integer per round.
+    Reference n/a — engine-level op."""
+    from .exchange import checkpoint
+
+    cur = _undirected_distinct(edges)
+    prev = None
+    rounds = 0
+    thresh = k - 2
+    while rounds < max_rounds:
+        sup = edge_support(
+            cur.map_batches(
+                lambda b: b.rename_columns(["src", "dst"]),
+                batch_format="pyarrow"))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.greater_equal(batch.column("support"), thresh)
+            return batch.filter(m).select(["u", "v"])
+
+        cur = checkpoint(sup.map_batches(keep, batch_format="pyarrow"))
+        n = cur.count()
+        rounds += 1
+        if n == 0 or n == prev:
+            break
+        prev = n
+    out = cur.to_pandas()
+    if len(out) == 0:
+        return (pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")}),
+                rounds)
+    return (out.astype({"u": "int64", "v": "int64"})
+            .sort_values(["u", "v"]).reset_index(drop=True), rounds)
