@@ -92,6 +92,15 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd subset must NOT pass vacuously (this exact
+            # failure shipped as `--only name` silently checking
+            # nothing — the subset is positional: check_oracle.py
+            # SF_DIR name1,name2)
+            print(f"ERROR: unknown query names in subset: {unknown}")
+            sys.exit(2)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
