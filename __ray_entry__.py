@@ -1752,6 +1752,48 @@ def _q_media_features(sf_dir: str):
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_resize(sf_dir: str):
+    """REAL decode -> nearest-neighbor resize -> re-encode of the PPM
+    image payloads (stages/multimodal.py::ImageResizeUDF, fake=False) — the
+    image-preprocessing stage of SURVEY §2's multimodal row; audio rows
+    pass through untouched. Output: per-media resized dimensions plus
+    a crc32 content signature of the re-encoded payload (deterministic
+    across workers/layouts). Rows-only (binary codec work, non-SQL);
+    the codec itself is gated by the PPM round-trip pytests."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data
+    from htmlparsersharp_ray.stages.multimodal import (
+        ImageResizeUDF,
+        synth_media_table,
+    )
+
+    full = ray.data.from_arrow(synth_media_table(200))
+    imgs = full.filter(lambda r: r["kind"] == "image")
+    out = imgs.map_batches(
+        ImageResizeUDF, fn_constructor_kwargs={"width": 16, "height": 12,
+                                          "fake": False},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+
+    def sig(batch: pa.Table) -> pa.Table:
+        pl = batch.column("payload").to_pylist()
+        meta = batch.column("meta").to_pylist()
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "out_w": pa.array([int(m["width"]) for m in meta],
+                              pa.int64()),
+            "out_h": pa.array([int(m["height"]) for m in meta],
+                              pa.int64()),
+            "payload_crc": pa.array(
+                [zlib.crc32(p or b"") for p in pl], pa.int64()),
+        })
+
+    return (out.map_batches(sig, batch_format="pyarrow")
+            .to_pandas().sort_values("media_id")
+            .reset_index(drop=True))
+
+
 def _q_media_meta(sf_dir: str):
     """Header-only multimodal metadata scan (kind, dimensions, sample
     rate/length, payload bytes) — no pixel/sample decode. Rows-only
@@ -2004,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_topk": _q_embeddings_ivf_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "media_meta": _q_media_meta,
         "media_phash_dups": _q_media_phash_dups,
         "media_canonical": _q_media_canonical,
