@@ -10108,8 +10108,10 @@ def _two_sample_rank_buckets(sf_dir: str, type_a: str, type_b: str):
     ``bucketed`` is a Dataset of merged per-value rows
     ``(rb, v, d1, d2)``; the ``off*`` dicts map each occupied bucket
     to the Python-int count of sample-1 / sample-2 / combined values
-    in strictly LOWER buckets (≤4096 scalars on the driver — the same
-    budget as q_orders_key_gaps); ``n1``/``n2`` are the sample sizes.
+    in strictly LOWER buckets (≤1024 scalars on the driver; 2^10-wide
+    value buckets keep grouped-stage scheduling overhead ~4x below the
+    4096-bucket q_orders_key_gaps budget — measured group-overhead
+    bound at sf0.1); ``n1``/``n2`` are the sample sizes.
     Returns ``None`` when both samples are empty.
     """
     import numpy as np
@@ -10132,7 +10134,7 @@ def _two_sample_rank_buckets(sf_dir: str, type_a: str, type_b: str):
     max_v = parts.max("v")
     if max_v is None:
         return None
-    shift = max(0, int(max_v).bit_length() - 12)
+    shift = max(0, int(max_v).bit_length() - 10)
 
     def add_rb(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -10178,7 +10180,7 @@ def q_events_ks_test(sf_dir: str):
     at_v attaining the max. The global ECDF scan runs WITHOUT a global
     sort: per-value counts range-bucket by high bits, each bucket
     cumsums locally against Python-int offsets from lower buckets, and
-    the driver merges ≤4096 per-bucket maxima. int64 bound: the
+    the driver merges ≤1024 per-bucket maxima. int64 bound: the
     cross-multiply c·n caps at n1·n2 < 2^63 ⇒ exact for samples up to
     ~3·10^9 rows EACH (beyond that, switch the per-bucket dn to object
     dtype — the bucket structure already confines the cost)."""
@@ -10284,7 +10286,7 @@ def _hour_value_cell_buckets(sf_dir: str):
     Returns ``(bucketed, offh, nh, n)``: ``bucketed`` is a Dataset of
     merged cells ``(rb, h, v, c)``; ``offh`` maps each occupied bucket
     to a 24-long Python-int list counting, per hour, the events in
-    strictly LOWER buckets (≤4096×24 driver scalars); ``nh`` is the
+    strictly LOWER buckets (≤1024×24 driver scalars); ``nh`` is the
     24-long global per-hour totals list; ``n`` the row count. Returns
     ``None`` on an empty table.
     """
@@ -10306,7 +10308,7 @@ def _hour_value_cell_buckets(sf_dir: str):
     max_v = parts.max("v")
     if max_v is None:
         return None
-    shift = max(0, int(max_v).bit_length() - 12)
+    shift = max(0, int(max_v).bit_length() - 10)
 
     def add_rb(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -10883,7 +10885,7 @@ def q_events_wilcoxon(sf_dir: str):
     exact); pass 2 ranks |d| WITHOUT a global sort — the
     events_ks_test range-bucket scan: per-value (ct, cp) counts bucket
     by |d| high bits, each bucket cumsums locally against Python-int
-    offsets, the driver merges ≤4096 bucket partials. int64 bound:
+    offsets, the driver merges ≤1024 bucket partials. int64 bound:
     W⁺ ≈ 2n² caps at n ≈ 2×10⁹ paired users."""
     import numpy as np
 
@@ -10935,7 +10937,7 @@ def q_events_wilcoxon(sf_dir: str):
     if max_a is None:
         return pd.DataFrame({c: pd.Series([], dtype="int64")
                              for c in cols})
-    shift = max(0, int(max_a).bit_length() - 12)
+    shift = max(0, int(max_a).bit_length() - 10)
 
     def add_rb(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -11105,7 +11107,7 @@ def q_events_kruskal(sf_dir: str):
             "r2_sum": pd.Series([], dtype="int64"),
             "tie_sum": pd.Series([], dtype="int64"),
         })
-    shift = max(0, int(max_v).bit_length() - 12)
+    shift = max(0, int(max_v).bit_length() - 10)
 
     def add_rb(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
