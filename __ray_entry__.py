@@ -1948,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": r.q_events_runs_test,
         "events_kruskal": r.q_events_kruskal,
         "events_friedman": r.q_events_friedman,
+        "docs_source_drift": r.q_docs_source_drift,
         "lineitem_ship_latency": r.q_lineitem_ship_latency,
         "part_ktruss": r.q_part_ktruss,
         "docs_zipf": r.q_docs_zipf,
@@ -4488,6 +4489,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
                    CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days
             FROM j GROUP BY pr ORDER BY pr
+        """,
+        "docs_source_drift": """
+            -- all-pairs KS drift matrix over per-source document
+            -- length distributions: for every source pair (a < b)
+            -- the exact numerator d_num = max over values of
+            -- |c_a(v)*n_b - c_b(v)*n_a| (D = d_num/(n_a*n_b)).
+            -- Engine: one (source, value)-cell scan, ordered value
+            -- buckets reduce to an |S|x|S| max matrix per bucket.
+            WITH s AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS v
+                FROM documents
+            ), c AS (
+                SELECT source, v, COUNT(*) AS c FROM s GROUP BY 1, 2
+            ), vals AS (SELECT DISTINCT v FROM c),
+            srcs AS (SELECT DISTINCT source FROM c),
+            spine AS (
+                SELECT srcs.source, vals.v
+                FROM srcs CROSS JOIN vals
+            ), cum AS (
+                SELECT spine.source, spine.v,
+                       SUM(COALESCE(c.c, 0)) OVER (
+                           PARTITION BY spine.source ORDER BY spine.v
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM spine LEFT JOIN c USING (source, v)
+            ), n AS (
+                SELECT source, SUM(c) AS n FROM c GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS sa, b.source AS sb
+                FROM srcs a JOIN srcs b ON a.source < b.source
+            )
+            SELECT p.sa AS src_a, p.sb AS src_b,
+                   CAST(na.n AS BIGINT) AS n_a,
+                   CAST(nb.n AS BIGINT) AS n_b,
+                   CAST(MAX(ABS(ca.cum * nb.n - cb.cum * na.n))
+                        AS BIGINT) AS d_num
+            FROM pairs p
+            JOIN cum ca ON ca.source = p.sa
+            JOIN cum cb ON cb.source = p.sb AND cb.v = ca.v
+            JOIN n na ON na.source = p.sa
+            JOIN n nb ON nb.source = p.sb
+            GROUP BY p.sa, p.sb, na.n, nb.n
+            ORDER BY src_a, src_b
         """,
         "nation_customer_hhi": """
             -- Herfindahl-Hirschman concentration of customer revenue

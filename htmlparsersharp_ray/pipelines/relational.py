@@ -11377,3 +11377,121 @@ def q_part_ktruss(sf_dir: str, k: int = 4):
     edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
     out, _rounds = ktruss(edges, k=k)
     return out
+
+
+def q_docs_source_drift(sf_dir: str):
+    """ALL-PAIRS DISTRIBUTION-DRIFT MATRIX: the exact two-sample KS
+    statistic between EVERY pair of sources over the document-length
+    (n_chars) distribution — 190 pairwise tests from ONE scan, the
+    per-ingestion-source drift dashboard (q_docs_source_kl is the
+    top-terms view; this is the length-distribution view, and the
+    k-group extension of q_events_ks_test). Per pair: d_num =
+    max over values of |c_a(v)·n_b − c_b(v)·n_a| so D = d_num/(n_a·n_b)
+    with no float anywhere.
+
+    Scale shape: per-(source, value) count cells range-bucket by value
+    high bits (≤1024 ordered buckets); each bucket builds its local
+    dense (values × sources) cumulative matrix against driver-held
+    per-source offsets and reduces to ONE |S|×|S| max matrix — the
+    driver max-merges buckets × pairs scalars, never value-scale rows.
+    int64 bound: c·n < n_a·n_b < 2^63 ⇒ exact to ~3×10⁹ rows per
+    source."""
+    import numpy as np
+
+    from ..stages.exchange import checkpoint
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"),
+                               columns=["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"s": b["source"],
+                              "v": b["n_chars"].astype("int64")})
+                .groupby(["s", "v"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    parts = checkpoint(ds.map_batches(partial, batch_format="pandas"))
+    max_v = parts.max("v")
+    cols = ("src_a", "src_b", "n_a", "n_b", "d_num")
+    if max_v is None:
+        return pd.DataFrame({
+            "src_a": pd.Series([], dtype="object"),
+            "src_b": pd.Series([], dtype="object"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "d_num": pd.Series([], dtype="int64"),
+        })
+    shift = max(0, int(max_v).bit_length() - 10)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["s", "v"], as_index=False)
+             .agg(c=("c", "sum")))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "s", "v", "c"]]
+
+    bucketed = checkpoint(
+        parts.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket,
+                                  batch_format="pandas"))
+    tot = (bucketed.map_batches(
+        lambda b: b.groupby(["rb", "s"], as_index=False)
+        .agg(t=("c", "sum")), batch_format="pandas").to_pandas())
+    tot = _pysum_cols(tot, ["t"])
+    tot = (tot.groupby(["rb", "s"], as_index=False)
+           .agg(t=("t", "sum")))
+    sources = sorted(tot["s"].unique())
+    si = {s: i for i, s in enumerate(sources)}
+    S = len(sources)
+    per_rb = {}
+    for _, row in tot.iterrows():
+        per_rb.setdefault(int(row["rb"]),
+                          [0] * S)[si[row["s"]]] = int(row["t"])
+    off, acc = {}, [0] * S
+    for rb in sorted(per_rb):
+        off[rb] = list(acc)
+        acc = [a + t for a, t in zip(acc, per_rb[rb])]
+    n_tot = np.array(acc, dtype=np.int64)
+    if S < 2:
+        return pd.DataFrame({
+            "src_a": pd.Series([], dtype="object"),
+            "src_b": pd.Series([], dtype="object"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "d_num": pd.Series([], dtype="int64"),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rb"].iloc[0])
+        uniq = np.sort(g["v"].unique())
+        vi = np.searchsorted(uniq, g["v"].to_numpy(dtype=np.int64))
+        M = np.zeros((len(uniq), S), dtype=np.int64)
+        np.add.at(M, (vi, [si[s] for s in g["s"]]),
+                  g["c"].to_numpy(dtype=np.int64))
+        cum = np.cumsum(M, axis=0) + np.asarray(off[rb],
+                                                dtype=np.int64)[None, :]
+        # per value: |cum_a * n_b - cum_b * n_a| for all pairs
+        d = np.abs(cum[:, :, None] * n_tot[None, None, :]
+                   - cum[:, None, :] * n_tot[None, :, None])
+        dm = d.max(axis=0)                # (S, S)
+        ia, ib = np.triu_indices(S, k=1)
+        return pd.DataFrame({
+            "ia": ia.astype(np.int64), "ib": ib.astype(np.int64),
+            "dn": dm[ia, ib].astype(np.int64),
+        })
+
+    m = (bucketed.groupby("rb")
+         .map_groups(finalize, batch_format="pandas").to_pandas())
+    m = (m.groupby(["ia", "ib"], as_index=False).agg(dn=("dn", "max")))
+    return pd.DataFrame({
+        "src_a": [sources[int(i)] for i in m["ia"]],
+        "src_b": [sources[int(i)] for i in m["ib"]],
+        "n_a": pd.Series([int(n_tot[int(i)]) for i in m["ia"]],
+                         dtype="int64"),
+        "n_b": pd.Series([int(n_tot[int(i)]) for i in m["ib"]],
+                         dtype="int64"),
+        "d_num": pd.Series([int(v) for v in m["dn"]], dtype="int64"),
+    }).sort_values(["src_a", "src_b"]).reset_index(drop=True)
