@@ -1948,6 +1948,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": r.q_events_runs_test,
         "events_kruskal": r.q_events_kruskal,
         "events_friedman": r.q_events_friedman,
+        "events_anova": r.q_events_anova,
+        "events_theilsen": r.q_events_theilsen,
+        "events_holt": r.q_events_holt,
+        "docs_simpson": r.q_docs_simpson,
+        "part_closeness": r.q_part_closeness,
+        "embeddings_silhouette": r.q_embeddings_silhouette,
+        "events_levene": r.q_events_levene,
+        "events_mann_kendall": r.q_events_mann_kendall,
+        "part_cramers_v": r.q_part_cramers_v,
+        "embeddings_confusion": r.q_embeddings_confusion,
         "docs_source_drift": r.q_docs_source_drift,
         "lineitem_ship_latency": r.q_lineitem_ship_latency,
         "part_ktruss": r.q_part_ktruss,
@@ -7366,5 +7376,354 @@ def oracle_sql() -> dict[str, str]:
                count(*)
         FROM orders
         ORDER BY kind, key
+    """
+    sql["events_anova"] = """
+        -- one-way ANOVA across event types, INTEGER-exact: per-type
+        -- moments in cents, F defined THROUGH fixed-point floors
+        -- (A = sum (s^2*2^20)//n per group, B grand, ssb = max(A-B,0),
+        -- ssw = 2^20*Q - A, f = ssb*df2*2^20 // (ssw*df1)) so both
+        -- sides compute the identical integer in HUGEINT / Python-int
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events),
+        agg AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(v) AS HUGEINT) AS s,
+                   CAST(SUM(v * v) AS HUGEINT) AS q
+            FROM c GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(q) AS q,
+                       COUNT(*) AS k
+                FROM agg),
+        aa AS (SELECT SUM((s * s * 1048576) // n) AS a FROM agg),
+        f AS (SELECT GREATEST(aa.a - (t.s * t.s * 1048576) // t.n,
+                              0) AS ssb_k,
+                     t.q * 1048576 - aa.a AS ssw_k,
+                     t.n AS n, t.k AS k
+              FROM aa, tot t)
+        SELECT agg.event_type,
+               CAST(agg.n AS BIGINT) AS n,
+               CAST(agg.s AS BIGINT) AS sum_cents,
+               CAST(agg.q AS BIGINT) AS sumsq_cents,
+               CAST(f.k - 1 AS BIGINT) AS df1,
+               CAST(f.n - f.k AS BIGINT) AS df2,
+               CAST(CASE WHEN f.k < 2 OR f.n <= f.k OR f.ssw_k <= 0
+                         THEN -1
+                         ELSE (f.ssb_k * (f.n - f.k) * 1048576)
+                              // (f.ssw_k * (f.k - 1))
+                    END AS BIGINT) AS f_scaled
+        FROM agg, f ORDER BY agg.event_type
+    """
+    sql["events_levene"] = """
+        -- Brown-Forsythe (median-centered Levene) spread test:
+        -- per-type EXACT doubled median (2*median(BIGINT) is exact:
+        -- the /2 is a power-of-two halving), z = |2v - med2| in
+        -- half-cents, then the same floored-F construction as
+        -- events_anova over the z moments
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events),
+        med AS (SELECT event_type,
+                       CAST(2 * median(v) AS BIGINT) AS med2
+                FROM c GROUP BY 1),
+        z AS (SELECT c.event_type, m.med2,
+                     ABS(2 * c.v - m.med2) AS z
+              FROM c JOIN med m USING (event_type)),
+        agg AS (
+            SELECT event_type, ANY_VALUE(med2) AS med2,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(z) AS HUGEINT) AS s,
+                   CAST(SUM(z * z) AS HUGEINT) AS q
+            FROM z GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(q) AS q,
+                       COUNT(*) AS k
+                FROM agg),
+        aa AS (SELECT SUM((s * s * 1048576) // n) AS a FROM agg),
+        f AS (SELECT GREATEST(aa.a - (t.s * t.s * 1048576) // t.n,
+                              0) AS ssb_k,
+                     t.q * 1048576 - aa.a AS ssw_k,
+                     t.n AS n, t.k AS k
+              FROM aa, tot t)
+        SELECT agg.event_type,
+               CAST(agg.n AS BIGINT) AS n,
+               CAST(agg.med2 AS BIGINT) AS med2_cents,
+               CAST(agg.s AS BIGINT) AS zsum,
+               CAST(agg.q AS BIGINT) AS zsumsq,
+               CAST(f.k - 1 AS BIGINT) AS df1,
+               CAST(f.n - f.k AS BIGINT) AS df2,
+               CAST(CASE WHEN f.k < 2 OR f.n <= f.k OR f.ssw_k <= 0
+                         THEN -1
+                         ELSE (f.ssb_k * (f.n - f.k) * 1048576)
+                              // (f.ssw_k * (f.k - 1))
+                    END AS BIGINT) AS w_scaled
+        FROM agg, f ORDER BY agg.event_type
+    """
+    sql["events_mann_kendall"] = """
+        -- Mann-Kendall trend test per event type over exact-cents
+        -- daily totals: S = sum of sign(x_j - x_i) over day-ordered
+        -- pairs, variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5)
+        -- over tied daily values — all exact integers
+        WITH d AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1, 2),
+        p AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.xc > a.xc THEN 1
+                            WHEN b.xc < a.xc THEN -1
+                            ELSE 0 END) AS s
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND b.day > a.day
+            GROUP BY 1),
+        t AS (
+            SELECT event_type,
+                   SUM(c * (c - 1) * (2 * c + 5)) AS tie
+            FROM (SELECT event_type, xc, COUNT(*) AS c
+                  FROM d GROUP BY 1, 2)
+            GROUP BY 1),
+        nd AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1)
+        SELECT nd.event_type,
+               CAST(nd.n AS BIGINT) AS n_days,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS s_stat,
+               CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                    - COALESCE(t.tie, 0) AS BIGINT) AS var_num
+        FROM nd
+        LEFT JOIN p USING (event_type)
+        LEFT JOIN t USING (event_type)
+        ORDER BY nd.event_type
+    """
+    sql["part_cramers_v"] = """
+        -- Cramer's V between p_brand and p_type: chi-square terms
+        -- floored at 2^20 (order-independent, hugeint->double via the
+        -- mirrored 2^62 split), then ONE mirrored sqrt expression
+        -- refloored at 2^20 (IEEE sqrt is correctly rounded on both
+        -- sides)
+        WITH o AS (
+            SELECT p_brand, p_type, CAST(COUNT(*) AS HUGEINT) AS o
+            FROM part GROUP BY 1, 2),
+        r AS (SELECT p_brand, SUM(o) AS r FROM o GROUP BY 1),
+        c AS (SELECT p_type, SUM(o) AS c FROM o GROUP BY 1),
+        t AS (SELECT SUM(o) AS n FROM o),
+        cell AS (
+            SELECT (o.o * t.n - r.r * c.c) * (o.o * t.n - r.r * c.c)
+                       AS num,
+                   t.n * r.r * c.c AS den
+            FROM o JOIN r USING (p_brand)
+                   JOIN c USING (p_type) CROSS JOIN t),
+        f AS (
+            SELECT (CAST(num // 4611686018427387904 AS DOUBLE)
+                    * CAST(4611686018427387904 AS DOUBLE)
+                    + CAST(num % 4611686018427387904 AS DOUBLE))
+                       AS numd,
+                   (CAST(den // 4611686018427387904 AS DOUBLE)
+                    * CAST(4611686018427387904 AS DOUBLE)
+                    + CAST(den % 4611686018427387904 AS DOUBLE))
+                       AS dend
+            FROM cell),
+        chi AS (
+            SELECT CAST(SUM(CAST(FLOOR(numd / dend * 1048576.0)
+                                 AS BIGINT)) AS BIGINT) AS chisq_scaled
+            FROM f),
+        dims AS (
+            SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_brands,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_types)
+        SELECT d.n_rows, d.n_brands, d.n_types, chi.chisq_scaled,
+               CAST(FLOOR(SQRT((chi.chisq_scaled / 1048576.0)
+                               / CAST(d.n_rows
+                                      * LEAST(d.n_brands - 1,
+                                              d.n_types - 1)
+                                      AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS v_scaled
+        FROM dims d, chi
+    """
+    sql["embeddings_confusion"] = """
+        -- confusion matrix of the nearest-centroid classifier over the
+        -- odd-vec_id holdout: the prediction CTEs are the
+        -- embeddings_nearest_centroid oracle verbatim, then one
+        -- integer-count groupby against the true labels
+        WITH u AS (
+            SELECT vec_id, label,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(CAST(sum(q) AS DOUBLE) / count(*) AS BIGINT)
+                       AS qc
+            FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim
+        ), d AS (
+            SELECT t.vec_id, c.label,
+                   sum((t.q - c.qc) * (t.q - c.qc)) AS dist
+            FROM (SELECT * FROM u WHERE vec_id % 2 = 1) t
+            JOIN cent c USING (dim)
+            GROUP BY t.vec_id, c.label
+        ), pred AS (
+            SELECT vec_id, label AS pred_label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, label) AS rn
+                FROM d) WHERE rn = 1
+        )
+        SELECT CAST(e.label AS BIGINT) AS true_label,
+               CAST(p.pred_label AS BIGINT) AS pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred p JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["docs_simpson"] = """
+        -- Simpson repetition index per source: PURE-INTEGER numerator
+        -- rep_pairs = sum c(c-1) over per-source term counts (corpus
+        -- tokenization convention); D = rep_pairs/(N(N-1)) is the
+        -- reader's one division away
+        WITH w AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ), tc AS (
+            SELECT source, term, CAST(COUNT(*) AS HUGEINT) AS c
+            FROM w GROUP BY source, term
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs
+        FROM tc GROUP BY source ORDER BY source
+    """
+    sql["events_theilsen"] = """
+        -- Theil-Sen robust trend per type: lower-median pairwise
+        -- slope over the daily-cents series, selected under the
+        -- mirrored ordering (one IEEE double division of exactly-cast
+        -- BIGINTs, ties broken by (dy, dx)) and reported as the EXACT
+        -- integer pair (med_dy, med_dx)
+        WITH d AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1, 2),
+        p AS (
+            SELECT a.event_type,
+                   b.xc - a.xc AS dy, b.day - a.day AS dx
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND b.day > a.day),
+        o AS (
+            SELECT event_type, dy, dx,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+                                dy, dx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM p)
+        SELECT event_type,
+               CAST(m AS BIGINT) AS n_pairs,
+               CAST(dy AS BIGINT) AS med_dy,
+               CAST(dx AS BIGINT) AS med_dx
+        FROM o WHERE rn = (m + 1) // 2
+        ORDER BY event_type
+    """
+    sql["events_holt"] = """
+        -- Holt linear-trend smoothing (alpha = beta = 1/2) in exact
+        -- integer cents; the recursive CTE applies the identical
+        -- TRUNCATING halvings (DuckDB // truncates toward zero — the
+        -- engine mirrors via sign-magnitude)
+        WITH RECURSIVE d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+            FROM events GROUP BY 1
+        ), o AS (
+            SELECT day, CAST(xc AS HUGEINT) AS xc,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM d
+        ), s AS (
+            SELECT rn, day, xc, xc AS lev,
+                   CAST(0 AS HUGEINT) AS tr
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.rn, o.day, o.xc,
+                   (o.xc + s.lev + s.tr) // 2,
+                   ((o.xc + s.lev + s.tr) // 2 - s.lev + s.tr) // 2
+            FROM s JOIN o ON o.rn = s.rn + 1
+        )
+        SELECT day, CAST(xc AS BIGINT) AS day_cents,
+               CAST(lev AS BIGINT) AS level_cents,
+               CAST(tr AS BIGINT) AS trend_cents
+        FROM s ORDER BY day
+    """
+    sql["part_closeness"] = """
+        -- k-source closeness over the part co-purchase graph: for the
+        -- 4 smallest size-1 partkeys, nodes reached within 3 hops and
+        -- total hop distance; per-source bounded recursive CTE
+        -- (integer mins/sums — the engine's per-source BFS sweeps
+        -- agree bitwise)
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        srcs AS (SELECT p_partkey AS s FROM part
+                 WHERE p_size = 1 ORDER BY p_partkey LIMIT 4),
+        bfs(s, node, d) AS (
+            SELECT s, s, 0 FROM srcs
+            UNION
+            SELECT bfs.s, e.dst, bfs.d + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.d < 3
+        ),
+        md AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+        SELECT s AS source,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(d) AS BIGINT) AS total_dist
+        FROM md GROUP BY s ORDER BY s
+    """
+    sql["embeddings_silhouette"] = """
+        -- simplified (centroid-based) silhouette per label: a/b are
+        -- int64 squared distances on the 2^20 grid (the
+        -- nearest-centroid quantization, centroids over ALL rows),
+        -- each row's s floored at 2^10 via the sign-magnitude divmod
+        -- identity over NONNEGATIVE operands (DuckDB // and % truncate)
+        -- so SUM(s_scaled) is an order-independent integer
+        WITH u AS (
+            SELECT vec_id, label,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(CAST(sum(q) AS DOUBLE) / count(*) AS BIGINT)
+                       AS qc
+            FROM u GROUP BY label, dim
+        ), d AS (
+            SELECT t.vec_id, ANY_VALUE(t.label) AS tl, c.label AS cl,
+                   sum((t.q - c.qc) * (t.q - c.qc)) AS dist
+            FROM u t JOIN cent c USING (dim)
+            GROUP BY t.vec_id, c.label
+        ), ab AS (
+            SELECT a.vec_id, a.tl AS label, a.dist AS a2,
+                   (SELECT MIN(o.dist) FROM d o
+                    WHERE o.vec_id = a.vec_id AND o.cl <> a.tl) AS b2
+            FROM d a WHERE a.cl = a.tl
+        ), sc AS (
+            SELECT label,
+                   CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+                        ELSE CAST(SIGN(b2 - a2) AS BIGINT)
+                             * ((ABS(b2 - a2) // GREATEST(a2, b2))
+                                * 1024
+                                + ((ABS(b2 - a2) % GREATEST(a2, b2))
+                                   * 1024) // GREATEST(a2, b2))
+                   END AS s_sc
+            FROM ab WHERE b2 IS NOT NULL
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s_sc) AS BIGINT) AS s_scaled_sum
+        FROM sc GROUP BY label ORDER BY label
     """
     return sql

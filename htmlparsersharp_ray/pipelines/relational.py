@@ -5478,12 +5478,13 @@ def q_embeddings_label_centroids(sf_dir: str):
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
-def q_embeddings_nearest_centroid(sf_dir: str):
-    """NEAREST-CENTROID CLASSIFICATION (the minimal supervised member
-    of the embedding family): train per-label centroids on the EVEN
-    vec_ids (the labeled split), assign every ODD vec_id to the closest
-    centroid — the Rocchio classifier / cluster-assignment kernel that
-    also powers SemDeDup-style cluster routing.
+def _nc_predictions(sf_dir: str) -> pd.DataFrame:
+    """Shared nearest-centroid train+classify core: returns one row per
+    ODD vec_id with ``(vec_id, true_label, pred_label)``. The thin
+    drivers :func:`q_embeddings_nearest_centroid` (per-row predictions)
+    and :func:`q_embeddings_confusion` (error structure) both consume
+    this frame, so the integer-exact argmin is defined in exactly one
+    place.
 
     Fully INTEGER-exact, hence bitwise-deterministic at any parallelism
     and SQL-mirrorable with no float-compare at the argmin:
@@ -5548,6 +5549,7 @@ def q_embeddings_nearest_centroid(sf_dir: str):
         if not len(b):
             return pd.DataFrame({
                 "vec_id": pd.Series([], dtype="int64"),
+                "true_label": pd.Series([], dtype="int64"),
                 "pred_label": pd.Series([], dtype="int64"),
             })
         mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
@@ -5558,12 +5560,45 @@ def q_embeddings_nearest_centroid(sf_dir: str):
         pred = labels[np.argmin(dist, axis=1)]
         return pd.DataFrame({
             "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+            "true_label": b["label"].to_numpy().astype(np.int64),
             "pred_label": pred.astype(np.int64),
         })
 
     out = ds.map_batches(classify, batch_format="pandas").to_pandas()
-    return (out.astype({"vec_id": "int64", "pred_label": "int64"})
+    return out.astype({"vec_id": "int64", "true_label": "int64",
+                       "pred_label": "int64"})
+
+
+def q_embeddings_nearest_centroid(sf_dir: str):
+    """Per-row nearest-centroid predictions — see
+    :func:`_nc_predictions` for the full construction (integer-exact
+    Rocchio classifier, ties to the smaller label)."""
+    out = _nc_predictions(sf_dir)
+    return (out[["vec_id", "pred_label"]]
             .sort_values("vec_id").reset_index(drop=True))
+
+
+def q_embeddings_confusion(sf_dir: str):
+    """CONFUSION MATRIX of the nearest-centroid classifier — the model-
+    EVALUATION op every training pipeline ends with (which labels the
+    classifier mixes up, not just how often it is right). Rows are
+    ``(true_label, pred_label, n)`` integer counts over the ODD-vec_id
+    holdout, so the result is bitwise-deterministic wherever the
+    underlying predictions are (they are — `_nc_predictions` is
+    integer-exact end to end, driver-query ``embeddings_nearest_
+    centroid`` holds that gate).
+
+    Scale shape: inherits the classifier's ZERO-exchange shape; the
+    confusion aggregation itself is a labels×labels-bounded groupby of
+    per-batch count partials (here: one pandas groupby over the
+    already-tiny prediction frame)."""
+    out = _nc_predictions(sf_dir)
+    m = (out.groupby(["true_label", "pred_label"], as_index=False)
+         .size().rename(columns={"size": "n"}))
+    return (m.astype({"true_label": "int64", "pred_label": "int64",
+                      "n": "int64"})
+            .sort_values(["true_label", "pred_label"])
+            .reset_index(drop=True))
 
 
 def q_embeddings_nb(sf_dir: str):
@@ -11495,3 +11530,590 @@ def q_docs_source_drift(sf_dir: str):
                          dtype="int64"),
         "d_num": pd.Series([int(v) for v in m["dn"]], dtype="int64"),
     }).sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def _floored_f_stat(groups, K=1 << 20):
+    """Shared exact-integer one-way F construction (ANOVA and
+    Brown–Forsythe): ``groups`` is ``[(n_t, s_t, q_t), ...]`` with
+    Python-int moments (n, Σx, Σx²) per group. The between/within sums
+    of squares are defined THROUGH fixed-point floors so the statistic
+    is a pure integer both sides can compute bit-identically:
+
+        A      = Σ_t (s_t²·K) // n_t          (per-group floored)
+        B      = (S²·K) // n                  (grand floored)
+        ssb_k  = max(A − B, 0)                (Cauchy–Schwarz ≥ −1
+                                               only via flooring)
+        ssw_k  = K·ΣQ − A                     (≥ 0 exactly)
+        f_sc   = ssb_k·(n−k)·K // (ssw_k·(k−1))
+
+    Returns ``(df1, df2, f_scaled)`` as Python ints; ``f_scaled`` is
+    −1 when the statistic is undefined (k < 2, n ≤ k, or zero
+    within-group variance) — the oracle mirrors the same CASE."""
+    k = len(groups)
+    n = sum(g[0] for g in groups)
+    S = sum(g[1] for g in groups)
+    Q = sum(g[2] for g in groups)
+    df1, df2 = k - 1, n - k
+    if k < 2 or n <= k:
+        return df1, df2, -1
+    A = sum((s * s * K) // nt for nt, s, _ in groups)
+    B = (S * S * K) // n
+    ssb_k = max(A - B, 0)
+    ssw_k = Q * K - A
+    if ssw_k <= 0:
+        return df1, df2, -1
+    return df1, df2, (ssb_k * df2 * K) // (ssw_k * df1)
+
+
+def q_events_anova(sf_dir: str):
+    """ONE-WAY ANOVA F test of event value across event types — the
+    parametric companion of q_events_kruskal (k-sample location test on
+    means instead of ranks). Per-type exact integer moments (n, Σcents,
+    Σcents²) plus the F statistic as a FIXED-POINT integer
+    (`_floored_f_stat`): every division is a floor over exact integers,
+    so the statistic is order-independent and mirrored verbatim by the
+    oracle's HUGEINT arithmetic — no float accumulates anywhere.
+
+    Scale shape: the q_events_ab_test discipline — ONE bounded
+    exchange (≤ |event_types| partial rows per batch), Python-int
+    driver merge. int64 OUTPUT bound: sumsq_cents ≈ 2.4e9/row wraps
+    past ~3.8e9 rows per type — guarded with a loud ValueError (the
+    internal statistic is unbounded Python int)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({"event_type": b["event_type"],
+                          "s": v, "q": v * v})
+        out = d.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), q=("q", "sum"), n=("s", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["s", "q", "n"])
+    agg = {}
+    for et, g in parts.groupby("event_type"):
+        agg[et] = (sum(g["n"]), sum(g["s"]), sum(g["q"]))
+    df1, df2, f_sc = _floored_f_stat(sorted(agg.values()))
+    rows = []
+    for et in sorted(agg):
+        nt, s, q = agg[et]
+        if max(abs(s), q, abs(f_sc)) >= 1 << 62:
+            raise ValueError(
+                "events_anova int64 output bound exceeded — ship the "
+                "moment columns as decimal strings (the events_spearman "
+                "fix) before rerunning at this scale")
+        rows.append((et, nt, s, q, df1, df2, f_sc))
+    return (pd.DataFrame(rows, columns=[
+        "event_type", "n", "sum_cents", "sumsq_cents",
+        "df1", "df2", "f_scaled"])
+        .astype({"n": "int64", "sum_cents": "int64",
+                 "sumsq_cents": "int64", "df1": "int64",
+                 "df2": "int64", "f_scaled": "int64"})
+        .sort_values("event_type").reset_index(drop=True))
+
+
+def q_events_levene(sf_dir: str):
+    """BROWN–FORSYTHE TEST (Levene with median centers) for equality of
+    spread across event types — the dispersion companion of
+    q_events_anova (same F construction, applied to absolute deviations
+    from each group's EXACT median). Two passes: (1) the kruskal-style
+    (type, cents) cell census gives each type's exact doubled median
+    ``med2`` (a+b for even counts, 2m for odd — integer, no float
+    interpolation); (2) per-batch moments of z = |2·cents − med2| in
+    half-cent units. W comes out of `_floored_f_stat` — a pure integer
+    both sides compute identically (the oracle's 2·median(BIGINT) is
+    exact: (a+b)/2 is a power-of-two halving, ×2 restores a+b).
+
+    Scale shape: two bounded exchanges — the cell census is
+    |types|×|distinct cents| (bounded value domain, the
+    part_trimmed_mean argument) and the z-moment pass is ≤ |types| rows
+    per batch; both merges are Python-int."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def cell_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"t": b["event_type"], "v": v})
+                .groupby(["t", "v"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    cells = (ds.map_batches(cell_partial, batch_format="pandas")
+             .to_pandas())
+    cells = _pysum_cols(cells, ["c"])
+    cells = cells.groupby(["t", "v"], as_index=False).agg(c=("c", "sum"))
+    med2 = {}
+    for et, g in cells.sort_values("v").groupby("t"):
+        cnt = [int(x) for x in g["c"]]
+        vals = [int(x) for x in g["v"]]
+        n = sum(cnt)
+        k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-indexed order stats
+        acc, lo, hi = 0, None, None
+        for v, c in zip(vals, cnt):
+            if lo is None and acc + c >= k1:
+                lo = v
+            if hi is None and acc + c >= k2:
+                hi = v
+                break
+            acc += c
+        med2[et] = lo + hi
+
+    def z_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 100).astype("int64")
+        m2 = b["event_type"].map(med2).to_numpy(dtype="int64")
+        z = np.abs(2 * v - m2)
+        d = pd.DataFrame({"event_type": b["event_type"],
+                          "s": z, "q": z * z})
+        out = d.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), q=("q", "sum"), n=("s", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(z_partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["s", "q", "n"])
+    agg = {}
+    for et, g in parts.groupby("event_type"):
+        agg[et] = (sum(g["n"]), sum(g["s"]), sum(g["q"]))
+    df1, df2, w_sc = _floored_f_stat(sorted(agg.values()))
+    rows = []
+    for et in sorted(agg):
+        nt, s, q = agg[et]
+        if max(s, q, abs(w_sc)) >= 1 << 62:
+            raise ValueError(
+                "events_levene int64 output bound exceeded — ship the "
+                "moment columns as decimal strings before rerunning")
+        rows.append((et, nt, int(med2[et]), s, q, df1, df2, w_sc))
+    return (pd.DataFrame(rows, columns=[
+        "event_type", "n", "med2_cents", "zsum", "zsumsq",
+        "df1", "df2", "w_scaled"])
+        .astype({"n": "int64", "med2_cents": "int64", "zsum": "int64",
+                 "zsumsq": "int64", "df1": "int64", "df2": "int64",
+                 "w_scaled": "int64"})
+        .sort_values("event_type").reset_index(drop=True))
+
+
+def q_events_mann_kendall(sf_dir: str):
+    """MANN–KENDALL TREND TEST per event type over the daily-spend
+    series — the monotonic-trend detector that completes the
+    time-series diagnostics family (SES forecasts it, autocorrelation
+    explains it, Mann–Kendall decides whether a trend is there at
+    all). S = Σ_{i<j} sign(x_j − x_i) over day-ordered exact-cents
+    daily totals, plus the variance numerator
+    n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5) (Var(S) is the reader's one
+    /18 away) — all exact integers.
+
+    Scale shape: the `_daily_cents` discipline per type — day totals
+    are decomposable per-batch partials (≤ |types|×|days| rows per
+    batch), the pairwise statistic runs over the BOUNDED day axis.
+    Values are Python ints (no int64 wrap at any corpus size); the
+    pairwise sign sum runs on dense RANKS (sign-equivalent, int64-
+    safe) with one O(d²) numpy pass per type, d = observed days."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64) // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"t": b["event_type"], "day": day,
+                              "xc": cents})
+                .groupby(["t", "day"], as_index=False)["xc"].sum())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["xc"])
+    m = parts.groupby(["t", "day"], as_index=False).agg(xc=("xc", "sum"))
+    rows = []
+    for et, g in m.groupby("t"):
+        g = g.sort_values("day")
+        xs = [int(v) for v in g["xc"]]  # exact Python ints
+        n = len(xs)
+        order = {v: i for i, v in enumerate(sorted(set(xs)))}
+        r = np.asarray([order[v] for v in xs], dtype=np.int64)
+        sgn = np.sign(r[None, :] - r[:, None])
+        s_stat = int(np.triu(sgn, k=1).sum())
+        ties = pd.Series(r).value_counts()
+        tie = sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                  for c in ties if int(c) > 1)
+        var_num = n * (n - 1) * (2 * n + 5) - tie
+        rows.append((et, n, s_stat, var_num))
+    return (pd.DataFrame(rows, columns=["event_type", "n_days",
+                                        "s_stat", "var_num"])
+            .astype({"n_days": "int64", "s_stat": "int64",
+                     "var_num": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_part_cramers_v(sf_dir: str):
+    """CRAMÉR'S V association between part brand and part type — the
+    categorical-correlation audit (is a schema column redundant with
+    another?) built on the events_chisq fixed-point discipline: the
+    contingency table is exact integer counts, each cell's χ² term is
+    floored at 2^20 before summation (order-independent), the
+    hugeint→double casts go through the mirrored 2^62 split (`_h2d`),
+    and V = √(χ²/(n·min(r−1,c−1))) is ONE mirrored float expression
+    whose sqrt is IEEE-correctly-rounded on both sides — bitwise
+    equal, then refloored to 2^20.
+
+    Scale shape: per-batch (brand, type) count partials bound the
+    exchange to r×c rows per batch; everything after the driver merge
+    is O(r·c)."""
+    import math
+
+    ds = ray.data.read_parquet(_t(sf_dir, "part"),
+                               columns=["p_brand", "p_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["p_brand", "p_type"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["c"])
+    o = parts.groupby(["p_brand", "p_type"], as_index=False).agg(
+        c=("c", "sum"))
+    r = {b: sum(g["c"]) for b, g in o.groupby("p_brand")}
+    cc = {t: sum(g["c"]) for t, g in o.groupby("p_type")}
+    n = sum(int(v) for v in o["c"])
+    K = 1 << 20
+    chisq_scaled = 0
+    for _, row in o.iterrows():
+        obs, rr, ccc = int(row["c"]), int(r[row["p_brand"]]), \
+            int(cc[row["p_type"]])
+        num = (obs * n - rr * ccc) ** 2
+        den = n * rr * ccc
+        chisq_scaled += math.floor(_h2d(num) / _h2d(den) * float(K))
+    nr, nc = len(r), len(cc)
+    mdim = min(nr - 1, nc - 1)
+    v_scaled = math.floor(
+        math.sqrt((chisq_scaled / float(K)) / float(n * mdim))
+        * float(K))
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "n_brands": pd.Series([nr], dtype="int64"),
+        "n_types": pd.Series([nc], dtype="int64"),
+        "chisq_scaled": pd.Series([chisq_scaled], dtype="int64"),
+        "v_scaled": pd.Series([v_scaled], dtype="int64"),
+    })
+
+
+def q_docs_simpson(sf_dir: str, n_buckets: int = 64):
+    """SIMPSON REPETITION INDEX per source — the lexical-concentration
+    audit that complements q_docs_hapax (tail richness) with HEAD
+    concentration: D = Σ c(c−1) / (N(N−1)) is the probability two
+    random tokens are the same term (templated corpora score high,
+    natural text low). Reported as the PURE-INTEGER numerator
+    ``rep_pairs`` = Σ_terms c(c−1) plus N; D is the reader's one
+    division away. Tokenization is the corpus convention (the
+    docs_hapax partial).
+
+    Scale shape: per-batch (source, term, c) partials complete in ONE
+    term-hash bucket exchange; each bucket emits per-source scalar
+    partials only. c(c−1) grows quadratically — a stopword with 3e9
+    occurrences wraps int64 — so bucket partials travel as DECIMAL
+    STRINGS (the events_spearman fix) and the driver merges Python
+    ints; only the final int64 OUTPUT is guarded with a loud
+    ValueError."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"source": b["source"],
+                          "toks": text.str.split()})
+        d = d[text != ""]
+        e = d.explode("toks")
+        out = (e.groupby(["source", "toks"], as_index=False)
+               .size().rename(columns={"size": "c", "toks": "term"}))
+        out["tb"] = (hash_strings64(
+            out["term"].to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return out[["tb", "source", "term", "c"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["source", "term"], as_index=False)
+             .agg(c=("c", "sum")))
+        rows = []
+        for src, gs in m.groupby("source"):
+            cs = [int(v) for v in gs["c"]]
+            rows.append((src, str(sum(cs)),
+                         str(sum(c * (c - 1) for c in cs))))
+        return pd.DataFrame(rows, columns=["source", "nt", "rp"])
+
+    parts = (docs.map_batches(partial, batch_format="pandas")
+             .groupby("tb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "rep_pairs": pd.Series([], dtype="int64"),
+        })
+    rows = []
+    for src, g in parts.groupby("source"):
+        nt = sum(int(v) for v in g["nt"])
+        rp = sum(int(v) for v in g["rp"])
+        if max(nt, rp) >= 1 << 62:
+            raise ValueError(
+                "docs_simpson int64 output bound exceeded — ship the "
+                "output columns as decimal strings at this scale")
+        rows.append((src, nt, rp))
+    return (pd.DataFrame(rows, columns=["source", "n_tokens",
+                                        "rep_pairs"])
+            .astype({"n_tokens": "int64", "rep_pairs": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+def q_events_theilsen(sf_dir: str):
+    """THEIL–SEN ROBUST TREND per event type over the daily-spend
+    series: the median of all pairwise slopes (x_j − x_i)/(day_j −
+    day_i) — the outlier-proof companion of q_events_mann_kendall
+    (MK decides IF there is a trend, Theil–Sen says how steep). The
+    median slope is reported as the EXACT INTEGER PAIR (med_dy,
+    med_dx) of the lower-median pair under the mirrored ordering
+    (slope as one IEEE double division of exactly-cast int64s, ties
+    broken by (dy, dx)) — both sides select the identical element, no
+    float ever aggregates.
+
+    Scale shape: daily cents totals are decomposable per-batch
+    partials (≤ |types|×|days| rows per batch, Python-int merged);
+    the C(d,2) pairwise slopes live on the BOUNDED day axis (the
+    Mann–Kendall argument). Types with < 2 observed days drop (no
+    pairs — both sides)."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64) // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"t": b["event_type"], "day": day,
+                              "xc": cents})
+                .groupby(["t", "day"], as_index=False)["xc"].sum())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["xc"])
+    m = parts.groupby(["t", "day"], as_index=False).agg(xc=("xc", "sum"))
+    rows = []
+    for et, g in m.groupby("t"):
+        g = g.sort_values("day")
+        days = [int(v) for v in g["day"]]
+        xs = [int(v) for v in g["xc"]]
+        d = len(days)
+        if d < 2:
+            continue
+        pairs = []
+        for i in range(d):
+            for j in range(i + 1, d):
+                dy, dx = xs[j] - xs[i], days[j] - days[i]
+                pairs.append((float(dy) / float(dx), dy, dx))
+        pairs.sort()
+        k = (len(pairs) + 1) // 2 - 1  # lower median, 0-indexed
+        _, dy, dx = pairs[k]
+        rows.append((et, len(pairs), dy, dx))
+    return (pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                        "med_dy", "med_dx"])
+            .astype({"n_pairs": "int64", "med_dy": "int64",
+                     "med_dx": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_events_holt(sf_dir: str):
+    """HOLT'S LINEAR-TREND SMOOTHING (α = β = 1/2) of daily spend in
+    EXACT integer cents — the trend-aware upgrade of q_events_ses:
+    l_t = (x_t + l_{t−1} + b_{t−1}) div 2,
+    b_t = (l_t − l_{t−1} + b_{t−1}) div 2, with div = TRUNCATION
+    toward zero (DuckDB's `//` truncates and its `%` is C-style —
+    measured, NOT floor like Python — so the engine mirrors truncation
+    via sign-magnitude |v|//2). Integer recurrences make the
+    sequential smoother bitwise-reproducible; the oracle is a
+    recursive CTE with the identical truncating halvings.
+
+    Scale shape: day totals are decomposable exact-cents partials; the
+    recurrence runs once over the BOUNDED day axis on the driver (the
+    q_events_ses argument)."""
+    import numpy as np
+
+    def tdiv2(v: int) -> int:
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    us_per_day = np.int64(86_400_000_000)
+    m = _daily_cents(sf_dir)
+    lev, tr, out = None, 0, []
+    for _, row in m.iterrows():
+        x = int(row["xc"])
+        if lev is None:
+            lev, tr = x, 0
+        else:
+            prev = lev
+            lev = tdiv2(x + prev + tr)
+            tr = tdiv2(lev - prev + tr)
+        out.append((int(row["day"]), x, lev, tr))
+    df = pd.DataFrame(out, columns=["day", "day_cents", "level_cents",
+                                    "trend_cents"])
+    df["day"] = pd.to_datetime(df["day"].to_numpy(dtype=np.int64)
+                               * us_per_day, unit="us")
+    return df.astype({"day_cents": "int64", "level_cents": "int64",
+                      "trend_cents": "int64"})
+
+
+def q_part_closeness(sf_dir: str):
+    """K-SOURCE CLOSENESS CENTRALITY over the part co-purchase graph:
+    for each of the 4 smallest size-1 partkeys, the number of parts
+    reached within 3 hops and the total hop distance — closeness
+    c(s) = n_reached/total_dist is the reader's one division away.
+    Ninth graph-family member: the sampled-source distance-sum
+    statistic next to betweenness' sampled dependency sums (the
+    standard k-source estimator at web scale, where exact all-pairs
+    closeness is quadratic).
+
+    Each sweep is :func:`htmlparsersharp_ray.stages.graph.bfs_hops` —
+    the bounded-frontier blob-exchange propagation, bitwise-exact —
+    run per source over ONE checkpointed edge build (k sequential
+    sweeps; a production k in the hundreds would batch sources per
+    sweep the way betweenness does). Integer mins/sums only, so the
+    result is hash-exact vs a per-source bounded recursive CTE."""
+    from ..stages.exchange import checkpoint
+    from ..stages.graph import bfs_hops, group_cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = checkpoint(
+        group_cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    keys = (pt.filter(lambda r: r["p_size"] == 1)
+            .to_pandas()["p_partkey"].astype("int64"))
+    sources = sorted(int(v) for v in keys)[:4]
+
+    rows = []
+    for s in sources:
+        src_ds = ray.data.from_items([{"node": s}])
+        out = bfs_hops(edges, src_ds, max_hops=3).to_pandas()
+        n_reached = int(len(out)) - 1  # exclude the source itself
+        total = int(sum(int(h) for h in out["hops"]))
+        rows.append((s, n_reached, total))
+    return (pd.DataFrame(rows, columns=["source", "n_reached",
+                                        "total_dist"])
+            .astype({"source": "int64", "n_reached": "int64",
+                     "total_dist": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+def q_embeddings_silhouette(sf_dir: str):
+    """SIMPLIFIED SILHOUETTE per label over the embedding table — the
+    cluster-quality diagnostic (are the labeled clusters actually
+    separated?): for every vector, a = squared distance to its OWN
+    label centroid, b = min squared distance to any OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [−1, 1]. Centroid-based ("simplified")
+    silhouette is the standard linear-time variant of the quadratic
+    pairwise definition.
+
+    INTEGER-exact: components and centroids live on the 2^20
+    fixed-point grid (the nearest-centroid construction), distances
+    are int64 sums, and each row's s is floored at 2^10 via the
+    sign-magnitude divmod identity trunc(|x|·1024/y) = (|x|//y)·1024 +
+    ((|x|%y)·1024)//y (nonneg operands only — DuckDB `//`/`%`
+    truncate) so the per-label SUM of s_scaled is an order-independent
+    integer. int64 bound: (|x| % y)·1024 needs max dist < 9e15 —
+    ~unit-norm embeddings at d=64 sit near 8e13; guarded loud.
+
+    Scale shape: ZERO exchanges — per-batch (label, dim) centroid
+    partials driver-merged, the k×d grid ships in the scoring task's
+    closure, and scoring is one map-only pass emitting per-label
+    scalar partials."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+    K = np.int64(1 << 10)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        v = np.rint(mat * SCALE).astype(np.int64)
+        codes, uniq = pd.factorize(b["label"].to_numpy())
+        n_l, d = len(uniq), mat.shape[1]
+        sums = np.zeros((n_l, d), dtype=np.int64)
+        np.add.at(sums, codes, v)
+        counts = np.bincount(codes, minlength=n_l).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n_l),
+            "n": np.repeat(counts, d),
+            "s": sums.ravel(),
+        })
+
+    parts = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    if len(labels) < 2:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "s_scaled_sum": pd.Series([], dtype="int64"),
+        })
+    d = int(agg["dim"].max()) + 1
+    qc = np.zeros((len(labels), d), dtype=np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    qc[[lpos[int(l)] for l in agg["label"]], agg["dim"].to_numpy()] = \
+        np.rint(agg["s"].to_numpy().astype(np.float64)
+                / agg["n"].to_numpy().astype(np.float64)).astype(np.int64)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vq = np.rint(mat * SCALE).astype(np.int64)
+        diff = vq[:, None, :] - qc[None, :, :]
+        dist = np.einsum("ijk,ijk->ij", diff, diff)  # int64-exact
+        own_idx = np.asarray([lpos[int(l)] for l in b["label"]],
+                             dtype=np.int64)
+        rows = np.arange(len(b))
+        a2 = dist[rows, own_idx]
+        masked = dist.copy()
+        masked[rows, own_idx] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        x = b2 - a2
+        y = np.maximum(a2, b2)
+        if int(y.max(initial=0)) >= (1 << 63) // int(K):
+            raise ValueError(
+                "embeddings_silhouette distance exceeds the 2^10 "
+                "divmod headroom — lower the component grid or the "
+                "s_scaled precision at this scale")
+        sgn = np.sign(x)
+        ax = np.abs(x)
+        s_sc = np.zeros(len(b), dtype=np.int64)
+        nz = y > 0
+        s_sc[nz] = sgn[nz] * ((ax[nz] // y[nz]) * K
+                              + ((ax[nz] % y[nz]) * K) // y[nz])
+        out = pd.DataFrame({"label": b["label"].to_numpy()
+                            .astype(np.int64),
+                            "s_sc": s_sc, "one": 1})
+        return (out.groupby("label", as_index=False)
+                .agg(n=("one", "sum"), s_scaled_sum=("s_sc", "sum")))
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = _pysum_cols(out, ["n", "s_scaled_sum"])
+    m = (out.groupby("label", as_index=False)
+         .agg(n=("n", "sum"), s_scaled_sum=("s_scaled_sum", "sum")))
+    m["n"] = [int(v) for v in m["n"]]
+    m["s_scaled_sum"] = [int(v) for v in m["s_scaled_sum"]]
+    return (m.astype({"label": "int64", "n": "int64",
+                      "s_scaled_sum": "int64"})
+            .sort_values("label").reset_index(drop=True))
