@@ -1950,6 +1950,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_friedman": r.q_events_friedman,
         "events_anova": r.q_events_anova,
         "events_theilsen": r.q_events_theilsen,
+        "events_markov_entropy": r.q_events_markov_entropy,
+        "customer_lorenz": r.q_customer_lorenz,
+        "part_rich_club": r.q_part_rich_club,
+        "docs_burstiness": r.q_docs_burstiness,
         "events_holt": r.q_events_holt,
         "docs_simpson": r.q_docs_simpson,
         "part_closeness": r.q_part_closeness,
@@ -7725,5 +7729,108 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(s_sc) AS BIGINT) AS s_scaled_sum
         FROM sc GROUP BY label ORDER BY label
+    """
+    sql["events_markov_entropy"] = """
+        -- Markov entropy rate per preceding type: fixed-point
+        -- floor-then-sum at 2^30 per transition cell (order-
+        -- independent); BIGINT -> DOUBLE casts are correctly rounded
+        -- on both sides so no hugeint split is needed (no products)
+        WITH t AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ), c AS (
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM t WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), rr AS (
+            SELECT prev_type, SUM(c) AS r, COUNT(*) AS n_next
+            FROM c GROUP BY prev_type
+        )
+        SELECT c.prev_type,
+               CAST(rr.r AS BIGINT) AS n_out,
+               CAST(rr.n_next AS BIGINT) AS n_next,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(c.c AS DOUBLE) / CAST(rr.r AS DOUBLE))
+                   * ln(CAST(rr.r AS DOUBLE) / CAST(c.c AS DOUBLE))
+                   * 1073741824.0) AS BIGINT)) AS BIGINT) AS h_scaled
+        FROM c JOIN rr USING (prev_type)
+        GROUP BY c.prev_type, rr.r, rr.n_next
+        ORDER BY c.prev_type
+    """
+    sql["customer_lorenz"] = """
+        -- Gini numerator of customer revenue as the PURE INTEGER
+        -- sum over ordered pairs of |rev_i - rev_j| (x2 for i != j);
+        -- the window identity SUM(r*(2*rn - n - 1)) over any
+        -- tie-consistent total order equals the pairwise sum exactly
+        WITH rv AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS HUGEINT) AS r
+            FROM orders GROUP BY 1
+        ), o AS (
+            SELECT r,
+                   ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM rv
+        )
+        SELECT CAST((SELECT COUNT(*) FROM rv) AS BIGINT)
+                   AS n_customers,
+               CAST((SELECT SUM(r) FROM rv) AS BIGINT) AS sum_cents,
+               CAST(2 * SUM(r * (rn - 1)) - 2 * SUM(r * (n - rn))
+                    + 0 AS BIGINT) AS gini_num
+        FROM o
+    """
+    sql["part_rich_club"] = """
+        -- rich-club profile: per degree threshold k, nodes with
+        -- degree > k and undirected edges with both endpoints above
+        -- it (phi(k) = 2E/(N(N-1)) is one division away); degrees
+        -- over the distinct directed co-purchase edge set
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey <> l2.l_partkey),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        ks AS (SELECT unnest([4, 8, 16, 32, 64]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg
+                WHERE d > ks.k) AS n_nodes,
+               (SELECT CAST(COUNT(*) // 2 AS BIGINT)
+                FROM e JOIN deg ds ON ds.node = e.src
+                       JOIN deg dd ON dd.node = e.dst
+                WHERE ds.d > ks.k AND dd.d > ks.k) AS n_edges
+        FROM ks ORDER BY ks.k
+    """
+    sql["docs_burstiness"] = """
+        -- burstiness census of the global top-32 terms (count desc,
+        -- term asc): total count, doc frequency, and sum of per-doc
+        -- counts squared — exact integers (corpus tokenization
+        -- convention)
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ), dtc AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS c
+            FROM w GROUP BY doc_id, term
+        ), ts AS (
+            SELECT term, SUM(c) AS c, COUNT(*) AS df,
+                   SUM(c * c) AS c2
+            FROM dtc GROUP BY term
+        ), top AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+            FROM ts
+        )
+        SELECT term,
+               CAST(c AS BIGINT) AS total_count,
+               CAST(df AS BIGINT) AS doc_freq,
+               CAST(c2 AS BIGINT) AS sumsq
+        FROM top WHERE rn <= 32
+        ORDER BY term
     """
     return sql

@@ -12117,3 +12117,293 @@ def q_embeddings_silhouette(sf_dir: str):
     return (m.astype({"label": "int64", "n": "int64",
                       "s_scaled_sum": "int64"})
             .sort_values("label").reset_index(drop=True))
+
+
+def q_events_markov_entropy(sf_dir: str):
+    """MARKOV ENTROPY RATE per preceding event type — "how predictable
+    is the next action given the last one": H(next | prev=p) =
+    Σ_next (c/r)·ln(r/c) over the corpus transition counts, reported
+    as a FIXED-POINT floor-then-sum at 2^30 per cell (the
+    events_mutual_info discipline: integer partials commute, so the
+    float-derived sum is order-independent; c and r are int64 whose
+    DOUBLE casts are correctly rounded on both sides, so no `_h2d`
+    split is needed — there are no products).
+
+    Scale shape: transition counts come from q_events_transitions'
+    bucketed lag machinery (ONE user-hash exchange, ≤ |types|² partial
+    rows per bucket); the entropy fold runs over the bounded
+    |types|² cell table driver-side."""
+    import math
+
+    counts = q_events_transitions(sf_dir)
+    rows = []
+    for prev, g in counts.groupby("prev_type"):
+        cs = [int(v) for v in g["n"]]
+        r = sum(cs)
+        scaled = 0
+        for c in cs:
+            term = (float(c) / float(r)) * math.log(float(r) / float(c))
+            scaled += math.floor(term * 1073741824.0)
+        rows.append((prev, r, len(cs), scaled))
+    return (pd.DataFrame(rows, columns=["prev_type", "n_out",
+                                        "n_next", "h_scaled"])
+            .astype({"n_out": "int64", "n_next": "int64",
+                     "h_scaled": "int64"})
+            .sort_values("prev_type").reset_index(drop=True))
+
+
+def q_customer_lorenz(sf_dir: str):
+    """GINI COEFFICIENT of customer revenue — the inequality audit
+    behind every "whale concentration" dashboard (customer_pareto
+    reports the 80%-prefix; this is the full Lorenz-curve summary).
+    Reported as PURE INTEGERS: n_customers, sum_cents, and gini_num =
+    Σ_{i≠j} |rev_i − rev_j| (G = gini_num / (2·n·sum) is the reader's
+    one division). The pairwise-absolute-difference sum collapses to
+    Σ_values c·(v·C_below − S_below) ×2 over the ordered value
+    histogram, so no pair ever materializes.
+
+    Scale shape: (1) per-customer exact revenue inside ONE
+    custkey-hash exchange (a customer owns one bucket), emitted as a
+    (value, count) histogram; (2) value-RANGE buckets by high bits
+    (the events_ks_test discipline — a value owns one bucket) with
+    Python-int (C_below, S_below) offsets; each bucket folds its
+    distinct-value cells with EXACT Python ints (v·C products cross
+    int64 at whale scale — exactness over vectorization here; cells
+    are distinct VALUES, not rows) and emits one decimal-string
+    partial. int64 OUTPUT bound guarded loud."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    nb = auto_buckets(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame({"c": b["o_custkey"].to_numpy(), "v": cents})
+        out = d.groupby("c", as_index=False)["v"].sum()
+        out["ub"] = (hashing.mix64(out["c"].to_numpy().astype(np.uint64))
+                     % np.uint64(nb)).astype(np.int64)
+        return out
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("c", as_index=False)["v"].sum()
+        return (m.groupby("v", as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("ub").map_groups(per_customer,
+                                      batch_format="pandas")
+            .to_pandas())
+    if len(hist) == 0:
+        return pd.DataFrame({
+            "n_customers": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+            "gini_num": pd.Series([], dtype="int64"),
+        })
+    hist = _pysum_cols(hist, ["cnt"])
+    hist = hist.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+    max_v = int(hist["v"].max())
+    shift = max(0, max_v.bit_length() - 10)
+    hist["rb"] = hist["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+
+    # per-range-bucket totals -> exact running offsets (rb ascending
+    # == value ascending: a value owns one bucket)
+    off_n, off_s, accn, accs = {}, {}, 0, 0
+    for rb in sorted(int(x) for x in hist["rb"].unique()):
+        g = hist[hist["rb"] == rb]
+        off_n[rb] = accn
+        off_s[rb] = accs
+        accn += sum(int(x) for x in g["cnt"])
+        accs += sum(int(v) * int(c) for v, c in zip(g["v"], g["cnt"]))
+
+    gini2 = 0  # sum over ordered pairs (i<j) of |vi - vj|
+    for rb, g in hist.groupby("rb"):
+        g = g.sort_values("v")
+        cb, sb = off_n[int(rb)], off_s[int(rb)]
+        for v, c in zip(g["v"], g["cnt"]):
+            v, c = int(v), int(c)
+            gini2 += c * (v * cb - sb)
+            cb += c
+            sb += v * c
+    n, s = accn, accs
+    gnum = 2 * gini2
+    if max(s, gnum) >= 1 << 62:
+        raise ValueError(
+            "customer_lorenz int64 output bound exceeded — ship "
+            "sum_cents/gini_num as decimal strings at this scale")
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "sum_cents": pd.Series([s], dtype="int64"),
+        "gini_num": pd.Series([gnum], dtype="int64"),
+    })
+
+
+def q_part_rich_club(sf_dir: str):
+    """RICH-CLUB PROFILE of the part co-purchase graph: for each degree
+    threshold k ∈ {4, 8, 16, 32, 64}, the number of nodes with degree
+    > k and the number of (undirected) edges with BOTH endpoints above
+    the threshold — φ(k) = 2·E_k/(N_k(N_k−1)) is the reader's one
+    division away. Tenth graph-family member: the hub-interconnection
+    audit (do popular parts co-sell with each other, or only with the
+    tail?).
+
+    Scale shape: degrees from ONE bucketed groupby over the distinct
+    directed edge set; edge thresholding via TWO `hash_join`s (deg onto
+    src, deg onto dst — auto-sized buckets, no broadcast node state);
+    the final fold merges |K| scalar partials per batch. Integer
+    counts only — hash-exact vs the SQL degree join."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.exchange import checkpoint
+    from ..stages.graph import group_cooccurrence_edges
+    from .joins import auto_buckets, hash_join
+
+    KS = (4, 8, 16, 32, 64)
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = checkpoint(
+        group_cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    nb = auto_buckets(edges)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(src, return_counts=True)
+        db = (hashing.mix64(u.astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"db": pa.array(db), "node": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).agg(deg=("c", "sum"))
+        return out.astype({"node": "int64", "deg": "int64"})
+
+    degs = checkpoint(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("db").map_groups(deg_fold, batch_format="pandas"))
+
+    # N_k partials from the degree table
+    def node_counts(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": np.asarray(KS, dtype=np.int64),
+            "n_nodes": np.asarray([(d > k).sum() for k in KS],
+                                  dtype=np.int64),
+            "n_edges": 0})
+
+    nparts = degs.map_batches(node_counts,
+                              batch_format="pandas").to_pandas()
+
+    ds_src = degs.map_batches(
+        lambda b: b.rename(columns={"node": "src", "deg": "deg_s"})
+        [["src", "deg_s"]], batch_format="pandas")
+    e1 = hash_join(edges, ds_src, left_on="src", right_on="src")
+    ds_dst = degs.map_batches(
+        lambda b: b.rename(columns={"node": "dst", "deg": "deg_d"})
+        [["dst", "deg_d"]], batch_format="pandas")
+    e2 = hash_join(e1, ds_dst, left_on="dst", right_on="dst")
+
+    def edge_counts(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["deg_s"].to_numpy(dtype=np.int64)
+        d = b["deg_d"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": np.asarray(KS, dtype=np.int64),
+            "n_nodes": 0,
+            "n_edges": np.asarray(
+                [((s > k) & (d > k)).sum() for k in KS],
+                dtype=np.int64)})
+
+    eparts = e2.map_batches(edge_counts,
+                            batch_format="pandas").to_pandas()
+    m = pd.concat([nparts, eparts], ignore_index=True)
+    m = _pysum_cols(m, ["n_nodes", "n_edges"])
+    out = (m.groupby("k", as_index=False)
+           .agg(n_nodes=("n_nodes", "sum"), n_edges=("n_edges", "sum")))
+    out["n_nodes"] = [int(v) for v in out["n_nodes"]]
+    # directed both-ways edge set -> undirected count
+    out["n_edges"] = [int(v) // 2 for v in out["n_edges"]]
+    return (out.astype({"k": "int64", "n_nodes": "int64",
+                        "n_edges": "int64"})
+            .sort_values("k").reset_index(drop=True))
+
+
+def q_docs_burstiness(sf_dir: str, n_buckets: int = 64):
+    """TERM BURSTINESS census over the global top-32 terms: total
+    count, document frequency, and Σ per-doc-count² — the
+    variance-to-mean ("is this term spread evenly or does it clump in
+    few docs") that separates topical terms from function words; the
+    burstiness index B = (c2/c − c/df)·… is the reader's arithmetic
+    away, every reported number is an exact integer.
+
+    Scale shape: a doc is one row, so per-batch (term, Σc, Σc², df)
+    partials are complete per doc; ONE term-hash exchange completes
+    them globally, and each bucket emits only its OWN top-32 by
+    (count desc, term asc) — buckets partition terms, so the global
+    top-32 is exactly contained in the ≤ 32·n_buckets candidate rows
+    the driver merges. Σc² wraps int64 near 3e9-occurrence stopwords,
+    so it travels as a DECIMAL STRING (the docs_simpson fix); final
+    output int64-guarded."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"doc_id": b["doc_id"],
+                          "toks": text.str.split()})
+        d = d[text != ""]
+        e = d.explode("toks")
+        m = (e.groupby(["doc_id", "toks"], as_index=False)
+             .size().rename(columns={"size": "c", "toks": "term"}))
+        m["c2"] = m["c"].to_numpy(dtype=np.int64) ** 2
+        out = m.groupby("term", as_index=False).agg(
+            c=("c", "sum"), c2=("c2", "sum"), df=("c", "size"))
+        out["df"] = out["df"].astype("int64")
+        out["tb"] = (hash_strings64(
+            out["term"].to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return out[["tb", "term", "c", "c2", "df"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, gt in g.groupby("term"):
+            rows.append((term,
+                         sum(int(v) for v in gt["c"]),
+                         str(sum(int(v) for v in gt["c2"])),
+                         sum(int(v) for v in gt["df"])))
+        m = pd.DataFrame(rows, columns=["term", "c", "c2s", "df"])
+        m = m.sort_values(["c", "term"],
+                          ascending=[False, True]).head(32)
+        return m
+
+    parts = (docs.map_batches(partial, batch_format="pandas")
+             .groupby("tb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "term": pd.Series([], dtype="object"),
+            "total_count": pd.Series([], dtype="int64"),
+            "doc_freq": pd.Series([], dtype="int64"),
+            "sumsq": pd.Series([], dtype="int64"),
+        })
+    parts = parts.sort_values(["c", "term"],
+                              ascending=[False, True]).head(32)
+    rows = []
+    for _, row in parts.iterrows():
+        c2 = int(row["c2s"])
+        if c2 >= 1 << 62:
+            raise ValueError(
+                "docs_burstiness int64 output bound exceeded — ship "
+                "sumsq as a decimal string at this scale")
+        rows.append((row["term"], int(row["c"]), int(row["df"]), c2))
+    return (pd.DataFrame(rows, columns=["term", "total_count",
+                                        "doc_freq", "sumsq"])
+            .astype({"total_count": "int64", "doc_freq": "int64",
+                     "sumsq": "int64"})
+            .sort_values("term").reset_index(drop=True))
