@@ -1951,6 +1951,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anova": r.q_events_anova,
         "events_theilsen": r.q_events_theilsen,
         "events_markov_entropy": r.q_events_markov_entropy,
+        "events_survival": r.q_events_survival,
+        "embeddings_cv": r.q_embeddings_cv,
+        "embeddings_twonn": r.q_embeddings_twonn,
+        "docs_source_novelty": r.q_docs_source_novelty,
         "customer_lorenz": r.q_customer_lorenz,
         "part_rich_club": r.q_part_rich_club,
         "docs_burstiness": r.q_docs_burstiness,
@@ -7832,5 +7836,163 @@ def oracle_sql() -> dict[str, str]:
                CAST(c2 AS BIGINT) AS sumsq
         FROM top WHERE rn <= 32
         ORDER BY term
+    """
+    sql["events_survival"] = """
+        -- Kaplan-Meier table for signup->purchase: per event day the
+        -- risk set (dur >= t), event count, and the cumulative
+        -- floor-then-sum log-survival at 2^30 (n = d steps contribute
+        -- 0 to the reported sum; no-purchase users censor at the
+        -- corpus max ts). Calendar-day diffs mirror the engine's
+        -- epoch-day subtraction.
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ), tm AS (SELECT MAX(ts) AS tmax FROM events),
+        p AS (
+            SELECT s.user_id, MIN(e.ts) AS tp
+            FROM s JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase' AND e.ts >= s.t0
+            GROUP BY 1
+        ), d AS (
+            SELECT s.user_id,
+                   CASE WHEN p.tp IS NULL
+                        THEN datediff('day', CAST(s.t0 AS DATE),
+                                      CAST((SELECT tmax FROM tm)
+                                           AS DATE))
+                        ELSE datediff('day', CAST(s.t0 AS DATE),
+                                      CAST(p.tp AS DATE)) END AS dur,
+                   CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev
+            FROM s LEFT JOIN p USING (user_id)
+        ), n AS (SELECT COUNT(*) AS ntot FROM d),
+        km AS (
+            SELECT dur, SUM(ev) AS d_event, COUNT(*) AS at_t
+            FROM d GROUP BY dur
+        ), km2 AS (
+            SELECT dur, d_event,
+                   (SELECT ntot FROM n)
+                   - COALESCE(SUM(at_t) OVER (
+                         ORDER BY dur ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM km
+        ), km3 AS (
+            SELECT dur, n_risk, d_event,
+                   SUM(CASE WHEN n_risk > d_event
+                            THEN CAST(FLOOR(ln(
+                                CAST(n_risk - d_event AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                                * 1073741824.0) AS BIGINT)
+                            ELSE 0 END)
+                       OVER (ORDER BY dur) AS cum_ls
+            FROM km2
+        )
+        SELECT CAST(dur AS BIGINT) AS t_day,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_event AS BIGINT) AS d_event,
+               CAST(cum_ls AS BIGINT) AS cum_ls_scaled
+        FROM km3 WHERE d_event > 0 ORDER BY t_day
+    """
+    sql["embeddings_cv"] = """
+        -- 5-fold CV of the nearest-centroid classifier (folds =
+        -- vec_id % 5): fold-f centroids train on the other folds via
+        -- the same mirrored 2^20-grid construction; per-fold integer
+        -- (n_test, n_correct)
+        WITH u AS (
+            SELECT vec_id, label, CAST(vec_id % 5 AS BIGINT) AS fold,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), fl AS (SELECT unnest([0, 1, 2, 3, 4]) AS f),
+        cent AS (
+            SELECT fl.f, u.label, u.dim,
+                   CAST(CAST(sum(u.q) AS DOUBLE) / count(*)
+                        AS BIGINT) AS qc
+            FROM u, fl WHERE u.fold <> fl.f
+            GROUP BY fl.f, u.label, u.dim
+        ), dd AS (
+            SELECT t.vec_id, c.label AS cl,
+                   sum((t.q - c.qc) * (t.q - c.qc)) AS dist
+            FROM u t JOIN cent c
+              ON c.dim = t.dim AND c.f = t.fold
+            GROUP BY t.vec_id, c.label
+        ), pred AS (
+            SELECT vec_id, label AS pl FROM (
+                SELECT vec_id, cl AS label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cl) AS rn
+                FROM dd) WHERE rn = 1
+        )
+        SELECT CAST(e.vec_id % 5 AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN e.label = p.pl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM embeddings e JOIN pred p USING (vec_id)
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["embeddings_twonn"] = """
+        -- TwoNN intrinsic-dimension statistic: d1/d2 are int64
+        -- squared distances on the 2^20 grid (nearest-neighbor by
+        -- value with the same multiset semantics as the engine's
+        -- partition), per-point floor(ln(d2/d1)*2^30) summed; exact
+        -- duplicates (d1 = 0) counted separately
+        WITH u AS (
+            SELECT vec_id,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), d AS (
+            SELECT a.vec_id, b.vec_id AS o,
+                   sum((a.q - b.q) * (a.q - b.q)) AS dist
+            FROM u a JOIN u b
+              ON a.dim = b.dim AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ), r AS (
+            SELECT vec_id, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, o) AS rn
+            FROM d
+        ), p AS (
+            SELECT r1.vec_id, r1.dist AS d1, r2.dist AS d2
+            FROM r r1 JOIN r r2
+              ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE d1 > 0) AS BIGINT)
+                   AS n_used,
+               CAST(COUNT(*) FILTER (WHERE d1 = 0) AS BIGINT)
+                   AS n_dups,
+               CAST(COALESCE(SUM(CASE WHEN d1 > 0
+                   THEN CAST(FLOOR(ln(CAST(d2 AS DOUBLE)
+                                      / CAST(d1 AS DOUBLE))
+                                   * 1073741824.0) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS sum_lnmu_scaled
+        FROM p
+    """
+    sql["docs_source_novelty"] = """
+        -- per-source distinct word-8-grams and grams unique to that
+        -- source (string grams here; 64-bit token-window hashes in
+        -- the engine — the decontaminate collision-odds precedent)
+        WITH w AS (
+            SELECT source,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT source, gram FROM (
+                SELECT source,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 7),
+                           i -> array_to_string(ws[i:i+7], ' ')))
+                           AS gram
+                FROM w WHERE len(ws) >= 8)
+        ), uq AS (
+            SELECT gram, COUNT(*) AS ns FROM g GROUP BY gram
+        )
+        SELECT g.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN uq.ns = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams
+        FROM g JOIN uq USING (gram)
+        GROUP BY g.source ORDER BY g.source
     """
     return sql

@@ -12407,3 +12407,387 @@ def q_docs_burstiness(sf_dir: str, n_buckets: int = 64):
             .astype({"total_count": "int64", "doc_freq": "int64",
                      "sumsq": "int64"})
             .sort_values("term").reset_index(drop=True))
+
+
+def q_events_survival(sf_dir: str):
+    """KAPLAN–MEIER SURVIVAL TABLE for signup→purchase conversion —
+    the time-to-event family (how long until a signed-up user first
+    purchases, with users who never purchase right-censored at the
+    corpus horizon). Per event time t (days): the risk set n_t =
+    #users with duration ≥ t, the event count d_t, and the cumulative
+    log-survival Σ_{t'≤t} ⌊ln((n−d)/n)·2^30⌋ (floor-then-sum per
+    step in time order — deterministic; the KM estimate Ŝ(t) =
+    exp(cum/2^30) is the reader's one exp away; degenerate n=d steps
+    contribute 0 to the reported sum — the n/d columns carry the
+    truth). KM convention: ties at t put events before censorings, so
+    censored-at-t users sit in the risk set.
+
+    Scale shape: durations form inside ONE user-hash exchange (a user
+    owns one bucket: its signup min and first-qualifying-purchase min
+    are bucket-local); each bucket emits a (duration, event) HISTOGRAM
+    partial, so the driver folds a day-span-bounded table, never
+    user-scale rows. The censor horizon is one pruned single-column
+    max."""
+    import math
+
+    import numpy as np
+
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+    tmax = ds.max("ts")
+    if tmax is None:
+        return pd.DataFrame({
+            "t_day": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "d_event": pd.Series([], dtype="int64"),
+            "cum_ls_scaled": pd.Series([], dtype="int64"),
+        })
+    us_per_day = 86_400_000_000
+    tmax_day = int(pd.Timestamp(tmax).value // 1000) // us_per_day
+
+    def keep_sp(b: pa.Table) -> pa.Table:
+        t = b.column("event_type")
+        m = pc.or_(pc.equal(t, pa.scalar("signup")),
+                   pc.equal(t, pa.scalar("purchase")))
+        return b.filter(m)
+
+    sp = ds.map_batches(keep_sp, batch_format="pyarrow")
+    bucketed = _add_user_bucket(sp, auto_buckets(ds))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64) // np.int64(us_per_day))
+        g = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "t": g["event_type"].to_numpy(),
+                          "ts": g["ts"].to_numpy(), "day": day})
+        s = (g[g["t"] == "signup"].groupby("u", as_index=False)
+             .agg(t0=("ts", "min"), d0=("day", "min")))
+        p = g[g["t"] == "purchase"].merge(s, on="u")
+        p = p[p["ts"] >= p["t0"]]
+        pp = p.groupby("u", as_index=False).agg(dp=("day", "min"))
+        m = s.merge(pp, on="u", how="left")
+        ev = m["dp"].notna()
+        dur = np.where(ev, m["dp"].fillna(0).to_numpy(dtype=np.int64)
+                       - m["d0"].to_numpy(dtype=np.int64),
+                       np.int64(tmax_day)
+                       - m["d0"].to_numpy(dtype=np.int64))
+        out = (pd.DataFrame({"dur": dur.astype(np.int64),
+                             "ev": ev.astype(np.int64), "c": 1})
+               .groupby(["dur", "ev"], as_index=False)["c"].sum())
+        return out
+
+    parts = (bucketed.groupby("ub")
+             .map_groups(fold, batch_format="pandas").to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "t_day": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "d_event": pd.Series([], dtype="int64"),
+            "cum_ls_scaled": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["c"])
+    hist = parts.groupby(["dur", "ev"], as_index=False).agg(
+        c=("c", "sum"))
+    total = sum(int(v) for v in hist["c"])
+    rows, before, cum = [], 0, 0
+    for dur in sorted(int(v) for v in hist["dur"].unique()):
+        g = hist[hist["dur"] == dur]
+        at_t = sum(int(v) for v in g["c"])
+        d_event = sum(int(v) for v in g[g["ev"] == 1]["c"])
+        n_risk = total - before
+        if n_risk > d_event:
+            cum += math.floor(
+                math.log(float(n_risk - d_event) / float(n_risk))
+                * 1073741824.0)
+        if d_event > 0:
+            rows.append((dur, n_risk, d_event, cum))
+        before += at_t
+    return (pd.DataFrame(rows, columns=["t_day", "n_risk", "d_event",
+                                        "cum_ls_scaled"])
+            .astype({"t_day": "int64", "n_risk": "int64",
+                     "d_event": "int64", "cum_ls_scaled": "int64"}))
+
+
+def q_embeddings_cv(sf_dir: str, n_folds: int = 5):
+    """K-FOLD CROSS-VALIDATION of the nearest-centroid classifier —
+    the model-selection loop every training pipeline runs: folds are
+    vec_id % 5, each fold is scored by centroids trained on the OTHER
+    four, and the report is per-fold (n_test, n_correct) integer
+    counts. INTEGER-exact end to end (the `_nc_predictions`
+    discipline: 2^20 grid, one mirrored centroid division per
+    (fold, label, dim), int64 distances, ties to the smaller label),
+    so the accuracy table is bitwise-deterministic at any parallelism.
+
+    Scale shape: ZERO exchanges. One pass of per-batch (fold, label,
+    dim) moment partials (a row TRAINS every fold but its own, so
+    fold-f centroids are TOTALS MINUS fold-f partials — one partial
+    set serves all folds); the folds×k×d grid ships in the scoring
+    task's closure; scoring emits per-fold scalar partials."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        v = np.rint(mat * SCALE).astype(np.int64)
+        fold = (b["vec_id"].to_numpy() % n_folds).astype(np.int64)
+        lab = b["label"].to_numpy().astype(np.int64)
+        d = mat.shape[1]
+        frames = []
+        for f in range(n_folds):
+            m = fold == f
+            if not m.any():
+                continue
+            codes, uniq = pd.factorize(lab[m])
+            sums = np.zeros((len(uniq), d), dtype=np.int64)
+            np.add.at(sums, codes, v[m])
+            counts = np.bincount(codes,
+                                 minlength=len(uniq)).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "fold": np.int64(f),
+                "label": np.repeat(uniq, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64),
+                               len(uniq)),
+                "n": np.repeat(counts, d),
+                "s": sums.ravel(),
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "fold": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "dim": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (ds.map_batches(train_partial, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "fold": pd.Series([], dtype="int64"),
+            "n_test": pd.Series([], dtype="int64"),
+            "n_correct": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["n", "s"])
+    pf = parts.groupby(["fold", "label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    tot = pf.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    d = int(tot["dim"].max()) + 1
+    # per-fold centroid grids: totals minus the fold's own partials
+    grids, fold_labels = {}, {}
+    tot_idx = {(int(l), int(dd)): (int(n), int(s))
+               for l, dd, n, s in zip(tot["label"], tot["dim"],
+                                      tot["n"], tot["s"])}
+    pf_idx = {}
+    for f, l, dd, n, s in zip(pf["fold"], pf["label"], pf["dim"],
+                              pf["n"], pf["s"]):
+        pf_idx[(int(f), int(l), int(dd))] = (int(n), int(s))
+    all_labels = sorted(set(int(l) for l in tot["label"]))
+    for f in range(n_folds):
+        labs = []
+        for l in all_labels:
+            n_tot = tot_idx[(l, 0)][0]
+            n_f = pf_idx.get((f, l, 0), (0, 0))[0]
+            if n_tot - n_f > 0:
+                labs.append(l)
+        fold_labels[f] = np.asarray(labs, dtype=np.int64)
+        qc = np.zeros((len(labs), d), dtype=np.int64)
+        for i, l in enumerate(labs):
+            for dd in range(d):
+                n_tot, s_tot = tot_idx[(l, dd)]
+                n_f, s_f = pf_idx.get((f, l, dd), (0, 0))
+                qc[i, dd] = int(np.rint(float(s_tot - s_f)
+                                        / float(n_tot - n_f)))
+        grids[f] = qc
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vq = np.rint(mat * SCALE).astype(np.int64)
+        fold = (b["vec_id"].to_numpy() % n_folds).astype(np.int64)
+        lab = b["label"].to_numpy().astype(np.int64)
+        rows = []
+        for f in range(n_folds):
+            m = fold == f
+            if not m.any() or len(fold_labels[f]) == 0:
+                continue
+            diff = vq[m][:, None, :] - grids[f][None, :, :]
+            dist = np.einsum("ijk,ijk->ij", diff, diff)
+            pred = fold_labels[f][np.argmin(dist, axis=1)]
+            rows.append((f, int(m.sum()),
+                         int((pred == lab[m]).sum())))
+        return pd.DataFrame(rows, columns=["fold", "n_test",
+                                           "n_correct"])
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = _pysum_cols(out, ["n_test", "n_correct"])
+    m = (out.groupby("fold", as_index=False)
+         .agg(n_test=("n_test", "sum"),
+              n_correct=("n_correct", "sum")))
+    m["n_test"] = [int(v) for v in m["n_test"]]
+    m["n_correct"] = [int(v) for v in m["n_correct"]]
+    return (m.astype({"fold": "int64", "n_test": "int64",
+                      "n_correct": "int64"})
+            .sort_values("fold").reset_index(drop=True))
+
+
+def q_embeddings_twonn(sf_dir: str):
+    """TWO-NN INTRINSIC DIMENSION statistic (Facco et al. 2017) — the
+    manifold-dimension probe used to audit embedding quality before
+    LID-based filtering: for every vector, μ = d2/d1 over its two
+    nearest neighbors; d̂ = n / Σ ln μ is the reader's one division.
+    Reported as exact integers: n_used, n_dups (d1 = 0 rows excluded
+    — exact duplicates carry no ratio), and Σ ⌊ln(d2/d1)·2^30⌋
+    (floor-then-sum per point — order-independent; d1, d2 are int64
+    squared distances on the 2^20 grid whose DOUBLE casts and ratio
+    are one mirrored expression; the /2 from squared distances is the
+    reader's constant).
+
+    Scale shape: the broadcast quadratic BASELINE (the knn_graph_exact
+    contract — quantized matrix ships once via ray.put; the per-batch
+    kernel is one float64 matmul whose integer partials stay < 2^53,
+    hence EXACT); at corpus scale the candidate generation rides
+    knn_graph_lsh and only the final top-2 re-verifies exactly."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    if len(full) < 3:
+        return pd.DataFrame({
+            "n_used": pd.Series([0], dtype="int64"),
+            "n_dups": pd.Series([0], dtype="int64"),
+            "sum_lnmu_scaled": pd.Series([0], dtype="int64"),
+        })
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    x = np.rint(np.asarray(full["embedding"].tolist(),
+                           dtype=np.float64) * SCALE)
+    # components <= ~2^21, so q*q*dims partial sums stay far below
+    # 2^53: the float64 matmul below is EXACT (every intermediate is
+    # an integer-representable double)
+    if np.abs(x).max(initial=0.0) > float(1 << 24):
+        raise ValueError(
+            "embeddings_twonn component magnitude breaks the exact-"
+            "float64-matmul bound — rescale the grid at this scale")
+    nrm = (x * x).sum(axis=1)
+    ref = ray.put((ids, x, nrm))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        r_ids, rx, rn = ray.get(ref)
+        bi = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = np.rint(np.asarray(
+            b.column("embedding").to_pylist(), dtype=np.float64)
+            * SCALE)
+        bn = (bx * bx).sum(axis=1)
+        g = bx @ rx.T
+        d2m = (bn[:, None] + rn[None, :] - 2.0 * g)
+        pos = np.searchsorted(r_ids, bi)
+        ok = (pos < len(r_ids)) & (r_ids[np.minimum(
+            pos, len(r_ids) - 1)] == bi)
+        d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
+        p = np.partition(d2m, 1, axis=1)
+        d1 = p[:, 0]
+        d2 = p[:, 1]
+        used = d1 > 0
+        # math.log, not np.log: the oracle's libm ln must be mirrored
+        # bitwise (the events_mutual_info precedent); np.log's SIMD
+        # path can differ by ULPs
+        import math
+        tsum = sum(math.floor(math.log(b / a) * 1073741824.0)
+                   for a, b in zip(d1[used], d2[used]))
+        return pd.DataFrame({
+            "n_used": pd.Series([int(used.sum())], dtype="int64"),
+            "n_dups": pd.Series([int((~used).sum())], dtype="int64"),
+            "s": pd.Series([str(tsum)], dtype="object"),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=1024).to_pandas()
+    parts = _pysum_cols(parts, ["n_used", "n_dups"])
+    total = sum(int(v) for v in parts["s"])
+    if abs(total) >= 1 << 62:
+        raise ValueError(
+            "embeddings_twonn int64 output bound exceeded — ship "
+            "sum_lnmu_scaled as a decimal string at this scale")
+    return pd.DataFrame({
+        "n_used": pd.Series([sum(int(v) for v in parts["n_used"])],
+                            dtype="int64"),
+        "n_dups": pd.Series([sum(int(v) for v in parts["n_dups"])],
+                            dtype="int64"),
+        "sum_lnmu_scaled": pd.Series([total], dtype="int64"),
+    })
+
+
+def q_docs_source_novelty(sf_dir: str, n: int = 8,
+                          n_buckets: int = 64):
+    """SOURCE NOVELTY audit: per source, its distinct word-8-gram
+    count and how many of those grams appear in NO other source — the
+    "is this feed adding anything" measurement a mixture designer
+    reads next to docs_source_kl (vocabulary drift) and
+    docs_dup_rate_by_source (within-corpus duplication). Gram identity
+    is the dedup family's 64-bit token-window polynomial (collision
+    odds ~G²/2⁶⁴ vs the oracle's string grams — the decontaminate
+    precedent).
+
+    Scale shape: per-batch DISTINCT (gram, source) rows bucket by GRAM
+    hash, so "unique to one source" is decided inside one bounded
+    bucket; buckets emit per-source scalar partials only (gram sets
+    are bucket-disjoint, so counts are additive)."""
+    import numpy as np
+
+    from ..stages import hashing
+    from ..stages.dedup import _gram_hash_sets
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["source", "text"])
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch.column("source").to_pylist()
+        sets = _gram_hash_sets(batch.column("text").to_pylist(), n)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = (np.concatenate(sets) if lens.sum()
+                else np.empty(0, dtype=np.int64))
+        d = pd.DataFrame({
+            "g": flat,
+            "source": np.repeat(np.asarray(srcs, dtype=object), lens),
+        }).drop_duplicates(["g", "source"])
+        d["gb"] = (hashing.mix64(d["g"].to_numpy(dtype=np.int64)
+                                 .view(np.uint64))
+                   % np.uint64(n_buckets)).astype(np.int64)
+        return d[["gb", "g", "source"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["g", "source"])
+        ns = m.groupby("g")["source"].transform("size")
+        out = pd.DataFrame({"source": m["source"],
+                            "novel": (ns == 1).astype(np.int64),
+                            "one": 1})
+        return (out.groupby("source", as_index=False)
+                .agg(n_grams=("one", "sum"),
+                     novel_grams=("novel", "sum")))
+
+    parts = (docs.map_batches(emit, batch_format="pyarrow")
+             .groupby("gb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_grams": pd.Series([], dtype="int64"),
+            "novel_grams": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["n_grams", "novel_grams"])
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_grams=("n_grams", "sum"),
+                novel_grams=("novel_grams", "sum")))
+    for c in ("n_grams", "novel_grams"):
+        out[c] = [int(v) for v in out[c]]
+    return (out.astype({"n_grams": "int64", "novel_grams": "int64"})
+            .sort_values("source").reset_index(drop=True))
