@@ -938,6 +938,123 @@ def main() -> int:
 
     run("longest_dup_span_slice", longest_dup_span_slice)
 
+    # --- late-round-3 operator batch probes ---
+    from htmlparsersharp_ray.pipelines.relational import (
+        q_customer_lorenz,
+        q_events_anova,
+        q_events_levene,
+        q_events_mann_kendall,
+        q_events_markov_entropy,
+        q_events_theilsen,
+    )
+
+    run("anova_10m", lambda: q_events_anova(synth_events_val()))
+    run("levene_10m", lambda: q_events_levene(synth_events_val()))
+    run("mann_kendall_10m",
+        lambda: q_events_mann_kendall(synth_events_val()))
+    run("theilsen_10m", lambda: q_events_theilsen(synth_events_val()))
+    run("markov_entropy_10m",
+        lambda: q_events_markov_entropy(synth_events_val()))
+    run("lorenz_10m", lambda: q_customer_lorenz(synth_orders_pareto()))
+
+    def synth_events_signup(n=10_000_000, n_users=1_000_000,
+                            d="/tmp/graft_sweep_evsignup"):
+        # signup/purchase/view mix over 1M users so the KM risk table
+        # does real censoring work (~37% of users never purchase)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(19)
+            base = np.int64(1_700_000_000_000_000)
+            ts = (base + rng.integers(0, 90 * 86_400_000_000, n)
+                  ).astype("datetime64[us]")
+            types = np.array(["signup", "purchase", "view"])
+            pq.write_table(pa.table({
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": rng.integers(0, n_users, n).astype(np.int64),
+                "event_type": pa.array(
+                    types[rng.integers(0, 3, n)]),
+                "value": np.ones(n),
+            }), os.path.join(d, "events.parquet"),
+                row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    def survival_10m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_events_survival)
+
+        return q_events_survival(synth_events_signup())
+
+    run("survival_10m", survival_10m)
+
+    def rich_club_8m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_part_rich_club)
+
+        return q_part_rich_club(synth_baskets())
+
+    run("rich_club_8m", rich_club_8m)
+
+    def synth_docs_sourced(d="/tmp/graft_sweep_srcdocs"):
+        # the 100k-doc sweep slice with a bounded source column (20
+        # sources keyed by doc id) for the per-source census ops
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            parts = []
+            for f in files[:pair_files]:
+                t = pq.read_table(f, columns=["doc_id", "text"])
+                ids = t.column("doc_id").to_numpy()
+                parts.append(t.append_column("source", pa.array(
+                    np.char.add("src", (ids % 20).astype(str)))))
+            pq.write_table(pa.concat_tables(parts),
+                           os.path.join(d, "documents.parquet"),
+                           row_group_size=1 << 15)
+            open(marker, "w").write("ok")
+        return d
+
+    def simpson_slice():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_docs_simpson)
+
+        return q_docs_simpson(synth_docs_sourced())
+
+    run("simpson_slice", simpson_slice)
+
+    def burstiness_slice():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_docs_burstiness)
+
+        return q_docs_burstiness(synth_docs_sourced())
+
+    run("burstiness_slice", burstiness_slice)
+
+    def novelty_slice():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_docs_source_novelty)
+
+        return q_docs_source_novelty(synth_docs_sourced())
+
+    run("novelty_slice", novelty_slice)
+
+    def cv_1m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_embeddings_cv)
+
+        return q_embeddings_cv(synth_embeddings_1m())
+
+    run("cv_1m", cv_1m)
+
+    def silhouette_1m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_embeddings_silhouette)
+
+        return q_embeddings_silhouette(synth_embeddings_1m())
+
+    run("silhouette_1m", silhouette_1m)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
