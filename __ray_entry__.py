@@ -1952,6 +1952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_theilsen": r.q_events_theilsen,
         "events_markov_entropy": r.q_events_markov_entropy,
         "events_survival": r.q_events_survival,
+        "events_changepoint": r.q_events_changepoint,
+        "docs_unigram_entropy": r.q_docs_unigram_entropy,
+        "embeddings_knn_classifier": r.q_embeddings_knn_classifier,
+        "audit_l_diversity": r.q_audit_l_diversity,
         "embeddings_cv": r.q_embeddings_cv,
         "embeddings_twonn": r.q_embeddings_twonn,
         "docs_source_novelty": r.q_docs_source_novelty,
@@ -7994,5 +7998,123 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS novel_grams
         FROM g JOIN uq USING (gram)
         GROUP BY g.source ORDER BY g.source
+    """
+    sql["docs_unigram_entropy"] = """
+        -- Shannon unigram entropy per source: fixed-point
+        -- floor-then-sum at 2^30 per (source, term) cell (corpus
+        -- tokenization convention); BIGINT -> DOUBLE casts are
+        -- correctly rounded on both sides (no products)
+        WITH w AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ), tc AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM w GROUP BY source, term
+        ), tot AS (
+            SELECT source, SUM(c) AS n, COUNT(*) AS vocab
+            FROM tc GROUP BY source
+        )
+        SELECT tc.source,
+               CAST(tot.n AS BIGINT) AS n_tokens,
+               CAST(tot.vocab AS BIGINT) AS vocab,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(tc.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * ln(CAST(tot.n AS DOUBLE) / CAST(tc.c AS DOUBLE))
+                   * 1073741824.0) AS BIGINT)) AS BIGINT) AS h_scaled
+        FROM tc JOIN tot USING (source)
+        GROUP BY tc.source, tot.n, tot.vocab
+        ORDER BY tc.source
+    """
+    sql["events_changepoint"] = """
+        -- max-|CUSUM| binary-segmentation split over daily cents:
+        -- pure-integer statistic |d*S_k - k*S_d| (cross-multiplied,
+        -- no mean), ties to the smallest k
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+            FROM events GROUP BY 1
+        ), o AS (
+            SELECT day, xc,
+                   ROW_NUMBER() OVER (ORDER BY day) AS k,
+                   SUM(CAST(xc AS HUGEINT))
+                       OVER (ORDER BY day) AS s,
+                   COUNT(*) OVER () AS nd,
+                   SUM(CAST(xc AS HUGEINT)) OVER () AS tot
+            FROM d
+        ), st AS (
+            SELECT day, k, nd, tot,
+                   ABS(nd * s - k * tot) AS stat,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ABS(nd * s - k * tot) DESC, k) AS rn
+            FROM o WHERE k < nd
+        )
+        SELECT day AS split_day,
+               CAST(k AS BIGINT) AS k_index,
+               CAST(stat AS BIGINT) AS stat_num,
+               CAST(nd AS BIGINT) AS n_days,
+               CAST(tot AS BIGINT) AS total_cents
+        FROM st WHERE rn = 1
+    """
+    sql["embeddings_knn_classifier"] = """
+        -- 5-NN majority-vote classifier (train = even vec_ids, test =
+        -- odd): int64 squared distances on the 2^20 grid, neighbor
+        -- ties to the smaller train id, vote ties to the smaller
+        -- label — integer-exact end to end
+        WITH u AS (
+            SELECT vec_id, label,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), d AS (
+            SELECT t.vec_id, b.vec_id AS tid,
+                   ANY_VALUE(b.label) AS tl,
+                   sum((t.q - b.q) * (t.q - b.q)) AS dist
+            FROM (SELECT * FROM u WHERE vec_id % 2 = 1) t
+            JOIN (SELECT * FROM u WHERE vec_id % 2 = 0) b
+              ON t.dim = b.dim
+            GROUP BY t.vec_id, b.vec_id
+        ), nn AS (
+            SELECT vec_id, tl FROM (
+                SELECT vec_id, tl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, tid) AS rn
+                FROM d) WHERE rn <= 5
+        ), vote AS (
+            SELECT vec_id, tl AS label, COUNT(*) AS c
+            FROM nn GROUP BY vec_id, tl
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS pred_label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM vote) WHERE rn = 1
+        ORDER BY vec_id
+    """
+    sql["audit_l_diversity"] = """
+        -- l-diversity audit (QI = nation, sensitive = market
+        -- segment): per QI group its size, distinct-sensitive count
+        -- l, and the sensitive-distribution entropy as a fixed-point
+        -- floor-then-sum at 2^30 per cell
+        WITH c AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+                   c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1, 2
+        ), tot AS (
+            SELECT nation_key, SUM(c) AS n, COUNT(*) AS l
+            FROM c GROUP BY 1
+        )
+        SELECT c.nation_key,
+               CAST(tot.n AS BIGINT) AS n,
+               CAST(tot.l AS BIGINT) AS l_distinct,
+               CAST(SUM(CAST(FLOOR(
+                   (CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * ln(CAST(tot.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                   * 1073741824.0) AS BIGINT)) AS BIGINT) AS h_scaled
+        FROM c JOIN tot USING (nation_key)
+        GROUP BY c.nation_key, tot.n, tot.l
+        ORDER BY c.nation_key
     """
     return sql

@@ -12791,3 +12791,261 @@ def q_docs_source_novelty(sf_dir: str, n: int = 8,
         out[c] = [int(v) for v in out[c]]
     return (out.astype({"n_grams": "int64", "novel_grams": "int64"})
             .sort_values("source").reset_index(drop=True))
+
+
+def q_docs_unigram_entropy(sf_dir: str, n_buckets: int = 64):
+    """SHANNON UNIGRAM ENTROPY per source — completes the
+    lexical-diversity trio (q_docs_hapax measures the tail,
+    q_docs_simpson the head, this the whole distribution): H =
+    Σ_terms (c/N)·ln(N/c) as a FIXED-POINT floor-then-sum at 2^30 per
+    (source, term) cell — integer partials commute across the
+    term-hash buckets (the mutual-info discipline at vocabulary
+    scale), and c/N casts are correctly rounded BIGINT→DOUBLE on both
+    sides (no products, no hugeint split).
+
+    Scale shape: pass 1 is a bounded per-source token-total scan
+    (|sources| rows per batch); pass 2 is the hapax-style term-hash
+    exchange whose buckets emit per-source integer partial sums only
+    — the driver never sees a term-scale table."""
+    import math
+
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"),
+                                 columns=["source", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"source": b["source"],
+                          "toks": text.str.split()})
+        d = d[text != ""]
+        d["n"] = d["toks"].str.len()
+        return d.groupby("source", as_index=False)["n"].sum()
+
+    tot = docs.map_batches(tok_counts, batch_format="pandas").to_pandas()
+    if len(tot) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "vocab": pd.Series([], dtype="int64"),
+            "h_scaled": pd.Series([], dtype="int64"),
+        })
+    tot = _pysum_cols(tot, ["n"])
+    totals = {s: sum(int(v) for v in g["n"])
+              for s, g in tot.groupby("source")}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").str.strip().str.lower()
+        d = pd.DataFrame({"source": b["source"],
+                          "toks": text.str.split()})
+        d = d[text != ""]
+        e = d.explode("toks")
+        out = (e.groupby(["source", "toks"], as_index=False)
+               .size().rename(columns={"size": "c", "toks": "term"}))
+        out["tb"] = (hash_strings64(
+            out["term"].to_numpy(dtype=object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return out[["tb", "source", "term", "c"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["source", "term"], as_index=False)
+             .agg(c=("c", "sum")))
+        rows = []
+        for src, gs in m.groupby("source"):
+            n = totals[src]
+            h = 0
+            for c in gs["c"]:
+                c = int(c)
+                h += math.floor((float(c) / float(n))
+                                * math.log(float(n) / float(c))
+                                * 1073741824.0)
+            rows.append((src, len(gs), str(h)))
+        return pd.DataFrame(rows, columns=["source", "vocab", "h"])
+
+    parts = (docs.map_batches(partial, batch_format="pandas")
+             .groupby("tb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for src, g in parts.groupby("source"):
+        h = sum(int(v) for v in g["h"])
+        vocab = sum(int(v) for v in g["vocab"])
+        if abs(h) >= 1 << 62:
+            raise ValueError(
+                "docs_unigram_entropy int64 output bound exceeded — "
+                "ship h_scaled as a decimal string at this scale")
+        rows.append((src, totals[src], vocab, h))
+    return (pd.DataFrame(rows, columns=["source", "n_tokens",
+                                        "vocab", "h_scaled"])
+            .astype({"n_tokens": "int64", "vocab": "int64",
+                     "h_scaled": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+def q_events_changepoint(sf_dir: str):
+    """BINARY-SEGMENTATION CHANGEPOINT over the daily-spend series —
+    the global "when did behavior shift" detector next to
+    q_events_cusum's per-user drift charts: the split index k
+    maximizing the PURE-INTEGER CUSUM statistic |d·S_k − k·S_d| over
+    prefix sums of exact cents (cross-multiplied — no mean, no float
+    at the comparison; the classic max-|CUSUM| split). Ties break to
+    the smallest k.
+
+    Scale shape: day totals are decomposable exact-cents partials
+    (the `_daily_cents` discipline); the argmax runs over the BOUNDED
+    day axis with Python ints. int64 OUTPUT bound: d·S_k wraps past
+    ~9e18/|days| total cents — guarded loud."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    m = _daily_cents(sf_dir)
+    d = len(m)
+    if d < 2:
+        return pd.DataFrame({
+            "split_day": pd.Series([], dtype="datetime64[us]"),
+            "k_index": pd.Series([], dtype="int64"),
+            "stat_num": pd.Series([], dtype="int64"),
+            "n_days": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+        })
+    days = [int(v) for v in m["day"]]
+    xs = [int(v) for v in m["xc"]]
+    total = sum(xs)
+    best_k, best_stat, acc = None, -1, 0
+    for k in range(1, d):  # split AFTER the k-th day (1-based)
+        acc += xs[k - 1]
+        stat = abs(d * acc - k * total)
+        if stat > best_stat:
+            best_k, best_stat = k, stat
+    if max(best_stat, abs(total)) >= 1 << 62:
+        raise ValueError(
+            "events_changepoint int64 output bound exceeded — ship "
+            "stat_num as a decimal string at this scale")
+    return pd.DataFrame({
+        "split_day": pd.to_datetime(
+            np.asarray([days[best_k - 1]], dtype=np.int64)
+            * us_per_day, unit="us"),
+        "k_index": pd.Series([best_k], dtype="int64"),
+        "stat_num": pd.Series([best_stat], dtype="int64"),
+        "n_days": pd.Series([d], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+    })
+
+
+def q_embeddings_knn_classifier(sf_dir: str, k: int = 5):
+    """K-NEAREST-NEIGHBOR CLASSIFIER (k = 5, majority vote) — the
+    nonparametric member of the classifier-eval family next to the
+    nearest-centroid parametric one: every ODD vec_id is labeled by
+    the majority vote of its 5 nearest EVEN vec_ids. INTEGER-exact:
+    distances are int64 squared distances on the 2^20 grid, neighbor
+    ties break to the smaller train id (stable argsort over id-sorted
+    columns), vote ties to the smaller label — bitwise-deterministic
+    and SQL-mirrorable with no float compare anywhere.
+
+    Scale shape: the broadcast quadratic BASELINE (knn_graph_exact
+    contract — the quantized train matrix ships once via ray.put; at
+    corpus scale candidate generation rides knn_graph_lsh and only
+    the top-k re-verifies exactly). The per-batch kernel is one exact
+    float64 matmul (integer partials < 2^53)."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+    full = ds.to_pandas()
+    train = (full[full["vec_id"] % 2 == 0]
+             .sort_values("vec_id").reset_index(drop=True))
+    if len(train) == 0:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "pred_label": pd.Series([], dtype="int64"),
+        })
+    t_ids = train["vec_id"].to_numpy(dtype=np.int64)
+    t_lab = train["label"].to_numpy(dtype=np.int64)
+    tx = np.rint(np.asarray(train["embedding"].tolist(),
+                            dtype=np.float64) * SCALE)
+    tn = (tx * tx).sum(axis=1)
+    ref = ray.put((t_ids, t_lab, tx, tn))
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ids_, labs_, rx, rn = ray.get(ref)
+        m = b["vec_id"].to_numpy() % 2 == 1
+        b = b[m]
+        if not len(b):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "pred_label": pd.Series([], dtype="int64"),
+            })
+        bx = np.rint(np.asarray(b["embedding"].tolist(),
+                                dtype=np.float64) * SCALE)
+        g = bx @ rx.T                       # exact: partials < 2^53
+        dist = (bx * bx).sum(axis=1)[:, None] + rn[None, :] - 2.0 * g
+        kk = min(k, dist.shape[1])
+        # stable argsort: distance ties fall to the lower column =
+        # lower train id (columns are id-sorted)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+        votes = labs_[order]                # (rows, kk)
+        n_lab = int(labs_.max()) + 1
+        counts = np.zeros((len(votes), n_lab), dtype=np.int64)
+        for j in range(kk):
+            np.add.at(counts, (np.arange(len(votes)), votes[:, j]), 1)
+        pred = counts.argmax(axis=1)        # first max = smaller label
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+            "pred_label": pred.astype(np.int64),
+        })
+
+    out = ds.map_batches(classify, batch_format="pandas",
+                         batch_size=1024).to_pandas()
+    return (out.astype({"vec_id": "int64", "pred_label": "int64"})
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def q_audit_l_diversity(sf_dir: str):
+    """L-DIVERSITY audit — the second privacy-audit member next to
+    q_audit_k_anonymity: with quasi-identifier = nation and sensitive
+    attribute = market segment, every QI group reports its size, its
+    distinct-sensitive-value count l (distinct l-diversity), and its
+    sensitive-distribution ENTROPY as a fixed-point floor-then-sum at
+    2^30 per (nation, segment) cell (entropy l-diversity: the group
+    passes "entropy ≥ ln l₀" — the stronger criterion that catches
+    99:1 skews distinct-l misses).
+
+    Scale shape: ONE bounded cell pass — per-batch (nation, segment)
+    count partials, driver fold over a |nations|×|segments| table."""
+    import math
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["c_nationkey", "c_mktsegment"],
+                          as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "nation_key": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "l_distinct": pd.Series([], dtype="int64"),
+            "h_scaled": pd.Series([], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["c"])
+    cells = parts.groupby(["c_nationkey", "c_mktsegment"],
+                          as_index=False).agg(c=("c", "sum"))
+    rows = []
+    for nk, g in cells.groupby("c_nationkey"):
+        cs = [int(v) for v in g["c"]]
+        n = sum(cs)
+        h = sum(math.floor((float(c) / float(n))
+                           * math.log(float(n) / float(c))
+                           * 1073741824.0) for c in cs)
+        rows.append((int(nk), n, len(cs), h))
+    return (pd.DataFrame(rows, columns=["nation_key", "n",
+                                        "l_distinct", "h_scaled"])
+            .astype({"nation_key": "int64", "n": "int64",
+                     "l_distinct": "int64", "h_scaled": "int64"})
+            .sort_values("nation_key").reset_index(drop=True))
