@@ -1953,6 +1953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_entropy": r.q_events_markov_entropy,
         "events_survival": r.q_events_survival,
         "events_changepoint": r.q_events_changepoint,
+        "part_four_cycles": r.q_part_four_cycles,
+        "events_forecast_eval": r.q_events_forecast_eval,
+        "part_brand_jaccard": r.q_part_brand_jaccard,
         "docs_unigram_entropy": r.q_docs_unigram_entropy,
         "embeddings_knn_classifier": r.q_embeddings_knn_classifier,
         "audit_l_diversity": r.q_audit_l_diversity,
@@ -8116,5 +8119,84 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN tot USING (nation_key)
         GROUP BY c.nation_key, tot.n, tot.l
         ORDER BY c.nation_key
+    """
+    sql["part_four_cycles"] = """
+        -- global 4-cycle census: C4 = 1/2 * sum over ALL unordered
+        -- pairs of C(common_neighbors, 2) (each cycle counted once
+        -- per diagonal); pairs with common >= 2, edges NOT filtered
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey),
+        und AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+        wedge AS (
+            SELECT n1.v AS a, n2.v AS b
+            FROM und n1 JOIN und n2
+              ON n1.u = n2.u AND n1.v < n2.v),
+        cn AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS c
+               FROM wedge GROUP BY a, b HAVING COUNT(*) >= 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                   AS sum_choose2,
+               CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2
+                    AS BIGINT) AS n_cycles4
+        FROM cn
+    """
+    sql["events_forecast_eval"] = """
+        -- one-step backtest MAE: SES (recursive integer smoother,
+        -- predict by S_{t-1}) vs seasonal naive (predict by t-7);
+        -- exact absolute-error sums in cents
+        WITH RECURSIVE d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+            FROM events GROUP BY 1
+        ), o AS (
+            SELECT day, CAST(xc AS HUGEINT) AS xc,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM d
+        ), s AS (
+            SELECT rn, day, xc, xc AS ses FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.rn, o.day, o.xc, (s.ses + o.xc) // 2
+            FROM s JOIN o ON o.rn = s.rn + 1
+        ), ses_err AS (
+            SELECT COUNT(*) AS n,
+                   COALESCE(SUM(ABS(cur.xc - prev.ses)), 0) AS err
+            FROM s cur JOIN s prev ON cur.rn = prev.rn + 1
+        ), sn_err AS (
+            SELECT COUNT(*) AS n,
+                   COALESCE(SUM(ABS(a.xc - b.xc)), 0) AS err
+            FROM d a JOIN d b
+              ON b.day = a.day - INTERVAL 7 DAY
+        )
+        SELECT 'seasonal_naive' AS method,
+               CAST(n AS BIGINT) AS n_evals,
+               CAST(err AS BIGINT) AS abs_err_sum
+        FROM sn_err
+        UNION ALL
+        SELECT 'ses', CAST(n AS BIGINT), CAST(err AS BIGINT)
+        FROM ses_err
+        ORDER BY method
+    """
+    sql["part_brand_jaccard"] = """
+        -- brand-profile Jaccard: per brand pair the intersection and
+        -- set sizes of their part-type profiles (pairs with overlap
+        -- only); J = inter/(n_a + n_b - inter) is one division away
+        WITH p AS (SELECT DISTINCT p_brand, p_type FROM part),
+        sz AS (SELECT p_brand, COUNT(*) AS n FROM p GROUP BY 1),
+        ix AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM p a JOIN p b
+              ON a.p_type = b.p_type AND a.p_brand < b.p_brand
+            GROUP BY 1, 2)
+        SELECT ix.brand_a, ix.brand_b, ix.n_inter,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b
+        FROM ix JOIN sz sa ON sa.p_brand = ix.brand_a
+                JOIN sz sb ON sb.p_brand = ix.brand_b
+        ORDER BY ix.brand_a, ix.brand_b
     """
     return sql

@@ -268,6 +268,17 @@ def run_bench() -> dict:
     r.q_docs_source_kl(sf_dir)
     queries["docs_source_kl"] = round(time.time() - t0, 3)
 
+    # Kaplan-Meier survival (user-hash exchange + bounded KM fold) and
+    # the exact-Gini ordered value histogram — late-round-3 families
+    gc.collect()
+    t0 = time.time()
+    r.q_events_survival(sf_dir)
+    queries["events_survival"] = round(time.time() - t0, 3)
+    gc.collect()
+    t0 = time.time()
+    r.q_customer_lorenz(sf_dir)
+    queries["customer_lorenz"] = round(time.time() - t0, 3)
+
     queries["extract_turns"] = round(extract_sec, 3)
 
     result = {

@@ -13049,3 +13049,130 @@ def q_audit_l_diversity(sf_dir: str):
             .astype({"nation_key": "int64", "n": "int64",
                      "l_distinct": "int64", "h_scaled": "int64"})
             .sort_values("nation_key").reset_index(drop=True))
+
+
+def q_part_four_cycles(sf_dir: str):
+    """GLOBAL 4-CYCLE CENSUS of the part co-purchase graph — the
+    bipartite-ish motif that triangle counting misses (co-purchase
+    graphs are locally bipartite: customer×product structure shows up
+    as rectangles, not triangles). Identity: every 4-cycle a-b-c-d is
+    counted once per diagonal pair, so
+    C4 = ½ · Σ_pairs C(common_neighbors, 2) over ALL unordered node
+    pairs (adjacent or not) — the wedge-count kernel of
+    part_link_predict with the edge anti-filter off
+    (``common_neighbor_pairs(include_edges=True)``). Exact integers;
+    the driver folds per-batch Σ C(c,2) partials shipped as DECIMAL
+    STRINGS (hub pairs can push the sum past int64).
+
+    Scale shape: inherits the wedge pipeline's three bounded
+    exchanges; the final fold is one scalar per batch."""
+    import numpy as np
+
+    from ..stages.graph import (
+        common_neighbor_pairs,
+        group_cooccurrence_edges,
+    )
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    edges = group_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    pairs = common_neighbor_pairs(edges, min_common=2,
+                                  include_edges=True)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = b.column("common").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = sum(int(x) * (int(x) - 1) // 2 for x in c)
+        return pd.DataFrame({
+            "n_pairs": pd.Series([len(c)], dtype="int64"),
+            "s": pd.Series([str(s)], dtype="object"),
+        })
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "n_pairs": pd.Series([0], dtype="int64"),
+            "sum_choose2": pd.Series([0], dtype="int64"),
+            "n_cycles4": pd.Series([0], dtype="int64"),
+        })
+    n_pairs = sum(int(v) for v in parts["n_pairs"])
+    s = sum(int(v) for v in parts["s"])
+    if s >= 1 << 62:
+        raise ValueError(
+            "part_four_cycles int64 output bound exceeded — ship "
+            "sum_choose2 as a decimal string at this scale")
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n_pairs], dtype="int64"),
+        "sum_choose2": pd.Series([s], dtype="int64"),
+        "n_cycles4": pd.Series([s // 2], dtype="int64"),
+    })
+
+
+def q_events_forecast_eval(sf_dir: str):
+    """FORECAST BACKTEST COMPARISON — one-step-ahead MAE of the two
+    integer forecasters over the daily-spend series: SES (predict day
+    t by S_{t−1}, the q_events_ses recurrence) vs seasonal naive
+    (predict by day t−7). Per method: evaluable days and the EXACT
+    absolute-error sum in cents — the model-selection readout
+    (which baseline wins) with no float anywhere.
+
+    Scale shape: day totals are decomposable exact-cents partials;
+    both backtests run once over the BOUNDED day axis on the
+    driver."""
+    m = _daily_cents(sf_dir)
+    days = [int(v) for v in m["day"]]
+    xs = [int(v) for v in m["xc"]]
+    totals = dict(zip(days, xs))
+    ses, ses_err, ses_n = None, 0, 0
+    for x in xs:
+        if ses is not None:
+            ses_err += abs(x - ses)
+            ses_n += 1
+        ses = x if ses is None else (ses + x) // 2
+    sn_err, sn_n = 0, 0
+    for d in sorted(totals):
+        if d - 7 in totals:
+            sn_err += abs(totals[d] - totals[d - 7])
+            sn_n += 1
+    out = pd.DataFrame(
+        [("seasonal_naive", sn_n, sn_err), ("ses", ses_n, ses_err)],
+        columns=["method", "n_evals", "abs_err_sum"])
+    if max(ses_err, sn_err) >= 1 << 62:
+        raise ValueError(
+            "events_forecast_eval int64 output bound exceeded")
+    return out.astype({"n_evals": "int64", "abs_err_sum": "int64"})
+
+
+def q_part_brand_jaccard(sf_dir: str):
+    """BRAND-PROFILE SIMILARITY: Jaccard overlap of the part-type sets
+    two brands sell — the group-profile set-similarity op (which
+    catalog families are interchangeable), reported as exact integers
+    (n_inter, n_a, n_b; J = inter/(n_a + n_b − inter) is the reader's
+    one division). Only pairs with n_inter ≥ 1 appear.
+
+    Scale shape: ONE bounded cell pass — per-batch distinct
+    (brand, type) partials; the pair fold runs over the
+    |brands|²-bounded profile table driver-side."""
+    ds = ray.data.read_parquet(_t(sf_dir, "part"),
+                               columns=["p_brand", "p_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["p_brand", "p_type"])[
+            ["p_brand", "p_type"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = parts.drop_duplicates(["p_brand", "p_type"])
+    sets = {b: set(g["p_type"]) for b, g in cells.groupby("p_brand")}
+    brands = sorted(sets)
+    rows = []
+    for i, a in enumerate(brands):
+        for b in brands[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                rows.append((a, b, inter, len(sets[a]),
+                             len(sets[b])))
+    return (pd.DataFrame(rows, columns=["brand_a", "brand_b",
+                                        "n_inter", "n_a", "n_b"])
+            .astype({"n_inter": "int64", "n_a": "int64",
+                     "n_b": "int64"})
+            .sort_values(["brand_a", "brand_b"])
+            .reset_index(drop=True))

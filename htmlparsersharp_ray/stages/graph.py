@@ -1281,6 +1281,7 @@ def kcore(edges: ray.data.Dataset, k: int,
 def common_neighbor_pairs(
     edges: ray.data.Dataset, min_common: int = 2,
     max_center_degree: int | None = None,
+    include_edges: bool = False,
 ) -> ray.data.Dataset:
     """LINK PREDICTION by common-neighbor counting: for every pair of
     nodes that is NOT an edge of the undirected graph induced by
@@ -1288,7 +1289,11 @@ def common_neighbor_pairs(
     pairs with ``common >= min_common`` — the classic structural
     link-prediction score (Liben-Nowell & Kleinberg 2003; the
     "customers who bought X also bought Y" candidate generator).
-    Returns ``(u, v, common)`` with u < v.
+    Returns ``(u, v, common)`` with u < v. With
+    ``include_edges=True`` the edge anti-filter is skipped and EVERY
+    pair with ``common >= min_common`` is returned (adjacent or not) —
+    the input to wedge-pair statistics like 4-cycle counting, where a
+    pair's common-neighbor count is wanted regardless of adjacency.
 
     Exact integer counts → bitwise-deterministic at any parallelism and
     reproducible by the wedge self-join in ANSI SQL.
@@ -1354,7 +1359,8 @@ def common_neighbor_pairs(
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
         agg = group.groupby(["a", "b"], as_index=False, sort=False).agg(
             common=("c", "sum"), edge=("is_edge", "max"))
-        keep = agg[(agg["edge"] == 0) & (agg["common"] >= min_common)]
+        adj_ok = True if include_edges else (agg["edge"] == 0)
+        keep = agg[adj_ok & (agg["common"] >= min_common)]
         return pd.DataFrame({
             "u": keep["a"].astype("int64"),
             "v": keep["b"].astype("int64"),
