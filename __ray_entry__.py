@@ -376,6 +376,35 @@ def _q_extract_code(sf_dir: str):
                .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_extract_dl(sf_dir: str):
+    """Definition-list extraction round trip (hash-exact): each part
+    row renders to a page with one keyed <dl> of (brand, type, size)
+    pairs — plus decoys that must NOT extract (a dangling <dt> with no
+    <dd>, an empty <dl>) — in one of three markup styles. Styles 1/2
+    write NO </dt>/</dd> close tags, so correct pairing requires the
+    WHATWG dd/dt implied-end-tag rules (reference TreeBuilder.cs
+    StartTag dd/dt group); style 2 additionally opens a <p> inside
+    every <dd> that the next <dt> must imply-close, and renders
+    definition spaces as numeric &#32; references. All styles converge
+    to identical pairs, so the oracle is plain SQL over ``part``."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        DlExtractUDF, render_part_dls)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    out = (ds.map_batches(render_part_dls, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(DlExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values(["p_partkey", "term"])
+               .reset_index(drop=True))
+
+
 def _q_extract_images(sf_dir: str):
     """Image-text pair mining round trip (hash-exact): each part row
     renders to a page with exactly one <figure><img alt><figcaption>
@@ -2101,6 +2130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_churn": r.q_events_churn,
         "docs_vocab_growth": r.q_docs_vocab_growth,
         "extract_images": _q_extract_images,
+        "extract_dl": _q_extract_dl,
+        "embeddings_outliers": r.q_embeddings_outliers,
         "extract_jsonld": _q_extract_jsonld,
         "part_modularity": r.q_part_modularity,
         "part_zorder": r.q_part_zorder,
@@ -8198,5 +8229,47 @@ def oracle_sql() -> dict[str, str]:
         FROM ix JOIN sz sa ON sa.p_brand = ix.brand_a
                 JOIN sz sb ON sb.p_brand = ix.brand_b
         ORDER BY ix.brand_a, ix.brand_b
+    """
+    sql["extract_dl"] = """
+        -- definition-list extraction round trip: all three markup
+        -- styles (incl. the implied dd/dt end-tag styles and the
+        -- &#32; NCR style) must converge to the identical
+        -- (term, definition) pairs per part
+        WITH pairs AS (
+            SELECT p_partkey, 'brand' AS term,
+                   p_brand AS definition FROM part
+            UNION ALL
+            SELECT p_partkey, 'size', CAST(p_size AS VARCHAR)
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'type', p_type FROM part)
+        SELECT p_partkey, term, definition
+        FROM pairs ORDER BY p_partkey, term
+    """
+    sql["embeddings_outliers"] = """
+        -- k-NN distance outliers: top-20 vectors by 5th-nearest
+        -- squared distance on the 2^20 grid (multiset k-th-smallest;
+        -- ties to the smaller vec_id)
+        WITH u AS (
+            SELECT vec_id,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), d AS (
+            SELECT a.vec_id, b.vec_id AS o,
+                   sum((a.q - b.q) * (a.q - b.q)) AS dist
+            FROM u a JOIN u b
+              ON a.dim = b.dim AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ), r AS (
+            SELECT vec_id, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, o) AS rn
+            FROM d
+        )
+        SELECT vec_id, CAST(dist AS BIGINT) AS dist_k
+        FROM r WHERE rn = 5
+        ORDER BY dist_k DESC, vec_id LIMIT 20
     """
     return sql

@@ -13176,3 +13176,62 @@ def q_part_brand_jaccard(sf_dir: str):
                      "n_b": "int64"})
             .sort_values(["brand_a", "brand_b"])
             .reset_index(drop=True))
+
+
+def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
+    """K-NN DISTANCE OUTLIER MINING — the distance-based anomaly
+    screen (Ramaswamy et al.'s "distance to the k-th neighbor" score)
+    every embedding-quality audit runs before training: the ``top``
+    vectors whose 5th-nearest-neighbor squared distance is LARGEST
+    (ties to the smaller vec_id). INTEGER-exact: distances are int64
+    squared distances on the 2^20 grid (multiset k-th-smallest
+    semantics — np.partition == the oracle's rn = k), so the ranking
+    has no float compare.
+
+    Scale shape: the broadcast quadratic BASELINE (knn_graph_exact
+    contract; candidates ride knn_graph_lsh at corpus scale); the
+    per-batch top-``top`` partials bound the driver merge."""
+    import numpy as np
+
+    SCALE = np.float64(1 << 20)
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    if len(full) <= k:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "dist_k": pd.Series([], dtype="int64"),
+        })
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    x = np.rint(np.asarray(full["embedding"].tolist(),
+                           dtype=np.float64) * SCALE)
+    nrm = (x * x).sum(axis=1)
+    ref = ray.put((ids, x, nrm))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        r_ids, rx, rn = ray.get(ref)
+        bi = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = np.rint(np.asarray(
+            b.column("embedding").to_pylist(), dtype=np.float64)
+            * SCALE)
+        g = bx @ rx.T                       # exact: partials < 2^53
+        d2m = (bx * bx).sum(axis=1)[:, None] + rn[None, :] - 2.0 * g
+        pos = np.searchsorted(r_ids, bi)
+        ok = (pos < len(r_ids)) & (r_ids[np.minimum(
+            pos, len(r_ids) - 1)] == bi)
+        d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
+        dk = np.partition(d2m, k - 1, axis=1)[:, k - 1]
+        out = pd.DataFrame({"vec_id": bi,
+                            "dist_k": dk.astype(np.int64)})
+        # per-batch partial: only the local top-N can reach the
+        # global top-N
+        return (out.sort_values(["dist_k", "vec_id"],
+                                ascending=[False, True]).head(top))
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=1024).to_pandas()
+    out = (parts.sort_values(["dist_k", "vec_id"],
+                             ascending=[False, True]).head(top))
+    return (out.astype({"vec_id": "int64", "dist_k": "int64"})
+            .reset_index(drop=True))

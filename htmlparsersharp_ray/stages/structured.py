@@ -1046,3 +1046,112 @@ class FormExtractUDF:
             "segment": pa.array(segs, pa.string()),
             "note": pa.array(notes, pa.string()),
         })
+
+
+def render_part_dls(batch: pa.Table) -> pa.Table:
+    """One HTML page per part row carrying exactly one keyed ``<dl>``
+    definition list ((brand, type, size) pairs) plus decoys that must
+    NOT extract (a second ``<dl>`` holding a dangling ``<dt>`` with no
+    following ``<dd>``, and an empty ``<dl>``), in one of three markup
+    styles by ``p_partkey % 3``:
+
+    - style 0: fully closed ``<dt>…</dt><dd>…</dd>`` — the baseline.
+    - style 1: NO ``</dt>``/``</dd>`` anywhere — every ``<dt>``/``<dd>``
+      start tag must IMPLY the close of the open one (the WHATWG
+      dd/dt implied-end-tag group; reference TreeBuilder.cs StartTag
+      dd/dt case — ImplicitlyCloseP-family machinery; engine
+      html/treebuilder.py dd/dt handling), so the pairs still nest as
+      siblings and no definition swallows the next term.
+    - style 2: UPPERCASE tags, unclosed, an open ``<p>`` inside each
+      ``<dd>`` that the NEXT ``<dt>``/``</dl>`` must imply-close, and
+      spaces in the definition text rendered as numeric ``&#32;``
+      character references (the text-content NCR path).
+
+    All styles converge to the identical (term, definition) pairs, so
+    the oracle is plain SQL over ``part``."""
+    keys = batch.column("p_partkey").to_pylist()
+    brands = batch.column("p_brand").to_pylist()
+    types = batch.column("p_type").to_pylist()
+    sizes = batch.column("p_size").to_pylist()
+
+    docs = []
+    for k, br, ty, sz in zip(keys, brands, types, sizes):
+        pairs = [("brand", br), ("type", ty), ("size", str(int(sz)))]
+        style = k % 3
+        if style == 0:
+            body = "".join(f"<dt>{t}</dt><dd>{d}</dd>"
+                           for t, d in pairs)
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<dl id=\"p-{k}\">{body}</dl>"
+                "<dl><dt>orphan term</dt></dl>"
+                "</body></html>"
+            )
+        elif style == 1:
+            body = "".join(f"<dt>{t}<dd>{d}" for t, d in pairs)
+            docs.append(
+                f"<dl id=p-{k}>{body}</dl><dl></dl>"
+                "<dl><dt>orphan term</dl>"
+            )
+        else:
+            body = "".join(
+                f"<DT>{t}<DD><P>{d.replace(' ', '&#32;')}"
+                for t, d in pairs)
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<DL ID=\"p-{k}\">{body}</DL>"
+                "<DL><DT>orphan&#32;term</DL>"
+                "</BODY></HTML>"
+            )
+    out = pa.table({
+        "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+    return out
+
+
+class DlExtractUDF:
+    """Recover (p_partkey, term, definition) rows from each page: for
+    every keyed ``<dl>`` (id = "p-<k>"), pair each ``<dt>`` child with
+    the text of the next ``<dd>`` sibling before the following
+    ``<dt>``; a ``<dt>`` with no following ``<dd>`` (the decoy) emits
+    nothing. Correct pairing REQUIRES the implied dd/dt end tags —
+    if the parser nested the unclosed elements, every definition
+    would swallow the rest of the list."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, terms, defs = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "dl":
+                    key = node.attrs.get("id", "")
+                    if not key.startswith("p-"):
+                        continue
+                    k = int(key[2:])
+                    pend = None
+                    for kid in node.children:
+                        if not isinstance(kid, Element):
+                            continue
+                        if kid.name == "dt":
+                            pend = element_text(kid)
+                        elif kid.name == "dd" and pend is not None:
+                            keys.append(k)
+                            terms.append(pend)
+                            defs.append(element_text(kid))
+                            pend = None
+                    continue
+                stack.extend(reversed(node.children))
+        return pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "definition": pa.array(defs, pa.string()),
+        })
