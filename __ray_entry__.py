@@ -405,6 +405,57 @@ def _q_extract_dl(sf_dir: str):
                .reset_index(drop=True))
 
 
+def _q_extract_formatting(sf_dir: str):
+    """Adoption-agency round trip (hash-exact): each customer row
+    renders to a page whose text divides into bold-only / bold+italic
+    / italic-only / plain segments; two of the three markup styles are
+    MISNESTED (<b>A<i>B</b>C</i>), so the graded (bold_text,
+    italic_text, plain_text) triple is only correct if the adoption
+    agency algorithm reparented the split <i> (reference
+    TreeBuilder.cs AdoptionAgencyEndTag). Style 2 adds UPPERCASE and
+    numeric &#32; refs. Oracle = plain SQL concat over customer."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        FormattingExtractUDF, render_customer_formatting)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+    out = (ds.map_batches(render_customer_formatting,
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(FormattingExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+
+
+def _q_extract_foster(sf_dir: str):
+    """Foster-parenting round trip (hash-exact): each supplier row
+    renders to a page whose note text is written INSIDE the table
+    markup (before <tr>, or inside <TR> via pending table character
+    tokens) in two of three styles — the graded (fostered, cell) pair
+    is only correct if foster parenting relocated the note before the
+    table and the implied <tbody> fix-up ran (reference
+    TreeBuilder.cs foster paths). Oracle = plain SQL over supplier."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        FosterExtractUDF, render_supplier_fosters)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    out = (ds.map_batches(render_supplier_fosters,
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(FosterExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("s_suppkey").reset_index(drop=True))
+
+
 def _q_extract_images(sf_dir: str):
     """Image-text pair mining round trip (hash-exact): each part row
     renders to a page with exactly one <figure><img alt><figcaption>
@@ -2131,7 +2182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": r.q_docs_vocab_growth,
         "extract_images": _q_extract_images,
         "extract_dl": _q_extract_dl,
+        "extract_formatting": _q_extract_formatting,
+        "extract_foster": _q_extract_foster,
         "embeddings_outliers": r.q_embeddings_outliers,
+        "embeddings_calibration": r.q_embeddings_calibration,
         "extract_jsonld": _q_extract_jsonld,
         "part_modularity": r.q_part_modularity,
         "part_zorder": r.q_part_zorder,
@@ -8271,5 +8325,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(dist AS BIGINT) AS dist_k
         FROM r WHERE rn = 5
         ORDER BY dist_k DESC, vec_id LIMIT 20
+    """
+    sql["extract_formatting"] = """
+        -- adoption-agency round trip: misnested <b>A<i>B</b>C</i>
+        -- styles must classify text by formatting ancestry exactly
+        -- like the well-formed style — plain SQL concat over customer
+        SELECT c_custkey,
+               c_name || c_mktsegment AS bold_text,
+               c_mktsegment || 'nation '
+                   || CAST(c_nationkey AS VARCHAR) AS italic_text,
+               'plain ' || CAST(c_custkey AS VARCHAR) AS plain_text
+        FROM customer ORDER BY c_custkey
+    """
+    sql["extract_foster"] = """
+        -- foster-parenting round trip: note text written inside the
+        -- table markup must surface before the table in every style
+        SELECT s_suppkey,
+               'note ' || s_name AS fostered,
+               'acct ' || CAST(s_nationkey AS VARCHAR) AS cell
+        FROM supplier ORDER BY s_suppkey
+    """
+    sql["embeddings_calibration"] = """
+        -- calibration table of the nearest-centroid classifier:
+        -- margin = 2nd-best minus best squared centroid distance
+        -- (the nearest-centroid oracle's rn=1/rn=2), bucketed by bit
+        -- length (LENGTH(bin(m)) == Python int.bit_length for m > 0)
+        WITH u AS (
+            SELECT vec_id, label,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(CAST(sum(q) AS DOUBLE) / count(*) AS BIGINT)
+                       AS qc
+            FROM u WHERE vec_id % 2 = 0 GROUP BY label, dim
+        ), d AS (
+            SELECT t.vec_id, c.label,
+                   sum((t.q - c.qc) * (t.q - c.qc)) AS dist
+            FROM (SELECT * FROM u WHERE vec_id % 2 = 1) t
+            JOIN cent c USING (dim)
+            GROUP BY t.vec_id, c.label
+        ), r AS (
+            SELECT vec_id, label, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, label) AS rn
+            FROM d
+        ), m AS (
+            SELECT r1.vec_id, r1.label AS pred,
+                   r2.dist - r1.dist AS margin
+            FROM r r1 JOIN r r2
+              ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+        )
+        SELECT CAST(CASE WHEN m.margin = 0 THEN 0
+                         ELSE LENGTH(bin(m.margin)) END AS BIGINT)
+                   AS margin_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN e.label = m.pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM m JOIN embeddings e USING (vec_id)
+        GROUP BY 1 ORDER BY 1
     """
     return sql

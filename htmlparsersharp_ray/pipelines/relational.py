@@ -5551,6 +5551,7 @@ def _nc_predictions(sf_dir: str) -> pd.DataFrame:
                 "vec_id": pd.Series([], dtype="int64"),
                 "true_label": pd.Series([], dtype="int64"),
                 "pred_label": pd.Series([], dtype="int64"),
+                "margin": pd.Series([], dtype="int64"),
             })
         mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         vq = np.rint(mat * SCALE).astype(np.int64)
@@ -5558,15 +5559,21 @@ def _nc_predictions(sf_dir: str) -> pd.DataFrame:
         dist = np.einsum("ijk,ijk->ij", diff, diff)  # int64-exact
         # argmin takes the FIRST minimum; rows of qc are label-ascending
         pred = labels[np.argmin(dist, axis=1)]
+        if dist.shape[1] >= 2:
+            p2 = np.partition(dist, 1, axis=1)
+            margin = p2[:, 1] - p2[:, 0]   # 2nd-best minus best
+        else:
+            margin = np.zeros(len(vq), dtype=np.int64)
         return pd.DataFrame({
             "vec_id": b["vec_id"].to_numpy().astype(np.int64),
             "true_label": b["label"].to_numpy().astype(np.int64),
             "pred_label": pred.astype(np.int64),
+            "margin": margin.astype(np.int64),
         })
 
     out = ds.map_batches(classify, batch_format="pandas").to_pandas()
     return out.astype({"vec_id": "int64", "true_label": "int64",
-                       "pred_label": "int64"})
+                       "pred_label": "int64", "margin": "int64"})
 
 
 def q_embeddings_nearest_centroid(sf_dir: str):
@@ -13235,3 +13242,35 @@ def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
                              ascending=[False, True]).head(top))
     return (out.astype({"vec_id": "int64", "dist_k": "int64"})
             .reset_index(drop=True))
+
+
+def q_embeddings_calibration(sf_dir: str):
+    """CALIBRATION TABLE of the nearest-centroid classifier — the
+    "does a bigger margin mean a more reliable prediction" readout
+    (the reliability-diagram kernel behind confidence thresholds):
+    odd-vec_id predictions bucket by the BIT LENGTH of their integer
+    margin (2nd-best minus best squared centroid distance, exact on
+    the 2^20 grid), and each bucket reports integer (n, n_correct).
+    Monotone-increasing accuracy over margin_bin is the expected
+    shape; the table is what a pipeline reads to pick an
+    auto-accept threshold.
+
+    INTEGER-exact: margins come from `_nc_predictions` (multiset
+    second-minimum == the oracle's rn=2), bin = bit_length (mirrored
+    by LENGTH(bin(m)) in SQL, m=0 → 0). Scale shape: inherits the
+    classifier's ZERO exchanges; the fold is ≤64 bins driver-side."""
+    out = _nc_predictions(sf_dir)
+    if len(out) == 0:
+        return pd.DataFrame({
+            "margin_bin": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_correct": pd.Series([], dtype="int64"),
+        })
+    out = out.copy()
+    out["margin_bin"] = _bitlen64(out["margin"].to_numpy())
+    out["ok"] = (out["true_label"] == out["pred_label"]).astype("int64")
+    m = (out.groupby("margin_bin", as_index=False)
+         .agg(n=("ok", "size"), n_correct=("ok", "sum")))
+    return (m.astype({"margin_bin": "int64", "n": "int64",
+                      "n_correct": "int64"})
+            .sort_values("margin_bin").reset_index(drop=True))

@@ -1155,3 +1155,225 @@ class DlExtractUDF:
             "term": pa.array(terms, pa.string()),
             "definition": pa.array(defs, pa.string()),
         })
+
+
+def render_customer_formatting(batch: pa.Table) -> pa.Table:
+    """One HTML page per customer row whose text divides into four
+    segments by FORMATTING ANCESTRY — A bold-only, B bold+italic,
+    C italic-only, P plain — in one of three markup styles by
+    ``c_custkey % 3``:
+
+    - style 0: properly nested ``<b>A<i>B</i></b><i>C</i>P``.
+    - style 1: MISNESTED ``<b>A<i>B</b>C</i>P`` — recovering the
+      correct ancestry requires the ADOPTION AGENCY ALGORITHM (the
+      ``</b>`` must split the open ``<i>`` so B stays bold+italic
+      while C comes out italic-only; reference TreeBuilder.cs
+      AdoptionAgencyEndTag; engine html/treebuilder.py adoption
+      agency). A parser that simply popped to ``</b>`` would strip
+      C's italics; one that ignored the stray ``</b>`` would leave
+      C bold.
+    - style 2: the same misnesting in UPPERCASE with ``&#32;`` numeric
+      references for the spaces of C and P (text-content NCR path).
+
+    All styles converge to identical (bold_text, italic_text,
+    plain_text) triples, so the oracle is plain SQL concat over
+    ``customer``."""
+    keys = batch.column("c_custkey").to_pylist()
+    names = batch.column("c_name").to_pylist()
+    segs = batch.column("c_mktsegment").to_pylist()
+    nats = batch.column("c_nationkey").to_pylist()
+
+    docs = []
+    for k, nm, sg, nk in zip(keys, names, segs, nats):
+        a, b = nm, sg
+        c = f"nation {int(nk)}"
+        p = f"plain {int(k)}"
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<p id=\"c-{k}\"><b>{a}<i>{b}</i></b>"
+                f"<i>{c}</i>{p}</p>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<p id=c-{k}><b>{a}<i>{b}</b>{c}</i>{p}</p>"
+            )
+        else:
+            c32 = c.replace(" ", "&#32;")
+            p32 = p.replace(" ", "&#32;")
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<P ID=\"c-{k}\"><B>{a}<I>{b}</B>{c32}</I>{p32}</P>"
+                "</BODY></HTML>"
+            )
+    return pa.table({
+        "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class FormattingExtractUDF:
+    """Recover (c_custkey, bold_text, italic_text, plain_text) from
+    each page: concatenate the keyed ``<p>``'s descendant text nodes
+    by formatting ancestry (has-``<b>``-ancestor / has-``<i>``-
+    ancestor / neither), in document order. The misnested styles only
+    classify correctly if the adoption agency reparented the split
+    ``<i>`` — making AAA observable in the graded value."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element, Text
+        from ..html.parser import parse
+
+        keys, bolds, italics, plains = [], [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            target = None
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "p" \
+                        and node.attrs.get("id", "").startswith("c-"):
+                    target = node
+                    break
+                stack.extend(reversed(node.children))
+            if target is None:
+                continue
+            b_txt, i_txt, p_txt = [], [], []
+            walk = [(c, False, False)
+                    for c in reversed(target.children)]
+            while walk:
+                n, in_b, in_i = walk.pop()
+                if isinstance(n, Text):
+                    if in_b:
+                        b_txt.append(n.data)
+                    if in_i:
+                        i_txt.append(n.data)
+                    if not in_b and not in_i:
+                        p_txt.append(n.data)
+                    continue
+                nb = in_b or (isinstance(n, Element)
+                              and n.name == "b")
+                ni = in_i or (isinstance(n, Element)
+                              and n.name == "i")
+                walk.extend((c, nb, ni)
+                            for c in reversed(n.children))
+            keys.append(int(target.attrs["id"][2:]))
+            bolds.append("".join(b_txt))
+            italics.append("".join(i_txt))
+            plains.append("".join(p_txt))
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "bold_text": pa.array(bolds, pa.string()),
+            "italic_text": pa.array(italics, pa.string()),
+            "plain_text": pa.array(plains, pa.string()),
+        })
+
+
+def render_supplier_fosters(batch: pa.Table) -> pa.Table:
+    """One HTML page per supplier row with a keyed ``<table>`` and a
+    text note that must end up IMMEDIATELY BEFORE the table in the
+    body, in one of three markup styles by ``s_suppkey % 3``:
+
+    - style 0: the note written properly before the table (baseline).
+    - style 1: the note written INSIDE ``<table>`` before ``<tr>`` —
+      FOSTER PARENTING must relocate it before the table (reference
+      TreeBuilder.cs foster-parenting paths / pending table character
+      tokens; engine html/treebuilder.py foster machinery), and the
+      bare ``<tr>`` needs the implied ``<tbody>`` fix-up.
+    - style 2: the note written inside ``<TR>`` (pending table chars
+      flushed from IN_ROW), UPPERCASE, with ``&#32;`` refs for the
+      note's spaces.
+
+    All styles converge to the same (note before table, cell text)
+    pair, so the oracle is plain SQL over ``supplier``."""
+    keys = batch.column("s_suppkey").to_pylist()
+    names = batch.column("s_name").to_pylist()
+    nats = batch.column("s_nationkey").to_pylist()
+
+    docs = []
+    for k, nm, nk in zip(keys, names, nats):
+        note = f"note {nm}"
+        cell = f"acct {int(nk)}"
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"{note}<table id=\"t-{k}\"><tbody><tr>"
+                f"<td>{cell}</td></tr></tbody></table>"
+                "</body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<table id=t-{k}>{note}<tr><td>{cell}</table>"
+            )
+        else:
+            n32 = note.replace(" ", "&#32;")
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<TABLE ID=\"t-{k}\"><TR>{n32}<TD>{cell}</TABLE>"
+                "</BODY></HTML>"
+            )
+    return pa.table({
+        "s_suppkey": batch.column("s_suppkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class FosterExtractUDF:
+    """Recover (s_suppkey, fostered, cell) from each page: the keyed
+    table's preceding text siblings (concatenated) and its first
+    ``<td>``'s text. In the misplaced styles the note only lands
+    before the table if foster parenting ran."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element, Text
+        from ..html.parser import parse
+
+        keys, notes, cells = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            # find the keyed table and its parent by walking with
+            # an explicit parent pointer
+            stack = [(root, None)]
+            table, parent = None, None
+            while stack:
+                node, par = stack.pop()
+                if isinstance(node, Element) \
+                        and node.name == "table" \
+                        and node.attrs.get("id", "").startswith("t-"):
+                    table, parent = node, par
+                    break
+                stack.extend((c, node)
+                             for c in reversed(node.children))
+            if table is None:
+                continue
+            acc = []
+            for sib in parent.children:
+                if sib is table:
+                    break
+                if isinstance(sib, Text):
+                    acc.append(sib.data)
+            td_stack = [table]
+            cell = ""
+            while td_stack:
+                n = td_stack.pop()
+                if isinstance(n, Element) and n.name == "td":
+                    cell = element_text(n)
+                    break
+                td_stack.extend(reversed(n.children))
+            keys.append(int(table.attrs["id"][2:]))
+            notes.append("".join(acc))
+            cells.append(cell)
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "fostered": pa.array(notes, pa.string()),
+            "cell": pa.array(cells, pa.string()),
+        })
