@@ -456,6 +456,31 @@ def _q_extract_foster(sf_dir: str):
                .sort_values("s_suppkey").reset_index(drop=True))
 
 
+def _q_extract_svg(sf_dir: str):
+    """Foreign-content round trip (hash-exact): each part row renders
+    to a page with a keyed inline <svg> in three styles — all-lower
+    and all-UPPER styles only extract if the parser CASE-ADJUSTED the
+    foreign names (foreignObject / viewBox / textLength; reference
+    TreeBuilder.cs adjust tables); the <b> island inside foreignObject
+    grades the HTML integration point and style 2 the acknowledged
+    self-closing <circle/>. Oracle = plain SQL over part."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        SvgExtractUDF, render_part_svgs)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand", "p_size"],
+    )
+    out = (ds.map_batches(render_part_svgs, batch_format="pyarrow",
+                          batch_size=512)
+             .map_batches(SvgExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("p_partkey").reset_index(drop=True))
+
+
 def _q_extract_images(sf_dir: str):
     """Image-text pair mining round trip (hash-exact): each part row
     renders to a page with exactly one <figure><img alt><figcaption>
@@ -2184,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dl": _q_extract_dl,
         "extract_formatting": _q_extract_formatting,
         "extract_foster": _q_extract_foster,
+        "extract_svg": _q_extract_svg,
         "embeddings_outliers": r.q_embeddings_outliers,
         "embeddings_calibration": r.q_embeddings_calibration,
         "extract_jsonld": _q_extract_jsonld,
@@ -8386,5 +8412,17 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_correct
         FROM m JOIN embeddings e USING (vec_id)
         GROUP BY 1 ORDER BY 1
+    """
+    sql["extract_svg"] = """
+        -- foreign-content round trip: all three markup-case styles
+        -- must converge to the ADJUSTED camelCase names' values
+        SELECT p_partkey,
+               '0 0 ' || CAST(p_size AS VARCHAR) || ' '
+                   || CAST(p_size AS VARCHAR) AS viewbox,
+               p_brand AS island_text,
+               CAST(p_size AS VARCHAR) AS circle_r,
+               CAST(p_size AS VARCHAR) AS text_length,
+               p_name AS label
+        FROM part ORDER BY p_partkey
     """
     return sql

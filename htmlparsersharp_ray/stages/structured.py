@@ -1377,3 +1377,122 @@ class FosterExtractUDF:
             "fostered": pa.array(notes, pa.string()),
             "cell": pa.array(cells, pa.string()),
         })
+
+
+def render_part_svgs(batch: pa.Table) -> pa.Table:
+    """One HTML page per part row with a keyed inline ``<svg>`` figure
+    — foreignObject HTML island, self-closable circle, text label —
+    in one of three markup styles by ``p_partkey % 3``:
+
+    - style 0: ALL-LOWERCASE foreign tags and attributes
+      (``<foreignobject``, ``viewbox``, ``textlength``) — the parser
+      must CASE-ADJUST them to the SVG camelCase names (reference
+      TreeBuilder.cs adjust tables / ElementName & AttributeName
+      camelCase data; engine html/constants.py adjust maps), or the
+      extractor's ``attrs["viewBox"]`` lookups find nothing.
+    - style 1: ALL-UPPERCASE (same adjustment, opposite direction).
+    - style 2: spec-cased input with single-quoted attributes and an
+      ACKNOWLEDGED SELF-CLOSING ``<circle .../>`` (legal only in
+      foreign content — the HTML side treats ``/`` as a parse error).
+
+    The ``<b>`` island inside foreignObject exercises the HTML
+    INTEGRATION POINT (HTML rules resume inside it). All styles
+    converge, so the oracle is plain SQL over ``part``."""
+    keys = batch.column("p_partkey").to_pylist()
+    names = batch.column("p_name").to_pylist()
+    brands = batch.column("p_brand").to_pylist()
+    sizes = batch.column("p_size").to_pylist()
+
+    docs = []
+    for k, nm, br, sz in zip(keys, names, brands, sizes):
+        sz = int(sz)
+        vb = f"0 0 {sz} {sz}"
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<svg id=\"s-{k}\" viewbox=\"{vb}\">"
+                f"<foreignobject><b>{br}</b></foreignobject>"
+                f"<circle r=\"{sz}\"></circle>"
+                f"<text textlength=\"{sz}\">{nm}</text>"
+                "</svg></body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<SVG ID=\"s-{k}\" VIEWBOX=\"{vb}\">"
+                f"<FOREIGNOBJECT><B>{br}</B></FOREIGNOBJECT>"
+                f"<CIRCLE R=\"{sz}\"></CIRCLE>"
+                f"<TEXT TEXTLENGTH=\"{sz}\">{nm}</TEXT>"
+                "</SVG>"
+            )
+        else:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<svg id='s-{k}' viewBox='{vb}'>"
+                f"<foreignObject><b>{br}</b></foreignObject>"
+                f"<circle r='{sz}'/>"
+                f"<text textLength='{sz}'>{nm}</text>"
+                "</svg></body></html>"
+            )
+    return pa.table({
+        "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class SvgExtractUDF:
+    """Recover (p_partkey, viewbox, island_text, circle_r,
+    text_length, label) from each page via the ADJUSTED names only:
+    ``attrs["viewBox"]`` / ``attrs["textLength"]`` / the
+    ``foreignObject`` element name — lowercase/uppercase source styles
+    only extract if the foreign-content adjustment ran."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, vbs, islands, rs, tls, labels = [], [], [], [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            svg = None
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "svg" \
+                        and node.attrs.get("id", "").startswith("s-"):
+                    svg = node
+                    break
+                stack.extend(reversed(node.children))
+            if svg is None:
+                continue
+            vb, isl, rr, tl, lab = "", "", "", "", ""
+            for kid in svg.children:
+                if not isinstance(kid, Element):
+                    continue
+                if kid.name == "foreignObject":
+                    for b in kid.children:
+                        if isinstance(b, Element) and b.name == "b":
+                            isl = element_text(b)
+                elif kid.name == "circle":
+                    rr = kid.attrs.get("r", "")
+                elif kid.name == "text":
+                    tl = kid.attrs.get("textLength", "")
+                    lab = element_text(kid)
+            vb = svg.attrs.get("viewBox", "")
+            keys.append(int(svg.attrs["id"][2:]))
+            vbs.append(vb)
+            islands.append(isl)
+            rs.append(rr)
+            tls.append(tl)
+            labels.append(lab)
+        return pa.table({
+            "p_partkey": pa.array(keys, pa.int64()),
+            "viewbox": pa.array(vbs, pa.string()),
+            "island_text": pa.array(islands, pa.string()),
+            "circle_r": pa.array(rs, pa.string()),
+            "text_length": pa.array(tls, pa.string()),
+            "label": pa.array(labels, pa.string()),
+        })
