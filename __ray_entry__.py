@@ -1450,6 +1450,34 @@ def _q_docs_langid(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: (recorded lang, predicted lang,
+    n) integer counts over the whole corpus — the eval table that
+    makes the classifier's error structure visible (on the synthetic
+    corpus it also documents that documents.lang is decorative: text
+    does not vary by recorded language, so rows concentrate in the
+    predicted column). Scale shape: the per-doc predictions stay
+    distributed; per-batch (lang, pred) count partials bound the
+    exchange to |langs|² rows."""
+    import pandas as pd
+
+    from htmlparsersharp_ray.stages.text_analysis import langid
+
+    preds = langid(_docs(sf_dir))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["lang", "lang_pred"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = preds.map_batches(partial,
+                              batch_format="pandas").to_pandas()
+    out = (parts.groupby(["lang", "lang_pred"], as_index=False)
+           .agg(n=("n", "sum")))
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "lang_pred"])
+            .reset_index(drop=True))
+
+
 def _q_docs_chunk(sf_dir: str):
     """Context-window chunking (window 64, stride 48): the 1-to-N
     flat_map that fits documents into a model context."""
@@ -2144,6 +2172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk": _q_docs_chunk,
         "docs_chunk_dedup": _q_docs_chunk_dedup,
         "docs_langid": _q_docs_langid,
+        "docs_langid_confusion": _q_docs_langid_confusion,
+        "events_srm": r.q_events_srm,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_fingerprint_fast": _q_docs_fingerprint_fast,
         "docs_repetition": _q_docs_repetition,
@@ -8424,5 +8454,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(p_size AS VARCHAR) AS text_length,
                p_name AS label
         FROM part ORDER BY p_partkey
+    """
+    sql["docs_langid_confusion"] = """
+        -- language-ID confusion matrix: the docs_langid oracle's
+        -- prediction expression grouped against the recorded lang
+        WITH w AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(lower(text)),
+                                              '\\s+')
+                 END AS ws,
+                 regexp_matches(text, '[一-鿿]') AS has_cjk
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, has_cjk,
+            len(list_filter(ws, x -> list_contains(
+              ['der','die','das','und','ist','ein','zu','mit','auf','für'], x))) AS de,
+            len(list_filter(ws, x -> list_contains(
+              ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+            len(list_filter(ws, x -> list_contains(
+              ['el','la','los','y','de','un','una','es','para','en'], x))) AS es,
+            len(list_filter(ws, x -> list_contains(
+              ['le','la','les','et','de','un','une','est','pour','dans'], x))) AS fr
+          FROM w
+        ), p AS (
+          SELECT lang,
+            CASE WHEN has_cjk THEN 'zh'
+                 WHEN greatest(de, en, es, fr) = 0 THEN 'en'
+                 WHEN de = greatest(de, en, es, fr) THEN 'de'
+                 WHEN en = greatest(de, en, es, fr) THEN 'en'
+                 WHEN es = greatest(de, en, es, fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM c
+        )
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY lang, lang_pred
+        ORDER BY lang, lang_pred
+    """
+    sql["events_srm"] = """
+        -- sample-ratio-mismatch guardrail: distinct users per
+        -- user_id-parity cohort and the 50:50 chi-square as the pure
+        -- integer (n_a - n_b)^2 * 2^20 // n
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        c AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM u)
+        SELECT n_a, n_b,
+               CAST(CASE WHEN n_a + n_b = 0 THEN -1
+                         ELSE ((n_a - n_b) * (n_a - n_b) * 1048576)
+                              // (n_a + n_b) END AS BIGINT)
+                   AS srm_scaled
+        FROM c
     """
     return sql

@@ -13274,3 +13274,59 @@ def q_embeddings_calibration(sf_dir: str):
     return (m.astype({"margin_bin": "int64", "n": "int64",
                       "n_correct": "int64"})
             .sort_values("margin_bin").reset_index(drop=True))
+
+
+def q_events_srm(sf_dir: str):
+    """SAMPLE-RATIO-MISMATCH check for the A/B split — the guardrail
+    read BEFORE q_events_ab_test's effect readout (a skewed assignment
+    invalidates the experiment): distinct-user counts per cohort
+    (user_id parity) and the 50:50 chi-square statistic as the PURE
+    INTEGER ⌊(n_a − n_b)²·2^20 / n⌋ (one floored division over exact
+    counts — both sides compute the identical integer).
+
+    Scale shape: ONE user-hash exchange — a user owns one bucket, so
+    per-bucket distinct-parity counts are exact scalar partials."""
+    import numpy as np
+
+    from ..stages import hashing
+    from .joins import auto_buckets
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id"])
+    nb = auto_buckets(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["user_id"].to_numpy())
+        d = pd.DataFrame({"u": u})
+        d["ub"] = (hashing.mix64(u.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].drop_duplicates().to_numpy()
+        a = int((u % 2 == 0).sum())
+        return pd.DataFrame({"n_a": pd.Series([a], dtype="int64"),
+                             "n_b": pd.Series([len(u) - a],
+                                              dtype="int64")})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("ub").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype="int64"),
+            "n_b": pd.Series([0], dtype="int64"),
+            "srm_scaled": pd.Series([-1], dtype="int64"),
+        })
+    parts = _pysum_cols(parts, ["n_a", "n_b"])
+    na = sum(int(v) for v in parts["n_a"])
+    nbb = sum(int(v) for v in parts["n_b"])
+    n = na + nbb
+    srm = ((na - nbb) * (na - nbb) * (1 << 20)) // n if n else -1
+    if srm >= 1 << 62:
+        raise ValueError("events_srm int64 output bound exceeded")
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nbb], dtype="int64"),
+        "srm_scaled": pd.Series([srm], dtype="int64"),
+    })
