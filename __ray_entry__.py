@@ -7665,11 +7665,14 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT p_type, SUM(o) AS c FROM o GROUP BY 1),
         t AS (SELECT SUM(o) AS n FROM o),
         cell AS (
-            SELECT (o.o * t.n - r.r * c.c) * (o.o * t.n - r.r * c.c)
-                       AS num,
+            -- FULL r x c cross product: zero cells contribute
+            -- (r*c)^2/(n*r*c) (review fix)
+            SELECT (COALESCE(o.o, 0) * t.n - r.r * c.c)
+                   * (COALESCE(o.o, 0) * t.n - r.r * c.c) AS num,
                    t.n * r.r * c.c AS den
-            FROM o JOIN r USING (p_brand)
-                   JOIN c USING (p_type) CROSS JOIN t),
+            FROM r CROSS JOIN c CROSS JOIN t
+            LEFT JOIN o ON o.p_brand = r.p_brand
+                       AND o.p_type = c.p_type),
         f AS (
             SELECT (CAST(num // 4611686018427387904 AS DOUBLE)
                     * CAST(4611686018427387904 AS DOUBLE)

@@ -11705,6 +11705,31 @@ def q_events_levene(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True))
 
 
+def _daily_cents_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, day) exact-cents totals — the typed sibling of
+    :func:`_daily_cents`, shared by the Mann–Kendall and Theil–Sen
+    trend tests so the day/cents convention is defined ONCE. Returns a
+    merged frame with Python-int ``xc``."""
+    import numpy as np
+
+    us_per_day = np.int64(86_400_000_000)
+    ds = ray.data.read_parquet(_t(sf_dir, "events"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64) // us_per_day)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"t": b["event_type"], "day": day,
+                              "xc": cents})
+                .groupby(["t", "day"], as_index=False)["xc"].sum())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = _pysum_cols(parts, ["xc"])
+    return parts.groupby(["t", "day"], as_index=False).agg(
+        xc=("xc", "sum"))
+
+
 def q_events_mann_kendall(sf_dir: str):
     """MANN–KENDALL TREND TEST per event type over the daily-spend
     series — the monotonic-trend detector that completes the
@@ -11723,21 +11748,7 @@ def q_events_mann_kendall(sf_dir: str):
     safe) with one O(d²) numpy pass per type, d = observed days."""
     import numpy as np
 
-    us_per_day = np.int64(86_400_000_000)
-    ds = ray.data.read_parquet(_t(sf_dir, "events"),
-                               columns=["event_type", "ts", "value"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        day = (b["ts"].to_numpy(dtype="datetime64[us]")
-               .astype(np.int64) // us_per_day)
-        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
-        return (pd.DataFrame({"t": b["event_type"], "day": day,
-                              "xc": cents})
-                .groupby(["t", "day"], as_index=False)["xc"].sum())
-
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    parts = _pysum_cols(parts, ["xc"])
-    m = parts.groupby(["t", "day"], as_index=False).agg(xc=("xc", "sum"))
+    m = _daily_cents_by_type(sf_dir)
     rows = []
     for et, g in m.groupby("t"):
         g = g.sort_values("day")
@@ -11790,13 +11801,21 @@ def q_part_cramers_v(sf_dir: str):
     cc = {t: sum(g["c"]) for t, g in o.groupby("p_type")}
     n = sum(int(v) for v in o["c"])
     K = 1 << 20
+    obs_map = {(b, t): int(v)
+               for b, t, v in zip(o["p_brand"], o["p_type"], o["c"])}
     chisq_scaled = 0
-    for _, row in o.iterrows():
-        obs, rr, ccc = int(row["c"]), int(r[row["p_brand"]]), \
-            int(cc[row["p_type"]])
-        num = (obs * n - rr * ccc) ** 2
-        den = n * rr * ccc
-        chisq_scaled += math.floor(_h2d(num) / _h2d(den) * float(K))
+    # iterate the FULL r x c cross product: a zero cell still
+    # contributes (r*c)^2 / (n*r*c) = r*c/n to the chi-square
+    # (review fix — summing observed cells only understates V
+    # whenever a brand never sells a type)
+    for br in r:
+        for ty in cc:
+            obs = obs_map.get((br, ty), 0)
+            rr, ccc = int(r[br]), int(cc[ty])
+            num = (obs * n - rr * ccc) ** 2
+            den = n * rr * ccc
+            chisq_scaled += math.floor(_h2d(num) / _h2d(den)
+                                       * float(K))
     nr, nc = len(r), len(cc)
     mdim = min(nr - 1, nc - 1)
     v_scaled = math.floor(
@@ -11809,6 +11828,27 @@ def q_part_cramers_v(sf_dir: str):
         "chisq_scaled": pd.Series([chisq_scaled], dtype="int64"),
         "v_scaled": pd.Series([v_scaled], dtype="int64"),
     })
+
+
+def _source_term_partial(b: pd.DataFrame,
+                         n_buckets: int) -> pd.DataFrame:
+    """Per-batch (term-bucket, source, term, count) partial — the
+    corpus tokenization convention (fillna/strip/lower/whitespace
+    split), defined ONCE for the per-source term-census family
+    (Simpson index, unigram entropy)."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings64
+
+    text = b["text"].fillna("").str.strip().str.lower()
+    d = pd.DataFrame({"source": b["source"], "toks": text.str.split()})
+    d = d[text != ""]
+    e = d.explode("toks")
+    out = (e.groupby(["source", "toks"], as_index=False)
+           .size().rename(columns={"size": "c", "toks": "term"}))
+    out["tb"] = (hash_strings64(out["term"].to_numpy(dtype=object))
+                 % np.uint64(n_buckets)).astype(np.int64)
+    return out[["tb", "source", "term", "c"]]
 
 
 def q_docs_simpson(sf_dir: str, n_buckets: int = 64):
@@ -11828,25 +11868,11 @@ def q_docs_simpson(sf_dir: str, n_buckets: int = 64):
     STRINGS (the events_spearman fix) and the driver merges Python
     ints; only the final int64 OUTPUT is guarded with a loud
     ValueError."""
-    import numpy as np
-
-    from ..stages.hashing import hash_strings64
-
     docs = ray.data.read_parquet(_t(sf_dir, "documents"),
                                  columns=["source", "text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        text = b["text"].fillna("").str.strip().str.lower()
-        d = pd.DataFrame({"source": b["source"],
-                          "toks": text.str.split()})
-        d = d[text != ""]
-        e = d.explode("toks")
-        out = (e.groupby(["source", "toks"], as_index=False)
-               .size().rename(columns={"size": "c", "toks": "term"}))
-        out["tb"] = (hash_strings64(
-            out["term"].to_numpy(dtype=object))
-            % np.uint64(n_buckets)).astype(np.int64)
-        return out[["tb", "source", "term", "c"]]
+        return _source_term_partial(b, n_buckets)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         m = (g.groupby(["source", "term"], as_index=False)
@@ -11898,23 +11924,7 @@ def q_events_theilsen(sf_dir: str):
     the C(d,2) pairwise slopes live on the BOUNDED day axis (the
     Mann–Kendall argument). Types with < 2 observed days drop (no
     pairs — both sides)."""
-    import numpy as np
-
-    us_per_day = np.int64(86_400_000_000)
-    ds = ray.data.read_parquet(_t(sf_dir, "events"),
-                               columns=["event_type", "ts", "value"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        day = (b["ts"].to_numpy(dtype="datetime64[us]")
-               .astype(np.int64) // us_per_day)
-        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
-        return (pd.DataFrame({"t": b["event_type"], "day": day,
-                              "xc": cents})
-                .groupby(["t", "day"], as_index=False)["xc"].sum())
-
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    parts = _pysum_cols(parts, ["xc"])
-    m = parts.groupby(["t", "day"], as_index=False).agg(xc=("xc", "sum"))
+    m = _daily_cents_by_type(sf_dir)
     rows = []
     for et, g in m.groupby("t"):
         g = g.sort_values("day")
@@ -12068,6 +12078,14 @@ def q_embeddings_silhouette(sf_dir: str):
         })
 
     parts = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    # guard BEFORE the groupby: Ray's all-empty to_pandas() loses the
+    # columns, so an empty table would KeyError on "label"
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "s_scaled_sum": pd.Series([], dtype="int64"),
+        })
     agg = parts.groupby(["label", "dim"], as_index=False).agg(
         n=("n", "sum"), s=("s", "sum"))
     labels = np.sort(agg["label"].unique()).astype(np.int64)
@@ -12169,18 +12187,20 @@ def q_customer_lorenz(sf_dir: str):
     Σ_values c·(v·C_below − S_below) ×2 over the ordered value
     histogram, so no pair ever materializes.
 
-    Scale shape: (1) per-customer exact revenue inside ONE
-    custkey-hash exchange (a customer owns one bucket), emitted as a
-    (value, count) histogram; (2) value-RANGE buckets by high bits
-    (the events_ks_test discipline — a value owns one bucket) with
-    Python-int (C_below, S_below) offsets; each bucket folds its
-    distinct-value cells with EXACT Python ints (v·C products cross
-    int64 at whale scale — exactness over vectorization here; cells
-    are distinct VALUES, not rows) and emits one decimal-string
-    partial. int64 OUTPUT bound guarded loud."""
+    Scale shape (the events_kruskal discipline — the driver never
+    holds the value histogram): (1) per-customer exact revenue inside
+    ONE custkey-hash exchange (a customer owns one bucket), emitted as
+    (value, count) histogram partials; (2) value-RANGE buckets by high
+    bits (a value owns one bucket) fold their distinct-value cells
+    with EXACT Python ints against driver-held (C_below, S_below)
+    offsets (≤1024 scalars) and emit ONE decimal-string partial each
+    (v·C products cross int64 at whale scale — exactness over
+    vectorization; cells are distinct VALUES, not rows). int64 OUTPUT
+    bound guarded loud."""
     import numpy as np
 
     from ..stages import hashing
+    from ..stages.exchange import checkpoint
     from .joins import auto_buckets
 
     ds = ray.data.read_parquet(
@@ -12200,41 +12220,73 @@ def q_customer_lorenz(sf_dir: str):
         return (m.groupby("v", as_index=False).size()
                 .rename(columns={"size": "cnt"}))
 
-    hist = (ds.map_batches(partial, batch_format="pandas")
-            .groupby("ub").map_groups(per_customer,
-                                      batch_format="pandas")
-            .to_pandas())
-    if len(hist) == 0:
+    hist = checkpoint(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ub").map_groups(per_customer,
+                                  batch_format="pandas"))
+    max_v = hist.max("v")
+    if max_v is None:
         return pd.DataFrame({
             "n_customers": pd.Series([], dtype="int64"),
             "sum_cents": pd.Series([], dtype="int64"),
             "gini_num": pd.Series([], dtype="int64"),
         })
-    hist = _pysum_cols(hist, ["cnt"])
-    hist = hist.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
-    max_v = int(hist["v"].max())
-    shift = max(0, max_v.bit_length() - 10)
-    hist["rb"] = hist["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+    shift = max(0, int(max_v).bit_length() - 10)
 
-    # per-range-bucket totals -> exact running offsets (rb ascending
-    # == value ascending: a value owns one bucket)
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["v"].to_numpy(dtype=np.int64) >> np.int64(shift)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+        m["rb"] = g["rb"].iloc[0]
+        return m[["rb", "v", "cnt"]]
+
+    bucketed = checkpoint(
+        hist.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb").map_groups(merge_bucket,
+                                  batch_format="pandas"))
+
+    # per-range-bucket totals as decimal strings -> exact offsets
+    def rb_tot(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rb, g in b.groupby("rb"):
+            rows.append((int(rb),
+                         str(sum(int(x) for x in g["cnt"])),
+                         str(sum(int(v) * int(c)
+                                 for v, c in zip(g["v"], g["cnt"])))))
+        return pd.DataFrame(rows, columns=["rb", "n", "s"])
+
+    tot = (bucketed.map_batches(rb_tot, batch_format="pandas")
+           .to_pandas())
+    agg = {}
+    for _, row in tot.iterrows():
+        rb = int(row["rb"])
+        n0, s0 = agg.get(rb, (0, 0))
+        agg[rb] = (n0 + int(row["n"]), s0 + int(row["s"]))
     off_n, off_s, accn, accs = {}, {}, 0, 0
-    for rb in sorted(int(x) for x in hist["rb"].unique()):
-        g = hist[hist["rb"] == rb]
+    for rb in sorted(agg):
         off_n[rb] = accn
         off_s[rb] = accs
-        accn += sum(int(x) for x in g["cnt"])
-        accs += sum(int(v) * int(c) for v, c in zip(g["v"], g["cnt"]))
+        accn += agg[rb][0]
+        accs += agg[rb][1]
 
-    gini2 = 0  # sum over ordered pairs (i<j) of |vi - vj|
-    for rb, g in hist.groupby("rb"):
-        g = g.sort_values("v")
-        cb, sb = off_n[int(rb)], off_s[int(rb)]
-        for v, c in zip(g["v"], g["cnt"]):
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rb"].iloc[0])
+        m = g.sort_values("v")
+        cb, sb, part = off_n[rb], off_s[rb], 0
+        for v, c in zip(m["v"], m["cnt"]):
             v, c = int(v), int(c)
-            gini2 += c * (v * cb - sb)
+            part += c * (v * cb - sb)
             cb += c
             sb += v * c
+        return pd.DataFrame({"p": pd.Series([str(part)],
+                                            dtype="object")})
+
+    parts = (bucketed.groupby("rb")
+             .map_groups(finalize, batch_format="pandas").to_pandas())
+    gini2 = sum(int(v) for v in parts["p"])
     n, s = accn, accs
     gnum = 2 * gini2
     if max(s, gnum) >= 1 << 62:
@@ -12644,6 +12696,27 @@ def q_embeddings_cv(sf_dir: str, n_folds: int = 5):
             .sort_values("fold").reset_index(drop=True))
 
 
+def _check_exact_matmul(x, op_name: str) -> None:
+    """Guard for the float64-matmul-as-exact-integers trick (TwoNN /
+    kNN classifier / outlier kernels): squared distances are computed
+    as bn + rn - 2*(bx @ rx.T), which is exact ONLY while every
+    intermediate stays an integer-representable double. With d columns
+    and components bounded by M, dot partials reach d*M^2 and the
+    norm-sum intermediate 2*d*M^2 — so the requirement is
+    d*M^2 < 2^52 (the review-tightened bound; the old 2^24 component
+    cap admitted sums past 2^53 at d = 64, where ULP rounding would
+    silently break bitwise oracle equality)."""
+    import numpy as np
+
+    d = x.shape[1] if x.ndim == 2 else 1
+    m = float(np.abs(x).max(initial=0.0))
+    if d * m * m >= float(1 << 52):
+        raise ValueError(
+            f"{op_name}: component magnitude {m:.3g} at d={d} breaks "
+            "the exact-float64-matmul bound (d*M^2 < 2^52) — rescale "
+            "the fixed-point grid at this scale")
+
+
 def q_embeddings_twonn(sf_dir: str):
     """TWO-NN INTRINSIC DIMENSION statistic (Facco et al. 2017) — the
     manifold-dimension probe used to audit embedding quality before
@@ -12677,13 +12750,7 @@ def q_embeddings_twonn(sf_dir: str):
     ids = full["vec_id"].to_numpy(dtype=np.int64)
     x = np.rint(np.asarray(full["embedding"].tolist(),
                            dtype=np.float64) * SCALE)
-    # components <= ~2^21, so q*q*dims partial sums stay far below
-    # 2^53: the float64 matmul below is EXACT (every intermediate is
-    # an integer-representable double)
-    if np.abs(x).max(initial=0.0) > float(1 << 24):
-        raise ValueError(
-            "embeddings_twonn component magnitude breaks the exact-"
-            "float64-matmul bound — rescale the grid at this scale")
+    _check_exact_matmul(x, "embeddings_twonn")
     nrm = (x * x).sum(axis=1)
     ref = ray.put((ids, x, nrm))
 
@@ -12816,22 +12883,23 @@ def q_docs_unigram_entropy(sf_dir: str, n_buckets: int = 64):
     — the driver never sees a term-scale table."""
     import math
 
-    import numpy as np
-
-    from ..stages.hashing import hash_strings64
+    from ..stages.exchange import checkpoint
 
     docs = ray.data.read_parquet(_t(sf_dir, "documents"),
                                  columns=["source", "text"])
 
-    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
-        text = b["text"].fillna("").str.strip().str.lower()
-        d = pd.DataFrame({"source": b["source"],
-                          "toks": text.str.split()})
-        d = d[text != ""]
-        d["n"] = d["toks"].str.len()
-        return d.groupby("source", as_index=False)["n"].sum()
+    # ONE tokenization pass: the checkpointed term partials feed both
+    # the per-source totals and the entropy fold (review fix — the
+    # totals used to re-tokenize the whole corpus)
+    parts_ds = checkpoint(docs.map_batches(
+        lambda b: _source_term_partial(b, n_buckets),
+        batch_format="pandas"))
 
-    tot = docs.map_batches(tok_counts, batch_format="pandas").to_pandas()
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(n=("c", "sum"))
+
+    tot = (parts_ds.map_batches(tot_partial, batch_format="pandas")
+           .to_pandas())
     if len(tot) == 0:
         return pd.DataFrame({
             "source": pd.Series([], dtype="object"),
@@ -12842,19 +12910,6 @@ def q_docs_unigram_entropy(sf_dir: str, n_buckets: int = 64):
     tot = _pysum_cols(tot, ["n"])
     totals = {s: sum(int(v) for v in g["n"])
               for s, g in tot.groupby("source")}
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        text = b["text"].fillna("").str.strip().str.lower()
-        d = pd.DataFrame({"source": b["source"],
-                          "toks": text.str.split()})
-        d = d[text != ""]
-        e = d.explode("toks")
-        out = (e.groupby(["source", "toks"], as_index=False)
-               .size().rename(columns={"size": "c", "toks": "term"}))
-        out["tb"] = (hash_strings64(
-            out["term"].to_numpy(dtype=object))
-            % np.uint64(n_buckets)).astype(np.int64)
-        return out[["tb", "source", "term", "c"]]
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         m = (g.groupby(["source", "term"], as_index=False)
@@ -12871,8 +12926,8 @@ def q_docs_unigram_entropy(sf_dir: str, n_buckets: int = 64):
             rows.append((src, len(gs), str(h)))
         return pd.DataFrame(rows, columns=["source", "vocab", "h"])
 
-    parts = (docs.map_batches(partial, batch_format="pandas")
-             .groupby("tb").map_groups(fold, batch_format="pandas")
+    parts = (parts_ds.groupby("tb")
+             .map_groups(fold, batch_format="pandas")
              .to_pandas())
     rows = []
     for src, g in parts.groupby("source"):
@@ -12973,6 +13028,7 @@ def q_embeddings_knn_classifier(sf_dir: str, k: int = 5):
     t_lab = train["label"].to_numpy(dtype=np.int64)
     tx = np.rint(np.asarray(train["embedding"].tolist(),
                             dtype=np.float64) * SCALE)
+    _check_exact_matmul(tx, "embeddings_knn_classifier")
     tn = (tx * tx).sum(axis=1)
     ref = ray.put((t_ids, t_lab, tx, tn))
 
@@ -13213,6 +13269,7 @@ def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
     ids = full["vec_id"].to_numpy(dtype=np.int64)
     x = np.rint(np.asarray(full["embedding"].tolist(),
                            dtype=np.float64) * SCALE)
+    _check_exact_matmul(x, "embeddings_outliers")
     nrm = (x * x).sum(axis=1)
     ref = ray.put((ids, x, nrm))
 

@@ -205,18 +205,21 @@ class TestCramersV:
         assert int(out["n_rows"].iloc[0]) == 8
         assert int(out["n_brands"].iloc[0]) == 3
         assert int(out["n_types"].iloc[0]) == 2
-        # exact-Fraction chi-square; floored terms sit within len(cells)
+        # exact-Fraction chi-square over the FULL r x c cross product
+        # (zero cells contribute r*c/n); floored terms sit within
+        # n_cells flooring error
         n = 8
         obs = {}
         for b, ty in zip(brands, types):
             obs[(b, ty)] = obs.get((b, ty), 0) + 1
         rr = {b: brands.count(b) for b in set(brands)}
         cc = {ty: types.count(ty) for ty in set(types)}
-        chi = sum(Fraction((o * n - rr[b] * cc[ty]) ** 2,
+        chi = sum(Fraction((obs.get((b, ty), 0) * n
+                            - rr[b] * cc[ty]) ** 2,
                            n * rr[b] * cc[ty])
-                  for (b, ty), o in obs.items())
+                  for b in rr for ty in cc)
         got = int(out["chisq_scaled"].iloc[0]) / K
-        assert abs(got - float(chi)) < len(obs) / K + 1e-9
+        assert abs(got - float(chi)) < len(rr) * len(cc) / K + 1e-9
         v_true = float(chi / (n * 1)) ** 0.5
         assert abs(int(out["v_scaled"].iloc[0]) / K - v_true) < 1e-4
 

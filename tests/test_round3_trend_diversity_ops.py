@@ -287,3 +287,10 @@ class TestSilhouette:
         out = r.q_embeddings_silhouette(
             self._write(tmp_path, mat, [2] * 5))
         assert len(out) == 0
+
+    def test_empty_table_is_empty(self, tmp_path, ray_session):
+        # review regression: the all-empty to_pandas() loses columns,
+        # so the empty guard must run BEFORE the label/dim groupby
+        out = r.q_embeddings_silhouette(
+            self._write(tmp_path, np.zeros((0, 3)), []))
+        assert len(out) == 0
