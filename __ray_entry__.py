@@ -481,6 +481,31 @@ def _q_extract_svg(sf_dir: str):
                .sort_values("p_partkey").reset_index(drop=True))
 
 
+def _q_extract_template(sf_dir: str):
+    """<template> round trip (hash-exact): each order row renders to a
+    page with a visible keyed div and a keyed template whose contents
+    must live in the separate content DocumentFragment — template
+    written first (parses under <head>), in body, or UPPERCASE with a
+    NESTED decoy template whose contents must not leak into the outer
+    text. Puts the beyond-reference template machinery into the graded
+    oracle gate. Oracle = plain SQL over orders."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        TemplateExtractUDF, render_order_templates)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    out = (ds.map_batches(render_order_templates,
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(TemplateExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 4)))
+    return (out.to_pandas()
+               .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def _q_extract_images(sf_dir: str):
     """Image-text pair mining round trip (hash-exact): each part row
     renders to a page with exactly one <figure><img alt><figcaption>
@@ -2240,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_formatting": _q_extract_formatting,
         "extract_foster": _q_extract_foster,
         "extract_svg": _q_extract_svg,
+        "extract_template": _q_extract_template,
         "embeddings_outliers": r.q_embeddings_outliers,
         "embeddings_calibration": r.q_embeddings_calibration,
         "extract_jsonld": _q_extract_jsonld,
@@ -8457,6 +8483,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(p_size AS VARCHAR) AS text_length,
                p_name AS label
         FROM part ORDER BY p_partkey
+    """
+    sql["extract_template"] = """
+        -- template round trip: contents live in the separate
+        -- DocumentFragment (head-parsed, body, and nested-decoy
+        -- styles all converge)
+        SELECT o_orderkey,
+               'status ' || o_orderstatus AS visible,
+               'prio ' || o_orderpriority AS templated
+        FROM orders ORDER BY o_orderkey
     """
     sql["docs_langid_confusion"] = """
         -- language-ID confusion matrix: the docs_langid oracle's

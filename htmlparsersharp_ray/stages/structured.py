@@ -1496,3 +1496,96 @@ class SvgExtractUDF:
             "text_length": pa.array(tls, pa.string()),
             "label": pa.array(labels, pa.string()),
         })
+
+
+def render_order_templates(batch: pa.Table) -> pa.Table:
+    """One HTML page per order row with a VISIBLE keyed ``<div>`` and
+    a keyed ``<template>`` whose contents must land in the separate
+    template-contents DocumentFragment (never in body text), in one of
+    three markup styles by ``o_orderkey % 3``:
+
+    - style 0: div first, template in body.
+    - style 1: template FIRST — it parses in IN_HEAD, so the element
+      lives under ``<head>`` while the div lands in ``<body>`` (the
+      template-in-head path of the IN_TEMPLATE machinery).
+    - style 2: UPPERCASE, with a NESTED decoy ``<template>`` inside —
+      the decoy's contents belong to the INNER fragment, so the outer
+      template's text must not include them.
+
+    The template machinery is a BEYOND-REFERENCE feature (Validator.nu
+    1.3.1 predates ``<template>``); this query puts it into the graded
+    oracle gate. All styles converge, so the oracle is plain SQL over
+    ``orders``."""
+    keys = batch.column("o_orderkey").to_pylist()
+    stats = batch.column("o_orderstatus").to_pylist()
+    prios = batch.column("o_orderpriority").to_pylist()
+
+    docs = []
+    for k, st, pr in zip(keys, stats, prios):
+        vis = f"status {st}"
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<div id=\"v-{k}\">{vis}</div>"
+                f"<template id=\"t-{k}\"><p>prio <b>{pr}</b></p>"
+                "</template></body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<template id=t-{k}><p>prio <b>{pr}</b></p>"
+                f"</template><div id=v-{k}>{vis}</div>"
+            )
+        else:
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<TEMPLATE ID=\"t-{k}\"><P>prio <B>{pr}</B></P>"
+                "<TEMPLATE><P>decoy</P></TEMPLATE></TEMPLATE>"
+                f"<DIV ID=\"v-{k}\">{vis}</DIV>"
+                "</BODY></HTML>"
+            )
+    return pa.table({
+        "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class TemplateExtractUDF:
+    """Recover (o_orderkey, visible, templated) from each page: the
+    keyed div's text and the keyed template's CONTENT-fragment text.
+    ``element_text`` walks ``children`` only, so a nested template's
+    contents (which live in ITS ``content`` fragment) are excluded
+    automatically — exactly the WHATWG containment contract."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element, TemplateElement
+        from ..html.parser import parse
+
+        keys, vis, tmpl = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            div = tpl = None
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element):
+                    nid = node.attrs.get("id", "")
+                    if node.name == "div" and nid.startswith("v-"):
+                        div = node
+                    elif isinstance(node, TemplateElement) \
+                            and nid.startswith("t-"):
+                        tpl = node
+                stack.extend(node.children)
+            if div is None or tpl is None:
+                continue
+            keys.append(int(div.attrs["id"][2:]))
+            vis.append(element_text(div))
+            tmpl.append(element_text(tpl.content))
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "visible": pa.array(vis, pa.string()),
+            "templated": pa.array(tmpl, pa.string()),
+        })
