@@ -93,6 +93,20 @@ def read_transcripts_jsonl(path: str):
     return ds.map_batches(_normalize, batch_format="pyarrow")
 
 
+def read_transcripts_jsonl_gz(path: str):
+    """Transcripts from GZIP-compressed JSON-lines file(s)
+    (``.jsonl.gz`` — the shape web-crawl dumps actually ship in):
+    Arrow decompresses in the read task stream, so sharded ``.gz``
+    inputs parallelize per file exactly like plain JSONL (a single
+    giant ``.gz`` member is one task — shard crawl dumps as many
+    files, same rule as the CSV reader's newline note)."""
+    import ray.data
+
+    ds = ray.data.read_json(
+        path, arrow_open_stream_args={"compression": "gzip"})
+    return ds.map_batches(_normalize, batch_format="pyarrow")
+
+
 def read_html_dir(path: str):
     """Transcripts from a directory of raw ``.html`` files — the
     reference's own input mode (``Parse(path)``,
@@ -160,6 +174,33 @@ def write_transcripts_jsonl(table: pa.Table, out_dir: str,
             for rec in chunk.to_dict(orient="records"):
                 fh.write(json.dumps(rec, ensure_ascii=False))
                 fh.write("\n")
+    return out_dir
+
+
+def write_transcripts_jsonl_gz(table: pa.Table, out_dir: str,
+                               n_files: int = 4) -> str:
+    """Deterministic gzip JSONL shards (mtime pinned to 0 in the gzip
+    header so output bytes are content-only)."""
+    import gzip
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = table.to_pandas()
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    rows_per = (len(df) + n_files - 1) // n_files
+    for f in range(n_files):
+        lo = f * rows_per
+        if lo >= len(df):
+            break
+        chunk = df.iloc[lo:lo + rows_per]
+        dest = os.path.join(out_dir, f"part-{f:04d}.jsonl.gz")
+        with open(dest, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb",
+                               mtime=0) as fh:
+                for rec in chunk.to_dict(orient="records"):
+                    fh.write(json.dumps(rec, ensure_ascii=False)
+                             .encode("utf-8"))
+                    fh.write(b"\n")
     return out_dir
 
 

@@ -14,6 +14,7 @@ from htmlparsersharp_ray.sources.formats import (
     read_html_dir,
     read_transcripts_csv,
     read_transcripts_jsonl,
+    read_transcripts_jsonl_gz,
     write_html_dir,
     write_transcripts_csv,
     write_transcripts_jsonl,
@@ -198,12 +199,17 @@ class TestTorturePayloads:
                            pa.timestamp("us")),
         })
 
-    @pytest.mark.parametrize("kind", ["csv", "jsonl"])
+    @pytest.mark.parametrize("kind", ["csv", "jsonl", "jsonl_gz"])
     def test_exact_round_trip(self, ray_session, torture_table, tmp_path,
                               kind):
+        from htmlparsersharp_ray.sources.formats import (
+            write_transcripts_jsonl_gz)
+
         w, r = {
             "csv": (write_transcripts_csv, read_transcripts_csv),
             "jsonl": (write_transcripts_jsonl, read_transcripts_jsonl),
+            "jsonl_gz": (write_transcripts_jsonl_gz,
+                         read_transcripts_jsonl_gz),
         }[kind]
         w(torture_table, str(tmp_path / kind), n_files=2)
         got = (r(str(tmp_path / kind)).to_pandas()
