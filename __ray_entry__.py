@@ -2121,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_twonn": r.q_embeddings_twonn,
         "docs_source_novelty": r.q_docs_source_novelty,
         "customer_lorenz": r.q_customer_lorenz,
+        "part_gini_by_brand": r.q_part_gini_by_brand,
         "part_rich_club": r.q_part_rich_club,
         "docs_burstiness": r.q_docs_burstiness,
         "events_holt": r.q_events_holt,
@@ -8546,5 +8547,26 @@ def oracle_sql() -> dict[str, str]:
                               // (n_a + n_b) END AS BIGINT)
                    AS srm_scaled
         FROM c
+    """
+    sql["part_gini_by_brand"] = """
+        -- grouped Gini: per-brand price inequality as the pure
+        -- integer pairwise |diff| sum via the window identity
+        -- 2 * SUM(r * (2rn - n - 1)) within each brand partition
+        WITH rv AS (
+            SELECT p_brand,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS r
+            FROM part),
+        o AS (
+            SELECT p_brand, r,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                                      ORDER BY r) AS rn,
+                   COUNT(*) OVER (PARTITION BY p_brand) AS n
+            FROM rv)
+        SELECT p_brand AS brand,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS sum_cents,
+               CAST(2 * SUM(CAST(r AS HUGEINT) * (2 * rn - n - 1))
+                    AS BIGINT) AS gini_num
+        FROM o GROUP BY p_brand ORDER BY p_brand
     """
     return sql

@@ -13387,3 +13387,72 @@ def q_events_srm(sf_dir: str):
         "n_b": pd.Series([nbb], dtype="int64"),
         "srm_scaled": pd.Series([srm], dtype="int64"),
     })
+
+
+def q_part_gini_by_brand(sf_dir: str):
+    """GROUPED GINI — price inequality WITHIN each brand's catalog
+    (the grouped sibling of q_customer_lorenz: is a brand's line-up
+    uniformly priced or barbelled?): per brand the part count, exact
+    cents price sum, and gini_num = Σ_{i≠j}|p_i − p_j| over the
+    brand's retail prices — all PURE INTEGERS via the ordered
+    value-histogram identity (Σ c·(v·C_below − S_below) ×2), folded
+    per brand with exact Python ints.
+
+    Scale shape: per-batch (brand, cents) histogram partials complete
+    in ONE brand-hash groupby (a brand owns one group; the per-group
+    fold walks distinct VALUES, not rows); gini partials travel as
+    decimal strings (v·C crosses int64 at catalog scale), int64
+    output guarded loud."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(_t(sf_dir, "part"),
+                               columns=["p_brand", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["p_retailprice"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"brand": b["p_brand"], "v": cents})
+                .groupby(["brand", "v"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+             .sort_values("v"))
+        cb, sb, gini2, n, s = 0, 0, 0, 0, 0
+        for v, c in zip(m["v"], m["cnt"]):
+            v, c = int(v), int(c)
+            gini2 += c * (v * cb - sb)
+            cb += c
+            sb += v * c
+            n += c
+            s += v * c
+        return pd.DataFrame({
+            "brand": [g["brand"].iloc[0]],
+            "n": pd.Series([n], dtype="int64"),
+            "sum_cents": pd.Series([s], dtype="int64"),
+            "g2": pd.Series([str(gini2)], dtype="object"),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("brand").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "brand": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+            "gini_num": pd.Series([], dtype="int64"),
+        })
+    rows = []
+    for _, row in parts.iterrows():
+        gnum = 2 * int(row["g2"])
+        if max(gnum, int(row["sum_cents"])) >= 1 << 62:
+            raise ValueError(
+                "part_gini_by_brand int64 output bound exceeded — "
+                "ship gini_num as a decimal string at this scale")
+        rows.append((row["brand"], int(row["n"]),
+                     int(row["sum_cents"]), gnum))
+    return (pd.DataFrame(rows, columns=["brand", "n", "sum_cents",
+                                        "gini_num"])
+            .astype({"n": "int64", "sum_cents": "int64",
+                     "gini_num": "int64"})
+            .sort_values("brand").reset_index(drop=True))

@@ -212,3 +212,48 @@ class TestBurstiness:
         terms = set(out["term"])
         assert {"hot", "cold"} <= terms
         assert "w29" in terms and "w30" not in terms
+
+
+class TestGiniByBrand:
+    def test_bruteforce_per_brand(self, tmp_path, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        brands = [f"b{i % 4}" for i in range(80)]
+        prices = [round(float(rng.uniform(1, 200)), 2)
+                  for _ in range(80)]
+        t = pa.table({
+            "p_partkey": pa.array(range(80), pa.int64()),
+            "p_name": pa.array(["p"] * 80),
+            "p_brand": pa.array(brands),
+            "p_type": pa.array(["t"] * 80),
+            "p_size": pa.array([1] * 80, pa.int32()),
+            "p_retailprice": pa.array(prices),
+        })
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, str(tmp_path / "part.parquet"),
+                       row_group_size=7)
+        out = r.q_part_gini_by_brand(str(tmp_path))
+        by = {}
+        for b, p in zip(brands, prices):
+            by.setdefault(b, []).append(round(p * 100))
+        for _, row in out.iterrows():
+            vs = by[row["brand"]]
+            want = sum(abs(a - b2) for a in vs for b2 in vs)
+            assert int(row["n"]) == len(vs)
+            assert int(row["sum_cents"]) == sum(vs)
+            assert int(row["gini_num"]) == want
+
+    def test_uniform_brand_zero(self, tmp_path, ray_session):
+        t = pa.table({
+            "p_partkey": pa.array(range(4), pa.int64()),
+            "p_name": pa.array(["p"] * 4),
+            "p_brand": pa.array(["b"] * 4),
+            "p_type": pa.array(["t"] * 4),
+            "p_size": pa.array([1] * 4, pa.int32()),
+            "p_retailprice": pa.array([9.99] * 4),
+        })
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        out = r.q_part_gini_by_brand(str(tmp_path))
+        assert int(out["gini_num"].iloc[0]) == 0
