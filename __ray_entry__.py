@@ -2113,6 +2113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": r.q_events_changepoint,
         "part_four_cycles": r.q_part_four_cycles,
         "events_forecast_eval": r.q_events_forecast_eval,
+        "events_seasonality_strength": r.q_events_seasonality_strength,
+        "events_weekday_anova": r.q_events_weekday_anova,
         "part_brand_jaccard": r.q_part_brand_jaccard,
         "docs_unigram_entropy": r.q_docs_unigram_entropy,
         "embeddings_knn_classifier": r.q_embeddings_knn_classifier,
@@ -8568,5 +8570,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * SUM(CAST(r AS HUGEINT) * (2 * rn - n - 1))
                     AS BIGINT) AS gini_num
         FROM o GROUP BY p_brand ORDER BY p_brand
+    """
+    sql["events_seasonality_strength"] = """
+        -- seasonality-strength moments over days with a t-7 partner:
+        -- exact integer series and residual moments (strength
+        -- 1 - Var(r)/Var(x) is the reader's arithmetic)
+        WITH d AS (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1),
+        p AS (
+            SELECT a.xc AS x, a.xc - b.xc AS r
+            FROM d a JOIN d b ON b.day = a.day - 7)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sum_x,
+               CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sumsq_x,
+               CAST(COALESCE(SUM(r), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(SUM(r * r), 0) AS BIGINT) AS sumsq_r
+        FROM p
+    """
+    sql["events_weekday_anova"] = """
+        -- weekday-effect ANOVA over daily totals: the events_anova
+        -- floored-F construction with day-of-week groups (dow =
+        -- (epoch_days + 4) % 7, the events_chisq convention)
+        WITH d AS (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1),
+        g AS (
+            SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(xc AS HUGEINT)) AS HUGEINT) AS s,
+                   CAST(SUM(CAST(xc AS HUGEINT)
+                            * CAST(xc AS HUGEINT)) AS HUGEINT) AS q
+            FROM d GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(q) AS q,
+                       COUNT(*) AS k
+                FROM g),
+        aa AS (SELECT SUM((s * s * 1048576) // n) AS a FROM g),
+        f AS (SELECT GREATEST(aa.a - (t.s * t.s * 1048576) // t.n,
+                              0) AS ssb_k,
+                     t.q * 1048576 - aa.a AS ssw_k,
+                     t.n AS n, t.k AS k
+              FROM aa, tot t)
+        SELECT g.dow,
+               CAST(g.n AS BIGINT) AS n_days,
+               CAST(g.s AS BIGINT) AS sum_cents,
+               CAST(f.k - 1 AS BIGINT) AS df1,
+               CAST(f.n - f.k AS BIGINT) AS df2,
+               CAST(CASE WHEN f.k < 2 OR f.n <= f.k OR f.ssw_k <= 0
+                         THEN -1
+                         ELSE (f.ssb_k * (f.n - f.k) * 1048576)
+                              // (f.ssw_k * (f.k - 1))
+                    END AS BIGINT) AS f_scaled
+        FROM g, f ORDER BY g.dow
     """
     return sql

@@ -13456,3 +13456,82 @@ def q_part_gini_by_brand(sf_dir: str):
             .astype({"n": "int64", "sum_cents": "int64",
                      "gini_num": "int64"})
             .sort_values("brand").reset_index(drop=True))
+
+
+def q_events_seasonality_strength(sf_dir: str):
+    """SEASONALITY-STRENGTH moments of the daily-spend series: over
+    the days where day−7 is observed, the exact integer moments of the
+    series (Σx, Σx²) and of the seasonal-naive residual r = x_t −
+    x_{t−7} (Σr, Σr²) — strength 1 − Var(r)/Var(x) is the reader's
+    arithmetic away, every reported number is an integer (the STL-less
+    seasonality screen read before committing to a seasonal model).
+
+    Scale shape: day totals are decomposable exact-cents partials; the
+    lag-7 pairing and moments run over the BOUNDED day axis with
+    Python ints."""
+    m = _daily_cents(sf_dir)
+    totals = {int(d): int(c) for d, c in zip(m["day"], m["xc"])}
+    n = sx = sxx = sr = srr = 0
+    for d in sorted(totals):
+        if d - 7 in totals:
+            x = totals[d]
+            rr = x - totals[d - 7]
+            n += 1
+            sx += x
+            sxx += x * x
+            sr += rr
+            srr += rr * rr
+    if max(abs(v) for v in (sx, sxx, sr, srr)) >= 1 << 62 \
+            if n else False:
+        raise ValueError(
+            "events_seasonality_strength int64 output bound exceeded")
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "sum_x": pd.Series([sx], dtype="int64"),
+        "sumsq_x": pd.Series([sxx], dtype="int64"),
+        "sum_r": pd.Series([sr], dtype="int64"),
+        "sumsq_r": pd.Series([srr], dtype="int64"),
+    })
+
+
+def q_events_weekday_anova(sf_dir: str):
+    """WEEKDAY-EFFECT ANOVA: one-way F of the daily-spend totals
+    across day-of-week groups — the significance TEST behind the
+    seasonality-strength ratio (is the weekly pattern real or
+    noise?). Day totals are the observations, dow = (epoch_days+4)%7
+    (the events_chisq convention), and F comes from the shared
+    `_floored_f_stat` fixed-point construction — a pure integer both
+    sides compute identically.
+
+    Scale shape: day totals are decomposable exact-cents partials;
+    the 7-group moment fold runs over the BOUNDED day axis."""
+    m = _daily_cents(sf_dir)
+    groups = {}
+    for d, c in zip(m["day"], m["xc"]):
+        dow = (int(d) + 4) % 7
+        n0, s0, q0 = groups.get(dow, (0, 0, 0))
+        x = int(c)
+        groups[dow] = (n0 + 1, s0 + x, q0 + x * x)
+    if not groups:
+        return pd.DataFrame({
+            "dow": pd.Series([], dtype="int64"),
+            "n_days": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+            "df1": pd.Series([], dtype="int64"),
+            "df2": pd.Series([], dtype="int64"),
+            "f_scaled": pd.Series([], dtype="int64"),
+        })
+    df1, df2, f_sc = _floored_f_stat(
+        [groups[k] for k in sorted(groups)])
+    rows = []
+    for dow in sorted(groups):
+        nt, s, _ = groups[dow]
+        if max(abs(s), abs(f_sc)) >= 1 << 62:
+            raise ValueError(
+                "events_weekday_anova int64 output bound exceeded")
+        rows.append((dow, nt, s, df1, df2, f_sc))
+    return (pd.DataFrame(rows, columns=["dow", "n_days", "sum_cents",
+                                        "df1", "df2", "f_scaled"])
+            .astype({"dow": "int64", "n_days": "int64",
+                     "sum_cents": "int64", "df1": "int64",
+                     "df2": "int64", "f_scaled": "int64"}))

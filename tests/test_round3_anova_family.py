@@ -278,3 +278,59 @@ class TestConfusion:
         # separable-ish clusters: diagonal dominates
         diag = conf[conf["true_label"] == conf["pred_label"]]["n"].sum()
         assert diag > conf["n"].sum() * 0.7
+
+
+class TestSeasonalityOps:
+    def _write_days(self, tmp_path, day_vals):
+        rows = [(i, d, v) for i, (d, v) in enumerate(day_vals)]
+        DAY_US = 86_400_000_000
+        t = pa.table({
+            "event_id": pa.array([x[0] for x in rows], pa.int64()),
+            "ts": pa.array([x[1] * DAY_US + 7_000_000
+                            for x in rows], pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([float(x[2]) for x in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_strength_reference(self, tmp_path, ray_session):
+        # period-7 series plus noise on one day
+        vals = [float((d % 7) + 1) for d in range(21)]
+        vals[10] += 5.0
+        sf = self._write_days(tmp_path / "x",
+                              [(d, v) for d, v in enumerate(vals)])
+        out = r.q_events_seasonality_strength(sf)
+        cents = [round(v * 100) for v in vals]
+        n = sx = sxx = sr = srr = 0
+        for d in range(7, 21):
+            x, rr = cents[d], cents[d] - cents[d - 7]
+            n += 1
+            sx += x
+            sxx += x * x
+            sr += rr
+            srr += rr * rr
+        got = out.iloc[0]
+        assert (int(got["n_days"]), int(got["sum_x"]),
+                int(got["sumsq_x"]), int(got["sum_r"]),
+                int(got["sumsq_r"])) == (n, sx, sxx, sr, srr)
+        # pure periodic part has tiny residual variance vs series
+        assert srr < sxx
+
+    def test_weekday_anova_strong_effect(self, tmp_path, ray_session):
+        # 4 weeks, weekday-determined totals -> zero within-group
+        # variance -> degenerate -1 sentinel
+        day_vals = [(d, float((d % 7) * 10 + 1)) for d in range(28)]
+        out = r.q_events_weekday_anova(
+            self._write_days(tmp_path / "w", day_vals))
+        assert len(out) == 7
+        assert int(out["f_scaled"].iloc[0]) == -1  # ssw == 0
+        # jittered totals -> huge but finite F
+        day_vals = [(d, float((d % 7) * 10 + 1 + (d % 3) * 0.01))
+                    for d in range(28)]
+        out = r.q_events_weekday_anova(
+            self._write_days(tmp_path / "w2", day_vals))
+        assert int(out["f_scaled"].iloc[0]) > (1 << 20) * 100

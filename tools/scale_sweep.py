@@ -1055,6 +1055,39 @@ def main() -> int:
 
     run("silhouette_1m", silhouette_1m)
 
+    def synth_parts_10m(d="/tmp/graft_sweep_parts10m", n=10_000_000,
+                        n_brands=25):
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(23)
+            cents = (rng.pareto(1.5, n) * 5_000).astype(np.int64) + 100
+            pq.write_table(pa.table({
+                "p_brand": pa.array(
+                    [f"Brand#{i % n_brands:02d}"
+                     for i in rng.integers(0, n_brands, n)]),
+                "p_retailprice": cents / 100.0,
+            }), os.path.join(d, "part.parquet"),
+                row_group_size=1 << 19)
+            open(marker, "w").write("ok")
+        return d
+
+    def gini_by_brand_10m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_part_gini_by_brand)
+
+        return q_part_gini_by_brand(synth_parts_10m())
+
+    run("gini_by_brand_10m", gini_by_brand_10m)
+
+    def four_cycles_8m():
+        from htmlparsersharp_ray.pipelines.relational import (
+            q_part_four_cycles)
+
+        return q_part_four_cycles(synth_baskets())
+
+    run("four_cycles_8m", four_cycles_8m)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
