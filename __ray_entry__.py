@@ -481,6 +481,29 @@ def _q_extract_svg(sf_dir: str):
                .sort_values("p_partkey").reset_index(drop=True))
 
 
+def _q_extract_ruby(sf_dir: str):
+    """Ruby-annotation round trip (hash-exact): keyed <ruby> with
+    rb/rt pairs in three styles — two write NO close tags, so the
+    graded (base, anno) pair requires the ruby implied-end-tag group
+    (distinct from dd/dt; reference TreeBuilder.cs rt/rp handling).
+    Oracle = plain SQL over nation."""
+    import ray.data
+
+    from htmlparsersharp_ray.stages.structured import (
+        RubyExtractUDF, render_nation_rubies)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    out = (ds.map_batches(render_nation_rubies,
+                          batch_format="pyarrow", batch_size=512)
+             .map_batches(RubyExtractUDF, batch_format="pyarrow",
+                          concurrency=(1, 2)))
+    return (out.to_pandas()
+               .sort_values("n_nationkey").reset_index(drop=True))
+
+
 def _q_extract_template(sf_dir: str):
     """<template> round trip (hash-exact): each order row renders to a
     page with a visible keyed div and a keyed template whose contents
@@ -2269,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_foster": _q_extract_foster,
         "extract_svg": _q_extract_svg,
         "extract_template": _q_extract_template,
+        "extract_ruby": _q_extract_ruby,
         "embeddings_outliers": r.q_embeddings_outliers,
         "embeddings_calibration": r.q_embeddings_calibration,
         "extract_jsonld": _q_extract_jsonld,
@@ -8486,6 +8510,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(p_size AS VARCHAR) AS text_length,
                p_name AS label
         FROM part ORDER BY p_partkey
+    """
+    sql["extract_ruby"] = """
+        -- ruby round trip: the implied rb/rt end-tag styles converge
+        -- to the identical (base, anno) pair per nation
+        SELECT n_nationkey,
+               n_name AS base,
+               'reg ' || CAST(n_regionkey AS VARCHAR) AS anno
+        FROM nation ORDER BY n_nationkey
     """
     sql["extract_template"] = """
         -- template round trip: contents live in the separate

@@ -1589,3 +1589,87 @@ class TemplateExtractUDF:
             "visible": pa.array(vis, pa.string()),
             "templated": pa.array(tmpl, pa.string()),
         })
+
+
+def render_nation_rubies(batch: pa.Table) -> pa.Table:
+    """One HTML page per nation row with a keyed ``<ruby>`` annotation
+    (rb base + rt annotation) in one of three markup styles by
+    ``n_nationkey % 3``: fully closed; NO ``</rb>``/``</rt>`` (the
+    ruby implied-end-tag group — ``<rt>`` must imply the open
+    ``<rb>``'s close and ``</ruby>`` the open ``<rt>``'s; a DIFFERENT
+    spec group than dd/dt — reference TreeBuilder.cs rt/rp handling);
+    UPPERCASE unclosed with an ``&#32;`` NCR. All styles converge."""
+    keys = batch.column("n_nationkey").to_pylist()
+    names = batch.column("n_name").to_pylist()
+    regs = batch.column("n_regionkey").to_pylist()
+
+    docs = []
+    for k, nm, rk in zip(keys, names, regs):
+        anno = f"reg {int(rk)}"
+        style = k % 3
+        if style == 0:
+            docs.append(
+                "<!DOCTYPE html><html><body>"
+                f"<ruby id=\"r-{k}\"><rb>{nm}</rb>"
+                f"<rt>{anno}</rt></ruby></body></html>"
+            )
+        elif style == 1:
+            docs.append(
+                f"<ruby id=r-{k}><rb>{nm}<rt>{anno}</ruby>"
+            )
+        else:
+            a32 = anno.replace(" ", "&#32;")
+            docs.append(
+                "<!DOCTYPE html><HTML><BODY>"
+                f"<RUBY ID=\"r-{k}\"><RB>{nm}<RT>{a32}</RUBY>"
+                "</BODY></HTML>"
+            )
+    return pa.table({
+        "n_nationkey": batch.column("n_nationkey").cast(pa.int64()),
+        "html": pa.array(docs, pa.string()),
+    })
+
+
+class RubyExtractUDF:
+    """Recover (n_nationkey, base, anno) from each page: the keyed
+    ruby's ``<rb>`` child text and ``<rt>`` child text — SIBLINGS only
+    if the ruby implied end tags ran (a parser nesting the unclosed
+    ``<rb>`` would swallow the annotation into the base)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..html.dom import Element
+        from ..html.parser import parse
+
+        keys, bases, annos = [], [], []
+        for html in batch.column("html").to_pylist():
+            root = parse(html).root
+            stack = [root]
+            ruby = None
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element) and node.name == "ruby" \
+                        and node.attrs.get("id", "").startswith("r-"):
+                    ruby = node
+                    break
+                stack.extend(reversed(node.children))
+            if ruby is None:
+                continue
+            base = anno = ""
+            for kid in ruby.children:
+                if not isinstance(kid, Element):
+                    continue
+                if kid.name == "rb":
+                    base = element_text(kid)
+                elif kid.name == "rt":
+                    anno = element_text(kid)
+            keys.append(int(ruby.attrs["id"][2:]))
+            bases.append(base)
+            annos.append(anno)
+        return pa.table({
+            "n_nationkey": pa.array(keys, pa.int64()),
+            "base": pa.array(bases, pa.string()),
+            "anno": pa.array(annos, pa.string()),
+        })

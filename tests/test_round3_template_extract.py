@@ -66,3 +66,40 @@ class TestExtractTemplate:
                 break
             stack.extend(n.children)
         assert element_text(outer.content) == "keep"
+
+
+class TestExtractRuby:
+    def test_all_styles_converge(self, ray_session):
+        from htmlparsersharp_ray.stages.structured import (
+            RubyExtractUDF, render_nation_rubies)
+
+        t = pa.table({
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["JAPAN"] * 3),
+            "n_regionkey": pa.array([2] * 3, pa.int32()),
+        })
+        out = RubyExtractUDF()(render_nation_rubies(t)).to_pandas()
+        assert len(out) == 3
+        for _, row in out.iterrows():
+            assert row["base"] == "JAPAN"
+            assert row["anno"] == "reg 2"
+
+    def test_implied_ends_make_siblings(self):
+        from htmlparsersharp_ray.html.dom import Element
+        from htmlparsersharp_ray.html.parser import parse
+        from htmlparsersharp_ray.stages.structured import element_text
+
+        root = parse("<ruby id=r-1><rb>base<rt>anno</ruby>").root
+        stack, ruby = [root], None
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element) and n.name == "ruby":
+                ruby = n
+                break
+            stack.extend(n.children)
+        kids = [c.name for c in ruby.children
+                if isinstance(c, Element)]
+        assert kids == ["rb", "rt"]
+        texts = [element_text(c) for c in ruby.children
+                 if isinstance(c, Element)]
+        assert texts == ["base", "anno"]
