@@ -80,7 +80,8 @@ class Tokenizer:
     """One tokenizer instance per parse (cheap; tables are module-level)."""
 
     __slots__ = ("sink", "state", "expected_end_tag", "last_start_tag",
-                 "errors", "mark", "error_offsets")
+                 "errors", "mark", "error_offsets",
+                 "script_sub", "script_dash")
 
     def __init__(self, sink):
         self.sink = sink
@@ -88,6 +89,15 @@ class Tokenizer:
         self.expected_end_tag = None  # for RCDATA/RAWTEXT/SCRIPT_DATA
         self.last_start_tag = None
         self.errors = 0
+        # script-data escape sub-state, held on the INSTANCE (not local
+        # to _script_data) so a chunked feed (html/feed.py) can suspend
+        # mid-script-content and resume in the next buffer with the
+        # escape level intact (reference: Tokenizer.cs keeps its state
+        # field across tokenizeBuffer calls, Tokenizer.cs:1303-1365).
+        # sub: 0 = plain, 1 = escaped, 2 = double-escaped;
+        # dash: consecutive '-' count (for '-->' detection).
+        self.script_sub = 0
+        self.script_dash = 0
         # OPTIONAL positional error reporting (reference: ILocator /
         # TaintableLocator, Core/Locator.cs / TaintableLocator.cs —
         # VERDICT r2 "missing" item 2). ``mark`` tracks the character
@@ -104,6 +114,8 @@ class Tokenizer:
     def set_content_model(self, state: int, expected_end_tag: str | None):
         self.state = state
         self.expected_end_tag = expected_end_tag
+        self.script_sub = 0
+        self.script_dash = 0
 
     def error(self):
         self.errors += 1
@@ -113,9 +125,17 @@ class Tokenizer:
     # -- main loop ---------------------------------------------------------
     def run(self, text: str):
         """Tokenize a complete (preprocessed) document string."""
+        self.run_span(text, 0, len(text))
+        self.sink.eof()
+
+    def run_span(self, text: str, pos: int, n: int):
+        """Tokenize ``text[pos:n]`` WITHOUT firing EOF — the resumable
+        inner loop the chunked feed (html/feed.py) drives. The feed
+        guarantees no construct straddles ``n`` (its scanner holds
+        incomplete constructs back), so the per-sub-parser EOF paths
+        never fire spuriously; ``run`` passes the full string and lets
+        them implement the genuine EOF matrix."""
         sink = self.sink
-        n = len(text)
-        pos = 0
         while pos < n:
             state = self.state
             if state == DATA:
@@ -135,7 +155,6 @@ class Tokenizer:
                 if data:
                     sink.characters(data)
                 pos = n
-        sink.eof()
 
     # -- DATA ---------------------------------------------------------------
     def _data(self, text, pos, n):
@@ -927,9 +946,12 @@ class Tokenizer:
         (reference: Tokenizer.cs:4272-5025)."""
         sink = self.sink
         self.mark = pos
-        # sub-state: 0 = plain, 1 = escaped, 2 = double-escaped
-        sub = 0
-        dash_run = 0  # consecutive '-' seen (for --> detection)
+        # sub-state: 0 = plain, 1 = escaped, 2 = double-escaped — held on
+        # the instance so a chunked feed resumes mid-script with escape
+        # level and dash run intact; locals for loop speed, written back
+        # at every exit.
+        sub = self.script_sub
+        dash_run = self.script_dash
         while pos < n:
             c = text[pos]
             if c == "<":
@@ -937,6 +959,7 @@ class Tokenizer:
                     if text.startswith("</", pos):
                         result = self._appropriate_end_tag(text, pos + 2, n)
                         if result is not None:
+                            self.script_sub = self.script_dash = 0
                             return result
                         sink.characters("<")
                         pos += 1
@@ -956,6 +979,7 @@ class Tokenizer:
                                 and (m.end() >= n or text[m.end()] in "\t\n\f />"):
                             result = self._appropriate_end_tag(text, pos + 2, n)
                             if result is not None:
+                                self.script_sub = self.script_dash = 0
                                 return result
                         sink.characters("<")
                         pos += 1
@@ -1012,7 +1036,11 @@ class Tokenizer:
                     pos += 1
                 dash_run = 0
             if self.state != SCRIPT_DATA:
+                # state switched via set_content_model, which already
+                # reset the instance sub-state — do not clobber it
                 return pos
+        self.script_sub = sub
+        self.script_dash = dash_run
         return pos
 
 

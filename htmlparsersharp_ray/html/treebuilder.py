@@ -129,6 +129,11 @@ class TreeBuilder:
         self.ignore_next_lf = False
         self.errors = 0
         self.token_count = 0  # tokens received (reference: metrics per north_star)
+        # text RUN coalescing for the count: consecutive characters()
+        # calls are one token, so the metric is invariant to how the
+        # tokenizer (or the chunked feed, html/feed.py) splits a run
+        self._prev_text = False
+        self._run_errs = None
         self.tokenizer = None  # set by parser
         self.fragment_ctx = None  # context Element for fragment parsing
         self.done = False
@@ -564,6 +569,7 @@ class TreeBuilder:
     # ================== token sink interface ===============================
     def doctype(self, name, public_id, system_id, force_quirks):
         self.token_count += 1
+        self._prev_text = False
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
@@ -623,6 +629,7 @@ class TreeBuilder:
 
     def comment(self, data):
         self.token_count += 1
+        self._prev_text = False
         self.ignore_next_lf = False
         if self.ignore_comments:
             if self.mode == IN_TABLE_TEXT:
@@ -644,8 +651,24 @@ class TreeBuilder:
                 parent.insert_before(node, ref)
 
     # -- characters ----------------------------------------------------------
+    def _run_error(self, key):
+        """Parse error fired at most ONCE per coalesced text run —
+        keeps error counts invariant to how the tokenizer or the
+        chunked feed (html/feed.py) splits a text run into
+        characters() calls (the whole-string tokenizer emits one
+        error per run at these sites)."""
+        s = self._run_errs
+        if s is None:
+            s = self._run_errs = set()
+        if key not in s:
+            s.add(key)
+            self.error()
+
     def characters(self, data):
-        self.token_count += 1
+        if not self._prev_text:
+            self.token_count += 1
+            self._prev_text = True
+            self._run_errs = None
         if self.ignore_next_lf:
             self.ignore_next_lf = False
             if data.startswith("\n"):
@@ -660,7 +683,7 @@ class TreeBuilder:
                 or is_html_integration_point(acn.name, acn.namespace, acn.attrs)
             ):
                 if "\x00" in data:
-                    self.error()
+                    self._run_error("nul")
                     data = data.replace("\x00", "�")
                 stripped = data.strip(_WS)
                 if stripped:
@@ -675,7 +698,7 @@ class TreeBuilder:
             if (mode == IN_BODY or mode == IN_CAPTION or mode == IN_CELL
                     or mode == IN_TEMPLATE):
                 if "\x00" in data:
-                    self.error()
+                    self._run_error("nul")
                     data = data.replace("\x00", "")
                     if not data:
                         return
@@ -695,7 +718,7 @@ class TreeBuilder:
                     self.mode = IN_TABLE_TEXT
                     continue
                 # anything else: foster-parent via in-body rules
-                self.error()
+                self._run_error("foster")
                 self.foster = True
                 self._reconstruct_afe()
                 self._insert_text(data.replace("\x00", ""))
@@ -705,7 +728,7 @@ class TreeBuilder:
                 return
             if mode == IN_TABLE_TEXT:
                 if "\x00" in data:
-                    self.error()
+                    self._run_error("nul")
                     data = data.replace("\x00", "")
                 if data:
                     self.pending_table_text.append(data)
@@ -754,11 +777,11 @@ class TreeBuilder:
                     self.open.pop()
                     self.mode = IN_TABLE
                     continue
-                self.error()
+                self._run_error("colgroup-text")
                 return  # ignore (fragment case)
             if mode in (IN_SELECT, IN_SELECT_IN_TABLE):
                 if "\x00" in data:
-                    self.error()
+                    self._run_error("nul")
                     data = data.replace("\x00", "")
                 if data:
                     self._insert_text(data)
@@ -780,7 +803,7 @@ class TreeBuilder:
                 if ws:
                     self._insert_text(ws)
                 if len(ws) != len(data):
-                    self.error()
+                    self._run_error("frameset-text")
                 return
             return  # unreachable
 
@@ -804,6 +827,7 @@ class TreeBuilder:
     # -- start tags ----------------------------------------------------------
     def start_tag(self, name, attrs, self_closing):
         self.token_count += 1
+        self._prev_text = False
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
@@ -1657,6 +1681,7 @@ class TreeBuilder:
     # -- end tags ------------------------------------------------------------
     def end_tag(self, name):
         self.token_count += 1
+        self._prev_text = False
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()

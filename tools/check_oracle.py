@@ -48,6 +48,24 @@ def compare(name, ray_df, sql_df):
         b = sql_df[rc].sort_values(rc).reset_index(drop=True)
         for col in rc:
             av, bv = a[col], b[col]
+            # DTYPE-EXACT (VERDICT r3 item 1): the driver hashes values
+            # dtype-sensitively (int64 5 != float64 5.0), so a dtype
+            # divergence the old float-cast compare masked IS a driver
+            # hash failure.  Exception: datetime64 unit width ([us] vs
+            # [ns]) — DuckDB's .df() emits [us], pandas-native engine
+            # results emit [ns]; r3 driver runs hash-passed timestamp
+            # queries across that split, so units compare by value.
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            if av.dtype != bv.dtype and not (ak == "M" and bk == "M"):
+                problems.append(
+                    f"dtype {col}: ray={av.dtype} sql={bv.dtype}")
+                continue
+            if ak == "M":
+                x = av.astype("datetime64[ns]")
+                y = bv.astype("datetime64[ns]")
+                if not ((x == y) | (x.isna() & y.isna())).all():
+                    problems.append(f"col {col} differs (datetime)")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 # BIT-exact: the driver hashes exact values, so the local
                 # gate must not pass anything the driver would fail.
