@@ -13091,6 +13091,12 @@ def q_embeddings_knn_classifier(sf_dir: str, k: int = 5):
 
         @staticmethod
         def _decode(t: pa.Table):
+            # a fully-filtered block can arrive empty with a BARE schema
+            # (Ray emits schema-less empty RefBundles) — guard before
+            # any column access
+            if t.num_rows == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty((0, 1)), np.empty(0))
             ids_ = t.column("vec_id").to_numpy(zero_copy_only=False)
             labs_ = t.column("label").to_numpy(
                 zero_copy_only=False).astype(np.int64)
