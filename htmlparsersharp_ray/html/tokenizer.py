@@ -81,7 +81,7 @@ class Tokenizer:
 
     __slots__ = ("sink", "state", "expected_end_tag", "last_start_tag",
                  "errors", "mark", "error_offsets",
-                 "script_sub", "script_dash")
+                 "script_sub", "script_dash", "_plaintext_nul")
 
     def __init__(self, sink):
         self.sink = sink
@@ -98,6 +98,10 @@ class Tokenizer:
         # dash: consecutive '-' count (for '-->' detection).
         self.script_sub = 0
         self.script_dash = 0
+        # PLAINTEXT is terminal, so the whole remainder is ONE text run:
+        # a whole-string parse fires the NUL error at most once — the
+        # flag keeps a chunked feed (html/feed.py) count-identical
+        self._plaintext_nul = False
         # OPTIONAL positional error reporting (reference: ILocator /
         # TaintableLocator, Core/Locator.cs / TaintableLocator.cs —
         # VERDICT r2 "missing" item 2). ``mark`` tracks the character
@@ -150,7 +154,9 @@ class Tokenizer:
                 self.mark = pos
                 data = text[pos:n]
                 if "\x00" in data:
-                    self.error()
+                    if not self._plaintext_nul:
+                        self._plaintext_nul = True
+                        self.error()
                     data = data.replace("\x00", "�")
                 if data:
                     sink.characters(data)
