@@ -249,7 +249,11 @@ class _Scanner:
         """Classify '<!' at ``i``. Returns (end | None, yield_now)."""
         if text.startswith("<!--", i):
             e1 = text.find("-->", i + 2, n)
-            e2 = text.find("--!>", i + 4, n)
+            # a '--!>' ending matters only if it ends BEFORE the '-->'
+            # end, so bound its search window by e1 — an unbounded
+            # second scan made dense-comment buffers quadratic
+            e2 = text.find("--!>", i + 4,
+                           n if e1 == -1 else min(n, e1 + 4))
             ends = [x for x in (e1 + 3 if e1 != -1 else None,
                                 e2 + 4 if e2 != -1 else None)
                     if x is not None]
