@@ -2909,9 +2909,11 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN part ON l_partkey = p_partkey
         """,
         "lineitem_disjunctive": """
-            -- TPC-H Q19 shape: disjunctive multi-clause predicate join
-            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l_discount AS DECIMAL(3,2))))
+            -- TPC-H Q19 shape: disjunctive multi-clause predicate join.
+            -- COALESCE: at tiny sf the predicate can match 0 rows —
+            -- the engine emits 0.0, not NULL/NaN (ADVICE-r3 family)
+            SELECT CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))), 0)
                         AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem JOIN part ON l_partkey = p_partkey
