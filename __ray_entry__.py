@@ -176,6 +176,58 @@ def _q_extract_links(sf_dir: str):
     return out.sort_values("href").reset_index(drop=True)
 
 
+def _q_extract_nav_links(sf_dir: str):
+    """GRADED link-graph extraction (the value-exact companion to the
+    rows-only transcripts `extract_links`): each nation row renders to
+    a deliberately-messy HTML document with a formulaic link layout
+    (`/region/<r>` in nav + content, `/nation/<k>` in content +
+    footer; three markup styles incl. unquoted hrefs and implied
+    `</p>`), the REAL HTML5 parser extracts every `<a href>` with its
+    nav/footer ancestry flag, and the per-href aggregate inverts the
+    render — so the oracle is plain SQL over `nation` (the
+    extract_tables round-trip trick applied to the link graph).
+    Exercises: attribute quoting styles, anchor-descendant text walk,
+    boilerplate-ancestry classification, 1→N flat-map + partial
+    aggregation."""
+    import pandas as pd
+
+    import ray.data
+    from htmlparsersharp_ray.stages.parse_stage import (
+        LinkExtractUDF, render_nation_links)
+
+    def to_turns(t):
+        import pyarrow as _pa
+        html = render_nation_links(t)
+        n = html.num_rows
+        return _pa.table({
+            "conv_id": _pa.array([f"n{i}" for i in range(n)]),
+            "turn_idx": _pa.array([0] * n, _pa.int64()),
+            "text": html.column("html"),
+        })
+
+    links = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name", "n_regionkey"])
+        .map_batches(to_turns, batch_format="pyarrow")
+        .map_batches(LinkExtractUDF, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 2))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("href", as_index=False).agg(
+            n_links=("href", "size"),
+            n_content=("in_content", "sum"))
+        g["n_content"] = g["n_content"].astype("int64")
+        return g
+
+    parts = links.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("href", as_index=False).agg(
+        n_links=("n_links", "sum"), n_content=("n_content", "sum"))
+    out = out.astype({"n_links": "int64", "n_content": "int64"})
+    return out.sort_values("href").reset_index(drop=True)
+
+
 def _q_extract_tables(sf_dir: str):
     """HTML-table round trip (structured-data extraction, hash-exact):
     the ``part`` table renders to deliberately-messy HTML documents
@@ -2293,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": _q_extract_turns,
         "turns_curate": _q_turns_curate,
         "extract_links": _q_extract_links,
+        "extract_nav_links": _q_extract_nav_links,
         "extract_tables": _q_extract_tables,
         "extract_meta": _q_extract_meta,
         "extract_markdown": _q_extract_markdown,
@@ -8663,6 +8716,44 @@ def oracle_sql() -> dict[str, str]:
                n_name AS base,
                'reg ' || CAST(n_regionkey AS VARCHAR) AS anno
         FROM nation ORDER BY n_nationkey
+    """
+    sql["extract_nav_links"] = """
+        -- link-graph round trip: the rendered per-nation documents
+        -- place /nation/<k> once in content + once in the footer and
+        -- /region/<r> once in the nav + once in content, so the
+        -- per-href (n_links, n_content) aggregate inverts the render
+        SELECT href, CAST(n_links AS BIGINT) AS n_links,
+               CAST(n_content AS BIGINT) AS n_content
+        FROM (
+            SELECT '/nation/' || CAST(n_nationkey AS VARCHAR) AS href,
+                   2 AS n_links, 1 AS n_content
+            FROM nation
+            UNION ALL
+            SELECT '/region/' || CAST(n_regionkey AS VARCHAR) AS href,
+                   2 * count(*) AS n_links, count(*) AS n_content
+            FROM nation GROUP BY n_regionkey
+        ) ORDER BY href
+    """
+    sql["media_meta"] = """
+        -- header-scan round trip: the synthetic media table is
+        -- formulaic (even media_id: 8x8 PPM image, 203 payload bytes;
+        -- odd: 16 kHz / 256-sample PCM16 WAV, 556 bytes), so the
+        -- header-only metadata the engine parses out of the real
+        -- binary payloads is re-derivable from the generator spec
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(CASE WHEN i % 2 = 0 THEN 8 ELSE 0 END AS BIGINT)
+                   AS width,
+               CAST(CASE WHEN i % 2 = 0 THEN 8 ELSE 0 END AS BIGINT)
+                   AS height,
+               CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE 16000 END AS BIGINT)
+                   AS sample_rate,
+               CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE 256 END AS BIGINT)
+                   AS n_samples,
+               CAST(CASE WHEN i % 2 = 0 THEN 203 ELSE 556 END AS BIGINT)
+                   AS payload_bytes
+        FROM (SELECT unnest(generate_series(0, 199)) AS i)
+        ORDER BY media_id
     """
     sql["extract_template"] = """
         -- template round trip: contents live in the separate

@@ -252,6 +252,42 @@ class LinkExtractUDF:
         })
 
 
+def render_nation_links(batch: pa.Table) -> pa.Table:
+    """Render ONE link-bearing HTML document per nation row, messy on
+    purpose (markup style keyed on ``n_nationkey % 3``: clean quoted,
+    unquoted href + implied ``</p>``, single-quoted + nested inline
+    markup inside the anchor text) so link extraction exercises the real
+    parser's attribute and recovery machinery. Link layout per doc is
+    FORMULAIC — ``/nation/<key>`` once in content and once in the
+    footer, ``/region/<key>`` once in the nav and once in content — so
+    the per-href aggregate is re-derivable by plain SQL over ``nation``
+    (the extract_tables round-trip trick applied to the link graph)."""
+    keys = batch.column("n_nationkey").to_pylist()
+    names = batch.column("n_name").to_pylist()
+    regions = batch.column("n_regionkey").to_pylist()
+    docs = []
+    for k, nm, r in zip(keys, names, regions):
+        style = k % 3
+        if style == 0:
+            body = (f'<p>See <a href="/nation/{k}">{nm}</a> and '
+                    f'<a href="/region/{r}">region</a>.</p>')
+        elif style == 1:
+            body = (f"<p>See <a href=/nation/{k}>{nm}</a> and "
+                    f"<a href=/region/{r}>region</a>")
+        else:
+            body = (f"<p>See <a class=x href='/nation/{k}'>"
+                    f"<b>{nm}</b> profile</a> and "
+                    f"<a href='/region/{r}'><i>region</i></a>.")
+        docs.append(
+            "<!DOCTYPE html><html><body>"
+            f'<nav><a href="/region/{r}">r</a></nav>'
+            + body
+            + f'<footer><a href="/nation/{k}">foot</a></footer>'
+            "</body></html>"
+        )
+    return pa.table({"html": pa.array(docs, pa.string())})
+
+
 # --- HTML table round trip (structured-data extraction) ---------------------
 
 _TABLE_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
