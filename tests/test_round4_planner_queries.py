@@ -94,6 +94,36 @@ def test_join_broadcast_falls_back_to_shuffle(ray_session):
     pd.testing.assert_frame_equal(demo, shuffled)
 
 
+def test_orders_semi_falls_back_to_shuffle(ray_session):
+    demo = r.q_orders_semi(SF)
+    shuffled = r.q_orders_semi(SF, broadcast_threshold_bytes=1)
+    pd.testing.assert_frame_equal(demo, shuffled)
+
+
+def test_region_nation_share_same_on_shuffle_path(
+    ray_session, tiny_broadcast_cap
+):
+    shuffled = r.q_region_nation_share(SF)
+    assert tiny_broadcast_cap["hash"] >= 1
+    assert tiny_broadcast_cap["broadcast"] == 0
+    assert (shuffled["share_in_region"] > 0).all()
+    # shares within a region sum to 1 (exact-cents construction)
+    import numpy as np
+
+    for _, g in shuffled.groupby("n_regionkey"):
+        assert abs(g["share_in_region"].sum() - 1.0) < 1e-9
+
+
+def test_part_brand_itemsets_same_on_shuffle_path(
+    ray_session, tiny_broadcast_cap
+):
+    shuffled = r.q_part_brand_itemsets(SF, min_support=1)
+    assert tiny_broadcast_cap["hash"] >= 1
+    assert tiny_broadcast_cap["broadcast"] == 0
+    assert (shuffled["b1"] < shuffled["b2"]).all()
+    assert (shuffled["b2"] < shuffled["b3"]).all()
+
+
 def test_topk_per_group_same_on_shuffle_path(ray_session, tiny_broadcast_cap):
     shuffled = r.q_topk_per_group(SF)
     assert tiny_broadcast_cap["hash"] >= 1
