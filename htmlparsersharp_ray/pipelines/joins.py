@@ -436,6 +436,53 @@ def broadcast_join(
     )
 
 
+def gated_keyset_filter(
+    left: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    left_on: str,
+    key_col: str,
+    how: str = "semi",
+    size_hint_ds: ray.data.Dataset | None = None,
+    broadcast_threshold_bytes: int = 64 << 20,
+) -> ray.data.Dataset:
+    """Semi/anti filter of ``left`` against a DERIVED key set (a
+    filtered/deduped projection of some base table). Derived datasets
+    lose parquet metadata, so the broadcast gate reads the size of
+    ``size_hint_ds`` — the base table whose size upper-bounds the key
+    set (pass the pre-transform read). Under the cap the sorted unique
+    key array ships once via ray.put (EXISTS semantics: null left keys
+    never match a semi, are kept by an anti — matching hash_join);
+    beyond it, or when no size is knowable, the bucketed shuffle
+    semi/anti join runs. The round-4 planner rule: no driver-built
+    array may grow with table scale ungated."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"gated_keyset_filter: how={how!r}")
+    hint = size_hint_ds if size_hint_ds is not None else keys_ds
+    try:
+        hint_bytes = hint.size_bytes()
+    except Exception:
+        hint_bytes = None
+    if hint_bytes is None or hint_bytes > broadcast_threshold_bytes:
+        return hash_join(left, keys_ds, left_on, key_col, how)
+    keys = np.sort(pd.unique(keys_ds.to_pandas()[key_col].dropna()))
+    keys_ref = ray.put(keys)
+    keep_match = how == "semi"
+
+    class KeyFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            vals = b[left_on]
+            hit = vals.isin(self.keys).to_numpy()
+            if keep_match:
+                return b[hit & vals.notna().to_numpy()]
+            return b[~hit]
+
+    return left.map_batches(KeyFilter, batch_format="pandas",
+                            concurrency=(1, 4))
+
+
 def join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

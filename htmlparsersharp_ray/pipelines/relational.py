@@ -1111,13 +1111,16 @@ def q_segment_status_pivot(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-def q_customer_anti(sf_dir: str):
-    """Broadcast ANTI-join (NOT EXISTS): customers with no order since
-    2000-01-01. The active-customer key set builds distributedly
-    (per-batch unique partials — bounded by |customer|, not |orders|),
-    ships once via ray.put, and each customer batch filters with a
-    vectorized isin negation. No shuffle; the mirror of q_orders_semi."""
-    import numpy as np
+def q_customer_anti(sf_dir: str,
+                    broadcast_threshold_bytes: int = 64 << 20):
+    """ANTI-join (NOT EXISTS): customers with no order since 2000-01-01.
+    The active-customer key set builds distributedly (per-batch unique
+    partials — bounded by |customer|, not |orders|) and attaches via the
+    gated key-set filter (round 4, the VERDICT r3 item-2 pattern):
+    broadcast while the CUSTOMER base table's parquet metadata — the
+    upper bound on the key-set size — stays under the 64 MB cap,
+    bucketed shuffle anti-join beyond. The mirror of q_orders_semi."""
+    from .joins import gated_keyset_filter
 
     cutoff = pd.Timestamp("2000-01-01")
 
@@ -1126,30 +1129,17 @@ def q_customer_anti(sf_dir: str):
         keys = pc.unique(t.column("o_custkey"))
         return pa.table({"o_custkey": keys})
 
-    active = (
-        ray.data.read_parquet(
-            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
-        )
-        .map_batches(active_partial, batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
-        .unique()
+    active = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).map_batches(active_partial, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
     )
-    keys_ref = ray.put(np.sort(active.astype("int64")))
-
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[~np.isin(b["c_custkey"].to_numpy(), self.keys)]
-
-    out = (
-        ray.data.read_parquet(
-            _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
-        )
-        .map_batches(AntiFilter, batch_format="pandas", concurrency=(1, 2))
-        .to_pandas()
-    )
+    out = gated_keyset_filter(
+        cust, active, "c_custkey", "o_custkey", how="anti",
+        size_hint_ds=cust,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+    ).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -6169,60 +6159,89 @@ def q_nation_volume(sf_dir: str):
             .reset_index(drop=True))
 
 
-def q_promo_revenue(sf_dir: str):
+def q_promo_revenue(sf_dir: str,
+                    broadcast_threshold_bytes: int = 64 << 20):
     """TPC-H Q14 shape (promotion effect): percentage of one month's
-    revenue from PROMO-type parts. Broadcast semi-attach: the promo
-    partkey set ships once via ray.put as a SORTED int64 array (binary
-    search per batch, no hash table build per task); revenue accumulates
-    in exact scaled int64 with per-batch partials, and the percentage is
-    ONE float division mirrored bit-for-bit by the oracle. At part-table
-    scales where even the key subset won't broadcast, the same query
-    runs through joins.hash_join — the broadcast threshold is the
-    planner rule in joins.join()."""
+    revenue from PROMO-type parts. Revenue accumulates in exact scaled
+    int64 with per-batch partials, and the percentage is ONE float
+    division mirrored bit-for-bit by the oracle.
+
+    Size-aware (round 4): while the PART base table's parquet metadata
+    stays under the 64 MB cap, the promo partkey set ships once via
+    ray.put as a SORTED int64 array (binary search per batch, no hash
+    table build per task); beyond it the query degrades to the
+    bucketed shuffle join and reads the promo flag off the joined
+    p_type column — no driver-built array grows with scale."""
     import numpy as np
 
     lo = pd.Timestamp("1995-09-01")
     hi = pd.Timestamp("1995-10-01")
 
-    promo = ray.data.read_parquet(
+    part_ds = ray.data.read_parquet(
         _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t.column("p_type"), pa.scalar("PROMO")))
-        .select(["p_partkey"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    promo_ref = ray.put(np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+    )
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    try:
+        part_bytes = part_ds.size_bytes()
+    except Exception:
+        part_bytes = None
 
-    class Partial:
-        def __init__(self):
-            self.promo = ray.get(promo_ref)
+    def _rev(b: pd.DataFrame) -> np.ndarray:
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pr_c * (100 - di_c)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+    if part_bytes is not None and part_bytes <= broadcast_threshold_bytes:
+        promo = part_ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("p_type"), pa.scalar("PROMO"))
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        promo_ref = ray.put(
+            np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+
+        class Partial:
+            def __init__(self):
+                self.promo = ray.get(promo_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+                rev = _rev(b)
+                pk = b["l_partkey"].to_numpy(dtype=np.int64)
+                if len(self.promo) == 0:
+                    is_promo = np.zeros(len(b), dtype=bool)
+                else:
+                    pos = np.minimum(np.searchsorted(self.promo, pk),
+                                     len(self.promo) - 1)
+                    is_promo = self.promo[pos] == pk
+                return pd.DataFrame({
+                    "promo_u": [int(rev[is_promo].sum())],
+                    "total_u": [int(rev.sum())],
+                })
+
+        flow = li.map_batches(Partial, batch_format="pandas",
+                              concurrency=(1, 4))
+    else:
+        from .joins import hash_join
+
+        def joined_partial(b: pd.DataFrame) -> pd.DataFrame:
             b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
-            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
-            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
-            rev = pr_c * (100 - di_c)
-            pk = b["l_partkey"].to_numpy(dtype=np.int64)
-            if len(self.promo) == 0:
-                is_promo = np.zeros(len(b), dtype=bool)
-            else:
-                pos = np.minimum(np.searchsorted(self.promo, pk),
-                                 len(self.promo) - 1)
-                is_promo = self.promo[pos] == pk
+            rev = _rev(b)
+            is_promo = (b["p_type"] == "PROMO").to_numpy()
             return pd.DataFrame({
                 "promo_u": [int(rev[is_promo].sum())],
                 "total_u": [int(rev.sum())],
             })
 
-    parts = (
-        ray.data.read_parquet(
-            _t(sf_dir, "lineitem"),
-            columns=["l_partkey", "l_extendedprice", "l_discount",
-                     "l_shipdate"],
-        )
-        .map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
-        .to_pandas()
-    )
+        flow = hash_join(
+            li, part_ds, "l_partkey", "p_partkey", "inner"
+        ).map_batches(joined_partial, batch_format="pandas")
+    parts = flow.to_pandas()
     promo_u = sum(int(v) for v in parts["promo_u"])  # Python-int merge
     total_u = sum(int(v) for v in parts["total_u"])
     return pd.DataFrame({
@@ -6234,10 +6253,14 @@ def q_lineitem_disjunctive(sf_dir: str):
     """TPC-H Q19 shape (discounted revenue): lineitem ⋈ part under an
     OR of three (brand, size-range, quantity-range) conjunctions — the
     disjunctive-predicate join. The part side prunes to the union of the
-    three brand clauses BEFORE broadcast (a fraction of the dim), each
-    batch merges against the broadcast attributes once, and the three
-    clauses evaluate as vectorized boolean masks OR-ed together. Exact
-    scaled-int64 revenue, one global row."""
+    three brand clauses BEFORE attaching (a fraction of the dim), and
+    the three clauses evaluate as vectorized boolean masks OR-ed
+    together. Exact scaled-int64 revenue, one global row.
+
+    Size-aware (round 4): the pruned dim broadcasts while the PART base
+    table's parquet metadata stays under the 64 MB cap; beyond it the
+    same pruned dataset goes through the bucketed shuffle hash join —
+    no driver-resident slice grows with scale."""
     import numpy as np
 
     clauses = [
@@ -6248,48 +6271,65 @@ def q_lineitem_disjunctive(sf_dir: str):
     ]
     brands = [c[0] for c in clauses]
 
-    part = ray.data.read_parquet(
+    part_ds = ray.data.read_parquet(
         _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
-    ).map_batches(
+    )
+    pruned = part_ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column("p_brand"),
                                     value_set=pa.array(brands))),
         batch_format="pyarrow",
-    ).to_pandas()
-    part_ref = ray.put(part.sort_values("p_partkey").reset_index(drop=True))
-
-    class Partial:
-        def __init__(self):
-            self.part = ray.get(part_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            m = b.merge(self.part, left_on="l_partkey", right_on="p_partkey",
-                        how="inner")
-            if len(m) == 0:
-                return pd.DataFrame({"rev_u": [0], "n_rows": [0]})
-            qty = m["l_quantity"].to_numpy()
-            size = m["p_size"].to_numpy()
-            brand = m["p_brand"].to_numpy(dtype=object)
-            keep = np.zeros(len(m), dtype=bool)
-            for br, slo, shi, qlo, qhi in clauses:
-                keep |= ((brand == br) & (size >= slo) & (size <= shi)
-                         & (qty >= qlo) & (qty <= qhi))
-            m = m[keep]
-            pr_c = np.round(m["l_extendedprice"].to_numpy() * 100).astype("int64")
-            di_c = np.round(m["l_discount"].to_numpy() * 100).astype("int64")
-            return pd.DataFrame({
-                "rev_u": [int((pr_c * (100 - di_c)).sum())],
-                "n_rows": [int(len(m))],
-            })
-
-    parts = (
-        ray.data.read_parquet(
-            _t(sf_dir, "lineitem"),
-            columns=["l_partkey", "l_quantity", "l_extendedprice",
-                     "l_discount"],
-        )
-        .map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
-        .to_pandas()
     )
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    try:
+        part_bytes = part_ds.size_bytes()
+    except Exception:
+        part_bytes = None
+
+    def clause_partial(m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame({"rev_u": [0], "n_rows": [0]})
+        qty = m["l_quantity"].to_numpy()
+        size = m["p_size"].to_numpy()
+        brand = m["p_brand"].to_numpy(dtype=object)
+        keep = np.zeros(len(m), dtype=bool)
+        for br, slo, shi, qlo, qhi in clauses:
+            keep |= ((brand == br) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        m = m[keep]
+        pr_c = np.round(m["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(m["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "rev_u": [int((pr_c * (100 - di_c)).sum())],
+            "n_rows": [int(len(m))],
+        })
+
+    if part_bytes is not None and part_bytes <= 64 << 20:
+        part_ref = ray.put(
+            pruned.to_pandas().sort_values("p_partkey")
+            .reset_index(drop=True))
+
+        class Partial:
+            def __init__(self):
+                self.part = ray.get(part_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return clause_partial(b.merge(
+                    self.part, left_on="l_partkey",
+                    right_on="p_partkey", how="inner"))
+
+        flow = li.map_batches(Partial, batch_format="pandas",
+                              concurrency=(1, 4))
+    else:
+        from .joins import hash_join
+
+        flow = hash_join(
+            li, pruned, "l_partkey", "p_partkey", "inner"
+        ).map_batches(clause_partial, batch_format="pandas")
+    parts = flow.to_pandas()
     rev_u = sum(int(v) for v in parts["rev_u"])
     n = int(parts["n_rows"].sum())
     return pd.DataFrame({"revenue": [rev_u / 10000.0], "n_rows": [n]})
@@ -6418,7 +6458,12 @@ def q_customer_idle_balance(sf_dir: str):
     sum_c = sum(int(v) for v in p["s"])
     n_pos = int(p["n"].sum())
 
-    # distinct recent-purchaser keys (bounded by |customer|), broadcast once
+    # distinct recent-purchaser keys (bounded by |customer|), attached
+    # via the gated key-set filter (round 4): broadcast while the
+    # customer base's metadata proves it under the 64 MB cap, bucketed
+    # shuffle anti-join beyond
+    from .joins import gated_keyset_filter
+
     cutoff = pd.Timestamp("2000-01-01")
 
     def cust_partial(b: pa.Table) -> pa.Table:
@@ -6426,35 +6471,28 @@ def q_customer_idle_balance(sf_dir: str):
                                       pa.scalar(cutoff)))
         return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
 
-    active = (
-        ray.data.read_parquet(_t(sf_dir, "orders"),
-                              columns=["o_custkey", "o_orderdate"])
-        .map_batches(cust_partial, batch_format="pyarrow")
-        .to_pandas()["o_custkey"].unique()
+    active = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).map_batches(cust_partial, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
-    active_ref = ray.put(np.sort(active.astype("int64")))
 
-    class Idle:
-        def __init__(self):
-            self.active = ray.get(active_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            cents = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
-            rich = cents * n_pos > sum_c          # integer-exact > avg
-            no_orders = ~np.isin(b["c_custkey"].to_numpy(), self.active)
-            b = b[rich & no_orders]
-            cents = cents[rich & no_orders]
-            return pd.DataFrame({
-                "c_nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
-                "bal_c": cents,
-            }).groupby("c_nationkey", as_index=False).agg(
-                numcust=("bal_c", "size"), bal_c=("bal_c", "sum"))
+    def rich_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        rich = cents * n_pos > sum_c              # integer-exact > avg
+        b = b[rich]
+        cents = cents[rich]
+        return pd.DataFrame({
+            "c_nationkey": b["c_nationkey"].to_numpy(dtype=np.int64),
+            "bal_c": cents,
+        }).groupby("c_nationkey", as_index=False).agg(
+            numcust=("bal_c", "size"), bal_c=("bal_c", "sum"))
 
     parts = (
-        ray.data.read_parquet(
-            cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
-        )
-        .map_batches(Idle, batch_format="pandas", concurrency=(1, 2))
+        gated_keyset_filter(cust, active, "c_custkey", "o_custkey",
+                            how="anti", size_hint_ds=cust)
+        .map_batches(rich_partial, batch_format="pandas")
         .to_pandas()
     )
     if len(parts) == 0:  # all-empty to_pandas loses columns (NOTES_r2)
@@ -7190,40 +7228,34 @@ def q_events_bursts(sf_dir: str):
 def q_part_multi_nation(sf_dir: str):
     """HAVING over a grouped COUNT(DISTINCT …): parts whose suppliers
     span ≥ 18 nations — the supply-chain-diversity screen. Distinct
-    (part, nation) pairs collapse per batch (broadcast supp→nation
-    attach), finish inside one partkey-hash bucket, and the HAVING
-    filter is vectorized there; only qualifying rows leave the bucket."""
+    (part, nation) pairs collapse per batch, finish inside one
+    partkey-hash bucket, and the HAVING filter is vectorized there;
+    only qualifying rows leave the bucket.
+
+    The supplier dimension attaches through the size-aware join planner
+    (round 4, the VERDICT r3 item-2 pattern: supplier GROWS with SF —
+    broadcast only under the 64 MB metadata cap, bucketed shuffle
+    beyond)."""
     import numpy as np
 
     from ..stages import hashing
-    from .joins import auto_buckets
+    from .joins import auto_buckets, join
 
-    supp = ray.data.read_parquet(
-        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas().sort_values("s_suppkey")
-    supp_ref = ray.put((supp["s_suppkey"].to_numpy(dtype=np.int64),
-                        supp["s_nationkey"].to_numpy(dtype=np.int64)))
-
+    supp_ds = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
     li_ds = ray.data.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
     nb = auto_buckets(li_ds)
 
-    class Pairs:
-        def __init__(self):
-            self.keys, self.nat = ray.get(supp_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
-            pos = np.searchsorted(self.keys, sk)
-            pos = np.minimum(pos, len(self.keys) - 1)
-            g = pd.DataFrame({
-                "l_partkey": b["l_partkey"].to_numpy(dtype=np.int64),
-                "nation": self.nat[pos],
-            })[self.keys[pos] == sk].drop_duplicates()
-            k = g["l_partkey"].to_numpy(dtype=np.int64)
-            g["kb"] = (hashing.mix64(k.astype(np.uint64))
-                       % np.uint64(nb)).astype(np.int64)
-            return g
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(dtype=np.int64),
+            "nation": b["s_nationkey"].to_numpy(dtype=np.int64),
+        }).drop_duplicates()
+        k = g["l_partkey"].to_numpy(dtype=np.int64)
+        g["kb"] = (hashing.mix64(k.astype(np.uint64))
+                   % np.uint64(nb)).astype(np.int64)
+        return g
 
     def having(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["l_partkey", "nation"])
@@ -7235,7 +7267,8 @@ def q_part_multi_nation(sf_dir: str):
         })
 
     out = (
-        li_ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))
+        join(li_ds, supp_ds, "l_suppkey", "s_suppkey", "inner")
+        .map_batches(pairs, batch_format="pandas")
         .groupby("kb")
         .map_groups(having, batch_format="pandas")
         .to_pandas()
@@ -12807,62 +12840,85 @@ def q_embeddings_twonn(sf_dir: str):
     are one mirrored expression; the /2 from squared distances is the
     reader's constant).
 
-    Scale shape: the broadcast quadratic BASELINE (the knn_graph_exact
-    contract — quantized matrix ships once via ray.put; the per-batch
-    kernel is one float64 matmul whose integer partials stay < 2^53,
-    hence EXACT); at corpus scale the candidate generation rides
-    knn_graph_lsh and only the final top-2 re-verifies exactly."""
+    Scale shape (round 4, the kNN-classifier pattern): EXACT
+    block-streamed scan — the corpus stays a materialized Dataset whose
+    Arrow block refs the scoring actors stream one at a time with a
+    bounded per-row two-smallest-distances pool (min-merge is
+    order-independent, so the streamed d1/d2 are bitwise the global
+    ones). No driver materialization, no broadcast matrix that grows
+    with scale; same-node ray.get of a block is a zero-copy
+    object-store read. The per-block kernel stays one float64 matmul
+    whose integer partials stay < 2^52, hence EXACT; at corpus scale
+    the candidate generation can also ride knn_graph_lsh with only the
+    final top-2 re-verified exactly."""
     import numpy as np
+
+    from ..stages.similarity import _batch_matrix
 
     SCALE = np.float64(1 << 20)
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    if len(full) < 3:
+    corpus = ds.map_batches(lambda t: t.sort_by("vec_id"),
+                            batch_format="pyarrow").materialize()
+    if corpus.count() < 3:
         return pd.DataFrame({
             "n_used": pd.Series([0], dtype="int64"),
             "n_dups": pd.Series([0], dtype="int64"),
             "sum_lnmu_scaled": pd.Series([0], dtype="int64"),
         })
-    ids = full["vec_id"].to_numpy(dtype=np.int64)
-    x = np.rint(np.asarray(full["embedding"].tolist(),
-                           dtype=np.float64) * SCALE)
-    _check_exact_matmul(x, "embeddings_twonn")
-    nrm = (x * x).sum(axis=1)
-    ref = ray.put((ids, x, nrm))
+    refs = corpus.to_arrow_refs()
 
-    def score(b: pa.Table) -> pd.DataFrame:
-        r_ids, rx, rn = ray.get(ref)
-        bi = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        bx = np.rint(np.asarray(
-            b.column("embedding").to_pylist(), dtype=np.float64)
-            * SCALE)
-        bn = (bx * bx).sum(axis=1)
-        g = bx @ rx.T
-        d2m = (bn[:, None] + rn[None, :] - 2.0 * g)
-        pos = np.searchsorted(r_ids, bi)
-        ok = (pos < len(r_ids)) & (r_ids[np.minimum(
-            pos, len(r_ids) - 1)] == bi)
-        d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
-        p = np.partition(d2m, 1, axis=1)
-        d1 = p[:, 0]
-        d2 = p[:, 1]
-        used = d1 > 0
-        # math.log, not np.log: the oracle's libm ln must be mirrored
-        # bitwise (the events_mutual_info precedent); np.log's SIMD
-        # path can differ by ULPs
-        import math
-        tsum = sum(math.floor(math.log(b / a) * 1073741824.0)
-                   for a, b in zip(d1[used], d2[used]))
-        return pd.DataFrame({
-            "n_used": pd.Series([int(used.sum())], dtype="int64"),
-            "n_dups": pd.Series([int((~used).sum())], dtype="int64"),
-            "s": pd.Series([str(tsum)], dtype="object"),
-        })
+    class Score:
+        def __init__(self, refs):
+            self.refs = refs
 
-    parts = ds.map_batches(score, batch_format="pyarrow",
-                           batch_size=1024).to_pandas()
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            bi = b.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bx = np.rint(np.asarray(
+                b.column("embedding").to_pylist(), dtype=np.float64)
+                * SCALE)
+            bn = (bx * bx).sum(axis=1)
+            n = len(bi)
+            best = np.full((n, 2), np.inf)
+            for ref in self.refs:
+                t = ray.get(ref)
+                if t.num_rows == 0:
+                    continue
+                r_ids, mat = _batch_matrix(t)
+                r_ids = r_ids.astype(np.int64)
+                rx = np.rint(mat * SCALE)
+                _check_exact_matmul(rx, "embeddings_twonn")
+                rn = (rx * rx).sum(axis=1)
+                d2m = bn[:, None] + rn[None, :] - 2.0 * (bx @ rx.T)
+                # self-exclusion: block rows are id-sorted
+                pos = np.searchsorted(r_ids, bi)
+                ok = (pos < len(r_ids)) & (r_ids[np.minimum(
+                    pos, len(r_ids) - 1)] == bi)
+                d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
+                take = min(2, d2m.shape[1])
+                blk = (np.partition(d2m, take - 1, axis=1)[:, :take]
+                       if take > 1 else d2m)
+                pool = np.concatenate([best, blk], axis=1)
+                best = np.partition(pool, 1, axis=1)[:, :2]
+            d1, d2 = best[:, 0], best[:, 1]
+            used = d1 > 0
+            # math.log, not np.log: the oracle's libm ln must be
+            # mirrored bitwise (the events_mutual_info precedent);
+            # np.log's SIMD path can differ by ULPs
+            import math
+            tsum = sum(math.floor(math.log(b_ / a_) * 1073741824.0)
+                       for a_, b_ in zip(d1[used], d2[used]))
+            return pd.DataFrame({
+                "n_used": pd.Series([int(used.sum())], dtype="int64"),
+                "n_dups": pd.Series([int((~used).sum())], dtype="int64"),
+                "s": pd.Series([str(tsum)], dtype="object"),
+            })
+
+    parts = ds.map_batches(Score, fn_constructor_args=(refs,),
+                           batch_format="pyarrow", batch_size=1024,
+                           concurrency=(1, 4)).to_pandas()
     parts = _pysum_cols(parts, ["n_used", "n_dups"])
     total = sum(int(v) for v in parts["s"])
     if abs(total) >= 1 << 62:
@@ -13396,50 +13452,74 @@ def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
     semantics — np.partition == the oracle's rn = k), so the ranking
     has no float compare.
 
-    Scale shape: the broadcast quadratic BASELINE (knn_graph_exact
-    contract; candidates ride knn_graph_lsh at corpus scale); the
-    per-batch top-``top`` partials bound the driver merge."""
+    Scale shape (round 4, the kNN-classifier pattern): EXACT
+    block-streamed scan — the corpus stays a materialized Dataset
+    whose Arrow block refs the scoring actors stream one at a time
+    with a bounded per-row k-smallest-distances pool (min-merge is
+    order-independent, so the streamed k-th distance is bitwise the
+    global one). No driver materialization, no broadcast matrix that
+    grows with scale; the per-batch top-``top`` partials bound the
+    driver merge. At corpus scale candidates can also ride
+    knn_graph_lsh with an exact re-verify."""
     import numpy as np
+
+    from ..stages.similarity import _batch_matrix
 
     SCALE = np.float64(1 << 20)
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    if len(full) <= k:
+    corpus = ds.map_batches(lambda t: t.sort_by("vec_id"),
+                            batch_format="pyarrow").materialize()
+    if corpus.count() <= k:
         return pd.DataFrame({
             "vec_id": pd.Series([], dtype="int64"),
             "dist_k": pd.Series([], dtype="int64"),
         })
-    ids = full["vec_id"].to_numpy(dtype=np.int64)
-    x = np.rint(np.asarray(full["embedding"].tolist(),
-                           dtype=np.float64) * SCALE)
-    _check_exact_matmul(x, "embeddings_outliers")
-    nrm = (x * x).sum(axis=1)
-    ref = ray.put((ids, x, nrm))
+    refs = corpus.to_arrow_refs()
 
-    def score(b: pa.Table) -> pd.DataFrame:
-        r_ids, rx, rn = ray.get(ref)
-        bi = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        bx = np.rint(np.asarray(
-            b.column("embedding").to_pylist(), dtype=np.float64)
-            * SCALE)
-        g = bx @ rx.T                       # exact: partials < 2^53
-        d2m = (bx * bx).sum(axis=1)[:, None] + rn[None, :] - 2.0 * g
-        pos = np.searchsorted(r_ids, bi)
-        ok = (pos < len(r_ids)) & (r_ids[np.minimum(
-            pos, len(r_ids) - 1)] == bi)
-        d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
-        dk = np.partition(d2m, k - 1, axis=1)[:, k - 1]
-        out = pd.DataFrame({"vec_id": bi,
-                            "dist_k": dk.astype(np.int64)})
-        # per-batch partial: only the local top-N can reach the
-        # global top-N
-        return (out.sort_values(["dist_k", "vec_id"],
-                                ascending=[False, True]).head(top))
+    class Score:
+        def __init__(self, refs):
+            self.refs = refs
 
-    parts = ds.map_batches(score, batch_format="pyarrow",
-                           batch_size=1024).to_pandas()
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            bi = b.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bx = np.rint(np.asarray(
+                b.column("embedding").to_pylist(), dtype=np.float64)
+                * SCALE)
+            bn = (bx * bx).sum(axis=1)
+            best = np.full((len(bi), k), np.inf)
+            for ref in self.refs:
+                t = ray.get(ref)
+                if t.num_rows == 0:
+                    continue
+                r_ids, mat = _batch_matrix(t)
+                r_ids = r_ids.astype(np.int64)
+                rx = np.rint(mat * SCALE)
+                _check_exact_matmul(rx, "embeddings_outliers")
+                rn = (rx * rx).sum(axis=1)
+                d2m = bn[:, None] + rn[None, :] - 2.0 * (bx @ rx.T)
+                pos = np.searchsorted(r_ids, bi)
+                ok = (pos < len(r_ids)) & (r_ids[np.minimum(
+                    pos, len(r_ids) - 1)] == bi)
+                d2m[np.nonzero(ok)[0], pos[ok]] = np.inf
+                take = min(k, d2m.shape[1])
+                blk = (np.partition(d2m, take - 1, axis=1)[:, :take]
+                       if take < d2m.shape[1] else d2m)
+                pool = np.concatenate([best, blk], axis=1)
+                best = np.partition(pool, k - 1, axis=1)[:, :k]
+            dk = best[:, k - 1]
+            out = pd.DataFrame({"vec_id": bi,
+                                "dist_k": dk.astype(np.int64)})
+            # per-batch partial: only the local top-N can reach the
+            # global top-N
+            return (out.sort_values(["dist_k", "vec_id"],
+                                    ascending=[False, True]).head(top))
+
+    parts = ds.map_batches(Score, fn_constructor_args=(refs,),
+                           batch_format="pyarrow", batch_size=1024,
+                           concurrency=(1, 4)).to_pandas()
     out = (parts.sort_values(["dist_k", "vec_id"],
                              ascending=[False, True]).head(top))
     return (out.astype({"vec_id": "int64", "dist_k": "int64"})
