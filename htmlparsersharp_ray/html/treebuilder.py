@@ -104,6 +104,13 @@ class _FmtEntry:
         self.attrs = attrs
 
 
+_RUN_ERROR_CODES = {
+    "nul": "unexpected-null-character",
+    "foster": "foster-parenting-text",
+    "colgroup-text": "unexpected-text-in-colgroup",
+    "frameset-text": "unexpected-text-after-frameset",
+}
+
 class TreeBuilder:
     """Token sink building a DOM; fused with the tokenizer per document
     (reference: tokenizer/tree-builder co-routine, SURVEY.md §2.3)."""
@@ -139,13 +146,18 @@ class TreeBuilder:
         self.done = False
 
     # ------------------------------------------------------------------ util
-    def error(self):
+    def error(self, code: str | None = None):
         self.errors += 1
         tok = self.tokenizer
-        if tok is not None and tok.error_offsets is not None:
-            # reference parity: tree-builder errors report the
-            # tokenizer's current position (TaintableLocator semantics)
-            tok.error_offsets.append(tok.mark)
+        if tok is not None:
+            if tok.error_offsets is not None:
+                # reference parity: tree-builder errors report the
+                # tokenizer's current position (TaintableLocator
+                # semantics)
+                tok.error_offsets.append(tok.mark)
+            if tok.error_log is not None:
+                tok.error_log.append(
+                    (tok.mark, code or "tree-construction"))
 
     def _current(self):
         return self.open[-1]
@@ -662,7 +674,7 @@ class TreeBuilder:
             s = self._run_errs = set()
         if key not in s:
             s.add(key)
-            self.error()
+            self.error(_RUN_ERROR_CODES.get(key, key))
 
     def characters(self, data):
         if not self._prev_text:

@@ -1,0 +1,52 @@
+"""Round-4: per-error CODES (parse(collect_errors=True)) — the
+reference's ErrorReportingTokenizer message surface (VERDICT r3
+"missing" item 4), layered on the existing locator machinery.
+"""
+
+from __future__ import annotations
+
+from htmlparsersharp_ray.html import parse
+
+
+def _codes(text):
+    return [(l, c, code)
+            for l, c, code in parse(text, collect_errors=True).error_details]
+
+
+def test_codes_count_matches_error_counter():
+    for text in ("<p>&amp x", "<table>z<td>y", "&#xZZ;", "<!-- x --!>",
+                 "<b><i></b></i>", "a\x00b"):
+        r = parse(text, collect_errors=True)
+        assert len(r.error_details) == r.errors, text
+
+
+def test_named_tokenizer_codes():
+    det = _codes("<p>&amp x</p>")
+    assert (1, 4, "missing-semicolon-after-character-reference") in det
+    det = _codes("&#q")
+    assert any(c == "absence-of-digits-in-ncr" for _, _, c in det)
+    det = _codes("&#x110000;")
+    assert any(c == "invalid-numeric-character-reference"
+               for _, _, c in det)
+    det = _codes("<a b=1 b=2>")
+    assert any(c == "duplicate-attribute" for _, _, c in det)
+
+
+def test_run_error_codes_map_to_spec_names():
+    det = _codes("<select>a\x00b</select>")
+    assert any(c == "unexpected-null-character" for _, _, c in det)
+    det = _codes("<frameset></frameset>after")
+    assert any(c == "unexpected-text-after-frameset" for _, _, c in det)
+
+
+def test_positions_still_one_based_and_ordered():
+    det = _codes("x\n<p>&amp y\n&#Z")
+    assert det == sorted(det, key=lambda d: (d[0], d[1]))
+    assert all(l >= 1 and c >= 1 for l, c, _ in det)
+
+
+def test_collect_disabled_is_none_and_counts_unchanged():
+    r0 = parse("<p>&amp x")
+    r1 = parse("<p>&amp x", collect_errors=True)
+    assert r0.error_details is None
+    assert r0.errors == r1.errors
