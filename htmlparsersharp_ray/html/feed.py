@@ -443,7 +443,8 @@ class FeedParser:
         self.tok.run(tail)  # genuine EOF matrix on the remainder
         b = self.builder
         return ParseResult(b.doc, self.tok.errors + b.errors, b.doc.mode,
-                           b.token_count, b.encoding_declared, None)
+                           b.token_count, b.encoding_declared, None, None,
+                           b.warnings)
 
 
 def parse_chunked(text: str, chunk_size: int,

@@ -28,10 +28,10 @@ def preprocess(text: str) -> str:
 
 class ParseResult:
     __slots__ = ("root", "errors", "doc_mode", "tokens", "encoding_declared",
-                 "error_positions", "error_details")
+                 "error_positions", "error_details", "warnings")
 
     def __init__(self, root, errors, doc_mode, tokens=0, encoding_declared=None,
-                 error_positions=None, error_details=None):
+                 error_positions=None, error_details=None, warnings=0):
         self.root = root
         self.errors = errors
         self.doc_mode = doc_mode
@@ -47,6 +47,9 @@ class ParseResult:
         # one, else "parse-error" (tokenizer) / "tree-construction"
         # (tree builder).
         self.error_details = error_details
+        # non-error diagnostics count (reference Warn — emitted by the
+        # DoctypeExpectation policy matrix)
+        self.warnings = warnings
 
 
 def _offsets_to_positions(text: str, offsets) -> list[tuple[int, int]]:
@@ -63,7 +66,8 @@ def _offsets_to_positions(text: str, offsets) -> list[tuple[int, int]]:
 def parse(text: str, scripting: bool = False,
           ignore_comments: bool = False,
           track_positions: bool = False,
-          collect_errors: bool = False) -> ParseResult:
+          collect_errors: bool = False,
+          doctype_expectation: str = "no-doctype-errors") -> ParseResult:
     """Parse a complete HTML document; returns the Document plus metrics.
     ``ignore_comments`` mirrors the reference's IsIgnoringComments knob
     (reference: TreeBuilder.cs:5752-5762). ``track_positions=True``
@@ -74,7 +78,9 @@ def parse(text: str, scripting: bool = False,
     as (line, col, code) in ``error_details``. Both are disabled
     (zero-cost) on the extraction hot path."""
     text = preprocess(text)
-    builder = TreeBuilder(scripting=scripting, ignore_comments=ignore_comments)
+    builder = TreeBuilder(scripting=scripting,
+                          ignore_comments=ignore_comments,
+                          doctype_expectation=doctype_expectation)
     tokenizer = Tokenizer(builder)
     if track_positions or collect_errors:
         tokenizer.error_offsets = []
@@ -98,7 +104,8 @@ def parse(text: str, scripting: bool = False,
         ]
     return ParseResult(builder.doc, tokenizer.errors + builder.errors,
                        builder.doc.mode, builder.token_count,
-                       builder.encoding_declared, positions, details)
+                       builder.encoding_declared, positions, details,
+                       builder.warnings)
 
 
 def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:

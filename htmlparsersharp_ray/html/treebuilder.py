@@ -115,10 +115,22 @@ class TreeBuilder:
     """Token sink building a DOM; fused with the tokenizer per document
     (reference: tokenizer/tree-builder co-routine, SURVEY.md §2.3)."""
 
-    def __init__(self, scripting: bool = False, ignore_comments: bool = False):
+    def __init__(self, scripting: bool = False, ignore_comments: bool = False,
+                 doctype_expectation: str = "no-doctype-errors"):
         self.scripting = scripting
         # reference knob IsIgnoringComments (TreeBuilder.cs:5752-5762)
         self.ignore_comments = ignore_comments
+        # reference knob DoctypeExpectation
+        # (Common/DoctypeExpectation.cs:39-68): html / html401-strict /
+        # html401-transitional / auto / no-doctype-errors — see
+        # _doctype_policy_events. Engine default is the survey mode.
+        if doctype_expectation not in (
+                "html", "html401-strict", "html401-transitional",
+                "auto", "no-doctype-errors"):
+            raise ValueError(
+                f"unknown doctype_expectation {doctype_expectation!r}")
+        self.doctype_expectation = doctype_expectation
+        self.warnings = 0
         # recorded <meta charset> declaration (reference: CheckMetaCharset
         # TreeBuilder.cs:3213-3244 + EncodingDeclared event; like the
         # reference we never re-decode — input is already str)
@@ -586,11 +598,103 @@ class TreeBuilder:
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
         if self.mode != INITIAL:
-            self.error()
+            self.error("unexpected-doctype")
             return
         self.doc.append(Doctype(name or "", public_id, system_id))
         self.doc.mode = self._classify_doctype(name, public_id, system_id, force_quirks)
+        self._doctype_policy_events(self.doc.mode, public_id, system_id)
         self.mode = BEFORE_HTML
+
+    # DoctypeExpectation policy matrix (reference:
+    # Common/DoctypeExpectation.cs:39-68 + the per-policy switch in
+    # TreeBuilder.cs:400-607). The MODE computation is policy-invariant
+    # (the reference computes quirks/almost/standards identically in
+    # every arm); the policy controls only which doctypes additionally
+    # report an error or warning. The engine default is
+    # "no-doctype-errors" (the reference's survey mode — our recorded
+    # fixture error counts; the reference defaults to Html) and the
+    # html4-specific TOKENIZER extras of TurnOnAdditionalHtml4Errors
+    # are not implemented (documented divergence).
+    _H401_STRICT_PUB = "-//W3C//DTD HTML 4.01//EN"
+    _H401_STRICT_SYS = "http://www.w3.org/TR/html4/strict.dtd"
+    _H401_TRANS_PUB = "-//W3C//DTD HTML 4.01 Transitional//EN"
+    _H401_TRANS_SYS = "http://www.w3.org/TR/html4/loose.dtd"
+    _OBSOLETE_PERMITTED = (
+        ("-//W3C//DTD HTML 4.0//EN",
+         (None, "http://www.w3.org/TR/REC-html40/strict.dtd")),
+        (_H401_STRICT_PUB, (None, _H401_STRICT_SYS)),
+        ("-//W3C//DTD XHTML 1.0 Strict//EN",
+         ("http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd",)),
+        ("-//W3C//DTD XHTML 1.1//EN",
+         ("http://www.w3.org/TR/xhtml11/DTD/xhtml11.dtd",)),
+    )
+
+    def _doctype_policy_events(self, mode, public_id, system_id):
+        policy = self.doctype_expectation
+        if policy == "no-doctype-errors":
+            return
+        if policy == "html":
+            if mode == "quirks":
+                self.error("quirky-doctype")
+            elif mode == "almost-standards":
+                self.error("almost-standards-doctype")
+            else:
+                for pub, systems in self._OBSOLETE_PERMITTED:
+                    if public_id == pub and system_id in systems:
+                        self.warn("obsolete-doctype")
+                        return
+                if not (public_id is None and system_id in
+                        (None, "about:legacy-compat")):
+                    self.error("legacy-doctype")
+            return
+        if policy == "html401-strict":
+            if mode == "quirks":
+                self.error("quirky-doctype")
+            elif mode == "almost-standards":
+                self.error("almost-standards-doctype")
+            elif public_id == self._H401_STRICT_PUB:
+                if system_id != self._H401_STRICT_SYS:
+                    self.warn("missing-html401-system-id")
+            else:
+                self.error("not-html401-strict-doctype")
+            return
+        if policy == "html401-transitional":
+            if mode == "quirks":
+                self.error("quirky-doctype")
+            elif mode == "almost-standards":
+                if (public_id == self._H401_TRANS_PUB
+                        and system_id is not None):
+                    if system_id != self._H401_TRANS_SYS:
+                        self.warn("missing-html401-system-id")
+                else:
+                    self.error("not-html401-transitional-doctype")
+            else:
+                self.error("not-html401-transitional-doctype")
+            return
+        # "auto"
+        if mode == "quirks":
+            self.error("quirky-doctype")
+        elif mode == "almost-standards":
+            if public_id == self._H401_TRANS_PUB:
+                if system_id != self._H401_TRANS_SYS:
+                    self.warn("missing-html401-system-id")
+            else:
+                self.error("almost-standards-doctype")
+        else:
+            if public_id == self._H401_STRICT_PUB:
+                if system_id != self._H401_STRICT_SYS:
+                    self.warn("missing-html401-system-id")
+            elif not (public_id is None and system_id is None):
+                self.error("legacy-doctype")
+
+    def warn(self, code: str | None = None):
+        """Non-error diagnostics (reference Warn): counted separately,
+        logged with codes when collect_errors is on, never part of the
+        parse-error count."""
+        self.warnings += 1
+        tok = self.tokenizer
+        if tok is not None and tok.error_log is not None:
+            tok.error_log.append((tok.mark, "warning:" + (code or "warn")))
 
     def _classify_doctype(self, name, public_id, system_id, force_quirks):
         """(reference: IsQuirky TreeBuilder.cs:4336-4387,
