@@ -19,3 +19,16 @@ def parse(text, **kwargs):
 def parse_fragment(text, context, **kwargs):
     from .parser import parse_fragment as _parse_fragment
     return _parse_fragment(text, context, **kwargs)
+
+
+def parse_chunked(text, chunk_size, **kwargs):
+    """Chunk-feed parse (html/feed.py) — bit-identical to ``parse`` at
+    any chunking; the bounded-memory path for giant documents."""
+    from .feed import parse_chunked as _parse_chunked
+    return _parse_chunked(text, chunk_size, **kwargs)
+
+
+def feed_parser(**kwargs):
+    """Incremental FeedParser factory (feed(chunk)… then finish())."""
+    from .feed import FeedParser
+    return FeedParser(**kwargs)
