@@ -175,27 +175,29 @@ class _Scanner:
         self.tok = tokenizer
 
     # -- DATA ---------------------------------------------------------------
-    def scan_data(self, text: str, pos: int, n: int):
-        """Return (safe_end, yield_now). ``safe_end == pos`` means hold
-        everything back; ``yield_now`` forces handing the prefix to the
-        tokenizer before scanning further (content-model-sensitive
-        tag or CDATA — the real state must be consulted)."""
+    def scan_data(self, text: str, pos: int, n: int) -> int:
+        """Return safe_end. ``safe_end == pos`` means hold everything
+        back. The scanners RETURN EARLY after any construct whose
+        interpretation depends on tree-builder state (content-model-
+        sensitive tag, CDATA, rawtext end tag) — the feed loop then
+        hands the prefix to the tokenizer and re-reads the real state
+        before the next scan."""
         p = pos
         while True:
             m = _MARKER.search(text, p, n)
             if m is None:
-                return n, False
+                return n
             i = m.start()
             if text[i] == "&":
                 e = _entity_bounded(text, i, n)
                 if e is None:
-                    return i, False
+                    return i
                 p = e
                 continue
             # '<'
             i1 = i + 1
             if i1 >= n:
-                return i, False
+                return i
             c = text[i1]
             if c == "!":
                 if text[i:i + 9] == "<![CDATA[" or (
@@ -205,48 +207,50 @@ class _Scanner:
                     # this position, yield them first so the sink is
                     # current before cdata_allowed() is consulted
                     if i > pos:
-                        return i, True
-                e, yield_now = self._bang(text, i, n)
+                        return i
+                e, stop = self._bang(text, i, n)
                 if e is None:
-                    return i, False
-                if yield_now:
-                    return e, True
+                    return i
+                if stop:
+                    return e
                 p = e
             elif c == "/":
                 i2 = i + 2
                 if i2 >= n:
-                    return i, False
+                    return i
                 if text[i2].isascii() and text[i2].isalpha():
                     e = _tag_end(text, i2, n)
                     if e is None:
-                        return i, False
+                        return i
                     p = e
                 else:
                     # '</>' drops, else bogus comment: ends at first '>'
                     g = text.find(">", i2, n)
                     if g == -1:
-                        return i, False
+                        return i
                     p = g + 1
             elif c.isascii() and c.isalpha():
                 nm = _NAME_RUN.match(text, i1)
                 name_end = nm.end() if nm else i1
                 e = _tag_end(text, i1, n)
                 if e is None:
-                    return i, False
+                    return i
                 if text[i1:name_end].lower() in _CM_SENSITIVE:
-                    return e, True
+                    return e
                 p = e
             elif c == "?":
                 g = text.find(">", i1, n)
                 if g == -1:
-                    return i, False
+                    return i
                 p = g + 1
             else:
                 p = i1  # '<' is text
             # loop continues scanning from p
 
     def _bang(self, text: str, i: int, n: int):
-        """Classify '<!' at ``i``. Returns (end | None, yield_now)."""
+        """Classify '<!' at ``i``. Returns (end | None, stop) — stop
+        means the construct's handling consulted sink state (CDATA),
+        so the prefix must be fed before scanning further."""
         if text.startswith("<!--", i):
             e1 = text.find("-->", i + 2, n)
             # a '--!>' ending matters only if it ends BEFORE the '-->'
@@ -294,7 +298,8 @@ class _Scanner:
         return g + 1, False
 
     # -- RCDATA / RAWTEXT ---------------------------------------------------
-    def scan_rcdata(self, text: str, pos: int, n: int, entities: bool):
+    def scan_rcdata(self, text: str, pos: int, n: int,
+                    entities: bool) -> int:
         tok = self.tok
         expected = tok.expected_end_tag or tok.last_start_tag
         p = pos
@@ -302,38 +307,38 @@ class _Scanner:
         while True:
             m = marker.search(text, p, n)
             if m is None:
-                return n, False
+                return n
             i = m.start()
             if text[i] == "&":
                 e = _entity_bounded(text, i, n)
                 if e is None:
-                    return i, False
+                    return i
                 p = e
                 continue
             if not text.startswith("</", i):
                 if i + 1 >= n:
-                    return i, False  # lone '<' at boundary
+                    return i  # lone '<' at boundary
                 p = i + 1
                 continue
             nm = _END_NAME.match(text, i + 2)
             if nm is None:
                 if i + 2 >= n:
-                    return i, False
+                    return i
                 p = i + 2
                 continue
             if nm.end() >= n:
-                return i, False  # name touches boundary: could grow
+                return i  # name touches boundary: could grow
             if expected is None or nm.group().lower() != expected:
                 p = i + 1
                 continue
             # appropriate end tag: whole tag must be complete
             e = _tag_end(text, i + 2, n)
             if e is None:
-                return i, False
-            return e, True  # yield: state returns to DATA
+                return i
+            return e  # yield: state returns to DATA
 
     # -- SCRIPT_DATA --------------------------------------------------------
-    def scan_script(self, text: str, pos: int, n: int):
+    def scan_script(self, text: str, pos: int, n: int) -> int:
         """Script data incl. escape machinery. The tokenizer's escape
         sub-state is resumable across chunks (instance fields), so the
         only boundary hazards are '<'-anchored lookaheads (≤ 9 chars:
@@ -345,22 +350,22 @@ class _Scanner:
         while True:
             m = _LT.search(text, p, n)
             if m is None:
-                return n, False
+                return n
             i = m.start()
             if n - i <= len(expected) + 3:
                 # a partial '</script', '<script' or '<!--' could
                 # complete in the next chunk
-                return i, False
+                return i
             if text.startswith("</", i):
                 nm = _END_NAME.match(text, i + 2)
                 if nm and nm.end() < n and nm.group().lower() == expected:
                     e = _tag_end(text, i + 2, n)
                     if e is None:
-                        return i, False
-                    # yield: whether this REALLY ends the element
+                        return i
+                    # return early: whether this REALLY ends the
                     # depends on the escape sub-state — let the
                     # tokenizer decide and re-read the state after
-                    return e, True
+                    return e
             p = i + 1
 
 
@@ -385,7 +390,10 @@ class FeedParser:
         self.finished = False
 
     def _preprocess_chunk(self, chunk: str) -> str:
-        if self.first:
+        if self.first and chunk:
+            # the one-time BOM strip must not be consumed by an EMPTY
+            # first feed() — the stream start is the first nonempty
+            # chunk (review-found edge)
             self.first = False
             if chunk.startswith("﻿"):
                 chunk = chunk[1:]
@@ -415,15 +423,15 @@ class FeedParser:
         while pos < n:
             state = tok.state
             if state == PLAINTEXT:
-                end, yield_now = n, False
+                end = n
             elif state == DATA:
-                end, yield_now = scanner.scan_data(buf, pos, n)
+                end = scanner.scan_data(buf, pos, n)
             elif state == RCDATA:
-                end, yield_now = scanner.scan_rcdata(buf, pos, n, True)
+                end = scanner.scan_rcdata(buf, pos, n, True)
             elif state == RAWTEXT:
-                end, yield_now = scanner.scan_rcdata(buf, pos, n, False)
+                end = scanner.scan_rcdata(buf, pos, n, False)
             else:  # SCRIPT_DATA
-                end, yield_now = scanner.scan_script(buf, pos, n)
+                end = scanner.scan_script(buf, pos, n)
             if end == pos:
                 break  # incomplete construct at pos: hold back
             seg = buf[pos:end]

@@ -771,8 +771,17 @@ class TreeBuilder:
         """Parse error fired at most ONCE per coalesced text run —
         keeps error counts invariant to how the tokenizer or the
         chunked feed (html/feed.py) splits a text run into
-        characters() calls (the whole-string tokenizer emits one
-        error per run at these sites)."""
+        characters() calls.
+
+        A "run" is the maximal text between two NON-character tokens,
+        deliberately spanning character-reference replacements: before
+        round 4 these sites counted once per characters() CALL, which
+        made the count an artifact of internal regex segmentation
+        ('a\\x00b\\x00' = one error but 'a\\x00&amp;b\\x00' = two) and
+        chunking-dependent. The run definition is coarser than the
+        spec's per-occurrence rule for NUL but is segmentation-stable;
+        the recorded fixture counts are unaffected
+        (tests/test_round4_error_codes.py pins the new semantics)."""
         s = self._run_errs
         if s is None:
             s = self._run_errs = set()

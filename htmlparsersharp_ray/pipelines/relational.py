@@ -41,6 +41,14 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _tdiv2(v: int) -> int:
+    """Halving that TRUNCATES TOWARD ZERO — the oracle mirror for
+    DuckDB's ``//`` (−7 // 2 = −3 there, −4 in Python floor-div;
+    ADVICE r3). Shared by the SES/Holt recurrence family so the
+    truncation rule lives in exactly one place."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
 def _h2d(v: int) -> float:
     """Big-integer → double conversion MIRRORED with the oracle.
 
@@ -6196,32 +6204,32 @@ def q_promo_revenue(sf_dir: str,
         return pr_c * (100 - di_c)
 
     if part_bytes is not None and part_bytes <= broadcast_threshold_bytes:
-        promo = part_ds.map_batches(
-            lambda t: t.filter(
-                pc.equal(t.column("p_type"), pa.scalar("PROMO"))
-            ).select(["p_partkey"]),
-            batch_format="pyarrow",
-        ).to_pandas()
-        promo_ref = ray.put(
-            np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+        # ship (sorted partkeys, promo flags): BOTH paths must apply
+        # inner-join semantics — a lineitem with no part row is outside
+        # the denominator too, exactly as the oracle's JOIN computes
+        # (review-found path divergence on FK-violating corpora)
+        part = part_ds.to_pandas().sort_values("p_partkey")
+        keys_arr = part["p_partkey"].to_numpy(dtype=np.int64)
+        promo_arr = (part["p_type"] == "PROMO").to_numpy()
+        bcast_ref = ray.put((keys_arr, promo_arr))
 
         class Partial:
             def __init__(self):
-                self.promo = ray.get(promo_ref)
+                self.keys, self.promo = ray.get(bcast_ref)
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
                 b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
                 rev = _rev(b)
                 pk = b["l_partkey"].to_numpy(dtype=np.int64)
-                if len(self.promo) == 0:
-                    is_promo = np.zeros(len(b), dtype=bool)
-                else:
-                    pos = np.minimum(np.searchsorted(self.promo, pk),
-                                     len(self.promo) - 1)
-                    is_promo = self.promo[pos] == pk
+                if len(self.keys) == 0:
+                    return pd.DataFrame({"promo_u": [0], "total_u": [0]})
+                pos = np.minimum(np.searchsorted(self.keys, pk),
+                                 len(self.keys) - 1)
+                matched = self.keys[pos] == pk
+                is_promo = matched & self.promo[pos]
                 return pd.DataFrame({
                     "promo_u": [int(rev[is_promo].sum())],
-                    "total_u": [int(rev.sum())],
+                    "total_u": [int(rev[matched].sum())],
                 })
 
         flow = li.map_batches(Partial, batch_format="pandas",
@@ -6249,7 +6257,8 @@ def q_promo_revenue(sf_dir: str,
     })
 
 
-def q_lineitem_disjunctive(sf_dir: str):
+def q_lineitem_disjunctive(sf_dir: str,
+                           broadcast_threshold_bytes: int = 64 << 20):
     """TPC-H Q19 shape (discounted revenue): lineitem ⋈ part under an
     OR of three (brand, size-range, quantity-range) conjunctions — the
     disjunctive-predicate join. The part side prunes to the union of the
@@ -6307,7 +6316,8 @@ def q_lineitem_disjunctive(sf_dir: str):
             "n_rows": [int(len(m))],
         })
 
-    if part_bytes is not None and part_bytes <= 64 << 20:
+    if (part_bytes is not None
+            and part_bytes <= broadcast_threshold_bytes):
         part_ref = ray.put(
             pruned.to_pandas().sort_values("p_partkey")
             .reset_index(drop=True))
@@ -9811,15 +9821,12 @@ def q_events_ses(sf_dir: str):
     same tdiv2 construction as q_events_holt)."""
     import numpy as np
 
-    def tdiv2(v: int) -> int:
-        return v // 2 if v >= 0 else -((-v) // 2)
-
     us_per_day = np.int64(86_400_000_000)
     m = _daily_cents(sf_dir)
     ses, out = None, []
     for _, row in m.iterrows():
         x = int(row["xc"])
-        ses = x if ses is None else tdiv2(ses + x)
+        ses = x if ses is None else _tdiv2(ses + x)
         out.append((int(row["day"]), x, ses))
     df = pd.DataFrame(out, columns=["day", "day_cents", "ses_cents"])
     df["day"] = pd.to_datetime(df["day"].to_numpy(dtype=np.int64)
@@ -12076,9 +12083,6 @@ def q_events_holt(sf_dir: str):
     q_events_ses argument)."""
     import numpy as np
 
-    def tdiv2(v: int) -> int:
-        return v // 2 if v >= 0 else -((-v) // 2)
-
     us_per_day = np.int64(86_400_000_000)
     m = _daily_cents(sf_dir)
     lev, tr, out = None, 0, []
@@ -12088,8 +12092,8 @@ def q_events_holt(sf_dir: str):
             lev, tr = x, 0
         else:
             prev = lev
-            lev = tdiv2(x + prev + tr)
-            tr = tdiv2(lev - prev + tr)
+            lev = _tdiv2(x + prev + tr)
+            tr = _tdiv2(lev - prev + tr)
         out.append((int(row["day"]), x, lev, tr))
     df = pd.DataFrame(out, columns=["day", "day_cents", "level_cents",
                                     "trend_cents"])
@@ -12872,6 +12876,8 @@ def q_embeddings_twonn(sf_dir: str):
     class Score:
         def __init__(self, refs):
             self.refs = refs
+            from ..stages.similarity import DecodedBlockCache
+            self.cache = DecodedBlockCache()
 
         def __call__(self, b: pa.Table) -> pd.DataFrame:
             bi = b.column("vec_id").to_numpy(
@@ -12882,15 +12888,22 @@ def q_embeddings_twonn(sf_dir: str):
             bn = (bx * bx).sum(axis=1)
             n = len(bi)
             best = np.full((n, 2), np.inf)
-            for ref in self.refs:
-                t = ray.get(ref)
+            def _decode(r):
+                t = ray.get(r)
                 if t.num_rows == 0:
-                    continue
+                    return (np.empty(0, np.int64), np.empty((0, 1)),
+                            np.empty(0))
                 r_ids, mat = _batch_matrix(t)
-                r_ids = r_ids.astype(np.int64)
                 rx = np.rint(mat * SCALE)
                 _check_exact_matmul(rx, "embeddings_twonn")
-                rn = (rx * rx).sum(axis=1)
+                return (r_ids.astype(np.int64), rx,
+                        (rx * rx).sum(axis=1))
+
+            for ref in self.refs:
+                r_ids, rx, rn = self.cache.get(
+                    ref, lambda r=ref: _decode(r))
+                if not len(r_ids):
+                    continue
                 d2m = bn[:, None] + rn[None, :] - 2.0 * (bx @ rx.T)
                 # self-exclusion: block rows are id-sorted
                 pos = np.searchsorted(r_ids, bi)
@@ -13181,6 +13194,8 @@ def q_embeddings_knn_classifier(sf_dir: str, k: int = 5):
     class Classify:
         def __init__(self, refs):
             self.refs = refs
+            from ..stages.similarity import DecodedBlockCache
+            self.cache = DecodedBlockCache()
 
         @staticmethod
         def _decode(t: pa.Table):
@@ -13214,7 +13229,8 @@ def q_embeddings_knn_classifier(sf_dir: str, k: int = 5):
             pool_id = np.empty((n, 0), dtype=np.int64)
             pool_lab = np.empty((n, 0), dtype=np.int64)
             for ref in self.refs:
-                ids_, labs_, rx, rn = self._decode(ray.get(ref))
+                ids_, labs_, rx, rn = self.cache.get(
+                    ref, lambda r=ref: self._decode(ray.get(r)))
                 if not len(ids_):
                     continue
                 g = bx @ rx.T               # exact: partials < 2^52
@@ -13380,9 +13396,6 @@ def q_events_forecast_eval(sf_dir: str):
     same tdiv2 sign-magnitude construction as q_events_holt."""
     m = _daily_cents(sf_dir)
 
-    def tdiv2(v: int) -> int:
-        return v // 2 if v >= 0 else -((-v) // 2)
-
     days = [int(v) for v in m["day"]]
     xs = [int(v) for v in m["xc"]]
     totals = dict(zip(days, xs))
@@ -13391,7 +13404,7 @@ def q_events_forecast_eval(sf_dir: str):
         if ses is not None:
             ses_err += abs(x - ses)
             ses_n += 1
-        ses = x if ses is None else tdiv2(ses + x)
+        ses = x if ses is None else _tdiv2(ses + x)
     sn_err, sn_n = 0, 0
     for d in sorted(totals):
         if d - 7 in totals:
@@ -13481,6 +13494,8 @@ def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
     class Score:
         def __init__(self, refs):
             self.refs = refs
+            from ..stages.similarity import DecodedBlockCache
+            self.cache = DecodedBlockCache()
 
         def __call__(self, b: pa.Table) -> pd.DataFrame:
             bi = b.column("vec_id").to_numpy(
@@ -13490,15 +13505,22 @@ def q_embeddings_outliers(sf_dir: str, k: int = 5, top: int = 20):
                 * SCALE)
             bn = (bx * bx).sum(axis=1)
             best = np.full((len(bi), k), np.inf)
-            for ref in self.refs:
-                t = ray.get(ref)
+            def _decode(r):
+                t = ray.get(r)
                 if t.num_rows == 0:
-                    continue
+                    return (np.empty(0, np.int64), np.empty((0, 1)),
+                            np.empty(0))
                 r_ids, mat = _batch_matrix(t)
-                r_ids = r_ids.astype(np.int64)
                 rx = np.rint(mat * SCALE)
                 _check_exact_matmul(rx, "embeddings_outliers")
-                rn = (rx * rx).sum(axis=1)
+                return (r_ids.astype(np.int64), rx,
+                        (rx * rx).sum(axis=1))
+
+            for ref in self.refs:
+                r_ids, rx, rn = self.cache.get(
+                    ref, lambda r=ref: _decode(r))
+                if not len(r_ids):
+                    continue
                 d2m = bn[:, None] + rn[None, :] - 2.0 * (bx @ rx.T)
                 pos = np.searchsorted(r_ids, bi)
                 ok = (pos < len(r_ids)) & (r_ids[np.minimum(

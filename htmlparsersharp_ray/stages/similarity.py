@@ -17,6 +17,34 @@ import ray
 import ray.data
 
 
+class DecodedBlockCache:
+    """Per-ACTOR cache for the block-streamed exact scans (kNN
+    classifier / TwoNN / outliers): each actor iterates the same
+    immutable corpus blocks once per query batch, so the decoded
+    (ids, matrix, norms) tuples are memoized up to a byte budget —
+    below budget the actor decodes each block exactly once (the cost
+    profile of the old broadcast design); past budget further blocks
+    re-decode per batch (bounded memory wins over CPU at corpus
+    scales that outgrow a worker). Keyed by ObjectRef hex."""
+
+    def __init__(self, budget_bytes: int = 256 << 20):
+        self.budget = budget_bytes
+        self.used = 0
+        self.cache = {}
+
+    def get(self, ref, decode):
+        key = ref.hex()
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        val = decode()
+        size = sum(int(getattr(a, "nbytes", 0)) for a in val)
+        if self.used + size <= self.budget:
+            self.cache[key] = val
+            self.used += size
+        return val
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(ids, float64 matrix) from a (vec_id, embedding) batch. The
     list column flattens ZERO-COPY via its Arrow value buffer when

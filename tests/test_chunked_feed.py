@@ -72,6 +72,15 @@ def test_crlf_straddles_chunk_boundary():
         assert _signature(fp.finish()) == want, k
 
 
+def test_bom_survives_empty_first_feed():
+    """An empty feed() must not consume the one-time BOM strip
+    (review-found edge)."""
+    fp = FeedParser()
+    fp.feed("")
+    fp.feed("﻿<p>x")
+    assert _signature(fp.finish()) == _signature(parse("﻿<p>x"))
+
+
 def test_bom_only_stripped_at_stream_start():
     text = "﻿<p>a﻿b</p>"
     want = _signature(parse(text))

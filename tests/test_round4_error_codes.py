@@ -39,6 +39,22 @@ def test_run_error_codes_map_to_spec_names():
     assert any(c == "unexpected-text-after-frameset" for _, _, c in det)
 
 
+def test_run_error_coalesces_across_entity_splits():
+    """A 'run' spans character-reference replacements: NULs on both
+    sides of an &amp; count ONE unexpected-null-character (the run
+    definition is segmentation-stable — review-pinned; pre-round-4 the
+    count depended on internal regex call boundaries)."""
+    r = parse("<body>a\x00&amp;b\x00", collect_errors=True)
+    nul = [c for _, _, c in r.error_details
+           if c == "unexpected-null-character"]
+    assert len(nul) == 1
+    # a non-character token between the NULs starts a NEW run
+    r2 = parse("<body>a\x00<b></b>b\x00", collect_errors=True)
+    nul2 = [c for _, _, c in r2.error_details
+            if c == "unexpected-null-character"]
+    assert len(nul2) == 2
+
+
 def test_positions_still_one_based_and_ordered():
     det = _codes("x\n<p>&amp y\n&#Z")
     assert det == sorted(det, key=lambda d: (d[0], d[1]))

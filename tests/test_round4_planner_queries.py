@@ -100,6 +100,24 @@ def test_orders_semi_falls_back_to_shuffle(ray_session):
     pd.testing.assert_frame_equal(demo, shuffled)
 
 
+def test_promo_revenue_falls_back_to_shuffle(ray_session):
+    demo = r.q_promo_revenue(SF)
+    shuffled = r.q_promo_revenue(SF, broadcast_threshold_bytes=1)
+    pd.testing.assert_frame_equal(demo, shuffled)
+
+
+def test_lineitem_disjunctive_falls_back_to_shuffle(ray_session):
+    demo = r.q_lineitem_disjunctive(SF)
+    shuffled = r.q_lineitem_disjunctive(SF, broadcast_threshold_bytes=1)
+    pd.testing.assert_frame_equal(demo, shuffled)
+
+
+def test_customer_anti_falls_back_to_shuffle(ray_session):
+    demo = r.q_customer_anti(SF)
+    shuffled = r.q_customer_anti(SF, broadcast_threshold_bytes=1)
+    pd.testing.assert_frame_equal(demo, shuffled)
+
+
 def test_region_nation_share_same_on_shuffle_path(
     ray_session, tiny_broadcast_cap
 ):
