@@ -378,9 +378,13 @@ class FeedParser:
     chunk-relative); use ``parse()`` for locator output."""
 
     def __init__(self, scripting: bool = False,
-                 ignore_comments: bool = False):
+                 ignore_comments: bool = False,
+                 max_open_depth: int | None = 512,
+                 max_nodes: int | None = 4_000_000):
         self.builder = TreeBuilder(scripting=scripting,
                                    ignore_comments=ignore_comments)
+        self.builder.max_open_depth = max_open_depth
+        self.builder.max_nodes = max_nodes
         self.tok = Tokenizer(self.builder)
         self.builder.tokenizer = self.tok
         self.scanner = _Scanner(self.tok)
@@ -450,9 +454,11 @@ class FeedParser:
         self.carry = ""
         self.tok.run(tail)  # genuine EOF matrix on the remainder
         b = self.builder
-        return ParseResult(b.doc, self.tok.errors + b.errors, b.doc.mode,
-                           b.token_count, b.encoding_declared, None, None,
-                           b.warnings)
+        result = ParseResult(b.doc, self.tok.errors + b.errors, b.doc.mode,
+                             b.token_count, b.encoding_declared, None, None,
+                             b.warnings)
+        result.content_capped = b.depth_capped or b.node_capped
+        return result
 
 
 def parse_chunked(text: str, chunk_size: int,

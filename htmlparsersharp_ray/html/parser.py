@@ -28,7 +28,8 @@ def preprocess(text: str) -> str:
 
 class ParseResult:
     __slots__ = ("root", "errors", "doc_mode", "tokens", "encoding_declared",
-                 "error_positions", "error_details", "warnings")
+                 "error_positions", "error_details", "warnings",
+                 "content_capped")
 
     def __init__(self, root, errors, doc_mode, tokens=0, encoding_declared=None,
                  error_positions=None, error_details=None, warnings=0):
@@ -50,6 +51,10 @@ class ParseResult:
         # non-error diagnostics count (reference Warn — emitted by the
         # DoctypeExpectation policy matrix)
         self.warnings = warnings
+        # True when a hostile-input guard dropped structure or content
+        # (stack-depth or node-count cap) — extraction output is
+        # incomplete; HtmlExtractUDF folds this into metrics.truncated
+        self.content_capped = False
 
 
 def _offsets_to_positions(text: str, offsets) -> list[tuple[int, int]]:
@@ -67,7 +72,9 @@ def parse(text: str, scripting: bool = False,
           ignore_comments: bool = False,
           track_positions: bool = False,
           collect_errors: bool = False,
-          doctype_expectation: str = "no-doctype-errors") -> ParseResult:
+          doctype_expectation: str = "no-doctype-errors",
+          max_open_depth: int | None = 512,
+          max_nodes: int | None = 4_000_000) -> ParseResult:
     """Parse a complete HTML document; returns the Document plus metrics.
     ``ignore_comments`` mirrors the reference's IsIgnoringComments knob
     (reference: TreeBuilder.cs:5752-5762). ``track_positions=True``
@@ -81,6 +88,10 @@ def parse(text: str, scripting: bool = False,
     builder = TreeBuilder(scripting=scripting,
                           ignore_comments=ignore_comments,
                           doctype_expectation=doctype_expectation)
+    # hostile-input guards (Chromium-style 512 depth cap + node cap;
+    # None lifts them for strict-conformance runs) — see TreeBuilder
+    builder.max_open_depth = max_open_depth
+    builder.max_nodes = max_nodes
     tokenizer = Tokenizer(builder)
     if track_positions or collect_errors:
         tokenizer.error_offsets = []
@@ -102,10 +113,12 @@ def parse(text: str, scripting: bool = False,
                 sorted(tokenizer.error_log, key=lambda e: e[0]),
             )
         ]
-    return ParseResult(builder.doc, tokenizer.errors + builder.errors,
-                       builder.doc.mode, builder.token_count,
-                       builder.encoding_declared, positions, details,
-                       builder.warnings)
+    result = ParseResult(builder.doc, tokenizer.errors + builder.errors,
+                         builder.doc.mode, builder.token_count,
+                         builder.encoding_declared, positions, details,
+                         builder.warnings)
+    result.content_capped = builder.depth_capped or builder.node_capped
+    return result
 
 
 def parse_fragment(text: str, context: str, scripting: bool = False) -> ParseResult:

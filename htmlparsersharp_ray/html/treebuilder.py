@@ -104,6 +104,15 @@ class _FmtEntry:
         self.attrs = attrs
 
 
+# content-model-switching elements stay insertable at the depth cap:
+# they consume their content as text and pop via the TEXT mode, so the
+# stack grows by at most one transient entry — dropping them instead
+# would spill raw script/style source into extracted text
+_DEPTH_CAP_EXEMPT = frozenset((
+    "script", "style", "title", "textarea", "xmp", "iframe",
+    "noembed", "noframes", "plaintext",
+))
+
 _RUN_ERROR_CODES = {
     "nul": "unexpected-null-character",
     "foster": "foster-parenting-text",
@@ -131,6 +140,22 @@ class TreeBuilder:
                 f"unknown doctype_expectation {doctype_expectation!r}")
         self.doctype_expectation = doctype_expectation
         self.warnings = 0
+        # Hostile-input guards (SURVEY §7.4.7). max_open_depth caps the
+        # open-elements stack the way production engines do (Chromium
+        # ships 512): a start tag arriving at the cap is DROPPED (error
+        # + flag; text keeps flowing into the current element, so
+        # extraction loses structure, not content). This also bounds
+        # every scope search, killing the O(depth²) blowup a
+        # 300k-deep <div> nest otherwise causes (measured: 1.8 MB of
+        # divs > 300 s pre-cap). max_nodes caps total DOM nodes: past
+        # it, element AND text insertion stop (flag recorded) so a
+        # hostile many-node turn cannot blow an actor's heap. Pass None
+        # to lift either (strict-conformance runs).
+        self.max_open_depth = 512
+        self.max_nodes = 4_000_000
+        self.depth_capped = False
+        self.node_capped = False
+        self.node_count = 0
         # recorded <meta charset> declaration (reference: CheckMetaCharset
         # TreeBuilder.cs:3213-3244 + EncodingDeclared event; like the
         # reference we never re-decode — input is already str)
@@ -211,6 +236,9 @@ class TreeBuilder:
     foster = False
 
     def _insert_text(self, data):
+        if self.node_capped:
+            return
+        self.node_count += 1
         parent, ref = self._appropriate_parent()
         if ref is None:
             parent.append_text(data)
@@ -227,6 +255,14 @@ class TreeBuilder:
             name, namespace,
             attrs if attrs else {},
         )
+        if self.node_capped:
+            # past the node cap, spec recovery paths may still
+            # synthesize elements (e.g. the </p>-implies-<p> rule):
+            # keep the machinery consistent with a DETACHED node —
+            # pushed if asked, never attached to the document
+            if push:
+                self.open.append(el)
+            return el
         parent, ref = self._appropriate_parent()
         if ref is None:
             parent.append(el)
@@ -234,11 +270,21 @@ class TreeBuilder:
             parent.insert_before(el, ref)
         if push:
             self.open.append(el)
+        self.node_count += 1
+        if (self.max_nodes is not None
+                and self.node_count >= self.max_nodes
+                and not self.node_capped):
+            self.node_capped = True
+            self.error("node-count-limit")
         return el
 
     def _insert_foreign(self, name, attrs_adjusted, namespace, push=True,
                         attr_ns=None):
         el = Element(name, namespace, attrs_adjusted, attr_ns)
+        if self.node_capped:
+            if push:
+                self.open.append(el)
+            return el
         parent, ref = self._appropriate_parent()
         if ref is None:
             parent.append(el)
@@ -246,6 +292,12 @@ class TreeBuilder:
             parent.insert_before(el, ref)
         if push:
             self.open.append(el)
+        self.node_count += 1
+        if (self.max_nodes is not None
+                and self.node_count >= self.max_nodes
+                and not self.node_capped):
+            self.node_capped = True
+            self.error("node-count-limit")
         return el
 
     def _pop(self):
@@ -956,6 +1008,17 @@ class TreeBuilder:
         self.ignore_next_lf = False
         if self.mode == IN_TABLE_TEXT:
             self._flush_table_text()
+        # hostile-input guards: drop start tags past the stack-depth or
+        # node-count cap (see __init__; text still flows, end tags
+        # still pop)
+        if ((self.max_open_depth is not None
+                and len(self.open) >= self.max_open_depth
+                and name not in _DEPTH_CAP_EXEMPT)
+                or self.node_capped):
+            if not self.depth_capped and not self.node_capped:
+                self.error("stack-depth-limit")
+            self.depth_capped = self.depth_capped or not self.node_capped
+            return
         # tree construction dispatcher: foreign content?
         if self.open:
             acn = self._adjusted_current()

@@ -98,6 +98,9 @@ class HtmlExtractUDF:
                                    scripting=self.scripting)
         else:
             result = parse(text, scripting=self.scripting)
+        # metrics.truncated records ANY incomplete-content degradation:
+        # input char cap, stack-depth cap, or node-count cap
+        truncated = truncated or result.content_capped
         ext = extract_main_content(result.root)
         return ext, result, truncated
 

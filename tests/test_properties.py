@@ -200,11 +200,7 @@ def test_simple_tag_fast_path_differential(seed, monkeypatch):
     assert e1 == e2
 
 
-def test_hostile_template_nesting():
-    """1000 nested <template>s: iterative machinery must not recurse, and
-    EOF must unwind every open template (contents chain intact)."""
-    html = "<template>" * 1000 + "x"
-    r = parse(html)
+def _template_chain_depth(r):
     node = r.root.children[0].children[0]  # html > head
     depth = 0
     while node.children:
@@ -213,11 +209,26 @@ def test_hostile_template_nesting():
             break
         depth += 1
         node = el.content
-    assert depth == 1000
+    return depth
+
+
+def test_hostile_template_nesting():
+    """1000 nested <template>s: the default Chromium-style stack cap
+    (round 4) bounds the chain at ~512 with content_capped set — the
+    hostile-depth guard; with the cap lifted the iterative machinery
+    must still build (and EOF-unwind) all 1000 without recursion."""
+    html = "<template>" * 1000 + "x"
+    r = parse(html)
+    assert r.content_capped
+    assert 500 <= _template_chain_depth(r) <= 512
     ext = extract_main_content(r.root)
     assert ext.text == ""  # template contents are never rendered text
     # deterministic reparse
     assert serialize_tree(parse(html).root) == serialize_tree(r.root)
+
+    r2 = parse(html, max_open_depth=None)
+    assert not r2.content_capped
+    assert _template_chain_depth(r2) == 1000
 
 
 def test_template_serialize_reparse_fixed_point():
