@@ -1688,19 +1688,27 @@ def q_part_quantiles_sketch(sf_dir: str):
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
-def q_region_revenue(sf_dir: str):
+def q_region_revenue(sf_dir: str,
+                     broadcast_threshold_bytes: int = 64 << 20):
     """TPC-H Q5 proper: the 6-table join chain customer ⋈ orders ⋈
     lineitem ⋈ supplier ⋈ nation ⋈ region with the local-supplier
     predicate c_nationkey = s_nationkey — the join-COMPOSITION
     demonstration. Scale shape: the two fact joins (orders⋈customer,
     lineitem⋈orders) run through the bucketed shuffle hash join
-    (pipelines/joins.py); the dimension chain (region→nation,
-    region-pruned supplier→nationkey) broadcasts once via ray.put and
-    applies inside map_batches; lineitem pre-aggregates to
+    (pipelines/joins.py); the bounded dimension chain (region→nation, 30
+    rows total) broadcasts unconditionally; lineitem pre-aggregates to
     (orderkey, supplier-nation) grain with exact scaled-int64 cents
     INSIDE its map before entering the shuffle, so the big exchange is
     near orders-sized. Final per-nation merge is a tiny Python-int sum
-    (overflow-safe, ADVICE r2)."""
+    (overflow-safe, ADVICE r2).
+
+    Size-aware (round 5): supplier is 10k rows/SF — linear in table
+    scale, NOT a bounded domain — so the region-pruned suppkey→nation
+    map only broadcasts while the SUPPLIER base table's parquet
+    metadata stays under the cap; beyond it the pruned supplier dataset
+    attaches to lineitem through the bucketed shuffle hash join and the
+    same partial runs on the joined column (planner rule: no
+    driver-built array may grow with table scale ungated)."""
     import numpy as np
 
     from .joins import hash_join
@@ -1714,12 +1722,13 @@ def q_region_revenue(sf_dir: str):
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nat_names = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
 
-    # supplier → nationkey, region-pruned (10k rows/SF: broadcast once)
-    sup = ray.data.read_parquet(
-        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(nat_names)]
-    sup_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+    # supplier → nationkey, region-pruned; size-gated (see docstring)
+    sup_ds = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    try:
+        sup_bytes = sup_ds.size_bytes()
+    except Exception:
+        sup_bytes = None
 
     nat_set = pa.array(sorted(nat_names), pa.int64())
     cust = ray.data.read_parquet(
@@ -1745,32 +1754,57 @@ def q_region_revenue(sf_dir: str):
         lambda df: df[["o_orderkey", "c_nationkey"]], batch_format="pandas"
     ).repartition(8)  # one small block per join bucket — coalesce
 
-    class LiPartial:
-        """Region-prune via the broadcast supplier map + per-batch
-        exact-cents pre-aggregation to (orderkey, nation) grain."""
+    def _li_partial(b: pd.DataFrame, s_nat: np.ndarray) -> pd.DataFrame:
+        """Exact-cents pre-aggregation to (orderkey, nation) grain —
+        shared by both planner paths (broadcast map vs joined column)."""
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        out = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "s_nat": s_nat,
+                "rev_u": pr_c * (100 - di_c),
+            }
+        )
+        return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev_u"].sum()
 
-        def __init__(self):
-            self.sup = ray.get(sup_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            s_nat = b["l_suppkey"].map(self.sup)
-            keep = s_nat.notna().to_numpy()
-            b = b[keep]
-            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
-            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
-            out = pd.DataFrame(
-                {
-                    "l_orderkey": b["l_orderkey"].to_numpy(),
-                    "s_nat": s_nat[keep].to_numpy().astype("int64"),
-                    "rev_u": pr_c * (100 - di_c),
-                }
-            )
-            return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev_u"].sum()
-
-    li = ray.data.read_parquet(
+    li_read = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+    )
+    if sup_bytes is not None and sup_bytes <= broadcast_threshold_bytes:
+        sup = sup_ds.to_pandas()
+        sup = sup[sup["s_nationkey"].isin(nat_names)]
+        sup_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+
+        class LiPartial:
+            """Region-prune via the broadcast supplier map."""
+
+            def __init__(self):
+                self.sup = ray.get(sup_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                s_nat = b["l_suppkey"].map(self.sup)
+                keep = s_nat.notna().to_numpy()
+                b = b[keep]
+                return _li_partial(
+                    b, s_nat[keep].to_numpy().astype("int64"))
+
+        li = li_read.map_batches(LiPartial, batch_format="pandas",
+                                 concurrency=(1, 4))
+    else:
+        sup_pruned = sup_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("s_nationkey"),
+                                        value_set=nat_set)),
+            batch_format="pyarrow",
+        )
+        li = hash_join(
+            li_read, sup_pruned, left_on="l_suppkey", right_on="s_suppkey"
+        ).map_batches(
+            lambda b: _li_partial(
+                b, b["s_nationkey"].to_numpy(dtype=np.int64)),
+            batch_format="pandas",
+        )
 
     joined = hash_join(li, cust_orders, left_on="l_orderkey", right_on="o_orderkey")
 
@@ -6049,7 +6083,8 @@ def q_events_time_weighted(sf_dir: str):
             .sort_values("user_id").reset_index(drop=True))
 
 
-def q_nation_volume(sf_dir: str):
+def q_nation_volume(sf_dir: str,
+                    broadcast_threshold_bytes: int = 64 << 20):
     """TPC-H Q7 shape (volume shipping): revenue flowing between two
     nations by (supplier nation, customer nation, year).
 
@@ -6073,56 +6108,95 @@ def q_nation_volume(sf_dir: str):
     hi = pd.Timestamp("1996-12-31")
     pair = {1: "NATION_1", 2: "NATION_2"}
 
-    # broadcast dim: suppkey -> nation name, only the pair's nations
-    supp = ray.data.read_parquet(
-        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(pair.keys())]
-    supp_map_ref = ray.put((
-        np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64)),
-        supp.sort_values("s_suppkey")["s_nationkey"]
-            .map(pair).to_numpy(dtype=object),
-    ))
+    # suppkey -> nation name, pruned to the pair's nations; SIZE-GATED
+    # (round 5): supplier is 10k rows/SF — linear in scale — so the map
+    # broadcasts only while the base table's parquet metadata stays
+    # under the cap; beyond it the pruned supplier dataset attaches to
+    # the date-filtered lineitem through the bucketed shuffle hash join.
+    supp_ds = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    try:
+        supp_bytes = supp_ds.size_bytes()
+    except Exception:
+        supp_bytes = None
 
-    class LiPartial:
-        """Filter + broadcast supplier-nation attach + per-batch exact
-        revenue partial, grouped at (orderkey, supp_nation, year)."""
+    def _li_empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "supp_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "rev_u": pd.Series([], dtype="int64"),
+        })
 
-        def __init__(self):
-            self.keys, self.nations = ray.get(supp_map_ref)
+    def _li_partial(b: pd.DataFrame, supp_nation: np.ndarray) -> pd.DataFrame:
+        """Exact-revenue partial at (orderkey, supp_nation, year) grain
+        — shared by both planner paths; ``b`` is already date-filtered
+        and supplier-matched."""
+        if len(b) == 0:
+            return _li_empty()
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "supp_nation": supp_nation,
+            "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
+            "rev_u": pr_c * (100 - di_c),
+        }).groupby(["l_orderkey", "supp_nation", "l_year"],
+                   as_index=False, sort=False)["rev_u"].sum()
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({
-                "l_orderkey": pd.Series([], dtype="int64"),
-                "supp_nation": pd.Series([], dtype=object),
-                "l_year": pd.Series([], dtype="int64"),
-                "rev_u": pd.Series([], dtype="int64"),
-            })
-            if len(self.keys) == 0:
-                return empty
-            b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] <= hi)]
-            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
-            pos = np.searchsorted(self.keys, sk)
-            pos_c = np.minimum(pos, len(self.keys) - 1)
-            ok = self.keys[pos_c] == sk
-            b = b[ok]
-            if len(b) == 0:
-                return empty
-            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
-            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
-            return pd.DataFrame({
-                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                "supp_nation": self.nations[pos_c[ok]],
-                "l_year": b["l_shipdate"].dt.year.to_numpy(dtype=np.int64),
-                "rev_u": pr_c * (100 - di_c),
-            }).groupby(["l_orderkey", "supp_nation", "l_year"],
-                       as_index=False, sort=False)["rev_u"].sum()
-
-    li = ray.data.read_parquet(
+    li_read = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount", "l_shipdate"],
-    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+    )
+    if supp_bytes is not None and supp_bytes <= broadcast_threshold_bytes:
+        supp = supp_ds.to_pandas()
+        supp = supp[supp["s_nationkey"].isin(pair.keys())]
+        supp_map_ref = ray.put((
+            np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64)),
+            supp.sort_values("s_suppkey")["s_nationkey"]
+                .map(pair).to_numpy(dtype=object),
+        ))
+
+        class LiPartial:
+            """Filter + broadcast supplier-nation attach + partial."""
+
+            def __init__(self):
+                self.keys, self.nations = ray.get(supp_map_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if len(self.keys) == 0:
+                    return _li_empty()
+                b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] <= hi)]
+                sk = b["l_suppkey"].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(self.keys, sk)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                ok = self.keys[pos_c] == sk
+                b = b[ok]
+                if len(b) == 0:
+                    return _li_empty()
+                return _li_partial(b, self.nations[pos_c[ok]])
+
+        li = li_read.map_batches(LiPartial, batch_format="pandas",
+                                 concurrency=(1, 4))
+    else:
+        pair_arr = pa.array(sorted(pair.keys()), pa.int64())
+        supp_pruned = supp_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("s_nationkey"),
+                                        value_set=pair_arr)),
+            batch_format="pyarrow",
+        )
+        li_dated = li_read.map_batches(
+            lambda b: b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] <= hi)],
+            batch_format="pandas",
+        )
+        li = hash_join(
+            li_dated, supp_pruned, left_on="l_suppkey", right_on="s_suppkey"
+        ).map_batches(
+            lambda b: _li_partial(
+                b, b["s_nationkey"].map(pair).to_numpy(dtype=object)),
+            batch_format="pandas",
+        )
 
     cust = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
@@ -6585,58 +6659,92 @@ def q_orders_anti_shuffle(sf_dir: str):
     return _orders_ship_exists(sf_dir, "anti")
 
 
-def q_nation_market_share(sf_dir: str):
+def q_nation_market_share(sf_dir: str,
+                          broadcast_threshold_bytes: int = 64 << 20):
     """TPC-H Q8 shape (national market share): NATION_1 suppliers' share
     of all revenue delivered to region-0 customers, by order year — a
     conditional-numerator / grouped-denominator ratio over a multi-join.
 
-    Scale shape: supplier→nation is a broadcast key set (only the ONE
-    numerator nation ships); customer prunes to region-0 nations before
-    its shuffle join with orders; lineitem pre-aggregates BOTH exact
-    int64 sums (total, nation-only) per order inside map_batches, so
-    the second shuffle join is orders-sized. The share is ONE float
-    division per year, mirrored by the oracle (events_share idiom)."""
+    Scale shape: customer prunes to region-0 nations (a bounded nation
+    set) before its shuffle join with orders; lineitem pre-aggregates
+    BOTH exact int64 sums (total, nation-only) per order inside
+    map_batches, so the second shuffle join is orders-sized. The share
+    is ONE float division per year, mirrored by the oracle
+    (events_share idiom).
+
+    Size-aware (round 5): the numerator nation's supplier key set is a
+    slice of supplier (10k rows/SF — linear in scale), so it only
+    broadcasts while the SUPPLIER base table's parquet metadata stays
+    under the cap; beyond it the n1 flag attaches through a bucketed
+    LEFT shuffle join with the pruned supplier key set — no
+    driver-built array grows with table scale ungated."""
     import numpy as np
 
     from .joins import hash_join
 
-    # region 0's nations and the numerator nation's suppliers — both
-    # broadcast key sets (dims prune before shipping)
+    # region 0's nations — a bounded 25-row domain, broadcast freely
     nation = ray.data.read_parquet(_t(sf_dir, "nation")).to_pandas()
     r0_nations = set(
         nation.loc[nation["n_regionkey"] == 0, "n_nationkey"].tolist())
-    supp = ray.data.read_parquet(
-        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    n1_supp_ref = ray.put(np.sort(
-        supp.loc[supp["s_nationkey"] == 1, "s_suppkey"]
-        .to_numpy(dtype=np.int64)))
+    supp_ds = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    try:
+        supp_bytes = supp_ds.size_bytes()
+    except Exception:
+        supp_bytes = None
 
-    class LiPartial:
-        def __init__(self):
-            self.n1 = ray.get(n1_supp_ref)
+    def _li_partial(b: pd.DataFrame, is_n1: np.ndarray) -> pd.DataFrame:
+        pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        rev = pr_c * (100 - di_c)
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "total_u": rev,
+            "nation_u": np.where(is_n1, rev, 0),
+        }).groupby("l_orderkey", as_index=False, sort=False).sum()
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            pr_c = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
-            di_c = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
-            rev = pr_c * (100 - di_c)
-            sk = b["l_suppkey"].to_numpy(dtype=np.int64)
-            if len(self.n1):
-                pos = np.minimum(np.searchsorted(self.n1, sk),
-                                 len(self.n1) - 1)
-                is_n1 = self.n1[pos] == sk
-            else:
-                is_n1 = np.zeros(len(b), dtype=bool)
-            return pd.DataFrame({
-                "l_orderkey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                "total_u": rev,
-                "nation_u": np.where(is_n1, rev, 0),
-            }).groupby("l_orderkey", as_index=False, sort=False).sum()
-
-    li = ray.data.read_parquet(
+    li_read = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 4))
+    )
+    if supp_bytes is not None and supp_bytes <= broadcast_threshold_bytes:
+        supp = supp_ds.to_pandas()
+        n1_supp_ref = ray.put(np.sort(
+            supp.loc[supp["s_nationkey"] == 1, "s_suppkey"]
+            .to_numpy(dtype=np.int64)))
+
+        class LiPartial:
+            def __init__(self):
+                self.n1 = ray.get(n1_supp_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                sk = b["l_suppkey"].to_numpy(dtype=np.int64)
+                if len(self.n1):
+                    pos = np.minimum(np.searchsorted(self.n1, sk),
+                                     len(self.n1) - 1)
+                    is_n1 = self.n1[pos] == sk
+                else:
+                    is_n1 = np.zeros(len(b), dtype=bool)
+                return _li_partial(b, is_n1)
+
+        li = li_read.map_batches(LiPartial, batch_format="pandas",
+                                 concurrency=(1, 4))
+    else:
+        n1_keys = supp_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("s_nationkey"), 1))
+                       .select(["s_suppkey"]),
+            batch_format="pyarrow",
+        )
+        # LEFT join keeps every lineitem row (the denominator needs all
+        # revenue); a matched s_suppkey (supplier keys are unique, so no
+        # fan-out) marks the numerator rows
+        li = hash_join(
+            li_read, n1_keys, left_on="l_suppkey", right_on="s_suppkey",
+            how="left",
+        ).map_batches(
+            lambda b: _li_partial(b, b["s_suppkey"].notna().to_numpy()),
+            batch_format="pandas",
+        )
 
     cust = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
