@@ -462,44 +462,97 @@ def _normalized(emb: np.ndarray) -> np.ndarray:
 
 def knn_graph_exact(ds: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
     """Exact cosine kNN GRAPH (top-k neighbor list for EVERY vector,
-    self excluded) — the quadratic broadcast baseline, same contract as
-    embedding_cosine_dup_pairs_exact: the full normalized matrix ships
-    once via ray.put and each batch does one matmul against it. The
-    scale path is :func:`knn_graph_lsh`. Ties break to the smaller
-    neighbor id (stable argsort of -sims over id-ascending columns)."""
-    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    ids = full["vec_id"].to_numpy(dtype=np.int64)
-    x = _normalized(np.asarray(full["embedding"].tolist(),
-                               dtype=np.float64))
-    ref = ray.put((ids, x))
+    self excluded) — the quadratic EXACT baseline the LSH scale path
+    (:func:`knn_graph_lsh`) is judged against. Ties break to the
+    smaller neighbor id.
+
+    Scale shape (round 5, VERDICT r4 item 2 — the kNN-classifier
+    streaming shape from pipelines/relational.py): the corpus is a
+    materialized Dataset whose Arrow block refs the scan actors stream
+    one at a time with a bounded running top-k pool — NO driver
+    materialization, no broadcast matrix that grows with scale. Each
+    block is id-sorted so the per-block stable argsort plus the pool's
+    row-wise (−sim, nbr_id) lexsort reproduce the global
+    (sim desc, id asc) tie-break bitwise; a same-node ray.get of a
+    block is a zero-copy object-store read, and the per-actor
+    DecodedBlockCache amortizes decode across query batches."""
+    corpus = ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]).sort_by("vec_id"),
+        batch_format="pyarrow",
+    ).materialize()
+    n_corpus = corpus.count()
+    kk = min(k, n_corpus - 1)
+    if kk <= 0:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+            "nbr_id": pd.Series([], dtype="int64"),
+        })
+    refs = corpus.to_arrow_refs()
 
     class KnnUDF:
-        def __init__(self):
-            self.ids, self.x = ray.get(ref)
+        def __init__(self, refs):
+            self.refs = refs
+            self.cache = DecodedBlockCache()
+
+        @staticmethod
+        def _decode(t: pa.Table):
+            # a block can arrive empty with a BARE schema (Ray emits
+            # schema-less empty RefBundles) — guard column access
+            if t.num_rows == 0:
+                return np.empty(0, np.int64), np.empty((0, 1))
+            ids_, mat = _batch_matrix(t)
+            return ids_.astype(np.int64), _normalized(mat)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bi, bx = _batch_matrix(batch)
             bx = _normalized(bx)
-            sims = bx @ self.x.T
-            # mask self-matches (corpus ids are sorted; one searchsorted)
-            pos = np.searchsorted(self.ids, bi)
-            ok = (pos < len(self.ids)) & (self.ids[np.minimum(
-                pos, len(self.ids) - 1)] == bi)
-            sims[np.nonzero(ok)[0], pos[ok]] = -np.inf
-            kk = min(k, sims.shape[1] - 1)
-            # stable argsort of -sims: ties fall to the lower column
-            # index, which is the lower nbr id (columns are id-sorted)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            n = len(bi)
+            nq = len(bi)
+            pool_s = np.empty((nq, 0), dtype=np.float64)
+            pool_id = np.empty((nq, 0), dtype=np.int64)
+            for ref in self.refs:
+                ids_, rx = self.cache.get(
+                    ref, lambda r=ref: self._decode(ray.get(r)))
+                if not len(ids_):
+                    continue
+                sims = bx @ rx.T
+                # mask self-matches (block ids sorted; one searchsorted)
+                pos = np.searchsorted(ids_, bi)
+                ok = (pos < len(ids_)) & (ids_[np.minimum(
+                    pos, len(ids_) - 1)] == bi)
+                sims[np.nonzero(ok)[0], pos[ok]] = -np.inf
+                bkk = min(kk, sims.shape[1])
+                # stable argsort of -sims: ties fall to the lower
+                # in-block id (block columns are id-sorted)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :bkk]
+                pool_s = np.concatenate(
+                    [pool_s, np.take_along_axis(sims, order, 1)], axis=1)
+                pool_id = np.concatenate([pool_id, ids_[order]], axis=1)
+                if pool_s.shape[1] > kk:
+                    # row-wise lexsort (primary sim desc, secondary id
+                    # asc): stable id-argsort then stable −sim-argsort
+                    o1 = np.argsort(pool_id, axis=1, kind="stable")
+                    s1 = np.take_along_axis(pool_s, o1, 1)
+                    o2 = np.argsort(-s1, axis=1, kind="stable")[:, :kk]
+                    sel = np.take_along_axis(o1, o2, 1)
+                    pool_s = np.take_along_axis(pool_s, sel, 1)
+                    pool_id = np.take_along_axis(pool_id, sel, 1)
+            o1 = np.argsort(pool_id, axis=1, kind="stable")
+            s1 = np.take_along_axis(pool_s, o1, 1)
+            o2 = np.argsort(-s1, axis=1, kind="stable")[:, :kk]
+            sel = np.take_along_axis(o1, o2, 1)
+            nbr = np.take_along_axis(pool_id, sel, 1)
             return pa.table({
                 "vec_id": pa.array(np.repeat(bi, kk).astype(np.int64)),
                 "rank": pa.array(np.tile(np.arange(1, kk + 1,
-                                                   dtype=np.int64), n)),
-                "nbr_id": pa.array(self.ids[order.ravel()]),
+                                                   dtype=np.int64), nq)),
+                "nbr_id": pa.array(nbr.ravel()),
             })
 
-    out = ds.map_batches(KnnUDF, batch_format="pyarrow",
-                         batch_size=1024, concurrency=(1, 4)).to_pandas()
+    out = corpus.map_batches(
+        KnnUDF, fn_constructor_args=(refs,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 4),
+    ).to_pandas()
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
