@@ -1475,7 +1475,9 @@ def _q_events_user_hll(sf_dir: str):
     import pandas as pd
     import ray.data
     from htmlparsersharp_ray.pipelines.relational import _h2d
-    from htmlparsersharp_ray.stages.sketches import hll_int_profile, hll_merged
+    from htmlparsersharp_ray.stages.sketches import (
+        hll_int_profile, hll_merged, ln_m_over_nzero,
+    )
 
     ds = ray.data.read_parquet(
         _os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
@@ -1483,12 +1485,14 @@ def _q_events_user_hll(sf_dir: str):
     regs = hll_merged(ds, "user_id")
     n_zero, s_scaled = hll_int_profile(regs)
     # mirrored float expression — literal-for-literal identical to the
-    # oracle SQL (same left-assoc ops, same libm ln on this host)
+    # oracle SQL; every op is IEEE-correctly-rounded +,−,×,÷ (round 5:
+    # the linear-counting ln is the shared libm-free series, so the
+    # pairing no longer assumes DuckDB LN ≡ CPython math.log)
     a = (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0 \
         * 18446744073709551616.0
     est = a / _h2d(s_scaled)
     if est <= 40960.0 and n_zero > 0:
-        est = 16384.0 * math.log(16384.0 / n_zero)
+        est = 16384.0 * ln_m_over_nzero(n_zero)
     return pd.DataFrame({
         "m": pd.Series([16384], dtype="int64"),
         "n_zero_regs": pd.Series([n_zero], dtype="int64"),
@@ -3978,15 +3982,46 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(big_s % 4611686018427387904 AS DOUBLE))
                            AS est0
                 FROM s
+            ),
+            -- linear-counting ln via the shared libm-free series
+            -- (sketches.ln_m_over_nzero): exact power-of-2 range
+            -- reduction + atanh Horner nest — every op is IEEE
+            -- correctly-rounded, so NO host-libm assumption (round 5)
+            lc1 AS (
+                SELECT *, CASE WHEN n_zero > 0 THEN
+                    14 - length(bin(CAST(n_zero AS UBIGINT)))
+                       + CASE WHEN (n_zero & (n_zero - 1)) = 0
+                              THEN 1 ELSE 0 END
+                  ELSE 0 END AS kpow
+                FROM est
+            ),
+            lc2 AS (
+                SELECT *, CAST(1 << (14 - kpow) AS DOUBLE)
+                          / CAST(CASE WHEN n_zero > 0 THEN n_zero
+                                      ELSE 1 END AS DOUBLE) AS sm
+                FROM lc1
+            ),
+            lc3 AS (SELECT *, (sm - 1.0) / (sm + 1.0) AS y FROM lc2),
+            lc4 AS (SELECT *, y * y AS y2 FROM lc3),
+            lc5 AS (
+                SELECT *,
+                  CAST(kpow AS DOUBLE) * 0.6931471805599453
+                  + 2.0 * y * (1.0 + y2*(1.0/3.0 + y2*(1.0/5.0
+                    + y2*(1.0/7.0 + y2*(1.0/9.0 + y2*(1.0/11.0
+                    + y2*(1.0/13.0 + y2*(1.0/15.0 + y2*(1.0/17.0
+                    + y2*(1.0/19.0 + y2*(1.0/21.0 + y2*(1.0/23.0
+                    + y2*(1.0/25.0 + y2*(1.0/27.0 + y2*(1.0/29.0
+                    + y2*(1.0/31.0)))))))))))))))) AS ln_r
+                FROM lc4
             )
             SELECT CAST(16384 AS BIGINT) AS m,
                    CAST(n_zero AS BIGINT) AS n_zero_regs,
                    CAST(big_s AS VARCHAR) AS s_scaled,
                    CAST(FLOOR(CASE WHEN est0 <= 40960.0 AND n_zero > 0
-                                   THEN 16384.0 * LN(16384.0 / n_zero)
+                                   THEN 16384.0 * ln_r
                                    ELSE est0 END + 0.5) AS BIGINT)
                        AS approx_distinct_users
-            FROM est
+            FROM lc5
         """,
         "part_quantiles_cont": """
             -- interpolated quantiles: DuckDB's quantile_cont evaluates

@@ -105,6 +105,37 @@ def approx_distinct(ds: ray.data.Dataset, column: str) -> float:
     return hll_estimate(hll_merged(ds, column))
 
 
+def ln_m_over_nzero(n_zero: int, m_bits: int = 14) -> float:
+    """ln(2^m_bits / n_zero) via a FINITE IEEE arithmetic expression —
+    no libm call on either side of the oracle pairing (round 5, VERDICT
+    r4 item 4: the old ``math.log`` / DuckDB ``LN`` pairing assumed the
+    two share one libm, true on this host but not portable).
+
+    Every operation here is +, −, ×, ÷ on doubles — IEEE-754
+    correctly-rounded on any conforming platform — so the SQL oracle
+    evaluates the LITERALLY identical expression chain
+    (events_user_hll's lc1..lc5 CTEs) to bit-identical doubles on any
+    host. Shape: exact power-of-2 range reduction r = 2^k·s with
+    s ∈ [1,2) (k from the integer bit length of n_zero), then the
+    atanh series ln(s) = 2y·(1 + y²/3 + y⁴/5 + …), y = (s−1)/(s+1)
+    ≤ 1/3, truncated at y³¹ — truncation error < 3e-16 relative,
+    below the double ulp of the downstream 16384·ln estimate. The
+    Horner nest order is load-bearing: Python and SQL must perform the
+    same additions/multiplications in the same order."""
+    if n_zero <= 0:
+        raise ValueError("linear counting needs n_zero > 0")
+    k = m_bits - n_zero.bit_length() + (
+        1 if n_zero & (n_zero - 1) == 0 else 0)
+    s = (1 << (m_bits - k)) / n_zero  # exact ints → correctly rounded
+    y = (s - 1.0) / (s + 1.0)
+    y2 = y * y
+    f = 1.0 / 31.0
+    for c in (29, 27, 25, 23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3):
+        f = 1.0 / c + y2 * f
+    f = 1.0 + y2 * f
+    return float(k) * 0.6931471805599453 + 2.0 * y * f
+
+
 def hll_int_profile(regs: np.ndarray) -> tuple[int, int]:
     """(n_zero_registers, S) where S = Σ_j 2^(64 − reg_j) as an EXACT
     Python int — the integer sufficient statistic of the HLL estimate
