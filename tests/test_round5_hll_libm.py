@@ -50,7 +50,8 @@ SELECT n_zero, ln_r FROM lc5 ORDER BY n_zero
 
 
 def test_series_bitwise_matches_duckdb_over_full_domain():
-    rows = duckdb.connect().sql(_SERIES_SQL).fetchall()
+    con = duckdb.connect()  # keep a reference: a temporary is GC-closed
+    rows = con.sql(_SERIES_SQL).fetchall()
     assert len(rows) == 16384
     for nz, lnr in rows:
         py = ln_m_over_nzero(int(nz))
