@@ -35,6 +35,7 @@ import re
 
 from .parser import ParseResult
 from .tokenizer import (
+    CDATA_SECTION,
     DATA,
     PLAINTEXT,
     RAWTEXT,
@@ -166,6 +167,17 @@ def _entity_bounded(text: str, i: int, n: int) -> int | None:
     return m.end()
 
 
+def _cdata_holdback(text: str, start: int, n: int) -> int:
+    """Length of the longest suffix of ``text[start:n]`` that is a
+    proper prefix of ']]>' — the characters that must carry to the next
+    chunk because the terminator could complete across the boundary."""
+    if text.endswith("]]", start, n):
+        return 2
+    if text.endswith("]", start, n):
+        return 1
+    return 0
+
+
 class _Scanner:
     """State-aware completeness scanner; one instance per FeedParser so
     it can ask the sink about CDATA context exactly like the
@@ -274,7 +286,15 @@ class _Scanner:
             if self.tok.sink.cdata_allowed():
                 g = text.find("]]>", i + 9, n)
                 if g == -1:
-                    return None, False
+                    # STREAM (round 5): no terminator in the buffer —
+                    # feed the opener plus the available content now
+                    # (the tokenizer enters the resumable CDATA_SECTION
+                    # state; scan_cdata consumes the rest), holding
+                    # back only a trailing prefix of ']]>' so the
+                    # terminator can never straddle a boundary. A
+                    # never-closed CDATA island no longer buffers the
+                    # remainder of the document.
+                    return max(i + 9, n - _cdata_holdback(text, i + 9, n)), True
                 # yield: the tokenizer must process the CDATA while the
                 # sink is still in the foreign context the scanner saw
                 return g + 3, True
@@ -336,6 +356,16 @@ class _Scanner:
             if e is None:
                 return i
             return e  # yield: state returns to DATA
+
+    # -- CDATA_SECTION ------------------------------------------------------
+    def scan_cdata(self, text: str, pos: int, n: int) -> int:
+        """Inside a CDATA section (resumable tokenizer state): consume
+        to just past ']]>' when present, else everything except a
+        trailing prefix of the terminator."""
+        g = text.find("]]>", pos, n)
+        if g != -1:
+            return g + 3  # yield: the tokenizer returns to DATA
+        return max(pos, n - _cdata_holdback(text, pos, n))
 
     # -- SCRIPT_DATA --------------------------------------------------------
     def scan_script(self, text: str, pos: int, n: int) -> int:
@@ -434,6 +464,8 @@ class FeedParser:
                 end = scanner.scan_rcdata(buf, pos, n, True)
             elif state == RAWTEXT:
                 end = scanner.scan_rcdata(buf, pos, n, False)
+            elif state == CDATA_SECTION:
+                end = scanner.scan_cdata(buf, pos, n)
             else:  # SCRIPT_DATA
                 end = scanner.scan_script(buf, pos, n)
             if end == pos:

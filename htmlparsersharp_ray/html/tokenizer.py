@@ -37,6 +37,12 @@ RCDATA = 1
 RAWTEXT = 2
 SCRIPT_DATA = 3
 PLAINTEXT = 4
+# CDATA section content (round 5): persists across run_span calls so the
+# chunked feed can stream a giant (or never-closed) CDATA island with
+# O(chunk) memory instead of buffering to the terminator — the engine
+# equivalent of the reference resuming its CDATA states across buffer
+# loads (Tokenizer.cs:2916-3015 CDATA_START/CDATA_SECTION/CDATA_RSQB).
+CDATA_SECTION = 5
 
 _WS = "\t\n\f "
 
@@ -140,6 +146,11 @@ class Tokenizer:
     def run(self, text: str):
         """Tokenize a complete (preprocessed) document string."""
         self.run_span(text, 0, len(text))
+        if self.state == CDATA_SECTION:
+            # unterminated CDATA: the section state is resumable for
+            # the chunked feed, so the genuine-EOF error fires here
+            self.error("eof-in-cdata")
+            self.state = DATA
         self.sink.eof()
 
     def run_span(self, text: str, pos: int, n: int):
@@ -160,6 +171,8 @@ class Tokenizer:
                 pos = self._rawtext(text, pos, n)
             elif state == SCRIPT_DATA:
                 pos = self._script_data(text, pos, n)
+            elif state == CDATA_SECTION:
+                pos = self._cdata_section(text, pos, n)
             else:  # PLAINTEXT
                 self.mark = pos
                 data = text[pos:n]
@@ -529,7 +542,10 @@ class Tokenizer:
             return self._doctype(text, pos + 7, n)
         if text.startswith("[CDATA[", pos):
             if self.sink.cdata_allowed():
-                return self._cdata(text, pos + 7, n)
+                # enter the resumable section state; the main loop (or
+                # the next run_span) consumes the content
+                self.state = CDATA_SECTION
+                return pos + 7
             self.error("cdata-in-html-content")
             return self._bogus_comment(text, pos, n, preset="[CDATA[", skip=7)
         self.error("incorrectly-opened-comment")
@@ -686,18 +702,21 @@ class Tokenizer:
                     append("--!")
                     state = "comment"
 
-    def _cdata(self, text, pos, n):
-        end = text.find("]]>", pos)
+    def _cdata_section(self, text, pos, n):
+        """CDATA section content — resumable across run_span calls: no
+        terminator in the span emits the whole span as characters and
+        STAYS in CDATA_SECTION (the feed holds back any trailing prefix
+        of ']]>' so the terminator can never straddle a boundary; the
+        one-shot run() fires eof-in-cdata if the state survives)."""
+        end = text.find("]]>", pos, n)
         if end == -1:
-            self.error("eof-in-cdata")
-            data = text[pos:]
-            newpos = n
-        else:
-            data = text[pos:end]
-            newpos = end + 3
-        if data:
-            self.sink.characters(data)
-        return newpos
+            if n > pos:
+                self.sink.characters(text[pos:n])
+            return n
+        if end > pos:
+            self.sink.characters(text[pos:end])
+        self.state = DATA
+        return end + 3
 
     def _doctype(self, text, pos, n):
         """Full doctype state machine (reference: Tokenizer.cs:5067-6339)."""

@@ -119,6 +119,31 @@ def test_cdata_in_foreign_content_across_boundaries():
         assert _signature(parse_chunked(text, k)) == want, k
 
 
+def test_unterminated_cdata_streams_with_bounded_carry():
+    """Round 5 (VERDICT r4 item 3): a never-closed CDATA island in
+    foreign content must STREAM through the resumable CDATA_SECTION
+    state — carry bounded by the terminator-prefix holdback (≤ 2
+    chars beyond the chunk), never the rest of the document — and the
+    result must equal the one-shot parse bit-for-bit."""
+    doc = "<svg><![CDATA[" + ("data ]] chu]nk " * (10_000_000 // 15))
+    cs = 4096
+    fp = FeedParser()
+    max_carry = 0
+    for off in range(0, len(doc), cs):
+        fp.feed(doc[off:off + cs])
+        max_carry = max(max_carry, len(fp.carry))
+    got = fp.finish()
+    want = parse(doc)
+    assert max_carry <= cs + 2, max_carry
+    assert _signature(got) == _signature(want)
+
+    # terminator straddling every possible split point stays exact
+    tail_doc = "<svg><![CDATA[abc]]]>x</svg>done"
+    want_sig = _signature(parse(tail_doc))
+    for k in range(1, len(tail_doc)):
+        assert _signature(parse_chunked(tail_doc, k)) == want_sig, k
+
+
 def test_unterminated_constructs_hit_real_eof():
     for text in ("<p>a<!-- never closed", "<title>open forever",
                  "<script>var x = '<", "<a href='unclosed",
