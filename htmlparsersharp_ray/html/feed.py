@@ -47,6 +47,47 @@ from .treebuilder import TreeBuilder
 
 _MARKER = re.compile(r"[<&]")
 _LT = re.compile(r"<")
+
+# -- scan_data fast path (round 5, VERDICT r4 item 5) ----------------------
+# Any substring that could make the tree builder switch the tokenizer out
+# of DATA: a content-model-sensitive START-tag name followed by a name
+# delimiter, or a CDATA opener. Case-insensitive throughout — the CDATA
+# probe thereby also matches non-CDATA case variants, which merely
+# disables the fast path (conservative; the slow loop decides).
+_CM_ANCHOR = re.compile(
+    r"<(?:title|textarea|style|xmp|iframe|noembed|noframes|script"
+    r"|noscript|plaintext)[\t\n\f />]"
+    r"|<!\[CDATA\[",
+    re.I,
+)
+
+# One C-speed match consuming a RUN of plainly-complete DATA constructs —
+# sound by construction: every alternative consumes exactly the span the
+# per-construct loop would consume (verified by the chunking-equality
+# fuzz gates), and anything irregular (ws before a quoted value, '=' in
+# a tag name, '<!-->', partial constructs at the window edge…) simply
+# fails the alternative and falls back to the per-construct loop from
+# that position. Atomic groups kill the backtracking blowups the nested
+# quantifiers would otherwise allow on doomed suffixes. Only valid in a
+# window with NO _CM_ANCHOR match (no content-model switch possible).
+_SAFE_RUN = re.compile(r"""
+    (?: (?>[^<&]+)                                # plain text
+      | </?(?>[A-Za-z][^\t\n\f\x20/>=]*)          # tag name ('=' declines)
+        (?>(?:[\t\n\f\x20/]+                      # separators
+              (?:[^\t\n\f\x20/><"'=]+             # attribute name
+                 (?:=(?:"[^"]*"|'[^']*'           # =quoted value
+                      |(?:[^\t\n\f\x20>"']        # =unquoted value: must
+                          [^\t\n\f\x20>]*)?))?    #  not START with a quote
+              )?
+           )*)
+        >
+      | &(?>[A-Za-z0-9]+);                        # terminated named ref
+      | <!--(?:>|->                               # abrupt-closing comment
+           |(?>(?:[^-]|-(?!-!?>))*)--!?>)         # comment, first -->/--!>
+      | &\#(?>[0-9]+);                            # terminated dec ref
+      | &\#[xX](?>[0-9A-Fa-f]+);                  # terminated hex ref
+    )+
+""", re.X)
 _DEC_RUN = re.compile(r"[0-9]+")
 _HEX_RUN = re.compile(r"[0-9A-Fa-f]+")
 _ALNUM_RUN = re.compile(r"[0-9A-Za-z]+")
@@ -193,9 +234,24 @@ class _Scanner:
         interpretation depends on tree-builder state (content-model-
         sensitive tag, CDATA, rawtext end tag) — the feed loop then
         hands the prefix to the tokenizer and re-reads the real state
-        before the next scan."""
+        before the next scan.
+
+        Fast path (round 5): up to the next content-model anchor, one
+        _SAFE_RUN regex match consumes a whole run of plainly-complete
+        constructs at C speed; the per-construct loop handles whatever
+        the regex declines and everything at/after the anchor."""
         p = pos
+        fast_until = -1  # lazily (re)computed anchor bound
         while True:
+            if p >= fast_until:
+                m0 = _CM_ANCHOR.search(text, p, n)
+                fast_until = m0.start() if m0 else n
+            if p < fast_until:
+                fm = _SAFE_RUN.match(text, p, fast_until)
+                if fm is not None and fm.end() > p:
+                    p = fm.end()
+                    if p >= n:
+                        return n
             m = _MARKER.search(text, p, n)
             if m is None:
                 return n
