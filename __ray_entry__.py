@@ -1138,9 +1138,10 @@ def _q_docs_incremental_dedup(sf_dir: str):
 def _q_embeddings_kcenter(sf_dir: str):
     """Greedy k-center diversity sample (k=16, Gonzalez farthest-point):
     (center_rank, vec_id, radius) with the non-increasing cover-radius
-    sequence. Iterative selection, not SQL-expressible (no oracle_sql);
-    the differential gate is tests/test_stages.py: bitwise equality vs
-    the single-node fixed-point reference across parallelism levels.
+    sequence. SQL-ORACLED since round 5 (_kcenter_oracle_sql: the
+    fixed-iteration unroll idiom applied to greedy selection —
+    integer-exact 2^20-grid distances make every pick deterministic);
+    the parallelism differential remains in tests/test_stages.py.
     See stages/clustering.py::kcenter_sample."""
     from htmlparsersharp_ray.stages.clustering import kcenter_sample
 
@@ -1210,11 +1211,11 @@ def _q_docs_textrank(sf_dir: str):
     """EXTRACTIVE SUMMARIZATION: the TextRank-central sentence per
     document — integer fixed-point pagerank over the sentence
     word-overlap graph (part_pagerank idiom), so scores are
-    bitwise-deterministic at any parallelism. No SQL oracle (per-doc
-    iterative graph); gated by the sequential differential +
-    planted-centrality pytests (tests/test_stages.py::test_textrank_*)
-    and the shared SENTENCE_SPLIT_PATTERN already oracle-verified by
-    docs_sentences."""
+    bitwise-deterministic at any parallelism. SQL-ORACLED since round 5
+    (_textrank_oracle_sql: 20 unrolled BIGINT rounds over an RE2
+    re-derivation of the sentence/word split); the sequential
+    differential + planted-centrality pytests remain
+    (tests/test_stages.py::test_textrank_*)."""
     from htmlparsersharp_ray.stages.text_analysis import textrank_summaries
 
     out = textrank_summaries(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
@@ -2398,6 +2399,166 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_naive": r.q_events_seasonal_naive,
         "orders_grouping_sets": r.q_orders_grouping_sets,
     }
+
+
+def _kcenter_oracle_sql(k: int = 16) -> str:
+    """Round-5 oracle promotion: greedy k-center (Gonzalez) unrolled as
+    k−1 SQL selection rounds — the part_pagerank fixed-iteration idiom
+    applied to greedy selection. Integer-exact: squared distances on
+    the 2^20 grid (the knn_classifier quantization mirror: DuckDB's
+    DOUBLE→BIGINT cast rounds half-to-even exactly like np.rint), so
+    each round's (mind2 DESC, vec_id ASC) pick is bitwise-deterministic;
+    radius = sqrt(d2)/2^20 is two correctly-rounded IEEE ops on either
+    side. Early stop mirrors via the d2 > 0 filter: once the cover
+    radius hits 0 every later round's best is 0 too (mind2 is
+    non-increasing and its max was already 0), so all post-stop rows
+    drop."""
+    parts = ["""
+        WITH u AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(CAST(unnest(embedding) AS DOUBLE) * 1048576
+                        AS BIGINT) AS q,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ),
+        c0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+        m1 AS MATERIALIZED (
+            -- the center side filters to ONE vec_id via a scalar
+            -- subquery BEFORE the dim join (a JOIN c0 form left the
+            -- planner free to build the full u><u dim join first -
+            -- 256M rows at sf0.1)
+            SELECT p.vec_id,
+                   CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS mind2
+            FROM u p JOIN (SELECT dim, q FROM u
+                           WHERE vec_id = (SELECT cid FROM c0)) c
+              ON p.dim = c.dim
+            GROUP BY p.vec_id
+        ),
+        c1 AS MATERIALIZED (SELECT vec_id AS cid, mind2 AS d2 FROM m1
+               ORDER BY mind2 DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k):
+        parts.append(f""",
+        m{r} AS MATERIALIZED (
+            SELECT m.vec_id,
+                   CAST(LEAST(m.mind2, d.d2n) AS BIGINT) AS mind2
+            FROM m{r - 1} m JOIN (
+                SELECT p.vec_id, SUM((p.q - c.q) * (p.q - c.q)) AS d2n
+                FROM u p JOIN (SELECT dim, q FROM u
+                               WHERE vec_id = (SELECT cid FROM c{r - 1})) c
+                  ON p.dim = c.dim
+                GROUP BY p.vec_id) d ON d.vec_id = m.vec_id
+        ),
+        c{r} AS MATERIALIZED (SELECT vec_id AS cid, mind2 AS d2 FROM m{r}
+                 ORDER BY mind2 DESC, vec_id LIMIT 1)""")
+    sel = ["""
+        SELECT center_rank, vec_id, radius FROM (
+            SELECT CAST(0 AS BIGINT) AS center_rank,
+                   (SELECT cid FROM c0) AS vec_id,
+                   0.0 AS radius, 1 AS keep"""]
+    for r in range(1, k):
+        sel.append(f"""
+            UNION ALL SELECT CAST({r} AS BIGINT), cid,
+                   sqrt(CAST(d2 AS DOUBLE)) / 1048576.0,
+                   CASE WHEN d2 > 0 THEN 1 ELSE 0 END
+            FROM c{r}""")
+    sel.append("""
+        ) WHERE keep = 1
+        ORDER BY center_rank""")
+    return "".join(parts) + "".join(sel)
+
+
+def _textrank_oracle_sql(iters: int = 20) -> str:
+    """Round-5 oracle promotion: per-document integer fixed-point
+    TextRank unrolled as ``iters`` SQL rounds — the part_pagerank idiom
+    over the sentence word-overlap graph, with the engine's own
+    SENTENCE_SPLIT_PATTERN / [a-z0-9]+ word regex re-derived in RE2.
+    All arithmetic is BIGINT with per-j floor division
+    (r' = 150000 + (85·Σ_j w_ij·(r_j // s_j)) // 100), so scores match
+    bitwise; the winner mirrors the engine's first-max argmax via
+    (r DESC, idx ASC) row_number. Degenerate cases follow
+    textrank_pick: no sentences → (-1, 0, ''); one graph sentence or a
+    token-free graph → (0, 1000000, first sentence)."""
+    from htmlparsersharp_ray.stages.text_analysis import (
+        SENTENCE_SPLIT_PATTERN,
+        TEXTRANK_WORD_RE,
+    )
+
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+        r{t} AS MATERIALIZED (
+            SELECT n.doc_id, n.idx,
+                   CAST(150000 + (85 * COALESCE(SUM(e.w * (p.r // stg.s)),
+                                                0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.doc_id = n.doc_id AND e.i = n.idx
+            LEFT JOIN {prev} p ON p.doc_id = e.doc_id AND p.idx = e.j
+            LEFT JOIN stg ON stg.doc_id = e.doc_id AND stg.idx = e.j
+            GROUP BY n.doc_id, n.idx)""")
+        prev = f"r{t}"
+    return f"""
+        WITH s0 AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(COALESCE(text, ''),
+                                             '{SENTENCE_SPLIT_PATTERN}'),
+                       x -> regexp_matches(x, '[^ \t\n\r\x0b\x0c]'))
+                       AS sents
+            FROM documents
+        ),
+        sx AS (
+            SELECT doc_id, unnest(sents) AS sent,
+                   unnest(generate_series(0, len(sents) - 1)) AS idx
+            FROM s0
+        ),
+        sg AS MATERIALIZED (SELECT * FROM sx WHERE idx < 64),
+        tok AS MATERIALIZED (
+            SELECT DISTINCT doc_id, idx,
+                   unnest(regexp_extract_all(lower(sent),
+                                             '{TEXTRANK_WORD_RE}')) AS w
+            FROM sg
+        ),
+        e AS MATERIALIZED (
+            SELECT a.doc_id, a.idx AS i, b.idx AS j,
+                   COUNT(*) AS w
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND a.w = b.w AND a.idx <> b.idx
+            GROUP BY a.doc_id, a.idx, b.idx
+        ),
+        stg AS MATERIALIZED (SELECT doc_id, i AS idx, SUM(w) AS s
+                FROM e GROUP BY doc_id, i),
+        nodes AS MATERIALIZED (SELECT doc_id, idx FROM sg),
+        r0 AS MATERIALIZED (SELECT doc_id, idx, CAST(1000000 AS BIGINT) AS r
+               FROM nodes){''.join(rounds)},
+        best AS (
+            SELECT doc_id, idx, r,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY r DESC, idx) AS rn
+            FROM {prev}
+        ),
+        ht AS (SELECT DISTINCT doc_id FROM tok)
+        SELECT s0.doc_id,
+               CAST(len(s0.sents) AS BIGINT) AS n_sentences,
+               CASE WHEN len(s0.sents) = 0 THEN CAST(-1 AS BIGINT)
+                    WHEN LEAST(len(s0.sents), 64) = 1
+                         OR ht.doc_id IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE b.idx END AS sent_idx,
+               CASE WHEN len(s0.sents) = 0 THEN CAST(0 AS BIGINT)
+                    WHEN LEAST(len(s0.sents), 64) = 1
+                         OR ht.doc_id IS NULL THEN CAST(1000000 AS BIGINT)
+                    ELSE b.r END AS score_fp,
+               CASE WHEN len(s0.sents) = 0 THEN ''
+                    WHEN LEAST(len(s0.sents), 64) = 1
+                         OR ht.doc_id IS NULL
+                         THEN substring(s0.sents[1], 1, 80)
+                    ELSE substring(s0.sents[b.idx + 1], 1, 80)
+                    END AS summary
+        FROM s0
+        LEFT JOIN best b ON b.doc_id = s0.doc_id AND b.rn = 1
+        LEFT JOIN ht ON ht.doc_id = s0.doc_id
+        ORDER BY s0.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5207,6 +5368,8 @@ def oracle_sql() -> dict[str, str]:
                        AS flesch
             FROM c ORDER BY doc_id
         """,
+        "docs_textrank": _textrank_oracle_sql(),
+        "embeddings_kcenter": _kcenter_oracle_sql(),
         "docs_sentences": f"""
             -- sentence segmentation: boundary regex interpolated from
             -- the SAME SENTENCE_SPLIT_PATTERN constant the engine
