@@ -104,6 +104,11 @@ def main():
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    # spill to /tmp, never the CWD (a runaway oracle once wrote 71 GB
+    # of duckdb_temp_storage into the repo's .tmp/), and cap memory so
+    # a planner mis-order fails fast instead of eating the host
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.sql("SET memory_limit='24GB'")
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
