@@ -1088,6 +1088,60 @@ def main() -> int:
 
     run("four_cycles_8m", four_cycles_8m)
 
+    def synth_embeddings_100k(n=100_000, dim=64,
+                              d="/tmp/graft_sweep_emb100k"):
+        # clustered float32 corpus + an exact-duplicate twin for every
+        # 50th vector so the dup-pair probe has guaranteed hits
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_COMPLETE_v1")
+        if not os.path.exists(marker):
+            rng = _np.random.default_rng(47)
+            cents = rng.normal(size=(64, dim)) * 4
+            x = (cents[rng.integers(0, 64, n)]
+                 + rng.normal(size=(n, dim)) * 0.5).astype(_np.float32)
+            x[1::50] = x[::50][:len(x[1::50])]
+            _pq.write_table(_pa.table({
+                "vec_id": _np.arange(n, dtype=_np.int64),
+                "embedding": _pa.array([r.tolist() for r in x],
+                                       _pa.list_(_pa.float32())),
+            }), os.path.join(d, "embeddings.parquet"),
+                row_group_size=1 << 13)
+            open(marker, "w").write("ok")
+        return d
+
+    # round-5 probes: the block-streamed EXACT embedding scans (the old
+    # broadcast forms held the full normalized matrix on the driver —
+    # these runs pin that driver RSS stays flat while the O(n²) sim
+    # volume streams block-by-block through the scan actors)
+    def knn_graph_exact_100k():
+        from htmlparsersharp_ray.stages.similarity import knn_graph_exact
+
+        return knn_graph_exact(
+            ray.data.read_parquet(
+                os.path.join(synth_embeddings_100k(),
+                             "embeddings.parquet")), k=3)
+
+    run("knn_graph_exact_100k", knn_graph_exact_100k)
+
+    def cosine_dup_pairs_exact_100k():
+        from htmlparsersharp_ray.stages.dedup import (
+            embedding_cosine_dup_pairs_exact)
+
+        # 0.995 sits ABOVE the same-cluster cosine (~0.985 for σ=0.5
+        # noise on |c|≈32 centers) and below the exact twins' 1.0, so
+        # the pair volume is the 2k planted twins, not a quadratic
+        # intra-cluster blowup (0.98 returned 67M pairs)
+        return embedding_cosine_dup_pairs_exact(
+            ray.data.read_parquet(
+                os.path.join(synth_embeddings_100k(),
+                             "embeddings.parquet")), threshold=0.995)
+
+    run("cosine_dup_pairs_exact_100k", cosine_dup_pairs_exact_100k)
+
     print(json.dumps({
         "corpus_docs": REPS * 5000 if "sf0.1" in SRC else None,
         "corpus_files": len(files),
