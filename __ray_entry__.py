@@ -2467,6 +2467,45 @@ def _kcenter_oracle_sql(k: int = 16) -> str:
     return "".join(parts) + "".join(sel)
 
 
+def _kcore_oracle_sql(k: int = 82, rounds: int = 40) -> str:
+    """Round-5 oracle promotion: k-core fixpoint peeling unrolled as
+    ``rounds`` SQL rounds. Peeling is MONOTONE — each round removes
+    every node whose degree in the current subgraph is < k, and once
+    the fixpoint is reached further rounds are exact no-ops — so a
+    bounded unroll is safe as long as ``rounds`` covers the cascade
+    depth. Exact-regime assumption (the part_quantiles_sketch
+    precedent): measured depths are 3 / 19 / 8 at sf0.001/0.01/0.1;
+    40 rounds is a >2× margin. All-integer degrees, no tie-breaks
+    needed (simultaneous removal)."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (
+            -- distinct undirected co-purchase edges, u < v (mirrors
+            -- group_cooccurrence_edges + _undirected_distinct)
+            SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM e{r - 1}
+                UNION ALL SELECT v FROM e{r - 1}) GROUP BY node),
+        e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN d{r} du ON du.node = e.u
+            JOIN d{r} dv ON dv.node = e.v
+            WHERE du.deg >= {k} AND dv.deg >= {k})""")
+    parts.append(f"""
+        SELECT node, CAST(deg AS BIGINT) AS core_deg FROM (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM e{rounds}
+                UNION ALL SELECT v FROM e{rounds}) GROUP BY node)
+        ORDER BY node""")
+    return "".join(parts)
+
+
 def _textrank_oracle_sql(iters: int = 20) -> str:
     """Round-5 oracle promotion: per-document integer fixed-point
     TextRank unrolled as ``iters`` SQL rounds — the part_pagerank idiom
@@ -5370,6 +5409,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_textrank": _textrank_oracle_sql(),
         "embeddings_kcenter": _kcenter_oracle_sql(),
+        "part_kcore": _kcore_oracle_sql(),
         "docs_sentences": f"""
             -- sentence segmentation: boundary regex interpolated from
             -- the SAME SENTENCE_SPLIT_PATTERN constant the engine

@@ -4748,8 +4748,10 @@ def q_part_kcore(sf_dir: str):
     iterations and converging label propagation); per round two
     blob-exchange endpoint filters against one degree snapshot, one
     edge-count convergence scalar. Deterministic integer degrees;
-    rows-only for the driver (a fixpoint over aggregates is not
-    SQL-expressible) with a sequential-peel differential pytest
+    SQL-ORACLED since round 5 (__ray_entry__._kcore_oracle_sql: the
+    peel unrolled as 40 bounded SQL rounds — monotone, so post-fixpoint
+    rounds are no-ops; measured depths 3/19/8 at the three sfs), plus
+    the sequential-peel differential pytest
     (tests/test_stages.py::test_kcore_*)."""
     from ..stages.graph import group_cooccurrence_edges, kcore
 
