@@ -2506,6 +2506,43 @@ def _kcore_oracle_sql(k: int = 82, rounds: int = 40) -> str:
     return "".join(parts)
 
 
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 20) -> str:
+    """Round-5 oracle promotion: k-truss support peeling unrolled as
+    ``rounds`` bounded SQL rounds — the same monotone-fixpoint argument
+    as _kcore_oracle_sql (each round drops every edge with < k−2
+    triangles among the CURRENT survivors; post-fixpoint rounds are
+    exact no-ops). Measured depths 1 / 3 / 8 at sf0.001/0.01/0.1; 20
+    rounds is a >2× margin (exact-regime assumption, documented like
+    part_quantiles_sketch's). Triangles enumerate once per round via
+    the canonical u<v<w wedge join; each corner edge collects +1
+    support per closing triangle."""
+    thresh = k - 2
+    parts = ["""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        t{r} AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e{r - 1} e1
+            JOIN e{r - 1} e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e{r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+        e{r} AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT u, v, COUNT(*) AS sup FROM (
+                    SELECT a AS u, b AS v FROM t{r}
+                    UNION ALL SELECT a, c FROM t{r}
+                    UNION ALL SELECT b, c FROM t{r}) GROUP BY u, v)
+            WHERE sup >= {thresh})""")
+    parts.append(f"""
+        SELECT u, v FROM e{rounds} ORDER BY u, v""")
+    return "".join(parts)
+
+
 def _textrank_oracle_sql(iters: int = 20) -> str:
     """Round-5 oracle promotion: per-document integer fixed-point
     TextRank unrolled as ``iters`` SQL rounds — the part_pagerank idiom
@@ -5410,6 +5447,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_textrank": _textrank_oracle_sql(),
         "embeddings_kcenter": _kcenter_oracle_sql(),
         "part_kcore": _kcore_oracle_sql(),
+        "part_ktruss": _ktruss_oracle_sql(),
         "docs_sentences": f"""
             -- sentence segmentation: boundary regex interpolated from
             -- the SAME SENTENCE_SPLIT_PATTERN constant the engine

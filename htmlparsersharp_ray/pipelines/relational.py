@@ -11637,9 +11637,11 @@ def q_part_ktruss(sf_dir: str, k: int = 4):
     from one stray basket peels away; a K4 basket core survives).
     Fourth iterative-graph family (CC label propagation, Borůvka MSF,
     fixpoint degree peel, and now iterative support peel). Returns the
-    surviving canonical edges. Rows-only contract: iterative peeling
-    is not ANSI-SQL-expressible — the pytest gate is a sequential
-    reference peeler (see tests/test_round3_ktruss.py)."""
+    surviving canonical edges. SQL-ORACLED since round 5
+    (__ray_entry__._ktruss_oracle_sql: the support peel unrolled as 20
+    bounded monotone SQL rounds — measured depths 1/3/8 at the three
+    sfs); the sequential-reference-peeler pytest remains
+    (tests/test_round3_ktruss.py)."""
     from ..stages.graph import group_cooccurrence_edges, ktruss
 
     li = ray.data.read_parquet(
