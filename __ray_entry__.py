@@ -1243,9 +1243,11 @@ def _q_docs_pdf_extract(sf_dir: str):
 
 def _q_docs_pdf_layout(sf_dir: str):
     """Layout metrics from the same PDF round trip: pages and text
-    operators per document. Rows-only (greedy-wrap pagination is not
-    SQL-expressible); the gate is the exact-layout pytest in
-    tests/test_pdf.py (constructed docs with known wrap/pagination)."""
+    operators per document. SQL-ORACLED since round 5
+    (_pdf_layout_oracle_sql: the greedy word wrap re-derived as a TRUE
+    recursive-CTE fold — one state row per doc advancing a word per
+    round); the exact-layout pytest in tests/test_pdf.py remains
+    (constructed docs with known wrap/pagination)."""
     from htmlparsersharp_ray.stages.pdf_stage import pdf_roundtrip
 
     out = pdf_roundtrip(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
@@ -2541,6 +2543,62 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 20) -> str:
     parts.append(f"""
         SELECT u, v FROM e{rounds} ORDER BY u, v""")
     return "".join(parts)
+
+
+def _pdf_layout_oracle_sql() -> str:
+    """Round-5 oracle promotion: the writer's greedy word wrap
+    (pdf/writer.py::wrap_text — width 72, whitespace runs collapse) is
+    a sequential fold per document, re-derived as a TRUE recursive CTE:
+    one state row (cur_line_len, n_lines) per document advances one
+    word per recursion round, terminating naturally when the word list
+    is exhausted (max ~100 words/doc). n_text_ops = wrapped line count
+    (one Tj per line), n_pages = max(1, ceil(lines / 40)) — both pinned
+    against render→extract empirically. Exact-regime assumption: no
+    corpus word exceeds the 72-char column (measured max 8 at all three
+    sfs), so the hard-break branch never fires."""
+    return """
+        WITH RECURSIVE w0 AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split_regex(COALESCE(text, ''),
+                                                  '\\s+'),
+                               x -> len(x) > 0) AS ws
+            FROM documents
+        ),
+        wx AS MATERIALIZED (
+            SELECT doc_id, unnest(ws) AS w,
+                   unnest(generate_series(1, len(ws))) AS wi
+            FROM w0
+        ),
+        st AS (
+            SELECT doc_id, 0 AS wi, 0 AS cur_len, 0 AS nlines FROM w0
+            UNION ALL
+            SELECT s.doc_id, s.wi + 1,
+                   CASE WHEN s.cur_len + len(x.w)
+                             + CASE WHEN s.cur_len > 0 THEN 1 ELSE 0 END
+                             > 72
+                        THEN len(x.w)
+                        ELSE s.cur_len + len(x.w)
+                             + CASE WHEN s.cur_len > 0 THEN 1 ELSE 0 END
+                   END,
+                   CASE WHEN s.cur_len + len(x.w)
+                             + CASE WHEN s.cur_len > 0 THEN 1 ELSE 0 END
+                             > 72
+                        THEN s.nlines + 1 ELSE s.nlines END
+            FROM st s JOIN wx x
+              ON x.doc_id = s.doc_id AND x.wi = s.wi + 1
+        ),
+        fin AS (
+            SELECT s.doc_id,
+                   s.nlines + CASE WHEN s.cur_len > 0 THEN 1 ELSE 0 END
+                       AS n_lines
+            FROM st s JOIN w0 ON w0.doc_id = s.doc_id
+            WHERE s.wi = len(w0.ws)
+        )
+        SELECT doc_id,
+               GREATEST(1, CAST(CEIL(n_lines / 40.0) AS BIGINT))
+                   AS n_pages,
+               CAST(n_lines AS BIGINT) AS n_text_ops
+        FROM fin ORDER BY doc_id"""
 
 
 def _textrank_oracle_sql(iters: int = 20) -> str:
@@ -5448,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kcenter": _kcenter_oracle_sql(),
         "part_kcore": _kcore_oracle_sql(),
         "part_ktruss": _ktruss_oracle_sql(),
+        "docs_pdf_layout": _pdf_layout_oracle_sql(),
         "docs_sentences": f"""
             -- sentence segmentation: boundary regex interpolated from
             -- the SAME SENTENCE_SPLIT_PATTERN constant the engine
