@@ -142,13 +142,19 @@ def main():
             continue
         elapsed = time.time() - t0
         if name in oracles:
+            t1 = time.time()
             sql_df = con.sql(oracles[name]).df()
+            sql_s = time.time() - t1  # oracle cost is NOT in `elapsed`
+            # (part_name_clusters' Levenshtein oracle at sf0.1 costs
+            # ~40 min while the engine side prints 16 s — log both)
             problems = compare(name, result, sql_df)
             if problems:
-                print(f"FAIL {name} ({elapsed:.1f}s): {problems}")
+                print(f"FAIL {name} ({elapsed:.1f}s, sql {sql_s:.1f}s): "
+                      f"{problems}")
                 failed.append(name)
             else:
-                print(f"OK   {name} ({elapsed:.1f}s): {len(result)} rows match oracle")
+                print(f"OK   {name} ({elapsed:.1f}s, sql {sql_s:.1f}s): "
+                      f"{len(result)} rows match oracle")
         else:
             print(f"ROWS {name} ({elapsed:.1f}s): {len(result)} rows (no oracle)")
     if failed:
